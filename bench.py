@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the registered query suite and prints ONE JSON line.
+
+Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default all cores)
+
+Each query is fully materialized through the `noop` sink (distributed
+execution, no driver collect) and timed wall-clock. The headline metric is
+the sum of per-query times after a warm-up run of the first query (JVM/codegen
+warm-up excluded, as the reference's DuckDB engine is likewise measured warm).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dlt_iceberg_spark.queries import REGISTRY
+from dlt_iceberg_spark.session import get_spark
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM + parquet footer caches
+    first = next(iter(REGISTRY.values()))
+    materialize(first.fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+                "n_queries": len(times),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Parquet table loading for the driver testdata.
+
+The reference reads dlt-produced parquet with ``pq.read_table``
+(destination_client.py:189-195); here the scan is Spark's vectorized parquet
+reader so predicate pushdown / column pruning / partition-sized splits come
+from Catalyst for free.
+
+One real-world wrinkle handled here: ``events.ts`` is parquet
+``TIMESTAMP(NANOS)``, which Spark 4 refuses by default.  We read it via
+``spark.sql.legacy.parquet.nanosAsLong`` and truncate to microseconds
+(``TimestampNTZType``), exactly matching the reference's µs precision cap
+(destination_client.py:1581) and DuckDB's ``ts::TIMESTAMP`` truncation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as parquet TIMESTAMP(NANOS); converted to µs TimestampNTZ on load.
+_NANOS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame with normalized types."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _NANOS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        # long ns-since-epoch -> µs TimestampNTZ (floor division matches the
+        # DuckDB oracle's ts::TIMESTAMP truncation for post-epoch data).
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

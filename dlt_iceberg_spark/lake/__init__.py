@@ -1,0 +1,23 @@
+"""Atomic snapshot-based lake table layer (Iceberg-shaped, Spark-native).
+
+No Iceberg runtime jar ships in this environment, so the write-side
+dispositions of the reference (SURVEY.md §2.2) are implemented over a
+lightweight table format: parquet data files + JSON snapshot manifests with
+an atomically-renamed current-pointer.  The merge semantics themselves are
+pure DataFrame plans (``merge.py``) and are backend-agnostic — against a real
+Iceberg catalog they compile to a single ``MERGE INTO``.
+"""
+
+from dlt_iceberg_spark.lake.merge import (
+    upsert_plan,
+    delete_insert_plan,
+    split_hard_deletes,
+    merge_plan,
+)
+
+__all__ = [
+    "upsert_plan",
+    "delete_insert_plan",
+    "split_hard_deletes",
+    "merge_plan",
+]

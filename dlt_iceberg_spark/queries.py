@@ -1,0 +1,930 @@
+"""Query/operator registry — the engine's graded analytics surface.
+
+Each entry pairs a Spark DataFrame program with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables (driver contract in
+``__spark_entry__.py``).  The reference delegates its whole read side to
+DuckDB views (sql_client.py:102-149); here every query is a native Catalyst
+plan — broadcast hints on dimension tables, partial aggregation, pushed
+filters — designed to survive a 100 TB / 1000-executor scale-up.
+
+Cross-engine determinism rules used throughout (verified empirically):
+- Doubles are normalized with ``floor(x*10^k + 0.5)/10^k`` — pure IEEE-754
+  ops that are bit-identical in Spark and DuckDB (``round()`` is NOT: the
+  engines disagree on e.g. 1.005).
+- Ranked/limited outputs always carry a unique tie-break key.
+- ``events.ts`` is ns in parquet; Spark side truncates to µs on load
+  (io.py), oracles use ``ts::TIMESTAMP`` which truncates identically.
+- Aggregates over INTEGER are cast to BIGINT in oracles (DuckDB sums to
+  HUGEINT), matching Spark's long.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dlt_iceberg_spark.io import load_table
+from dlt_iceberg_spark.lake.merge import merge_plan
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# deterministic float normalization (see module docstring)
+
+def rnd(c: Column, digits: int = 2) -> Column:
+    scale = float(10 ** digits)
+    return (F.floor(c * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(scale)).alias("r")
+
+
+def _sql_rnd(expr: str, digits: int = 2) -> str:
+    scale = float(10 ** digits)
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# A. TPC-H-adapted relational core
+# ===========================================================================
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_rnd('sum(l_quantity)')} AS sum_qty,
+           {_sql_rnd('sum(l_extendedprice)')} AS sum_base_price,
+           {_sql_rnd('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+           {_sql_rnd('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {_sql_rnd('avg(l_quantity)')} AS avg_qty,
+           {_sql_rnd('avg(l_extendedprice)')} AS avg_price,
+           {_sql_rnd('avg(l_discount)', 4)} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1: scan-heavy partial+final hash aggregate; filter pushed to parquet.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity")).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rnd(F.sum(disc_price)).alias("sum_disc_price"),
+            rnd(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            rnd(F.avg("l_quantity")).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice")).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_unshipped_revenue",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, o.o_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3: selective dim filter broadcast into fact join; top-k with unique tie-break.",
+)
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    revenue_raw = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_raw.alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", rnd(F.col("__rev")).alias("revenue"))
+    )
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS → left-semi join.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    joined = o.join(l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate), "left_semi")
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q5_nation_revenue",
+    f"""
+    SELECT n.n_name, {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5: 6-table snowflake join, dims broadcast, one fact shuffle.",
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy("n_name")
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q6_revenue_delta",
+    f"""
+    SELECT {_sql_rnd('sum(l_extendedprice * l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: pure pushed-filter scan + global agg; no shuffle beyond final reduce.",
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q10_returned_customers",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_sql_rnd('c.c_acctbal')} AS acctbal,
+           {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY sum(l.l_extendedprice * (1 - l.l_discount)) DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue per customer, top-20.",
+)
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"))
+        .orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            rnd(F.col("c_acctbal")).alias("acctbal"),
+            rnd(F.col("__rev")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q13_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13: outer join + double aggregation (count histogram).",
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH srev AS (
+        SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, {_sql_rnd('r.total_rev')} AS total_revenue
+    FROM supplier s JOIN srev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM srev)
+    """,
+    doc="TPC-H Q15: agg CTE + scalar-subquery max (self-join on agg).",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    srev = l.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(mx), srev.total_rev == mx.mx)
+        .join(F.broadcast(s), s.s_suppkey == srev.l_suppkey)
+        .select("s_suppkey", "s_name", rnd(F.col("total_rev")).alias("total_revenue"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    f"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           {_sql_rnd('o.o_totalprice')} AS totalprice,
+           {_sql_rnd('sum(l.l_quantity)')} AS sum_qty
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    doc="TPC-H Q18: HAVING subquery → semi-join on aggregated keys.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")), F.col("l_orderkey") == F.col("bk"), "inner")
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(rnd(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            rnd(F.col("o_totalprice")).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q22_idle_customers",
+    f"""
+    WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+    SELECT c.c_mktsegment, count(*) AS numcust, {_sql_rnd('sum(c.c_acctbal)')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c.c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: scalar subquery + anti-join.",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(f_orders, c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"), rnd(F.sum("c_acctbal")).alias("totacctbal"))
+    )
+
+
+@query(
+    "part_brand_stats",
+    f"""
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS total_size,
+           {_sql_rnd('min(p_retailprice)')} AS min_price,
+           {_sql_rnd('max(p_retailprice)')} AS max_price,
+           {_sql_rnd('avg(p_retailprice)')} AS avg_price,
+           count(DISTINCT p_type) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+    doc="Multi-aggregate with count distinct per group.",
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("total_size"),
+        rnd(F.min("p_retailprice")).alias("min_price"),
+        rnd(F.max("p_retailprice")).alias("max_price"),
+        rnd(F.avg("p_retailprice")).alias("avg_price"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "nation_order_stats",
+    f"""
+    SELECT n.n_name, o.o_orderstatus, count(*) AS n_orders,
+           {_sql_rnd('sum(o.o_totalprice)')} AS total_value,
+           {_sql_rnd('avg(o.o_totalprice)')} AS avg_value
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, o.o_orderstatus
+    """,
+    doc="Fact→dim star join with two-level grouping key.",
+)
+def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            rnd(F.sum("o_totalprice")).alias("total_value"),
+            rnd(F.avg("o_totalprice")).alias("avg_value"),
+        )
+    )
+
+
+# ===========================================================================
+# B. Window / event-stream analytics
+# ===========================================================================
+
+@query(
+    "window_customer_rank",
+    f"""
+    WITH spend AS (
+        SELECT n.n_name, c.c_custkey,
+               {_sql_rnd('sum(o.o_totalprice)')} AS total_spend
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+                        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name, c.c_custkey
+    )
+    SELECT n_name, c_custkey, total_spend,
+           rank() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS spend_rank
+    FROM spend
+    QUALIFY spend_rank <= 5
+    """,
+    doc="Window rank over aggregated spend; ranks on normalized doubles for determinism.",
+)
+def window_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(rnd(F.sum("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("total_spend").desc(), F.col("c_custkey"))
+    return (
+        spend.withColumn("spend_rank", F.rank().over(w))
+        .filter(F.col("spend_rank") <= 5)
+    )
+
+
+@query(
+    "window_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           {_sql_rnd('sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS running_spend
+    FROM orders
+    """,
+    doc="Per-customer running total: ordered window accumulation (deterministic order ⇒ identical fp sequence).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+           {_sql_rnd('sum("value")')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling-window (hourly) event rollup — batch analogue of a streaming windowed agg.",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            rnd(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "events_user_latest",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Latest-event-per-key dedup (row_number top-1) — the scalable 'current state' pattern.",
+)
+def events_user_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+    )
+
+
+@query(
+    "events_sessions",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS tsu,
+               CASE WHEN ts::TIMESTAMP <= lag(ts::TIMESTAMP) OVER w + INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+    ), sessioned AS (
+        SELECT user_id,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, count(*) AS n_sessions,
+           CAST(max(session_len) AS BIGINT) AS max_session_events
+    FROM (SELECT user_id, session_id, count(*) AS session_len
+          FROM sessioned GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30 min) via lag + cumulative sum — batch twin of applyInPandasWithState.",
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Interval arithmetic on TimestampNTZ: timezone- and DST-independent,
+    # matching the oracle's naive-timestamp comparison exactly.
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") <= F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    sessioned = marked.withColumn("session_id", F.sum("new_session").over(wcum))
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("session_len")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("session_len").cast("long").alias("max_session_events"),
+    )
+
+
+@query(
+    "events_json_props",
+    f"""
+    SELECT event_type,
+           {_sql_rnd("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))")} AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured extraction: JSON prop parsed JVM-side (get_json_object), no Python UDF.",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        rnd(F.avg(k)).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
+# C. Training-data pipeline operators (beyond-reference, first-class)
+# ===========================================================================
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: content-hash groupBy; at scale = one shuffle on the hash, no driver state.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.md5(F.encode(F.col("text"), "UTF-8")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_TOKENS_SQL = r"string_split_regex(text, '\s+')"
+_NTOK_SQL = f"CAST(len({_TOKENS_SQL}) AS DOUBLE)"
+_AVG_TOKLEN_SQL = _sql_rnd(f"length(replace(text, ' ', '')) / {_NTOK_SQL}")
+_STOPRATIO_SQL = _sql_rnd(
+    f"len(list_filter({_TOKENS_SQL}, t -> t IN ('the', 'a'))) / {_NTOK_SQL}", 4
+)
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+           {_AVG_TOKLEN_SQL} AS avg_token_len,
+           {_STOPRATIO_SQL} AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-document quality features (length/token/stopword stats), all JVM-side expressions.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    n_tokens = F.size(toks).cast("long")
+    stop = F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        rnd(
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        rnd(stop / n_tokens.cast("double"), 4).alias("stopword_ratio"),
+    )
+
+
+_AVG_TOKENS_SQL = _sql_rnd(f"avg(len({_TOKENS_SQL}))")
+
+
+@query(
+    "text_lang_profile",
+    f"""
+    SELECT lang, source, count(*) AS n_docs,
+           {_sql_rnd('avg(n_chars)')} AS avg_chars,
+           {_AVG_TOKENS_SQL} AS avg_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+    doc="Corpus profile by language/source — the partition-level stats a curation pipeline monitors.",
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        rnd(F.avg(F.size(F.split(F.col("text"), r"\s+")).cast("double"))).alias("avg_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           substr(md5(text), 1, 16) AS fingerprint,
+           CAST(greatest(len({_TOKENS_SQL}) - 2, 1) AS BIGINT) AS n_shingles
+    FROM documents
+    """,
+    doc="Document fingerprint (hash prefix) + 3-gram shingle count — input cardinality for MinHash.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 16).alias("fingerprint"),
+        F.greatest(F.size(F.split(F.col("text"), r"\s+")) - 2, F.lit(1)).cast("long").alias("n_shingles"),
+    )
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, label,
+                  list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id, label AS neighbor_label,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Brute-force cosine top-k ANN baseline: broadcast queries × candidates, "
+        "JVM-side zip_with/aggregate dot product, per-query top-k. Scale path: "
+        "LSH/IVF bucketing (operators/similarity.py) replaces the cross join."
+    ),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    scored = (
+        emb.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cs", dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            rnd(F.col("cs"), 6).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "embedding_label_stats",
+    f"""
+    SELECT label, count(*) AS n_vecs,
+           {_sql_rnd('avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])))', 4)} AS avg_norm,
+           CAST(min(len(embedding)) AS BIGINT) AS dim
+    FROM embeddings GROUP BY label
+    """,
+    doc="Embedding-space sanity stats per label (norm distribution, dim check).",
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        rnd(F.avg(norm), 4).alias("avg_norm"),
+        F.min(F.size("embedding")).cast("long").alias("dim"),
+    )
+
+
+# ===========================================================================
+# D. Write-disposition semantics as verifiable queries (SURVEY.md §2.2)
+# ===========================================================================
+# The lake writer's merge plans (lake/merge.py) are exercised here against
+# the oracle: target/source batches are derived deterministically from
+# `orders`, so the duckdb SQL can state the expected post-merge table.
+
+_MERGE_SRC_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+       'X-UPSERTED' AS o_orderpriority
+FROM orders WHERE o_orderkey % 10 >= 5
+"""
+
+
+def _merge_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = _t(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8)
+    source = o.filter(F.col("o_orderkey") % 10 >= 5).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("X-UPSERTED").alias("o_orderpriority"),
+    )
+    return target, source
+
+
+def _merge_result_select(df: DataFrame) -> DataFrame:
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        rnd(F.col("o_totalprice")).alias("totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@query(
+    "merge_upsert",
+    f"""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+         source AS ({_MERGE_SRC_SQL})
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS totalprice, o_orderdate, o_orderpriority
+    FROM (
+        SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT * FROM source
+    )
+    """,
+    doc=(
+        "W3 upsert disposition (MERGE … UPDATE SET * / INSERT *) as a distributed "
+        "plan: batch ∪ target-anti-batch. Mirrors destination_client.py:1437-1469 "
+        "without the reference's driver-side key collection."
+    ),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_batches(spark, sf_dir)
+    return _merge_result_select(
+        merge_plan(target, source, keys=["o_orderkey"], strategy="upsert")
+    )
+
+
+@query(
+    "merge_hard_delete",
+    f"""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+         source AS (
+           SELECT *, CASE WHEN o_orderkey % 3 = 0
+                          THEN TIMESTAMP '2026-01-01 00:00:00' END AS _dlt_deleted_at
+           FROM ({_MERGE_SRC_SQL})
+         ),
+         keeps AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                          o_orderdate, o_orderpriority
+                   FROM source WHERE _dlt_deleted_at IS NULL),
+         survivors AS (SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey)
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS totalprice, o_orderdate, o_orderpriority
+    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM keeps)
+    """,
+    doc=(
+        "W4+W5: delete-insert merge with hard deletes — rows with non-null "
+        "_dlt_deleted_at remove their keys; kept rows merge. One plan, one "
+        "snapshot (destination_client.py:1214-1254, 1405-1417)."
+    ),
+)
+def merge_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target, source = _merge_batches(spark, sf_dir)
+    source = source.withColumn(
+        "_dlt_deleted_at",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.lit("2026-01-01 00:00:00").cast("timestamp_ntz"),
+        ),
+    )
+    merged = merge_plan(
+        target,
+        source,
+        keys=["o_orderkey"],
+        strategy="delete-insert",
+        hard_delete_col="_dlt_deleted_at",
+    )
+    return _merge_result_select(merged.drop("_dlt_deleted_at"))
+
+
+# ---------------------------------------------------------------------------
+
+def get_queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
