@@ -14,10 +14,30 @@ from dlt_iceberg_spark.lake.merge import (
     split_hard_deletes,
     merge_plan,
 )
+from dlt_iceberg_spark.lake.table import LakeTable, Snapshot, DataFile
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig, commit_load
+from dlt_iceberg_spark.lake.state import StateStore
+from dlt_iceberg_spark.lake.dataset import Dataset
+from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource, resource, LoadInfo
 
 __all__ = [
     "upsert_plan",
     "delete_insert_plan",
     "split_hard_deletes",
     "merge_plan",
+    "LakeTable",
+    "Snapshot",
+    "DataFile",
+    "LakeCatalog",
+    "LakeWriter",
+    "TableSpec",
+    "WriterConfig",
+    "commit_load",
+    "StateStore",
+    "Dataset",
+    "Pipeline",
+    "Resource",
+    "resource",
+    "LoadInfo",
 ]

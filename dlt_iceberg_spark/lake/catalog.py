@@ -1,0 +1,135 @@
+"""LakeCatalog — namespace/table registry over a warehouse directory.
+
+Catalog surface from SURVEY.md §2.1 S5 / §2.2 W9-W12: list namespaces and
+tables, create/load/drop(+purge) tables, register stray tables found on
+disk, custom location layouts.  The reference auto-detects REST vs SQL
+catalogs from URI schemes (destination_client.py:679-734); this local
+catalog is the filesystem analogue (the E2E test harness of the reference
+uses exactly such a local sqlite+file:// setup, SURVEY.md §5 layer 2).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from dlt_iceberg_spark.errors import (
+    NamespaceNotFoundError,
+    TableAlreadyExistsError,
+    TableNotFoundError,
+)
+from dlt_iceberg_spark.lake.table import LakeTable
+
+#: table_location_layout default (destination_client.py:736-766)
+DEFAULT_LOCATION_LAYOUT = "{namespace}/{table_name}"
+
+
+class LakeCatalog:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        location_layout: str = DEFAULT_LOCATION_LAYOUT,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.location_layout = location_layout
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- namespaces --------------------------------------------------------
+
+    def create_namespace(self, namespace: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+
+    def list_namespaces(self) -> list[str]:
+        return sorted(
+            n
+            for n in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, n))
+        )
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return os.path.isdir(os.path.join(self.warehouse, namespace))
+
+    # -- table addressing --------------------------------------------------
+
+    def table_location(self, namespace: str, table_name: str) -> str:
+        rel = self.location_layout.format(namespace=namespace, table_name=table_name)
+        if not rel.startswith("/"):
+            rel = os.path.join(self.warehouse, rel)
+        return rel
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            raise NamespaceNotFoundError(namespace)
+        return sorted(
+            t for t in os.listdir(ns_dir) if LakeTable.exists_at(os.path.join(ns_dir, t))
+        )
+
+    def table_exists(self, namespace: str, table_name: str) -> bool:
+        return LakeTable.exists_at(self.table_location(namespace, table_name))
+
+    # -- table lifecycle ---------------------------------------------------
+
+    def create_table(
+        self,
+        namespace: str,
+        table_name: str,
+        schema: T.StructType,
+        partition_spec: list[dict] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> LakeTable:
+        if self.table_exists(namespace, table_name):
+            raise TableAlreadyExistsError(f"{namespace}.{table_name}")
+        self.create_namespace(namespace)
+        table = LakeTable(self.spark, self.table_location(namespace, table_name))
+        table.commit(
+            files=[],
+            schema=schema,
+            operation="create",
+            expected_parent=None,
+            partition_spec=partition_spec or [],
+            properties=properties or {},
+        )
+        return table
+
+    def load_table(self, namespace: str, table_name: str) -> LakeTable:
+        loc = self.table_location(namespace, table_name)
+        if not LakeTable.exists_at(loc):
+            raise TableNotFoundError(f"{namespace}.{table_name}")
+        return LakeTable(self.spark, loc)
+
+    def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
+        """W10: drop (and purge data — the reference prefers purge_table,
+        destination_client.py:892-931)."""
+        loc = self.table_location(namespace, table_name)
+        if not LakeTable.exists_at(loc):
+            raise TableNotFoundError(f"{namespace}.{table_name}")
+        if purge:
+            shutil.rmtree(loc)
+        else:
+            shutil.rmtree(os.path.join(loc, "metadata"))
+
+    def drop_storage(self, namespace: str) -> None:
+        """Drop every table in the namespace (drop_storage analogue)."""
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if os.path.isdir(ns_dir):
+            shutil.rmtree(ns_dir)
+
+    def register_stray_tables(self, namespace: str) -> list[str]:
+        """W11 (destination_client.py:768-851): scan the warehouse directory
+        for table dirs that have snapshot metadata but aren't 'known' (here:
+        everything valid on disk is known, so this validates + returns them;
+        kept for interface parity with catalog.register_table)."""
+        found = []
+        ns_dir = os.path.join(self.warehouse, namespace)
+        if not os.path.isdir(ns_dir):
+            return found
+        for t in sorted(os.listdir(ns_dir)):
+            if LakeTable.exists_at(os.path.join(ns_dir, t)):
+                found.append(t)
+        return found

@@ -1,0 +1,70 @@
+"""Dataset — the read/query surface (SURVEY.md §2.1 S4, §3.2).
+
+The reference exposes tables through DuckDB views over ``iceberg_scan``
+(sql_client.py:102-149) so users can run arbitrary SQL.  Spark-first, the
+engine *is* the SQL surface: every table is registered as a temp view over
+the current snapshot (re-resolved per query — the reference recreates views
+per query for snapshot freshness, sql_client.py:51-55) and ``query()`` is
+``spark.sql``.  Collection mirrors ``.df()/.arrow()/.fetchall()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+
+
+class RelationHandle:
+    """One table: lazy DataFrame plus the reference's collection verbs."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def df(self):
+        """pandas (dataset .df() analogue)."""
+        return self._df.toPandas()
+
+    def arrow(self):
+        return self._df.toArrow()
+
+    def fetchall(self):
+        return [tuple(r) for r in self._df.collect()]
+
+    def dataframe(self) -> DataFrame:
+        return self._df
+
+    def __getattr__(self, item):
+        return getattr(self._df, item)
+
+
+class Dataset:
+    def __init__(self, catalog: LakeCatalog, namespace: str):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.spark = catalog.spark
+
+    def tables(self) -> list[str]:
+        return self.catalog.list_tables(self.namespace)
+
+    def __getitem__(self, table_name: str) -> RelationHandle:
+        return RelationHandle(self.catalog.load_table(self.namespace, table_name).read())
+
+    def register_views(self) -> None:
+        """Register every table as a temp view over its CURRENT snapshot."""
+        for t in self.tables():
+            self.catalog.load_table(self.namespace, t).read().createOrReplaceTempView(t)
+
+    def query(self, sql: str) -> RelationHandle:
+        """Arbitrary SQL over the dataset's tables (views refreshed first —
+        snapshot-freshness parity with sql_client.py:51-55)."""
+        self.register_views()
+        return RelationHandle(self.spark.sql(sql))
+
+    def row_counts(self) -> dict[str, int]:
+        """Manifest-only row counts (no scan) — file stats make this free."""
+        out = {}
+        for t in self.tables():
+            snap = self.catalog.load_table(self.namespace, t).snapshot()
+            out[t] = snap.total_rows
+        return out

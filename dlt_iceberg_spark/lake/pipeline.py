@@ -1,0 +1,133 @@
+"""Pipeline orchestration: the reference's `pipeline.run(resource)` surface
+re-expressed Spark-first (SURVEY.md §3.1).
+
+A *resource* is any function returning a DataFrame (or rows that
+``spark.createDataFrame`` accepts) plus load hints — the Spark analogue of a
+dlt generator resource.  ``Pipeline.run`` materializes each resource,
+dispatches its disposition through the LakeWriter (one snapshot per table
+per load), and records the load in the `_dlt_loads` ledger + schema registry,
+making reruns idempotent by load_id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.dataset import Dataset
+from dlt_iceberg_spark.lake.state import StateStore
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig
+from dlt_iceberg_spark.schema.converter import spark_type_to_dlt
+
+
+@dataclass
+class Resource:
+    """Table-producing function with load hints (dlt resource analogue)."""
+
+    producer: Callable[[], DataFrame | Iterable[dict]] | DataFrame | Iterable[dict]
+    name: str
+    write_disposition: str | dict[str, Any] = "append"
+    primary_key: list[str] = field(default_factory=list)
+    column_hints: dict[str, dict] = field(default_factory=dict)
+
+    def to_spec(self) -> TableSpec:
+        return TableSpec(
+            name=self.name,
+            write_disposition=self.write_disposition,
+            primary_key=self.primary_key,
+            column_hints=self.column_hints,
+        )
+
+    def materialize(self, spark: SparkSession) -> DataFrame:
+        obj = self.producer() if callable(self.producer) else self.producer
+        if isinstance(obj, DataFrame):
+            return obj
+        rows = list(obj)
+        return spark.createDataFrame(rows)
+
+
+def resource(
+    name: str,
+    write_disposition: str | dict[str, Any] = "append",
+    primary_key: list[str] | None = None,
+    column_hints: dict[str, dict] | None = None,
+):
+    """Decorator: ``@resource("events", write_disposition="merge", ...)``."""
+
+    def deco(fn):
+        return Resource(
+            producer=fn,
+            name=name,
+            write_disposition=write_disposition,
+            primary_key=primary_key or [],
+            column_hints=column_hints or {},
+        )
+
+    return deco
+
+
+@dataclass
+class LoadInfo:
+    load_id: str
+    tables: list[str]
+    schema_version_hash: str
+    duration_s: float
+    already_loaded: bool = False
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        dataset_name: str = "main",
+        pipeline_name: str = "pipeline",
+        writer_config: WriterConfig | None = None,
+    ):
+        self.spark = spark
+        self.pipeline_name = pipeline_name
+        self.dataset_name = dataset_name
+        self.catalog = LakeCatalog(spark, warehouse)
+        self.writer = LakeWriter(self.catalog, dataset_name, writer_config)
+        self.state = StateStore(self.catalog, dataset_name)
+
+    def run(self, *resources: Resource, load_id: str | None = None) -> LoadInfo:
+        """Extract → write (one snapshot/table) → ledger append.
+
+        Reruns with the same ``load_id`` are no-ops (idempotent by ledger
+        pre-check, destination_client.py:1139-1150)."""
+        t0 = time.perf_counter()
+        load_id = load_id or f"{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
+        if self.state.load_recorded(load_id):
+            return LoadInfo(load_id, [], "", 0.0, already_loaded=True)
+
+        schema_doc: dict[str, Any] = {"tables": {}}
+        written: list[str] = []
+        for res in resources:
+            df = res.materialize(self.spark)
+            self.writer.write(res.to_spec(), df, load_id=load_id)
+            written.append(res.name)
+            schema_doc["tables"][res.name] = {
+                "columns": {
+                    f.name: {"data_type": spark_type_to_dlt(f.dataType), "nullable": f.nullable}
+                    for f in df.schema.fields
+                }
+            }
+        version_hash = hashlib.sha256(
+            json.dumps(schema_doc, sort_keys=True).encode()
+        ).hexdigest()[:16]
+        prev = self.state.get_newest_schema(self.dataset_name)
+        version = (prev.version + 1) if prev is not None else 1
+        self.state.store_schema(self.dataset_name, version_hash, version, schema_doc)
+        self.state.store_completed_load(load_id, self.dataset_name, version_hash)
+        return LoadInfo(load_id, written, version_hash, time.perf_counter() - t0)
+
+    def dataset(self) -> Dataset:
+        return Dataset(self.catalog, self.dataset_name)

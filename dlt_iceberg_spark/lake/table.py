@@ -1,0 +1,300 @@
+"""LakeTable — an Iceberg-shaped, Spark-native table format.
+
+No Iceberg runtime jar ships in this environment, so the reference's
+snapshot/commit machinery (one atomic snapshot per table per load,
+tests/test_class_based_atomic.py:100-106) is provided by this layer:
+
+Layout (under ``<warehouse>/<namespace>/<table>/``)::
+
+    data/<uuid>.parquet            immutable data files
+    metadata/v<NNNN>.json          snapshot manifests
+    metadata/_current              pointer file, atomically renamed into place
+
+A snapshot manifest records the schema (Spark JSON), partition spec, and the
+FULL list of live data files with per-file stats (row count, column min/max
+from parquet footers).  Commits are optimistic: writers stage data files,
+then attempt ``os.rename`` of a new version pointer — rename is atomic on
+POSIX, so exactly one concurrent committer wins; losers raise
+CommitConflictError and the writer layer retries on fresh state
+(the same protocol as Iceberg's metadata-pointer swap).
+
+Scale notes:
+- Readers plan scans from the manifest (no directory listing — on object
+  stores listing 100 TB of files is the bottleneck Iceberg exists to avoid).
+- Per-file min/max stats enable file pruning for merges: a MERGE only
+  rewrites files whose key range overlaps the incoming batch
+  (lake/writer.py), which is Iceberg's copy-on-write strategy.
+- File-level metadata stays O(files) JSON on the driver; at true 100 TB
+  scale the manifest itself would become a parquet manifest-list (Iceberg's
+  design); the interface here hides that choice from the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dlt_iceberg_spark.errors import CommitConflictError
+
+_STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    # column -> [min, max] (json-encodable) for prune-able primitive columns
+    stats: dict[str, list[Any]] = dc_field(default_factory=dict)
+    partition: dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schema: T.StructType
+    files: list[DataFile]
+    operation: str  # append | overwrite | merge | delete | create
+    parent: int | None
+    timestamp: str
+    partition_spec: list[dict[str, Any]] = dc_field(default_factory=list)
+    summary: dict[str, Any] = dc_field(default_factory=dict)
+    properties: dict[str, str] = dc_field(default_factory=dict)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.files)
+
+
+def _collect_file_stats(abs_path: str, schema: T.StructType) -> tuple[int, int, dict]:
+    """Row count + per-column min/max from parquet footers (driver-side,
+    footer-only reads — the same stats Iceberg records at write time)."""
+    md = pq.ParquetFile(abs_path).metadata
+    stats: dict[str, list[Any]] = {}
+    prunable = {
+        f.name
+        for f in schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+    }
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in prunable or col.statistics is None or not col.statistics.has_min_max:
+                continue
+            mn, mx = col.statistics.min, col.statistics.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = [mn, mx]
+            else:
+                stats[name] = [min(cur[0], mn), max(cur[1], mx)]
+    return md.num_rows, os.path.getsize(abs_path), stats
+
+
+class LakeTable:
+    """Handle to one table directory; stateless between calls (always reads
+    the current pointer, like Iceberg with catalog caching disabled —
+    SURVEY.md §4 'snapshot freshness')."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self._meta_dir = os.path.join(self.location, "metadata")
+        self._data_dir = os.path.join(self.location, "data")
+
+    # -- metadata ----------------------------------------------------------
+
+    @staticmethod
+    def exists_at(location: str) -> bool:
+        return os.path.exists(os.path.join(location, "metadata", "_current"))
+
+    @property
+    def exists(self) -> bool:
+        return self.exists_at(self.location)
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self._meta_dir, "_current")) as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        with open(os.path.join(self._meta_dir, f"v{v:06d}.json")) as fh:
+            raw = json.load(fh)
+        return Snapshot(
+            version=raw["version"],
+            schema=T.StructType.fromJson(raw["schema"]),
+            files=[DataFile(**f) for f in raw["files"]],
+            operation=raw["operation"],
+            parent=raw["parent"],
+            timestamp=raw["timestamp"],
+            partition_spec=raw.get("partition_spec", []),
+            summary=raw.get("summary", {}),
+            properties=raw.get("properties", {}),
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        """All snapshots, oldest first (the ``t.snapshots`` metadata table)."""
+        if not os.path.isdir(self._meta_dir):
+            return []
+        versions = sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        current = self.current_version()
+        return [self.snapshot(v) for v in versions if current is not None and v <= current]
+
+    def schema(self) -> T.StructType | None:
+        snap = self.snapshot()
+        return snap.schema if snap else None
+
+    # -- commit protocol ---------------------------------------------------
+
+    def stage_dataframe(self, df: DataFrame, target_file_rows: int | None = None) -> list[DataFile]:
+        """Write a DataFrame's content as immutable parquet files in data/
+        (not yet visible — visibility comes from the snapshot commit).
+
+        The write itself is a distributed Spark job; one output file per
+        partition of the plan.  File stats are read back from footers.
+        """
+        os.makedirs(self._data_dir, exist_ok=True)
+        staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        staged: list[DataFile] = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final_name = f"{uuid.uuid4().hex}.parquet"
+            abs_final = os.path.join(self._data_dir, final_name)
+            os.rename(os.path.join(staging, name), abs_final)
+            rows, nbytes, stats = _collect_file_stats(abs_final, df.schema)
+            if rows == 0:
+                os.remove(abs_final)
+                continue
+            staged.append(DataFile(path=f"data/{final_name}", rows=rows, bytes=nbytes, stats=stats))
+        # clean staging remnants (_SUCCESS etc.)
+        for name in os.listdir(staging):
+            os.remove(os.path.join(staging, name))
+        os.rmdir(staging)
+        return staged
+
+    def commit(
+        self,
+        files: list[DataFile],
+        schema: T.StructType,
+        operation: str,
+        expected_parent: int | None,
+        partition_spec: list[dict[str, Any]] | None = None,
+        properties: dict[str, str] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Atomically publish a new snapshot whose live-file set is ``files``.
+
+        Optimistic concurrency: fails with CommitConflictError if the table
+        advanced past ``expected_parent`` (detected by the loser of the
+        version-file rename race).
+        """
+        os.makedirs(self._meta_dir, exist_ok=True)
+        current = self.current_version()
+        if current != expected_parent:
+            raise CommitConflictError(
+                f"table at version {current}, expected {expected_parent}"
+            )
+        new_version = 0 if current is None else current + 1
+        prev = self.snapshot(current) if current is not None else None
+        snap = Snapshot(
+            version=new_version,
+            schema=schema,
+            files=files,
+            operation=operation,
+            parent=current,
+            timestamp=datetime.now(timezone.utc).isoformat(),
+            partition_spec=partition_spec
+            if partition_spec is not None
+            else (prev.partition_spec if prev else []),
+            summary=summary or {},
+            properties=properties
+            if properties is not None
+            else (prev.properties if prev else {}),
+        )
+        payload = {
+            "version": snap.version,
+            "schema": snap.schema.jsonValue(),
+            "files": [vars(f) for f in snap.files],
+            "operation": snap.operation,
+            "parent": snap.parent,
+            "timestamp": snap.timestamp,
+            "partition_spec": snap.partition_spec,
+            "summary": snap.summary,
+            "properties": snap.properties,
+        }
+        manifest = os.path.join(self._meta_dir, f"v{new_version:06d}.json")
+        # manifest write may race; the POINTER rename is the commit point
+        if os.path.exists(manifest):
+            raise CommitConflictError(f"snapshot v{new_version} already written")
+        with open(manifest, "x") as fh:
+            json.dump(payload, fh)
+        tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(new_version))
+        os.rename(tmp_ptr, os.path.join(self._meta_dir, "_current"))
+        return snap
+
+    # -- reading -----------------------------------------------------------
+
+    def read(self, snapshot_version: int | None = None) -> DataFrame:
+        """Plan a scan over the snapshot's live files (manifest-driven — no
+        directory listing)."""
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if not snap.files:
+            return self.spark.createDataFrame([], snap.schema)
+        paths = [os.path.join(self.location, f.path) for f in snap.files]
+        return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def read_files(self, files: list[DataFile]) -> DataFrame:
+        """Scan a subset of live files (used by copy-on-write merge)."""
+        schema = self.schema()
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.location, f.path) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def prune_files(self, snap: Snapshot, column: str, lo: Any, hi: Any) -> tuple[list[DataFile], list[DataFile]]:
+        """Split live files into (maybe-matching, definitely-not) by the
+        recorded [min,max] of ``column`` vs the probe range [lo, hi].
+
+        This is the manifest-level pruning a MERGE uses to avoid rewriting
+        untouched files — at 100 TB the difference between rewriting 3 files
+        and 30,000.
+        """
+        hit, miss = [], []
+        for f in snap.files:
+            st = f.stats.get(column)
+            if st is None:
+                hit.append(f)  # no stats -> must assume match
+            elif st[1] < lo or st[0] > hi:
+                miss.append(f)
+            else:
+                hit.append(f)
+        return hit, miss

@@ -1,0 +1,273 @@
+"""Write dispositions over LakeTable — the engine's core operators
+(SURVEY.md §2.2 W1-W12, reference destination_client.py:1256-1520).
+
+Flow per load (the _commit_table_files analogue, §3.1):
+
+1. create-or-evolve: infer schema from the DataFrame on first write
+   (+ partition spec from hints); afterwards run the evolution policy;
+2. cast the batch safely to the target schema (null-fill sparse columns);
+3. dispatch on disposition:
+   - append    -> stage new files, commit prev ∪ new          (1 snapshot)
+   - replace   -> stage new files, commit new only            (1 snapshot)
+   - merge     -> resolve PKs + strategy + hard deletes, then COPY-ON-WRITE:
+                  prune live files to those whose key-range overlaps the
+                  batch (manifest min/max stats), rewrite only those through
+                  the distributed merge plan, commit untouched ∪ rewritten ∪
+                  appended — still exactly 1 snapshot;
+4. optimistic-commit retry loop with exponential backoff
+   (destination_client.py:1278, error classification §2.10) — CastingError /
+   SchemaEvolutionError never retry.
+
+Scale: the merge never collects keys to the driver (the reference's
+merge_utils.py:8-14 does — its known flaw); pruning bounds the rewrite to
+key-overlapping files, and the merge join itself is a shuffle (or broadcast
+for small batches) across executors.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dlt_iceberg_spark.errors import CastingError, RetryPolicy
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.merge import merge_plan
+from dlt_iceberg_spark.lake.table import DataFile, LakeTable
+from dlt_iceberg_spark.partition import build_partition_spec, partition_columns
+from dlt_iceberg_spark.schema.casting import cast_dataframe_safe
+from dlt_iceberg_spark.schema.converter import infer_schema
+from dlt_iceberg_spark.schema.evolution import evolve_schema_if_needed
+
+logger = logging.getLogger("dlt_iceberg_spark")
+
+#: default hard-delete marker column (destination_client.py:167)
+DEFAULT_HARD_DELETE_COLUMN = "_dlt_deleted_at"
+
+#: batch row-count under which the merge join broadcasts the batch side
+BROADCAST_BATCH_ROWS = 1_000_000
+
+
+@dataclass
+class TableSpec:
+    """Declarative per-table load config (dlt table schema analogue)."""
+
+    name: str
+    write_disposition: str | dict[str, Any] = "append"
+    primary_key: list[str] = field(default_factory=list)
+    column_hints: dict[str, dict] = field(default_factory=dict)
+    hard_delete_column: str | None = None
+
+    def resolve_strategy(self) -> tuple[str, str | None]:
+        """(disposition, merge_strategy) — W8 (destination_client.py:1152-1168):
+        string "merge" means upsert (back-compat); dict form is explicit with
+        delete-insert as the default."""
+        wd = self.write_disposition
+        if isinstance(wd, str):
+            if wd == "merge":
+                return "merge", "upsert"
+            return wd, None
+        disposition = wd.get("disposition", "merge")
+        if disposition != "merge":
+            return disposition, None
+        return "merge", wd.get("strategy", "delete-insert")
+
+    def resolve_primary_key(self) -> list[str]:
+        """W7 (destination_client.py:1389-1397): table-level primary_key →
+        x-merge-keys → per-column primary_key/x-primary-key hints."""
+        if self.primary_key:
+            return list(self.primary_key)
+        merge_keys = [
+            c for c, h in self.column_hints.items() if h.get("x-merge-keys") or h.get("merge_key")
+        ]
+        if merge_keys:
+            return merge_keys
+        return [
+            c
+            for c, h in self.column_hints.items()
+            if h.get("primary_key") or h.get("x-primary-key")
+        ]
+
+
+@dataclass
+class WriterConfig:
+    strict_casting: bool = False
+    allow_column_drops: bool = False
+    hard_delete_column: str = DEFAULT_HARD_DELETE_COLUMN
+    max_retries: int = 5
+    retry_backoff_base: float = 2.0
+
+
+class LakeWriter:
+    def __init__(self, catalog: LakeCatalog, namespace: str, config: WriterConfig | None = None):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.config = config or WriterConfig()
+        self.catalog.create_namespace(namespace)
+
+    # -- entry point -------------------------------------------------------
+
+    def write(self, spec: TableSpec, df: DataFrame, load_id: str | None = None) -> LakeTable:
+        """Land one batch for one table under its disposition — exactly one
+        snapshot on success."""
+        policy = RetryPolicy(self.config.max_retries, self.config.retry_backoff_base)
+        return policy.run(lambda: self._write_once(spec, df, load_id))
+
+    def _write_once(self, spec: TableSpec, df: DataFrame, load_id: str | None) -> LakeTable:
+        disposition, strategy = spec.resolve_strategy()
+        hard_delete_col = spec.hard_delete_column or self.config.hard_delete_column
+        # The delete marker is transient merge metadata, never table data
+        # (destination_client.py:1214-1254); it rides through the cast but
+        # not into the persisted schema.
+        transient = (
+            [f for f in df.schema.fields if f.name == hard_delete_col]
+            if disposition == "merge"
+            else []
+        )
+        table, target_schema = self._create_or_evolve(spec, df, drop_cols={f.name for f in transient})
+        snap = table.snapshot()
+        cast_target = T.StructType(list(target_schema.fields) + transient)
+        casted = cast_dataframe_safe(df, cast_target, strict=self.config.strict_casting)
+        casted = self._apply_partition_layout(casted, snap.partition_spec)
+        summary = {"load_id": load_id} if load_id else {}
+
+        if disposition == "append":
+            new_files = table.stage_dataframe(casted)
+            table.commit(
+                snap.files + new_files, target_schema, "append", snap.version, summary=summary
+            )
+        elif disposition == "replace":
+            new_files = table.stage_dataframe(casted)
+            table.commit(new_files, target_schema, "overwrite", snap.version, summary=summary)
+        elif disposition == "merge":
+            self._merge(table, spec, casted, target_schema, strategy or "delete-insert", summary)
+        else:
+            raise ValueError(f"unknown write_disposition {disposition!r}")
+        return table
+
+    # -- create / evolve ---------------------------------------------------
+
+    def _create_or_evolve(self, spec: TableSpec, df: DataFrame, drop_cols: set[str] = frozenset()):
+        incoming = infer_schema(df, spec.column_hints)
+        incoming_persisted = T.StructType(
+            [f for f in incoming.fields if f.name not in drop_cols]
+        )
+        if not self.catalog.table_exists(self.namespace, spec.name):
+            pspec = build_partition_spec(incoming_persisted, spec.column_hints)
+            table = self.catalog.create_table(
+                self.namespace,
+                spec.name,
+                incoming_persisted,
+                partition_spec=[vars(p) for p in pspec],
+            )
+            return table, incoming_persisted
+        table = self.catalog.load_table(self.namespace, spec.name)
+        current = table.schema()
+        evolved, changed = evolve_schema_if_needed(
+            current, incoming_persisted, allow_column_drops=self.config.allow_column_drops
+        )
+        if changed:
+            snap = table.snapshot()
+            # metadata-only evolution commit (Iceberg update_schema analogue)
+            table.commit(snap.files, evolved, "evolve-schema", snap.version)
+        return table, evolved
+
+    def _apply_partition_layout(self, df: DataFrame, partition_spec: list[dict]) -> DataFrame:
+        """Cluster the batch by the partition transforms so data files align
+        with partition values (⇒ tight min/max stats ⇒ pruning works)."""
+        if not partition_spec:
+            return df
+        from dlt_iceberg_spark.partition import PartitionField
+
+        pcols = partition_columns([PartitionField(**p) for p in partition_spec])
+        exprs = [expr for _name, expr in pcols]
+        return df.repartition(*exprs).sortWithinPartitions(*exprs)
+
+    # -- merge (copy-on-write) --------------------------------------------
+
+    def _merge(
+        self,
+        table: LakeTable,
+        spec: TableSpec,
+        batch: DataFrame,
+        target_schema,
+        strategy: str,
+        summary: dict,
+    ) -> None:
+        snap = table.snapshot()
+        keys = spec.resolve_primary_key()
+        hard_delete_col = spec.hard_delete_column or self.config.hard_delete_column
+        has_hard_delete = hard_delete_col in batch.columns
+
+        if not keys:
+            # W6: merge without PK falls back to append with a warning
+            # (destination_client.py:1399-1403)
+            logger.warning(
+                "table %r: merge requested but no primary key resolved; appending",
+                spec.name,
+            )
+            new_files = table.stage_dataframe(batch.drop(hard_delete_col) if has_hard_delete else batch)
+            table.commit(snap.files + new_files, target_schema, "append", snap.version, summary=summary)
+            return
+
+        # --- file pruning by key-range overlap (copy-on-write planning) ---
+        probe_key = keys[0]
+        touched, untouched = snap.files, []
+        stats_row = None
+        if all(f.stats.get(probe_key) is not None for f in snap.files) and snap.files:
+            stats_row = (
+                batch.agg(
+                    F.min(probe_key).alias("lo"),
+                    F.max(probe_key).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                ).collect()[0]
+            )
+            if stats_row.n == 0:
+                touched, untouched = [], snap.files
+            else:
+                touched, untouched = table.prune_files(snap, probe_key, stats_row.lo, stats_row.hi)
+        broadcast_batch = stats_row is not None and stats_row.n <= BROADCAST_BATCH_ROWS
+
+        target_df = (
+            table.read_files(touched)
+            if touched
+            else table.spark.createDataFrame([], table.schema())
+        )
+        merged = merge_plan(
+            target_df,
+            batch,
+            keys=keys,
+            strategy=strategy,
+            hard_delete_col=hard_delete_col if has_hard_delete else None,
+            broadcast_source=broadcast_batch,
+        )
+        new_files = table.stage_dataframe(merged)
+        table.commit(
+            untouched + new_files,
+            target_schema,
+            "merge",
+            snap.version,
+            summary={
+                **summary,
+                "strategy": strategy,
+                "rewritten_files": len(touched),
+                "pruned_files": len(untouched),
+            },
+        )
+
+
+def commit_load(
+    writer: LakeWriter,
+    loads: dict[str, tuple[TableSpec, DataFrame]],
+    load_id: str,
+) -> dict[str, LakeTable]:
+    """complete_load analogue (destination_client.py:977-1024): land every
+    table's batch — each table gets exactly one snapshot for this load."""
+    out = {}
+    for name, (spec, df) in loads.items():
+        out[name] = writer.write(spec, df, load_id=load_id)
+    return out

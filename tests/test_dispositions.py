@@ -1,0 +1,170 @@
+"""Write-disposition golden tests — the reference's core E2E specs:
+
+- F1 upsert/delete-insert: [1,2,3] then [2,3,4] ⇒ exactly [1,2,3,4]
+  (tests/test_merge_disposition.py:18-190, test_delete_insert_merge.py).
+- F2 hard delete incl. all-deleted → empty (tests/test_capabilities.py:14-223).
+- F3 atomicity: many files, one snapshot per load (test_class_based_atomic.py:100-106).
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+@pytest.fixture()
+def writer(spark, warehouse):
+    return LakeWriter(LakeCatalog(spark, warehouse), "ds")
+
+
+def users_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(user_id=r[0], name=r[1], score=r[2]) for r in rows],
+        "user_id long, name string, score long",
+    )
+
+
+def read(writer, name):
+    t = writer.catalog.load_table("ds", name)
+    return {r.user_id: r for r in t.read().collect()}, t
+
+
+BATCH1 = [(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)]
+BATCH2 = [(2, "bob2", 21), (3, "carol2", 31), (4, "dave", 40)]
+
+
+@pytest.mark.parametrize("strategy", ["upsert", "delete-insert"])
+def test_merge_golden_case(spark, writer, strategy):
+    spec = TableSpec(
+        "users",
+        write_disposition={"disposition": "merge", "strategy": strategy},
+        primary_key=["user_id"],
+    )
+    writer.write(spec, users_df(spark, BATCH1))
+    writer.write(spec, users_df(spark, BATCH2))
+    rows, table = read(writer, "users")
+    assert sorted(rows) == [1, 2, 3, 4]
+    assert rows[1].name == "alice" and rows[1].score == 10  # untouched
+    assert rows[2].name == "bob2" and rows[2].score == 21  # updated
+    assert rows[3].name == "carol2"
+    assert rows[4].name == "dave"  # inserted
+    # exactly one snapshot per load (after the create snapshot)
+    ops = [s.operation for s in table.snapshots()]
+    assert ops == ["create", "merge", "merge"]
+
+
+def test_string_merge_means_upsert(spark, writer):
+    spec = TableSpec("users", write_disposition="merge", primary_key=["user_id"])
+    assert spec.resolve_strategy() == ("merge", "upsert")
+    writer.write(spec, users_df(spark, BATCH1))
+    writer.write(spec, users_df(spark, BATCH2))
+    rows, _ = read(writer, "users")
+    assert sorted(rows) == [1, 2, 3, 4]
+
+
+def test_merge_composite_key(spark, writer):
+    df1 = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 2), (2, "a", 3)], "k1 long, k2 string, v long"
+    )
+    df2 = spark.createDataFrame([(1, "b", 99), (3, "c", 4)], "k1 long, k2 string, v long")
+    spec = TableSpec(
+        "ck",
+        write_disposition={"disposition": "merge", "strategy": "delete-insert"},
+        primary_key=["k1", "k2"],
+    )
+    writer.write(spec, df1)
+    writer.write(spec, df2)
+    out = {(r.k1, r.k2): r.v for r in writer.catalog.load_table("ds", "ck").read().collect()}
+    assert out == {(1, "a"): 1, (1, "b"): 99, (2, "a"): 3, (3, "c"): 4}
+
+
+def test_merge_without_pk_appends(spark, writer):
+    """W6 (destination_client.py:1399-1403): warn + append."""
+    spec = TableSpec("nopk", write_disposition="merge")
+    writer.write(spec, users_df(spark, BATCH1[:2]))
+    writer.write(spec, users_df(spark, BATCH1[:2]))
+    assert writer.catalog.load_table("ds", "nopk").read().count() == 4
+
+
+def test_hard_delete(spark, writer):
+    """F2: {1: update, 2: delete, 4: new} over [1,2,3] ⇒ [1,3,4]."""
+    spec = TableSpec(
+        "users",
+        write_disposition={"disposition": "merge", "strategy": "delete-insert"},
+        primary_key=["user_id"],
+    )
+    writer.write(spec, users_df(spark, BATCH1))
+    batch = spark.createDataFrame(
+        [
+            Row(user_id=1, name="alice2", score=11, _dlt_deleted_at=None),
+            Row(user_id=2, name="bob", score=20, _dlt_deleted_at="2026-01-01T00:00:00"),
+            Row(user_id=4, name="dave", score=40, _dlt_deleted_at=None),
+        ],
+        "user_id long, name string, score long, _dlt_deleted_at string",
+    )
+    writer.write(spec, batch)
+    rows, table = read(writer, "users")
+    assert sorted(rows) == [1, 3, 4]
+    assert rows[1].name == "alice2"
+    assert "_dlt_deleted_at" not in table.schema().fieldNames()
+
+
+def test_hard_delete_all_rows_empties_table(spark, writer):
+    spec = TableSpec(
+        "users",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["user_id"],
+    )
+    writer.write(spec, users_df(spark, BATCH1))
+    batch = spark.createDataFrame(
+        [Row(user_id=i, name="x", score=0, _dlt_deleted_at="now") for i in (1, 2, 3)],
+        "user_id long, name string, score long, _dlt_deleted_at string",
+    )
+    writer.write(spec, batch)
+    assert writer.catalog.load_table("ds", "users").read().count() == 0
+
+
+def test_replace_disposition(spark, writer):
+    spec = TableSpec("users", write_disposition="replace")
+    writer.write(spec, users_df(spark, BATCH1))
+    writer.write(spec, users_df(spark, BATCH2))
+    rows, table = read(writer, "users")
+    assert sorted(rows) == [2, 3, 4]
+    assert [s.operation for s in table.snapshots()] == ["create", "overwrite", "overwrite"]
+
+
+def test_append_atomicity_many_files_one_snapshot(spark, writer):
+    """F3: 100 rows across many input partitions → exactly 1 snapshot."""
+    df = spark.range(100).selectExpr("id AS user_id", "'u' AS name", "id AS score").repartition(8)
+    spec = TableSpec("events", write_disposition="append")
+    writer.write(spec, df)
+    table = writer.catalog.load_table("ds", "events")
+    snaps = table.snapshots()
+    assert [s.operation for s in snaps] == ["create", "append"]
+    assert len(snaps[-1].files) > 1  # many files...
+    assert table.read().count() == 100
+    writer.write(spec, df.limit(30))
+    assert len(table.snapshots()) == 3  # ...one more snapshot per load
+    assert table.read().count() == 130
+
+
+def test_merge_prunes_untouched_files(spark, writer):
+    """Copy-on-write: a batch touching high keys must not rewrite low-key files."""
+    spec_append = TableSpec("big", write_disposition="append")
+    low = spark.createDataFrame([(i, "low") for i in range(100)], "id long, v string")
+    high = spark.createDataFrame([(i, "high") for i in range(1000, 1100)], "id long, v string")
+    writer.write(spec_append, low.coalesce(1))
+    writer.write(spec_append, high.coalesce(1))
+    spec = TableSpec(
+        "big",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+    )
+    batch = spark.createDataFrame([(1050, "updated")], "id long, v string")
+    writer.write(spec, batch)
+    table = writer.catalog.load_table("ds", "big")
+    snap = table.snapshot()
+    assert snap.summary["pruned_files"] >= 1  # low-key file untouched
+    out = {r.id: r.v for r in table.read().collect()}
+    assert out[1050] == "updated" and out[0] == "low" and len(out) == 200

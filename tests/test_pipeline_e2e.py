@@ -1,0 +1,97 @@
+"""Pipeline-level E2E: run → dataset query → state restore → sparse reload
+(reference tests/test_class_based_atomic.py, test_dataset.py,
+test_state_sync_e2e.py; FIXTURES.md F3/F6/F7)."""
+
+import pytest
+from pyspark.sql import Row
+
+from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+
+@pytest.fixture()
+def pipeline(spark, warehouse):
+    return Pipeline(spark, warehouse, dataset_name="ds", pipeline_name="p")
+
+
+def test_run_and_query(spark, pipeline):
+    """F6: dataset SQL surface — join + SUM + GROUP BY + ORDER BY."""
+    customers = Resource(
+        producer=spark.createDataFrame(
+            [(1, "Alice"), (2, "Bob")], "customer_id long, name string"
+        ),
+        name="customers",
+    )
+    orders = Resource(
+        producer=spark.createDataFrame(
+            [(1, 1, 50.0), (2, 1, 25.0), (3, 2, 75.0)],
+            "order_id long, customer_id long, amount double",
+        ),
+        name="orders",
+    )
+    info = pipeline.run(customers, orders)
+    assert sorted(info.tables) == ["customers", "orders"]
+    rel = pipeline.dataset().query(
+        """
+        SELECT c.name, SUM(o.amount) AS total
+        FROM customers c JOIN orders o ON c.customer_id = o.customer_id
+        GROUP BY c.name ORDER BY c.name
+        """
+    )
+    assert rel.fetchall() == [("Alice", 75.0), ("Bob", 75.0)]
+    # .df() / .arrow() verbs
+    assert list(pipeline.dataset()["customers"].df().columns) == ["customer_id", "name"]
+    assert pipeline.dataset()["orders"].arrow().num_rows == 3
+
+
+def test_rerun_same_load_id_is_noop(spark, pipeline):
+    r = Resource(producer=spark.createDataFrame([(1,)], "x long"), name="t")
+    info1 = pipeline.run(r, load_id="L1")
+    info2 = pipeline.run(r, load_id="L1")
+    assert not info1.already_loaded and info2.already_loaded
+    assert pipeline.dataset()["t"].dataframe().count() == 1
+
+
+def test_two_runs_two_snapshots(spark, pipeline):
+    """F3: 2 sequential appends (50+30) → 2 write snapshots, 80 rows."""
+    mk = lambda n: Resource(producer=spark.range(n).toDF("x"), name="events")
+    pipeline.run(mk(50))
+    pipeline.run(mk(30))
+    table = pipeline.catalog.load_table("ds", "events")
+    assert [s.operation for s in table.snapshots()] == ["create", "append", "append"]
+    assert table.read().count() == 80
+    # ledger has one status=0 row per load
+    loads = pipeline.catalog.load_table("ds", "_dlt_loads").read().collect()
+    assert len(loads) == 2 and all(r.status == 0 for r in loads)
+
+
+def test_sparse_second_run_null_fills(spark, pipeline):
+    """F7: run1 [a,b,c,d]; fresh run2 [a,b,c] → old rows keep d, new rows NULL,
+    schema still has d."""
+    full = Resource(
+        producer=spark.createDataFrame(
+            [Row(a=1, b=10, c="x", d="keep")], "a long, b long, c string, d string"
+        ),
+        name="test_table",
+    )
+    sparse = Resource(
+        producer=spark.createDataFrame([Row(a=2, b=20, c="y")], "a long, b long, c string"),
+        name="test_table",
+    )
+    pipeline.run(full)
+    pipeline.run(sparse)
+    rows = {r.a: r for r in pipeline.dataset()["test_table"].dataframe().collect()}
+    assert rows[1].d == "keep" and rows[2].d is None
+    schema = pipeline.catalog.load_table("ds", "test_table").schema()
+    assert "d" in schema.fieldNames()
+
+
+def test_schema_registry_and_state_restore(spark, pipeline):
+    r = Resource(producer=spark.createDataFrame([(1, "a")], "id long, v string"), name="t")
+    info = pipeline.run(r)
+    newest = pipeline.state.get_newest_schema("ds")
+    assert newest is not None and newest.version_hash == info.schema_version_hash
+    assert '"t"' in newest.schema
+    # second run with same schema keeps version (idempotent by hash)
+    info2 = pipeline.run(r)
+    assert info2.schema_version_hash == info.schema_version_hash
+    assert pipeline.catalog.load_table("ds", "_dlt_version").read().count() == 1

@@ -1,0 +1,68 @@
+"""State ledger semantics (FIXTURES.md F11; reference tests/test_with_state_sync.py,
+test_load_metadata_resilience.py)."""
+
+import pytest
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.state import StateStore
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+@pytest.fixture()
+def store(spark, warehouse):
+    return StateStore(LakeCatalog(spark, warehouse), "ds")
+
+
+def test_newest_schema_wins(store):
+    store.store_schema("s", "h1", 1, {"v": 1})
+    store.store_schema("s", "h2", 2, {"v": 2})
+    store.store_schema("other", "h9", 9, {"v": 9})
+    row = store.get_newest_schema("s")
+    assert row.version == 2 and row.version_hash == "h2"
+
+
+def test_schema_lookup_by_hash_exact(store):
+    store.store_schema("s", "abc", 1, {"v": 1})
+    assert store.get_schema_by_hash("abc").schema_name == "s"
+    assert store.get_schema_by_hash("missing") is None
+
+
+def test_store_schema_idempotent_by_hash(store):
+    assert store.store_schema("s", "h1", 1, {}) is True
+    assert store.store_schema("s", "h1", 1, {}) is False
+    df = store.catalog.load_table("ds", "_dlt_version").read()
+    assert df.count() == 1
+
+
+def test_load_ledger_idempotent(store):
+    assert store.store_completed_load("load-1", "s", "h1") is True
+    assert store.load_recorded("load-1")
+    assert store.store_completed_load("load-1", "s", "h1") is False
+    df = store.catalog.load_table("ds", "_dlt_loads").read()
+    assert df.count() == 1
+    assert df.collect()[0].status == 0
+
+
+def test_newest_pipeline_state_wins(store):
+    store.store_pipeline_state("p", {"n": 1}, version=1)
+    store.store_pipeline_state("p", {"n": 2}, version=2)
+    row = store.get_stored_state("p")
+    assert '"n": 2' in row.state
+    assert store.get_stored_state("missing") is None
+
+
+def test_derive_schema_from_tables_fallback(spark, warehouse):
+    """M1 fallback (destination_client.py:435-525): no _dlt_version → derive
+    from live tables, skipping _dlt_*."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec("users"),
+        spark.createDataFrame([(1, "a")], "user_id long, name string"),
+    )
+    store = StateStore(catalog, "ds")
+    store.store_completed_load("x")  # creates a _dlt_ table that must be skipped
+    doc = store.derive_schema_from_tables()
+    assert doc["version_hash"] == "derived_from_iceberg"
+    assert set(doc["tables"]) == {"users"}
+    assert doc["tables"]["users"]["columns"]["user_id"]["data_type"] == "bigint"
