@@ -1,0 +1,44 @@
+"""Training-data pipeline operators (beyond the reference's surface).
+
+Designed for 100 TB corpora: every operator is a DataFrame plan whose
+shuffles are keyed by content hashes / LSH buckets (bounded fan-in), with
+no driver-side state. See BASELINE.json north_star.
+"""
+
+from dlt_iceberg_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    minhash_lsh_dedup,
+    simhash,
+    token_jaccard_pairs,
+)
+from dlt_iceberg_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    hyperplane_lsh_topk,
+    ivf_topk,
+    embedding_near_duplicates,
+)
+from dlt_iceberg_spark.operators.text import (
+    token_stats,
+    quality_score,
+    language_id,
+    rolling_fingerprint,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_candidates",
+    "minhash_lsh_dedup",
+    "simhash",
+    "token_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "hyperplane_lsh_topk",
+    "ivf_topk",
+    "embedding_near_duplicates",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "rolling_fingerprint",
+]

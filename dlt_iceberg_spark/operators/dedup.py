@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, token-Jaccard.
+
+All JVM-side expressions (xxhash64, higher-order array functions) — no
+Python UDFs in any hot path.  Scale design notes per operator:
+
+- exact: one shuffle keyed by content hash; skew-free (hashes distribute).
+- MinHash+LSH: shingle explode is the widest stage (rows × shingles) but is
+  map-side until the per-doc signature aggregation (one shuffle on doc id);
+  banding then buckets docs so the candidate join is per-bucket, never the
+  full n² cross join.  Band count / rows trade recall vs bucket size; skewed
+  buckets (boilerplate docs) are capped via a per-bucket size limit.
+- SimHash: 64 weighted-bit sums per doc — pure map + one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text_col: str):
+    return F.split(F.col(text_col), r"\s+")
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup by content hash: canonical id = min(id) per hash.
+
+    Returns (content_hash, canonical_id, n_copies, ids).
+    """
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+    )
+
+
+def shingles(text_col: str, k: int = 3):
+    """k-token shingles as strings (JVM-side: transform over an index range)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i).
+
+    One explode + one groupBy(id) with n_hashes min-aggregates — the
+    signature computation is fully partial-aggregated map-side before the
+    shuffle, so the shuffle carries one row per (doc, shingle) reduced to
+    one row per doc.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) sharing any band
+    bucket.
+
+    Buckets larger than ``max_bucket`` are dropped with a warning column —
+    at corpus scale a boilerplate bucket (e.g. empty docs) would otherwise
+    produce a quadratic pair explosion; such content belongs to exact dedup.
+    """
+    n_hashes_col = F.size("signature")
+    rows_per_band = (n_hashes_col / bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        b, F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    sized = banded.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Estimated Jaccard = fraction of equal signature positions."""
+    sa = signatures.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = signatures.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.size("sig_a")
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup clusters: docs whose estimated Jaccard ≥ threshold get a
+    canonical id = min id among their neighbors (single-pass star
+    clustering; full transitive closure is an iterative extension).
+
+    Returns (id, canonical_id, is_duplicate).
+    """
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    pairs = minhash_lsh_candidates(sig, id_col, bands)
+    scored = minhash_jaccard_estimate(sig, pairs, id_col).filter(
+        F.col("jaccard_est") >= threshold
+    )
+    # neighbor-min star clustering: canonical = min(id, matched partners)
+    edges = scored.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        scored.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    canon = edges.groupBy("x").agg(F.min("y").alias("nbr_min"))
+    canonical = F.least(F.coalesce("nbr_min", "x"), F.col("x"))
+    return (
+        df.select(F.col(id_col).alias("x"))
+        .join(canon, "x", "left")
+        .select(
+            F.col("x").alias(id_col),
+            canonical.alias("canonical_id"),
+            (canonical != F.col("x")).alias("is_duplicate"),
+        )
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc: bit b of the hash is the sign of
+    sum(±1 over tokens, + if token-hash bit b set).
+
+    Implemented as explode → 64 conditional sums → bit reassembly; one
+    shuffle on the doc id.  Hamming distance between simhashes then
+    approximates cosine similarity of token profiles.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(_tokens(text_col)).alias("t")
+    ).withColumn("th", F.xxhash64("t"))
+    bit_sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return bit_sums.select(F.col(id_col), out.alias("simhash"))
+
+
+def token_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs.
+
+    NOTE: this is the *verification* kernel — the all-pairs form is O(n²)
+    and only for bounded candidate sets; at scale pairs come from
+    minhash_lsh_candidates first.
+    """
+    t = df.select(
+        F.col(id_col), F.array_distinct(_tokens(text_col)).alias("toks")
+    )
+    a = t.select(F.col(id_col).alias("a"), F.col("toks").alias("ta"))
+    b = t.select(F.col(id_col).alias("b"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct
+(modality, mime, width/height/duration, …).  The Spark-side mechanics —
+schema, batching, partition sizing, Arrow transfer through ``mapInPandas``
+— are real and tested; the actual codecs are STUBBED (image/audio libraries
+are not available in this container):
+
+- ``decode_image`` raises NotImplementedError unless ``fake=True``, in
+  which case a deterministic content-derived pseudo-decode runs so the
+  pipeline shape (bytes → HxWxC features) is exercised end-to-end.
+
+Scale notes: binary payloads dominate row size, so operators here must
+(1) never ship payloads through a shuffle — derive features first, then
+shuffle the small features; (2) cap Arrow batch bytes via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when rows are MB-sized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA_TYPE = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str, modality: str, mime: str | None = None
+) -> DataFrame:
+    """Wrap a binary column with the typed metadata struct + content digest
+    (digest enables exact dedup of media without re-shuffling payloads)."""
+    return df.withColumns(
+        {
+            "media_meta": F.struct(
+                F.lit(modality).alias("modality"),
+                F.lit(mime).alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+            ),
+            "payload_sha": F.sha2(F.col(payload_col), 256),
+            "payload_bytes": F.length(F.col(payload_col)).cast("long"),
+        }
+    )
+
+
+_FEATURE_DIM = 16
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: 16 floats derived from the
+    sha256 digest — stable across runs/partitions, so tests can assert."""
+    digest = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in digest[:_FEATURE_DIM]]
+
+
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = False
+) -> DataFrame:
+    """bytes → fixed-dim feature vector via Arrow-batched mapInPandas.
+
+    With ``fake=False`` this raises NotImplementedError at execution time
+    (no codec libs in this container) — the plan, schema and batch plumbing
+    are identical either way.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv; not available — "
+                    "use fake=True for the deterministic stand-in"
+                )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload_sha": [
+                        hashlib.sha256(p).hexdigest() for p in pdf[payload_col]
+                    ],
+                    "feature": [_fake_decode(p) for p in pdf[payload_col]],
+                    "decode_ok": True,
+                }
+            )
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n_bytes: int = 1024,
+    max_frames: int = 8,
+) -> DataFrame:
+    """'Frame sampling' plumbing for video-ish payloads: emit up to
+    ``max_frames`` byte-offset slices per payload (stand-in for keyframe
+    extraction).  Demonstrates the explode-after-decode pattern where the
+    payload never crosses a shuffle."""
+    offsets = F.slice(
+        F.sequence(F.lit(0), F.greatest((F.length(payload_col) / every_n_bytes).cast("int") - 1, F.lit(0))),
+        1,
+        max_frames,
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(offsets).alias("frame_idx", "offset_idx"),
+            F.substring(
+                F.col(payload_col).cast("string"), 1, 32
+            ).alias("frame_preview"),
+        )
+        .withColumn("byte_offset", F.col("offset_idx") * every_n_bytes)
+        .drop("offset_idx")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+rolling-hash fingerprints.  All whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword profiles for the n-gram/stopword-vote heuristic.
+#: Deterministic and dependency-free; real pipelines would swap in fastText.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "que", "y", "es", "una"],
+    "zh": ["的", "是", "了", "在", "我", "有"],
+}
+
+DEFAULT_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _tokens(text_col: str) -> Column:
+    return F.split(F.col(text_col), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish subword counts per row."""
+    toks = _tokens(text_col)
+    # BPE-ish proxy: alnum runs + punctuation as separate tokens
+    bpe_ish = F.expr(rf"regexp_extract_all({text_col}, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)")
+    return df.withColumns(
+        {
+            "n_tokens_ws": F.size(toks).cast("long"),
+            "n_tokens_bpe": F.size(bpe_ish).cast("long"),
+            "n_chars": F.length(text_col).cast("long"),
+        }
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> DataFrame:
+    """Heuristic quality features + one blended score in [0,1]:
+    length band, mean word length band, stopword presence, alpha ratio.
+    (The blend mirrors C4/Gopher-style filter features.)"""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))) / n_tok
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok
+    score = (
+        F.when((n_tok >= 10) & (n_tok <= 100000), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
+        + F.when(alpha_chars / F.greatest(n_chars, F.lit(1.0)) > 0.6, 0.25).otherwise(0.0)
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("long"),
+            "mean_word_len": mean_word_len,
+            "stopword_ratio": stop_ratio,
+            "alpha_ratio": alpha_chars / F.greatest(n_chars, F.lit(1.0)),
+            "quality_score": score,
+        }
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", markers: dict[str, list[str]] | None = None
+) -> DataFrame:
+    """Stopword-vote language ID: score each language by marker-token hits
+    per token; argmax wins (ties → lexicographic, deterministic).
+
+    Pure expression plan: one pass over the token array per language —
+    no shuffle, no UDF."""
+    markers = markers or LANG_MARKERS
+    toks = F.array_distinct(_tokens(text_col))
+    scores = []
+    for lang, words in sorted(markers.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                (F.size(F.array_intersect(toks, arr)) / F.lit(len(words))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax: sort by (score desc, lang asc) via array_max on (score, -lang)…
+    # struct ordering compares fields in order, so invert: max of (score, lang)
+    # picks lexicographically-last on ties; flip by sorting ascending on
+    # (-score, lang) and taking element 1.
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang"), s["score"].alias("score"))
+                for s in scores
+            ]
+        )
+    )
+    best = ranked[0]
+    return df.withColumns(
+        {
+            "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+            "lang_score": best["score"],
+        }
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8, keep_mod: int = 16
+) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every ``window``-token
+    shingle, keep hashes ≡ 0 (mod keep_mod), fingerprint = xxhash of the
+    kept set.  Robust to local edits (content-defined sampling)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    shingle_hashes = F.when(n < window, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+        )
+    )
+    kept = F.filter(shingle_hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    return df.withColumns(
+        {
+            "fingerprint": F.xxhash64(F.concat_ws(",", F.transform(F.sort_array(kept), lambda h: h.cast("string")))),
+            "n_anchors": F.size(kept).cast("long"),
+        }
+    )

@@ -813,6 +813,233 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# C2. Dedup / similarity / multimodal operators (operators/ package)
+# ===========================================================================
+
+@query(
+    "dedup_token_jaccard",
+    """
+    WITH d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t
+               FROM documents WHERE doc_id < 60)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           floor(len(list_intersect(a.t, b.t)) /
+                 CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.t, b.t)) /
+          CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.8
+    """,
+    doc=(
+        "Exact token-set Jaccard dedup kernel on a bounded candidate window "
+        "(at scale candidates come from MinHash-LSH, not all-pairs — "
+        "operators/dedup.py)."
+    ),
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import token_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    out = token_jaccard_pairs(d, "text", "doc_id", threshold=0.8)
+    return out.select("a", "b", rnd(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@query(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are not expressible in DuckDB → rows-only
+    doc=(
+        "MinHash(64)+LSH(16 bands) near-dup clustering over the full documents "
+        "table: shingle→signature (one shuffle), band-bucket join (no n² pair "
+        "explosion), star-clustered canonical ids."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, "text", "doc_id", n_hashes=64, bands=16, threshold=0.7)
+
+
+@query(
+    "dedup_simhash",
+    None,  # xxhash64-based → rows-only
+    doc="64-bit SimHash per document (explode → 64 bit-sums → sign reassembly).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_LANG_SCORE_SQL = """
+        SELECT doc_id, score, lang FROM (
+            SELECT doc_id,
+                   len(list_intersect(toks, {words})) / {n}.0 AS score,
+                   '{lang}' AS lang
+            FROM toksrc)
+"""
+
+
+def _lang_oracle() -> str:
+    from dlt_iceberg_spark.operators.text import LANG_MARKERS
+
+    parts = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        wl = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        parts.append(
+            _LANG_SCORE_SQL.format(words=wl, n=len(words), lang=lang)
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH toksrc AS (
+        SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS toks
+        FROM documents
+    ), scores AS ({union})
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS lang_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+          FROM scores)
+    WHERE rn = 1
+    """
+
+
+@query(
+    "text_language_id",
+    _lang_oracle(),
+    doc=(
+        "Stopword-vote language ID (operators/text.py): marker-token hit rate "
+        "per language, deterministic argmax — pure expression plan, no UDF."
+    ),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    out = language_id(d, "text")
+    return out.select("doc_id", "lang_pred", rnd(F.col("lang_score"), 6).alias("lang_score"))
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id, sha256(text) AS payload_sha,
+           CAST(length(text) AS BIGINT) AS payload_bytes
+    FROM documents
+    """,
+    doc=(
+        "Multimodal column plumbing: binary payloads tagged with typed metadata "
+        "+ content digest (dedup key that never re-shuffles the payload). "
+        "Payload here is the doc text encoded as bytes (no real media in the fixture)."
+    ),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import attach_media_metadata
+
+    d = _t(spark, sf_dir, "documents").withColumn("payload", F.encode("text", "UTF-8"))
+    tagged = attach_media_metadata(d, "payload", "image", "application/octet-stream")
+    return tagged.select("doc_id", "payload_sha", "payload_bytes")
+
+
+@query(
+    "multimodal_decode",
+    None,  # Arrow-batched mapInPandas fake-decode → rows-only
+    doc=(
+        "Image-decode plumbing via Arrow-batched mapInPandas (deterministic "
+        "stand-in decoder; real codec stubbed — operators/multimodal.py). "
+        "Payload bytes never cross a shuffle; only the 16-dim features do."
+    ),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import decode_image_features
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select("doc_id", "payload")
+    )
+    feats = decode_image_features(d, fake=True)
+    return feats.select(
+        "doc_id",
+        "payload_sha",
+        F.size("feature").alias("feature_dim"),
+        rnd(F.aggregate("feature", F.lit(0.0), lambda a, v: a + v), 6).alias("feature_sum"),
+    )
+
+
+@query(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs, exact all-pairs kernel (bounded "
+        "corpus). The LSH-bucketed scale path is ann_ivf / "
+        "operators/similarity.py::embedding_near_duplicates."
+    ),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.similarity import all_pairs_cosine_blas
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = all_pairs_cosine_blas(e, "embedding", "vec_id", threshold=0.4)
+    return pairs.select("a", "b", rnd(F.col("cosine"), 6).alias("cosine"))
+
+
+@query(
+    "ann_ivf",
+    None,  # KMeans centroids not expressible in SQL → rows-only
+    doc=(
+        "IVF approximate nearest neighbor: KMeans(seed=42) centroids partition "
+        "the corpus; queries probe the 4 nearest lists only "
+        "(operators/similarity.py::ivf_topk)."
+    ),
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk(q, e, k=5, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id", "neighbor_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    None,  # xxhash64-based winnowing → rows-only
+    doc="Winnowing-style rolling-hash fingerprints (content-defined anchors).",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import rolling_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return rolling_fingerprint(d, "text").select("doc_id", "fingerprint", "n_anchors")
+
+
+@query(
+    "text_quality_score",
+    None,  # blended heuristic kept Spark-side; components oracle-checked in text_quality
+    doc="Blended C4/Gopher-style quality score per document (operators/text.py).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select(
+        "doc_id",
+        rnd(F.col("mean_word_len"), 4).alias("mean_word_len"),
+        rnd(F.col("stopword_ratio"), 4).alias("stopword_ratio"),
+        rnd(F.col("alpha_ratio"), 4).alias("alpha_ratio"),
+        rnd(F.col("quality_score"), 2).alias("quality_score"),
+    )
+
+
+# ===========================================================================
 # D. Write-disposition semantics as verifiable queries (SURVEY.md §2.2)
 # ===========================================================================
 # The lake writer's merge plans (lake/merge.py) are exercised here against
