@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from dlt_iceberg_spark.operators.util import fan_out
 
 
 def _tokens(text_col: str):
@@ -62,13 +62,19 @@ def minhash_signatures(
     """Per-doc MinHash signature: sig[i] = min over shingles of
     xxhash64(shingle, seed=i).
 
-    One explode + one groupBy(id) with n_hashes min-aggregates — the
-    signature computation is fully partial-aggregated map-side before the
-    shuffle, so the shuffle carries one row per (doc, shingle) reduced to
-    one row per doc.
+    Shingle strings are hashed to longs ONCE (map-side transform), then
+    exploded so the ``n_hashes`` seeded min-aggregates run over longs inside
+    whole-stage-codegen hash aggregation with map-side partial combine — the
+    shuffle carries one row per doc, and no string is hashed more than once.
+    (A fully map-side ``array_min(transform(...))`` formulation avoids the
+    shuffle but loses codegen — higher-order functions are interpreted — and
+    benches slower.)
     """
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("sh")
+    sh = fan_out(df).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(F.array_distinct(shingles(text_col, shingle_k)), lambda s: F.xxhash64(s))
+        ).alias("sh"),
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
@@ -88,9 +94,16 @@ def minhash_lsh_candidates(
     """Band the signatures and emit candidate pairs (a < b) sharing any band
     bucket.
 
-    Buckets larger than ``max_bucket`` are dropped with a warning column —
-    at corpus scale a boilerplate bucket (e.g. empty docs) would otherwise
-    produce a quadratic pair explosion; such content belongs to exact dedup.
+    Buckets larger than ``max_bucket`` are dropped — at corpus scale a
+    boilerplate bucket (e.g. empty docs) would otherwise produce a quadratic
+    pair explosion; such content belongs to exact dedup.
+
+    One shuffle total: group by (band, bucket) collecting the (size-capped)
+    member list, then emit i<j pairs from each list in place.  The
+    alternative — windowed bucket-size + bucket self-join — costs a window
+    sort plus two more exchanges and computes the banding twice.  The
+    ``max_bucket`` cap bounds both the collected list and the emitted pairs,
+    so no group can OOM an executor.
     """
     n_hashes_col = F.size("signature")
     rows_per_band = (n_hashes_col / bands).cast("int")
@@ -108,17 +121,24 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    sized = banded.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_size") <= max_bucket)
-    a = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
-    b = sized.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
-    return (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids")), lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.a", "p.b").distinct()
 
 
 def minhash_jaccard_estimate(
@@ -161,7 +181,10 @@ def minhash_lsh_dedup(
 
     Returns (id, canonical_id, is_duplicate).
     """
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # the signature projection feeds four plan branches (both sides of the
+    # bucket self-join + both jaccard lookups) — persist so the shingle
+    # hashing runs once, not four times
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k).persist()
     pairs = minhash_lsh_candidates(sig, id_col, bands)
     scored = minhash_jaccard_estimate(sig, pairs, id_col).filter(
         F.col("jaccard_est") >= threshold
@@ -191,7 +214,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     shuffle on the doc id.  Hamming distance between simhashes then
     approximates cosine similarity of token profiles.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("t")
     ).withColumn("th", F.xxhash64("t"))
     bit_sums = tok.groupBy(id_col).agg(

@@ -105,7 +105,9 @@ def decode_image_features(
             )
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+    from dlt_iceberg_spark.operators.util import fan_out
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 def sample_frames(

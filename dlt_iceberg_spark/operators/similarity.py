@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dlt_iceberg_spark.operators.util import fan_out
+
 
 def dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
@@ -104,8 +106,10 @@ def hyperplane_lsh_topk(
     q = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = fan_out(
+        _as_double(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
     )
     for t, planes in enumerate(tables):
         q = q.withColumn(f"sig{t}", hyperplane_signature("qv", planes))
@@ -129,6 +133,63 @@ def hyperplane_lsh_topk(
     )
 
 
+def _train_spherical_kmeans(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    sample_size: int = 131_072,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Train unit-norm centroids on a bounded sample, driver-side numpy.
+
+    Training cost is O(sample), never O(corpus) — the FAISS recipe: at
+    100 TB the sample is still ≤ ``sample_size`` rows (a few MB), while the
+    expensive parts (assignment, scoring) stay distributed.  Deterministic
+    per seed; an iterative MLlib fit would instead launch ``iters`` full
+    corpus scans."""
+    import numpy as np
+
+    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+        cent = cent / np.maximum(np.sqrt((cent * cent).sum(axis=1, keepdims=True)), 1e-12)
+    return cent.tolist()
+
+
+def _nearest_centroids(centroids: list[list[float]], n: int):
+    """Vectorized top-n centroid ids per vector: Arrow-batched pandas UDF
+    doing one float64 BLAS matmul per batch against the (tiny) centroid
+    matrix shipped in the closure — the same kernel FAISS uses for coarse
+    quantization; a literal-expression formulation is interpreted per row
+    and compiles a 1000+-node tree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ct = np.array(centroids, dtype=np.float64).T  # dim × n_centroids
+
+    def topn(v):
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+        sims = mat @ ct
+        idx = np.argsort(-sims, kind="stable", axis=1)[:, :n]
+        return pd.Series([row.tolist() for row in idx])
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify hints that pandas_udf can't resolve from a nested scope
+    topn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf("array<int>")(topn)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -139,39 +200,32 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF: KMeans-partition the corpus, probe nprobe nearest centroids.
+    """IVF: spherical-kmeans centroids partition the corpus into inverted
+    lists; queries probe the ``nprobe`` nearest lists only.
 
-    The inverted lists are realized as a centroid-id column (the 100 TB
-    layout would bucket/sort data files by it for partition pruning)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    c = _as_double(corpus, vec_col)
-    ml_df = c.withColumn("features", array_to_vector(F.col(vec_col)))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(ml_df)
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    assigned = model.transform(ml_df).select(
+    Centroids are trained on a bounded sample (see
+    :func:`_train_spherical_kmeans`) and enter the plan as literals, so both
+    assignment and probing are map-side expressions; the only shuffle is the
+    centroid-keyed equi-join, and the query side broadcasts.  The inverted
+    lists are realized as a centroid-id column (the 100 TB layout would
+    bucket/sort data files by it for partition pruning)."""
+    centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
+    assign1 = _nearest_centroids(centroids, 1)
+    probe_n = _nearest_centroids(centroids, nprobe)
+    assigned = fan_out(_as_double(corpus, vec_col)).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        F.col("prediction").alias("centroid"),
+        assign1(F.col(vec_col))[0].alias("centroid"),
     )
-    # query → nprobe nearest centroids (tiny cross join against constant)
-    centroid_rows = [(i, ctr) for i, ctr in enumerate(centroids)]
-    cdf = queries.sparkSession.createDataFrame(centroid_rows, ["centroid", "cvec"])
-    q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    qc = (
-        q.crossJoin(F.broadcast(cdf))
-        .withColumn("dist", -cosine(F.col("qv"), F.col("cvec").cast("array<double>")))
-    )
-    wq = Window.partitionBy("query_id").orderBy("dist", "centroid")
     probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("query_id", "qv", "centroid")
+        _as_double(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probe_n(F.col(vec_col))).alias("centroid"),
+        )
     )
-    scored = probes.join(assigned, "centroid").filter(
+    scored = assigned.join(F.broadcast(probes), "centroid").filter(
         F.col("query_id") != F.col("neighbor_id")
     ).withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -227,8 +281,8 @@ def all_pairs_cosine_blas(
                     qc.append(float(sims[r, j]))
             yield pd.DataFrame({"a": qa, "b": qb, "cosine": qc})
 
-    src = df.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    src = fan_out(
+        df.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v"))
     )
     return src.mapInPandas(score, out_schema)
 

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dlt_iceberg_spark.operators.util import fan_out
+
 #: tiny per-language stopword profiles for the n-gram/stopword-vote heuristic.
 #: Deterministic and dependency-free; real pipelines would swap in fastText.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -113,19 +115,35 @@ def rolling_fingerprint(
 ) -> DataFrame:
     """Winnowing-style document fingerprint: hash every ``window``-token
     shingle, keep hashes ≡ 0 (mod keep_mod), fingerprint = xxhash of the
-    kept set.  Robust to local edits (content-defined sampling)."""
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    shingle_hashes = F.when(n < window, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - window),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
+    kept set.  Robust to local edits (content-defined sampling).
+
+    Tokens are hashed to longs once per row (a projection barrier keeps it
+    single-pass); each window hash is then a polynomial fold over a slice of
+    the long array — pure integer arithmetic per position instead of
+    re-slicing and re-concatenating strings, which cuts the per-row cost
+    from O(n·window·token_len) string work to O(n·window) long ops."""
+
+    # Mersenne-prime modular fold: acc stays < 2^31 so acc*m + h' never
+    # overflows a long (ANSI mode makes overflow an error, not a wrap)
+    p = F.lit(2_147_483_647).cast("long")
+
+    def _poly(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(1_000_003) + F.pmod(h, p), p),
         )
+
+    staged = fan_out(df).withColumn("_th", F.transform(_tokens(text_col), lambda t: F.xxhash64(t)))
+    th = F.col("_th")
+    n = F.size(th)
+    shingle_hashes = F.when(n < window, F.array(_poly(th))).otherwise(
+        F.transform(F.sequence(F.lit(0), n - window), lambda i: _poly(F.slice(th, i + 1, window)))
     )
     kept = F.filter(shingle_hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
-    return df.withColumns(
+    return staged.withColumns(
         {
             "fingerprint": F.xxhash64(F.concat_ws(",", F.transform(F.sort_array(kept), lambda h: h.cast("string")))),
             "n_anchors": F.size(kept).cast("long"),
         }
-    )
+    ).drop("_th")
