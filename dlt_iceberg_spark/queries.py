@@ -451,6 +451,504 @@ def nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q2_min_unit_price_supplier",
+    f"""
+    WITH offers AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+             l.l_extendedprice / l.l_quantity AS unit_price
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN nation n ON n.n_nationkey = s.s_nationkey
+                  JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 10 AND p.p_type = 'SMALL'
+    )
+    SELECT o.p_partkey, o.p_name, o.s_name, o.n_name,
+           {_sql_rnd('o.unit_price', 4)} AS unit_price
+    FROM offers o
+    JOIN (SELECT p_partkey, min(unit_price) AS mn FROM offers GROUP BY p_partkey) m
+      ON m.p_partkey = o.p_partkey AND o.unit_price = m.mn
+    """,
+    doc=(
+        "TPC-H Q2 shape (adapted: fixture has no partsupp, so the offer "
+        "relation is lineitem unit prices): per-part min-cost supplier in a "
+        "region — agg subquery joined back on the min."
+    ),
+)
+def q2_min_unit_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter((F.col("p_size") <= 10) & (F.col("p_type") == "SMALL"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l = _t(spark, sf_dir, "lineitem")
+    offers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("mk")).agg(F.min("unit_price").alias("mn"))
+    return (
+        offers.join(F.broadcast(mins), (offers.p_partkey == mins.mk) & (offers.unit_price == mins.mn))
+        .select("p_partkey", "p_name", "s_name", "n_name", rnd(F.col("unit_price"), 4).alias("unit_price"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                    JOIN orders o ON o.o_orderkey = l.l_orderkey
+                    JOIN customer c ON c.c_custkey = o.o_custkey
+                    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7: bidirectional nation-pair trade volume by ship year.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                  JOIN orders o ON o.o_orderkey = l.l_orderkey
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+                  JOIN region r ON r.r_regionkey = n1.n_regionkey
+                  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {_sql_rnd("sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)", 6)} AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+    doc="TPC-H Q8: national market share — conditional-sum ratio over a snowflake join.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    l = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n1), F.col("n1_key") == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == F.col("n1_region"))
+        .join(F.broadcast(n2), F.col("n2_key") == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            rnd(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))', 0)} AS profit
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc=(
+        "TPC-H Q9 shape (adapted: no partsupp/supplycost in fixture, so "
+        "profit is discounted revenue): per supplier-nation per year over "
+        "name-matched parts."
+    ),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    f"""
+    WITH vals AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, {_sql_rnd('value')} AS value
+    FROM vals
+    WHERE value > (SELECT sum(value) * 0.001 FROM vals)
+    """,
+    doc=(
+        "TPC-H Q11 shape (adapted: stock value from lineitem, fixture has "
+        "no partsupp): per-part value with HAVING-over-global-scalar cutoff."
+    ),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    l = _t(spark, sf_dir, "lineitem")
+    vals = (
+        l.join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    cutoff = vals.agg((F.sum("value") * 0.001).alias("cut"))
+    return (
+        vals.join(F.broadcast(cutoff))
+        .filter(F.col("value") > F.col("cut"))
+        .select("l_partkey", rnd(F.col("value")).alias("value"))
+    )
+
+
+@query(
+    "q12_late_shipping_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 shape (adapted: fixture has no shipmode/commitdate, so "
+        "'late' is shipdate ≥ orderdate+30d and the pivot is linestatus): "
+        "conditional-count pivot by priority class."
+    ),
+)
+def q12_late_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    f"""
+    SELECT {_sql_rnd("100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) / sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS promo_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14: promo revenue share — conditional-sum ratio, part dim broadcast.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .agg(
+            rnd(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)) / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape (adapted: the part-supplier relation is lineitem, "
+        "and 'complaint' suppliers are negative-balance): distinct-count "
+        "with NOT-IN → anti-join."
+    ),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.5 * avg(l_quantity) AS threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_sql_rnd('sum(l.l_extendedprice) / 7.0')} AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < a.threshold
+    """,
+    doc=(
+        "TPC-H Q17: small-quantity revenue — correlated avg subquery "
+        "decorrelated into a per-part aggregate re-joined to the fact."
+    ),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    part_avg = l.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (0.5 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(part_avg, F.col("ak") == l.l_partkey)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(rnd(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q19_bracket_revenue",
+    f"""
+    SELECT {_sql_rnd('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape (adapted: no container/shipmode columns): OR-ed "
+        "bracket predicates across the join — Catalyst pushes the part-only "
+        "disjuncts to the dim scan."
+    ),
+)
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    b1 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q20_top_volume_suppliers",
+    f"""
+    WITH vol AS (
+      SELECT l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name, n.n_name, {_sql_rnd('v.qty')} AS qty
+    FROM vol v JOIN supplier s ON s.s_suppkey = v.l_suppkey
+               JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE v.qty > (SELECT avg(qty) FROM vol)
+    """,
+    doc=(
+        "TPC-H Q20 shape (adapted: availability from shipped volume, no "
+        "partsupp): suppliers of name-matched parts above the mean volume — "
+        "scalar-subquery threshold over a reused aggregate."
+    ),
+)
+def q20_top_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    vol = (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    vol = vol.persist()
+    avg_qty = vol.agg(F.avg("qty").alias("avg_qty"))
+    return (
+        vol.join(F.broadcast(avg_qty))
+        .filter(F.col("qty") > F.col("avg_qty"))
+        .join(F.broadcast(s), s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_name", "n_name", rnd(F.col("qty")).alias("qty"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q21 shape (adapted: 'late' is shipdate > orderdate+60d since "
+        "the fixture has no receipt/commit dates): the sole-late-supplier "
+        "exists/not-exists pair as semi- and anti-joins on (order, supplier)."
+    ),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    l1 = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    # EXISTS another supplier in the order → semi-join against all lineitems
+    other = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    with_other = l1.join(
+        other, (F.col("ok2") == l1.l_orderkey) & (F.col("sk2") != l1.l_suppkey), "left_semi"
+    )
+    # NOT EXISTS another LATE supplier in the order → anti-join against l1 itself
+    late_other = l1.select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    sole_late = with_other.join(
+        late_other,
+        (F.col("ok3") == with_other.l_orderkey) & (F.col("sk3") != with_other.l_suppkey),
+        "left_anti",
+    )
+    return (
+        sole_late.join(F.broadcast(s), s.s_suppkey == sole_late.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # B. Window / event-stream analytics
 # ===========================================================================
