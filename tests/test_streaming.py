@@ -1,0 +1,222 @@
+"""Streaming extension tests: micro-batch → disposition path, event-time ops.
+
+Pattern: file-source streams over tmpdir parquet, ``availableNow`` triggers
+(bounded runs), assertions on snapshot counts / row sets — the streaming
+analogue of the reference's incremental-load goldens
+(tests/test_class_based_atomic.py:213-293).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.state import StateStore
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+from dlt_iceberg_spark.streaming import (
+    sessionized,
+    stream_write,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [Row(event_id=i, ts=ts, user_id=u, event_type=et, value=v) for i, ts, u, et, v in rows],
+        EVENT_SCHEMA,
+    )
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def _drop_file(df, inp, name):
+    """Land a single parquet FILE in the stream input dir (the file source
+    reads top-level files, not write.parquet's output directories)."""
+    import glob
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        df.coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(inp, name))
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    inp = tmp_path / "input"
+    inp.mkdir()
+    return str(inp), str(tmp_path / "ckpt"), str(tmp_path / "warehouse")
+
+
+def _run_stream(spark, inp, ckpt, writer, spec, state=None, **kw):
+    stream = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = stream_write(stream, writer, spec, ckpt, state=state, query_name="t", **kw)
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_append_one_snapshot_per_batch(spark, stream_dirs):
+    inp, ckpt, wh = stream_dirs
+    batch1 = _mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0)])
+    batch2 = _mk_events(spark, [(2, _ts("2024-01-01T01:00:00"), 2, "view", 2.0)])
+    _drop_file(batch1, inp, "f1.parquet")
+    _drop_file(batch2, inp, "f2.parquet")
+
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "main")
+    spec = TableSpec(name="events_stream", write_disposition="append")
+    _run_stream(spark, inp, ckpt, writer, spec)
+
+    table = catalog.load_table("main", "events_stream")
+    # maxFilesPerTrigger=1 → 2 micro-batches → 1 snapshot per batch
+    assert [sn.operation for sn in table.snapshots()] == ["create", "append", "append"]
+    assert table.read().count() == 2
+
+    # new file + SAME checkpoint → only the new data is processed (incremental)
+    batch3 = _mk_events(spark, [(3, _ts("2024-01-01T02:00:00"), 1, "click", 3.0)])
+    _drop_file(batch3, inp, "f3.parquet")
+    _run_stream(spark, inp, ckpt, writer, spec)
+    assert table.read().count() == 3
+    assert len(table.snapshots()) == 4  # one more append snapshot
+
+
+def test_stream_merge_upsert_latest_wins(spark, stream_dirs):
+    inp, ckpt, wh = stream_dirs
+    b1 = _mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0),
+                            (2, _ts("2024-01-01T00:01:00"), 2, "view", 2.0)])
+    b2 = _mk_events(spark, [(2, _ts("2024-01-01T00:05:00"), 2, "view", 20.0),
+                            (3, _ts("2024-01-01T00:06:00"), 3, "buy", 3.0)])
+    _drop_file(b1, inp, "f1.parquet")
+    _drop_file(b2, inp, "f2.parquet")
+
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "main")
+    spec = TableSpec(
+        name="events_upsert",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["event_id"],
+    )
+    _run_stream(spark, inp, ckpt, writer, spec)
+
+    rows = {r.event_id: r for r in catalog.load_table("main", "events_upsert").read().collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].value == 20.0  # second batch updated the row
+
+
+def test_stream_ledger_idempotency(spark, stream_dirs):
+    inp, ckpt, wh = stream_dirs
+    _drop_file(_mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0)]), inp, "f1.parquet")
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "main")
+    state = StateStore(catalog, "main")
+    spec = TableSpec(name="events_ledger", write_disposition="append")
+    _run_stream(spark, inp, ckpt, writer, spec, state=state)
+    table = catalog.load_table("main", "events_ledger")
+    assert table.read().count() == 1
+    assert state.load_recorded("t.events_ledger.0")
+
+    # simulate a replayed batch 0 (fresh checkpoint, same query name and
+    # input): the ledger pre-check skips it — no duplicate rows
+    _run_stream(spark, inp, str(ckpt) + "_replay", writer, spec, state=state)
+    assert table.read().count() == 1
+
+
+def test_windowed_counts_stream_matches_batch(spark, stream_dirs):
+    inp, ckpt, _ = stream_dirs
+    rows = [
+        (1, _ts("2024-01-01T00:10:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01T00:50:00"), 2, "click", 2.0),
+        (3, _ts("2024-01-01T01:10:00"), 1, "view", 4.0),
+        (4, _ts("2024-01-01T03:10:00"), 3, "click", 8.0),
+    ]
+    batch = _mk_events(spark, rows)
+    _drop_file(batch, inp, "f1.parquet")
+    expected = {
+        tuple(r) for r in windowed_event_counts(batch, watermark=None).collect()
+    }
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    agg = windowed_event_counts(stream, watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("win_counts").collect()}
+    assert got == expected
+
+
+def test_sessionized_batch_and_stream(spark, stream_dirs):
+    inp, ckpt, _ = stream_dirs
+    rows = [
+        # user 1: two sessions (gap > 30 min between them)
+        (1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01T00:10:00"), 1, "click", 1.0),
+        (3, _ts("2024-01-01T02:00:00"), 1, "click", 1.0),
+        # user 2: one session
+        (4, _ts("2024-01-01T00:05:00"), 2, "view", 1.0),
+    ]
+    batch = _mk_events(spark, rows)
+    sess = {(r.user_id, r.n_events) for r in sessionized(batch, watermark=None).collect()}
+    assert sess == {(1, 2), (1, 1), (2, 1)}
+
+    _drop_file(batch, inp, "f1.parquet")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    q = (
+        sessionized(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.n_events) for r in spark.table("sessions").collect()}
+    assert got == sess
+
+
+def test_streaming_dedup(spark, stream_dirs):
+    inp, ckpt, _ = stream_dirs
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0),
+        (1, _ts("2024-01-01T00:00:30"), 1, "click", 1.0),  # dup event_id
+        (2, _ts("2024-01-01T00:01:00"), 2, "view", 2.0),
+    ]
+    batch = _mk_events(spark, rows)
+    assert streaming_dedup(batch, ["event_id"]).count() == 2
+
+    _drop_file(batch, inp, "f1.parquet")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(inp)
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("deduped").count() == 2
