@@ -1065,6 +1065,27 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_heavy_hitters",
+    f"""
+    SELECT event_type AS value, count(*) AS n,
+           {_sql_rnd('count(*) / (SELECT count(*) FROM events)::DOUBLE', 6)} AS share
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, value LIMIT 5
+    """,
+    doc=(
+        "Heavy-hitters profile (functions/sketches.py::heavy_hitters): "
+        "frequency top-k whose shuffle carries one row per distinct value."
+    ),
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.functions import heavy_hitters
+
+    e = _t(spark, sf_dir, "events")
+    out = heavy_hitters(e, "event_type", k=5)
+    return out.select("value", "n", rnd(F.col("share"), 6).alias("share"))
+
+
+@query(
     "events_user_latest",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
