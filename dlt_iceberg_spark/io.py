@@ -44,13 +44,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        # long ns-since-epoch -> µs TimestampNTZ (floor division matches the
-        # DuckDB oracle's ts::TIMESTAMP truncation for post-epoch data).
+        # long ns-since-epoch -> µs TimestampNTZ. Integer `div`, NOT `/`:
+        # float division loses the last µs digit at ~1.7e15 (double ulp),
+        # which shows up as ±1 µs vs the DuckDB oracle's ts::TIMESTAMP.
         df = df.withColumn(
             c,
-            F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
         )
     return df
 

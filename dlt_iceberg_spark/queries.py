@@ -1065,6 +1065,34 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_asof_last_signup",
+    f"""
+    WITH l AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
+         r AS (SELECT user_id, ts::TIMESTAMP AS ts, "value" FROM events
+               WHERE event_type = 'signup')
+    SELECT l.user_id, l.ts, l.event_id,
+           {_sql_rnd('r."value"', 2)} AS value_right, r.ts AS ts_right
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc=(
+        "As-of (point-in-time) join: every event gets the most recent prior "
+        "signup's value per user — union + single keyed sort, no join node "
+        "(operators/asof.py). Oracle is DuckDB's native ASOF LEFT JOIN."
+    ),
+)
+def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    left = e.select("user_id", "ts", "event_id")
+    right = e.filter(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    out = asof_join(left, right, on="ts", by="user_id", value_cols=["value"])
+    return out.select(
+        "user_id", "ts", "event_id", rnd(F.col("value_right"), 2).alias("value_right"), "ts_right"
+    )
+
+
+@query(
     "events_heavy_hitters",
     f"""
     SELECT event_type AS value, count(*) AS n,
