@@ -19,6 +19,8 @@ from dlt_iceberg_spark.operators.similarity import (
     ivf_topk,
     embedding_near_duplicates,
 )
+from dlt_iceberg_spark.operators.asof import asof_join
+from dlt_iceberg_spark.operators.range_join import interval_join
 from dlt_iceberg_spark.operators.text import (
     token_stats,
     quality_score,
@@ -27,6 +29,8 @@ from dlt_iceberg_spark.operators.text import (
 )
 
 __all__ = [
+    "asof_join",
+    "interval_join",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",

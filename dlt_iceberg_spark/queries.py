@@ -1093,6 +1093,43 @@ def events_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_interval_join",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+         s AS (SELECT event_id AS signup_id, user_id, ts AS w_start,
+                      ts + INTERVAL 1 HOUR AS w_end
+               FROM e WHERE event_type = 'signup')
+    SELECT s.signup_id, count(*) AS n_follow
+    FROM s JOIN e ON e.user_id = s.user_id
+                 AND e.ts >= s.w_start AND e.ts <= s.w_end
+                 AND e.event_id <> s.signup_id
+    GROUP BY s.signup_id
+    """,
+    doc=(
+        "Interval (range) join: same-user events within 1 hour after each "
+        "signup, via bucketed equi-join + refine (operators/range_join.py) — "
+        "the scalable form of an inequality join that Spark would otherwise "
+        "plan as a nested loop."
+    ),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.range_join import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    points = e.select("event_id", "user_id", "ts")
+    windows = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = interval_join(
+        points, windows, point_ts="ts", start_col="w_start", end_col="w_end", by="user_id"
+    ).filter(F.col("event_id") != F.col("signup_id"))
+    return joined.groupBy("signup_id").agg(F.count(F.lit(1)).alias("n_follow"))
+
+
+@query(
     "events_heavy_hitters",
     f"""
     SELECT event_type AS value, count(*) AS n,
