@@ -20,6 +20,8 @@ from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig, c
 from dlt_iceberg_spark.lake.state import StateStore
 from dlt_iceberg_spark.lake.dataset import Dataset
 from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource, resource, LoadInfo
+from dlt_iceberg_spark.lake.maintenance import compact_table, expire_snapshots, CompactionResult
+from dlt_iceberg_spark.lake.iceberg_config import IcebergCatalogConfig
 
 __all__ = [
     "upsert_plan",
@@ -40,4 +42,8 @@ __all__ = [
     "Resource",
     "resource",
     "LoadInfo",
+    "compact_table",
+    "expire_snapshots",
+    "CompactionResult",
+    "IcebergCatalogConfig",
 ]

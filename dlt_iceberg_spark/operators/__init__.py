@@ -21,6 +21,7 @@ from dlt_iceberg_spark.operators.similarity import (
 )
 from dlt_iceberg_spark.operators.asof import asof_join
 from dlt_iceberg_spark.operators.range_join import interval_join
+from dlt_iceberg_spark.operators.skew import salted_agg, salted_join, with_salt
 from dlt_iceberg_spark.operators.text import (
     token_stats,
     quality_score,
@@ -31,6 +32,9 @@ from dlt_iceberg_spark.operators.text import (
 __all__ = [
     "asof_join",
     "interval_join",
+    "salted_agg",
+    "salted_join",
+    "with_salt",
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_candidates",
