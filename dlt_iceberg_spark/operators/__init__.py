@@ -11,6 +11,7 @@ from dlt_iceberg_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_dedup,
     simhash,
+    simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
 from dlt_iceberg_spark.operators.similarity import (
@@ -40,6 +41,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "minhash_lsh_dedup",
     "simhash",
+    "simhash_near_dup_pairs",
     "token_jaccard_pairs",
     "cosine_topk_bruteforce",
     "hyperplane_lsh_topk",

@@ -231,6 +231,71 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return bit_sums.select(F.col(id_col), out.alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit hash into ``max_hamming + 1``
+    chunks — any pair within the Hamming budget must agree EXACTLY on at
+    least one chunk, so candidates come from equi-joins on (chunk_idx,
+    chunk_value) and only candidates pay the exact ``bit_count(a XOR b)``
+    check.  Same shuffle shape as MinHash banding: one groupBy on the chunk
+    key with a per-bucket size cap, never an all-pairs product.
+
+    Returns (a, b, hamming) with a < b.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sh = simhash(df, text_col, id_col)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                # unsigned-shift via shiftrightunsigned keeps the top chunk sane
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bucket"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("bb")).select(
+        id_col, "simhash", "bb.band", "bb.bucket"
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.transform(
+                        F.slice("ms", i + 2, F.size("ms")),
+                        lambda y: F.struct(
+                            x["i"].alias("a"),
+                            y["i"].alias("b"),
+                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.a", "p.b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
 ) -> DataFrame:

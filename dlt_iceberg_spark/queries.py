@@ -1516,6 +1516,22 @@ def _lang_oracle() -> str:
 
 
 @query(
+    "dedup_simhash_pairs",
+    None,  # simhash computation not SQL-expressible -> rows-only
+    doc=(
+        "SimHash near-dup pairs via pigeonhole chunk banding: pairs within "
+        "Hamming<=3 must share one of 4 exact 16-bit chunks; only candidates "
+        "pay bit_count(xor) (operators/dedup.py::simhash_near_dup_pairs)."
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
     "text_language_id",
     _lang_oracle(),
     doc=(

@@ -198,3 +198,12 @@ def test_sample_frames_plumbing(spark):
     )
     out = sample_frames(df, every_n_bytes=1024, max_frames=3).collect()
     assert [r.byte_offset for r in out] == [0, 1024, 2048]
+
+
+def test_simhash_near_dup_pairs(docs):
+    from dlt_iceberg_spark.operators.dedup import simhash_near_dup_pairs
+
+    # exact dup (1,2): hamming 0 must always pair; unrelated docs must not
+    out = {(r.a, r.b): r.hamming for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=6).collect()}
+    assert out.get((1, 2)) == 0
+    assert (1, 4) not in out and (4, 5) not in out
