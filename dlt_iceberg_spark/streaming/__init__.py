@@ -11,6 +11,7 @@ ledger idempotency.
 """
 
 from dlt_iceberg_spark.streaming.micro_batch import (
+    running_user_totals,
     sessionized,
     stream_write,
     streaming_dedup,
@@ -21,5 +22,6 @@ __all__ = [
     "stream_write",
     "windowed_event_counts",
     "sessionized",
+    "running_user_totals",
     "streaming_dedup",
 ]

@@ -138,6 +138,64 @@ def sessionized(
     )
 
 
+def running_user_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    idle_timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum) maintained across micro-batches, emitted once per
+    batch per active key; state for keys idle past ``idle_timeout_ms``
+    (processing time) is emitted one final time and dropped.
+
+    This is the shape Spark's built-in aggregations can't express: custom
+    state transition + custom eviction policy.  State is per key —
+    O(active keys) across the cluster, hash-partitioned by key.  Batch
+    inputs get the equivalent one-shot groupBy (same output schema).
+    """
+    out_schema = (
+        f"{key_col} long, n_events long, total_value double, closed boolean"
+    )
+    if not events.isStreaming:
+        return (
+            events.groupBy(key_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(value_col).cast("double").alias("total_value"),
+            )
+            .withColumn("closed", F.lit(False))
+        )
+
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (k,) = key
+        if state.hasTimedOut:
+            n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id_": [k], "n_events": [n], "total_value": [total], "closed": [True]}
+            ).rename(columns={"user_id_": key_col})
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id_": [k], "n_events": [n], "total_value": [total], "closed": [False]}
+        ).rename(columns={"user_id_": key_col})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", "ProcessingTimeTimeout"
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

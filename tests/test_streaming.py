@@ -220,3 +220,39 @@ def test_streaming_dedup(spark, stream_dirs):
     )
     q.awaitTermination(120)
     assert spark.table("deduped").count() == 2
+
+
+def test_running_user_totals_stateful(spark, stream_dirs):
+    from dlt_iceberg_spark.streaming import running_user_totals
+
+    inp, ckpt, _ = stream_dirs
+    b1 = _mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0),
+                            (2, _ts("2024-01-01T00:01:00"), 1, "view", 2.0),
+                            (3, _ts("2024-01-01T00:02:00"), 2, "click", 5.0)])
+    b2 = _mk_events(spark, [(4, _ts("2024-01-01T00:10:00"), 1, "buy", 4.0)])
+    _drop_file(b1, inp, "f1.parquet")
+    _drop_file(b2, inp, "f2.parquet")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("running_totals").collect()
+    # state carried across micro-batches: user 1 reaches (3, 7.0) in batch 2
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+    assert (3, 7.0) in per_user[1]
+    assert (2, 5.0) in per_user[2] or (1, 5.0) in per_user[2]
+
+    # batch-mode equivalent: one-shot totals, same schema
+    batch_out = {r.user_id: (r.n_events, r.total_value)
+                 for r in running_user_totals(b1.unionByName(b2)).collect()}
+    assert batch_out == {1: (3, 7.0), 2: (1, 5.0)}
