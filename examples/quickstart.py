@@ -1,0 +1,118 @@
+"""End-to-end quickstart: pipeline loads → merge → query → streaming → maintenance.
+
+Run: python examples/quickstart.py [warehouse_dir]
+
+Walks the full engine surface the way the reference's examples do
+(incremental CSV loads, examples/incremental_load.py; upsert merges), plus
+the Spark-native extensions: streaming ingestion and table maintenance.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Row
+
+from dlt_iceberg_spark.lake import Pipeline, Resource, compact_table, expire_snapshots
+from dlt_iceberg_spark.session import get_spark
+
+
+def main(warehouse: str) -> None:
+    spark = get_spark("quickstart")
+    spark.sparkContext.setLogLevel("ERROR")
+    pipe = Pipeline(spark, warehouse, dataset_name="shop")
+
+    # -- load 1: append two tables ----------------------------------------
+    customers = [
+        Row(id=1, name="ada", segment="B2B"),
+        Row(id=2, name="grace", segment="B2C"),
+    ]
+    orders = [
+        Row(order_id=10, customer_id=1, amount=120.0),
+        Row(order_id=11, customer_id=2, amount=7.5),
+    ]
+    info = pipe.run(
+        Resource(producer=customers, name="customers", write_disposition="append"),
+        Resource(producer=orders, name="orders", write_disposition="append"),
+    )
+    print(f"load 1: {info.load_id} -> {info.tables}")
+
+    # -- load 2: merge/upsert (same PK updates, new PK inserts) ------------
+    updates = [
+        Row(order_id=11, customer_id=2, amount=9.9),   # price correction
+        Row(order_id=12, customer_id=1, amount=55.0),  # new order
+    ]
+    pipe.run(
+        Resource(
+            producer=updates,
+            name="orders",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["order_id"],
+        )
+    )
+
+    # -- query the dataset (SQL over loaded tables) ------------------------
+    df = pipe.dataset().query(
+        """
+        SELECT c.segment, count(*) AS n_orders, sum(o.amount) AS revenue
+        FROM orders o JOIN customers c ON c.id = o.customer_id
+        GROUP BY c.segment ORDER BY revenue DESC
+        """
+    )
+    print("revenue by segment:")
+    for r in df.collect():
+        print(f"  {r.segment}: {r.n_orders} orders, {r.revenue:.2f}")
+
+    # -- schema evolution: a new nullable column just works ----------------
+    pipe.run(
+        Resource(
+            producer=[Row(order_id=13, customer_id=2, amount=3.0, channel="web")],
+            name="orders",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["order_id"],
+        )
+    )
+    evolved = pipe.dataset().query("SELECT order_id, channel FROM orders ORDER BY order_id")
+    print("after evolution:", [(r.order_id, r.channel) for r in evolved.collect()])
+
+    # -- streaming: micro-batches through the same disposition path --------
+    import glob
+
+    from dlt_iceberg_spark.lake import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming import stream_write
+
+    stage = tempfile.mkdtemp(prefix="quickstart_stream_")
+    inp, ckpt = f"{stage}/in", f"{stage}/ckpt"
+    spark.createDataFrame(
+        [Row(click_id=i, page=f"/p{i % 3}") for i in range(100)]
+    ).coalesce(1).write.parquet(f"{stage}/tmp")
+    import shutil
+
+    os.makedirs(inp)
+    shutil.copy(glob.glob(f"{stage}/tmp/part-*.parquet")[0], f"{inp}/b0.parquet")
+    q = stream_write(
+        spark.readStream.schema("click_id long, page string").parquet(inp),
+        LakeWriter(pipe.catalog, "shop"),
+        TableSpec(name="clicks", write_disposition="append"),
+        ckpt,
+        query_name="clicks",
+    )
+    q.awaitTermination(60)
+    print("streamed clicks:", pipe.dataset().query("SELECT count(*) AS n FROM clicks").collect()[0].n)
+
+    # -- maintenance: compact the small files the loads produced -----------
+    table = pipe.catalog.load_table("shop", "orders")
+    res = compact_table(table, target_file_bytes=1 << 20)
+    print(f"compaction: rewrote {res.rewritten_files} files -> {res.output_files}")
+    expired = expire_snapshots(table)  # default 7d retention: no-op here
+    print(f"expired: {expired}")
+
+    print("row count:", table.read().count())
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
