@@ -1532,6 +1532,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc=(
+        "Token counting: whitespace tokens + BPE-ish subword proxy (alnum "
+        "runs and punctuation as separate tokens) + char count "
+        "(operators/text.py::token_stats)."
+    ),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return token_stats(d).select("doc_id", "n_tokens_ws", "n_tokens_bpe", "n_chars")
+
+
+@query(
     "text_language_id",
     _lang_oracle(),
     doc=(
