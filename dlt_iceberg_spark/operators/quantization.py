@@ -1,0 +1,156 @@
+"""Product quantization (PQ) for embedding columns.
+
+At 100 TB an fp32 embedding corpus cannot be rescanned per query; PQ
+compresses each vector to ``m`` one-byte codes (e.g. 64-dim fp32 = 256 B →
+8 B at m=8) so the scored representation fits in a fraction of the space
+and distance evaluation becomes table lookups (ADC — asymmetric distance
+computation).  The layout mirrors FAISS IVF-PQ:
+
+- **train** on a bounded driver-side sample (same rule as IVF centroids:
+  cost O(sample), never O(corpus));
+- **encode** distributed: one Arrow-batched matmul per subspace per batch;
+- **search** distributed: per query build the m×k lookup table once, score
+  each corpus row as a sum of m table entries — no float vector ever
+  leaves the executor.
+
+Squared-L2 quantization over unit-normalized vectors ⇒ ranking matches
+cosine (‖a−b‖² = 2−2·cos on the unit sphere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    sample_size: int = 131_072,
+    iters: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means codebooks (driver-side numpy on a
+    bounded sample).  Returns ``m`` codebooks of ``k`` sub-centroids."""
+    import numpy as np
+
+    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m_subspaces):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=min(k_codes, len(x)), replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Replace ``vec_col`` with ``pq_code: array<int>`` (length m).
+
+    Vectorized: per Arrow batch, one distance matrix per subspace."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    def encode(v):
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+        codes = np.empty((len(mat), len(books)), dtype=np.int64)
+        for j, cb in enumerate(books):
+            x = mat[:, j * sub : (j + 1) * sub]
+            d2 = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<int>")(encode)
+    return df.withColumn("pq_code", udf(F.col(vec_col).cast("array<double>"))).drop(vec_col)
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
+
+    Queries collect to a driver-side lookup-table set (queries are few; the
+    corpus is the big side and never moves), broadcast, and each corpus
+    partition scores its rows with integer table lookups."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    qids = [r[0] for r in q_rows]
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qmat = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1, keepdims=True)), 1e-12)
+    # per query, per subspace: distance to every code -> (nq, m, k) tables
+    tables = np.stack(
+        [
+            ((qmat[:, j * sub : (j + 1) * sub][:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            for j, cb in enumerate(books)
+        ],
+        axis=1,
+    )
+    bc = queries.sparkSession.sparkContext.broadcast((qids, tables))
+
+    out_schema = "query_id long, neighbor_id long, adc_dist double"
+
+    def score(batches):
+        b_qids, b_tables = bc.value
+        nq, m, _ = b_tables.shape
+        for pdf in batches:
+            codes = np.array(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
+            # dists[q, n] = sum_j tables[q, j, codes[n, j]]
+            dists = np.zeros((nq, len(codes)))
+            for j in range(m):
+                dists += b_tables[:, j, :][:, codes[:, j]]
+            nid = pdf["neighbor_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(b_qids):
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": nid, "adc_dist": dists[qi]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        corpus_codes.select(F.col(id_col).alias("neighbor_id"), "pq_code")
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

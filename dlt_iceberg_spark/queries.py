@@ -1660,6 +1660,27 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_pq",
+    None,  # kmeans codebooks not SQL-expressible -> rows-only
+    doc=(
+        "Product-quantization ANN: per-subspace codebooks (sample-trained), "
+        "corpus compressed to m=8 one-byte codes, ADC table-lookup scoring "
+        "(operators/quantization.py) — the FAISS IVF-PQ memory layout for "
+        "corpora that cannot be rescanned as fp32."
+    ),
+)
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.quantization import pq_encode, pq_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m_subspaces=8, k_codes=16)
+    codes = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 8)
+    out = pq_topk(q, codes, books, k=5)
+    return out.select("query_id", "neighbor_id", rnd(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
+
+
+@query(
     "text_rolling_fingerprint",
     None,  # xxhash64-based winnowing → rows-only
     doc="Winnowing-style rolling-hash fingerprints (content-defined anchors).",
