@@ -61,6 +61,13 @@ class TableSpec:
     primary_key: list[str] = field(default_factory=list)
     column_hints: dict[str, dict] = field(default_factory=dict)
     hard_delete_column: str | None = None
+    #: range-cluster data files on these columns at write time: files get
+    #: disjoint min/max stats, so key-range pruning (merge copy-on-write,
+    #: selective scans) touches the few files that can match instead of all
+    sort_order: list[str] = field(default_factory=list)
+    #: explicit output-file count for sort_order writes (None = let AQE size
+    #: the range partitions by bytes)
+    sort_buckets: int | None = None
 
     def resolve_strategy(self) -> tuple[str, str | None]:
         """(disposition, merge_strategy) — W8 (destination_client.py:1152-1168):
@@ -133,6 +140,7 @@ class LakeWriter:
         cast_target = T.StructType(list(target_schema.fields) + transient)
         casted = cast_dataframe_safe(df, cast_target, strict=self.config.strict_casting)
         casted = self._apply_partition_layout(casted, snap.partition_spec)
+        casted = self._apply_sort_order(casted, spec.sort_order, spec.sort_buckets)
         summary = {"load_id": load_id} if load_id else {}
 
         if disposition == "append":
@@ -186,6 +194,20 @@ class LakeWriter:
         pcols = partition_columns([PartitionField(**p) for p in partition_spec])
         exprs = [expr for _name, expr in pcols]
         return df.repartition(*exprs).sortWithinPartitions(*exprs)
+
+    def _apply_sort_order(
+        self, df: DataFrame, sort_order: list[str], sort_buckets: int | None = None
+    ) -> DataFrame:
+        """Range-partition + sort the batch on the sort-order columns —
+        Iceberg sort-order analogue.  Range partitioning gives files
+        DISJOINT key ranges (hash would interleave them), which is what
+        makes manifest min/max pruning decisive at 100 TB."""
+        if not sort_order:
+            return df
+        cols = [F.col(c) for c in sort_order]
+        if sort_buckets:
+            return df.repartitionByRange(sort_buckets, *cols).sortWithinPartitions(*cols)
+        return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
 
     # -- merge (copy-on-write) --------------------------------------------
 

@@ -168,3 +168,27 @@ def test_merge_prunes_untouched_files(spark, writer):
     assert snap.summary["pruned_files"] >= 1  # low-key file untouched
     out = {r.id: r.v for r in table.read().collect()}
     assert out[1050] == "updated" and out[0] == "low" and len(out) == 200
+
+
+def test_sort_order_clusters_files_for_pruning(spark, warehouse):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from pyspark.sql import functions as F
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.range(10000).select(F.col("id"), (F.col("id") % 97).alias("v")).orderBy(F.rand(7))
+    writer.write(TableSpec(name="sorted_t", write_disposition="append", sort_order=["id"], sort_buckets=4), df)
+
+    table = catalog.load_table("main", "sorted_t")
+    snap = table.snapshot()
+    assert len(snap.files) > 1
+    ranges = sorted((f.stats["id"][0], f.stats["id"][1]) for f in snap.files)
+    # range partitioning => pairwise disjoint id ranges
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # a narrow key-range probe prunes to a single file
+    hit, miss = table.prune_files(snap, "id", 10, 20)
+    assert len(hit) == 1 and len(miss) == len(snap.files) - 1
+    # rows intact
+    assert table.read().count() == 10000
