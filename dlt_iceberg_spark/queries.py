@@ -949,6 +949,100 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rollup_nation_status",
+    f"""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(o.o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           {_sql_rnd('sum(o.o_totalprice)')} AS total_value
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY ROLLUP (n.n_name, o.o_orderstatus)
+    """,
+    doc=(
+        "ROLLUP hierarchy totals (nation → status → grand total) — the "
+        "grouping-sets surface the reference gets from DuckDB, native in "
+        "Spark (SURVEY §2.5 A6)."
+    ),
+)
+def rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .rollup("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"), rnd(F.sum("o_totalprice")).alias("total_value"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "setop_customer_segments",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+    doc="Set operations (INTERSECT / EXCEPT) over keyed selections (SURVEY §2.5).",
+)
+def setop_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_f = c.join(
+        o.filter(F.col("o_orderstatus") == "F"), c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return with_f.intersect(positive).exceptAll(building.distinct())
+
+
+@query(
+    "sql_delegated_join",
+    f"""
+    SELECT s.s_name, n.n_name,
+           count(*) AS n_items,
+           {_sql_rnd('sum(l.l_extendedprice)')} AS total_price
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l.l_quantity > 45
+    GROUP BY s.s_name, n.n_name
+    """,
+    doc=(
+        "Arbitrary-SQL parity (SURVEY §2.4 J3): executed as a literal "
+        "spark.sql() text over registered views — the reference's "
+        "dataset.query(sql) surface, with Catalyst instead of DuckDB."
+    ),
+)
+def sql_delegated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    # NB: Spark SQL parses `100.0` as a DECIMAL literal (DuckDB: double), so
+    # the normalization needs an explicit double cast to keep dtypes aligned
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name,
+               count(*) AS n_items,
+               cast(floor(sum(l.l_extendedprice) * 100.0 + 0.5) as double) / 100.0d AS total_price
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE l.l_quantity > 45
+        GROUP BY s.s_name, n.n_name
+        """
+    )
+
+
 # ===========================================================================
 # B. Window / event-stream analytics
 # ===========================================================================
