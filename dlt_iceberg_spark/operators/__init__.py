@@ -22,6 +22,7 @@ from dlt_iceberg_spark.operators.similarity import (
 )
 from dlt_iceberg_spark.operators.asof import asof_join
 from dlt_iceberg_spark.operators.range_join import interval_join
+from dlt_iceberg_spark.operators.graph import connected_components, dedup_clusters
 from dlt_iceberg_spark.operators.quantization import pq_encode, pq_topk, pq_train
 from dlt_iceberg_spark.operators.skew import salted_agg, salted_join, with_salt
 from dlt_iceberg_spark.operators.text import (
@@ -34,6 +35,8 @@ from dlt_iceberg_spark.operators.text import (
 __all__ = [
     "asof_join",
     "interval_join",
+    "connected_components",
+    "dedup_clusters",
     "pq_train",
     "pq_encode",
     "pq_topk",

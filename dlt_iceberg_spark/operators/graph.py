@@ -1,0 +1,87 @@
+"""Connected components — transitive closure for dedup clustering.
+
+MinHash/SimHash/Jaccard emit near-dup *pairs*; grouping "A≈B, B≈C ⇒
+{A,B,C}" needs the connected components of the pair graph.  Implemented as
+distributed min-label propagation: every node starts labeled with itself;
+each round, each node takes the min label in its neighborhood; converged
+when no label changes.  Rounds ≤ graph diameter (near-dup clusters are
+shallow — a handful of rounds in practice); each round is one join + one
+groupBy, all executor-side, with ``localCheckpoint`` every few rounds to
+truncate the iterative lineage (the standard Spark iterative-algorithm
+hygiene — without it the plan doubles per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component =
+    min node id reachable over undirected edges."""
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        und.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und.y == labels.node)
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint()
+        n_changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    und.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Full transitive dedup assignment: every row of ``df`` gets
+    (canonical_id, is_duplicate), canonical = min id of its component;
+    rows without near-dup edges are their own canonical."""
+    comp = connected_components(pairs, src, dst)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, df[id_col] == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("canonical_id"),
+            (F.coalesce("component", F.col(id_col)) != F.col(id_col)).alias("is_duplicate"),
+        )
+    )

@@ -1550,6 +1550,48 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_transitive_clusters",
+    r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS t
+      FROM documents WHERE doc_id < 60
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.t, b.t)) /
+            CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.8
+    ),
+    und AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM und)
+      UNION
+      SELECT u.x, r.y FROM und u JOIN reach r ON u.y = r.x
+    ),
+    comp AS (SELECT x AS node, min(y) AS component FROM reach GROUP BY x)
+    SELECT doc.doc_id,
+           coalesce(c.component, doc.doc_id) AS canonical_id,
+           coalesce(c.component, doc.doc_id) <> doc.doc_id AS is_duplicate
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 60) doc
+    LEFT JOIN comp c ON c.node = doc.doc_id
+    """,
+    doc=(
+        "Full transitive dedup closure: near-dup pairs → connected "
+        "components via distributed min-label propagation "
+        "(operators/graph.py); oracle computes the same closure with a "
+        "recursive CTE."
+    ),
+)
+def dedup_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import token_jaccard_pairs
+    from dlt_iceberg_spark.operators.graph import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    pairs = token_jaccard_pairs(d, "text", "doc_id", threshold=0.8).select("a", "b")
+    return dedup_clusters(d.select("doc_id"), pairs, "doc_id")
+
+
+@query(
     "dedup_minhash_lsh",
     None,  # xxhash64-based signatures are not expressible in DuckDB → rows-only
     doc=(
