@@ -22,10 +22,14 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iterations: int = 20,
-    checkpoint_every: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
-    min node id reachable over undirected edges."""
+    min node id reachable over undirected edges.
+
+    Each round is checkpointed eagerly by default: the convergence check and
+    the next round then both read materialized labels instead of re-running
+    the whole lineage (one job per round instead of a growing replay)."""
     und = (
         edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
         .unionByName(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
