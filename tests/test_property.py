@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the custom join operators must agree
+with reference implementations (pandas merge_asof, brute-force inequality
+join) on arbitrary inputs — not just the handwritten cases."""
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dlt_iceberg_spark.operators.asof import asof_join
+from dlt_iceberg_spark.operators.range_join import interval_join
+
+BASE = datetime.datetime(2024, 1, 1)
+
+
+def _ts_minutes(m):
+    return BASE + datetime.timedelta(minutes=m)
+
+
+rows_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=1, max_size=30
+)
+rows_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500), st.floats(0, 100, allow_nan=False)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=rows_left, right=rows_right)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    # unique (key, ts) per side: both engines break exact ties arbitrarily
+    left = list({(k, m): None for k, m in left})
+    right = list({(k, m): v for k, m, v in right}.items())
+    ldf = spark.createDataFrame(
+        [(k, _ts_minutes(m)) for (k, m) in left], "key long, ts timestamp_ntz"
+    )
+    rdf = spark.createDataFrame(
+        [(k, _ts_minutes(m), v) for ((k, m), v) in right],
+        "key long, ts timestamp_ntz, price double",
+    )
+    got = {
+        (r.key, r.ts): r.price_right
+        for r in asof_join(ldf, rdf, on="ts", by="key").collect()
+    }
+
+    lpd = pd.DataFrame([(k, _ts_minutes(m)) for (k, m) in left], columns=["key", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        [(k, _ts_minutes(m), v) for ((k, m), v) in right], columns=["key", "ts", "price"]
+    ).sort_values("ts")
+    if len(rpd):
+        merged = pd.merge_asof(lpd, rpd, on="ts", by="key", direction="backward")
+    else:
+        merged = lpd.assign(price=float("nan"))
+    expected = {
+        (row.key, row.ts.to_pydatetime()): (None if pd.isna(row.price) else row.price)
+        for row in merged.itertuples()
+    }
+    assert got == expected
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 100)),
+    min_size=0,
+    max_size=20,
+)
+points = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=1, max_size=30)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pts=points, ivs=intervals)
+def test_interval_join_matches_bruteforce(spark, pts, ivs):
+    pts = sorted(set(pts))
+    ivs = sorted({(k, s, s + d) for k, s, d in ivs})
+    pdf = spark.createDataFrame(
+        [(i, k, _ts_minutes(m)) for i, (k, m) in enumerate(pts)],
+        "pid long, key long, ts timestamp_ntz",
+    )
+    idf = spark.createDataFrame(
+        [(j, k, _ts_minutes(s), _ts_minutes(e)) for j, (k, s, e) in enumerate(ivs)],
+        "iid long, key long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            pdf, idf, point_ts="ts", start_col="w_start", end_col="w_end",
+            by="key", bucket_seconds=600,
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, (pk, pm) in enumerate(pts)
+        for j, (ik, s, e) in enumerate(ivs)
+        if pk == ik and s <= pm <= e
+    }
+    assert got == expected
