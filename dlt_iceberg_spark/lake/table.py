@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
@@ -169,32 +170,66 @@ class LakeTable:
 
     # -- commit protocol ---------------------------------------------------
 
-    def stage_dataframe(self, df: DataFrame, target_file_rows: int | None = None) -> list[DataFile]:
+    def stage_dataframe(
+        self,
+        df: DataFrame,
+        target_file_rows: int | None = None,
+        partition_exprs: list | None = None,
+    ) -> list[DataFile]:
         """Write a DataFrame's content as immutable parquet files in data/
         (not yet visible — visibility comes from the snapshot commit).
 
         The write itself is a distributed Spark job; one output file per
         partition of the plan.  File stats are read back from footers.
+
+        With ``partition_exprs`` ([(name, Column)] — e.g. from
+        ``partition_columns``), the write is hive-layouted on the transform
+        values and each DataFile records its partition dict, enabling
+        partition-scoped operations (dynamic overwrite, partition pruning).
+        The transform values ride as duplicate ``_p_*`` string columns so
+        the data columns stay intact inside the files.
         """
+        import urllib.parse
+
         os.makedirs(self._data_dir, exist_ok=True)
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        if partition_exprs:
+            tmp = {f"_p_{n}": expr.cast("string") for n, expr in partition_exprs}
+            df.withColumns(tmp).write.mode("overwrite").partitionBy(*tmp.keys()).parquet(staging)
+        else:
+            df.write.mode("overwrite").parquet(staging)
         staged: list[DataFile] = []
-        for name in sorted(os.listdir(staging)):
-            if not name.endswith(".parquet"):
-                continue
-            final_name = f"{uuid.uuid4().hex}.parquet"
-            abs_final = os.path.join(self._data_dir, final_name)
-            os.rename(os.path.join(staging, name), abs_final)
-            rows, nbytes, stats = _collect_file_stats(abs_final, df.schema)
-            if rows == 0:
-                os.remove(abs_final)
-                continue
-            staged.append(DataFile(path=f"data/{final_name}", rows=rows, bytes=nbytes, stats=stats))
-        # clean staging remnants (_SUCCESS etc.)
-        for name in os.listdir(staging):
-            os.remove(os.path.join(staging, name))
-        os.rmdir(staging)
+        for root, _dirs, names in os.walk(staging):
+            partition: dict = {}
+            rel_dir = os.path.relpath(root, staging)
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    key, eq, raw = seg.partition("=")
+                    if not eq:
+                        continue
+                    key = key[3:] if key.startswith("_p_") else key
+                    val = urllib.parse.unquote(raw)
+                    partition[key] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                final_name = f"{uuid.uuid4().hex}.parquet"
+                abs_final = os.path.join(self._data_dir, final_name)
+                os.rename(os.path.join(root, name), abs_final)
+                rows, nbytes, stats = _collect_file_stats(abs_final, df.schema)
+                if rows == 0:
+                    os.remove(abs_final)
+                    continue
+                staged.append(
+                    DataFile(
+                        path=f"data/{final_name}",
+                        rows=rows,
+                        bytes=nbytes,
+                        stats=stats,
+                        partition=dict(partition),
+                    )
+                )
+        shutil.rmtree(staging)
         return staged
 
     def commit(

@@ -142,15 +142,26 @@ class LakeWriter:
         casted = self._apply_partition_layout(casted, snap.partition_spec)
         casted = self._apply_sort_order(casted, spec.sort_order, spec.sort_buckets)
         summary = {"load_id": load_id} if load_id else {}
+        # partitioned tables stage hive-layouted so every DataFile records
+        # its partition tuple (enables dynamic overwrite + pruning)
+        pexprs = self._partition_exprs(snap.partition_spec)
 
         if disposition == "append":
-            new_files = table.stage_dataframe(casted)
+            new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
             table.commit(
                 snap.files + new_files, target_schema, "append", snap.version, summary=summary
             )
         elif disposition == "replace":
-            new_files = table.stage_dataframe(casted)
-            table.commit(new_files, target_schema, "overwrite", snap.version, summary=summary)
+            scope = (
+                spec.write_disposition.get("scope")
+                if isinstance(spec.write_disposition, dict)
+                else None
+            )
+            if scope == "partitions":
+                self._replace_partitions(table, casted, target_schema, snap, summary)
+            else:
+                new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
+                table.commit(new_files, target_schema, "overwrite", snap.version, summary=summary)
         elif disposition == "merge":
             self._merge(table, spec, casted, target_schema, strategy or "delete-insert", summary)
         else:
@@ -208,6 +219,71 @@ class LakeWriter:
         if sort_buckets:
             return df.repartitionByRange(sort_buckets, *cols).sortWithinPartitions(*cols)
         return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+    # -- dynamic partition overwrite ---------------------------------------
+
+    _NULL_TOKEN = "__NULL__"
+
+    @staticmethod
+    def _partition_exprs(partition_spec: list[dict]):
+        if not partition_spec:
+            return None
+        from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+        return partition_columns([PartitionField(**p) for p in partition_spec])
+
+    def _replace_partitions(
+        self, table, batch: DataFrame, target_schema, snap, summary: dict
+    ) -> None:
+        """INSERT OVERWRITE of only the partitions present in the batch
+        (Iceberg ``overwritePartitions``): one atomic snapshot where files
+        of incoming partitions are replaced, all other partitions' files
+        carry over untouched.
+
+        Files written before partition metadata existed (empty partition
+        dict) are handled copy-on-write: their rows OUTSIDE the incoming
+        partitions are rewritten and kept — correct under mixed-layout
+        history at the cost of rewriting only those legacy files."""
+        from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+        pspec = [PartitionField(**p) for p in snap.partition_spec]
+        if not pspec:
+            raise ValueError(
+                "partition-scoped replace requires a partitioned table "
+                "(declare partition hints at create time)"
+            )
+        pcols = partition_columns(pspec)
+        names = [n for n, _ in pcols]
+        str_exprs = [
+            F.coalesce(expr.cast("string"), F.lit(self._NULL_TOKEN)).alias(n)
+            for n, expr in pcols
+        ]
+        incoming = {tuple(r) for r in batch.select(*str_exprs).distinct().collect()}
+
+        keep, drop, legacy = [], [], []
+        for f in snap.files:
+            if all(n in f.partition for n in names):
+                t = tuple(
+                    self._NULL_TOKEN if f.partition[n] is None else str(f.partition[n])
+                    for n in names
+                )
+                (drop if t in incoming else keep).append(f)
+            else:
+                legacy.append(f)
+        rewritten = []
+        if legacy:
+            key = F.concat_ws("\x1f", *[e for e in str_exprs])
+            incoming_keys = ["\x1f".join(t) for t in incoming]
+            remaining = table.read_files(legacy).filter(~key.isin(incoming_keys))
+            rewritten = table.stage_dataframe(remaining, partition_exprs=pcols)
+        new_files = table.stage_dataframe(batch, partition_exprs=pcols)
+        table.commit(
+            keep + rewritten + new_files,
+            target_schema,
+            "overwrite-partitions",
+            snap.version,
+            summary={**summary, "replaced-partitions": len(incoming)},
+        )
 
     # -- merge (copy-on-write) --------------------------------------------
 

@@ -192,3 +192,98 @@ def test_sort_order_clusters_files_for_pruning(spark, warehouse):
     assert len(hit) == 1 and len(miss) == len(snap.files) - 1
     # rows intact
     assert table.read().count() == 10000
+
+
+def test_replace_partitions_dynamic_overwrite(spark, warehouse):
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    spec_append = TableSpec(
+        name="pt",
+        write_disposition="append",
+        column_hints={"cat": {"partition": True, "x-partition-transform": "identity"}},
+    )
+    writer.write(
+        spec_append,
+        spark.createDataFrame(
+            [Row(cat="A", v=1), Row(cat="A", v=2), Row(cat="B", v=3)]
+        ),
+    )
+    table = catalog.load_table("main", "pt")
+    # partition metadata recorded per file
+    assert all("cat" in f.partition for f in table.snapshot().files)
+
+    # dynamic overwrite: only B and C partitions replaced, A untouched
+    spec_replace = TableSpec(
+        name="pt",
+        write_disposition={"disposition": "replace", "scope": "partitions"},
+        column_hints=spec_append.column_hints,
+    )
+    writer.write(
+        spec_replace,
+        spark.createDataFrame([Row(cat="B", v=30), Row(cat="C", v=40)]),
+    )
+    rows = {(r.cat, r.v) for r in table.read().collect()}
+    assert rows == {("A", 1), ("A", 2), ("B", 30), ("C", 40)}
+    snap = table.snapshot()
+    assert snap.operation == "overwrite-partitions"
+    assert snap.summary["replaced-partitions"] == 2
+    # one snapshot for the whole partition overwrite
+    assert [s.operation for s in table.snapshots()] == [
+        "create", "append", "overwrite-partitions",
+    ]
+
+
+def test_replace_partitions_rewrites_legacy_unpartitioned_files(spark, warehouse):
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.lake.table import DataFile
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    hints = {"cat": {"partition": True, "x-partition-transform": "identity"}}
+    writer.write(
+        TableSpec(name="pt2", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([Row(cat="A", v=1), Row(cat="B", v=2)]),
+    )
+    table = catalog.load_table("main", "pt2")
+    # simulate legacy files: strip partition metadata from the snapshot
+    snap = table.snapshot()
+    legacy_files = [
+        DataFile(path=f.path, rows=f.rows, bytes=f.bytes, stats=f.stats, partition={})
+        for f in snap.files
+    ]
+    table.commit(legacy_files, snap.schema, "append", snap.version)
+
+    writer.write(
+        TableSpec(
+            name="pt2",
+            write_disposition={"disposition": "replace", "scope": "partitions"},
+            column_hints=hints,
+        ),
+        spark.createDataFrame([Row(cat="B", v=20)]),
+    )
+    rows = {(r.cat, r.v) for r in table.read().collect()}
+    # A's row survives the legacy rewrite; B replaced
+    assert rows == {("A", 1), ("B", 20)}
+
+
+def test_replace_partitions_requires_partitioned_table(spark, warehouse):
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    writer.write(TableSpec(name="flat", write_disposition="append"),
+                 spark.createDataFrame([Row(v=1)]))
+    with _pytest.raises(ValueError, match="partition-scoped replace"):
+        writer.write(
+            TableSpec(name="flat", write_disposition={"disposition": "replace", "scope": "partitions"}),
+            spark.createDataFrame([Row(v=2)]),
+        )
