@@ -98,15 +98,26 @@ class Pipeline:
         self.writer = LakeWriter(self.catalog, dataset_name, writer_config)
         self.state = StateStore(self.catalog, dataset_name)
 
-    def run(self, *resources: Resource, load_id: str | None = None) -> LoadInfo:
+    def run(
+        self,
+        *resources: Resource,
+        load_id: str | None = None,
+        truncate_tables: list[str] | None = None,
+    ) -> LoadInfo:
         """Extract → write (one snapshot/table) → ledger append.
 
         Reruns with the same ``load_id`` are no-ops (idempotent by ledger
-        pre-check, destination_client.py:1139-1150)."""
+        pre-check, destination_client.py:1139-1150).  ``truncate_tables``
+        are dropped before loading (W9 refresh semantics,
+        destination_client.py:872-880) so their resources recreate them
+        from scratch this run."""
         t0 = time.perf_counter()
         load_id = load_id or f"{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
         if self.state.load_recorded(load_id):
             return LoadInfo(load_id, [], "", 0.0, already_loaded=True)
+        for t in truncate_tables or []:
+            if self.catalog.table_exists(self.dataset_name, t):
+                self.catalog.drop_table(self.dataset_name, t)
 
         schema_doc: dict[str, Any] = {"tables": {}}
         written: list[str] = []

@@ -95,3 +95,22 @@ def test_schema_registry_and_state_restore(spark, pipeline):
     info2 = pipeline.run(r)
     assert info2.schema_version_hash == info.schema_version_hash
     assert pipeline.catalog.load_table("ds", "_dlt_version").read().count() == 1
+
+
+def test_truncate_tables_on_refresh(spark, warehouse):
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    pipe = Pipeline(spark, warehouse)
+    pipe.run(Resource(producer=[Row(id=1)], name="keepme"),
+             Resource(producer=[Row(id=1)], name="fresh"))
+    pipe.run(Resource(producer=[Row(id=2)], name="keepme"),
+             Resource(producer=[Row(id=2)], name="fresh"),
+             truncate_tables=["fresh"])
+    ds = pipe.dataset()
+    # appended table accumulated; truncated table recreated from scratch
+    assert ds.query("SELECT count(*) AS n FROM keepme").collect()[0].n == 2
+    assert [r.id for r in ds.query("SELECT id FROM fresh").collect()] == [2]
+    # truncated table history restarts (create + append only)
+    t = pipe.catalog.load_table("main", "fresh")
+    assert [s.operation for s in t.snapshots()] == ["create", "append"]
