@@ -1131,6 +1131,91 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events),
+    s AS (SELECT user_id, min(ts) AS t_signup FROM e WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM e JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > s.t_signup GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    doc=(
+        "Ordered funnel (signup → click → purchase): per-stage first-event "
+        "times chained by strict ordering — per-user aggregation, broadcast "
+        "stage joins, one row out."
+    ),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    """
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+    cohort AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day FROM e GROUP BY user_id),
+    activity AS (SELECT DISTINCT e.user_id, co.cohort_day,
+                        datediff('day', co.cohort_day, date_trunc('day', e.ts)) AS day_offset
+                 FROM e JOIN cohort co ON co.user_id = e.user_id)
+    SELECT cohort_day, day_offset, count(*) AS n_users
+    FROM activity GROUP BY cohort_day, day_offset
+    """,
+    doc=(
+        "Retention cohorts: users grouped by first-seen day, counted per "
+        "active day offset — first-touch aggregation + distinct activity "
+        "matrix, the standard cohort-retention shape."
+    ),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(cohort), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@query(
     "stream_windowed_counts",
     f"""
     SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
