@@ -70,3 +70,43 @@ def test_merge_upsert_no_cartesian(spark):
 )
 def test_headliners_no_cartesian(spark, name):
     assert_no_cartesian(_q(spark, name))
+
+
+def test_asof_join_single_shuffle(spark):
+    from dlt_iceberg_spark.plans import exchange_count
+
+    df = _q(spark, "events_asof_last_signup")
+    # union + one keyed sort: no join node, bounded exchanges
+    assert exchange_count(df) <= 2
+    assert_no_cartesian(df)
+
+
+@pytest.mark.parametrize("name", ["events_interval_join", "events_funnel", "events_retention_cohorts", "dedup_simhash_pairs"])
+def test_new_operators_no_cartesian(spark, name):
+    assert_no_cartesian(_q(spark, name))
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: both sides bucketed+sorted on the key join with
+    ZERO exchanges — the 100 TB pattern for repeated joins on one key."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.plans import exchange_count, sort_merge_join_count
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.range(1000).withColumn("v", F.col("id") % 7).write.bucketBy(
+            8, "id"
+        ).sortBy("id").mode("overwrite").saveAsTable("bt_left")
+        spark.range(500).withColumn("w", F.col("id") % 3).write.bucketBy(
+            8, "id"
+        ).sortBy("id").mode("overwrite").saveAsTable("bt_right")
+        joined = spark.table("bt_left").join(spark.table("bt_right"), "id")
+        assert sort_merge_join_count(joined) == 1
+        assert exchange_count(joined) == 0  # bucket layout replaces the shuffle
+        assert joined.count() == 500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS bt_left")
+        spark.sql("DROP TABLE IF EXISTS bt_right")
