@@ -1146,36 +1146,37 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM p) AS n_purchase_after_click
     """,
     doc=(
-        "Ordered funnel (signup → click → purchase): per-stage first-event "
-        "times chained by strict ordering — per-user aggregation, broadcast "
-        "stage joins, one row out."
+        "Ordered funnel (signup → click → purchase): ONE shuffle on user_id. "
+        "Per-user conditional aggregation collects each stage's candidate "
+        "times; strict ordering resolves JVM-side via array filter/min. No "
+        "joins — the broadcast-per-stage formulation dies at 100 TB because "
+        "the per-user stage tables are not broadcastable."
     ),
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s = (
-        e.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s), "user_id")
-        .filter(F.col("ts") > F.col("t_signup"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.collect_list(F.when(F.col("event_type") == "click", F.col("ts"))).alias("clicks"),
+        F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purchases"
+        ),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    staged = per_user.withColumn(
+        "t_click",
+        F.array_min(F.filter("clicks", lambda t: t > F.col("t_signup"))),
+    ).withColumn(
+        "t_purchase",
+        F.array_min(F.filter("purchases", lambda t: t > F.col("t_click"))),
     )
-    return (
-        s.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    return staged.agg(
+        F.count("t_signup").alias("n_signup"),
+        F.count("t_click").alias("n_click_after_signup"),
+        F.count("t_purchase").alias("n_purchase_after_click"),
     )
 
 
