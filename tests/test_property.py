@@ -99,3 +99,59 @@ def test_interval_join_matches_bruteforce(spark, pts, ivs):
         if pk == ik and s <= pm <= e
     }
     assert got == expected
+
+
+dup_groups = st.lists(st.integers(1, 3), min_size=1, max_size=4)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sizes=dup_groups)
+def test_minhash_lsh_clusters_exact_duplicates(spark, sizes):
+    """Exact copies share identical signatures, so they MUST share a band
+    bucket and cluster together; disjoint-vocabulary docs must not."""
+    from dlt_iceberg_spark.operators.dedup import minhash_lsh_dedup
+
+    rows, doc_id, groups = [], 0, []
+    for g, size in enumerate(sizes):
+        text = " ".join(f"tok{g}x{i}" for i in range(12))
+        ids = []
+        for _ in range(size):
+            rows.append((doc_id, text))
+            ids.append(doc_id)
+            doc_id += 1
+        groups.append(ids)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(
+        df, "text", "doc_id", n_hashes=32, bands=8, threshold=0.9
+    ).collect()
+    assert len(out) == doc_id
+    canon = {r.doc_id: r.canonical_id for r in out}
+    dup = {r.doc_id: r.is_duplicate for r in out}
+    for ids in groups:
+        assert {canon[i] for i in ids} == {min(ids)}
+        assert not dup[min(ids)] and all(dup[i] for i in ids[1:])
+    # no cross-group merges: every group keeps its own canonical
+    assert len({canon[ids[0]] for ids in groups}) == len(groups)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sizes=dup_groups)
+def test_simhash_identical_docs_identical_hash(spark, sizes):
+    from dlt_iceberg_spark.operators.dedup import simhash
+
+    rows, doc_id, groups = [], 0, []
+    for g, size in enumerate(sizes):
+        text = " ".join(f"word{g}y{i}" for i in range(10))
+        ids = []
+        for _ in range(size):
+            rows.append((doc_id, text))
+            ids.append(doc_id)
+            doc_id += 1
+        groups.append(ids)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    per_group = [{sh[i] for i in ids} for ids in groups]
+    assert all(len(s) == 1 for s in per_group)  # identical text -> identical hash
+    assert len({s.pop() for s in per_group}) == len(groups)  # distinct vocab -> distinct
