@@ -307,6 +307,53 @@ class LakeTable:
         paths = [os.path.join(self.location, f.path) for f in snap.files]
         return self.spark.read.schema(snap.schema).parquet(*paths)
 
+    def read_incremental(
+        self, from_version: int | None, to_version: int | None = None
+    ) -> DataFrame:
+        """Incremental append scan: rows added in snapshots
+        ``(from_version, to_version]`` (Iceberg's incremental read,
+        ``start-snapshot-id`` / ``end-snapshot-id`` scan options).
+
+        Walks the snapshot chain via parent pointers and plans a scan over
+        only the files each append introduced — the natural CDC feed for a
+        downstream pipeline run ("process what landed since my last load")
+        without re-scanning the table.  Like Iceberg, only append snapshots
+        are supported: an overwrite/merge/delete in the range rewrites
+        history and raises ValueError.  ``from_version=None`` reads from the
+        table's creation; ``from_version == to_version`` is an empty scan.
+        """
+        to_v = to_version if to_version is not None else self.current_version()
+        if to_v is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if from_version is not None and from_version > to_v:
+            raise ValueError(
+                f"from_version {from_version} is newer than to_version {to_v}"
+            )
+        end = self.snapshot(to_v)
+        new_paths: list[str] = []
+        snap = end
+        while snap is not None and (from_version is None or snap.version > from_version):
+            if snap.operation not in ("append", "create"):
+                raise ValueError(
+                    f"cannot read incrementally across a '{snap.operation}' "
+                    f"snapshot (v{snap.version}): rows were rewritten or removed"
+                )
+            parent_paths = (
+                {f.path for f in self.snapshot(snap.parent).files}
+                if snap.parent is not None
+                else set()
+            )
+            new_paths.extend(f.path for f in snap.files if f.path not in parent_paths)
+            if snap.parent is None:
+                if from_version is not None:
+                    raise ValueError(f"no snapshot v{from_version} in ancestry of v{to_v}")
+                break
+            snap = self.snapshot(snap.parent)
+        if not new_paths:
+            return self.spark.createDataFrame([], end.schema)
+        paths = [os.path.join(self.location, p) for p in new_paths]
+        return self.spark.read.schema(end.schema).parquet(*paths)
+
     def read_files(self, files: list[DataFile]) -> DataFrame:
         """Scan a subset of live files (used by copy-on-write merge)."""
         schema = self.schema()

@@ -90,3 +90,54 @@ def test_custom_location_layout(spark, warehouse):
     catalog.create_table("ns", "t", SCHEMA)
     assert os.path.isdir(os.path.join(warehouse, "ns", "custom", "t"))
     assert catalog.load_table("ns", "t").schema() == SCHEMA
+
+
+# -- incremental (CDC-style) append scans -----------------------------------
+
+
+def _incr_table(spark, warehouse):
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    spec = TableSpec(name="t", write_disposition="append")
+    for i in range(3):
+        writer.write(spec, spark.range(i * 10, (i + 1) * 10), load_id=f"load-{i}")
+    return catalog.load_table("main", "t"), writer, spec
+
+
+def test_read_incremental_between_versions(spark, warehouse):
+    table, _, _ = _incr_table(spark, warehouse)
+    v = table.current_version()  # create snapshot + 3 appends
+    got = sorted(r.id for r in table.read_incremental(v - 2).collect())
+    assert got == list(range(10, 30))  # loads 1 and 2 only
+    got = sorted(r.id for r in table.read_incremental(v - 2, v - 1).collect())
+    assert got == list(range(10, 20))  # load 1 only
+
+
+def test_read_incremental_from_creation_and_empty_range(spark, warehouse):
+    table, _, _ = _incr_table(spark, warehouse)
+    v = table.current_version()
+    assert sorted(r.id for r in table.read_incremental(None).collect()) == list(range(30))
+    assert table.read_incremental(v).count() == 0
+    schema_cols = table.read_incremental(v).columns
+    assert schema_cols == table.read().columns
+
+
+def test_read_incremental_rejects_rewrites(spark, warehouse):
+    import pytest as _pytest
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    table, writer, _ = _incr_table(spark, warehouse)
+    writer.write(
+        TableSpec(name="t", write_disposition="replace"),
+        spark.range(5),
+        load_id="load-r",
+    )
+    v = table.current_version()  # the replace snapshot
+    with _pytest.raises(ValueError, match="overwrite"):
+        table.read_incremental(v - 4)
+    # a range that stops before the rewrite still works
+    assert table.read_incremental(v - 3, v - 1).count() == 20
+    with _pytest.raises(ValueError, match="newer"):
+        table.read_incremental(v + 1, v - 1)
