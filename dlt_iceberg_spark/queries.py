@@ -985,6 +985,36 @@ def rollup_nation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cube_brand_size",
+    f"""
+    SELECT coalesce(p_brand, 'ALL') AS brand,
+           coalesce(cast(p_size AS varchar), 'ALL') AS size,
+           count(*) AS n_parts,
+           {_sql_rnd('avg(p_retailprice)')} AS avg_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+    doc=(
+        "CUBE over two dimensions (every grouping-set combination) — "
+        "completes the grouping-sets surface next to ROLLUP (SURVEY §2.5 A6); "
+        "Spark plans one Expand + single hash aggregation, no per-set rescan."
+    ),
+)
+def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.cube("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("n_parts"), rnd(F.avg("p_retailprice")).alias("avg_price"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("p_size").cast("string"), F.lit("ALL")).alias("size"),
+            "n_parts",
+            "avg_price",
+        )
+    )
+
+
+@query(
     "setop_customer_segments",
     """
     SELECT c_custkey FROM customer c

@@ -12,6 +12,7 @@ ledger idempotency.
 
 from dlt_iceberg_spark.streaming.micro_batch import (
     running_user_totals,
+    stream_interval_join,
     sessionized,
     stream_write,
     streaming_dedup,
@@ -23,5 +24,6 @@ __all__ = [
     "windowed_event_counts",
     "sessionized",
     "running_user_totals",
+    "stream_interval_join",
     "streaming_dedup",
 ]

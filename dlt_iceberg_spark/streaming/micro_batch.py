@@ -196,6 +196,42 @@ def running_user_totals(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    bound: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events of
+    the same key whose time falls in ``[left_ts, left_ts + bound]``.
+
+    On streaming inputs both sides carry a watermark and the time-range
+    condition bounds join state: Spark buffers each side only within
+    ``watermark + bound`` of the stream head, then evicts — without the
+    range predicate a stream-stream join would have to keep every row
+    forever.  State is hash-partitioned by the join key across executors.
+    On batch inputs the identical plan is a plain range join (how tests
+    check equivalence).  Column names must be disjoint apart from the key.
+    """
+    l_src, r_src = left, right
+    if left.isStreaming:
+        l_src = left.withColumn(left_ts, F.col(left_ts).cast("timestamp")).withWatermark(
+            left_ts, watermark
+        )
+    if right.isStreaming:
+        r_src = right.withColumn(right_ts, F.col(right_ts).cast("timestamp")).withWatermark(
+            right_ts, watermark
+        )
+    cond = (
+        (F.col(left_ts) <= F.col(right_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {bound}"))
+    )
+    return l_src.join(r_src, on=[key_col], how="inner").where(cond)
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

@@ -256,3 +256,57 @@ def test_running_user_totals_stateful(spark, stream_dirs):
     batch_out = {r.user_id: (r.n_events, r.total_value)
                  for r in running_user_totals(b1.unionByName(b2)).collect()}
     assert batch_out == {1: (3, 7.0), 2: (1, 5.0)}
+
+
+def test_stream_interval_join_matches_batch(spark, stream_dirs):
+    from dlt_iceberg_spark.streaming import stream_interval_join
+
+    inp, ckpt, _ = stream_dirs
+    views_rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0),
+        (2, _ts("2024-01-01T00:10:00"), 2, "view", 0.0),
+        (3, _ts("2024-01-01T03:00:00"), 1, "view", 0.0),
+    ]
+    buys_rows = [
+        (10, _ts("2024-01-01T00:30:00"), 1, "buy", 9.0),   # within 1h of view 1
+        (11, _ts("2024-01-01T02:00:00"), 2, "buy", 5.0),   # >1h after view 2 -> no match
+        (12, _ts("2024-01-01T03:30:00"), 1, "buy", 7.0),   # within 1h of view 3
+    ]
+    views = _mk_events(spark, views_rows).select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id")
+    )
+    buys = _mk_events(spark, buys_rows).select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("buy_id")
+    )
+
+    # batch form of the same plan
+    batch = stream_interval_join(views, buys, bound="1 hour")
+    got = sorted((r.view_id, r.buy_id) for r in batch.collect())
+    assert got == [(1, 10), (3, 12)]
+
+    # streaming: both sides as file streams, availableNow, memory sink
+    vdir, bdir = os.path.join(inp, "v"), os.path.join(inp, "b")
+    os.makedirs(vdir), os.makedirs(bdir)
+    _drop_file(_mk_events(spark, views_rows), vdir, "v.parquet")
+    _drop_file(_mk_events(spark, buys_rows), bdir, "b.parquet")
+    v_stream = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(vdir)
+        .select("user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("view_id"))
+    )
+    b_stream = (
+        spark.readStream.schema(EVENT_SCHEMA).parquet(bdir)
+        .select("user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("buy_id"))
+    )
+    joined = stream_interval_join(v_stream, b_stream, bound="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted(
+        (r.view_id, r.buy_id) for r in spark.sql("SELECT * FROM ssj").collect()
+    )
+    assert got_stream == got
