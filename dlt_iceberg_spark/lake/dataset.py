@@ -61,6 +61,13 @@ class Dataset:
         self.register_views()
         return RelationHandle(self.spark.sql(sql))
 
+    def metadata(self, table_name: str, kind: str = "snapshots") -> RelationHandle:
+        """Metadata relation for a table (``snapshots`` / ``files`` /
+        ``history``) — the Iceberg ``t.snapshots``-style surface."""
+        return RelationHandle(
+            self.catalog.load_table(self.namespace, table_name).metadata_df(kind)
+        )
+
     def row_counts(self) -> dict[str, int]:
         """Manifest-only row counts (no scan) — file stats make this free."""
         out = {}

@@ -168,6 +168,74 @@ class LakeTable:
         snap = self.snapshot()
         return snap.schema if snap else None
 
+    def metadata_df(self, kind: str = "snapshots") -> DataFrame:
+        """Metadata tables (Iceberg's ``t.snapshots`` / ``t.files`` /
+        ``t.history``) as DataFrames, planned from manifests only — no data
+        files are touched, so these stay O(metadata) at any table size.
+
+        - ``snapshots``: every retained snapshot with operation + totals.
+        - ``files``: the CURRENT snapshot's live files with per-file stats.
+        - ``history``: the current ancestry chain, oldest first (snapshots
+          abandoned by rolled-back or conflicting commits are excluded).
+        """
+        if kind == "snapshots":
+            schema = (
+                "version int, parent int, operation string, timestamp string, "
+                "n_files int, total_rows bigint, total_bytes bigint, "
+                "summary map<string,string>"
+            )
+            rows = [
+                (
+                    s.version,
+                    s.parent,
+                    s.operation,
+                    s.timestamp,
+                    len(s.files),
+                    s.total_rows,
+                    sum(f.bytes for f in s.files),
+                    {k: str(v) for k, v in s.summary.items()},
+                )
+                for s in self.snapshots()
+            ]
+            return self.spark.createDataFrame(rows, schema)
+        if kind == "files":
+            snap = self.snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"no such table: {self.location}")
+            schema = (
+                "file_path string, rows bigint, bytes bigint, "
+                "partition map<string,string>, "
+                "column_mins map<string,string>, column_maxs map<string,string>"
+            )
+            rows = [
+                (
+                    f.path,
+                    f.rows,
+                    f.bytes,
+                    {k: str(v) for k, v in f.partition.items()},
+                    {k: str(v[0]) for k, v in f.stats.items()},
+                    {k: str(v[1]) for k, v in f.stats.items()},
+                )
+                for f in snap.files
+            ]
+            return self.spark.createDataFrame(rows, schema)
+        if kind == "history":
+            chain = []
+            snap = self.snapshot()
+            while snap is not None:
+                chain.append(snap)
+                snap = self.snapshot(snap.parent) if snap.parent is not None else None
+            current_v = self.current_version()
+            rows = [
+                (s.timestamp, s.version, s.parent, s.version == current_v)
+                for s in reversed(chain)
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "made_current_at string, version int, parent int, is_current boolean",
+            )
+        raise ValueError(f"unknown metadata table {kind!r} (snapshots|files|history)")
+
     # -- commit protocol ---------------------------------------------------
 
     def stage_dataframe(

@@ -141,3 +141,36 @@ def test_read_incremental_rejects_rewrites(spark, warehouse):
     assert table.read_incremental(v - 3, v - 1).count() == 20
     with _pytest.raises(ValueError, match="newer"):
         table.read_incremental(v + 1, v - 1)
+
+
+# -- metadata tables ---------------------------------------------------------
+
+
+def test_metadata_tables(spark, warehouse):
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    table, writer, spec = _incr_table(spark, warehouse)
+    snaps = table.metadata_df("snapshots").collect()
+    assert [s.version for s in snaps] == list(range(table.current_version() + 1))
+    assert {s.operation for s in snaps} <= {"create", "append"}
+    assert snaps[-1].total_rows == 30
+    assert all(s.total_bytes > 0 for s in snaps if s.n_files)
+
+    files = table.metadata_df("files")
+    agg = files.groupBy().sum("rows").collect()[0][0]
+    assert agg == 30
+    # footer min/max stats surfaced per file
+    mins = [r.column_mins for r in files.collect() if r.column_mins]
+    assert any("id" in m for m in mins)
+
+    hist = table.metadata_df("history").collect()
+    assert hist[-1].is_current and hist[0].version == 0
+    assert [h.version for h in hist] == sorted(h.version for h in hist)
+
+    ds = Dataset(LakeCatalog(spark, warehouse), "main")
+    assert ds.metadata("t", "snapshots").fetchall() == [tuple(r) for r in snaps]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown metadata"):
+        table.metadata_df("nope")
