@@ -401,7 +401,9 @@ class LakeTable:
         new_paths: list[str] = []
         snap = end
         while snap is not None and (from_version is None or snap.version > from_version):
-            if snap.operation not in ("append", "create"):
+            # metadata-only evolution snapshots carry the parent's file set
+            # unchanged, so incremental reads pass straight through them
+            if snap.operation not in ("append", "create", "evolve-schema", "evolve-partition"):
                 raise ValueError(
                     f"cannot read incrementally across a '{snap.operation}' "
                     f"snapshot (v{snap.version}): rows were rewritten or removed"

@@ -189,10 +189,23 @@ class LakeWriter:
         evolved, changed = evolve_schema_if_needed(
             current, incoming_persisted, allow_column_drops=self.config.allow_column_drops
         )
-        if changed:
-            snap = table.snapshot()
-            # metadata-only evolution commit (Iceberg update_schema analogue)
-            table.commit(snap.files, evolved, "evolve-schema", snap.version)
+        snap = table.snapshot()
+        # partition-spec evolution (Iceberg ALTER TABLE ... ADD/REPLACE
+        # PARTITION FIELD): when this load declares partition hints that
+        # differ from the table's spec, the NEW spec applies to new files
+        # only — existing files keep their recorded partition tuples, and
+        # partition-scoped operations handle the mixed layout copy-on-write.
+        # Loads without hints leave the spec untouched.
+        desired = [
+            vars(p) for p in build_partition_spec(evolved, spec.column_hints)
+        ]
+        new_pspec = desired if desired and desired != snap.partition_spec else None
+        if changed or new_pspec is not None:
+            # one metadata-only evolution commit covering both changes
+            op = "evolve-schema" if changed else "evolve-partition"
+            table.commit(
+                snap.files, evolved, op, snap.version, partition_spec=new_pspec
+            )
         return table, evolved
 
     def _apply_partition_layout(self, df: DataFrame, partition_spec: list[dict]) -> DataFrame:

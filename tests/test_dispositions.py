@@ -287,3 +287,44 @@ def test_replace_partitions_requires_partitioned_table(spark, warehouse):
             TableSpec(name="flat", write_disposition={"disposition": "replace", "scope": "partitions"}),
             spark.createDataFrame([Row(v=2)]),
         )
+
+
+def test_partition_spec_evolution(spark, warehouse):
+    """Partition-spec evolution (Iceberg ALTER ... PARTITION FIELD): hints on
+    a later load change the spec for NEW files only; hint-less loads leave
+    it untouched; identical hints are idempotent (no extra snapshot)."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    plain = TableSpec(name="pe", write_disposition="append")
+    rows = [Row(id=i, cat="A" if i % 2 else "B") for i in range(10)]
+    writer.write(plain, spark.createDataFrame(rows), load_id="l0")
+    table = catalog.load_table("main", "pe")
+    assert table.snapshot().partition_spec == []
+
+    hinted = TableSpec(
+        name="pe",
+        write_disposition="append",
+        column_hints={"cat": {"partition": True, "x-partition-transform": "identity"}},
+    )
+    writer.write(hinted, spark.createDataFrame(rows), load_id="l1")
+    snap = table.snapshot()
+    assert [p["column"] for p in snap.partition_spec] == ["cat"]
+    ops = [s.operation for s in table.snapshots()]
+    assert "evolve-partition" in ops
+    # new files carry partition tuples; the pre-evolution files do not
+    parts = {f.partition.get("cat") for f in snap.files}
+    assert {"A", "B"} <= parts and (None in parts or any(not f.partition for f in snap.files))
+
+    # identical hints again -> no further evolution snapshot
+    n_before = len(table.snapshots())
+    writer.write(hinted, spark.createDataFrame(rows), load_id="l2")
+    ops_after = [s.operation for s in table.snapshots()]
+    assert ops_after.count("evolve-partition") == 1
+    assert len(table.snapshots()) == n_before + 1  # just the append
+
+    # hint-less load keeps the evolved spec
+    writer.write(plain, spark.createDataFrame(rows), load_id="l3")
+    assert [p["column"] for p in table.snapshot().partition_spec] == ["cat"]
+
+    # incremental read passes through the metadata-only evolution snapshot
+    assert table.read_incremental(1).count() == 30  # after l0's append (v1)
