@@ -20,6 +20,8 @@ has neither and degrades accordingly under many small loads):
 from __future__ import annotations
 
 import os
+import shutil
+import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -93,7 +95,12 @@ def expire_snapshots(
         return {"snapshots": 0, "data_files": 0}
     cutoff = datetime.now(timezone.utc) - older_than
     newest_first = sorted(snaps, key=lambda s: s.version, reverse=True)
-    protected = {s.version for s in newest_first[:keep_last]} | {current}
+    # tagged snapshots are pinned: a named ref must stay readable
+    protected = (
+        {s.version for s in newest_first[:keep_last]}
+        | {current}
+        | set(table.tags().values())
+    )
 
     expired = [
         s
@@ -118,3 +125,92 @@ def expire_snapshots(
         if os.path.exists(manifest):
             os.remove(manifest)
     return {"snapshots": len(expired), "data_files": len(dead_paths)}
+
+
+def remove_orphan_files(
+    table: LakeTable,
+    older_than: timedelta = timedelta(days=3),
+    dry_run: bool = False,
+) -> dict[str, list[str]]:
+    """Delete files in the table location reachable by NO snapshot
+    (Iceberg's ``remove_orphan_files`` procedure).
+
+    Orphans accumulate from failed jobs: a writer stages data files and then
+    dies before commit, or commits conflict and retry.  Three kinds:
+
+    - **data files** under ``data/`` not referenced by any snapshot manifest,
+    - **staging directories** (``_staging_*``) of crashed write jobs,
+    - **metadata leftovers**: ``_ptr_*`` temp pointers, and manifests with a
+      version NEWER than the current pointer — a committer that wrote its
+      manifest but died before the pointer rename.  These are load-bearing
+      to remove: a stale future manifest permanently blocks the next commit
+      at that version (O_EXCL create fails), so this procedure is also the
+      table's crash-recovery path.
+
+    Only files whose mtime is older than ``older_than`` are touched — the
+    grace window that keeps a concurrent in-flight write (staged but not yet
+    committed) safe, same as Iceberg's 3-day default.  ``dry_run`` reports
+    without deleting.  Returns ``{"data_files": [...], "staging_dirs":
+    [...], "metadata_files": [...]}`` of (to-be-)deleted paths relative to
+    the table location.
+    """
+    cutoff = time.time() - older_than.total_seconds()
+
+    def _old(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) < cutoff
+        except FileNotFoundError:
+            return False
+
+    # referenced = union over ALL manifests present (not just the current
+    # chain): expired-but-not-yet-cleaned and future manifests still pin
+    # their files until the manifest itself is removed
+    meta_dir = table._meta_dir
+    current = table.current_version()
+    referenced: set[str] = set()
+    future_manifests: list[str] = []
+    if os.path.isdir(meta_dir):
+        for name in os.listdir(meta_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                version = int(name[1:-5])
+                if (current is None or version > current) and _old(
+                    os.path.join(meta_dir, name)
+                ):
+                    # stale future manifest: delete it, so don't let it pin
+                    # its data files either
+                    future_manifests.append(name)
+                    continue
+                try:
+                    snap = table.snapshot(version)
+                except (KeyError, ValueError):
+                    continue  # mid-write or corrupt: let the grace window decide
+                if snap is not None:
+                    referenced.update(f.path for f in snap.files)
+
+    out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
+
+    if os.path.isdir(table._data_dir):
+        for name in sorted(os.listdir(table._data_dir)):
+            abs_path = os.path.join(table._data_dir, name)
+            if f"data/{name}" not in referenced and _old(abs_path):
+                out["data_files"].append(f"data/{name}")
+                if not dry_run:
+                    os.remove(abs_path)
+
+    for name in sorted(os.listdir(table.location)):
+        abs_path = os.path.join(table.location, name)
+        if name.startswith("_staging_") and os.path.isdir(abs_path) and _old(abs_path):
+            out["staging_dirs"].append(name)
+            if not dry_run:
+                shutil.rmtree(abs_path)
+
+    if os.path.isdir(meta_dir):
+        stale_meta = [n for n in os.listdir(meta_dir) if n.startswith("_ptr_")]
+        stale_meta += future_manifests
+        for name in sorted(stale_meta):
+            abs_path = os.path.join(meta_dir, name)
+            if _old(abs_path):
+                out["metadata_files"].append(f"metadata/{name}")
+                if not dry_run:
+                    os.remove(abs_path)
+    return out

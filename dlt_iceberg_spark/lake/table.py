@@ -168,6 +168,58 @@ class LakeTable:
         snap = self.snapshot()
         return snap.schema if snap else None
 
+    # -- named refs (tags) + rollback --------------------------------------
+
+    def tags(self) -> dict[str, int]:
+        """Named immutable refs → snapshot version (Iceberg tags)."""
+        if not os.path.isdir(self._meta_dir):
+            return {}
+        out = {}
+        for n in os.listdir(self._meta_dir):
+            if n.startswith("_tag_"):
+                with open(os.path.join(self._meta_dir, n)) as fh:
+                    out[n[len("_tag_"):]] = int(fh.read().strip())
+        return out
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Tag a snapshot (default: current).  Tags pin their snapshot — and
+        every file it references — against ``expire_snapshots``."""
+        v = version if version is not None else self.current_version()
+        if v is None or not os.path.exists(os.path.join(self._meta_dir, f"v{v:06d}.json")):
+            raise ValueError(f"no snapshot v{v} to tag")
+        try:
+            with open(os.path.join(self._meta_dir, f"_tag_{name}"), "x") as fh:
+                fh.write(str(v))
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._meta_dir, f"_tag_{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag {name!r}") from None
+
+    def rollback(self, to_version: int) -> Snapshot:
+        """Restore an earlier snapshot's state as a NEW snapshot (Iceberg
+        ``rollback_to_snapshot``): history is preserved, the table's live
+        file set and schema become those of ``to_version``.  Time travel to
+        the rolled-back-over versions keeps working until they expire."""
+        old = self.snapshot(to_version)
+        if old is None:
+            raise ValueError(f"no snapshot v{to_version} to roll back to")
+        current = self.current_version()
+        if to_version == current:
+            return old
+        return self.commit(
+            old.files,
+            old.schema,
+            "rollback",
+            current,
+            partition_spec=old.partition_spec,
+            summary={"rolled-back-to": to_version},
+        )
+
     def metadata_df(self, kind: str = "snapshots") -> DataFrame:
         """Metadata tables (Iceberg's ``t.snapshots`` / ``t.files`` /
         ``t.history``) as DataFrames, planned from manifests only — no data
@@ -234,7 +286,13 @@ class LakeTable:
                 rows,
                 "made_current_at string, version int, parent int, is_current boolean",
             )
-        raise ValueError(f"unknown metadata table {kind!r} (snapshots|files|history)")
+        if kind == "refs":
+            rows = [(name, "tag", v) for name, v in sorted(self.tags().items())]
+            rows.append(("main", "branch", self.current_version()))
+            return self.spark.createDataFrame(
+                rows, "name string, type string, version int"
+            )
+        raise ValueError(f"unknown metadata table {kind!r} (snapshots|files|history|refs)")
 
     # -- commit protocol ---------------------------------------------------
 
@@ -351,11 +409,16 @@ class LakeTable:
             "properties": snap.properties,
         }
         manifest = os.path.join(self._meta_dir, f"v{new_version:06d}.json")
-        # manifest write may race; the POINTER rename is the commit point
-        if os.path.exists(manifest):
-            raise CommitConflictError(f"snapshot v{new_version} already written")
-        with open(manifest, "x") as fh:
-            json.dump(payload, fh)
+        # manifest write may race; the POINTER rename is the commit point.
+        # O_EXCL makes the existence check + create atomic, so a concurrent
+        # committer at the same parent loses here (not at the pointer).
+        try:
+            with open(manifest, "x") as fh:
+                json.dump(payload, fh)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot v{new_version} already written"
+            ) from None
         tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
         with open(tmp_ptr, "w") as fh:
             fh.write(str(new_version))
@@ -364,9 +427,16 @@ class LakeTable:
 
     # -- reading -----------------------------------------------------------
 
-    def read(self, snapshot_version: int | None = None) -> DataFrame:
+    def read(self, snapshot_version: int | None = None, tag: str | None = None) -> DataFrame:
         """Plan a scan over the snapshot's live files (manifest-driven — no
-        directory listing)."""
+        directory listing).  ``tag`` reads the named ref's snapshot."""
+        if tag is not None:
+            if snapshot_version is not None:
+                raise ValueError("pass snapshot_version or tag, not both")
+            refs = self.tags()
+            if tag not in refs:
+                raise ValueError(f"no such tag {tag!r}")
+            snapshot_version = refs[tag]
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")

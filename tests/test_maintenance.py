@@ -6,7 +6,11 @@ from datetime import timedelta
 import pytest
 
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
-from dlt_iceberg_spark.lake.maintenance import compact_table, expire_snapshots
+from dlt_iceberg_spark.lake.maintenance import (
+    compact_table,
+    expire_snapshots,
+    remove_orphan_files,
+)
 from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
 
 
@@ -67,3 +71,114 @@ def test_expire_respects_retention_window(loaded_table):
     res = expire_snapshots(loaded_table, older_than=timedelta(days=1))
     assert res == {"snapshots": 0, "data_files": 0}  # everything too recent
     assert len(loaded_table.snapshots()) == 5
+
+
+# -- tags + rollback ---------------------------------------------------------
+
+
+def test_tags_pin_snapshots_against_expiry(loaded_table):
+    table = loaded_table
+    tagged_v = table.current_version() - 2
+    table.create_tag("audit", tagged_v)
+    assert table.tags() == {"audit": tagged_v}
+    # everything old enough to expire except current + tagged
+    res = expire_snapshots(table, older_than=timedelta(seconds=0), keep_last=1)
+    assert res["snapshots"] > 0
+    kept = {s.version for s in table.snapshots()}
+    assert tagged_v in kept
+    # the tagged snapshot stays readable through the ref
+    assert table.read(tag="audit").count() == table.snapshot(tagged_v).total_rows
+    with pytest.raises(ValueError, match="already exists"):
+        table.create_tag("audit")
+    table.delete_tag("audit")
+    with pytest.raises(ValueError, match="no such tag"):
+        table.read(tag="audit")
+
+
+def test_rollback_restores_old_state_as_new_snapshot(loaded_table):
+    table = loaded_table
+    v_before = table.current_version()
+    rows_before = sorted(r.id for r in table.read().collect())
+    target = v_before - 2  # before the last two appends
+    snap = table.rollback(target)
+    assert snap.version == v_before + 1 and snap.operation == "rollback"
+    assert snap.summary["rolled-back-to"] == target
+    got = sorted(r.id for r in table.read().collect())
+    assert got == sorted(r.id for r in table.read(target).collect())
+    assert len(got) < len(rows_before)
+    # history preserved: time travel to the pre-rollback head still works
+    assert sorted(r.id for r in table.read(v_before).collect()) == rows_before
+    # refs metadata table
+    table.create_tag("pre-fix", v_before)
+    refs = {(r.name, r.type, r.version) for r in table.metadata_df("refs").collect()}
+    assert ("pre-fix", "tag", v_before) in refs
+    assert ("main", "branch", table.current_version()) in refs
+    # rollback to current is a no-op
+    assert table.rollback(table.current_version()).version == table.current_version()
+
+
+# -- orphan file cleanup -----------------------------------------------------
+
+
+def _backdate(path, days=10):
+    old = os.path.getmtime(path) - days * 86400
+    os.utime(path, (old, old))
+
+
+def test_remove_orphans_deletes_only_old_unreferenced(loaded_table, spark):
+    table = loaded_table
+    # crashed write: staged data files, never committed
+    orphans = table.stage_dataframe(spark.range(5).coalesce(1))
+    live_before = table.read().count()
+    # grace window: nothing old enough yet
+    assert remove_orphan_files(table) == {
+        "data_files": [],
+        "staging_dirs": [],
+        "metadata_files": [],
+    }
+    for f in orphans:
+        _backdate(os.path.join(table.location, f.path))
+    # dry run reports but keeps the files
+    report = remove_orphan_files(table, dry_run=True)
+    assert sorted(report["data_files"]) == sorted(f.path for f in orphans)
+    assert all(os.path.exists(os.path.join(table.location, f.path)) for f in orphans)
+    # real run deletes them; referenced files survive even when old
+    for f in table.snapshot().files:
+        _backdate(os.path.join(table.location, f.path))
+    report = remove_orphan_files(table)
+    assert sorted(report["data_files"]) == sorted(f.path for f in orphans)
+    assert not any(os.path.exists(os.path.join(table.location, f.path)) for f in orphans)
+    assert table.read().count() == live_before
+
+
+def test_remove_orphans_recovers_crashed_commit(loaded_table):
+    table = loaded_table
+    current = table.current_version()
+    # simulate a committer that wrote its manifest but died before the
+    # pointer rename: the next commit at that version is blocked
+    stale = os.path.join(table._meta_dir, f"v{current + 1:06d}.json")
+    with open(stale, "w") as fh:
+        fh.write("{}")
+    snap = table.snapshot()
+    with pytest.raises(Exception, match="already written"):
+        table.commit(snap.files, snap.schema, "append", current)
+    # within grace: untouched (could be a concurrent commit about to land)
+    assert remove_orphan_files(table)["metadata_files"] == []
+    _backdate(stale)
+    report = remove_orphan_files(table)
+    assert report["metadata_files"] == [f"metadata/v{current + 1:06d}.json"]
+    # table commits again
+    table.commit(snap.files, snap.schema, "append", current)
+    assert table.current_version() == current + 1
+
+
+def test_remove_orphans_cleans_staging_dirs(loaded_table):
+    table = loaded_table
+    staging = os.path.join(table.location, "_staging_deadbeef")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    _backdate(staging)
+    report = remove_orphan_files(table)
+    assert report["staging_dirs"] == ["_staging_deadbeef"]
+    assert not os.path.exists(staging)
