@@ -95,11 +95,13 @@ def expire_snapshots(
         return {"snapshots": 0, "data_files": 0}
     cutoff = datetime.now(timezone.utc) - older_than
     newest_first = sorted(snaps, key=lambda s: s.version, reverse=True)
-    # tagged snapshots are pinned: a named ref must stay readable
+    # snapshots behind a named ref are pinned: tags AND branch heads must
+    # stay readable (an unpublished WAP branch would otherwise lose its data)
     protected = (
         {s.version for s in newest_first[:keep_last]}
         | {current}
         | set(table.tags().values())
+        | set(table.branches().values())
     )
 
     expired = [
@@ -110,7 +112,12 @@ def expire_snapshots(
     if not expired:
         return {"snapshots": 0, "data_files": 0}
 
-    retained = [s for s in snaps if s.version not in {e.version for e in expired}]
+    # live = files referenced by ANY retained manifest on disk — including
+    # branch commits numbered past main's head, which snapshots() excludes
+    expired_versions = {e.version for e in expired}
+    retained = [
+        table.snapshot(v) for v in table._all_versions() if v not in expired_versions
+    ]
     live_paths = {f.path for s in retained for f in s.files}
     dead_paths = {
         f.path for s in expired for f in s.files if f.path not in live_paths
@@ -127,6 +134,106 @@ def expire_snapshots(
     return {"snapshots": len(expired), "data_files": len(dead_paths)}
 
 
+#: column types eligible for z-ordering (orderable, castable to double)
+_ZORDER_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "date", "timestamp")
+
+
+def zorder_value(df, columns: list[str], bits: int = 4):
+    """A ``Column`` holding the z-order (Morton) value of ``columns``.
+
+    Each column is mapped to a ``2**bits``-bucket id by rank against sampled
+    quantile boundaries (equi-depth, so skewed distributions still spread
+    across buckets — the same trick as Delta's range-id ZORDER), then the
+    ids' bits are interleaved.  Everything after the one ``approxQuantile``
+    sampling pass is built-in JVM expressions — no UDFs, no extra shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    if not columns:
+        raise ValueError("zorder needs at least one column")
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for c in columns:
+        if c not in dtypes:
+            raise ValueError(f"no such column {c!r}")
+        if dtypes[c].split("(")[0] not in _ZORDER_TYPES:
+            raise ValueError(
+                f"cannot zorder by {c!r} of type {dtypes[c]} "
+                f"(orderable numeric/date/timestamp required)"
+            )
+
+    def as_double(c):
+        col = F.col(c)
+        if dtypes[c] == "date":
+            col = col.cast("timestamp")
+        return col.cast("double")
+
+    buckets = 1 << bits
+    probs = [i / buckets for i in range(1, buckets)]
+    sampled = df.select(*[as_double(c).alias(c) for c in columns])
+    boundaries = sampled.stat.approxQuantile(columns, probs, 0.01)
+
+    bucket_ids = []
+    for c, bounds in zip(columns, boundaries):
+        uniq = sorted(set(bounds))
+        # rank against the boundary array; a lambda over a literal array is
+        # interpreted, but it runs once per rewrite, not in any hot read path
+        bucket_ids.append(
+            F.size(F.filter(F.lit(uniq), lambda b: as_double(c) >= b)).cast("long")
+        )
+
+    z = F.lit(0).cast("long")
+    n = len(columns)
+    for bit in range(bits):
+        for k, bid in enumerate(bucket_ids):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bid, bit).bitwiseAND(F.lit(1)), bit * n + k)
+            )
+    return z
+
+
+def rewrite_zorder(
+    table: LakeTable,
+    columns: list[str],
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    bits: int = 4,
+) -> CompactionResult:
+    """Recluster the WHOLE table on the z-order of ``columns`` in one atomic
+    replace snapshot (Iceberg ``rewrite_data_files`` sort strategy with
+    ``zorder(...)``).
+
+    Single-column sort clustering makes min/max pruning decisive on that one
+    column and useless on every other; z-ordering interleaves the bucket
+    bits of several columns so each output file covers a small HYPERCUBE of
+    the key space — a probe range on ANY z-ordered column then skips most
+    files.  At 100 TB this is the difference between a multi-tenant scan
+    reading one tenant's files and reading everything.
+    """
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    if not snap.files:
+        return CompactionResult(0, 0, 0, 0)
+    total_bytes = sum(f.bytes for f in snap.files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
+    df = table.read()
+    z = zorder_value(df, columns, bits=bits)
+    clustered = (
+        df.withColumn("_zorder", z)
+        .repartitionByRange(n_out, "_zorder")
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    )
+    new_files = table.stage_dataframe(clustered)
+    table.commit(
+        new_files,
+        snap.schema,
+        "replace",
+        snap.version,
+        summary={"zorder": ",".join(columns), "rewritten-files": len(snap.files)},
+    )
+    return CompactionResult(len(snap.files), 0, len(new_files), total_bytes)
+
+
 def remove_orphan_files(
     table: LakeTable,
     older_than: timedelta = timedelta(days=3),
@@ -140,12 +247,11 @@ def remove_orphan_files(
 
     - **data files** under ``data/`` not referenced by any snapshot manifest,
     - **staging directories** (``_staging_*``) of crashed write jobs,
-    - **metadata leftovers**: ``_ptr_*`` temp pointers, and manifests with a
-      version NEWER than the current pointer — a committer that wrote its
-      manifest but died before the pointer rename.  These are load-bearing
-      to remove: a stale future manifest permanently blocks the next commit
-      at that version (O_EXCL create fails), so this procedure is also the
-      table's crash-recovery path.
+    - **metadata leftovers**: ``_ptr_*`` temp pointers, and manifests no
+      ref (branch head or tag) can reach — a committer that wrote its
+      manifest but died before the pointer rename, or a deleted branch's
+      commits.  Until removed they pin their data files and inflate version
+      numbering, so this procedure is also the table's crash-recovery path.
 
     Only files whose mtime is older than ``older_than`` are touched — the
     grace window that keeps a concurrent in-flight write (staged but not yet
@@ -162,23 +268,25 @@ def remove_orphan_files(
         except FileNotFoundError:
             return False
 
-    # referenced = union over ALL manifests present (not just the current
-    # chain): expired-but-not-yet-cleaned and future manifests still pin
-    # their files until the manifest itself is removed
+    # referenced = union over manifests present except STALE ones; a manifest
+    # is stale when no ref (branch head or tag) can reach it — a committer
+    # that wrote its manifest and died before the pointer rename, or a
+    # deleted branch's leftovers.  Reachability (not `version > current`)
+    # keeps live WAP-branch manifests, which are numbered past main's head.
     meta_dir = table._meta_dir
-    current = table.current_version()
+    reachable: set[int] = set()
+    for head in set(table.branches().values()) | set(table.tags().values()):
+        reachable.update(table._ancestry(head))
     referenced: set[str] = set()
-    future_manifests: list[str] = []
+    stale_manifests: list[str] = []
     if os.path.isdir(meta_dir):
         for name in os.listdir(meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 version = int(name[1:-5])
-                if (current is None or version > current) and _old(
-                    os.path.join(meta_dir, name)
-                ):
-                    # stale future manifest: delete it, so don't let it pin
-                    # its data files either
-                    future_manifests.append(name)
+                if version not in reachable and _old(os.path.join(meta_dir, name)):
+                    # stale manifest: delete it, so don't let it pin its
+                    # data files either
+                    stale_manifests.append(name)
                     continue
                 try:
                     snap = table.snapshot(version)
@@ -206,7 +314,7 @@ def remove_orphan_files(
 
     if os.path.isdir(meta_dir):
         stale_meta = [n for n in os.listdir(meta_dir) if n.startswith("_ptr_")]
-        stale_meta += future_manifests
+        stale_meta += stale_manifests
         for name in sorted(stale_meta):
             abs_path = os.path.join(meta_dir, name)
             if _old(abs_path):

@@ -111,11 +111,18 @@ class LakeTable:
     the current pointer, like Iceberg with catalog caching disabled —
     SURVEY.md §4 'snapshot freshness')."""
 
-    def __init__(self, spark: SparkSession, location: str):
+    def __init__(self, spark: SparkSession, location: str, branch: str = "main"):
         self.spark = spark
         self.location = location.rstrip("/")
+        self.branch = branch
         self._meta_dir = os.path.join(self.location, "metadata")
         self._data_dir = os.path.join(self.location, "data")
+
+    @property
+    def _ptr_path(self) -> str:
+        if self.branch == "main":
+            return os.path.join(self._meta_dir, "_current")
+        return os.path.join(self._meta_dir, f"_branch_{self.branch}")
 
     # -- metadata ----------------------------------------------------------
 
@@ -128,11 +135,28 @@ class LakeTable:
         return self.exists_at(self.location)
 
     def current_version(self) -> int | None:
-        try:
-            with open(os.path.join(self._meta_dir, "_current")) as fh:
-                return int(fh.read().strip())
-        except FileNotFoundError:
-            return None
+        # a branch with no commits of its own implicitly points at main's
+        # head (Iceberg WAP: the branch forks from current on first write)
+        candidates = [self._ptr_path]
+        if self.branch != "main":
+            candidates.append(os.path.join(self._meta_dir, "_current"))
+        for path in candidates:
+            try:
+                with open(path) as fh:
+                    return int(fh.read().strip())
+            except FileNotFoundError:
+                continue
+        return None
+
+    def _all_versions(self) -> list[int]:
+        """Every snapshot manifest present on disk, any ref."""
+        if not os.path.isdir(self._meta_dir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._meta_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         v = version if version is not None else self.current_version()
@@ -154,19 +178,83 @@ class LakeTable:
 
     def snapshots(self) -> list[Snapshot]:
         """All snapshots, oldest first (the ``t.snapshots`` metadata table)."""
-        if not os.path.isdir(self._meta_dir):
-            return []
-        versions = sorted(
-            int(n[1:-5])
-            for n in os.listdir(self._meta_dir)
-            if n.startswith("v") and n.endswith(".json")
-        )
         current = self.current_version()
-        return [self.snapshot(v) for v in versions if current is not None and v <= current]
+        return [
+            self.snapshot(v)
+            for v in self._all_versions()
+            if current is not None and v <= current
+        ]
 
     def schema(self) -> T.StructType | None:
         snap = self.snapshot()
         return snap.schema if snap else None
+
+    # -- branches (write-audit-publish) ------------------------------------
+
+    def for_branch(self, branch: str) -> "LakeTable":
+        """A view of the same table whose commits move ``branch``'s pointer
+        instead of main's (Iceberg branch write / ``spark.wap.branch``)."""
+        return LakeTable(self.spark, self.location, branch=branch)
+
+    def branches(self) -> dict[str, int]:
+        """Named mutable refs → head snapshot version (main included)."""
+        out: dict[str, int] = {}
+        if not os.path.isdir(self._meta_dir):
+            return out
+        for n in os.listdir(self._meta_dir):
+            path = os.path.join(self._meta_dir, n)
+            if n == "_current":
+                with open(path) as fh:
+                    out["main"] = int(fh.read().strip())
+            elif n.startswith("_branch_"):
+                with open(path) as fh:
+                    out[n[len("_branch_"):]] = int(fh.read().strip())
+        return out
+
+    def delete_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot delete the main branch")
+        try:
+            os.remove(os.path.join(self._meta_dir, f"_branch_{name}"))
+        except FileNotFoundError:
+            raise ValueError(f"no such branch {name!r}") from None
+
+    def _ancestry(self, head: int) -> list[int]:
+        """``head`` and its ancestors, newest first; stops at expired holes."""
+        out: list[int] = []
+        v: int | None = head
+        while v is not None:
+            try:
+                snap = self.snapshot(v)
+            except FileNotFoundError:
+                break
+            out.append(v)
+            v = snap.parent
+        return out
+
+    def fast_forward(self, source_branch: str) -> int:
+        """Publish (the P of WAP): move THIS branch's pointer to
+        ``source_branch``'s head — Iceberg's ``fast_forward`` procedure.
+
+        Like a git fast-forward, it only succeeds when this branch's head is
+        an ancestor of (or equal to) the source head; anything else means
+        the branches diverged and publishing would silently drop commits.
+        """
+        src_head = self.for_branch(source_branch).current_version()
+        if src_head is None:
+            raise ValueError(f"branch {source_branch!r} has no snapshots")
+        mine = self.current_version()
+        if mine is not None and mine not in self._ancestry(src_head):
+            raise CommitConflictError(
+                f"branch {self.branch!r} at v{mine} is not an ancestor of "
+                f"{source_branch!r} head v{src_head} — cannot fast-forward"
+            )
+        os.makedirs(self._meta_dir, exist_ok=True)
+        tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
+        with open(tmp_ptr, "w") as fh:
+            fh.write(str(src_head))
+        os.rename(tmp_ptr, self._ptr_path)
+        return src_head
 
     # -- named refs (tags) + rollback --------------------------------------
 
@@ -288,7 +376,7 @@ class LakeTable:
             )
         if kind == "refs":
             rows = [(name, "tag", v) for name, v in sorted(self.tags().items())]
-            rows.append(("main", "branch", self.current_version()))
+            rows += [(name, "branch", v) for name, v in sorted(self.branches().items())]
             return self.spark.createDataFrame(
                 rows, "name string, type string, version int"
             )
@@ -380,7 +468,11 @@ class LakeTable:
             raise CommitConflictError(
                 f"table at version {current}, expected {expected_parent}"
             )
-        new_version = 0 if current is None else current + 1
+        # number from the GLOBAL manifest listing, not current+1: two
+        # branches committing from different heads must not collide on the
+        # same manifest file (versions are ids, ancestry lives in `parent`)
+        versions = self._all_versions()
+        new_version = versions[-1] + 1 if versions else 0
         prev = self.snapshot(current) if current is not None else None
         snap = Snapshot(
             version=new_version,
@@ -422,7 +514,7 @@ class LakeTable:
         tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
         with open(tmp_ptr, "w") as fh:
             fh.write(str(new_version))
-        os.rename(tmp_ptr, os.path.join(self._meta_dir, "_current"))
+        os.rename(tmp_ptr, self._ptr_path)
         return snap
 
     # -- reading -----------------------------------------------------------

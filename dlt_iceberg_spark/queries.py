@@ -1946,7 +1946,34 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_score",
-    None,  # blended heuristic kept Spark-side; components oracle-checked in text_quality
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_tok,
+             (n_chars - (n_tok - 1)) / n_tok AS mean_word_len,
+             n_stop / n_tok AS stopword_ratio,
+             alpha_chars / greatest(n_chars, 1.0) AS alpha_ratio
+      FROM f
+    )
+    SELECT doc_id,
+           {_sql_rnd('mean_word_len', 4)} AS mean_word_len,
+           {_sql_rnd('stopword_ratio', 4)} AS stopword_ratio,
+           {_sql_rnd('alpha_ratio', 4)} AS alpha_ratio,
+           {_sql_rnd(
+               "(CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END)"
+               " + (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END)"
+               " + (CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END)"
+               " + (CASE WHEN alpha_ratio > 0.6 THEN 0.25 ELSE 0.0 END)", 2
+           )} AS quality_score
+    FROM g
+    """,
     doc="Blended C4/Gopher-style quality score per document (operators/text.py).",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

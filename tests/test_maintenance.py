@@ -155,21 +155,20 @@ def test_remove_orphans_recovers_crashed_commit(loaded_table):
     table = loaded_table
     current = table.current_version()
     # simulate a committer that wrote its manifest but died before the
-    # pointer rename: the next commit at that version is blocked
+    # pointer rename: unreachable from any ref, and commits number PAST it
+    # (global max+1) rather than colliding with it
     stale = os.path.join(table._meta_dir, f"v{current + 1:06d}.json")
     with open(stale, "w") as fh:
         fh.write("{}")
     snap = table.snapshot()
-    with pytest.raises(Exception, match="already written"):
-        table.commit(snap.files, snap.schema, "append", current)
+    committed = table.commit(snap.files, snap.schema, "append", current)
+    assert committed.version == current + 2
     # within grace: untouched (could be a concurrent commit about to land)
     assert remove_orphan_files(table)["metadata_files"] == []
     _backdate(stale)
     report = remove_orphan_files(table)
     assert report["metadata_files"] == [f"metadata/v{current + 1:06d}.json"]
-    # table commits again
-    table.commit(snap.files, snap.schema, "append", current)
-    assert table.current_version() == current + 1
+    assert table.current_version() == current + 2
 
 
 def test_remove_orphans_cleans_staging_dirs(loaded_table):
@@ -182,3 +181,59 @@ def test_remove_orphans_cleans_staging_dirs(loaded_table):
     report = remove_orphan_files(table)
     assert report["staging_dirs"] == ["_staging_deadbeef"]
     assert not os.path.exists(staging)
+
+
+# -- z-order rewrite ---------------------------------------------------------
+
+
+def test_zorder_rewrite_enables_multicolumn_pruning(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.maintenance import rewrite_zorder
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    # two independent dimensions; hash-random layout -> every file spans the
+    # full range of both x and y, so min/max pruning is useless
+    df = (
+        spark.range(20000)
+        .select(
+            "id",
+            (F.col("id") % 100).cast("int").alias("x"),
+            ((F.col("id") * 37) % 100).cast("int").alias("y"),
+        )
+        .repartition(8)
+    )
+    writer.write(TableSpec(name="z", write_disposition="append"), df, load_id="l0")
+    table = catalog.load_table("main", "z")
+    before = table.snapshot()
+    assert len(table.prune_files(before, "x", 10, 19)[0]) == len(before.files)
+    assert len(table.prune_files(before, "y", 10, 19)[0]) == len(before.files)
+
+    total = sum(f.bytes for f in before.files)
+    res = rewrite_zorder(table, ["x", "y"], target_file_bytes=total // 16)
+    after = table.snapshot()
+    assert after.operation == "replace" and after.summary["zorder"] == "x,y"
+    assert res.output_files == len(after.files) >= 8
+
+    # a ~10%-wide probe on EITHER column now skips most files
+    hits_x = len(table.prune_files(after, "x", 10, 19)[0])
+    hits_y = len(table.prune_files(after, "y", 10, 19)[0])
+    assert hits_x <= len(after.files) * 0.6
+    assert hits_y <= len(after.files) * 0.6
+    # data unchanged
+    assert sorted(r.id for r in table.read().collect()) == list(range(20000))
+
+
+def test_zorder_rejects_unorderable_columns(spark, warehouse):
+    from dlt_iceberg_spark.lake.maintenance import rewrite_zorder
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    writer.write(TableSpec(name="zs", write_disposition="append"), df, load_id="l0")
+    table = catalog.load_table("main", "zs")
+    with pytest.raises(ValueError, match="cannot zorder"):
+        rewrite_zorder(table, ["s"])
+    with pytest.raises(ValueError, match="no such column"):
+        rewrite_zorder(table, ["nope"])
