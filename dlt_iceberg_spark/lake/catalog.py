@@ -97,11 +97,13 @@ class LakeCatalog:
         )
         return table
 
-    def load_table(self, namespace: str, table_name: str) -> LakeTable:
+    def load_table(
+        self, namespace: str, table_name: str, branch: str = "main"
+    ) -> LakeTable:
         loc = self.table_location(namespace, table_name)
         if not LakeTable.exists_at(loc):
             raise TableNotFoundError(f"{namespace}.{table_name}")
-        return LakeTable(self.spark, loc)
+        return LakeTable(self.spark, loc, branch=branch)
 
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
         """W10: drop (and purge data — the reference prefers purge_table,

@@ -39,21 +39,25 @@ class RelationHandle:
 
 
 class Dataset:
-    def __init__(self, catalog: LakeCatalog, namespace: str):
+    def __init__(self, catalog: LakeCatalog, namespace: str, branch: str = "main"):
         self.catalog = catalog
         self.namespace = namespace
+        self.branch = branch
         self.spark = catalog.spark
 
     def tables(self) -> list[str]:
         return self.catalog.list_tables(self.namespace)
 
+    def _table(self, table_name: str):
+        return self.catalog.load_table(self.namespace, table_name, branch=self.branch)
+
     def __getitem__(self, table_name: str) -> RelationHandle:
-        return RelationHandle(self.catalog.load_table(self.namespace, table_name).read())
+        return RelationHandle(self._table(table_name).read())
 
     def register_views(self) -> None:
         """Register every table as a temp view over its CURRENT snapshot."""
         for t in self.tables():
-            self.catalog.load_table(self.namespace, t).read().createOrReplaceTempView(t)
+            self._table(t).read().createOrReplaceTempView(t)
 
     def query(self, sql: str) -> RelationHandle:
         """Arbitrary SQL over the dataset's tables (views refreshed first —
@@ -65,13 +69,13 @@ class Dataset:
         """Metadata relation for a table (``snapshots`` / ``files`` /
         ``history``) — the Iceberg ``t.snapshots``-style surface."""
         return RelationHandle(
-            self.catalog.load_table(self.namespace, table_name).metadata_df(kind)
+            self._table(table_name).metadata_df(kind)
         )
 
     def row_counts(self) -> dict[str, int]:
         """Manifest-only row counts (no scan) — file stats make this free."""
         out = {}
         for t in self.tables():
-            snap = self.catalog.load_table(self.namespace, t).snapshot()
+            snap = self._table(t).snapshot()
             out[t] = snap.total_rows
         return out

@@ -90,12 +90,18 @@ class Pipeline:
         dataset_name: str = "main",
         pipeline_name: str = "pipeline",
         writer_config: WriterConfig | None = None,
+        branch: str = "main",
     ):
+        """``branch`` != "main" runs the pipeline in write-audit-publish
+        mode: every data commit lands on that table branch, invisible to
+        main readers until :meth:`publish`.  The load ledger and schema
+        store stay on main — like Iceberg WAP, only data tables branch."""
         self.spark = spark
         self.pipeline_name = pipeline_name
         self.dataset_name = dataset_name
+        self.branch = branch
         self.catalog = LakeCatalog(spark, warehouse)
-        self.writer = LakeWriter(self.catalog, dataset_name, writer_config)
+        self.writer = LakeWriter(self.catalog, dataset_name, writer_config, branch=branch)
         self.state = StateStore(self.catalog, dataset_name)
 
     def run(
@@ -140,5 +146,24 @@ class Pipeline:
         self.state.store_completed_load(load_id, self.dataset_name, version_hash)
         return LoadInfo(load_id, written, version_hash, time.perf_counter() - t0)
 
-    def dataset(self) -> Dataset:
-        return Dataset(self.catalog, self.dataset_name)
+    def dataset(self, branch: str | None = None) -> Dataset:
+        """Query surface; default reads the pipeline's own branch (so a WAP
+        pipeline audits its unpublished writes), ``branch="main"`` reads
+        published state."""
+        return Dataset(self.catalog, self.dataset_name, branch=branch or self.branch)
+
+    def publish(self, tables: list[str] | None = None) -> dict[str, int]:
+        """Fast-forward main to this pipeline's branch for each table (the
+        publish step of write-audit-publish).  Returns {table: version}.
+
+        Fails atomically per table: a diverged table raises
+        CommitConflictError and earlier tables stay published — rerun after
+        resolving (same per-table granularity as Iceberg's fast_forward)."""
+        if self.branch == "main":
+            raise ValueError("pipeline already writes to main; nothing to publish")
+        out: dict[str, int] = {}
+        for t in tables or self.catalog.list_tables(self.dataset_name):
+            table = self.catalog.load_table(self.dataset_name, t)
+            if table.branches().get(self.branch) is not None:
+                out[t] = table.fast_forward(self.branch)
+        return out

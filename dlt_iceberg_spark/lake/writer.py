@@ -110,10 +110,20 @@ class WriterConfig:
 
 
 class LakeWriter:
-    def __init__(self, catalog: LakeCatalog, namespace: str, config: WriterConfig | None = None):
+    def __init__(
+        self,
+        catalog: LakeCatalog,
+        namespace: str,
+        config: WriterConfig | None = None,
+        branch: str = "main",
+    ):
         self.catalog = catalog
         self.namespace = namespace
         self.config = config or WriterConfig()
+        #: WAP target: data commits move this branch's pointer, not main's
+        #: (Iceberg's ``spark.wap.branch``); table CREATION still lands on
+        #: main so the table is discoverable before publish.
+        self.branch = branch
         self.catalog.create_namespace(namespace)
 
     # -- entry point -------------------------------------------------------
@@ -183,8 +193,8 @@ class LakeWriter:
                 incoming_persisted,
                 partition_spec=[vars(p) for p in pspec],
             )
-            return table, incoming_persisted
-        table = self.catalog.load_table(self.namespace, spec.name)
+            return table.for_branch(self.branch), incoming_persisted
+        table = self.catalog.load_table(self.namespace, spec.name, branch=self.branch)
         current = table.schema()
         evolved, changed = evolve_schema_if_needed(
             current, incoming_persisted, allow_column_drops=self.config.allow_column_drops

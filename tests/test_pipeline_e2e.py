@@ -114,3 +114,51 @@ def test_truncate_tables_on_refresh(spark, warehouse):
     # truncated table history restarts (create + append only)
     t = pipe.catalog.load_table("main", "fresh")
     assert [s.operation for s in t.snapshots()] == ["create", "append"]
+
+
+def test_wap_branch_pipeline(spark, warehouse):
+    """Write-audit-publish: a branch pipeline's loads stay invisible to main
+    until publish; the audit happens on the branch's own dataset view."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    main_pipe = Pipeline(spark, warehouse, dataset_name="ds")
+    ev = Resource(
+        producer=spark.createDataFrame([(1, "ok"), (2, "ok")], "id long, status string"),
+        name="events",
+    )
+    main_pipe.run(ev, load_id="base")
+
+    wap = Pipeline(spark, warehouse, dataset_name="ds", branch="audit")
+    more = Resource(
+        producer=spark.createDataFrame([(3, "new"), (4, "new")], "id long, status string"),
+        name="events",
+    )
+    wap.run(more, load_id="staged")
+
+    # main unchanged; branch dataset sees both loads (the audit step)
+    assert main_pipe.dataset().query("SELECT count(*) AS n FROM events").fetchall() == [(2,)]
+    assert wap.dataset().query("SELECT count(*) AS n FROM events").fetchall() == [(4,)]
+    assert wap.dataset("main").query("SELECT count(*) AS n FROM events").fetchall() == [(2,)]
+
+    published = wap.publish()
+    assert "events" in published
+    assert main_pipe.dataset().query("SELECT count(*) AS n FROM events").fetchall() == [(4,)]
+
+    with pytest.raises(ValueError, match="nothing to publish"):
+        main_pipe.publish()
+
+
+def test_wap_branch_creates_table_visible_on_main_but_empty(spark, warehouse):
+    """A WAP pipeline creating a NEW table: the empty create lands on main
+    (discoverable), the data stays on the branch until publish."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    wap = Pipeline(spark, warehouse, dataset_name="ds", branch="audit")
+    r = Resource(
+        producer=spark.createDataFrame([(1,), (2,)], "id long"), name="fresh"
+    )
+    wap.run(r, load_id="l0")
+    main_ds = Pipeline(spark, warehouse, dataset_name="ds").dataset()
+    assert main_ds.query("SELECT count(*) AS n FROM fresh").fetchall() == [(0,)]
+    wap.publish(["fresh"])
+    assert main_ds.query("SELECT count(*) AS n FROM fresh").fetchall() == [(2,)]
