@@ -54,6 +54,11 @@ class Dataset:
     def __getitem__(self, table_name: str) -> RelationHandle:
         return RelationHandle(self._table(table_name).read())
 
+    def scan(self, table_name: str, where: list[tuple] | None = None) -> RelationHandle:
+        """Predicate-pruned scan: ``where=[(col, op, val), ...]`` skips files
+        by manifest min/max stats before Spark plans the read."""
+        return RelationHandle(self._table(table_name).read(where=where))
+
     def register_views(self) -> None:
         """Register every table as a temp view over its CURRENT snapshot."""
         for t in self.tables():

@@ -41,11 +41,50 @@ from typing import Any
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dlt_iceberg_spark.errors import CommitConflictError
 
 _STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
+
+#: residual Spark filters for `read(where=...)` predicates
+_OPS = {
+    "=": lambda c, v: c == v,
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
+    """Can any row of ``f`` satisfy the predicate, judging by the manifest's
+    [min, max] for ``col``?  Missing/incomparable stats ⇒ must assume yes."""
+    st = f.stats.get(col)
+    if st is None:
+        return True
+    mn, mx = st
+    if mn is None or mx is None:
+        return True
+    try:
+        if op in ("=", "=="):
+            return mn <= val <= mx
+        if op == "!=":  # only a single-valued file can be skipped
+            return not (mn == mx == val)
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+    except TypeError:  # e.g. probing a string column with an int
+        return True
+    return True
 
 
 @dataclass
@@ -519,9 +558,24 @@ class LakeTable:
 
     # -- reading -----------------------------------------------------------
 
-    def read(self, snapshot_version: int | None = None, tag: str | None = None) -> DataFrame:
+    def read(
+        self,
+        snapshot_version: int | None = None,
+        tag: str | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
         """Plan a scan over the snapshot's live files (manifest-driven — no
-        directory listing).  ``tag`` reads the named ref's snapshot."""
+        directory listing).  ``tag`` reads the named ref's snapshot.
+
+        ``where`` is a conjunction of ``(column, op, value)`` predicates
+        (ops ``= == != > >= < <=``).  Matching files are selected by the
+        manifest's per-file [min, max] stats BEFORE Spark ever sees a path —
+        Iceberg scan planning.  Parquet row-group stats would skip the same
+        data, but only after listing, opening, and scheduling a task for
+        every file; at 100 TB the manifest prune is the difference between
+        a 30-task job and a 300,000-task job.  The predicates are re-applied
+        as Spark filters so results are exact even where stats are missing.
+        """
         if tag is not None:
             if snapshot_version is not None:
                 raise ValueError("pass snapshot_version or tag, not both")
@@ -532,10 +586,27 @@ class LakeTable:
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        if not snap.files:
-            return self.spark.createDataFrame([], snap.schema)
-        paths = [os.path.join(self.location, f.path) for f in snap.files]
-        return self.spark.read.schema(snap.schema).parquet(*paths)
+        files = snap.files
+        if where:
+            names = {f.name for f in snap.schema.fields}
+            for c, op, _ in where:
+                if c not in names:
+                    raise ValueError(f"no such column {c!r}")
+                if op not in ("=", "==", "!=", ">", ">=", "<", "<="):
+                    raise ValueError(f"unsupported predicate op {op!r}")
+            files = [
+                f
+                for f in files
+                if all(_file_may_match(f, c, op, v) for c, op, v in where)
+            ]
+        if not files:
+            df = self.spark.createDataFrame([], snap.schema)
+        else:
+            paths = [os.path.join(self.location, f.path) for f in files]
+            df = self.spark.read.schema(snap.schema).parquet(*paths)
+        for c, op, v in where or []:
+            df = df.filter(_OPS[op](F.col(c), v))
+        return df
 
     def read_incremental(
         self, from_version: int | None, to_version: int | None = None

@@ -1015,6 +1015,105 @@ def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "groupingsets_priority_status",
+    f"""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n_orders,
+           {_sql_rnd('sum(o_totalprice)')} AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS (neither ROLLUP nor CUBE): per-priority, "
+        "per-status, and grand-total marginals in ONE pass via Spark 4's "
+        "DataFrame.groupingSets — a single Expand + hash aggregate instead "
+        "of three scans unioned (SURVEY §2.5 A6)."
+    ),
+)
+def groupingsets_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), rnd(F.sum("o_totalprice")).alias("total_value"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "PIVOT: order-status counts spread to columns per priority.  With "
+        "the pivot values declared up front, Spark compiles this to one "
+        "pass of conditional aggregates — no distinct-value pre-scan and no "
+        "second shuffle (SURVEY §2.5)."
+    ),
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "pctl_order_value",
+    f"""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           {_sql_rnd('quantile_cont(o_totalprice, 0.50)')} AS p50,
+           {_sql_rnd('quantile_cont(o_totalprice, 0.90)')} AS p90,
+           {_sql_rnd('quantile_cont(o_totalprice, 0.99)')} AS p99
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "Exact linear-interpolated percentiles of order value per priority "
+        "(SURVEY §2.5 aggregations).  One `percentile(col, array(...))` "
+        "aggregate computes all three cut points in a single shuffle; at "
+        "scale swap to approx_percentile for a fixed-memory sketch."
+    ),
+)
+def pctl_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.50D, 0.90D, 0.99D))")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), pct.alias("pct"))
+        .select(
+            "priority",
+            "n_orders",
+            rnd(F.element_at("pct", 1)).alias("p50"),
+            rnd(F.element_at("pct", 2)).alias("p90"),
+            rnd(F.element_at("pct", 3)).alias("p99"),
+        )
+    )
+
+
+@query(
     "setop_customer_segments",
     """
     SELECT c_custkey FROM customer c

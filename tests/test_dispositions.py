@@ -328,3 +328,48 @@ def test_partition_spec_evolution(spark, warehouse):
 
     # incremental read passes through the metadata-only evolution snapshot
     assert table.read_incremental(1).count() == 30  # after l0's append (v1)
+
+
+def test_read_where_prunes_files_by_manifest_stats(spark, warehouse):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from pyspark.sql import functions as F
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v"), (F.col("id") % 2 == 0).alias("even")
+    ).orderBy(F.rand(7))
+    writer.write(
+        TableSpec(name="pt", write_disposition="append", sort_order=["id"], sort_buckets=4), df
+    )
+    table = catalog.load_table("main", "pt")
+    n_files = len(table.snapshot().files)
+    assert n_files > 1
+
+    # narrow range probe: scans ONE file, exact result
+    pruned = table.read(where=[("id", ">=", 10), ("id", "<=", 20)])
+    assert len(pruned.inputFiles()) == 1
+    assert sorted(r.id for r in pruned.collect()) == list(range(10, 21))
+
+    # equality probe
+    eq = table.read(where=[("id", "=", 5000)])
+    assert len(eq.inputFiles()) == 1 and eq.collect()[0].id == 5000
+
+    # predicate on an unclustered column can't prune but stays exact
+    v = table.read(where=[("v", "=", 11)])
+    assert len(v.inputFiles()) == n_files
+    assert v.count() == df.filter("v = 11").count()
+
+    # empty-range probe: no files at all, schema preserved
+    none = table.read(where=[("id", ">", 10**9)])
+    assert none.inputFiles() == [] and none.count() == 0
+    full = table.read().schema
+    assert [(f.name, f.dataType) for f in none.schema] == [(f.name, f.dataType) for f in full]
+
+    # bad input surfaces early
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no such column"):
+        table.read(where=[("nope", "=", 1)])
+    with _pytest.raises(ValueError, match="unsupported predicate"):
+        table.read(where=[("id", "BETWEEN", 1)])
