@@ -1,0 +1,145 @@
+"""Reproducible sampling operators for training-data pipelines.
+
+The reference has no sampling surface (its pipelines load everything);
+these are the operators a 100 TB corpus pipeline needs to cut data DOWN
+deterministically — so a rerun, a different cluster, or a different
+engine (the DuckDB oracle) selects the SAME rows.  Three design rules:
+
+- **Hash-gated, not RNG-gated.**  ``rand()`` samples differ run-to-run
+  and task-retry-to-task-retry (a retried partition resamples!).  Gating
+  on ``md5(key)`` makes the decision a pure function of the row key:
+  stable under retries, speculative execution, and engine swaps.
+- **Map-side where possible.**  ``deterministic_sample`` and
+  ``hash_split`` are single-pass filters/projections — no shuffle, no
+  driver coordination; they compose with scan pruning and stay narrow at
+  any scale.
+- **Skew-proof where a shuffle is needed.**  ``stratified_cap`` bounds
+  rows per group; the naive window (one partition per group) serializes
+  the hottest group through one task.  The two-stage form caps per
+  (group × input-partition) first — hot groups fan out across the
+  cluster — then runs the exact global cap over the ≤ cap × n_partitions
+  survivors.  Global top-cap rows are each top-cap within their own
+  partition, so the result is exactly the naive window's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 16^8 — the sample gate compares the first 8 hex chars of md5 (lowercase
+#: hex compares lexicographically == numerically) against this scale
+_HEX_SPACE = 1 << 32
+
+
+def _hex_threshold(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def _hash_prefix(key_col: str | Column, salt: str) -> Column:
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by ``md5(key || salt)`` — the
+    same rows every run, on every engine, under every retry.
+
+    ``salt`` decorrelates independent samples over the same keys (two
+    10% samples with different salts overlap ~1%, not 100%).
+    """
+    return df.filter(_hash_prefix(key_col, salt) < F.lit(_hex_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Assign every row to one named split (train/val/test) by hash range.
+
+    ``splits`` maps name → weight (normalized to 1).  Deterministic and
+    disjoint: a key lands in exactly one split, always the same one —
+    the property that keeps eval data out of training data across
+    reruns and incremental loads.  Adds a ``split`` column; map-side.
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(splits.values())
+    if total <= 0:
+        raise ValueError("split weights must sum > 0")
+    h = _hash_prefix(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name] / total
+        cond = h < F.lit(_hex_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(names[-1]))
+
+
+def stratified_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    cap: int,
+    order_col: str,
+    two_stage: bool = True,
+) -> DataFrame:
+    """At most ``cap`` rows per group, keeping the lowest ``order_col``
+    values (deterministic given a unique order key).
+
+    The canonical balance operator: bound any one source/language/domain
+    so it can't dominate the mixture.  ``two_stage=True`` (default) adds
+    a per-input-partition pre-cap so a group with a billion rows never
+    funnels through a single window task; the final window then sees at
+    most ``cap × n_partitions`` rows per group — metadata-sized — and
+    produces exactly the single-window result.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col))
+    if two_stage:
+        pre = Window.partitionBy(F.spark_partition_id(), *group_cols).orderBy(
+            F.col(order_col)
+        )
+        df = (
+            df.withColumn("_pre_rn", F.row_number().over(pre))
+            .filter(F.col("_pre_rn") <= cap)
+            .drop("_pre_rn")
+        )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def sample_oracle_gate(key_sql: str, fraction: float, salt: str = "") -> str:
+    """The DuckDB-side predicate equivalent to ``deterministic_sample`` —
+    exposed so oracle SQL strings stay in lockstep with the operator."""
+    return (
+        f"substr(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 8)"
+        f" < '{_hex_threshold(fraction)}'"
+    )
+
+
+def split_oracle_case(key_sql: str, splits: dict[str, float], salt: str = "") -> str:
+    """The DuckDB CASE expression equivalent to ``hash_split``'s column."""
+    total = sum(splits.values())
+    h = f"substr(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 8)"
+    names = list(splits)
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += splits[name] / total
+        arms.append(f"WHEN {h} < '{_hex_threshold(acc)}' THEN '{name}'")
+    if not arms:
+        return f"'{names[-1]}'"
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"

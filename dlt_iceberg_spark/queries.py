@@ -1556,6 +1556,87 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 # C. Training-data pipeline operators (beyond-reference, first-class)
 # ===========================================================================
 
+
+def _sampling_oracles():
+    from dlt_iceberg_spark.operators.sampling import sample_oracle_gate, split_oracle_case
+
+    return (
+        sample_oracle_gate("doc_id", 0.1),
+        split_oracle_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
+    )
+
+
+_SAMPLE_GATE_SQL, _SPLIT_CASE_SQL = _sampling_oracles()
+
+
+@query(
+    "sample_documents",
+    f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_SAMPLE_GATE_SQL}
+    """,
+    doc=(
+        "Reproducible 10% corpus sample gated on md5(doc_id) — identical "
+        "row selection every run, engine, and task retry (rand() resamples "
+        "on retry); pure map-side filter, no shuffle "
+        "(operators/sampling.py::deterministic_sample)."
+    ),
+)
+def sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+@query(
+    "split_documents",
+    f"""
+    SELECT split, lang, count(*) AS n FROM (
+        SELECT {_SPLIT_CASE_SQL} AS split, lang FROM documents
+    ) GROUP BY split, lang
+    """,
+    doc=(
+        "Deterministic train/val/test assignment by hash range (80/10/10): "
+        "a doc lands in the same split across reruns and incremental loads, "
+        "keeping eval data out of training data "
+        "(operators/sampling.py::hash_split)."
+    ),
+)
+def split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "cap_docs_per_lang",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 50
+    """,
+    doc=(
+        "Corpus balance: at most 50 docs per language, lowest doc_id wins.  "
+        "Two-stage cap — per-input-partition pre-cap, then the exact global "
+        "window — so one billion-row language never serializes through a "
+        "single window task (operators/sampling.py::stratified_cap)."
+    ),
+)
+def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import stratified_cap
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_cap(d, ["lang"], 50, "doc_id").select("doc_id", "lang")
+
+
 @query(
     "dedup_exact",
     """

@@ -1,0 +1,81 @@
+"""Sampling operator tests: determinism, rate accuracy, cap exactness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_cap,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.range(20000)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 7).cast("string").alias("lang"),
+        )
+        .persist()
+    )
+
+
+def test_deterministic_sample_rate_and_stability(docs):
+    s1 = deterministic_sample(docs, "doc_id", 0.10)
+    n = s1.count()
+    assert 0.08 * 20000 < n < 0.12 * 20000
+    # identical selection on rerun and under different partitioning
+    ids1 = {r.doc_id for r in s1.collect()}
+    ids2 = {r.doc_id for r in deterministic_sample(docs.repartition(13), "doc_id", 0.10).collect()}
+    assert ids1 == ids2
+    # a larger fraction is a superset (hash-gate monotonicity)
+    ids20 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.20).collect()}
+    assert ids1 <= ids20
+    # salts decorrelate: overlap of two independent 10% samples ≈ 1%
+    other = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.10, salt="b").collect()}
+    assert len(ids1 & other) < 0.03 * 20000
+
+
+def test_deterministic_sample_bounds(docs):
+    assert deterministic_sample(docs, "doc_id", 0.0).count() == 0
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == 20000
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_hash_split_partitions_every_row_once(docs):
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    assert 0.77 * 20000 < counts["train"] < 0.83 * 20000
+    assert 0.08 * 20000 < counts["val"] < 0.12 * 20000
+    # stability: same assignment on rerun
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in hash_split(docs.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {})
+
+
+def test_stratified_cap_matches_naive_window(docs):
+    scattered = docs.repartition(16)  # groups spread across partitions
+    two = stratified_cap(scattered, ["lang"], 25, "doc_id", two_stage=True)
+    naive = stratified_cap(scattered, ["lang"], 25, "doc_id", two_stage=False)
+    assert sorted((r.lang, r.doc_id) for r in two.collect()) == sorted(
+        (r.lang, r.doc_id) for r in naive.collect()
+    )
+    per_group = two.groupBy("lang").count().collect()
+    assert all(r["count"] == 25 for r in per_group)
+    # keeps the LOWEST order keys per group
+    assert two.filter("lang = '0'").agg(F.max("doc_id")).collect()[0][0] == 24 * 7
+
+
+def test_stratified_cap_under_cap_groups_survive(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, g string")
+    out = stratified_cap(df, ["g"], 5, "id")
+    assert out.count() == 3
+    with pytest.raises(ValueError):
+        stratified_cap(df, ["g"], 0, "id")
