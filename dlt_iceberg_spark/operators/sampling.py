@@ -52,6 +52,10 @@ def deterministic_sample(
     ``salt`` decorrelates independent samples over the same keys (two
     10% samples with different salts overlap ~1%, not 100%).
     """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:  # keep-everything must not lose hash-prefix ffffffff
+        return df
     return df.filter(_hash_prefix(key_col, salt) < F.lit(_hex_threshold(fraction)))
 
 
@@ -119,6 +123,66 @@ def stratified_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def mixture_fractions(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source keep fractions realizing the weight proportions at the
+    largest total that needs NO upsampling.
+
+    scale = min_i(n_i / w_i) rows of total mixture; keep_i = w_i·scale/n_i
+    (the binding source keeps everything).  Exposed separately so callers
+    with known counts (lake manifests make them free) skip the count jobs.
+    """
+    if set(counts) != set(weights):
+        raise ValueError("counts and weights must cover the same sources")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum > 0")
+    norm = {k: w / total_w for k, w in weights.items()}
+    eligible = {k: counts[k] / norm[k] for k in norm if norm[k] > 0 and counts[k] > 0}
+    if not eligible:
+        return {k: 0.0 for k in norm}
+    scale = min(eligible.values())
+    return {
+        k: (min(norm[k] * scale / counts[k], 1.0) if counts[k] > 0 else 0.0)
+        for k in norm
+    }
+
+
+def weighted_mixture(
+    sources: dict[str, tuple[DataFrame, float]],
+    key_col: str,
+    counts: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Blend sources to target proportions by DOWN-sampling only — the
+    standard corpus-mixture operator (w% web, x% code, ...).
+
+    Each source is hash-gate sampled at its ``mixture_fractions`` rate and
+    tagged with a ``mixture_source`` column; the union preserves the weight
+    ratios in expectation while every selection stays deterministic.  Pass
+    ``counts`` to skip the one count() job per source (lake tables get
+    counts free from manifests).  Sampling is map-side; the union adds no
+    shuffle.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if counts is None:
+        counts = {k: df.count() for k, (df, _) in sources.items()}
+    fractions = mixture_fractions(counts, {k: w for k, (_, w) in sources.items()})
+    parts = []
+    for name, (df, _) in sources.items():
+        parts.append(
+            deterministic_sample(df, key_col, fractions[name], salt=salt).withColumn(
+                "mixture_source", F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def sample_oracle_gate(key_sql: str, fraction: float, salt: str = "") -> str:

@@ -1637,6 +1637,43 @@ def cap_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_cap(d, ["lang"], 50, "doc_id").select("doc_id", "lang")
 
 
+def _mixture_gate(fraction: float) -> str:
+    from dlt_iceberg_spark.operators.sampling import sample_oracle_gate
+
+    return sample_oracle_gate("doc_id", fraction)
+
+
+@query(
+    "mixture_by_source",
+    f"""
+    SELECT 'src0' AS mixture_source, doc_id FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT 'src1' AS mixture_source, doc_id FROM documents
+    WHERE source = 'src1' AND {_mixture_gate(0.5)}
+    UNION ALL
+    SELECT 'src2' AS mixture_source, doc_id FROM documents
+    WHERE source = 'src2' AND {_mixture_gate(0.5)}
+    """,
+    doc=(
+        "Corpus mixture at 50/25/25 weights over three sources, realized by "
+        "deterministic down-sampling at rates derived from source counts "
+        "(operators/sampling.py::weighted_mixture).  The oracle hard-codes "
+        "the keep fractions (1.0/0.5/0.5) the operator derives at runtime: "
+        "the fixture's sources are equal-sized and the weights are binary "
+        "fractions, so the derivation is exact on any engine."
+    ),
+)
+def mixture_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import weighted_mixture
+
+    d = _t(spark, sf_dir, "documents")
+    sources = {
+        name: (d.filter(F.col("source") == name), w)
+        for name, w in [("src0", 0.5), ("src1", 0.25), ("src2", 0.25)]
+    }
+    return weighted_mixture(sources, "doc_id").select("mixture_source", "doc_id")
+
+
 @query(
     "dedup_exact",
     """

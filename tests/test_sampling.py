@@ -79,3 +79,34 @@ def test_stratified_cap_under_cap_groups_survive(spark):
     assert out.count() == 3
     with pytest.raises(ValueError):
         stratified_cap(df, ["g"], 0, "id")
+
+
+def test_mixture_fractions_math():
+    from dlt_iceberg_spark.operators.sampling import mixture_fractions
+
+    # equal counts, binary weights -> exact keeps
+    f = mixture_fractions({"a": 100, "b": 100, "c": 100}, {"a": 0.5, "b": 0.25, "c": 0.25})
+    assert f == {"a": 1.0, "b": 0.5, "c": 0.5}
+    # binding source keeps everything; others scale to preserve ratios
+    f = mixture_fractions({"a": 10, "b": 1000}, {"a": 0.5, "b": 0.5})
+    assert f["a"] == 1.0 and abs(f["b"] - 0.01) < 1e-12
+    # empty source contributes nothing and doesn't zero the mixture
+    f = mixture_fractions({"a": 0, "b": 100}, {"a": 0.5, "b": 0.5})
+    assert f["a"] == 0.0 and f["b"] == 1.0
+    with pytest.raises(ValueError):
+        mixture_fractions({"a": 1}, {"b": 1.0})
+
+
+def test_weighted_mixture_proportions(spark):
+    from dlt_iceberg_spark.operators.sampling import weighted_mixture
+
+    big = spark.range(8000).select(F.col("id").alias("k"))
+    small = spark.range(8000, 10000).select(F.col("id").alias("k"))
+    out = weighted_mixture({"big": (big, 0.5), "small": (small, 0.5)}, "k").persist()
+    n = {r.mixture_source: r.n for r in out.groupBy("mixture_source").agg(F.count("*").alias("n")).collect()}
+    assert n["small"] == 2000  # binding source: keep all
+    assert 0.85 * 2000 < n["big"] < 1.15 * 2000  # ~matched in expectation
+    # deterministic across reruns
+    a = sorted((r.mixture_source, r.k) for r in out.collect())
+    out2 = weighted_mixture({"big": (big.repartition(5), 0.5), "small": (small, 0.5)}, "k")
+    assert a == sorted((r.mixture_source, r.k) for r in out2.collect())
