@@ -2206,6 +2206,76 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_prep_oracle() -> str:
+    from dlt_iceberg_spark.operators.sampling import sample_oracle_gate, split_oracle_case
+
+    gate = sample_oracle_gate("doc_id", 0.5)
+    case = split_oracle_case("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_tok - 1)) / n_tok >= 2.5
+                    AND (n_chars - (n_tok - 1)) / n_tok <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / n_tok > 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN alpha_chars / greatest(n_chars, 1.0) > 0.6 THEN 0.25 ELSE 0.0 END)
+             AS q
+      FROM f
+    ), kept AS (
+      SELECT doc_id, lang, text FROM scored WHERE q >= 0.75
+    ), canon AS (
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY md5(text)) AS c FROM kept
+      ) WHERE doc_id = c
+    ), sampled AS (
+      SELECT doc_id, lang FROM canon WHERE {gate}
+    )
+    SELECT doc_id, lang, {case} AS split FROM sampled
+    """
+
+
+@query(
+    "corpus_prep",
+    _corpus_prep_oracle(),
+    doc=(
+        "The flagship training-data pipeline, composed end-to-end: "
+        "quality-filter (C4/Gopher-style blend >= 0.75) -> exact dedup "
+        "(min doc_id per content hash) -> reproducible 50% sample -> "
+        "train/val/test hash split.  Every stage is the production "
+        "operator (operators/text.py, operators/dedup.py semantics, "
+        "operators/sampling.py); the whole prep is two shuffles — the "
+        "dedup window and nothing else — since scoring, sampling, and "
+        "splitting are map-side."
+    ),
+)
+def corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dlt_iceberg_spark.operators.sampling import deterministic_sample, hash_split
+    from dlt_iceberg_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    kept = quality_score(d).filter(F.col("quality_score") >= 0.75)
+    w = Window.partitionBy(F.md5(F.encode(F.col("text"), "UTF-8")))
+    canon = (
+        kept.withColumn("_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "lang")
+    )
+    sampled = deterministic_sample(canon, "doc_id", 0.5)
+    return hash_split(sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "lang", "split"
+    )
+
+
 # ===========================================================================
 # D. Write-disposition semantics as verifiable queries (SURVEY.md §2.2)
 # ===========================================================================
