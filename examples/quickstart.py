@@ -16,6 +16,7 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from dlt_iceberg_spark.lake import Pipeline, Resource, compact_table, expire_snapshots
 from dlt_iceberg_spark.session import get_spark
@@ -112,6 +113,37 @@ def main(warehouse: str) -> None:
     print(f"expired: {expired}")
 
     print("row count:", table.read().count())
+
+    # -- write-audit-publish: stage a load on a branch, audit, publish ------
+    from dlt_iceberg_spark.lake.pipeline import Pipeline as _P
+
+    wap = _P(spark, warehouse, dataset_name="shop", branch="audit")
+    wap.run(
+        Resource(
+            producer=[Row(order_id=99, customer_id=1, amount=9.99, channel="app")],
+            name="orders",
+            write_disposition="append",
+        ),
+        load_id="staged-load",
+    )
+    audit_n = wap.dataset().query("SELECT count(*) AS n FROM orders").collect()[0].n
+    main_n = wap.dataset("main").query("SELECT count(*) AS n FROM orders").collect()[0].n
+    print(f"WAP audit: branch sees {audit_n} rows, main still {main_n}")
+    wap.publish(["orders"])
+    print("published:", pipe.dataset().query("SELECT count(*) AS n FROM orders").collect()[0].n)
+
+    # -- predicate-pruned scan: manifest min/max skips files ----------------
+    probe = table.read(where=[("order_id", "<=", 11)])
+    print(f"pruned scan touched {len(probe.inputFiles())} file(s), rows={probe.count()}")
+
+    # -- reproducible sampling for training-data prep -----------------------
+    from dlt_iceberg_spark.operators.sampling import deterministic_sample, hash_split
+
+    clicks = pipe.dataset()["clicks"].dataframe()
+    sampled = deterministic_sample(clicks, "click_id", 0.25)
+    splits = hash_split(clicks, "click_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    print("25% sample:", sampled.count(), "of", clicks.count())
+    print("splits:", {r.split: r.n for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()})
 
 
 if __name__ == "__main__":
