@@ -76,13 +76,12 @@ def minhash_signatures(
             F.transform(F.array_distinct(shingles(text_col, shingle_k)), lambda s: F.xxhash64(s))
         ).alias("sh"),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(n_hashes)
-    ]
+    # SQL-string aggregates: one JVM parse per seed instead of three Column
+    # round trips per seed (plan-build time, see simhash note)
+    aggs = [F.expr(f"min(xxhash64({i}, sh)) AS h{i}") for i in range(n_hashes)]
     sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
-    )
+    arr = ", ".join(f"h{i}" for i in range(n_hashes))
+    return sig.select(F.col(id_col), F.expr(f"array({arr}) AS signature"))
 
 
 def minhash_lsh_candidates(
@@ -222,6 +221,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     doc id; Hamming distance between simhashes then approximates cosine
     similarity of token profiles.
     """
+    # the wide bit-twiddling trees are built as SQL strings parsed JVM-side
+    # in ONE call each — assembling them Column-by-Column costs hundreds of
+    # py4j round trips (~1.5s of driver time per plan, more than the query's
+    # own execution at small SF)
     tok = fan_out(df).select(
         F.col(id_col), F.explode(_tokens(text_col)).alias("t")
     ).withColumn("th", F.xxhash64("t"))
@@ -229,26 +232,25 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     groups = 64 // lanes
     packs = []
     for g in range(groups):
-        expr = None
+        terms = []
         for lane in range(lanes):
             b = g * lanes + lane
-            e = F.shiftleft(
-                F.shiftrightunsigned(F.col("th"), b).bitwiseAND(F.lit(1)), lane * lane_bits
-            )
-            expr = e if expr is None else expr + e
-        packs.append(F.sum(expr).alias(f"p{g}"))
-    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"), *packs)
-    out = F.lit(0).cast("long")
+            terms.append(f"shiftleft(shiftrightunsigned(th, {b}) & 1, {lane * lane_bits})")
+        packs.append(F.expr(f"sum({' + '.join(terms)}) AS p{g}"))
+    agg = tok.groupBy(id_col).agg(F.expr("count(1) AS n"), *packs)
     mask = (1 << lane_bits) - 1
+    or_bits = []
+    sign = None
     for g in range(groups):
         for lane in range(lanes):
             b = g * lanes + lane
-            cnt = F.shiftrightunsigned(F.col(f"p{g}"), lane * lane_bits).bitwiseAND(F.lit(mask))
+            cnt = f"(shiftrightunsigned(p{g}, {lane * lane_bits}) & {mask})"
             if b < 63:
-                out = out.bitwiseOR(F.shiftleft((cnt * 2 > F.col("n")).cast("long"), b))
+                or_bits.append(f"shiftleft(CAST({cnt} * 2 > n AS BIGINT), {b})")
             else:  # sign bit: adding -2^63 sets it without long overflow
-                out = out + F.when(cnt * 2 > F.col("n"), F.lit(-(2 ** 63))).otherwise(F.lit(0))
-    return agg.select(F.col(id_col), out.alias("simhash"))
+                sign = f"(CASE WHEN {cnt} * 2 > n THEN {-(2 ** 63)}L ELSE 0L END)"
+    out = f"(({' | '.join(or_bits)}) + {sign})"
+    return agg.select(F.col(id_col), F.expr(f"{out} AS simhash"))
 
 
 def simhash_near_dup_pairs(
