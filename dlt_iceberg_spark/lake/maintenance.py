@@ -54,6 +54,10 @@ def compact_table(
     snap = table.snapshot()
     if snap is None:
         raise FileNotFoundError(f"no such table: {table.location}")
+    if snap.delete_files:
+        # compaction reads files raw; fold equality deletes first so masked
+        # rows can't resurrect with a fresh sequence number
+        snap = table.fold_deletes()
     cutoff = int(target_file_bytes * small_file_threshold)
     small = [f for f in snap.files if f.bytes < cutoff]
     keep = [f for f in snap.files if f.bytes >= cutoff]
@@ -113,14 +117,20 @@ def expire_snapshots(
         return {"snapshots": 0, "data_files": 0}
 
     # live = files referenced by ANY retained manifest on disk — including
-    # branch commits numbered past main's head, which snapshots() excludes
+    # branch commits numbered past main's head, which snapshots() excludes;
+    # equality-delete files are first-class references too
     expired_versions = {e.version for e in expired}
     retained = [
         table.snapshot(v) for v in table._all_versions() if v not in expired_versions
     ]
-    live_paths = {f.path for s in retained for f in s.files}
+    live_paths = {
+        f.path for s in retained for f in list(s.files) + list(s.delete_files)
+    }
     dead_paths = {
-        f.path for s in expired for f in s.files if f.path not in live_paths
+        f.path
+        for s in expired
+        for f in list(s.files) + list(s.delete_files)
+        if f.path not in live_paths
     }
     for rel in sorted(dead_paths):
         p = os.path.join(table.location, rel)
@@ -211,6 +221,8 @@ def rewrite_zorder(
     snap = table.snapshot()
     if snap is None:
         raise FileNotFoundError(f"no such table: {table.location}")
+    if snap.delete_files:
+        snap = table.fold_deletes()  # same raw-read hazard as compaction
     if not snap.files:
         return CompactionResult(0, 0, 0, 0)
     total_bytes = sum(f.bytes for f in snap.files)
@@ -294,6 +306,7 @@ def remove_orphan_files(
                     continue  # mid-write or corrupt: let the grace window decide
                 if snap is not None:
                     referenced.update(f.path for f in snap.files)
+                    referenced.update(d.path for d in snap.delete_files)
 
     out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
 

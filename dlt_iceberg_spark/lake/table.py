@@ -31,6 +31,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
@@ -95,6 +96,22 @@ class DataFile:
     # column -> [min, max] (json-encodable) for prune-able primitive columns
     stats: dict[str, list[Any]] = dc_field(default_factory=dict)
     partition: dict[str, Any] = dc_field(default_factory=dict)
+    # data sequence number (Iceberg v2): the snapshot version that ADDED this
+    # file.  None = not yet committed; commit() stamps it.  Equality deletes
+    # apply only to data files with a strictly smaller sequence.
+    sequence: int | None = None
+
+
+@dataclass
+class DeleteFile:
+    """Equality-delete file (Iceberg v2 merge-on-read): a parquet file of
+    key tuples; rows of OLDER data files matching any tuple are dead."""
+
+    path: str
+    rows: int
+    bytes: int
+    equality_ids: list[str]  # key column names the tuples are over
+    sequence: int | None = None
 
 
 @dataclass
@@ -102,15 +119,18 @@ class Snapshot:
     version: int
     schema: T.StructType
     files: list[DataFile]
-    operation: str  # append | overwrite | merge | delete | create
+    operation: str  # append | overwrite | merge | merge-mor | delete | create
     parent: int | None
     timestamp: str
     partition_spec: list[dict[str, Any]] = dc_field(default_factory=list)
     summary: dict[str, Any] = dc_field(default_factory=dict)
     properties: dict[str, str] = dc_field(default_factory=dict)
+    delete_files: list[DeleteFile] = dc_field(default_factory=list)
 
     @property
     def total_rows(self) -> int:
+        """Upper bound under merge-on-read: live rows = data rows minus
+        whatever the equality deletes mask (exact only after rewrite)."""
         return sum(f.rows for f in self.files)
 
 
@@ -206,13 +226,16 @@ class LakeTable:
         return Snapshot(
             version=raw["version"],
             schema=T.StructType.fromJson(raw["schema"]),
-            files=[DataFile(**f) for f in raw["files"]],
+            # legacy manifests predate sequence numbers: their files are
+            # older than any delete file, i.e. sequence 0
+            files=[DataFile(**{"sequence": 0, **f}) for f in raw["files"]],
             operation=raw["operation"],
             parent=raw["parent"],
             timestamp=raw["timestamp"],
             partition_spec=raw.get("partition_spec", []),
             summary=raw.get("summary", {}),
             properties=raw.get("properties", {}),
+            delete_files=[DeleteFile(**d) for d in raw.get("delete_files", [])],
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -345,6 +368,7 @@ class LakeTable:
             current,
             partition_spec=old.partition_spec,
             summary={"rolled-back-to": to_version},
+            delete_files=old.delete_files,
         )
 
     def metadata_df(self, kind: str = "snapshots") -> DataFrame:
@@ -419,7 +443,23 @@ class LakeTable:
             return self.spark.createDataFrame(
                 rows, "name string, type string, version int"
             )
-        raise ValueError(f"unknown metadata table {kind!r} (snapshots|files|history|refs)")
+        if kind == "delete_files":
+            snap = self.snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"no such table: {self.location}")
+            rows = [
+                (d.path, d.rows, d.bytes, list(d.equality_ids), d.sequence)
+                for d in snap.delete_files
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "file_path string, rows bigint, bytes bigint, "
+                "equality_ids array<string>, sequence int",
+            )
+        raise ValueError(
+            f"unknown metadata table {kind!r} "
+            "(snapshots|files|history|refs|delete_files)"
+        )
 
     # -- commit protocol ---------------------------------------------------
 
@@ -494,8 +534,17 @@ class LakeTable:
         partition_spec: list[dict[str, Any]] | None = None,
         properties: dict[str, str] | None = None,
         summary: dict[str, Any] | None = None,
+        delete_files: list[DeleteFile] | None = None,
     ) -> Snapshot:
         """Atomically publish a new snapshot whose live-file set is ``files``.
+
+        ``delete_files`` is the snapshot's FULL equality-delete set (None =
+        no deletes — callers rewriting the table clear them implicitly;
+        merge-on-read callers pass parent's list + their new file).  Files
+        with ``sequence=None`` are stamped with the new version — equality
+        deletes apply only to data files with a strictly smaller sequence,
+        so a delete committed alongside new data masks old rows, never the
+        rows landing in the same commit.
 
         Optimistic concurrency: fails with CommitConflictError if the table
         advanced past ``expected_parent`` (detected by the loser of the
@@ -513,10 +562,25 @@ class LakeTable:
         versions = self._all_versions()
         new_version = versions[-1] + 1 if versions else 0
         prev = self.snapshot(current) if current is not None else None
+        stamped = [
+            f if f.sequence is not None else DataFile(**{**vars(f), "sequence": new_version})
+            for f in files
+        ]
+        # None = inherit: an append/evolve on a merge-on-read table must not
+        # drop the delete set (that would resurrect masked rows)
+        resolved_deletes = (
+            delete_files
+            if delete_files is not None
+            else (prev.delete_files if prev else [])
+        )
+        resolved_deletes = [
+            d if d.sequence is not None else DeleteFile(**{**vars(d), "sequence": new_version})
+            for d in resolved_deletes
+        ]
         snap = Snapshot(
             version=new_version,
             schema=schema,
-            files=files,
+            files=stamped,
             operation=operation,
             parent=current,
             timestamp=datetime.now(timezone.utc).isoformat(),
@@ -527,6 +591,7 @@ class LakeTable:
             properties=properties
             if properties is not None
             else (prev.properties if prev else {}),
+            delete_files=resolved_deletes,
         )
         payload = {
             "version": snap.version,
@@ -538,6 +603,7 @@ class LakeTable:
             "partition_spec": snap.partition_spec,
             "summary": snap.summary,
             "properties": snap.properties,
+            "delete_files": [vars(d) for d in snap.delete_files],
         }
         manifest = os.path.join(self._meta_dir, f"v{new_version:06d}.json")
         # manifest write may race; the POINTER rename is the commit point.
@@ -599,14 +665,104 @@ class LakeTable:
                 for f in files
                 if all(_file_may_match(f, c, op, v) for c, op, v in where)
             ]
-        if not files:
-            df = self.spark.createDataFrame([], snap.schema)
-        else:
-            paths = [os.path.join(self.location, f.path) for f in files]
-            df = self.spark.read.schema(snap.schema).parquet(*paths)
+        df = self._plan_scan(snap, files)
         for c, op, v in where or []:
             df = df.filter(_OPS[op](F.col(c), v))
         return df
+
+    def _plan_scan(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Scan ``files`` with the snapshot's equality deletes applied.
+
+        Merge-on-read (Iceberg v2): each delete file masks rows of data
+        files with a STRICTLY smaller sequence.  Data files are grouped by
+        which deletes apply (the sets nest, so there are at most
+        n_delete_sequences+1 groups); each group anti-joins the union of
+        its applicable delete keys.  Delete sets are typically tiny next to
+        the data, so AQE turns these anti-joins into broadcasts — the read
+        cost of MoR is one map-side hash probe, not a shuffle."""
+        if not files:
+            return self.spark.createDataFrame([], snap.schema)
+        if not snap.delete_files:
+            paths = [os.path.join(self.location, f.path) for f in files]
+            return self.spark.read.schema(snap.schema).parquet(*paths)
+        eq_sets = {tuple(d.equality_ids) for d in snap.delete_files}
+        if len(eq_sets) > 1:
+            raise ValueError(
+                f"mixed equality_ids across delete files: {sorted(eq_sets)}"
+            )
+        keys = list(next(iter(eq_sets)))
+        by_name = {fld.name: fld for fld in snap.schema.fields}
+        missing = [k for k in keys if k not in by_name]
+        if missing:
+            raise ValueError(f"delete key columns {missing} not in table schema")
+        key_schema = T.StructType([by_name[k] for k in keys])
+        deletes = sorted(snap.delete_files, key=lambda d: d.sequence or 0)
+        dseqs = [d.sequence or 0 for d in deletes]
+        groups: dict[int, list[DataFile]] = {}
+        for f in files:
+            # first delete strictly newer than the data file
+            idx = bisect.bisect_right(dseqs, f.sequence or 0)
+            groups.setdefault(idx, []).append(f)
+        parts = []
+        for idx, fl in sorted(groups.items()):
+            scan = self.spark.read.schema(snap.schema).parquet(
+                *[os.path.join(self.location, f.path) for f in fl]
+            )
+            applicable = deletes[idx:]
+            if applicable:
+                dkeys = self.spark.read.schema(key_schema).parquet(
+                    *[os.path.join(self.location, d.path) for d in applicable]
+                )
+                scan = scan.join(dkeys.distinct(), on=keys, how="left_anti")
+            parts.append(scan)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def stage_delete_files(
+        self, keys_df: DataFrame, equality_ids: list[str]
+    ) -> list[DeleteFile]:
+        """Write an equality-delete key set as parquet (invisible until the
+        commit that carries it).  The merge-on-read write path: O(batch)
+        work instead of rewriting every data file the keys touch."""
+        staged = self.stage_dataframe(keys_df.select(*equality_ids).distinct())
+        return [
+            DeleteFile(
+                path=f.path,
+                rows=f.rows,
+                bytes=f.bytes,
+                equality_ids=list(equality_ids),
+            )
+            for f in staged
+        ]
+
+    def fold_deletes(self) -> Snapshot:
+        """Rewrite the table with all equality deletes applied (Iceberg's
+        rewrite_position_delete_files + data rewrite in one step): read cost
+        returns to a plain scan and maintenance may again rewrite files
+        freely.  No-op when the table has no delete files."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if not snap.delete_files:
+            return snap
+        pexprs = None
+        if snap.partition_spec:
+            from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+            pexprs = partition_columns(
+                [PartitionField(**p) for p in snap.partition_spec]
+            )
+        new_files = self.stage_dataframe(self.read(), partition_exprs=pexprs)
+        return self.commit(
+            new_files,
+            snap.schema,
+            "replace",
+            snap.version,
+            delete_files=[],
+            summary={"folded-delete-files": len(snap.delete_files)},
+        )
 
     def read_incremental(
         self, from_version: int | None, to_version: int | None = None

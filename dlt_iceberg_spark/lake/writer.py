@@ -68,6 +68,13 @@ class TableSpec:
     #: explicit output-file count for sort_order writes (None = let AQE size
     #: the range partitions by bytes)
     sort_buckets: int | None = None
+    #: "cow" rewrites touched files at merge time (read-optimized);
+    #: "mor" lands the batch + an equality-delete file in O(batch) and
+    #: defers the rewrite to fold_deletes/compaction (write-optimized —
+    #: Iceberg v2 merge-on-read).  At 100 TB an upsert touching every file
+    #: is a full-table rewrite under cow; mor makes it proportional to the
+    #: batch.
+    merge_mode: str = "cow"
 
     def resolve_strategy(self) -> tuple[str, str | None]:
         """(disposition, merge_strategy) — W8 (destination_client.py:1152-1168):
@@ -171,7 +178,10 @@ class LakeWriter:
                 self._replace_partitions(table, casted, target_schema, snap, summary)
             else:
                 new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
-                table.commit(new_files, target_schema, "overwrite", snap.version, summary=summary)
+                table.commit(
+                    new_files, target_schema, "overwrite", snap.version,
+                    summary=summary, delete_files=[],  # nothing left to mask
+                )
         elif disposition == "merge":
             self._merge(table, spec, casted, target_schema, strategy or "delete-insert", summary)
         else:
@@ -275,6 +285,10 @@ class LakeWriter:
                 "partition-scoped replace requires a partitioned table "
                 "(declare partition hints at create time)"
             )
+        if snap.delete_files:
+            # partition replace rewrites/carries files raw; fold equality
+            # deletes first so masked rows can't resurrect
+            snap = table.fold_deletes()
         pcols = partition_columns(pspec)
         names = [n for n, _ in pcols]
         str_exprs = [
@@ -324,6 +338,13 @@ class LakeWriter:
         hard_delete_col = spec.hard_delete_column or self.config.hard_delete_column
         has_hard_delete = hard_delete_col in batch.columns
 
+        if spec.merge_mode == "mor" and keys:
+            self._merge_mor(table, snap, batch, target_schema, keys, strategy,
+                            hard_delete_col if has_hard_delete else None, summary)
+            return
+        if spec.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown merge_mode {spec.merge_mode!r} (cow|mor)")
+
         if not keys:
             # W6: merge without PK falls back to append with a warning
             # (destination_client.py:1399-1403)
@@ -334,6 +355,12 @@ class LakeWriter:
             new_files = table.stage_dataframe(batch.drop(hard_delete_col) if has_hard_delete else batch)
             table.commit(snap.files + new_files, target_schema, "append", snap.version, summary=summary)
             return
+
+        if snap.delete_files:
+            # copy-on-write planning reads data files raw; outstanding
+            # equality deletes must be folded first or rewritten rows would
+            # resurrect (their new sequence escapes the old delete's mask)
+            snap = table.fold_deletes()
 
         # --- file pruning by key-range overlap (copy-on-write planning) ---
         probe_key = keys[0]
@@ -377,6 +404,56 @@ class LakeWriter:
                 "strategy": strategy,
                 "rewritten_files": len(touched),
                 "pruned_files": len(untouched),
+            },
+        )
+
+
+    def _merge_mor(
+        self,
+        table: LakeTable,
+        snap,
+        batch: DataFrame,
+        target_schema,
+        keys: list[str],
+        strategy: str,
+        hard_delete_col: str | None,
+        summary: dict,
+    ) -> None:
+        """Merge-on-read: land the batch plus an equality-delete file over
+        its keys — O(batch) staging, no target read, no file rewrite.  The
+        delete file's sequence number masks matching rows in OLDER data
+        files only, so the rows landing here are untouched.  Readers pay
+        one (AQE-broadcast) anti-join until fold_deletes/compaction folds
+        the masks back into data files."""
+        from dlt_iceberg_spark.lake.merge import _dedupe_source, split_hard_deletes
+
+        if snap.delete_files and any(
+            tuple(d.equality_ids) != tuple(keys) for d in snap.delete_files
+        ):
+            # primary key changed between loads: fold the old-keyed masks
+            # first so the table never mixes equality_id sets
+            snap = table.fold_deletes()
+
+        del_keys = batch.select(*keys)
+        data = batch
+        if hard_delete_col is not None:
+            _, data = split_hard_deletes(batch, hard_delete_col)
+            data = data.drop(hard_delete_col)
+        if strategy == "upsert":
+            data = _dedupe_source(data, keys, None)
+        new_delete_files = table.stage_delete_files(del_keys, keys)
+        new_files = table.stage_dataframe(data)
+        table.commit(
+            snap.files + new_files,
+            target_schema,
+            "merge-mor",
+            snap.version,
+            delete_files=snap.delete_files + new_delete_files,
+            summary={
+                **summary,
+                "strategy": strategy,
+                "merge_mode": "mor",
+                "added-delete-files": len(new_delete_files),
             },
         )
 

@@ -1,0 +1,158 @@
+"""Merge-on-read (equality delete files) tests.
+
+Iceberg v2 semantics: a delete file masks matching rows only in data files
+with a strictly smaller sequence number; writes are O(batch), reads pay an
+anti-join until fold_deletes/compaction rewrites the masks away.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.maintenance import compact_table
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def _mor_spec(**kw):
+    return TableSpec(
+        name=kw.pop("name", "t"),
+        write_disposition={"disposition": "merge", "strategy": kw.pop("strategy", "upsert")},
+        primary_key=["id"],
+        merge_mode="mor",
+        **kw,
+    )
+
+
+@pytest.fixture()
+def base(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, val string"
+    ).repartition(4)
+    writer.write(TableSpec(name="t", write_disposition="append"), df, load_id="l0")
+    return catalog, writer
+
+
+def test_mor_upsert_is_o_batch_and_correct(spark, base):
+    catalog, writer = base
+    before = catalog.load_table("ds", "t").snapshot()
+
+    batch = spark.createDataFrame(
+        [(5, "NEW5"), (6, "NEW6"), (100, "NEW100")], "id long, val string"
+    )
+    writer.write(_mor_spec(), batch, load_id="l1")
+
+    table = catalog.load_table("ds", "t")
+    snap = table.snapshot()
+    assert snap.operation == "merge-mor"
+    # every pre-existing data file carried over byte-identical: no rewrite
+    assert {f.path for f in before.files} <= {f.path for f in snap.files}
+    assert len(snap.delete_files) >= 1
+    assert snap.delete_files[0].equality_ids == ["id"]
+    # delete sequence is newer than old data, same as new data
+    assert all(d.sequence == snap.version for d in snap.delete_files)
+
+    out = {r.id: r.val for r in table.read().collect()}
+    assert len(out) == 101
+    assert out[5] == "NEW5" and out[6] == "NEW6" and out[100] == "NEW100"
+    assert out[7] == "v7"
+
+
+def test_mor_reinserted_key_survives_older_delete(spark, base):
+    catalog, writer = base
+    # hard-delete id=3 via MoR (delete file only)
+    batch = spark.createDataFrame([(3, "x", "2026-01-01")], "id long, val string, _dlt_deleted_at string")
+    writer.write(_mor_spec(), batch, load_id="l1")
+    table = catalog.load_table("ds", "t")
+    ids = {r.id for r in table.read().collect()}
+    assert 3 not in ids and len(ids) == 99
+
+    # a later plain append re-inserts id=3: the OLD delete must not mask it
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(3, "back")], "id long, val string"),
+        load_id="l2",
+    )
+    table = catalog.load_table("ds", "t")
+    out = {r.id: r.val for r in table.read().collect()}
+    assert out[3] == "back" and len(out) == 100
+    # the append inherited the delete file (didn't clear it)
+    assert len(table.snapshot().delete_files) == 1
+
+
+def test_mor_delete_insert_keeps_duplicate_batch_keys(spark, base):
+    catalog, writer = base
+    batch = spark.createDataFrame([(1, "a"), (1, "b")], "id long, val string")
+    writer.write(_mor_spec(strategy="delete-insert"), batch, load_id="l1")
+    rows = catalog.load_table("ds", "t").read().filter("id = 1").collect()
+    assert sorted(r.val for r in rows) == ["a", "b"]
+
+
+def test_fold_deletes_restores_plain_scan(spark, base):
+    catalog, writer = base
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(5, "NEW5")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    before = {(r.id, r.val) for r in table.read().collect()}
+    folded = table.fold_deletes()
+    assert folded.delete_files == [] and folded.operation == "replace"
+    after_table = catalog.load_table("ds", "t")
+    assert {(r.id, r.val) for r in after_table.read().collect()} == before
+    # idempotent
+    assert after_table.fold_deletes().version == folded.version
+
+
+def test_cow_merge_on_mor_table_folds_first(spark, base):
+    catalog, writer = base
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(5, "MOR5")], "id long, val string"),
+        load_id="l1",
+    )
+    # switch back to copy-on-write for the next load
+    cow = TableSpec(
+        name="t",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+    )
+    writer.write(
+        cow, spark.createDataFrame([(6, "COW6")], "id long, val string"), load_id="l2"
+    )
+    table = catalog.load_table("ds", "t")
+    assert table.snapshot().delete_files == []
+    out = {r.id: r.val for r in table.read().collect()}
+    assert out[5] == "MOR5" and out[6] == "COW6" and out[4] == "v4" and len(out) == 100
+
+
+def test_compaction_folds_deletes(spark, base):
+    catalog, writer = base
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(5, "NEW5")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    compact_table(table, target_file_bytes=1 << 20)
+    table = catalog.load_table("ds", "t")
+    assert table.snapshot().delete_files == []
+    out = {r.id: r.val for r in table.read().collect()}
+    assert out[5] == "NEW5" and len(out) == 100
+
+
+def test_mor_metadata_and_pruned_read(spark, base):
+    catalog, writer = base
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(5, "NEW5")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    meta = table.metadata_df("delete_files").collect()
+    assert len(meta) == 1 and meta[0].equality_ids == ["id"]
+    # where-pruned read still applies the masks
+    got = {r.id: r.val for r in table.read(where=[("id", "<=", 10)]).collect()}
+    assert got[5] == "NEW5" and len(got) == 11
