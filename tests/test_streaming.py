@@ -310,3 +310,35 @@ def test_stream_interval_join_matches_batch(spark, stream_dirs):
         (r.view_id, r.buy_id) for r in spark.sql("SELECT * FROM ssj").collect()
     )
     assert got_stream == got
+
+
+def test_stream_merge_mor_no_rewrite(spark, stream_dirs):
+    """Streaming upserts with merge_mode=mor: each micro-batch lands data +
+    a delete file, never rewriting earlier batches' files — the streaming
+    ingest pattern that stays O(batch) forever."""
+    inp, ckpt, wh = stream_dirs
+    b1 = _mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "click", 1.0),
+                            (2, _ts("2024-01-01T00:01:00"), 2, "view", 2.0)])
+    b2 = _mk_events(spark, [(2, _ts("2024-01-01T00:05:00"), 2, "view", 20.0),
+                            (3, _ts("2024-01-01T00:06:00"), 3, "buy", 3.0)])
+    _drop_file(b1, inp, "f1.parquet")
+    _drop_file(b2, inp, "f2.parquet")
+
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "main")
+    spec = TableSpec(
+        name="ev_mor",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["event_id"],
+        merge_mode="mor",
+    )
+    _run_stream(spark, inp, ckpt, writer, spec)
+
+    table = catalog.load_table("main", "ev_mor")
+    snaps = table.snapshots()
+    assert [sn.operation for sn in snaps][-2:] == ["merge-mor", "merge-mor"]
+    # batch-1 data files carried untouched into the final snapshot
+    b1_files = {f.path for f in snaps[-2].files}
+    assert b1_files <= {f.path for f in snaps[-1].files}
+    out = {r.event_id: r.value for r in table.read().collect()}
+    assert out == {1: 1.0, 2: 20.0, 3: 3.0}
