@@ -15,9 +15,17 @@ One real-world wrinkle handled here: ``events.ts`` is parquet
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: per-session plan cache: ``spark.read.parquet`` re-infers the schema from
+#: the footer on every call (~100 ms of driver time); a DataFrame is an
+#: immutable logical plan, so reusing one per (session, dir, table) is safe
+#: for the immutable driver fixtures and removes that cost from every query
+#: build.  Weak keys let stopped sessions drop their entries.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 TABLES = (
     "region",
@@ -38,6 +46,14 @@ _NANOS_COLS = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with normalized types."""
+    try:
+        per_session = _PLAN_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable; skip caching
+        per_session = {}
+    key = (os.path.abspath(sf_dir), name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _NANOS_COLS.get(name, ())
     if nanos_cols:
@@ -51,6 +67,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             c,
             F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
         )
+    per_session[key] = df
     return df
 
 
