@@ -147,3 +147,47 @@ def rolling_fingerprint(
             "n_anchors": F.size(kept).cast("long"),
         }
     ).drop("_th")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step for context-window training data.
+
+    Chunks start at 0, stride, 2*stride, ...; each takes up to
+    ``chunk_tokens`` tokens; documents at most ``chunk_tokens`` long yield
+    one chunk.  The chunk array builds map-side inside one projection and
+    ``posexplode`` fans it out — no shuffle, no UDF, and output row count
+    is ~n_tokens/stride per doc regardless of document skew (one giant doc
+    becomes many rows, not one giant row).
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if chunk_tokens < 1 or stride < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    if stride > chunk_tokens:
+        raise ValueError("stride > chunk_tokens would drop tokens between chunks")
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    # number of windows covering all tokens: 1 + ceil((n - chunk)/stride),
+    # in integer arithmetic (float ceil drifts across engines)
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(
+            f"(size(split({text_col}, '\\\\s+')) - {chunk_tokens} + {stride} - 1) div {stride}"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)),
+    )
+    out = fan_out(df).select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    )
+    return out.withColumn(
+        "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
+    )

@@ -2206,6 +2206,92 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 64 THEN 1
+                  ELSE 1 + ((len(toks) - 64 + 47) // 48) END AS n_chunks
+      FROM t
+    ), e AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5,
+           CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT) AS n_chunk_tokens
+    FROM e
+    """,
+    doc=(
+        "Context-window chunking: overlapping 64-token windows at stride 48 "
+        "(operators/text.py::chunk_documents).  Map-side transform + "
+        "posexplode — no shuffle, and a giant document becomes many rows, "
+        "never one giant row.  Compared by (doc, chunk_id, md5(chunk), "
+        "token count)."
+    ),
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=64, stride=48)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_md5"),
+        "n_chunk_tokens",
+    )
+
+
+def _pack_oracle() -> str:
+    from dlt_iceberg_spark.operators.packing import pack_oracle_sql
+
+    inner = pack_oracle_sql(
+        "(SELECT doc_id, len(" + _TOKENS_SQL + ") AS n_tok FROM documents)",
+        "n_tok",
+        budget=512,
+    )
+    return f"""
+    SELECT pack_group, pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM (
+      SELECT p.*, len({_TOKENS_SQL}) AS n_tok
+      FROM ({inner}) p JOIN documents USING (doc_id)
+    )
+    GROUP BY pack_group, pack_id
+    """
+
+
+@query(
+    "pack_documents",
+    _pack_oracle(),
+    doc=(
+        "Sequence packing: documents grouped into ~512-token packs via "
+        "hash-grouped running sums (operators/packing.py).  The greedy "
+        "packer is sequential; this form runs one independent window per "
+        "hash group — one shuffle, no global sort, density loss negligible "
+        "once packs-per-group >> 1."
+    ),
+)
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.packing import pack_sequences
+    from dlt_iceberg_spark.operators.text import token_stats
+
+    d = token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens_ws").alias("n_tok")
+    )
+    packed = pack_sequences(d, "n_tok", budget=512)
+    return packed.groupBy("pack_group", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
+
+
 def _corpus_prep_oracle() -> str:
     from dlt_iceberg_spark.operators.sampling import sample_oracle_gate, split_oracle_case
 
