@@ -155,3 +155,74 @@ def test_simhash_identical_docs_identical_hash(spark, sizes):
     per_group = [{sh[i] for i in ids} for ids in groups]
     assert all(len(s) == 1 for s in per_group)  # identical text -> identical hash
     assert len({s.pop() for s in per_group}) == len(groups)  # distinct vocab -> distinct
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read: random op sequences agree with a driver-side model
+# ---------------------------------------------------------------------------
+
+_mor_batches = st.lists(
+    st.tuples(
+        st.sampled_from(["mor", "cow", "hard_delete", "append", "fold"]),
+        st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=5),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_mor_batches)
+def test_mor_sequences_match_model(spark, ops):
+    import tempfile
+    import uuid
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    wh = tempfile.mkdtemp(prefix=f"mor_prop_{uuid.uuid4().hex[:6]}_")
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "m")
+
+    def spec(mode, strategy="upsert"):
+        return TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": strategy},
+            primary_key=["id"],
+            merge_mode=mode,
+        )
+
+    # seed rows so the first op always has a target
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, -1) for i in range(5)], "id long, val long"),
+        load_id="seed",
+    )
+    model: list[tuple[int, int]] = [(i, -1) for i in range(5)]
+
+    for n, (kind, batch) in enumerate(ops):
+        rows = sorted(batch.items())
+        if kind == "fold":
+            catalog.load_table("m", "t").fold_deletes()
+            continue
+        if kind == "append":
+            df = spark.createDataFrame(rows, "id long, val long")
+            writer.write(TableSpec(name="t", write_disposition="append"), df, load_id=f"l{n}")
+            model += rows
+            continue
+        if kind == "hard_delete":
+            df = spark.createDataFrame(
+                [(i, v, "now") for i, v in rows], "id long, val long, _dlt_deleted_at string"
+            )
+            writer.write(spec("mor"), df, load_id=f"l{n}")
+            dead = {i for i, _ in rows}
+            model = [r for r in model if r[0] not in dead]
+            continue
+        df = spark.createDataFrame(rows, "id long, val long")
+        writer.write(spec(kind), df, load_id=f"l{n}")
+        keys = {i for i, _ in rows}
+        model = [r for r in model if r[0] not in keys] + rows
+
+    got = sorted((r.id, r.val) for r in catalog.load_table("m", "t").read().collect())
+    assert got == sorted(model)
