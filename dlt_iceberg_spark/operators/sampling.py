@@ -185,6 +185,94 @@ def weighted_mixture(
     return out
 
 
+def select_top_tokens(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    id_buckets: int = 1024,
+) -> DataFrame:
+    """Quality-budget curation: keep rows in (score DESC, id ASC) order
+    while the running token total stays ≤ ``budget`` — exactly the rows a
+    global sorted cumulative sum would keep, computed WITHOUT a global
+    sort.
+
+    The naive form (one window over the full corpus) funnels 100 TB
+    through a single sort partition.  This decomposition keeps every job
+    metadata-sized:
+
+    1. per-score token totals (one tiny shuffle; requires a QUANTIZED
+       score, e.g. rounded to ≤4 decimals, so distinct scores are few) →
+       driver cumsum picks the boundary score and its remaining budget;
+    2. rows above the boundary score pass with a map-side filter;
+    3. boundary-score ties bucket by id range (map-side width_bucket);
+       per-bucket totals → driver cumsum picks the boundary bucket;
+    4. only that one bucket — 1/``id_buckets`` of the ties — pays an
+       exact running-sum window.
+
+    Rows with NULL score are excluded.  Deterministic; the kept set
+    matches ``sum(tokens) OVER (ORDER BY score DESC, id) <= budget``.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = df.filter(F.col(score_col).isNotNull())
+    totals = base.groupBy(score_col).agg(F.sum(tokens_col).alias("tok")).collect()
+    scores = sorted(((r[0], r["tok"]) for r in totals), key=lambda x: -x[0])
+    cum = 0
+    boundary = None
+    r_budget = budget
+    for s, tok in scores:
+        if cum + tok <= budget:
+            cum += tok
+        else:
+            boundary = s
+            r_budget = budget - cum
+            break
+    if boundary is None:  # everything fits
+        return base
+    full = base.filter(F.col(score_col) > F.lit(boundary))
+    ties = base.filter(F.col(score_col) == F.lit(boundary))
+    lo, hi = ties.agg(F.min(id_col), F.max(id_col)).collect()[0]
+    bucketed = ties.withColumn(
+        "_tb",
+        F.width_bucket(
+            F.col(id_col).cast("double"), F.lit(float(lo)), F.lit(float(hi) + 1), id_buckets
+        ),
+    )
+    btot = {
+        r["_tb"]: r["tok"]
+        for r in bucketed.groupBy("_tb").agg(F.sum(tokens_col).alias("tok")).collect()
+    }
+    cum2 = 0
+    edge_bucket = None
+    r2 = r_budget
+    full_buckets = []
+    for b in sorted(btot):
+        if cum2 + btot[b] <= r_budget:
+            cum2 += btot[b]
+            full_buckets.append(b)
+        else:
+            edge_bucket = b
+            r2 = r_budget - cum2
+            break
+    parts = [full]
+    if full_buckets:
+        parts.append(bucketed.filter(F.col("_tb").isin(full_buckets)).drop("_tb"))
+    if edge_bucket is not None:
+        w = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
+        parts.append(
+            bucketed.filter(F.col("_tb") == edge_bucket)
+            .withColumn("_run", F.sum(tokens_col).over(w))
+            .filter(F.col("_run") <= r2)
+            .drop("_run", "_tb")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def sample_oracle_gate(key_sql: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate equivalent to ``deterministic_sample`` —
     exposed so oracle SQL strings stay in lockstep with the operator."""

@@ -2292,6 +2292,59 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_TOK_CTE = f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha_chars,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS DOUBLE) AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             (CASE WHEN n_tok >= 10 AND n_tok <= 100000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_tok - 1)) / n_tok >= 2.5
+                    AND (n_chars - (n_tok - 1)) / n_tok <= 12 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN n_stop / n_tok > 0.01 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN alpha_chars / greatest(n_chars, 1.0) > 0.6 THEN 0.25 ELSE 0.0 END)
+             AS q
+      FROM f
+    )
+"""
+
+
+@query(
+    "select_quality_budget",
+    f"""
+    {_QUALITY_TOK_CTE}
+    SELECT doc_id, CAST(q AS DOUBLE) AS score, n_tok FROM (
+      SELECT doc_id, q, n_tok,
+             sum(n_tok) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS run
+      FROM scored
+    ) WHERE run <= 12000
+    """,
+    doc=(
+        "Token-budget curation: highest-quality documents first until a "
+        "12k-token budget fills — exactly the sorted-cumulative-sum "
+        "selection, computed without a global sort: per-score totals + "
+        "driver cumsum pick the boundary score, id-range bucketing narrows "
+        "the ties, and only 1/1024 of them pays an exact window "
+        "(operators/sampling.py::select_top_tokens)."
+    ),
+)
+def select_quality_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import select_top_tokens
+    from dlt_iceberg_spark.operators.text import quality_score
+
+    d = quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("quality_score").alias("score"),
+        F.col("n_tokens").alias("n_tok"),
+    )
+    return select_top_tokens(d, "score", "n_tok", budget=12000)
+
+
 def _corpus_prep_oracle() -> str:
     from dlt_iceberg_spark.operators.sampling import sample_oracle_gate, split_oracle_case
 

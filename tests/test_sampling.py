@@ -110,3 +110,32 @@ def test_weighted_mixture_proportions(spark):
     a = sorted((r.mixture_source, r.k) for r in out.collect())
     out2 = weighted_mixture({"big": (big.repartition(5), 0.5), "small": (small, 0.5)}, "k")
     assert a == sorted((r.mixture_source, r.k) for r in out2.collect())
+
+
+def test_select_top_tokens_matches_global_window(spark):
+    from pyspark.sql import Window
+    from dlt_iceberg_spark.operators.sampling import select_top_tokens
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # quantized score with heavy ties (4 levels) and nulls
+        F.when(F.col("id") % 17 == 0, None).otherwise((F.col("id") % 4) * 0.25).alias("score"),
+        (F.col("id") % 90 + 10).alias("n_tok"),
+    ).persist()
+
+    for budget in (0, 500, 20000, 10**9):
+        got = {r.doc_id for r in select_top_tokens(df, "score", "n_tok", budget).collect()}
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ref = {
+            r.doc_id
+            for r in df.filter("score IS NOT NULL")
+            .withColumn("run", F.sum("n_tok").over(w))
+            .filter(F.col("run") <= budget)
+            .collect()
+        }
+        assert got == ref, f"budget={budget}"
+
+    with pytest.raises(ValueError):
+        select_top_tokens(df, "score", "n_tok", -1)
