@@ -273,6 +273,37 @@ def select_top_tokens(
     return out
 
 
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training export.
+
+    Data loaders want (a) a fixed number of shard files, (b) a global
+    order uncorrelated with ingest order, (c) bit-identical output on
+    rerun.  Hash order delivers all three without ``orderBy(rand())``
+    (non-reproducible, global sort): ``shard`` = top bits of md5(key‖seed)
+    — so shards are hash-random and equal-sized in expectation — and
+    ``shard_pos`` = the remaining hex digits, a reproducible within-shard
+    sort key.  Writing is ``repartition(n, shard).sortWithinPartitions
+    (shard_pos)`` — one shuffle, no global sort, any engine reproduces it.
+
+    A new ``seed`` reshuffles every epoch deterministically.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = _hash_prefix(key_col, seed)  # first 8 md5 hex chars
+    shard = (
+        F.conv(h, 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    pos = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed))), 9, 16
+    )
+    return df.withColumn("shard", shard).withColumn("shard_pos", pos)
+
+
 def sample_oracle_gate(key_sql: str, fraction: float, salt: str = "") -> str:
     """The DuckDB-side predicate equivalent to ``deterministic_sample`` —
     exposed so oracle SQL strings stay in lockstep with the operator."""

@@ -2292,6 +2292,41 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shuffle_shards",
+    """
+    SELECT shard, count(*) AS n_docs,
+           min(shard_pos) AS first_pos, max(shard_pos) AS last_pos
+    FROM (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 1, 8) AS BIGINT)
+                  % 8 AS INT) AS shard,
+             substr(md5(CAST(doc_id AS VARCHAR) || 'ep0'), 9, 16) AS shard_pos
+      FROM documents
+    ) GROUP BY shard
+    """,
+    doc=(
+        "Deterministic training-export shuffle: md5-derived shard id + "
+        "within-shard position, so a rerun (or another engine) produces "
+        "bit-identical shards with no orderBy(rand()) and no global sort "
+        "(operators/sampling.py::shuffle_shards).  Checked by per-shard "
+        "counts and position extrema."
+    ),
+)
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.sampling import shuffle_shards
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        shuffle_shards(d, "doc_id", 8, seed="ep0")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("shard_pos").alias("first_pos"),
+            F.max("shard_pos").alias("last_pos"),
+        )
+    )
+
+
 _QUALITY_TOK_CTE = f"""
     WITH f AS (
       SELECT doc_id,

@@ -139,3 +139,23 @@ def test_select_top_tokens_matches_global_window(spark):
 
     with pytest.raises(ValueError):
         select_top_tokens(df, "score", "n_tok", -1)
+
+
+def test_shuffle_shards_deterministic_and_balanced(spark):
+    from dlt_iceberg_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(8000).select(F.col("id").alias("doc_id"))
+    s1 = shuffle_shards(df, "doc_id", 16, seed="a")
+    counts = {r.shard: r.n for r in s1.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(16))
+    assert all(300 < n < 700 for n in counts.values())  # ~500 each
+    # bit-identical on rerun / repartition
+    a = sorted((r.doc_id, r.shard, r.shard_pos) for r in s1.collect())
+    b = sorted((r.doc_id, r.shard, r.shard_pos)
+               for r in shuffle_shards(df.repartition(5), "doc_id", 16, seed="a").collect())
+    assert a == b
+    # different seed -> different order (epoch reshuffle)
+    c = sorted((r.doc_id, r.shard) for r in shuffle_shards(df, "doc_id", 16, seed="b").collect())
+    assert c != sorted((r.doc_id, r.shard) for r in s1.collect())
+    with pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", 0)
