@@ -373,3 +373,46 @@ def test_read_where_prunes_files_by_manifest_stats(spark, warehouse):
         table.read(where=[("nope", "=", 1)])
     with _pytest.raises(ValueError, match="unsupported predicate"):
         table.read(where=[("id", "BETWEEN", 1)])
+
+
+def test_stale_commit_loses_then_writer_retry_succeeds(spark, warehouse, monkeypatch):
+    """Optimistic concurrency end-to-end: a committer holding a stale
+    snapshot raises CommitConflictError; the writer's retry loop re-reads
+    the table and lands the load on the new head."""
+    import pytest as _pytest
+
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main", WriterConfig(retry_backoff_base=0.0))
+    spec = TableSpec(name="race", write_disposition="append")
+    writer.write(spec, spark.range(0, 10), load_id="l0")
+
+    # manual committer reads a snapshot, then a competing load lands
+    table = catalog.load_table("main", "race")
+    stale = table.snapshot()
+    staged = table.stage_dataframe(spark.range(100, 110))
+    writer.write(spec, spark.range(10, 20), load_id="l1")
+    with _pytest.raises(CommitConflictError):
+        table.commit(stale.files + staged, stale.schema, "append", stale.version)
+    # the competing load is intact
+    assert sorted(r.id for r in table.read().collect()) == list(range(20))
+
+    # writer-level retry: first commit attempt conflicts, rerun lands
+    calls = {"n": 0}
+    orig = table_mod.LakeTable.commit
+
+    def flaky(self, *a, **k):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise CommitConflictError("simulated race")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(table_mod.LakeTable, "commit", flaky)
+    writer.write(spec, spark.range(20, 30), load_id="l2")
+    assert calls["n"] == 1
+    monkeypatch.undo()
+    assert sorted(r.id for r in catalog.load_table("main", "race").read().collect()) == list(range(30))
