@@ -30,7 +30,17 @@ from dlt_iceberg_spark.operators.text import (
     quality_score,
     language_id,
     rolling_fingerprint,
+    chunk_documents,
 )
+from dlt_iceberg_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_cap,
+    weighted_mixture,
+    select_top_tokens,
+    shuffle_shards,
+)
+from dlt_iceberg_spark.operators.packing import pack_sequences
 
 __all__ = [
     "asof_join",
@@ -58,4 +68,12 @@ __all__ = [
     "quality_score",
     "language_id",
     "rolling_fingerprint",
+    "chunk_documents",
+    "deterministic_sample",
+    "hash_split",
+    "stratified_cap",
+    "weighted_mixture",
+    "select_top_tokens",
+    "shuffle_shards",
+    "pack_sequences",
 ]
