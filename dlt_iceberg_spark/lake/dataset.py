@@ -59,15 +59,27 @@ class Dataset:
         by manifest min/max stats before Spark plans the read."""
         return RelationHandle(self._table(table_name).read(where=where))
 
-    def register_views(self) -> None:
-        """Register every table as a temp view over its CURRENT snapshot."""
+    def register_views(self, at: dict[str, int | str] | None = None) -> None:
+        """Register every table as a temp view over its CURRENT snapshot —
+        or, for tables named in ``at``, a pinned snapshot version (int) or
+        tag (str): the ``FOR VERSION/TAG AS OF`` time-travel surface."""
+        pins = at or {}
         for t in self.tables():
-            self._table(t).read().createOrReplaceTempView(t)
+            pin = pins.get(t)
+            table = self._table(t)
+            if pin is None:
+                df = table.read()
+            elif isinstance(pin, int):
+                df = table.read(snapshot_version=pin)
+            else:
+                df = table.read(tag=pin)
+            df.createOrReplaceTempView(t)
 
-    def query(self, sql: str) -> RelationHandle:
+    def query(self, sql: str, at: dict[str, int | str] | None = None) -> RelationHandle:
         """Arbitrary SQL over the dataset's tables (views refreshed first —
-        snapshot-freshness parity with sql_client.py:51-55)."""
-        self.register_views()
+        snapshot-freshness parity with sql_client.py:51-55).  ``at`` pins
+        named tables to a snapshot version or tag for this query."""
+        self.register_views(at=at)
         return RelationHandle(self.spark.sql(sql))
 
     def metadata(self, table_name: str, kind: str = "snapshots") -> RelationHandle:

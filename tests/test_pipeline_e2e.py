@@ -162,3 +162,33 @@ def test_wap_branch_creates_table_visible_on_main_but_empty(spark, warehouse):
     assert main_ds.query("SELECT count(*) AS n FROM fresh").fetchall() == [(0,)]
     wap.publish(["fresh"])
     assert main_ds.query("SELECT count(*) AS n FROM fresh").fetchall() == [(2,)]
+
+
+def test_query_time_travel_pins(spark, warehouse):
+    """SQL-surface time travel: `at` pins named tables to a version or tag
+    for one query, without touching the current views."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    pipe = Pipeline(spark, warehouse, dataset_name="ds")
+    pipe.run(
+        Resource(
+            producer=spark.createDataFrame([(1,), (2,)], "id long"), name="t"
+        ),
+        load_id="l0",
+    )
+    table = pipe.catalog.load_table("ds", "t")
+    v0 = table.current_version()
+    table.create_tag("launch")
+    pipe.run(
+        Resource(
+            producer=spark.createDataFrame([(3,), (4,)], "id long"), name="t"
+        ),
+        load_id="l1",
+    )
+
+    ds = pipe.dataset()
+    assert ds.query("SELECT count(*) AS n FROM t").fetchall() == [(4,)]
+    assert ds.query("SELECT count(*) AS n FROM t", at={"t": v0}).fetchall() == [(2,)]
+    assert ds.query("SELECT count(*) AS n FROM t", at={"t": "launch"}).fetchall() == [(2,)]
+    # pin is per-query, not sticky
+    assert ds.query("SELECT count(*) AS n FROM t").fetchall() == [(4,)]
