@@ -191,3 +191,74 @@ def chunk_documents(
     return out.withColumn(
         "n_chunk_tokens", F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag documents sharing any
+    ``shingle_k``-gram with the probe corpus (eval/test sets must not leak
+    into training data).
+
+    Probe shingle hashes are tiny next to the corpus, so the plan is
+    shingle-explode the docs map-side → semi-join the (broadcast) probe
+    hash set → distinct doc ids; the corpus never shuffles its text, only
+    candidate doc ids.  Returns (id, n_hits) per CONTAMINATED doc.
+    """
+    from dlt_iceberg_spark.operators.dedup import shingles
+
+    ptc = probe_text_col or text_col
+    probe_hashes = (
+        probes.select(
+            F.explode(F.array_distinct(shingles(ptc, shingle_k))).alias("s")
+        )
+        .select(F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    doc_shingles = fan_out(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
+    ).select(id_col, F.xxhash64("s").alias("sh"))
+    return (
+        doc_shingles.join(F.broadcast(probe_hashes), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+#: RE2-safe patterns (no backreferences/lookarounds) so the SAME regex runs
+#: on Spark (Java regex) and DuckDB (RE2) — required for oracle parity.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Scrub PII-shaped spans, replacing each with ``<KIND>`` tokens, and
+    count the redactions per kind — the standard pre-training scrub pass.
+
+    Pure ``regexp_replace``/``regexp_count`` expressions: map-side, no
+    shuffle, whole-stage codegen; patterns are RE2-safe so the DuckDB
+    oracle applies the identical regexes.  Adds ``text_redacted`` and one
+    ``n_<kind>`` column per pattern.
+    """
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    cols = {}
+    # count-then-replace SEQUENTIALLY: each kind is counted on the text as
+    # already redacted by earlier kinds, so overlapping patterns never
+    # double-count a span
+    for kind, pat in pats.items():
+        cols[f"n_{kind}"] = F.regexp_count(out, F.lit(pat)).cast("long")
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    cols["text_redacted"] = out
+    return df.withColumns(cols)

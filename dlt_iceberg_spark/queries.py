@@ -2327,6 +2327,101 @@ def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_check",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                    ELSE list_distinct(list_transform(range(0, len(t) - 4),
+                                       i -> array_to_string(t[i+1:i+5], ' ')))
+                    END) AS s
+      FROM tok
+    ), probe AS (
+      SELECT DISTINCT s FROM sh WHERE doc_id < 20
+    )
+    SELECT d.doc_id, count(*) AS n_hits
+    FROM (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id >= 20) d
+    JOIN probe USING (s)
+    GROUP BY d.doc_id
+    """,
+    doc=(
+        "Benchmark-contamination detection: training docs sharing any "
+        "5-gram with the probe set (docs 0-19 as a stand-in eval set).  "
+        "Probe shingle hashes broadcast; the corpus explodes shingles "
+        "map-side and only candidate doc ids shuffle "
+        "(operators/text.py::contamination_check)."
+    ),
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_check(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), shingle_k=5
+    )
+
+
+_PII_AUG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1 (555) 010-' || CAST(doc_id AS VARCHAR)"
+    " || ' from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+@query(
+    "redact_pii",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents),
+    r AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), r2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t1, '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]')) AS BIGINT) AS n_phone,
+             regexp_replace(t1, '\\+?[0-9][0-9()\\- ]{{7,}}[0-9]', '<PHONE>', 'g') AS t2
+      FROM r
+    )
+    SELECT doc_id, n_email, n_phone,
+           CAST(len(regexp_extract_all(t2, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+           md5(regexp_replace(t2, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IPV4>', 'g')) AS redacted_md5
+    FROM r2
+    """,
+    doc=(
+        "PII scrub: email/phone/IPv4 spans replaced with typed tokens and "
+        "counted, as a map-side regexp chain in whole-stage codegen "
+        "(operators/text.py::redact_pii).  The fixture text carries no "
+        "natural PII, so both engines first append identical synthetic "
+        "contact strings derived from doc_id; patterns are RE2-safe so the "
+        "DuckDB oracle runs the SAME regexes.  Compared by counts + "
+        "md5(redacted text)."
+    ),
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.expr(
+            "concat(text, ' contact user', CAST(doc_id AS STRING), "
+            "'@example.com or +1 (555) 010-', CAST(doc_id AS STRING), "
+            "' from 10.0.0.', CAST(doc_id % 256 AS STRING))"
+        ),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        F.md5(F.encode("text_redacted", "UTF-8")).alias("redacted_md5"),
+    )
+
+
 _QUALITY_TOK_CTE = f"""
     WITH f AS (
       SELECT doc_id,

@@ -82,3 +82,34 @@ def test_pack_oversized_doc_gets_own_progression(spark):
     assert len(set(packed.values())) >= 2
     with pytest.raises(ValueError):
         pack_sequences(df, "n_tok", budget=0)
+
+
+# -- contamination + PII redaction ------------------------------------------
+
+
+def test_contamination_detects_exact_ngram_overlap(spark):
+    from dlt_iceberg_spark.operators.text import contamination_check
+
+    probes = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    docs = _docs(spark, [
+        (1, "intro text then the quick brown fox jumps right here"),   # 5-gram hit
+        (2, "completely unrelated content with no overlap at all ok"),  # clean
+        (3, "short"),                                                   # < k tokens, clean
+    ])
+    hits = {r.doc_id: r.n_hits for r in contamination_check(docs, probes, shingle_k=5).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from dlt_iceberg_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c@x.org or call +1 (555) 123-4567 from 192.168.0.1 twice a.b-c@x.org")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.n_email == 2 and r.n_phone == 1 and r.n_ipv4 == 1
+    assert "<EMAIL>" in r.text_redacted and "<PHONE>" in r.text_redacted
+    assert "x.org" not in r.text_redacted and "555" not in r.text_redacted
+    assert "192.168.0.1" not in r.text_redacted
