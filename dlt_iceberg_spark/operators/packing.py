@@ -45,7 +45,15 @@ def pack_sequences(
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("bigint") % groups
     ).alias("pack_group")
-    w = Window.partitionBy("pack_group").orderBy(F.col(id_col))
+    # ROWS frame, not the default RANGE: RANGE gives every ORDER-BY tie the
+    # same (collapsed) running total, which merges all tied rows into one
+    # giant pack.  ``id_col`` must be UNIQUE for the result to be
+    # deterministic (with ties the within-tie order is engine-defined).
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     run = F.sum(F.col(n_tokens_col)).over(w) - F.col(n_tokens_col)
     bucket = F.expr(f"_pack_run div {budget}")
     return (

@@ -71,6 +71,11 @@ def hash_split(
     disjoint: a key lands in exactly one split, always the same one —
     the property that keeps eval data out of training data across
     reruns and incremental loads.  Adds a ``split`` column; map-side.
+
+    When the input was already gated on the SAME key (e.g. a
+    ``deterministic_sample`` upstream), pass a different ``salt`` here —
+    with the same salt the two hash gates correlate perfectly and the
+    surviving rows all land in the first split.
     """
     if not splits:
         raise ValueError("splits must be non-empty")
