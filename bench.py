@@ -58,20 +58,26 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 4)
             times[name] = min(times.get(name, elapsed), elapsed)
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-                "n_queries": len(times),
-                "cold_total_sec": cold_total,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "suite_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf_val,
+            "n_queries": len(times),
+            "cold_total_sec": cold_total,
+        }
     )
+    # Persist to a file so the driver can parse the result even if the
+    # JVM interleaves stray output on stdout, then stop Spark BEFORE
+    # printing so the JSON is guaranteed to be the final stdout line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
     spark.stop()
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -23,6 +23,16 @@ def _tokens(text_col: str):
     return F.split(F.col(text_col), r"\s+")
 
 
+# Plan-build note: the wide expression trees below are assembled as SQL
+# strings parsed JVM-side in ONE call each.  Building them Column-by-Column
+# (nested Python lambdas, per-seed F.expr aggregates) costs hundreds of py4j
+# round trips — ~2s of driver time per plan at any scale, which at small SF
+# exceeds the query's own execution time.  Semantics are identical; the
+# Column forms are kept in docstrings where they aid readability.
+def _tokens_sql(text_col: str) -> str:
+    return rf"split({text_col}, '\\s+')"
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup by content hash: canonical id = min(id) per hash.
 
@@ -70,18 +80,24 @@ def minhash_signatures(
     shuffle but loses codegen — higher-order functions are interpreted — and
     benches slower.)
     """
-    sh = fan_out(df).select(
-        F.col(id_col),
-        F.explode(
-            F.transform(F.array_distinct(shingles(text_col, shingle_k)), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+    k = shingle_k
+    shingle_sql = (
+        f"CASE WHEN size(_toks) < {k} THEN array(concat_ws(' ', _toks)) "
+        f"ELSE transform(sequence(0, size(_toks) - {k}), "
+        f"i -> concat_ws(' ', slice(_toks, i + 1, {k}))) END"
     )
-    # SQL-string aggregates: one JVM parse per seed instead of three Column
-    # round trips per seed (plan-build time, see simhash note)
-    aggs = [F.expr(f"min(xxhash64({i}, sh)) AS h{i}") for i in range(n_hashes)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    arr = ", ".join(f"h{i}" for i in range(n_hashes))
-    return sig.select(F.col(id_col), F.expr(f"array({arr}) AS signature"))
+    sh = (
+        fan_out(df)
+        .selectExpr(id_col, f"{_tokens_sql(text_col)} AS _toks")
+        .selectExpr(
+            id_col,
+            f"explode(transform(array_distinct({shingle_sql}), s -> xxhash64(s))) AS sh",
+        )
+    )
+    # ONE aggregate expression producing the whole signature array: a 64-way
+    # .agg(col, col, ...) costs ~0.5s of analysis/py4j alone
+    mins = ", ".join(f"min(xxhash64({i}, sh))" for i in range(n_hashes))
+    return sh.groupBy(id_col).agg(F.expr(f"array({mins}) AS signature"))
 
 
 def minhash_lsh_candidates(
@@ -104,38 +120,20 @@ def minhash_lsh_candidates(
     ``max_bucket`` cap bounds both the collected list and the emitted pairs,
     so no group can OOM an executor.
     """
-    n_hashes_col = F.size("signature")
-    rows_per_band = (n_hashes_col / bands).cast("int")
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        b, F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    rpb = f"CAST(size(signature) / {bands} AS INT)"
+    banded = signatures.selectExpr(
+        id_col,
+        f"explode(transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"xxhash64(b, concat_ws(',', slice(signature, b * {rpb} + 1, {rpb}))) AS bucket))) AS bb",
+    ).selectExpr(id_col, "bb.band", "bb.bucket")
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .agg(F.expr(f"sort_array(collect_list({id_col})) AS ids"))
+        .filter(F.expr(f"size(ids) BETWEEN 2 AND {max_bucket}"))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice("ids", i + 2, F.size("ids")), lambda y: F.struct(x.alias("a"), y.alias("b"))
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = buckets.selectExpr(
+        "explode(flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))) AS p"
     )
     return pairs.select("p.a", "p.b").distinct()
 
@@ -149,18 +147,11 @@ def minhash_jaccard_estimate(
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
-        .select(
+        .selectExpr(
             "a",
             "b",
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.size("sig_a")
-            ).alias("jaccard_est"),
+            "size(filter(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), v -> v = 1))"
+            " / size(sig_a) AS jaccard_est",
         )
     )
 
@@ -224,10 +215,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # the wide bit-twiddling trees are built as SQL strings parsed JVM-side
     # in ONE call each — assembling them Column-by-Column costs hundreds of
     # py4j round trips (~1.5s of driver time per plan, more than the query's
-    # own execution at small SF)
-    tok = fan_out(df).select(
-        F.col(id_col), F.explode(_tokens(text_col)).alias("t")
-    ).withColumn("th", F.xxhash64("t"))
+    # own execution at small SF); likewise the 33 aggregate buffers ride in
+    # ONE struct-valued agg expression (a 33-way .agg() costs ~0.5s analysis)
+    tok = (
+        fan_out(df)
+        .selectExpr(id_col, f"explode({_tokens_sql(text_col)}) AS t")
+        .selectExpr(id_col, "xxhash64(t) AS th")
+    )
     lanes, lane_bits = 2, 32
     groups = 64 // lanes
     packs = []
@@ -236,19 +230,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for lane in range(lanes):
             b = g * lanes + lane
             terms.append(f"shiftleft(shiftrightunsigned(th, {b}) & 1, {lane * lane_bits})")
-        packs.append(F.expr(f"sum({' + '.join(terms)}) AS p{g}"))
-    agg = tok.groupBy(id_col).agg(F.expr("count(1) AS n"), *packs)
+        packs.append(f"sum({' + '.join(terms)}) AS p{g}")
+    agg = tok.groupBy(id_col).agg(
+        F.expr(f"struct(count(1) AS n, {', '.join(packs)}) AS s")
+    )
     mask = (1 << lane_bits) - 1
     or_bits = []
     sign = None
     for g in range(groups):
         for lane in range(lanes):
             b = g * lanes + lane
-            cnt = f"(shiftrightunsigned(p{g}, {lane * lane_bits}) & {mask})"
+            cnt = f"(shiftrightunsigned(s.p{g}, {lane * lane_bits}) & {mask})"
             if b < 63:
-                or_bits.append(f"shiftleft(CAST({cnt} * 2 > n AS BIGINT), {b})")
+                or_bits.append(f"shiftleft(CAST({cnt} * 2 > s.n AS BIGINT), {b})")
             else:  # sign bit: adding -2^63 sets it without long overflow
-                sign = f"(CASE WHEN {cnt} * 2 > n THEN {-(2 ** 63)}L ELSE 0L END)"
+                sign = f"(CASE WHEN {cnt} * 2 > s.n THEN {-(2 ** 63)}L ELSE 0L END)"
     out = f"(({' | '.join(or_bits)}) + {sign})"
     return agg.select(F.col(id_col), F.expr(f"{out} AS simhash"))
 
@@ -273,43 +269,25 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
+    mask = (1 << width) - 1
     sh = simhash(df, text_col, id_col)
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band"),
-                # unsigned-shift via shiftrightunsigned keeps the top chunk sane
-                F.shiftrightunsigned(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("bucket"),
-            )
-            for i in range(n_chunks)
-        ]
+    # unsigned-shift via shiftrightunsigned keeps the top chunk sane
+    chunks = ", ".join(
+        f"struct({i} AS band, shiftrightunsigned(simhash, {i * width}) & {mask}L AS bucket)"
+        for i in range(n_chunks)
     )
-    banded = sh.select(F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("bb")).select(
-        id_col, "simhash", "bb.band", "bb.bucket"
-    )
+    banded = sh.selectExpr(
+        id_col, "simhash", f"explode(array({chunks})) AS bb"
+    ).selectExpr(id_col, "simhash", "bb.band", "bb.bucket")
     buckets = (
         banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))).alias("ms"))
-        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+        .agg(F.expr(f"sort_array(collect_list(struct({id_col} AS i, simhash))) AS ms"))
+        .filter(F.expr(f"size(ms) BETWEEN 2 AND {max_bucket}"))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.transform(
-                        F.slice("ms", i + 2, F.size("ms")),
-                        lambda y: F.struct(
-                            x["i"].alias("a"),
-                            y["i"].alias("b"),
-                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+    pairs = buckets.selectExpr(
+        "explode(flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.i AS a, y.i AS b, bit_count(x.simhash ^ y.simhash) AS hamming))))) AS p"
     )
     return (
         pairs.select("p.a", "p.b", "p.hamming")

@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -40,6 +41,7 @@ def main() -> int:
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = spec.fn(spark, sf_dir)
             spark_pd = sdf.toPandas()
@@ -47,8 +49,9 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        dt = time.perf_counter() - t0
         if spec.oracle is None:
-            print(f"ok?  {name}: rows-only ({len(spark_pd)} rows)")
+            print(f"ok?  {name}: rows-only ({len(spark_pd)} rows) [{dt:.2f}s]")
             continue
         try:
             oracle_pd = con.execute(spec.oracle).df()
@@ -83,7 +86,7 @@ def main() -> int:
                 print("  spark:", a[diffmask].head(3).to_dict("records"))
                 print("  oracle:", b[diffmask].head(3).to_dict("records"))
         else:
-            print(f"PASS {name} ({len(a)} rows)")
+            print(f"PASS {name} ({len(a)} rows) [{dt:.2f}s]")
     spark.stop()
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     return 1 if failures else 0
