@@ -60,13 +60,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        # long ns-since-epoch -> µs TimestampNTZ. Integer `div`, NOT `/`:
-        # float division loses the last µs digit at ~1.7e15 (double ulp),
-        # which shows up as ±1 µs vs the DuckDB oracle's ts::TIMESTAMP.
-        df = df.withColumn(
-            c,
-            F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
-        )
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
+            # long ns-since-epoch -> µs TimestampNTZ. Integer `div`, NOT `/`:
+            # float division loses the last µs digit at ~1.7e15 (double ulp),
+            # which shows up as ±1 µs vs the DuckDB oracle's ts::TIMESTAMP.
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+        elif dtype and dtype.startswith("timestamp") and dtype != "timestamp_ntz":
+            # already µs-precision parquet TIMESTAMP; normalize to NTZ only
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     per_session[key] = df
     return df
 
