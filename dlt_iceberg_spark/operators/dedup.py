@@ -33,6 +33,19 @@ def _tokens_sql(text_col: str) -> str:
     return rf"split({text_col}, '\\s+')"
 
 
+#: token-hash expressions by mode.  'xx' (xxhash64) is the production path —
+#: one JVM codegen call, 64 bits.  'md5' is the cross-engine verification
+#: path: the top 15 hex chars of md5 as a 60-bit non-negative long, which
+#: DuckDB reproduces exactly via ('0x' || substr(md5(t), 1, 15))::BIGINT —
+#: xxhash64 exists only in Spark, so hash-exact oracles need this mode.
+def _token_hash_sql(expr: str, hash_mode: str) -> str:
+    if hash_mode == "xx":
+        return f"xxhash64({expr})"
+    if hash_mode == "md5":
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    raise ValueError(f"unknown hash_mode {hash_mode!r} (expected 'xx' or 'md5')")
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup by content hash: canonical id = min(id) per hash.
 
@@ -81,17 +94,23 @@ def minhash_signatures(
     benches slower.)
     """
     k = shingle_k
-    shingle_sql = (
-        f"CASE WHEN size(_toks) < {k} THEN array(concat_ws(' ', _toks)) "
-        f"ELSE transform(sequence(0, size(_toks) - {k}), "
-        f"i -> concat_ws(' ', slice(_toks, i + 1, {k}))) END"
-    )
+    if k == 1:
+        # unigram fast path: token-SET MinHash — no shingle re-concat (k>1
+        # builds each shingle string with concat_ws; at k=1 that's a copy of
+        # every token), just distinct + hash
+        shingle_sql = "array_distinct(_toks)"
+    else:
+        shingle_sql = (
+            f"array_distinct(CASE WHEN size(_toks) < {k} THEN array(concat_ws(' ', _toks)) "
+            f"ELSE transform(sequence(0, size(_toks) - {k}), "
+            f"i -> concat_ws(' ', slice(_toks, i + 1, {k}))) END)"
+        )
     sh = (
         fan_out(df)
         .selectExpr(id_col, f"{_tokens_sql(text_col)} AS _toks")
         .selectExpr(
             id_col,
-            f"explode(transform(array_distinct({shingle_sql}), s -> xxhash64(s))) AS sh",
+            f"explode(transform({shingle_sql}, s -> xxhash64(s))) AS sh",
         )
     )
     # ONE aggregate expression producing the whole signature array: a 64-way
@@ -105,6 +124,7 @@ def minhash_lsh_candidates(
     id_col: str,
     bands: int = 16,
     max_bucket: int = 1000,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) sharing any band
     bucket.
@@ -131,11 +151,30 @@ def minhash_lsh_candidates(
         .agg(F.expr(f"sort_array(collect_list({id_col})) AS ids"))
         .filter(F.expr(f"size(ids) BETWEEN 2 AND {max_bucket}"))
     )
-    pairs = buckets.selectExpr(
-        "explode(flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))) AS p"
+    # a near-dup CLUSTER lands in the same member set in most of the bands,
+    # so the same sorted id list recurs up to ``bands`` times; dropping
+    # duplicate lists BEFORE the O(|bucket|²) pair production cuts emitted
+    # pairs by ~bands× on clustered corpora (the later distinct then only
+    # reconciles partially-overlapping lists).
+    lists = (
+        buckets.select("ids")
+        .distinct()
+        .selectExpr("xxhash64(concat_ws(',', ids)) AS lid", "ids")
     )
-    return pairs.select("p.a", "p.b").distinct()
+    # pair production as a relational self-equi-join on the list id, NOT an
+    # explode of a built pair array: transform/flatten lambdas are
+    # interpreted (no codegen) and materialize up to max_bucket²/2 structs
+    # in one generate row — a straggler task per big bucket.  The join emits
+    # the same pairs from a whole-stage-codegen hash join, parallel across
+    # member rows.
+    m = lists.select("lid", F.explode("ids").alias(id_col))
+    pairs = (
+        m.select("lid", F.col(id_col).alias("a"))
+        .join(m.select("lid", F.col(id_col).alias("b")), "lid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return pairs.distinct() if distinct else pairs
 
 
 def minhash_jaccard_estimate(
@@ -196,7 +235,64 @@ def minhash_lsh_dedup(
     )
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified by EXACT token-set Jaccard ≥ ``threshold``.
+
+    This is the production near-dup pair pipeline: MinHash banding proposes
+    candidates (bucketed, never all-pairs), then only candidates pay the
+    exact Jaccard check — so the output is exact-Jaccard pairs, minus any
+    pair the banding missed.  With ``bands=32`` over 64 hashes (2 rows per
+    band) a pair at Jaccard j is missed with probability (1−j²)^32 ≤ 3.9e-15
+    at j = 0.8, so on any fixed corpus the output is deterministically the
+    exact pair set — which is what lets a brute-force all-pairs SQL oracle
+    hash-match this distributed pipeline end-to-end (recall regressions
+    surface as missing rows).
+
+    Returns (a, b, jaccard) with a < b.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    # distinct BEFORE verification: overlapping bucket lists duplicate ~half
+    # the candidates, and the per-pair array intersect/union is the most
+    # expensive per-row work in the pipeline — measured on the self-similar
+    # bench corpus, paying the pair-level shuffle first beats verifying the
+    # duplicated stream and deduping afterwards.  The distinct is also the
+    # shuffle boundary that lets AQE see the real (small) size of the token
+    # dimension and convert the verify joins to broadcast at runtime.
+    cands = minhash_lsh_candidates(sig, id_col, bands)
+    # verify on HASHED token sets: long-array intersect/union is ~5× cheaper
+    # than string-array ops and the candidate side is the big input (up to
+    # O(n²) on self-similar corpora).  A 64-bit collision merging two tokens
+    # of one pair has p ≈ (tokens/doc)²/2⁶⁴ — below any realistic corpus's
+    # bit-flip rate.
+    toks = df.selectExpr(
+        id_col,
+        f"array_distinct(transform({_tokens_sql(text_col)}, t -> xxhash64(t))) AS _toks",
+    )
+    ta = toks.select(F.col(id_col).alias("a"), F.col("_toks").alias("ta"))
+    tb = toks.select(F.col(id_col).alias("b"), F.col("_toks").alias("tb"))
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, hash_mode: str = "xx") -> DataFrame:
     """64-bit SimHash per doc: bit b of the hash is the sign of
     sum(±1 over tokens, + if token-hash bit b set) — equivalently, bit b is
     set iff MORE than half the tokens have bit b of their hash set.
@@ -220,7 +316,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = (
         fan_out(df)
         .selectExpr(id_col, f"explode({_tokens_sql(text_col)}) AS t")
-        .selectExpr(id_col, "xxhash64(t) AS th")
+        .selectExpr(id_col, f"{_token_hash_sql('t', hash_mode)} AS th")
     )
     lanes, lane_bits = 2, 32
     groups = 64 // lanes
@@ -255,6 +351,7 @@ def simhash_near_dup_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    hash_mode: str = "xx",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -270,7 +367,7 @@ def simhash_near_dup_pairs(
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_mode=hash_mode)
     # unsigned-shift via shiftrightunsigned keeps the top chunk sane
     chunks = ", ".join(
         f"struct({i} AS band, shiftrightunsigned(simhash, {i * width}) & {mask}L AS bucket)"

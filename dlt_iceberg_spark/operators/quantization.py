@@ -37,7 +37,9 @@ def pq_train(
     bounded sample).  Returns ``m`` codebooks of ``k`` sub-centroids."""
     import numpy as np
 
-    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()
+    from dlt_iceberg_spark.operators.similarity import _bounded_sample
+
+    rows = _bounded_sample(corpus, vec_col, sample_size).collect()
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
     dim = mat.shape[1]

@@ -222,6 +222,18 @@ def select_top_tokens(
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
     base = df.filter(F.col(score_col).isNotNull())
+    # the driver cumsum in step 1 is O(distinct scores) — only safe when the
+    # score is quantized.  A raw float score makes distinct ≈ n and would
+    # collect the corpus; fail loudly instead of OOMing the driver.
+    max_distinct = 100_000
+    n_distinct = base.select(F.countDistinct(score_col)).collect()[0][0]
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"select_top_tokens: {n_distinct} distinct values in {score_col!r} "
+            f"(> {max_distinct}) — the per-score driver cumsum requires a "
+            "quantized score; round/bucket the score column first "
+            "(e.g. F.round(score, 4))"
+        )
     totals = base.groupBy(score_col).agg(F.sum(tokens_col).alias("tok")).collect()
     scores = sorted(((r[0], r["tok"]) for r in totals), key=lambda x: -x[0])
     cum = 0

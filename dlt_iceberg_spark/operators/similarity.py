@@ -133,6 +133,24 @@ def hyperplane_lsh_topk(
     )
 
 
+def _bounded_sample(df: DataFrame, vec_col: str, sample_size: int) -> DataFrame:
+    """Deterministic hash-gated sample of up to ``sample_size`` vectors.
+
+    ``limit(n)`` takes the first parquet rows in scan order — at scale that
+    is ONE file's data distribution, so centroids/codebooks train on a
+    biased slice.  Instead every row gets a stable per-row hash rank and the
+    global smallest ``sample_size`` survive: order-independent, seed-free,
+    and representative regardless of file layout.  Cost is one pass + a
+    top-n (TakeOrdered — no full sort), still O(corpus scan) like any
+    sampling, with O(sample) driver memory.
+    """
+    ranked = df.select(
+        F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")).alias("_rk"),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+    return ranked.orderBy("_rk").limit(sample_size).select(vec_col)
+
+
 def _train_spherical_kmeans(
     corpus: DataFrame,
     vec_col: str,
@@ -150,7 +168,7 @@ def _train_spherical_kmeans(
     corpus scans."""
     import numpy as np
 
-    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_size).collect()
+    rows = _bounded_sample(corpus, vec_col, sample_size).collect()
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
     rng = np.random.default_rng(seed)
@@ -241,6 +259,7 @@ def all_pairs_cosine_blas(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    max_rows: int = 500_000,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold via broadcast + BLAS matmul.
 
@@ -257,6 +276,15 @@ def all_pairs_cosine_blas(
     import numpy as np
     import pandas as pd
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"all_pairs_cosine_blas: corpus has {n} rows > max_rows={max_rows}; "
+            "the corpus matrix is collected to the driver and broadcast, so this "
+            "kernel is for broadcast-budget corpora only — use "
+            "all_pairs_cosine_blocked (exact, distributed) or "
+            "embedding_near_duplicates (LSH) instead"
+        )
     rows = df.select(id_col, F.col(vec_col).cast("array<double>")).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
@@ -285,6 +313,84 @@ def all_pairs_cosine_blas(
         df.select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v"))
     )
     return src.mapInPandas(score, out_schema)
+
+
+def all_pairs_cosine_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed (no driver
+    collect): block-matrix self-join + per-block-pair BLAS.
+
+    Rows hash into ``ceil(n / block_rows)`` blocks; every unordered block
+    pair (i ≤ j) becomes one task that multiplies the two block matrices
+    with numpy float64 inside Arrow-batched ``applyInPandas``.  Work is the
+    same O(n²) every exact all-pairs algorithm pays, but it is spread over
+    B(B+1)/2 independent tasks with O(block_rows²) memory each — the
+    executor never sees more than two blocks, the driver never sees any
+    vectors.  This is the exact-kernel tier between the broadcast BLAS
+    kernel (collects the corpus; ≤ broadcast budget) and LSH
+    (:func:`embedding_near_duplicates`, sub-quadratic but approximate):
+    right for corpora up to ~10M rows where the answer must be exact.
+
+    Output: (a, b, cosine) with a < b.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()
+    n_blocks = max(1, math.ceil(n / block_rows))
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int"))
+    blocks = src.groupBy("_blk").agg(
+        F.collect_list(F.struct("_id", "_v")).alias("_items")
+    )
+    left = blocks.select(
+        F.col("_blk").alias("_bl"), F.col("_items").alias("_li")
+    )
+    right = blocks.select(
+        F.col("_blk").alias("_br"), F.col("_items").alias("_ri")
+    )
+    pairs = left.join(right, F.col("_bl") <= F.col("_br"))
+
+    out_schema = "a long, b long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            qa, qb, qc = [], [], []
+            for _, row in pdf.iterrows():
+                li, ri = row["_li"], row["_ri"]
+                same = row["_bl"] == row["_br"]
+                lid = np.array([it["_id"] for it in li], dtype=np.int64)
+                rid = np.array([it["_id"] for it in ri], dtype=np.int64)
+                lm = np.array([it["_v"] for it in li], dtype=np.float64)
+                rm = np.array([it["_v"] for it in ri], dtype=np.float64)
+                lm = lm / np.sqrt((lm * lm).sum(axis=1, keepdims=True))
+                rm = rm / np.sqrt((rm * rm).sum(axis=1, keepdims=True))
+                sims = lm @ rm.T
+                mask = sims >= threshold
+                if same:
+                    # a < b inside one block: keep strictly-upper by id
+                    mask &= lid[:, None] < rid[None, :]
+                else:
+                    mask &= lid[:, None] != rid[None, :]
+                for i, j in zip(*np.nonzero(mask)):
+                    x, y = int(lid[i]), int(rid[j])
+                    qa.append(min(x, y))
+                    qb.append(max(x, y))
+                    qc.append(float(sims[i, j]))
+            yield pd.DataFrame({"a": qa, "b": qb, "cosine": qc})
+
+    return (
+        pairs.mapInPandas(score, out_schema)
+        .dropDuplicates(["a", "b"])
+    )
 
 
 def embedding_near_duplicates(

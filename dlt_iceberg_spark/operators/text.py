@@ -111,11 +111,22 @@ def language_id(
 
 
 def rolling_fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 8, keep_mod: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 8,
+    keep_mod: int = 16,
+    hash_mode: str = "xx",
 ) -> DataFrame:
     """Winnowing-style document fingerprint: hash every ``window``-token
     shingle, keep hashes ≡ 0 (mod keep_mod), fingerprint = xxhash of the
     kept set.  Robust to local edits (content-defined sampling).
+
+    ``hash_mode='xx'`` (production) hashes tokens with xxhash64 and digests
+    the kept set with xxhash64 (a long).  ``hash_mode='md5'`` is the
+    cross-engine verification path: tokens hash to the top 60 bits of md5
+    (reproducible in DuckDB as ``('0x' || substr(md5(t), 1, 15))::BIGINT``)
+    and the fingerprint is the md5 hex digest of the sorted kept set — every
+    step pure arithmetic/md5 so an independent engine can replay it exactly.
 
     Tokens are hashed to longs once per row (a projection barrier keeps it
     single-pass); each window hash is then a polynomial fold over a slice of
@@ -134,16 +145,27 @@ def rolling_fingerprint(
             lambda acc, h: F.pmod(acc * F.lit(1_000_003) + F.pmod(h, p), p),
         )
 
-    staged = fan_out(df).withColumn("_th", F.transform(_tokens(text_col), lambda t: F.xxhash64(t)))
+    if hash_mode == "xx":
+        def tok_hash(t):
+            return F.xxhash64(t)
+    elif hash_mode == "md5":
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r} (expected 'xx' or 'md5')")
+
+    staged = fan_out(df).withColumn("_th", F.transform(_tokens(text_col), tok_hash))
     th = F.col("_th")
     n = F.size(th)
     shingle_hashes = F.when(n < window, F.array(_poly(th))).otherwise(
         F.transform(F.sequence(F.lit(0), n - window), lambda i: _poly(F.slice(th, i + 1, window)))
     )
     kept = F.filter(shingle_hashes, lambda h: F.pmod(h, F.lit(keep_mod)) == 0)
+    joined = F.concat_ws(",", F.transform(F.sort_array(kept), lambda h: h.cast("string")))
+    fingerprint = F.xxhash64(joined) if hash_mode == "xx" else F.md5(joined)
     return staged.withColumns(
         {
-            "fingerprint": F.xxhash64(F.concat_ws(",", F.transform(F.sort_array(kept), lambda h: h.cast("string")))),
+            "fingerprint": fingerprint,
             "n_anchors": F.size(kept).cast("long"),
         }
     ).drop("_th")
