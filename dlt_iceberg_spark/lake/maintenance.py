@@ -132,7 +132,14 @@ def expire_snapshots(
         for f in list(s.files) + list(s.delete_files)
         if f.path not in live_paths
     }
-    for rel in sorted(dead_paths):
+    # chunked manifests are shared across snapshots by reference; one stops
+    # being live only when NO retained snapshot lists it (computed before
+    # deleting anything — expired data-file detection above reads them)
+    live_manifests = {r.path for s in retained for r in s.manifests}
+    dead_manifests = {
+        r.path for s in expired for r in s.manifests if r.path not in live_manifests
+    }
+    for rel in sorted(dead_paths | dead_manifests):
         p = os.path.join(table.location, rel)
         if os.path.exists(p):
             os.remove(p)
@@ -307,6 +314,7 @@ def remove_orphan_files(
                 if snap is not None:
                     referenced.update(f.path for f in snap.files)
                     referenced.update(d.path for d in snap.delete_files)
+                    referenced.update(r.path for r in snap.manifests)
 
     out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
 
@@ -328,6 +336,15 @@ def remove_orphan_files(
     if os.path.isdir(meta_dir):
         stale_meta = [n for n in os.listdir(meta_dir) if n.startswith("_ptr_")]
         stale_meta += stale_manifests
+        # chunked file manifests referenced by no reachable snapshot (e.g.
+        # written by a committer that lost the pointer race)
+        stale_meta += [
+            n
+            for n in os.listdir(meta_dir)
+            if n.startswith("m-")
+            and n.endswith(".parquet")
+            and f"metadata/{n}" not in referenced
+        ]
         for name in sorted(stale_meta):
             abs_path = os.path.join(meta_dir, name)
             if _old(abs_path):

@@ -1,0 +1,227 @@
+"""Chunked parquet manifests — the scale backbone of LakeTable metadata.
+
+Iceberg's metadata design (metadata.json → manifest list → avro manifests)
+exists so that neither commits nor scan planning ever materialize the whole
+file inventory on one machine.  This module is that design with parquet as
+the manifest format (readable by ANY engine, including Spark itself for
+distributed scan planning):
+
+- a snapshot records a list of :class:`ManifestRef` (path + counts +
+  aggregated per-column value ranges) instead of inlining every file entry;
+- each manifest is a parquet file of up to ``MANIFEST_CHUNK`` file entries
+  (path, rows, bytes, sequence, stats, partition);
+- a commit that adds files REUSES the parent's manifests untouched and
+  writes one new manifest for the adds — O(touched), never O(table);
+- pruning consults the refs' aggregate ranges first, so manifests whose
+  whole value range misses the probe are skipped without being read.
+
+Reference parity: the reference delegates this machinery to PyIceberg
+(src/dlt_iceberg/destination_client.py commit path); no Iceberg runtime
+exists in this environment, so the equivalent structure is implemented
+Spark-first here.  Field mapping to real Iceberg: ManifestRef ≈
+manifest_file (manifest_path, added_rows_count, partitions summary),
+the parquet entry schema ≈ manifest_entry.data_file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+#: max file entries per manifest chunk.  800k files / 10k = 80 refs in the
+#: snapshot JSON — small enough to parse per commit, large enough that the
+#: per-manifest parquet overhead is noise.
+MANIFEST_CHUNK = 10_000
+
+#: when a table accumulates more than this many manifests (e.g. one per
+#: micro-append), the small ones are folded together at the next commit —
+#: the same metadata-compaction Iceberg's ``rewrite_manifests`` performs.
+MAX_MANIFESTS = 64
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    rows: int
+    bytes: int
+    # column -> [min, max] (json-encodable) for prune-able primitive columns
+    stats: dict[str, list[Any]] = dc_field(default_factory=dict)
+    partition: dict[str, Any] = dc_field(default_factory=dict)
+    # data sequence number (Iceberg v2): the snapshot version that ADDED this
+    # file.  None = not yet committed; commit() stamps it.  Equality deletes
+    # apply only to data files with a strictly smaller sequence.
+    sequence: int | None = None
+
+
+@dataclass
+class DeleteFile:
+    """Equality-delete file (Iceberg v2 merge-on-read): a parquet file of
+    key tuples; rows of OLDER data files matching any tuple are dead."""
+
+    path: str
+    rows: int
+    bytes: int
+    equality_ids: list[str]  # key column names the tuples are over
+    sequence: int | None = None
+
+
+@dataclass
+class ManifestRef:
+    """Snapshot-level pointer to one manifest parquet + enough aggregate
+    metadata to plan without opening it."""
+
+    path: str  # relative to table root (metadata/m-<uuid>.parquet)
+    n_files: int
+    rows: int
+    bytes: int
+    # column -> [min, max] over every entry that has stats for the column.
+    # ``None`` range bound = some entry lacked stats → range is unbounded on
+    # that column (must-read on any probe of it).
+    ranges: dict[str, list[Any]] = dc_field(default_factory=dict)
+    partitions: dict[str, list[Any]] = dc_field(default_factory=dict)
+
+    def may_match(self, column: str, lo: Any, hi: Any) -> bool:
+        """Could any entry's [min,max] for ``column`` overlap [lo, hi]?
+        ``None`` bounds are unbounded (-inf / +inf)."""
+        rng = self.ranges.get(column)
+        if rng is None:
+            return True  # no aggregate info -> must read
+        mn, mx = rng
+        if mn is None or mx is None:
+            return True
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            return True
+        return True
+
+
+_ENTRY_SCHEMA = pa.schema(
+    [
+        pa.field("path", pa.string(), nullable=False),
+        pa.field("rows", pa.int64(), nullable=False),
+        pa.field("bytes", pa.int64(), nullable=False),
+        pa.field("sequence", pa.int64(), nullable=True),
+        pa.field("stats", pa.string(), nullable=False),  # json: {col: [min,max]}
+        pa.field("partition", pa.string(), nullable=False),  # json: {col: value}
+    ]
+)
+
+
+def aggregate_ranges(entries: list[DataFile]) -> dict[str, list[Any]]:
+    """Union of per-file [min,max] per column; a file missing stats for a
+    column makes that column's aggregate unbounded (None bounds)."""
+    ranges: dict[str, list[Any]] = {}
+    all_cols: set[str] = set()
+    for f in entries:
+        all_cols.update(f.stats.keys())
+    for col in all_cols:
+        mn: Any = None
+        mx: Any = None
+        unbounded = False
+        for f in entries:
+            st = f.stats.get(col)
+            if st is None or st[0] is None or st[1] is None:
+                unbounded = True
+                break
+            mn = st[0] if mn is None else min(mn, st[0])
+            mx = st[1] if mx is None else max(mx, st[1])
+        ranges[col] = [None, None] if unbounded else [mn, mx]
+    return ranges
+
+
+def _aggregate_partitions(entries: list[DataFile]) -> dict[str, list[Any]]:
+    parts: dict[str, set] = {}
+    for f in entries:
+        for k, v in f.partition.items():
+            parts.setdefault(k, set()).add(v)
+    # bounded summary: distinct values if few, else min/max envelope
+    out: dict[str, list[Any]] = {}
+    for k, vals in parts.items():
+        vs = sorted((v for v in vals if v is not None), key=str)
+        out[k] = vs[:32] if len(vs) <= 32 else [vs[0], vs[-1]]
+    return out
+
+
+def write_manifest(table_location: str, entries: list[DataFile]) -> ManifestRef:
+    """Persist one manifest parquet under metadata/; returns its ref.
+
+    Written BEFORE the snapshot that references it — an orphaned manifest
+    from a failed commit is garbage-collected by maintenance, never visible.
+    """
+    meta_dir = os.path.join(table_location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    name = f"m-{uuid.uuid4().hex}.parquet"
+    table = pa.Table.from_pydict(
+        {
+            "path": [f.path for f in entries],
+            "rows": [f.rows for f in entries],
+            "bytes": [f.bytes for f in entries],
+            "sequence": [f.sequence for f in entries],
+            "stats": [json.dumps(f.stats) for f in entries],
+            "partition": [json.dumps(f.partition) for f in entries],
+        },
+        schema=_ENTRY_SCHEMA,
+    )
+    pq.write_table(table, os.path.join(meta_dir, name))
+    return ManifestRef(
+        path=f"metadata/{name}",
+        n_files=len(entries),
+        rows=sum(f.rows for f in entries),
+        bytes=sum(f.bytes for f in entries),
+        ranges=aggregate_ranges(entries),
+        partitions=_aggregate_partitions(entries),
+    )
+
+
+def read_manifest(table_location: str, ref: ManifestRef | str) -> list[DataFile]:
+    """Load one manifest's entries (vectorized parquet read)."""
+    rel = ref.path if isinstance(ref, ManifestRef) else ref
+    t = pq.read_table(os.path.join(table_location, rel))
+    cols = {name: t.column(name).to_pylist() for name in t.column_names}
+    return [
+        DataFile(
+            path=cols["path"][i],
+            rows=cols["rows"][i],
+            bytes=cols["bytes"][i],
+            sequence=cols["sequence"][i],
+            stats=json.loads(cols["stats"][i]),
+            partition=json.loads(cols["partition"][i]),
+        )
+        for i in range(t.num_rows)
+    ]
+
+
+def write_chunked(table_location: str, entries: list[DataFile]) -> list[ManifestRef]:
+    """Write entries as one or more chunk-sized manifests."""
+    return [
+        write_manifest(table_location, entries[i : i + MANIFEST_CHUNK])
+        for i in range(0, len(entries), MANIFEST_CHUNK)
+    ] if entries else []
+
+
+def compact_refs(
+    table_location: str, refs: list[ManifestRef]
+) -> list[ManifestRef]:
+    """Fold small manifests together when the ref list outgrows
+    ``MAX_MANIFESTS`` — reads ONLY the small manifests being folded
+    (O(folded entries), not O(table)).  Full-sized manifests pass through."""
+    if len(refs) <= MAX_MANIFESTS:
+        return refs
+    small = [r for r in refs if r.n_files < MANIFEST_CHUNK // 2]
+    if len(small) < 2:
+        return refs
+    keep = [r for r in refs if r.n_files >= MANIFEST_CHUNK // 2]
+    merged: list[DataFile] = []
+    for r in small:
+        merged.extend(read_manifest(table_location, r))
+    return keep + write_chunked(table_location, merged)

@@ -94,7 +94,10 @@ class StateStore:
             table = self.catalog.load_table(self.namespace, name)
         snap = table.snapshot()
         files = table.stage_dataframe(df)
-        table.commit(snap.files + files, schema, "append", snap.version)
+        table.commit(
+            None, schema, "append", snap.version,
+            manifests=snap.manifests, new_files=snap.inline_files + files,
+        )
 
     # -- M4: schema registry ----------------------------------------------
 
@@ -165,25 +168,52 @@ class StateStore:
         return bool(df.filter(F.col("load_id") == load_id).limit(1).collect())
 
     def store_completed_load(
-        self, load_id: str, schema_name: str | None = None, schema_version_hash: str | None = None
+        self,
+        load_id: str,
+        schema_name: str | None = None,
+        schema_version_hash: str | None = None,
+        max_retries: int = 3,
+        backoff_base: float = 1.0,
+        sleep=None,
     ) -> bool:
-        """Idempotent by load_id (destination_client.py:1026-1137)."""
-        if self.load_recorded(load_id):
-            return False
-        self._append(
-            LOADS_TABLE,
-            LOADS_SCHEMA,
-            [
-                Row(
-                    load_id=load_id,
-                    schema_name=schema_name,
-                    status=0,
-                    inserted_at=_utcnow_naive(),
-                    schema_version_hash=schema_version_hash,
-                )
-            ],
+        """Idempotent by load_id, resilient to transient/ambiguous commit
+        failures (destination_client.py:1026-1137 +
+        test_load_metadata_resilience.py:34-128):
+
+        - already recorded → no-op (idempotency check per attempt);
+        - commit conflict → READ-AFTER-ERROR ambiguity check: a failed
+          pointer race may still mean a concurrent committer recorded this
+          very load_id — if the row now exists, the load IS recorded and
+          retrying would double-append; only genuinely-absent rows retry
+          with backoff.
+        """
+        import time as _time
+
+        from dlt_iceberg_spark.errors import CommitConflictError
+
+        do_sleep = sleep if sleep is not None else _time.sleep
+        row = Row(
+            load_id=load_id,
+            schema_name=schema_name,
+            status=0,
+            inserted_at=_utcnow_naive(),
+            schema_version_hash=schema_version_hash,
         )
-        return True
+        last: Exception | None = None
+        for attempt in range(max_retries):
+            if self.load_recorded(load_id):
+                return attempt > 0  # recorded (by us mid-retry, or a no-op)
+            try:
+                self._append(LOADS_TABLE, LOADS_SCHEMA, [row])
+                return True
+            except CommitConflictError as exc:
+                last = exc
+                # ambiguous outcome: did the conflicting commit carry our row?
+                if self.load_recorded(load_id):
+                    return True
+                if attempt < max_retries - 1:
+                    do_sleep(backoff_base * (2.0**attempt))
+        raise last  # every retry lost the race to OTHER commits
 
     # -- M3: pipeline state -----------------------------------------------
 

@@ -7,26 +7,32 @@ tests/test_class_based_atomic.py:100-106) is provided by this layer:
 Layout (under ``<warehouse>/<namespace>/<table>/``)::
 
     data/<uuid>.parquet            immutable data files
-    metadata/v<NNNN>.json          snapshot manifests
+    metadata/v<NNNN>.json          snapshot: schema + manifest list
+    metadata/m-<uuid>.parquet      chunked file manifests (lake/manifest.py)
     metadata/_current              pointer file, atomically renamed into place
 
-A snapshot manifest records the schema (Spark JSON), partition spec, and the
-FULL list of live data files with per-file stats (row count, column min/max
-from parquet footers).  Commits are optimistic: writers stage data files,
-then attempt ``os.rename`` of a new version pointer — rename is atomic on
-POSIX, so exactly one concurrent committer wins; losers raise
-CommitConflictError and the writer layer retries on fresh state
-(the same protocol as Iceberg's metadata-pointer swap).
+A snapshot records the schema (Spark JSON), partition spec, delete files,
+and a MANIFEST LIST — refs to chunked parquet manifests, each holding up to
+10k file entries with per-file stats (row count, column min/max from parquet
+footers) plus aggregate per-manifest value ranges.  Commits are optimistic:
+writers stage data files, then attempt ``os.rename`` of a new version
+pointer — rename is atomic on POSIX, so exactly one concurrent committer
+wins; losers raise CommitConflictError and the writer layer retries on
+fresh state (the same protocol as Iceberg's metadata-pointer swap).
 
 Scale notes:
-- Readers plan scans from the manifest (no directory listing — on object
+- Readers plan scans from manifests (no directory listing — on object
   stores listing 100 TB of files is the bottleneck Iceberg exists to avoid).
-- Per-file min/max stats enable file pruning for merges: a MERGE only
-  rewrites files whose key range overlaps the incoming batch
-  (lake/writer.py), which is Iceberg's copy-on-write strategy.
-- File-level metadata stays O(files) JSON on the driver; at true 100 TB
-  scale the manifest itself would become a parquet manifest-list (Iceberg's
-  design); the interface here hides that choice from the engine.
+- Commits are O(touched files): appends/merges reuse parent manifests by
+  reference and write one new chunk (Iceberg's manifest-list design); an
+  append to an 800k-file table writes ~1 manifest, not 800k JSON entries.
+- Two-level pruning: per-manifest aggregate ranges skip whole manifests
+  unread; per-file [min,max] stats skip files.  A MERGE rewrites only files
+  whose key ranges overlap the batch on EVERY key column (lake/writer.py) —
+  Iceberg's copy-on-write strategy with composite-key intersection.
+- Manifests are parquet, so the file inventory itself scans as a
+  distributed Spark job (``metadata_df('files')``) — nothing about the
+  table's own metadata is driver-bound at scale.
 """
 
 from __future__ import annotations
@@ -46,6 +52,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dlt_iceberg_spark.errors import CommitConflictError
+from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
+    DataFile,
+    DeleteFile,
+    ManifestRef,
+    aggregate_ranges,
+    compact_refs,
+    read_manifest,
+    write_chunked,
+)
 
 _STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
 
@@ -89,49 +104,62 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
 
 
 @dataclass
-class DataFile:
-    path: str  # relative to table root
-    rows: int
-    bytes: int
-    # column -> [min, max] (json-encodable) for prune-able primitive columns
-    stats: dict[str, list[Any]] = dc_field(default_factory=dict)
-    partition: dict[str, Any] = dc_field(default_factory=dict)
-    # data sequence number (Iceberg v2): the snapshot version that ADDED this
-    # file.  None = not yet committed; commit() stamps it.  Equality deletes
-    # apply only to data files with a strictly smaller sequence.
-    sequence: int | None = None
-
-
-@dataclass
-class DeleteFile:
-    """Equality-delete file (Iceberg v2 merge-on-read): a parquet file of
-    key tuples; rows of OLDER data files matching any tuple are dead."""
-
-    path: str
-    rows: int
-    bytes: int
-    equality_ids: list[str]  # key column names the tuples are over
-    sequence: int | None = None
-
-
-@dataclass
 class Snapshot:
+    """One committed table state.
+
+    The live file set is ``manifests`` (chunked parquet manifests, reused
+    across commits) plus ``inline_files`` (entries not yet folded into a
+    manifest — legacy snapshots only).  ``files`` expands everything on
+    first access; commit/prune paths avoid it so driver work stays
+    O(touched files), never O(table).
+    """
+
     version: int
     schema: T.StructType
-    files: list[DataFile]
     operation: str  # append | overwrite | merge | merge-mor | delete | create
     parent: int | None
     timestamp: str
+    manifests: list[ManifestRef] = dc_field(default_factory=list)
+    inline_files: list[DataFile] = dc_field(default_factory=list)
     partition_spec: list[dict[str, Any]] = dc_field(default_factory=list)
     summary: dict[str, Any] = dc_field(default_factory=dict)
     properties: dict[str, str] = dc_field(default_factory=dict)
     delete_files: list[DeleteFile] = dc_field(default_factory=list)
+    location: str | None = None  # table root, for lazy manifest expansion
+    _files_cache: list[DataFile] | None = dc_field(
+        default=None, repr=False, compare=False
+    )
+
+    @property
+    def files(self) -> list[DataFile]:
+        """FULL live file list (reads every manifest — O(table) driver
+        memory; scan planning and metadata tables need it, commit paths
+        must not)."""
+        if self._files_cache is None:
+            out = list(self.inline_files)
+            for ref in self.manifests:
+                out.extend(read_manifest(self.location, ref))
+            self._files_cache = out
+        return self._files_cache
+
+    @property
+    def n_files(self) -> int:
+        return len(self.inline_files) + sum(r.n_files for r in self.manifests)
 
     @property
     def total_rows(self) -> int:
         """Upper bound under merge-on-read: live rows = data rows minus
-        whatever the equality deletes mask (exact only after rewrite)."""
-        return sum(f.rows for f in self.files)
+        whatever the equality deletes mask (exact only after rewrite).
+        Computed from manifest aggregates — no manifest reads."""
+        return sum(f.rows for f in self.inline_files) + sum(
+            r.rows for r in self.manifests
+        )
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.bytes for f in self.inline_files) + sum(
+            r.bytes for r in self.manifests
+        )
 
 
 def _collect_file_stats(abs_path: str, schema: T.StructType) -> tuple[int, int, dict]:
@@ -226,9 +254,13 @@ class LakeTable:
         return Snapshot(
             version=raw["version"],
             schema=T.StructType.fromJson(raw["schema"]),
-            # legacy manifests predate sequence numbers: their files are
-            # older than any delete file, i.e. sequence 0
-            files=[DataFile(**{"sequence": 0, **f}) for f in raw["files"]],
+            manifests=[ManifestRef(**m) for m in raw.get("manifests", [])],
+            # legacy inline file lists predate chunked manifests (and
+            # sequence numbers: such files are older than any delete file,
+            # i.e. sequence 0)
+            inline_files=[
+                DataFile(**{"sequence": 0, **f}) for f in raw.get("files", [])
+            ],
             operation=raw["operation"],
             parent=raw["parent"],
             timestamp=raw["timestamp"],
@@ -236,6 +268,7 @@ class LakeTable:
             summary=raw.get("summary", {}),
             properties=raw.get("properties", {}),
             delete_files=[DeleteFile(**d) for d in raw.get("delete_files", [])],
+            location=self.location,
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -361,14 +394,18 @@ class LakeTable:
         current = self.current_version()
         if to_version == current:
             return old
+        # manifests are immutable once written, so the rolled-back-to
+        # snapshot's refs are reused verbatim — a rollback is O(1) metadata
         return self.commit(
-            old.files,
+            None,
             old.schema,
             "rollback",
             current,
             partition_spec=old.partition_spec,
             summary={"rolled-back-to": to_version},
             delete_files=old.delete_files,
+            manifests=old.manifests,
+            new_files=old.inline_files,
         )
 
     def metadata_df(self, kind: str = "snapshots") -> DataFrame:
@@ -393,9 +430,9 @@ class LakeTable:
                     s.parent,
                     s.operation,
                     s.timestamp,
-                    len(s.files),
+                    s.n_files,
                     s.total_rows,
-                    sum(f.bytes for f in s.files),
+                    s.total_bytes,
                     {k: str(v) for k, v in s.summary.items()},
                 )
                 for s in self.snapshots()
@@ -410,7 +447,7 @@ class LakeTable:
                 "partition map<string,string>, "
                 "column_mins map<string,string>, column_maxs map<string,string>"
             )
-            rows = [
+            inline_rows = [
                 (
                     f.path,
                     f.rows,
@@ -419,9 +456,31 @@ class LakeTable:
                     {k: str(v[0]) for k, v in f.stats.items()},
                     {k: str(v[1]) for k, v in f.stats.items()},
                 )
-                for f in snap.files
+                for f in snap.inline_files
             ]
-            return self.spark.createDataFrame(rows, schema)
+            out = self.spark.createDataFrame(inline_rows, schema)
+            if snap.manifests:
+                # manifests ARE parquet: the file inventory scans as a
+                # distributed Spark job — an 800k-file listing never
+                # materializes on the driver
+                mdf = self.spark.read.parquet(
+                    *[os.path.join(self.location, r.path) for r in snap.manifests]
+                )
+                stats_t = "map<string,array<string>>"
+                mrows = mdf.select(
+                    F.col("path").alias("file_path"),
+                    F.col("rows"),
+                    F.col("bytes"),
+                    F.from_json("partition", "map<string,string>").alias("partition"),
+                    F.transform_values(
+                        F.from_json("stats", stats_t), lambda _, v: v[0]
+                    ).alias("column_mins"),
+                    F.transform_values(
+                        F.from_json("stats", stats_t), lambda _, v: v[1]
+                    ).alias("column_maxs"),
+                )
+                out = out.unionByName(mrows)
+            return out
         if kind == "history":
             chain = []
             snap = self.snapshot()
@@ -527,7 +586,7 @@ class LakeTable:
 
     def commit(
         self,
-        files: list[DataFile],
+        files: list[DataFile] | None,
         schema: T.StructType,
         operation: str,
         expected_parent: int | None,
@@ -535,8 +594,22 @@ class LakeTable:
         properties: dict[str, str] | None = None,
         summary: dict[str, Any] | None = None,
         delete_files: list[DeleteFile] | None = None,
+        manifests: list[ManifestRef] | None = None,
+        new_files: list[DataFile] | None = None,
     ) -> Snapshot:
-        """Atomically publish a new snapshot whose live-file set is ``files``.
+        """Atomically publish a new snapshot.
+
+        Two forms:
+
+        - ``files=[...]`` — the FULL live-file set (full-rewrite operations:
+          replace, compaction, z-order).  Entries are chunked into fresh
+          parquet manifests; driver cost O(given files), which such
+          operations pay anyway.
+        - ``manifests=[refs], new_files=[...]`` — the delta form: parent
+          manifests are REUSED by reference (never read), added files become
+          one new manifest.  An append to an 800k-file table touches only
+          the entries it adds — this is Iceberg's manifest-list design and
+          the reason commits stay O(touched) at any table size.
 
         ``delete_files`` is the snapshot's FULL equality-delete set (None =
         no deletes — callers rewriting the table clear them implicitly;
@@ -550,6 +623,8 @@ class LakeTable:
         advanced past ``expected_parent`` (detected by the loser of the
         version-file rename race).
         """
+        if files is not None and (manifests is not None or new_files is not None):
+            raise ValueError("pass files=... OR manifests=/new_files=, not both")
         os.makedirs(self._meta_dir, exist_ok=True)
         current = self.current_version()
         if current != expected_parent:
@@ -562,10 +637,23 @@ class LakeTable:
         versions = self._all_versions()
         new_version = versions[-1] + 1 if versions else 0
         prev = self.snapshot(current) if current is not None else None
-        stamped = [
-            f if f.sequence is not None else DataFile(**{**vars(f), "sequence": new_version})
-            for f in files
-        ]
+
+        def stamp(fl: list[DataFile]) -> list[DataFile]:
+            return [
+                f if f.sequence is not None
+                else DataFile(**{**vars(f), "sequence": new_version})
+                for f in fl
+            ]
+
+        if files is not None:
+            refs = write_chunked(self.location, stamp(files))
+        else:
+            refs = list(manifests or [])
+            adds = stamp(new_files or [])
+            if adds:
+                refs.extend(write_chunked(self.location, adds))
+            # fold accumulated micro-manifests (reads only the small ones)
+            refs = compact_refs(self.location, refs)
         # None = inherit: an append/evolve on a merge-on-read table must not
         # drop the delete set (that would resurrect masked rows)
         resolved_deletes = (
@@ -580,7 +668,7 @@ class LakeTable:
         snap = Snapshot(
             version=new_version,
             schema=schema,
-            files=stamped,
+            manifests=refs,
             operation=operation,
             parent=current,
             timestamp=datetime.now(timezone.utc).isoformat(),
@@ -592,11 +680,22 @@ class LakeTable:
             if properties is not None
             else (prev.properties if prev else {}),
             delete_files=resolved_deletes,
+            location=self.location,
         )
         payload = {
             "version": snap.version,
             "schema": snap.schema.jsonValue(),
-            "files": [vars(f) for f in snap.files],
+            "manifests": [
+                {
+                    "path": r.path,
+                    "n_files": r.n_files,
+                    "rows": r.rows,
+                    "bytes": r.bytes,
+                    "ranges": r.ranges,
+                    "partitions": r.partitions,
+                }
+                for r in snap.manifests
+            ],
             "operation": snap.operation,
             "parent": snap.parent,
             "timestamp": snap.timestamp,
@@ -652,7 +751,6 @@ class LakeTable:
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        files = snap.files
         if where:
             names = {f.name for f in snap.schema.fields}
             for c, op, _ in where:
@@ -660,11 +758,15 @@ class LakeTable:
                     raise ValueError(f"no such column {c!r}")
                 if op not in ("=", "==", "!=", ">", ">=", "<", "<="):
                     raise ValueError(f"unsupported predicate op {op!r}")
+            # two-level prune, Iceberg-style: manifest aggregate ranges skip
+            # whole manifests unread, file [min,max] stats skip files
             files = [
                 f
-                for f in files
+                for f in self._candidate_files(snap, where)
                 if all(_file_may_match(f, c, op, v) for c, op, v in where)
             ]
+        else:
+            files = snap.files
         df = self._plan_scan(snap, files)
         for c, op, v in where or []:
             df = df.filter(_OPS[op](F.col(c), v))
@@ -821,21 +923,89 @@ class LakeTable:
         paths = [os.path.join(self.location, f.path) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def prune_files(self, snap: Snapshot, column: str, lo: Any, hi: Any) -> tuple[list[DataFile], list[DataFile]]:
-        """Split live files into (maybe-matching, definitely-not) by the
-        recorded [min,max] of ``column`` vs the probe range [lo, hi].
+    @staticmethod
+    def _probe_range(op: str, v: Any) -> tuple[Any, Any]:
+        """Predicate → [lo, hi] envelope (None = unbounded side)."""
+        if op in ("=", "=="):
+            return v, v
+        if op in (">", ">="):
+            return v, None
+        if op in ("<", "<="):
+            return None, v
+        return None, None  # != prunes nothing at range level
 
-        This is the manifest-level pruning a MERGE uses to avoid rewriting
-        untouched files — at 100 TB the difference between rewriting 3 files
-        and 30,000.
+    def _candidate_files(
+        self, snap: Snapshot, where: list[tuple[str, str, Any]]
+    ) -> list[DataFile]:
+        """Expand only manifests whose aggregate ranges could satisfy ALL
+        predicates; skipped manifests are never read."""
+        out = list(snap.inline_files)
+        for ref in snap.manifests:
+            if all(
+                ref.may_match(c, *self._probe_range(op, v)) for c, op, v in where
+            ):
+                out.extend(read_manifest(self.location, ref))
+        return out
+
+    @staticmethod
+    def _file_overlaps(f: DataFile, probes: dict[str, tuple[Any, Any]]) -> bool:
+        """Conjunctive range overlap: the file may hold a matching row only
+        if its [min,max] overlaps EVERY probed column's range (missing
+        stats ⇒ assume overlap on that column)."""
+        for col, (lo, hi) in probes.items():
+            st = f.stats.get(col)
+            if st is None or st[0] is None or st[1] is None:
+                continue
+            try:
+                if (hi is not None and st[0] > hi) or (lo is not None and st[1] < lo):
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    def prune_split(
+        self, snap: Snapshot, probes: dict[str, tuple[Any, Any]]
+    ) -> tuple[list[DataFile], list[ManifestRef], list[DataFile]]:
+        """Split the live set by conjunctive range probes WITHOUT expanding
+        untouched manifests.
+
+        Returns ``(touched, kept_manifests, kept_files)``:
+
+        - ``touched`` — files whose stats overlap every probe range (a
+          copy-on-write merge must rewrite exactly these);
+        - ``kept_manifests`` — manifests whose AGGREGATE range proves no
+          member file can match; passed back to the delta commit by
+          reference, never read — this is what keeps a merge into an
+          800k-file table O(touched) on the driver;
+        - ``kept_files`` — non-matching entries of the manifests that did
+          have to be opened (recommitted as new-manifest entries).
+
+        Probing multiple columns intersects the prune sets: a composite-PK
+        merge rewrites only files overlapping on EVERY key column, so a
+        low-selectivity first key no longer degrades to rewrite-everything.
         """
-        hit, miss = [], []
-        for f in snap.files:
-            st = f.stats.get(column)
-            if st is None:
-                hit.append(f)  # no stats -> must assume match
-            elif st[1] < lo or st[0] > hi:
-                miss.append(f)
-            else:
-                hit.append(f)
-        return hit, miss
+        touched: list[DataFile] = []
+        kept_refs: list[ManifestRef] = []
+        kept_files: list[DataFile] = []
+        for f in snap.inline_files:
+            (touched if self._file_overlaps(f, probes) else kept_files).append(f)
+        for ref in snap.manifests:
+            if any(
+                not ref.may_match(c, lo, hi) for c, (lo, hi) in probes.items()
+            ):
+                kept_refs.append(ref)
+                continue
+            for f in read_manifest(self.location, ref):
+                (touched if self._file_overlaps(f, probes) else kept_files).append(f)
+        return touched, kept_refs, kept_files
+
+    def prune_files(
+        self, snap: Snapshot, column: str, lo: Any, hi: Any
+    ) -> tuple[list[DataFile], list[DataFile]]:
+        """Single-column split into (maybe-matching, definitely-not), both
+        materialized.  Kept for callers that want explicit file lists; the
+        scale path is :meth:`prune_split`."""
+        touched, kept_refs, kept_files = self.prune_split(snap, {column: (lo, hi)})
+        for ref in kept_refs:
+            kept_files.extend(read_manifest(self.location, ref))
+        return touched, kept_files

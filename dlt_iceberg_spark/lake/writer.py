@@ -165,8 +165,11 @@ class LakeWriter:
 
         if disposition == "append":
             new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
+            # delta commit: parent manifests ride by reference — an append
+            # never reads or rewrites the existing file inventory
             table.commit(
-                snap.files + new_files, target_schema, "append", snap.version, summary=summary
+                None, target_schema, "append", snap.version, summary=summary,
+                manifests=snap.manifests, new_files=snap.inline_files + new_files,
             )
         elif disposition == "replace":
             scope = (
@@ -221,10 +224,13 @@ class LakeWriter:
         ]
         new_pspec = desired if desired and desired != snap.partition_spec else None
         if changed or new_pspec is not None:
-            # one metadata-only evolution commit covering both changes
+            # one metadata-only evolution commit covering both changes;
+            # delta form: the file inventory is untouched, so no manifest
+            # is read or rewritten
             op = "evolve-schema" if changed else "evolve-partition"
             table.commit(
-                snap.files, evolved, op, snap.version, partition_spec=new_pspec
+                None, evolved, op, snap.version, partition_spec=new_pspec,
+                manifests=snap.manifests, new_files=snap.inline_files,
             )
         return table, evolved
 
@@ -353,7 +359,10 @@ class LakeWriter:
                 spec.name,
             )
             new_files = table.stage_dataframe(batch.drop(hard_delete_col) if has_hard_delete else batch)
-            table.commit(snap.files + new_files, target_schema, "append", snap.version, summary=summary)
+            table.commit(
+                None, target_schema, "append", snap.version, summary=summary,
+                manifests=snap.manifests, new_files=snap.inline_files + new_files,
+            )
             return
 
         if snap.delete_files:
@@ -363,22 +372,27 @@ class LakeWriter:
             snap = table.fold_deletes()
 
         # --- file pruning by key-range overlap (copy-on-write planning) ---
-        probe_key = keys[0]
-        touched, untouched = snap.files, []
-        stats_row = None
-        if all(f.stats.get(probe_key) is not None for f in snap.files) and snap.files:
-            stats_row = (
-                batch.agg(
-                    F.min(probe_key).alias("lo"),
-                    F.max(probe_key).alias("hi"),
-                    F.count(F.lit(1)).alias("n"),
-                ).collect()[0]
-            )
-            if stats_row.n == 0:
-                touched, untouched = [], snap.files
-            else:
-                touched, untouched = table.prune_files(snap, probe_key, stats_row.lo, stats_row.hi)
-        broadcast_batch = stats_row is not None and stats_row.n <= BROADCAST_BATCH_ROWS
+        # One agg computes the batch's [min,max] envelope on EVERY key
+        # column; prune_split intersects the per-column prune sets, so a
+        # composite-PK merge rewrites only files overlapping on every key —
+        # a low-selectivity first key no longer degrades to
+        # rewrite-everything.  Files/manifests without stats are handled
+        # conservatively inside prune_split (counted as touched / read).
+        aggs = []
+        for i, k in enumerate(keys):
+            aggs.append(F.min(k).alias(f"_lo{i}"))
+            aggs.append(F.max(k).alias(f"_hi{i}"))
+        aggs.append(F.count(F.lit(1)).alias("_n"))
+        stats_row = batch.agg(*aggs).collect()[0]
+        if stats_row["_n"] == 0:
+            touched, kept_refs, kept_files = [], snap.manifests, snap.inline_files
+        else:
+            probes = {
+                k: (stats_row[f"_lo{i}"], stats_row[f"_hi{i}"])
+                for i, k in enumerate(keys)
+            }
+            touched, kept_refs, kept_files = table.prune_split(snap, probes)
+        broadcast_batch = stats_row["_n"] <= BROADCAST_BATCH_ROWS
 
         target_df = (
             table.read_files(touched)
@@ -394,8 +408,10 @@ class LakeWriter:
             broadcast_source=broadcast_batch,
         )
         new_files = table.stage_dataframe(merged)
+        # delta commit: manifests proven disjoint from the batch's key range
+        # pass through by reference — the merge is O(touched) end to end
         table.commit(
-            untouched + new_files,
+            None,
             target_schema,
             "merge",
             snap.version,
@@ -403,8 +419,10 @@ class LakeWriter:
                 **summary,
                 "strategy": strategy,
                 "rewritten_files": len(touched),
-                "pruned_files": len(untouched),
+                "pruned_files": len(kept_files) + sum(r.n_files for r in kept_refs),
             },
+            manifests=kept_refs,
+            new_files=kept_files + new_files,
         )
 
 
@@ -444,10 +462,12 @@ class LakeWriter:
         new_delete_files = table.stage_delete_files(del_keys, keys)
         new_files = table.stage_dataframe(data)
         table.commit(
-            snap.files + new_files,
+            None,
             target_schema,
             "merge-mor",
             snap.version,
+            manifests=snap.manifests,
+            new_files=snap.inline_files + new_files,
             delete_files=snap.delete_files + new_delete_files,
             summary={
                 **summary,

@@ -9,6 +9,15 @@ from dlt_iceberg_spark.session import configure_session  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "integration: needs live external services (REST catalog, object "
+        "store) — auto-skipped when unreachable, mirroring the reference's "
+        "docker-based integration suite",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = (

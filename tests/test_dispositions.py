@@ -416,3 +416,60 @@ def test_stale_commit_loses_then_writer_retry_succeeds(spark, warehouse, monkeyp
     assert calls["n"] == 1
     monkeypatch.undo()
     assert sorted(r.id for r in catalog.load_table("main", "race").read().collect()) == list(range(30))
+
+
+def test_mixed_partitioning_e2e(spark, warehouse):
+    """Reference golden case (tests/test_partitioning_e2e.py:207): one table
+    partitioned by hour(timestamp) + identity(region) + bucket[5](customer):
+    the spec records all three transforms and every data file carries the
+    full partition tuple."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    base = datetime(2024, 1, 1)
+    rows = [
+        Row(
+            sale_id=i,
+            sale_timestamp=base + timedelta(hours=i % 6),
+            region=f"region_{i % 3}",
+            customer_id=i % 10,
+            amount=i * 50.0,
+        )
+        for i in range(20)
+    ]
+    spec = TableSpec(
+        name="sales",
+        write_disposition="append",
+        column_hints={
+            "sale_timestamp": {"x-partition": True, "x-partition-transform": "hour"},
+            "region": {"x-partition": True},  # identity default
+            "customer_id": {"x-partition": True, "x-partition-transform": "bucket[5]"},
+        },
+    )
+    writer.write(spec, spark.createDataFrame(rows))
+    table = catalog.load_table("main", "sales")
+    snap = table.snapshot()
+    by_transform = {p["transform"]: p for p in snap.partition_spec}
+    assert set(by_transform) == {"hour", "identity", "bucket"}
+    assert by_transform["bucket"]["param"] == 5
+    assert by_transform["hour"]["column"] == "sale_timestamp"
+    assert by_transform["identity"]["column"] == "region"
+    # every file records its full 3-field partition tuple (field naming:
+    # "{col}_{transform}", identity keeps the column name)
+    for f in snap.files:
+        assert set(f.partition) >= {
+            "sale_timestamp_hour",
+            "region",
+            "customer_id_bucket",
+        }
+    # partition values actually partition the data: 6 hours x 3 regions x
+    # <=5 buckets, each file holds exactly one tuple
+    assert len({tuple(sorted(f.partition.items())) for f in snap.files}) == len(snap.files)
+    # round trip intact
+    got = {(r.sale_id, r.region) for r in table.read().collect()}
+    assert got == {(i, f"region_{i % 3}") for i in range(20)}

@@ -66,3 +66,66 @@ def test_derive_schema_from_tables_fallback(spark, warehouse):
     assert doc["version_hash"] == "derived_from_iceberg"
     assert set(doc["tables"]) == {"users"}
     assert doc["tables"]["users"]["columns"]["user_id"]["data_type"] == "bigint"
+
+
+# ---- load-ledger resilience (reference golden cases:
+# tests/test_load_metadata_resilience.py:34-128) ----------------------------
+
+def test_store_load_retries_transient_commit_error(store, monkeypatch):
+    """A transient commit conflict retries with backoff and lands exactly
+    one row."""
+    from dlt_iceberg_spark.errors import CommitConflictError
+
+    calls = {"n": 0}
+    orig = type(store)._append
+
+    def flaky(self, name, schema, rows):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise CommitConflictError("transient commit failure")
+        return orig(self, name, schema, rows)
+
+    sleeps = []
+    monkeypatch.setattr(type(store), "_append", flaky)
+    assert store.store_completed_load("retry-load", sleep=sleeps.append) is True
+    assert calls["n"] == 2
+    assert sleeps == [1.0]
+    assert store.load_recorded("retry-load")
+
+
+def test_store_load_idempotent_no_append_when_recorded(store, monkeypatch):
+    """Second store for the same load_id must not append at all."""
+    assert store.store_completed_load("idem-load") is True
+
+    def boom(self, *a, **k):
+        raise AssertionError("append must not be called for a recorded load")
+
+    monkeypatch.setattr(type(store), "_append", boom)
+    assert store.store_completed_load("idem-load") is False
+
+
+def test_store_load_ambiguous_commit_read_after_error(store, monkeypatch):
+    """When the commit errors but the read-after-error check finds the row
+    (a concurrent committer recorded this load), do NOT retry the append —
+    retrying would double-record the load."""
+    from dlt_iceberg_spark.errors import CommitConflictError
+
+    orig = type(store)._append
+    calls = {"n": 0}
+
+    def ambiguous(self, name, schema, rows):
+        calls["n"] += 1
+        # the append "fails" AFTER a concurrent writer landed the same row
+        orig(self, name, schema, rows)
+        raise CommitConflictError("state unknown")
+
+    sleeps = []
+    monkeypatch.setattr(type(store), "_append", ambiguous)
+    assert store.store_completed_load("ambig-load", sleep=sleeps.append) is True
+    assert calls["n"] == 1  # no second append
+    assert sleeps == []  # no backoff: ambiguity resolved by reading
+    monkeypatch.setattr(type(store), "_append", orig)
+    df = store._table_df(
+        "_dlt_loads", __import__("dlt_iceberg_spark.lake.state", fromlist=["LOADS_SCHEMA"]).LOADS_SCHEMA
+    )
+    assert df.filter(df.load_id == "ambig-load").count() == 1
