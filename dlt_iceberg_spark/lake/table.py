@@ -125,6 +125,11 @@ class Snapshot:
     summary: dict[str, Any] = dc_field(default_factory=dict)
     properties: dict[str, str] = dc_field(default_factory=dict)
     delete_files: list[DeleteFile] = dc_field(default_factory=list)
+    # Iceberg-compatible STABLE field ids: assigned once at first sight of a
+    # column, never reused or renumbered across schema evolution — the
+    # property a real Iceberg writer swap depends on (columns are tracked by
+    # id, not name, so renames/evolution don't corrupt old data files)
+    field_ids: dict[str, int] = dc_field(default_factory=dict)
     location: str | None = None  # table root, for lazy manifest expansion
     _files_cache: list[DataFile] | None = dc_field(
         default=None, repr=False, compare=False
@@ -268,6 +273,7 @@ class LakeTable:
             summary=raw.get("summary", {}),
             properties=raw.get("properties", {}),
             delete_files=[DeleteFile(**d) for d in raw.get("delete_files", [])],
+            field_ids=raw.get("field_ids", {}),
             location=self.location,
         )
 
@@ -665,6 +671,15 @@ class LakeTable:
             d if d.sequence is not None else DeleteFile(**{**vars(d), "sequence": new_version})
             for d in resolved_deletes
         ]
+        # stable field ids (Iceberg compat): carry the parent's mapping,
+        # assign fresh ids only to never-before-seen columns.  Dropped
+        # columns keep their id reserved — ids are never reused.
+        field_ids = dict(prev.field_ids) if prev else {}
+        next_id = max(field_ids.values(), default=0) + 1
+        for fld in schema.fields:
+            if fld.name not in field_ids:
+                field_ids[fld.name] = next_id
+                next_id += 1
         snap = Snapshot(
             version=new_version,
             schema=schema,
@@ -680,11 +695,14 @@ class LakeTable:
             if properties is not None
             else (prev.properties if prev else {}),
             delete_files=resolved_deletes,
+            field_ids=field_ids,
             location=self.location,
         )
         payload = {
+            "format_version": 2,
             "version": snap.version,
             "schema": snap.schema.jsonValue(),
+            "field_ids": snap.field_ids,
             "manifests": [
                 {
                     "path": r.path,

@@ -203,3 +203,81 @@ def test_expire_snapshots_gc_unreferenced_manifests(spark, tmp_path):
         assert not os.path.exists(os.path.join(loc, rel))
     # current snapshot unaffected
     assert {f.path for f in t.snapshot().files} == {"data/new.parquet"}
+
+
+# ---- interop: independent-parser round trip -------------------------------
+
+def _parse_table_independently(location):
+    """Reconstruct table state using ONLY json + pyarrow — no LakeTable
+    code.  This is the contract an external engine (or a future real
+    Iceberg writer swap) programs against."""
+    import pyarrow.parquet as pq_
+
+    meta = os.path.join(location, "metadata")
+    with open(os.path.join(meta, "_current")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta, f"v{version:06d}.json")) as fh:
+        snap = json.load(fh)
+    files = [dict(f) for f in snap.get("files", [])]
+    for ref in snap.get("manifests", []):
+        t = pq_.read_table(os.path.join(location, ref["path"]))
+        for i in range(t.num_rows):
+            files.append(
+                {
+                    "path": t.column("path")[i].as_py(),
+                    "rows": t.column("rows")[i].as_py(),
+                    "stats": json.loads(t.column("stats")[i].as_py()),
+                }
+            )
+    return snap, files
+
+
+def test_independent_parser_round_trip(spark, tmp_path):
+    """Snapshot + manifests must be fully readable without LakeTable:
+    version, schema, field ids, file inventory, row totals."""
+    loc = str(tmp_path / "interop")
+    t = LakeTable(spark, loc)
+    s0 = t.commit(
+        [
+            DataFile(path="data/a.parquet", rows=7, bytes=70, stats={"k1": [1, 5]}),
+            DataFile(path="data/b.parquet", rows=3, bytes=30, stats={"k1": [6, 9]}),
+        ],
+        SCHEMA,
+        "create",
+        None,
+    )
+    raw, files = _parse_table_independently(loc)
+    assert raw["format_version"] == 2
+    assert raw["version"] == s0.version
+    assert {f["path"] for f in files} == {"data/a.parquet", "data/b.parquet"}
+    assert sum(f["rows"] for f in files) == 10
+    # schema parses with Spark's own JSON reader (an independent entrypoint)
+    parsed = T.StructType.fromJson(raw["schema"])
+    assert [f.name for f in parsed.fields] == ["k1", "k2"]
+    assert raw["field_ids"] == {"k1": 1, "k2": 2}
+
+
+def test_field_ids_stable_across_evolution(spark, tmp_path):
+    """Schema evolution must never renumber existing columns — the
+    id-stability property real Iceberg interop depends on."""
+    loc = str(tmp_path / "fids")
+    t = LakeTable(spark, loc)
+    s0 = t.commit([], SCHEMA, "create", None)
+    assert s0.field_ids == {"k1": 1, "k2": 2}
+    wider = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("added", T.StringType())]
+    )
+    s1 = t.commit(
+        None, wider, "evolve-schema", s0.version,
+        manifests=s0.manifests, new_files=[],
+    )
+    assert s1.field_ids == {"k1": 1, "k2": 2, "added": 3}
+    # drop a column: its id stays reserved, survivors keep theirs
+    narrower = T.StructType([SCHEMA.fields[0], T.StructField("added", T.StringType())])
+    s2 = t.commit(None, narrower, "evolve-schema", s1.version, manifests=s1.manifests, new_files=[])
+    assert s2.field_ids["k1"] == 1 and s2.field_ids["added"] == 3
+    assert s2.field_ids["k2"] == 2  # reserved, never reused
+    # re-adding a NEW column gets a NEW id, not k2's
+    wider2 = T.StructType(list(narrower.fields) + [T.StructField("later", T.LongType())])
+    s3 = t.commit(None, wider2, "evolve-schema", s2.version, manifests=s2.manifests, new_files=[])
+    assert s3.field_ids["later"] == 4
