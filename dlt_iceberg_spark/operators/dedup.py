@@ -160,6 +160,12 @@ def minhash_lsh_candidates(
         buckets.select("ids")
         .distinct()
         .selectExpr("xxhash64(concat_ws(',', ids)) AS lid", "ids")
+        # both sides of the pair self-join below read this relation; without
+        # a persist each side recomputes the WHOLE upstream (shingle hashing,
+        # signature aggregation, banding) — the single biggest cost in the
+        # pipeline.  The relation itself is tiny (one row per unique bucket
+        # member-list).
+        .persist()
     )
     # pair production as a relational self-equi-join on the list id, NOT an
     # explode of a built pair array: transform/flatten lambdas are
