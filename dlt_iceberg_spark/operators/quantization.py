@@ -156,3 +156,67 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: coarse centroids bound WHERE to look, PQ codes bound WHAT is
+    stored — the FAISS composite index for corpora that fit neither a full
+    scan nor fp32 residence.
+
+    Plan shape at 100 TB: the corpus is scanned once at build time
+    (assignment + encode, both Arrow-batched map-side); queries probe
+    ``nprobe`` lists so the scored fraction is ~nprobe/n_centroids of the
+    table, and each scored row costs ``m`` one-byte table lookups instead
+    of a float-vector dot product.  Training stays O(sample) on the driver
+    (hash-gated, never ``limit``).
+
+    Returns (query_id, neighbor_id, adc_dist, rank) within probed lists.
+    """
+    from dlt_iceberg_spark.operators.similarity import (
+        _nearest_centroids,
+        _train_spherical_kmeans,
+    )
+
+    centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
+    assign1 = _nearest_centroids(centroids, 1)
+    probe_n = _nearest_centroids(centroids, nprobe)
+
+    books = pq_train(corpus, vec_col, m_subspaces, k_codes, seed=seed)
+    codes = pq_encode(
+        corpus.withColumn("_centroid", assign1(F.col(vec_col).cast("array<double>"))[0]),
+        books,
+        vec_col,
+    )
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_n(F.col(vec_col).cast("array<double>"))).alias("_centroid"),
+    )
+    # keep only corpus rows in a probed list, then ADC-score the remainder;
+    # the semi-join keys on the centroid id (broadcast — queries are few)
+    probed = codes.join(
+        F.broadcast(probes.select("_centroid").distinct()), "_centroid"
+    ).drop("_centroid")
+    out = pq_topk(queries, probed, books, vec_col, id_col, k)
+    # a neighbor scored from a list the query did NOT probe must not count:
+    # re-join against the per-query probe set
+    lists = codes.select(F.col(id_col).alias("neighbor_id"), "_centroid")
+    allowed = probes.join(lists, "_centroid").select("query_id", "neighbor_id")
+    filtered = out.join(allowed, ["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

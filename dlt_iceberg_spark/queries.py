@@ -1374,6 +1374,28 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_dedup_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Streaming ingest dedup (streaming/micro_batch.py::streaming_dedup "
+        "— dropDuplicatesWithinWatermark on stream input, dropDuplicates in "
+        "batch) keyed on (user_id, event_type), aggregated to per-type user "
+        "counts.  The kept ROW per key is arrival-dependent; the per-key "
+        "COUNT is deterministic, so the oracle checks count(DISTINCT)."
+    ),
+)
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.streaming import streaming_dedup
+
+    e = _t(spark, sf_dir, "events")
+    deduped = streaming_dedup(e, ["user_id", "event_type"])
+    return deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
     "events_asof_last_signup",
     f"""
     WITH l AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
@@ -2803,7 +2825,10 @@ _GATE_PRIORITY = [
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
     "dedup_exact", "text_quality", "sample_documents", "split_documents",
-    "cap_docs_per_lang", "mixture_by_source",
+    "cap_docs_per_lang",
+    # new in round 3 — never artifact-verified, so it takes the gate slot of
+    # an entry that already has two green driver rows (mixture_by_source)
+    "stream_dedup_users",
 ]
 
 

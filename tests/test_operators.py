@@ -329,3 +329,19 @@ def test_rolling_fingerprint_md5_mode(spark):
     out = rolling_fingerprint(df, "text", hash_mode="md5").collect()
     assert out[0].fingerprint == out[1].fingerprint
     assert isinstance(out[0].fingerprint, str) and len(out[0].fingerprint) == 32
+
+
+def test_ivfpq_recall_vs_bruteforce(emb_real):
+    """IVF-PQ composite (FAISS index shape): recall@5 must clearly beat the
+    ~1% random baseline on the near-random fixture (bounded below PQ alone
+    since probing only shrinks the candidate set)."""
+    from dlt_iceberg_spark.operators.quantization import ivfpq_topk
+
+    q = emb_real.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_bruteforce(q, emb_real, k=5).collect()
+    approx = ivfpq_topk(
+        q, emb_real, k=5, n_centroids=16, nprobe=8, m_subspaces=16, k_codes=16
+    ).collect()
+    assert _recall_at_k(approx, exact, 5) >= 0.2
+    # every returned neighbor must come from a probed list (no leakage)
+    assert all(r.rank <= 5 for r in approx)
