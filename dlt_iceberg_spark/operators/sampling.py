@@ -197,6 +197,7 @@ def select_top_tokens(
     budget: int,
     id_col: str = "doc_id",
     id_buckets: int = 1024,
+    max_distinct: int = 100_000,
 ) -> DataFrame:
     """Quality-budget curation: keep rows in (score DESC, id ASC) order
     while the running token total stays ≤ ``budget`` — exactly the rows a
@@ -225,7 +226,6 @@ def select_top_tokens(
     # the driver cumsum in step 1 is O(distinct scores) — only safe when the
     # score is quantized.  A raw float score makes distinct ≈ n and would
     # collect the corpus; fail loudly instead of OOMing the driver.
-    max_distinct = 100_000
     n_distinct = base.select(F.countDistinct(score_col)).collect()[0][0]
     if n_distinct > max_distinct:
         raise ValueError(

@@ -159,3 +159,38 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
     assert c != sorted((r.doc_id, r.shard) for r in s1.collect())
     with pytest.raises(ValueError):
         shuffle_shards(df, "doc_id", 0)
+
+
+def test_select_top_tokens_rejects_unquantized_scores(spark):
+    """A raw float score would turn the per-score driver cumsum into an
+    O(n) collect; the guard must fail loudly instead."""
+    import pytest as _pytest
+    from dlt_iceberg_spark.operators.sampling import select_top_tokens
+
+    df = spark.range(20).selectExpr(
+        "id AS doc_id", "rand(7) AS score", "10 AS n_tokens"
+    )
+    with _pytest.raises(ValueError, match="quantized"):
+        select_top_tokens(df, "score", "n_tokens", budget=50, max_distinct=10)
+
+
+def test_bounded_sample_is_order_independent(spark):
+    """Training samples must not depend on file/scan order (the limit()
+    trap: 'first N rows' = one file's distribution on a real table).
+    The hash-gated sample returns the SAME set from a sorted, reverse-sorted,
+    or shuffled input."""
+    from dlt_iceberg_spark.operators.similarity import _bounded_sample
+
+    rows = [(i, [float(i), float(i % 5)]) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def sample_set(frame):
+        return {
+            tuple(r[0]) for r in _bounded_sample(frame, "embedding", 50).collect()
+        }
+
+    asc = sample_set(df.orderBy("vec_id"))
+    desc = sample_set(df.orderBy(df.vec_id.desc()))
+    shuffled = sample_set(df.repartition(7))
+    assert asc == desc == shuffled
+    assert len(asc) <= 50 and len(asc) > 5
