@@ -226,3 +226,97 @@ def test_mor_sequences_match_model(spark, ops):
 
     got = sorted((r.id, r.val) for r in catalog.load_table("m", "t").read().collect())
     assert got == sorted(model)
+
+
+# ---- manifest pruning: conservative correctness on arbitrary inputs -------
+
+file_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.tuples(st.integers(-50, 50), st.integers(0, 30))),
+        st.one_of(st.none(), st.tuples(st.integers(-50, 50), st.integers(0, 30))),
+    ),
+    min_size=0,
+    max_size=40,
+)
+probe_strategy = st.dictionaries(
+    st.sampled_from(["k1", "k2"]),
+    st.tuples(
+        st.one_of(st.none(), st.integers(-60, 60)),
+        st.one_of(st.none(), st.integers(-60, 60)),
+    ),
+    min_size=1,
+    max_size=2,
+)
+
+
+@given(files=file_strategy, probes=probe_strategy)
+@settings(max_examples=200, deadline=None)
+def test_prune_split_is_conservative_and_complete(tmp_path_factory, files, probes):
+    """For ANY stats layout and probe set: (1) no file that could match all
+    probes is ever pruned; (2) touched + kept partitions the table; (3) a
+    manifest skipped unread contains no matching file.  Checked against a
+    brute-force row-level evaluator."""
+    from dlt_iceberg_spark.lake.manifest import DataFile, write_manifest
+    from dlt_iceberg_spark.lake.table import LakeTable, Snapshot
+    from pyspark.sql import types as T
+
+    entries = []
+    for i, (r1, r2) in enumerate(files):
+        stats = {}
+        if r1 is not None:
+            stats["k1"] = [r1[0], r1[0] + r1[1]]
+        if r2 is not None:
+            stats["k2"] = [r2[0], r2[0] + r2[1]]
+        entries.append(DataFile(path=f"data/f{i}.parquet", rows=1, bytes=1, stats=stats, sequence=0))
+
+    def brute_may_match(f):
+        # conservative semantics: overlap on every probed column unless the
+        # file's stats PROVE disjointness
+        for col, (lo, hi) in probes.items():
+            st_ = f.stats.get(col)
+            if st_ is None:
+                continue
+            if lo is not None and st_[1] < lo:
+                return False
+            if hi is not None and st_[0] > hi:
+                return False
+        return True
+
+    loc = str(tmp_path_factory.mktemp("prop") / "t")
+    import os as _os
+
+    _os.makedirs(loc, exist_ok=True)
+    # split entries across two manifests + some inline files
+    third = len(entries) // 3
+    refs = []
+    if entries[:third]:
+        refs.append(write_manifest(loc, entries[:third]))
+    if entries[third : 2 * third]:
+        refs.append(write_manifest(loc, entries[third : 2 * third]))
+    snap = Snapshot(
+        version=0,
+        schema=T.StructType([T.StructField("k1", T.LongType()), T.StructField("k2", T.LongType())]),
+        operation="create",
+        parent=None,
+        timestamp="2026-01-01T00:00:00+00:00",
+        manifests=refs,
+        inline_files=entries[2 * third :],
+        location=loc,
+    )
+    table = LakeTable.__new__(LakeTable)  # prune_split touches no session
+    table.location = loc
+    touched, kept_refs, kept_files = table.prune_split(snap, probes)
+
+    touched_paths = {f.path for f in touched}
+    expected = {f.path for f in entries if brute_may_match(f)}
+    assert touched_paths == expected  # conservative AND tight at file level
+
+    # partition property: every file accounted for exactly once
+    kept_ref_count = sum(r.n_files for r in kept_refs)
+    assert len(touched) + len(kept_files) + kept_ref_count == len(entries)
+    # skipped manifests truly contain no matching file
+    from dlt_iceberg_spark.lake.manifest import read_manifest
+
+    for ref in kept_refs:
+        for f in read_manifest(loc, ref):
+            assert not brute_may_match(f)
