@@ -70,6 +70,63 @@ def quality_score(
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition features: repeated content is the strongest
+    single signal of low-quality web text (boilerplate, SEO spam, scraper
+    loops — Rae et al. 2021 §A1.1 use exactly these thresholds).
+
+    Adds, per row (pure expressions, map-side, no shuffle):
+
+    - ``distinct_token_ratio``  — |distinct tokens| / |tokens|;
+    - ``top_token_ratio``       — occurrences of the most frequent token /
+      |tokens| (Gopher rejects > 0.2 for stopword-like floods);
+    - ``dup_bigram_ratio``      — 1 − |distinct bigrams| / |bigrams|
+      (repeated phrasing; Gopher rejects high fractions).
+    """
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    # top-token count via aggregate over the distinct set is O(n²) per row;
+    # instead sort + count the longest run of equal neighbors in ONE pass
+    sorted_t = F.sort_array(toks)
+    # NB: guarded below for <2 tokens — sequence(1, 0) is DESCENDING in
+    # Spark (implicit step -1), not empty, and would index out of bounds
+    top_run = F.aggregate(
+        F.sequence(F.lit(1), F.size(sorted_t) - 1),
+        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
+        lambda acc, i: F.struct(
+            F.when(F.element_at(sorted_t, i + 1) == F.element_at(sorted_t, i), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    F.element_at(sorted_t, i + 1) == F.element_at(sorted_t, i), acc["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws("\x1f", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    n_bi = F.size(bigrams).cast("double")
+    dup_bigram = F.when(
+        n_bi < 1, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi)
+    top = F.when(F.size(toks) < 2, F.lit(1)).otherwise(top_run)
+    return df.withColumns(
+        {
+            "distinct_token_ratio": distinct_ratio,
+            "top_token_ratio": top.cast("double") / n,
+            "dup_bigram_ratio": dup_bigram,
+        }
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", markers: dict[str, list[str]] | None = None
 ) -> DataFrame:

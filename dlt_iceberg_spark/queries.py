@@ -2120,6 +2120,51 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+    topc AS (SELECT doc_id, max(c) AS top FROM
+             (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+    big AS (SELECT doc_id, toks,
+                   CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                        ELSE [toks[i] || chr(31) || toks[i + 1]
+                              for i in generate_series(1, len(toks) - 1)]
+                   END AS bg
+            FROM t)
+    SELECT b.doc_id,
+           floor(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS distinct_token_ratio,
+           floor(topc.top / CAST(len(toks) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS top_token_ratio,
+           floor((CASE WHEN len(bg) < 1 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(bg)) / CAST(len(bg) AS DOUBLE) END)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_bigram_ratio
+    FROM big b JOIN topc USING (doc_id)
+    """,
+    doc=(
+        "Gopher-style repetition quality features (operators/text.py::"
+        "repetition_stats): distinct-token ratio, top-token frequency ratio "
+        "(longest equal-neighbor run over the sorted token array — one "
+        "O(n log n) pass, no per-row quadratic aggregate), duplicate-bigram "
+        "ratio.  Pure map-side expressions; the strongest single signal for "
+        "filtering boilerplate/SEO spam from a pre-training corpus."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_stats(d)
+    return out.select(
+        "doc_id",
+        rnd(F.col("distinct_token_ratio"), 6).alias("distinct_token_ratio"),
+        rnd(F.col("top_token_ratio"), 6).alias("top_token_ratio"),
+        rnd(F.col("dup_bigram_ratio"), 6).alias("dup_bigram_ratio"),
+    )
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id, sha256(text) AS payload_sha,
@@ -2824,11 +2869,12 @@ _GATE_PRIORITY = [
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
-    "dedup_exact", "text_quality", "sample_documents", "split_documents",
+    "dedup_exact", "text_quality", "sample_documents",
     "cap_docs_per_lang",
-    # new in round 3 — never artifact-verified, so it takes the gate slot of
-    # an entry that already has two green driver rows (mixture_by_source)
-    "stream_dedup_users",
+    # new in round 3 — never artifact-verified, so they take the gate slots
+    # of entries that already have two green driver rows (mixture_by_source,
+    # split_documents)
+    "stream_dedup_users", "text_repetition",
 ]
 
 

@@ -345,3 +345,19 @@ def test_ivfpq_recall_vs_bruteforce(emb_real):
     assert _recall_at_k(approx, exact, 5) >= 0.2
     # every returned neighbor must come from a probed list (no leakage)
     assert all(r.rank <= 5 for r in approx)
+
+
+def test_repetition_stats(spark):
+    from dlt_iceberg_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "solo")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].distinct_token_ratio == 0.5
+    assert rows[1].top_token_ratio == 0.75
+    assert abs(rows[1].dup_bigram_ratio - (1 - 2 / 3)) < 1e-9
+    assert rows[2].distinct_token_ratio == 1.0
+    assert rows[2].top_token_ratio == 0.25
+    assert rows[2].dup_bigram_ratio == 0.0
+    assert rows[3].top_token_ratio == 1.0 and rows[3].dup_bigram_ratio == 0.0
