@@ -104,6 +104,14 @@ class ManifestRef:
             return True
         return True
 
+    def may_contain_partition(self, key: str, values: set) -> bool:
+        """Could any entry carry one of ``values`` for partition ``key``?
+        Key absent from the summary ⇒ unknown ⇒ True."""
+        summary = self.partitions.get(key)
+        if summary is None:
+            return True
+        return any(v in values for v in summary)
+
 
 _ENTRY_SCHEMA = pa.schema(
     [
@@ -139,16 +147,31 @@ def aggregate_ranges(entries: list[DataFile]) -> dict[str, list[Any]]:
     return ranges
 
 
+#: partition summary cap: above this many distinct values per key the
+#: summary is dropped (key absent ⇒ "could contain anything")
+_PARTITION_SUMMARY_CAP = 32
+
+
 def _aggregate_partitions(entries: list[DataFile]) -> dict[str, list[Any]]:
+    """Exact distinct partition values per key, or ABSENT when a key
+    exceeds the cap or any entry lacks it — absence always means "must
+    assume a match", so the summary is safe to prune on."""
     parts: dict[str, set] = {}
+    missing: set[str] = set()
+    all_keys: set[str] = set()
     for f in entries:
-        for k, v in f.partition.items():
-            parts.setdefault(k, set()).add(v)
-    # bounded summary: distinct values if few, else min/max envelope
+        all_keys.update(f.partition.keys())
+    for f in entries:
+        for k in all_keys:
+            if k not in f.partition:
+                missing.add(k)
+            else:
+                parts.setdefault(k, set()).add(f.partition[k])
     out: dict[str, list[Any]] = {}
     for k, vals in parts.items():
-        vs = sorted((v for v in vals if v is not None), key=str)
-        out[k] = vs[:32] if len(vs) <= 32 else [vs[0], vs[-1]]
+        if k in missing or len(vals) > _PARTITION_SUMMARY_CAP:
+            continue
+        out[k] = sorted(vals, key=lambda v: (v is None, str(v)))
     return out
 
 

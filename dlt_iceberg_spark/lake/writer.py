@@ -303,13 +303,34 @@ class LakeWriter:
         ]
         incoming = {tuple(r) for r in batch.select(*str_exprs).distinct().collect()}
 
-        keep, drop, legacy = [], [], []
-        for f in snap.files:
-            if all(n in f.partition for n in names):
-                t = tuple(
-                    self._NULL_TOKEN if f.partition[n] is None else str(f.partition[n])
-                    for n in names
+        # manifest-level prune first: a manifest whose partition-value
+        # summary can't contain ANY incoming tuple passes through by
+        # reference, unread — dynamic overwrite into an 800k-file table
+        # touches only the manifests holding the replaced partitions
+        def _norm(v):
+            return self._NULL_TOKEN if v is None else str(v)
+
+        from dlt_iceberg_spark.lake.manifest import read_manifest
+
+        kept_refs, candidates = [], list(snap.inline_files)
+        for ref in snap.manifests:
+            may_hold = any(
+                all(
+                    ref.partitions.get(n) is None
+                    or t[i] in {_norm(s) for s in ref.partitions[n]}
+                    for i, n in enumerate(names)
                 )
+                for t in incoming
+            )
+            if may_hold:
+                candidates.extend(read_manifest(table.location, ref))
+            else:
+                kept_refs.append(ref)
+
+        keep, drop, legacy = [], [], []
+        for f in candidates:
+            if all(n in f.partition for n in names):
+                t = tuple(_norm(f.partition[n]) for n in names)
                 (drop if t in incoming else keep).append(f)
             else:
                 legacy.append(f)
@@ -321,11 +342,13 @@ class LakeWriter:
             rewritten = table.stage_dataframe(remaining, partition_exprs=pcols)
         new_files = table.stage_dataframe(batch, partition_exprs=pcols)
         table.commit(
-            keep + rewritten + new_files,
+            None,
             target_schema,
             "overwrite-partitions",
             snap.version,
             summary={**summary, "replaced-partitions": len(incoming)},
+            manifests=kept_refs,
+            new_files=keep + rewritten + new_files,
         )
 
     # -- merge (copy-on-write) --------------------------------------------

