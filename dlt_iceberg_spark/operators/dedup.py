@@ -399,6 +399,42 @@ def simhash_near_dup_pairs(
     )
 
 
+def char_ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact character-n-gram Jaccard over candidate pairs — the
+    tokenization-free near-dup measure (robust to punctuation/whitespace
+    edits that break word tokens).
+
+    Same verification-kernel contract as :func:`token_jaccard_pairs`:
+    all-pairs form for bounded candidate sets; at scale candidates come
+    from MinHash-LSH banding over the same n-gram sets.
+    """
+    grams = F.array_distinct(
+        F.when(
+            F.length(text_col) < n, F.array(F.col(text_col))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            )
+        )
+    )
+    t = df.select(F.col(id_col), grams.alias("gr"))
+    a = t.select(F.col(id_col).alias("a"), F.col("gr").alias("ga"))
+    b = t.select(F.col(id_col).alias("b"), F.col("gr").alias("gb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ga", "gb"))
+            / F.size(F.array_union("ga", "gb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -1947,6 +1947,39 @@ def dedup_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN length(text) < 3 THEN [text]
+                  ELSE [substr(text, i, 3)
+                        for i in generate_series(1, length(text) - 2)] END) AS g
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           floor(len(list_intersect(a.g, b.g)) /
+                 CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.g, b.g)) /
+          CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) >= 0.6
+    """,
+    doc=(
+        "Character-trigram Jaccard near-dup pairs (operators/dedup.py::"
+        "char_ngram_jaccard_pairs): tokenization-free similarity, robust to "
+        "punctuation/whitespace edits — bounded candidate window; at scale "
+        "candidates come from MinHash banding over the same n-gram sets."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    out = char_ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.6)
+    return out.select("a", "b", rnd(F.col("jaccard"), 6).alias("jaccard"))
+
+
+@query(
     "dedup_minhash_lsh",
     """
     WITH d AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t
@@ -2870,11 +2903,10 @@ _GATE_PRIORITY = [
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
     "dedup_exact", "text_quality", "sample_documents",
-    "cap_docs_per_lang",
     # new in round 3 — never artifact-verified, so they take the gate slots
     # of entries that already have two green driver rows (mixture_by_source,
     # split_documents)
-    "stream_dedup_users", "text_repetition",
+    "stream_dedup_users", "text_repetition", "dedup_ngram_jaccard",
 ]
 
 

@@ -361,3 +361,15 @@ def test_repetition_stats(spark):
     assert rows[2].top_token_ratio == 0.25
     assert rows[2].dup_bigram_ratio == 0.0
     assert rows[3].top_token_ratio == 1.0 and rows[3].dup_bigram_ratio == 0.0
+
+
+def test_char_ngram_jaccard_pairs(docs):
+    from dlt_iceberg_spark.operators.dedup import char_ngram_jaccard_pairs
+
+    out = {
+        (r.a, r.b): r.jaccard
+        for r in char_ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical text -> identical trigram set
+    assert (1, 3) in out and out[(1, 3)] > 0.7  # one-word edit stays close
+    assert (1, 4) not in out  # unrelated content
