@@ -110,3 +110,18 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS bt_left")
         spark.sql("DROP TABLE IF EXISTS bt_right")
+
+
+def test_registry_wide_no_cartesian(spark):
+    """EVERY registered query must plan without a cartesian/BNL join —
+    the regression net for all 79 entries, not just the hand-picked ones.
+    (Plan build only; queries that train models at build time run their
+    small driver jobs at sf0.001.)"""
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            df = spec.fn(spark, SF_DIR)
+            assert_no_cartesian(df)
+        except AssertionError:
+            failures.append(name)
+    assert not failures, f"cartesian joins in: {failures}"
