@@ -6,15 +6,19 @@ no driver-side state. See BASELINE.json north_star.
 """
 
 from dlt_iceberg_spark.operators.dedup import (
+    char_ngram_jaccard_pairs,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
     minhash_lsh_dedup,
+    minhash_verified_pairs,
     simhash,
     simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
 from dlt_iceberg_spark.operators.similarity import (
+    all_pairs_cosine_blas,
+    all_pairs_cosine_blocked,
     cosine_topk_bruteforce,
     hyperplane_lsh_topk,
     ivf_topk,
@@ -23,12 +27,13 @@ from dlt_iceberg_spark.operators.similarity import (
 from dlt_iceberg_spark.operators.asof import asof_join
 from dlt_iceberg_spark.operators.range_join import interval_join
 from dlt_iceberg_spark.operators.graph import connected_components, dedup_clusters
-from dlt_iceberg_spark.operators.quantization import pq_encode, pq_topk, pq_train
+from dlt_iceberg_spark.operators.quantization import ivfpq_topk, pq_encode, pq_topk, pq_train
 from dlt_iceberg_spark.operators.skew import salted_agg, salted_join, with_salt
 from dlt_iceberg_spark.operators.text import (
     token_stats,
     quality_score,
     language_id,
+    repetition_stats,
     rolling_fingerprint,
     chunk_documents,
 )
@@ -50,6 +55,12 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
+    "char_ngram_jaccard_pairs",
+    "minhash_verified_pairs",
+    "all_pairs_cosine_blas",
+    "all_pairs_cosine_blocked",
+    "repetition_stats",
     "salted_agg",
     "salted_join",
     "with_salt",
