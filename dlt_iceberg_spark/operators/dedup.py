@@ -63,9 +63,14 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
     )
 
 
-def shingles(text_col: str, k: int = 3):
-    """k-token shingles as strings (JVM-side: transform over an index range)."""
-    toks = _tokens(text_col)
+def shingles_of(toks, k: int = 3):
+    """k-token shingles over a token ARRAY COLUMN.
+
+    Pass a projected attribute (e.g. ``F.col("_toks")``), not a raw
+    ``split(...)`` expression: expressions captured inside the transform
+    lambda re-evaluate per shingle (re-tokenizing the document n/1 times —
+    O(n²) per row); an attribute reference makes the slice plain indexing.
+    """
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -73,6 +78,12 @@ def shingles(text_col: str, k: int = 3):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
+
+
+def shingles(text_col: str, k: int = 3):
+    """k-token shingles from a text column — ONLY for single-reference
+    projections; see :func:`shingles_of` for the giant-doc-safe form."""
+    return shingles_of(_tokens(text_col), k)
 
 
 def minhash_signatures(

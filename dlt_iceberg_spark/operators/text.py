@@ -86,42 +86,46 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
     n = F.size(toks).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)) / n
-    # top-token count via aggregate over the distinct set is O(n²) per row;
-    # instead sort + count the longest run of equal neighbors in ONE pass
-    sorted_t = F.sort_array(toks)
-    # NB: guarded below for <2 tokens — sequence(1, 0) is DESCENDING in
-    # Spark (implicit step -1), not empty, and would index out of bounds
+    # PERF: never index an array expression from inside a lambda —
+    # ``element_at(sort_array(toks), i)`` re-sorts per ELEMENT (interpreted
+    # higher-order functions re-evaluate captured expressions at every
+    # reference), turning an O(n log n) row into O(n² log n).  Iterate the
+    # sorted array's own elements instead: sort_array is an aggregate
+    # ARGUMENT, evaluated once per row.
     top_run = F.aggregate(
-        F.sequence(F.lit(1), F.size(sorted_t) - 1),
-        F.struct(F.lit(1).alias("run"), F.lit(1).alias("best")),
-        lambda acc, i: F.struct(
-            F.when(F.element_at(sorted_t, i + 1) == F.element_at(sorted_t, i), acc["run"] + 1)
-            .otherwise(F.lit(1))
-            .alias("run"),
+        F.sort_array(toks),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
             F.greatest(
                 acc["best"],
-                F.when(
-                    F.element_at(sorted_t, i + 1) == F.element_at(sorted_t, i), acc["run"] + 1
-                ).otherwise(F.lit(1)),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
             ).alias("best"),
         ),
         lambda acc: acc["best"],
     )
-    bigrams = F.when(F.size(toks) < 2, F.array()).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws("\x1f", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    # bigrams via zip_with over two slices (each computed once), not
+    # per-index element_at
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws("\x1f", a, b),
         )
     )
     n_bi = F.size(bigrams).cast("double")
     dup_bigram = F.when(
         n_bi < 1, F.lit(0.0)
     ).otherwise(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi)
-    top = F.when(F.size(toks) < 2, F.lit(1)).otherwise(top_run)
     return df.withColumns(
         {
             "distinct_token_ratio": distinct_ratio,
-            "top_token_ratio": top.cast("double") / n,
+            "top_token_ratio": top_run.cast("double") / n,
             "dup_bigram_ratio": dup_bigram,
         }
     )
@@ -251,20 +255,27 @@ def chunk_documents(
         raise ValueError("chunk_tokens and stride must be >= 1")
     if stride > chunk_tokens:
         raise ValueError("stride > chunk_tokens would drop tokens between chunks")
-    toks = _tokens(text_col)
-    n = F.size(toks)
+    # PERF: tokenize ONCE into a projection attribute.  Referencing the
+    # split(...) EXPRESSION from inside the transform lambda re-tokenizes
+    # the whole document per chunk — O(n²/stride) per row, 2 minutes for a
+    # single 200k-token doc.  As a projected column it is computed once per
+    # row and the lambda's slice() is plain array indexing; CollapseProject
+    # keeps multi-referenced expensive expressions materialized.
+    staged = fan_out(df).select(F.col(id_col), _tokens(text_col).alias("_toks"))
+    tk = F.col("_toks")
+    n = F.size(tk)
     # number of windows covering all tokens: 1 + ceil((n - chunk)/stride),
     # in integer arithmetic (float ceil drifts across engines)
     n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
         F.lit(1) + F.expr(
-            f"(size(split({text_col}, '\\\\s+')) - {chunk_tokens} + {stride} - 1) div {stride}"
+            f"(size(_toks) - {chunk_tokens} + {stride} - 1) div {stride}"
         )
     )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)),
+        lambda i: F.concat_ws(" ", F.slice(tk, i * stride + 1, chunk_tokens)),
     )
-    out = fan_out(df).select(
+    out = staged.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
     )
     return out.withColumn(
@@ -289,20 +300,29 @@ def contamination_check(
     hash set → distinct doc ids; the corpus never shuffles its text, only
     candidate doc ids.  Returns (id, n_hits) per CONTAMINATED doc.
     """
-    from dlt_iceberg_spark.operators.dedup import shingles
+    from dlt_iceberg_spark.operators.dedup import shingles_of
 
     ptc = probe_text_col or text_col
+    # tokenize into an attribute FIRST so the shingle lambda slices an
+    # array instead of re-splitting the text per shingle (O(n²) per row on
+    # long documents)
     probe_hashes = (
-        probes.select(
-            F.explode(F.array_distinct(shingles(ptc, shingle_k))).alias("s")
+        probes.select(_tokens(ptc).alias("_toks"))
+        .select(
+            F.explode(F.array_distinct(shingles_of(F.col("_toks"), shingle_k))).alias("s")
         )
         .select(F.xxhash64("s").alias("sh"))
         .distinct()
     )
-    doc_shingles = fan_out(docs).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("s"),
-    ).select(id_col, F.xxhash64("s").alias("sh"))
+    doc_shingles = (
+        fan_out(docs)
+        .select(F.col(id_col), _tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_of(F.col("_toks"), shingle_k))).alias("s"),
+        )
+        .select(id_col, F.xxhash64("s").alias("sh"))
+    )
     return (
         doc_shingles.join(F.broadcast(probe_hashes), "sh")
         .groupBy(id_col)

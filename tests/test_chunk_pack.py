@@ -113,3 +113,19 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert "<EMAIL>" in r.text_redacted and "<PHONE>" in r.text_redacted
     assert "x.org" not in r.text_redacted and "555" not in r.text_redacted
     assert "192.168.0.1" not in r.text_redacted
+
+
+def test_chunk_documents_giant_doc_is_linear(spark):
+    """Document-length canary: a 50k-token doc must chunk in seconds, not
+    minutes — guards against re-tokenizing the text per chunk (capturing
+    the split() expression inside the transform lambda is O(n²/stride))."""
+    import time
+
+    giant = " ".join(f"t{i}" for i in range(50_000))
+    df = spark.createDataFrame([(1, giant)], "doc_id long, text string")
+    t0 = time.perf_counter()
+    out = chunk_documents(df, chunk_tokens=64, stride=48)
+    n = out.count()
+    assert n == 1 + (50_000 - 64 + 48 - 1) // 48
+    # generous bound: the quadratic form took >60s here, the linear ~1s
+    assert time.perf_counter() - t0 < 30
