@@ -143,6 +143,18 @@ class StateStore:
         rows = df.filter(F.col("version_hash") == version_hash).limit(1).collect()
         return rows[0] if rows else None
 
+    def restore_schema(self, schema_name: str) -> dict:
+        """Schema restore with the reference's preference order
+        (destination_client.py:312-343 → 435-525, pinned by
+        test_get_stored_schema_prefers_dlt_version_over_derivation): the
+        ``_dlt_version`` ledger is authoritative when it has a row for this
+        schema; only a destination with NO ledger (e.g. tables created by
+        another tool) falls back to deriving the doc from live tables."""
+        row = self.get_newest_schema(schema_name)
+        if row is not None:
+            return json.loads(row.schema)
+        return self.derive_schema_from_tables()
+
     def derive_schema_from_tables(self) -> dict:
         """M1 fallback (destination_client.py:435-525): synthesize a schema
         doc from live tables, skipping `_dlt_*`."""

@@ -129,3 +129,45 @@ def test_store_load_ambiguous_commit_read_after_error(store, monkeypatch):
         "_dlt_loads", __import__("dlt_iceberg_spark.lake.state", fromlist=["LOADS_SCHEMA"]).LOADS_SCHEMA
     )
     assert df.filter(df.load_id == "ambig-load").count() == 1
+
+
+# ---- reference golden cases: tests/test_with_state_sync.py ----------------
+
+def test_lookups_return_none_when_tables_missing(spark, warehouse):
+    """Fresh destination: every lookup returns None instead of raising
+    (reference: test_get_stored_{schema,schema_by_hash,state}_returns_none
+    _when_table_missing)."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.state import StateStore
+
+    store = StateStore(LakeCatalog(spark, warehouse), "fresh_ns")
+    assert store.get_newest_schema("any") is None
+    assert store.get_schema_by_hash("deadbeef") is None
+    assert store.get_stored_state("any") is None
+    assert store.load_recorded("any") is False
+
+
+def test_restore_prefers_ledger_over_derivation(spark, warehouse):
+    """When _dlt_version has a row, restore returns THAT doc verbatim —
+    derivation only kicks in on a ledger-less destination (reference:
+    test_get_stored_schema_prefers_dlt_version_over_derivation)."""
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.state import StateStore
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    store = StateStore(catalog, "main")
+    # a live table exists (derivation WOULD find it)...
+    LakeWriter(catalog, "main").write(
+        TableSpec(name="users", write_disposition="append"),
+        spark.createDataFrame([Row(user_id=1, name="a")]),
+    )
+    derived = store.restore_schema("pipe")
+    assert "users" in derived["tables"]  # no ledger yet -> derived
+    assert derived["version_hash"] == "derived_from_iceberg"
+    # ...but once the ledger has a doc, it wins verbatim
+    doc = {"tables": {"users": {"columns": {"user_id": {"data_type": "bigint"}}}},
+           "custom_marker": True}
+    store.store_schema("pipe", "hash-1", 1, doc)
+    assert store.restore_schema("pipe") == doc
