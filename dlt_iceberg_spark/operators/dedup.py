@@ -171,12 +171,14 @@ def minhash_lsh_candidates(
         buckets.select("ids")
         .distinct()
         .selectExpr("xxhash64(concat_ws(',', ids)) AS lid", "ids")
-        # both sides of the pair self-join below read this relation; without
-        # a persist each side recomputes the WHOLE upstream (shingle hashing,
-        # signature aggregation, banding) — the single biggest cost in the
-        # pipeline.  The relation itself is tiny (one row per unique bucket
-        # member-list).
-        .persist()
+        # both sides of the pair self-join below read this relation — if it
+        # stays lazy, each side recomputes the WHOLE upstream (shingle
+        # hashing, signature aggregation, banding), and with a lazy persist
+        # the two branches RACE to fill the cache (bimodal 4s/45s runs).
+        # An eager localCheckpoint materializes the tiny relation (one row
+        # per unique bucket list) exactly once, truncates the lineage, and
+        # gives AQE exact sizes so the downstream joins plan stably.
+        .localCheckpoint(eager=True)
     )
     # pair production as a relational self-equi-join on the list id, NOT an
     # explode of a built pair array: transform/flatten lambdas are
