@@ -631,6 +631,13 @@ class LakeTable:
         """
         if files is not None and (manifests is not None or new_files is not None):
             raise ValueError("pass files=... OR manifests=/new_files=, not both")
+        if files is None and manifests is None and new_files is None:
+            # a fully-empty delta would silently publish an EMPTY table; an
+            # intentional truncate must say so with files=[]
+            raise ValueError(
+                "commit needs files=[...] (full set; [] truncates) or "
+                "manifests=/new_files= (delta)"
+            )
         os.makedirs(self._meta_dir, exist_ok=True)
         current = self.current_version()
         if current != expected_parent:

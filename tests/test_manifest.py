@@ -328,3 +328,16 @@ def test_partition_overwrite_skips_disjoint_manifests(spark, tmp_path, monkeypat
     assert all(p is None or "B" in p for p in read_partitions)
     rows = {(r.cat, r.v) for r in table.read().collect()}
     assert rows == {("A", 1), ("A", 2), ("B", 30)}
+
+
+def test_commit_rejects_fully_empty_delta(spark, tmp_path):
+    """commit(None) with neither manifests nor new_files would silently
+    truncate; it must fail loudly (files=[] is the explicit truncate)."""
+    loc = str(tmp_path / "guard")
+    t = LakeTable(spark, loc)
+    s0 = t.commit([DataFile(path="data/a.parquet", rows=1, bytes=10)], SCHEMA, "create", None)
+    with pytest.raises(ValueError, match="delta"):
+        t.commit(None, SCHEMA, "append", s0.version)
+    # explicit truncate still works
+    s1 = t.commit([], SCHEMA, "overwrite", s0.version)
+    assert s1.n_files == 0
