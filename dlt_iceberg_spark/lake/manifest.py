@@ -141,8 +141,12 @@ def aggregate_ranges(entries: list[DataFile]) -> dict[str, list[Any]]:
             if st is None or st[0] is None or st[1] is None:
                 unbounded = True
                 break
-            mn = st[0] if mn is None else min(mn, st[0])
-            mx = st[1] if mx is None else max(mx, st[1])
+            try:
+                mn = st[0] if mn is None else min(mn, st[0])
+                mx = st[1] if mx is None else max(mx, st[1])
+            except TypeError:  # mixed types across files (e.g. evolved col)
+                unbounded = True
+                break
         ranges[col] = [None, None] if unbounded else [mn, mx]
     return ranges
 
@@ -190,8 +194,8 @@ def write_manifest(table_location: str, entries: list[DataFile]) -> ManifestRef:
             "rows": [f.rows for f in entries],
             "bytes": [f.bytes for f in entries],
             "sequence": [f.sequence for f in entries],
-            "stats": [json.dumps(f.stats) for f in entries],
-            "partition": [json.dumps(f.partition) for f in entries],
+            "stats": [json.dumps(f.stats, default=str) for f in entries],
+            "partition": [json.dumps(f.partition, default=str) for f in entries],
         },
         schema=_ENTRY_SCHEMA,
     )

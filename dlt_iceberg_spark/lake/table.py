@@ -190,6 +190,13 @@ def _collect_file_stats(abs_path: str, schema: T.StructType) -> tuple[int, int, 
                     mn, mx = mn.decode(), mx.decode()
                 except UnicodeDecodeError:
                     continue
+            import datetime as _dt
+
+            if isinstance(mn, (_dt.date, _dt.datetime)):
+                # ISO strings order lexicographically == chronologically, so
+                # range pruning keeps working; raw date objects would break
+                # the JSON manifest encoding
+                mn, mx = mn.isoformat(), mx.isoformat()
             cur = stats.get(name)
             if cur is None:
                 stats[name] = [mn, mx]
@@ -735,7 +742,7 @@ class LakeTable:
         # committer at the same parent loses here (not at the pointer).
         try:
             with open(manifest, "x") as fh:
-                json.dump(payload, fh)
+                json.dump(payload, fh, default=str)
         except FileExistsError:
             raise CommitConflictError(
                 f"snapshot v{new_version} already written"

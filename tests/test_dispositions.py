@@ -473,3 +473,28 @@ def test_mixed_partitioning_e2e(spark, warehouse):
     # round trip intact
     got = {(r.sale_id, r.region) for r in table.read().collect()}
     assert got == {(i, f"region_{i % 3}") for i in range(20)}
+
+
+def test_date_column_stats_and_pruned_read(spark, warehouse):
+    """DateType stats come out of parquet footers as datetime.date — they
+    must survive the JSON manifest encoding (as ISO strings, which order
+    lexicographically == chronologically) and drive range pruning."""
+    import datetime
+
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    writer.write(
+        TableSpec(name="dated", write_disposition="append"),
+        spark.createDataFrame(
+            [Row(id=1, d=datetime.date(2024, 1, 1)), Row(id=2, d=datetime.date(2024, 6, 1))]
+        ),
+    )
+    table = catalog.load_table("main", "dated")
+    stats = [f.stats["d"] for f in table.snapshot().files if "d" in f.stats]
+    assert stats and all(isinstance(s[0], str) for s in stats)
+    assert table.read().count() == 2
+    assert table.read(where=[("d", ">=", "2024-05-01")]).count() == 1
