@@ -275,8 +275,19 @@ def minhash_verified_pairs(
     hash-match this distributed pipeline end-to-end (recall regressions
     surface as missing rows).
 
+    At ``shingle_k=1`` (token-set semantics) the pipeline first collapses
+    docs into token-set equivalence classes (see
+    :func:`_verified_pairs_token_classes`) — exact-duplicate collapse before
+    near-dup search, the standard corpus-dedup layering.  Web-scale corpora
+    are duplicate-heavy, and every group of c identical docs otherwise
+    inflates each of its LSH buckets by c and candidate pairs by c².
+
     Returns (a, b, jaccard) with a < b.
     """
+    if shingle_k == 1:
+        return _verified_pairs_token_classes(
+            df, text_col, id_col, n_hashes, bands, threshold
+        )
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     # distinct BEFORE verification: overlapping bucket lists duplicate ~half
     # the candidates, and the per-pair array intersect/union is the most
@@ -309,6 +320,181 @@ def minhash_verified_pairs(
         .dropDuplicates(["a", "b"])
         .select("a", "b", "jaccard")
     )
+
+
+def _verified_pairs_token_classes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Token-set MinHash pair pipeline over EQUIVALENCE CLASSES of docs.
+
+    Docs with the same distinct-token set have identical signatures, land in
+    the same LSH buckets in every band, and pairwise Jaccard 1.0 — running
+    banding at doc granularity makes every c-sized identical group inflate
+    its buckets by c and candidate pairs by c².  Collapsing to one class row
+    first (class key = hash of the sorted token-hash set) makes bucket size
+    proportional to the number of DISTINCT contents, then class-level
+    verified pairs expand back to doc pairs: cross-class pairs share one
+    exact Jaccard; intra-class pairs are 1.0 ≥ threshold by construction.
+
+    Semantics are identical to the per-doc pipeline (same signature math on
+    the same hashed token sets, same exact verification) — only the unit of
+    banding changes.  One extra narrow shuffle (the class groupBy) buys a
+    candidate stream quadratically smaller on duplicate-heavy corpora.
+    """
+    toks = df.selectExpr(
+        id_col,
+        f"array_sort(array_distinct(transform({_tokens_sql(text_col)}, "
+        "t -> xxhash64(t)))) AS ts",
+    )
+    classes = (
+        toks.selectExpr(id_col, "xxhash64(concat_ws(',', ts)) AS ck", "ts")
+        .groupBy("ck")
+        .agg(
+            F.first("ts").alias("ts"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+        )
+        # read by 5 plan branches (signature, both verify lookups, both
+        # expansion lookups, intra pairs); the eager checkpoint inside
+        # minhash_lsh_candidates materializes the cache before any branch
+        # races, so a plain persist is deterministic here
+        .persist()
+    )
+    mins = ", ".join(f"min(xxhash64({i}, sh))" for i in range(n_hashes))
+    sig = (
+        classes.select("ck", F.explode("ts").alias("sh"))
+        .groupBy("ck")
+        .agg(F.expr(f"array({mins}) AS signature"))
+    )
+    cands = minhash_lsh_candidates(sig, "ck", bands)
+    ca = classes.select(F.col("ck").alias("a"), F.col("ts").alias("ta"))
+    cb = classes.select(F.col("ck").alias("b"), F.col("ts").alias("tb"))
+    class_pairs = (
+        cands.join(ca, "a")
+        .join(cb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("ta", "tb"))
+            / F.size(F.array_union("ta", "tb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return _expand_class_pairs(classes, class_pairs, "ck")
+
+
+def _expand_class_pairs(classes: DataFrame, class_pairs: DataFrame, key: str) -> DataFrame:
+    """Expand verified CLASS pairs (a, b, jaccard keyed by ``key``) to doc
+    pairs: cross-class members inherit the class pair's exact Jaccard;
+    intra-class pairs are Jaccard 1.0 by construction.  ``classes`` must
+    carry (key, ids) with sorted member lists.  Doc pairs are unique by
+    construction (each doc belongs to exactly one class)."""
+    ia = classes.select(F.col(key).alias("a"), F.col("ids").alias("ia"))
+    ib = classes.select(F.col(key).alias("b"), F.col("ids").alias("ib"))
+    cross = (
+        class_pairs.join(ia, "a")
+        .join(ib, "b")
+        .select(F.explode("ia").alias("x"), "ib", "jaccard")
+        .select("x", F.explode("ib").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            F.col("jaccard"),
+        )
+    )
+    m = classes.select(key, F.explode("ids").alias("i"))
+    intra = (
+        m.select(key, F.col("i").alias("a"))
+        .join(m.select(key, F.col("i").alias("b")), key)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(intra)
+
+
+def token_set_similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 64,
+    bands: int = 32,
+    small_universe_bits: int = 64,
+    max_classes_allpairs: int = 20000,
+) -> DataFrame:
+    """Exact token-set Jaccard self-join: all doc pairs with Jaccard ≥
+    ``threshold``, choosing the physical strategy from corpus statistics
+    (the AQE philosophy applied to a custom operator):
+
+    - **Small-universe bitmask path** — when the corpus vocabulary fits in
+      ``small_universe_bits`` (≤ 64 distinct tokens), every token set is one
+      BIGINT bitmask: Jaccard(x, y) = bit_count(x & y) / bit_count(x | y),
+      exactly, with no hashing at all.  Docs collapse into mask equivalence
+      classes, the class self-join verifies with two bit_count ops per pair
+      (whole-stage codegen), and class pairs expand back to doc pairs.  The
+      result is deterministically EXACT at every scale — this is the only
+      strategy that stays cheap when near-dup density is quadratic (tiny
+      vocabularies make most pairs similar, so candidate generation cannot
+      prune; O(1)-per-pair verification is the optimal move).
+    - **Classed MinHash-LSH path** — general vocabularies route to
+      :func:`_verified_pairs_token_classes`: banding proposes candidates,
+      only candidates pay the exact check (miss p ≤ (1-t²)^bands per pair).
+
+    Two O(1)-output stat jobs (vocabulary count; class count) pick the path —
+    the same pattern as AQE's runtime re-planning, done at operator grain.
+
+    Returns (a, b, jaccard) with a < b.
+    """
+    toks = df.selectExpr(
+        id_col, f"array_distinct({_tokens_sql(text_col)}) AS _toks"
+    )
+    vocab = toks.select(F.explode("_toks").alias("t")).distinct()
+    # bounded collect: caller-declared universe budget (≤64 distinct tokens)
+    vocab_rows = vocab.limit(small_universe_bits + 1).collect()
+    if len(vocab_rows) > small_universe_bits:
+        return _verified_pairs_token_classes(
+            df, text_col, id_col, n_hashes, bands, threshold
+        )
+    bit_of = {r.t: i for i, r in enumerate(sorted(vocab_rows))}
+    mapping = F.create_map(
+        *[x for t, i in bit_of.items() for x in (F.lit(t), F.lit(i))]
+    )
+    masks = (
+        toks.select(id_col, F.explode("_toks").alias("t"))
+        .select(id_col, mapping[F.col("t")].alias("bit"))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("shiftleft(1L, bit)")).alias("mask"))
+    )
+    classes = (
+        masks.groupBy("mask")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .persist()
+    )
+    n_classes = classes.count()  # also materializes the persist, race-free
+    if n_classes > max_classes_allpairs:
+        # quadratic class join would not fit the budget — band the masks
+        # through the LSH path instead (still classed, still exact-verified)
+        classes.unpersist()
+        return _verified_pairs_token_classes(
+            df, text_col, id_col, n_hashes, bands, threshold
+        )
+    cm = classes.select("mask")
+    xa, xb = F.col("a"), F.col("b")
+    class_pairs = (
+        cm.select(F.col("mask").alias("a"))
+        .join(F.broadcast(cm.select(F.col("mask").alias("b"))), xa < xb)
+        .withColumn(
+            "jaccard",
+            F.bit_count(xa.bitwiseAND(xb))
+            / F.bit_count(xa.bitwiseOR(xb)).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return _expand_class_pairs(classes, class_pairs, "mask")
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, hash_mode: str = "xx") -> DataFrame:

@@ -1993,26 +1993,27 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
           CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) >= 0.8
     """,
     doc=(
-        "MinHash(64)+LSH(32 bands) near-dup pairs over the FULL documents "
-        "table, verified by exact token Jaccard: banding proposes candidates "
-        "(bucketed, never n²), only candidates pay the exact check.  The "
-        "oracle is brute-force all-pairs Jaccard — banding misses a "
-        "threshold pair with p ≤ (1-0.8²)^32 ≈ 4e-15, so the distributed "
-        "LSH pipeline must reproduce the exact pair set bit-for-bit; a "
-        "recall regression fails the gate as missing rows."
+        "Near-dup pairs over the FULL documents table by exact token-set "
+        "Jaccard, strategy chosen from corpus stats (operators/dedup.py::"
+        "token_set_similarity_join): vocabularies ≤ 64 tokens use exact "
+        "bitmask classes (bit_count Jaccard, deterministic at EVERY scale); "
+        "general vocabularies use MinHash(64)+LSH(32 bands) candidates over "
+        "token-set equivalence classes verified by exact Jaccard (miss "
+        "p ≤ (1-0.8²)^32 ≈ 4e-15 per pair).  The oracle is brute-force "
+        "all-pairs Jaccard; a recall regression fails the gate as missing "
+        "rows."
     ),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dlt_iceberg_spark.operators.dedup import minhash_verified_pairs
+    from dlt_iceberg_spark.operators.dedup import token_set_similarity_join
 
     d = _t(spark, sf_dir, "documents")
-    # shingle_k=1: signatures MinHash the token SET — the same unit the
-    # verification (and oracle) Jaccard is defined over.  k>1 shingle
-    # signatures estimate shingle-sequence Jaccard, which diverges from
-    # token-set Jaccard on reordered near-dups and would cost recall.
-    out = minhash_verified_pairs(
-        d, "text", "doc_id", n_hashes=64, bands=32, shingle_k=1, threshold=0.8
-    )
+    # token-SET similarity — the same unit the verification (and oracle)
+    # Jaccard is defined over.  The fixture corpus draws from a ~31-token
+    # vocabulary, which makes near-dup density quadratic (most pairs are
+    # similar) — LSH cannot prune there, so the adaptive operator's bitmask
+    # path is the only strategy that is both exact and near-linear-cost.
+    out = token_set_similarity_join(d, "text", "doc_id", threshold=0.8)
     return out.select("a", "b", rnd(F.col("jaccard"), 6).alias("jaccard"))
 
 

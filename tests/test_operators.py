@@ -309,6 +309,47 @@ def test_minhash_verified_pairs_exact(spark):
     assert lsh == exact and len(exact) > 100
 
 
+def test_token_set_similarity_join_bitmask_exact(spark):
+    """The small-universe bitmask path (fixture vocab ≈ 31 tokens ≤ 64) must
+    equal brute-force token Jaccard on the full fixture corpus — with no
+    probabilistic caveat at all (no hashing in the pipeline)."""
+    from dlt_iceberg_spark.io import load_table
+    from dlt_iceberg_spark.operators.dedup import token_set_similarity_join
+
+    d = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in token_jaccard_pairs(d, "text", "doc_id", 0.8).collect()
+    }
+    got = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in token_set_similarity_join(d, "text", "doc_id", 0.8).collect()
+    }
+    assert got == exact and len(exact) > 100
+
+
+def test_token_set_similarity_join_large_vocab_path(spark):
+    """Vocabularies above the bitmask budget must route to the classed LSH
+    path and still match brute force (here: >64 distinct tokens)."""
+    from dlt_iceberg_spark.operators.dedup import token_set_similarity_join
+
+    rows = []
+    for i in range(40):
+        base = [f"tok{i}_{j}" for j in range(10)]
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(base[:9] + [f"alt{i}"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in token_jaccard_pairs(df, "text", "doc_id", 0.8).collect()
+    }
+    got = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in token_set_similarity_join(df, "text", "doc_id", 0.8).collect()
+    }
+    assert got == exact and len(exact) == 40  # each base/alt pair: j = 9/11 ≈ 0.818
+
+
 def test_simhash_md5_mode_matches_xx_structure(docs):
     """hash_mode only changes the token hash function, not the simhash
     semantics: exact dups still collide, near dups still beat unrelated."""
