@@ -11,7 +11,6 @@ uses exactly such a local sqlite+file:// setup, SURVEY.md §5 layer 2).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -21,6 +20,7 @@ from dlt_iceberg_spark.errors import (
     TableAlreadyExistsError,
     TableNotFoundError,
 )
+from dlt_iceberg_spark.lake.fileio import fileio_for
 from dlt_iceberg_spark.lake.table import LakeTable
 
 #: table_location_layout default (destination_client.py:736-766)
@@ -37,22 +37,25 @@ class LakeCatalog:
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.location_layout = location_layout
-        os.makedirs(self.warehouse, exist_ok=True)
+        # scheme-routed storage (lake/fileio.py): local paths use POSIX I/O,
+        # s3a://gs://… warehouses ride the session's Hadoop FileSystem
+        self._io = fileio_for(self.warehouse, spark)
+        self._io.makedirs(self.warehouse)
 
     # -- namespaces --------------------------------------------------------
 
     def create_namespace(self, namespace: str) -> None:
-        os.makedirs(os.path.join(self.warehouse, namespace), exist_ok=True)
+        self._io.makedirs(os.path.join(self.warehouse, namespace))
 
     def list_namespaces(self) -> list[str]:
         return sorted(
             n
-            for n in os.listdir(self.warehouse)
-            if os.path.isdir(os.path.join(self.warehouse, n))
+            for n in self._io.listdir(self.warehouse)
+            if self._io.isdir(os.path.join(self.warehouse, n))
         )
 
     def namespace_exists(self, namespace: str) -> bool:
-        return os.path.isdir(os.path.join(self.warehouse, namespace))
+        return self._io.isdir(os.path.join(self.warehouse, namespace))
 
     # -- table addressing --------------------------------------------------
 
@@ -64,14 +67,18 @@ class LakeCatalog:
 
     def list_tables(self, namespace: str) -> list[str]:
         ns_dir = os.path.join(self.warehouse, namespace)
-        if not os.path.isdir(ns_dir):
+        if not self._io.isdir(ns_dir):
             raise NamespaceNotFoundError(namespace)
         return sorted(
-            t for t in os.listdir(ns_dir) if LakeTable.exists_at(os.path.join(ns_dir, t))
+            t
+            for t in self._io.listdir(ns_dir)
+            if LakeTable.exists_at(os.path.join(ns_dir, t), io=self._io)
         )
 
     def table_exists(self, namespace: str, table_name: str) -> bool:
-        return LakeTable.exists_at(self.table_location(namespace, table_name))
+        return LakeTable.exists_at(
+            self.table_location(namespace, table_name), io=self._io
+        )
 
     # -- table lifecycle ---------------------------------------------------
 
@@ -86,7 +93,9 @@ class LakeCatalog:
         if self.table_exists(namespace, table_name):
             raise TableAlreadyExistsError(f"{namespace}.{table_name}")
         self.create_namespace(namespace)
-        table = LakeTable(self.spark, self.table_location(namespace, table_name))
+        table = LakeTable(
+            self.spark, self.table_location(namespace, table_name), io=self._io
+        )
         table.commit(
             files=[],
             schema=schema,
@@ -101,26 +110,26 @@ class LakeCatalog:
         self, namespace: str, table_name: str, branch: str = "main"
     ) -> LakeTable:
         loc = self.table_location(namespace, table_name)
-        if not LakeTable.exists_at(loc):
+        if not LakeTable.exists_at(loc, io=self._io):
             raise TableNotFoundError(f"{namespace}.{table_name}")
-        return LakeTable(self.spark, loc, branch=branch)
+        return LakeTable(self.spark, loc, branch=branch, io=self._io)
 
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
         """W10: drop (and purge data — the reference prefers purge_table,
         destination_client.py:892-931)."""
         loc = self.table_location(namespace, table_name)
-        if not LakeTable.exists_at(loc):
+        if not LakeTable.exists_at(loc, io=self._io):
             raise TableNotFoundError(f"{namespace}.{table_name}")
         if purge:
-            shutil.rmtree(loc)
+            self._io.rmtree(loc)
         else:
-            shutil.rmtree(os.path.join(loc, "metadata"))
+            self._io.rmtree(os.path.join(loc, "metadata"))
 
     def drop_storage(self, namespace: str) -> None:
         """Drop every table in the namespace (drop_storage analogue)."""
         ns_dir = os.path.join(self.warehouse, namespace)
-        if os.path.isdir(ns_dir):
-            shutil.rmtree(ns_dir)
+        if self._io.isdir(ns_dir):
+            self._io.rmtree(ns_dir)
 
     def register_stray_tables(self, namespace: str) -> list[str]:
         """W11 (destination_client.py:768-851): scan the warehouse directory
@@ -129,9 +138,9 @@ class LakeCatalog:
         kept for interface parity with catalog.register_table)."""
         found = []
         ns_dir = os.path.join(self.warehouse, namespace)
-        if not os.path.isdir(ns_dir):
+        if not self._io.isdir(ns_dir):
             return found
-        for t in sorted(os.listdir(ns_dir)):
-            if LakeTable.exists_at(os.path.join(ns_dir, t)):
+        for t in sorted(self._io.listdir(ns_dir)):
+            if LakeTable.exists_at(os.path.join(ns_dir, t), io=self._io):
                 found.append(t)
         return found

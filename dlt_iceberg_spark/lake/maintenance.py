@@ -20,7 +20,6 @@ has neither and degrades accordingly under many small loads):
 from __future__ import annotations
 
 import os
-import shutil
 import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
@@ -139,15 +138,16 @@ def expire_snapshots(
     dead_manifests = {
         r.path for s in expired for r in s.manifests if r.path not in live_manifests
     }
+    io = table._io
     for rel in sorted(dead_paths | dead_manifests):
         p = os.path.join(table.location, rel)
-        if os.path.exists(p):
-            os.remove(p)
+        if io.exists(p):
+            io.remove(p)
     meta = os.path.join(table.location, "metadata")
     for s in expired:
         manifest = os.path.join(meta, f"v{s.version:06d}.json")
-        if os.path.exists(manifest):
-            os.remove(manifest)
+        if io.exists(manifest):
+            io.remove(manifest)
     return {"snapshots": len(expired), "data_files": len(dead_paths)}
 
 
@@ -280,10 +280,11 @@ def remove_orphan_files(
     the table location.
     """
     cutoff = time.time() - older_than.total_seconds()
+    io = table._io
 
     def _old(path: str) -> bool:
         try:
-            return os.path.getmtime(path) < cutoff
+            return io.mtime(path) < cutoff
         except FileNotFoundError:
             return False
 
@@ -298,8 +299,8 @@ def remove_orphan_files(
         reachable.update(table._ancestry(head))
     referenced: set[str] = set()
     stale_manifests: list[str] = []
-    if os.path.isdir(meta_dir):
-        for name in os.listdir(meta_dir):
+    if io.isdir(meta_dir):
+        for name in io.listdir(meta_dir):
             if name.startswith("v") and name.endswith(".json"):
                 version = int(name[1:-5])
                 if version not in reachable and _old(os.path.join(meta_dir, name)):
@@ -318,29 +319,29 @@ def remove_orphan_files(
 
     out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
 
-    if os.path.isdir(table._data_dir):
-        for name in sorted(os.listdir(table._data_dir)):
+    if io.isdir(table._data_dir):
+        for name in sorted(io.listdir(table._data_dir)):
             abs_path = os.path.join(table._data_dir, name)
             if f"data/{name}" not in referenced and _old(abs_path):
                 out["data_files"].append(f"data/{name}")
                 if not dry_run:
-                    os.remove(abs_path)
+                    io.remove(abs_path)
 
-    for name in sorted(os.listdir(table.location)):
+    for name in sorted(io.listdir(table.location)):
         abs_path = os.path.join(table.location, name)
-        if name.startswith("_staging_") and os.path.isdir(abs_path) and _old(abs_path):
+        if name.startswith("_staging_") and io.isdir(abs_path) and _old(abs_path):
             out["staging_dirs"].append(name)
             if not dry_run:
-                shutil.rmtree(abs_path)
+                io.rmtree(abs_path)
 
-    if os.path.isdir(meta_dir):
-        stale_meta = [n for n in os.listdir(meta_dir) if n.startswith("_ptr_")]
+    if io.isdir(meta_dir):
+        stale_meta = [n for n in io.listdir(meta_dir) if n.startswith("_ptr_")]
         stale_meta += stale_manifests
         # chunked file manifests referenced by no reachable snapshot (e.g.
         # written by a committer that lost the pointer race)
         stale_meta += [
             n
-            for n in os.listdir(meta_dir)
+            for n in io.listdir(meta_dir)
             if n.startswith("m-")
             and n.endswith(".parquet")
             and f"metadata/{n}" not in referenced
@@ -350,5 +351,5 @@ def remove_orphan_files(
             if _old(abs_path):
                 out["metadata_files"].append(f"metadata/{name}")
                 if not dry_run:
-                    os.remove(abs_path)
+                    io.remove(abs_path)
     return out

@@ -179,14 +179,21 @@ def _aggregate_partitions(entries: list[DataFile]) -> dict[str, list[Any]]:
     return out
 
 
-def write_manifest(table_location: str, entries: list[DataFile]) -> ManifestRef:
+def write_manifest(
+    table_location: str, entries: list[DataFile], io=None
+) -> ManifestRef:
     """Persist one manifest parquet under metadata/; returns its ref.
 
     Written BEFORE the snapshot that references it — an orphaned manifest
     from a failed commit is garbage-collected by maintenance, never visible.
+    ``io`` routes the bytes (lake/fileio.py); manifests are small, so even
+    remote FileIO moves only metadata-sized payloads through the driver.
     """
+    from dlt_iceberg_spark.lake.fileio import LocalFileIO
+
+    io = io or LocalFileIO()
     meta_dir = os.path.join(table_location, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
+    io.makedirs(meta_dir)
     name = f"m-{uuid.uuid4().hex}.parquet"
     table = pa.Table.from_pydict(
         {
@@ -199,7 +206,14 @@ def write_manifest(table_location: str, entries: list[DataFile]) -> ManifestRef:
         },
         schema=_ENTRY_SCHEMA,
     )
-    pq.write_table(table, os.path.join(meta_dir, name))
+    if isinstance(io, LocalFileIO):
+        pq.write_table(table, io.open_parquet_source(os.path.join(meta_dir, name)))
+    else:
+        import io as _pyio
+
+        buf = _pyio.BytesIO()
+        pq.write_table(table, buf)
+        io.write_bytes(os.path.join(meta_dir, name), buf.getvalue())
     return ManifestRef(
         path=f"metadata/{name}",
         n_files=len(entries),
@@ -210,10 +224,15 @@ def write_manifest(table_location: str, entries: list[DataFile]) -> ManifestRef:
     )
 
 
-def read_manifest(table_location: str, ref: ManifestRef | str) -> list[DataFile]:
+def read_manifest(
+    table_location: str, ref: ManifestRef | str, io=None
+) -> list[DataFile]:
     """Load one manifest's entries (vectorized parquet read)."""
+    from dlt_iceberg_spark.lake.fileio import LocalFileIO
+
+    io = io or LocalFileIO()
     rel = ref.path if isinstance(ref, ManifestRef) else ref
-    t = pq.read_table(os.path.join(table_location, rel))
+    t = pq.read_table(io.open_parquet_source(os.path.join(table_location, rel)))
     cols = {name: t.column(name).to_pylist() for name in t.column_names}
     return [
         DataFile(
@@ -228,16 +247,18 @@ def read_manifest(table_location: str, ref: ManifestRef | str) -> list[DataFile]
     ]
 
 
-def write_chunked(table_location: str, entries: list[DataFile]) -> list[ManifestRef]:
+def write_chunked(
+    table_location: str, entries: list[DataFile], io=None
+) -> list[ManifestRef]:
     """Write entries as one or more chunk-sized manifests."""
     return [
-        write_manifest(table_location, entries[i : i + MANIFEST_CHUNK])
+        write_manifest(table_location, entries[i : i + MANIFEST_CHUNK], io=io)
         for i in range(0, len(entries), MANIFEST_CHUNK)
     ] if entries else []
 
 
 def compact_refs(
-    table_location: str, refs: list[ManifestRef]
+    table_location: str, refs: list[ManifestRef], io=None
 ) -> list[ManifestRef]:
     """Fold small manifests together when the ref list outgrows
     ``MAX_MANIFESTS`` — reads ONLY the small manifests being folded
@@ -250,5 +271,5 @@ def compact_refs(
     keep = [r for r in refs if r.n_files >= MANIFEST_CHUNK // 2]
     merged: list[DataFile] = []
     for r in small:
-        merged.extend(read_manifest(table_location, r))
-    return keep + write_chunked(table_location, merged)
+        merged.extend(read_manifest(table_location, r, io=io))
+    return keep + write_chunked(table_location, merged, io=io)

@@ -40,7 +40,6 @@ from __future__ import annotations
 import bisect
 import json
 import os
-import shutil
 import uuid
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
@@ -52,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dlt_iceberg_spark.errors import CommitConflictError
+from dlt_iceberg_spark.lake.fileio import LocalFileIO, fileio_for
 from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
     DataFile,
     DeleteFile,
@@ -131,6 +131,7 @@ class Snapshot:
     # id, not name, so renames/evolution don't corrupt old data files)
     field_ids: dict[str, int] = dc_field(default_factory=dict)
     location: str | None = None  # table root, for lazy manifest expansion
+    io: Any = dc_field(default=None, repr=False, compare=False)
     _files_cache: list[DataFile] | None = dc_field(
         default=None, repr=False, compare=False
     )
@@ -143,7 +144,7 @@ class Snapshot:
         if self._files_cache is None:
             out = list(self.inline_files)
             for ref in self.manifests:
-                out.extend(read_manifest(self.location, ref))
+                out.extend(read_manifest(self.location, ref, io=self.io))
             self._files_cache = out
         return self._files_cache
 
@@ -167,10 +168,13 @@ class Snapshot:
         )
 
 
-def _collect_file_stats(abs_path: str, schema: T.StructType) -> tuple[int, int, dict]:
+def _collect_file_stats(
+    abs_path: str, schema: T.StructType, io=None
+) -> tuple[int, int, dict]:
     """Row count + per-column min/max from parquet footers (driver-side,
     footer-only reads — the same stats Iceberg records at write time)."""
-    md = pq.ParquetFile(abs_path).metadata
+    io = io or LocalFileIO()
+    md = pq.ParquetFile(io.open_parquet_source(abs_path)).metadata
     stats: dict[str, list[Any]] = {}
     prunable = {
         f.name
@@ -202,7 +206,7 @@ def _collect_file_stats(abs_path: str, schema: T.StructType) -> tuple[int, int, 
                 stats[name] = [mn, mx]
             else:
                 stats[name] = [min(cur[0], mn), max(cur[1], mx)]
-    return md.num_rows, os.path.getsize(abs_path), stats
+    return md.num_rows, io.size(abs_path), stats
 
 
 class LakeTable:
@@ -210,10 +214,15 @@ class LakeTable:
     the current pointer, like Iceberg with catalog caching disabled —
     SURVEY.md §4 'snapshot freshness')."""
 
-    def __init__(self, spark: SparkSession, location: str, branch: str = "main"):
+    def __init__(
+        self, spark: SparkSession, location: str, branch: str = "main", io=None
+    ):
         self.spark = spark
         self.location = location.rstrip("/")
         self.branch = branch
+        # scheme-routed storage: plain paths / file:// use POSIX I/O; other
+        # schemes (s3a://, gs://, …) ride the session's Hadoop FileSystem
+        self._io = io if io is not None else fileio_for(self.location, spark)
         self._meta_dir = os.path.join(self.location, "metadata")
         self._data_dir = os.path.join(self.location, "data")
 
@@ -226,12 +235,13 @@ class LakeTable:
     # -- metadata ----------------------------------------------------------
 
     @staticmethod
-    def exists_at(location: str) -> bool:
-        return os.path.exists(os.path.join(location, "metadata", "_current"))
+    def exists_at(location: str, io=None) -> bool:
+        io = io or LocalFileIO()
+        return io.exists(os.path.join(location, "metadata", "_current"))
 
     @property
     def exists(self) -> bool:
-        return self.exists_at(self.location)
+        return self.exists_at(self.location, io=self._io)
 
     def current_version(self) -> int | None:
         # a branch with no commits of its own implicitly points at main's
@@ -241,19 +251,18 @@ class LakeTable:
             candidates.append(os.path.join(self._meta_dir, "_current"))
         for path in candidates:
             try:
-                with open(path) as fh:
-                    return int(fh.read().strip())
+                return int(self._io.read_text(path).strip())
             except FileNotFoundError:
                 continue
         return None
 
     def _all_versions(self) -> list[int]:
         """Every snapshot manifest present on disk, any ref."""
-        if not os.path.isdir(self._meta_dir):
+        if not self._io.isdir(self._meta_dir):
             return []
         return sorted(
             int(n[1:-5])
-            for n in os.listdir(self._meta_dir)
+            for n in self._io.listdir(self._meta_dir)
             if n.startswith("v") and n.endswith(".json")
         )
 
@@ -261,8 +270,9 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             return None
-        with open(os.path.join(self._meta_dir, f"v{v:06d}.json")) as fh:
-            raw = json.load(fh)
+        raw = json.loads(
+            self._io.read_text(os.path.join(self._meta_dir, f"v{v:06d}.json"))
+        )
         return Snapshot(
             version=raw["version"],
             schema=T.StructType.fromJson(raw["schema"]),
@@ -282,6 +292,7 @@ class LakeTable:
             delete_files=[DeleteFile(**d) for d in raw.get("delete_files", [])],
             field_ids=raw.get("field_ids", {}),
             location=self.location,
+            io=self._io,
         )
 
     def snapshots(self) -> list[Snapshot]:
@@ -302,28 +313,26 @@ class LakeTable:
     def for_branch(self, branch: str) -> "LakeTable":
         """A view of the same table whose commits move ``branch``'s pointer
         instead of main's (Iceberg branch write / ``spark.wap.branch``)."""
-        return LakeTable(self.spark, self.location, branch=branch)
+        return LakeTable(self.spark, self.location, branch=branch, io=self._io)
 
     def branches(self) -> dict[str, int]:
         """Named mutable refs → head snapshot version (main included)."""
         out: dict[str, int] = {}
-        if not os.path.isdir(self._meta_dir):
+        if not self._io.isdir(self._meta_dir):
             return out
-        for n in os.listdir(self._meta_dir):
+        for n in self._io.listdir(self._meta_dir):
             path = os.path.join(self._meta_dir, n)
             if n == "_current":
-                with open(path) as fh:
-                    out["main"] = int(fh.read().strip())
+                out["main"] = int(self._io.read_text(path).strip())
             elif n.startswith("_branch_"):
-                with open(path) as fh:
-                    out[n[len("_branch_"):]] = int(fh.read().strip())
+                out[n[len("_branch_"):]] = int(self._io.read_text(path).strip())
         return out
 
     def delete_branch(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot delete the main branch")
         try:
-            os.remove(os.path.join(self._meta_dir, f"_branch_{name}"))
+            self._io.remove(os.path.join(self._meta_dir, f"_branch_{name}"))
         except FileNotFoundError:
             raise ValueError(f"no such branch {name!r}") from None
 
@@ -357,42 +366,45 @@ class LakeTable:
                 f"branch {self.branch!r} at v{mine} is not an ancestor of "
                 f"{source_branch!r} head v{src_head} — cannot fast-forward"
             )
-        os.makedirs(self._meta_dir, exist_ok=True)
+        self._io.makedirs(self._meta_dir)
         tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
-        with open(tmp_ptr, "w") as fh:
-            fh.write(str(src_head))
-        os.rename(tmp_ptr, self._ptr_path)
+        self._io.write_text(tmp_ptr, str(src_head))
+        self._io.rename(tmp_ptr, self._ptr_path)
         return src_head
 
     # -- named refs (tags) + rollback --------------------------------------
 
     def tags(self) -> dict[str, int]:
         """Named immutable refs → snapshot version (Iceberg tags)."""
-        if not os.path.isdir(self._meta_dir):
+        if not self._io.isdir(self._meta_dir):
             return {}
         out = {}
-        for n in os.listdir(self._meta_dir):
+        for n in self._io.listdir(self._meta_dir):
             if n.startswith("_tag_"):
-                with open(os.path.join(self._meta_dir, n)) as fh:
-                    out[n[len("_tag_"):]] = int(fh.read().strip())
+                out[n[len("_tag_"):]] = int(
+                    self._io.read_text(os.path.join(self._meta_dir, n)).strip()
+                )
         return out
 
     def create_tag(self, name: str, version: int | None = None) -> int:
         """Tag a snapshot (default: current).  Tags pin their snapshot — and
         every file it references — against ``expire_snapshots``."""
         v = version if version is not None else self.current_version()
-        if v is None or not os.path.exists(os.path.join(self._meta_dir, f"v{v:06d}.json")):
+        if v is None or not self._io.exists(
+            os.path.join(self._meta_dir, f"v{v:06d}.json")
+        ):
             raise ValueError(f"no snapshot v{v} to tag")
         try:
-            with open(os.path.join(self._meta_dir, f"_tag_{name}"), "x") as fh:
-                fh.write(str(v))
+            self._io.write_text_exclusive(
+                os.path.join(self._meta_dir, f"_tag_{name}"), str(v)
+            )
         except FileExistsError:
             raise ValueError(f"tag {name!r} already exists") from None
         return v
 
     def delete_tag(self, name: str) -> None:
         try:
-            os.remove(os.path.join(self._meta_dir, f"_tag_{name}"))
+            self._io.remove(os.path.join(self._meta_dir, f"_tag_{name}"))
         except FileNotFoundError:
             raise ValueError(f"no such tag {name!r}") from None
 
@@ -553,49 +565,100 @@ class LakeTable:
         partition-scoped operations (dynamic overwrite, partition pruning).
         The transform values ride as duplicate ``_p_*`` string columns so
         the data columns stay intact inside the files.
+
+        Stats collection: local tables read parquet footers on the driver
+        (µs per file); non-local FileIO collects per-file stats with ONE
+        distributed Spark job over the staging directory — pulling 128 MB
+        data files through the driver just to read footers would be the
+        exact anti-pattern manifests exist to avoid.
         """
         import urllib.parse
 
-        os.makedirs(self._data_dir, exist_ok=True)
+        io = self._io
+        io.makedirs(self._data_dir)
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
         if partition_exprs:
             tmp = {f"_p_{n}": expr.cast("string") for n, expr in partition_exprs}
             df.withColumns(tmp).write.mode("overwrite").partitionBy(*tmp.keys()).parquet(staging)
         else:
             df.write.mode("overwrite").parquet(staging)
+        spark_stats = (
+            None
+            if isinstance(io, LocalFileIO)
+            else self._stats_via_spark(staging, df.schema)
+        )
         staged: list[DataFile] = []
-        for root, _dirs, names in os.walk(staging):
+        for rel in io.walk_files(staging):
+            name = os.path.basename(rel)
+            if not name.endswith(".parquet"):
+                continue
             partition: dict = {}
-            rel_dir = os.path.relpath(root, staging)
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    key, eq, raw = seg.partition("=")
-                    if not eq:
-                        continue
-                    key = key[3:] if key.startswith("_p_") else key
-                    val = urllib.parse.unquote(raw)
-                    partition[key] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
+            rel_dir = os.path.dirname(rel)
+            for seg in rel_dir.split(os.sep) if rel_dir else []:
+                key, eq, raw = seg.partition("=")
+                if not eq:
                     continue
-                final_name = f"{uuid.uuid4().hex}.parquet"
-                abs_final = os.path.join(self._data_dir, final_name)
-                os.rename(os.path.join(root, name), abs_final)
-                rows, nbytes, stats = _collect_file_stats(abs_final, df.schema)
-                if rows == 0:
-                    os.remove(abs_final)
-                    continue
-                staged.append(
-                    DataFile(
-                        path=f"data/{final_name}",
-                        rows=rows,
-                        bytes=nbytes,
-                        stats=stats,
-                        partition=dict(partition),
-                    )
+                key = key[3:] if key.startswith("_p_") else key
+                val = urllib.parse.unquote(raw)
+                partition[key] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            final_name = f"{uuid.uuid4().hex}.parquet"
+            abs_final = os.path.join(self._data_dir, final_name)
+            io.rename(os.path.join(staging, rel), abs_final)
+            if spark_stats is None:
+                rows, nbytes, stats = _collect_file_stats(abs_final, df.schema, io=io)
+            else:
+                rows, stats = spark_stats.get(name, (0, {}))
+                nbytes = io.size(abs_final) if rows else 0
+            if rows == 0:
+                io.remove(abs_final)
+                continue
+            staged.append(
+                DataFile(
+                    path=f"data/{final_name}",
+                    rows=rows,
+                    bytes=nbytes,
+                    stats=stats,
+                    partition=dict(partition),
                 )
-        shutil.rmtree(staging)
+            )
+        io.rmtree(staging)
         return staged
+
+    def _stats_via_spark(
+        self, staging: str, schema: T.StructType
+    ) -> dict[str, tuple[int, dict]]:
+        """Per-file (rows, {col: [min, max]}) for every parquet file under
+        ``staging``, computed as one distributed job grouped by
+        ``input_file_name()`` — O(files) tiny rows on the driver, data never
+        leaves the executors.  Keyed by file basename."""
+        import urllib.parse
+        from datetime import date
+
+        prunable = [
+            f.name for f in schema.fields if f.dataType.simpleString() in _STATS_TYPES
+        ]
+        sdf = self.spark.read.parquet(staging)
+        present = [c for c in prunable if c in sdf.columns]
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in present:
+            aggs.append(F.min(c).alias(f"_mn_{c}"))
+            aggs.append(F.max(c).alias(f"_mx_{c}"))
+        rows = sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+        out: dict[str, tuple[int, dict]] = {}
+        for r in rows:
+            stats: dict[str, list[Any]] = {}
+            for c in present:
+                mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+                if mn is None or mx is None:
+                    continue
+                if isinstance(mn, (date, datetime)):
+                    # same ISO encoding as the footer path: lexicographic
+                    # order == chronological, and it survives JSON manifests
+                    mn, mx = mn.isoformat(), mx.isoformat()
+                stats[c] = [mn, mx]
+            base = os.path.basename(urllib.parse.unquote(r["_f"]))
+            out[base] = (r["_rows"], stats)
+        return out
 
     def commit(
         self,
@@ -645,7 +708,7 @@ class LakeTable:
                 "commit needs files=[...] (full set; [] truncates) or "
                 "manifests=/new_files= (delta)"
             )
-        os.makedirs(self._meta_dir, exist_ok=True)
+        self._io.makedirs(self._meta_dir)
         current = self.current_version()
         if current != expected_parent:
             raise CommitConflictError(
@@ -666,14 +729,14 @@ class LakeTable:
             ]
 
         if files is not None:
-            refs = write_chunked(self.location, stamp(files))
+            refs = write_chunked(self.location, stamp(files), io=self._io)
         else:
             refs = list(manifests or [])
             adds = stamp(new_files or [])
             if adds:
-                refs.extend(write_chunked(self.location, adds))
+                refs.extend(write_chunked(self.location, adds, io=self._io))
             # fold accumulated micro-manifests (reads only the small ones)
-            refs = compact_refs(self.location, refs)
+            refs = compact_refs(self.location, refs, io=self._io)
         # None = inherit: an append/evolve on a merge-on-read table must not
         # drop the delete set (that would resurrect masked rows)
         resolved_deletes = (
@@ -711,6 +774,7 @@ class LakeTable:
             delete_files=resolved_deletes,
             field_ids=field_ids,
             location=self.location,
+            io=self._io,
         )
         payload = {
             "format_version": 2,
@@ -741,16 +805,16 @@ class LakeTable:
         # O_EXCL makes the existence check + create atomic, so a concurrent
         # committer at the same parent loses here (not at the pointer).
         try:
-            with open(manifest, "x") as fh:
-                json.dump(payload, fh, default=str)
+            self._io.write_text_exclusive(
+                manifest, json.dumps(payload, default=str)
+            )
         except FileExistsError:
             raise CommitConflictError(
                 f"snapshot v{new_version} already written"
             ) from None
         tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
-        with open(tmp_ptr, "w") as fh:
-            fh.write(str(new_version))
-        os.rename(tmp_ptr, self._ptr_path)
+        self._io.write_text(tmp_ptr, str(new_version))
+        self._io.rename(tmp_ptr, self._ptr_path)
         return snap
 
     # -- reading -----------------------------------------------------------
@@ -976,7 +1040,7 @@ class LakeTable:
             if all(
                 ref.may_match(c, *self._probe_range(op, v)) for c, op, v in where
             ):
-                out.extend(read_manifest(self.location, ref))
+                out.extend(read_manifest(self.location, ref, io=self._io))
         return out
 
     @staticmethod
@@ -1027,7 +1091,7 @@ class LakeTable:
             ):
                 kept_refs.append(ref)
                 continue
-            for f in read_manifest(self.location, ref):
+            for f in read_manifest(self.location, ref, io=self._io):
                 (touched if self._file_overlaps(f, probes) else kept_files).append(f)
         return touched, kept_refs, kept_files
 
@@ -1039,5 +1103,5 @@ class LakeTable:
         scale path is :meth:`prune_split`."""
         touched, kept_refs, kept_files = self.prune_split(snap, {column: (lo, hi)})
         for ref in kept_refs:
-            kept_files.extend(read_manifest(self.location, ref))
+            kept_files.extend(read_manifest(self.location, ref, io=self._io))
         return touched, kept_files

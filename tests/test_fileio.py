@@ -1,0 +1,150 @@
+"""FileIO layer (lake/fileio.py): POSIX + Hadoop-FileSystem backends.
+
+The reference reaches object stores via PyIceberg FileIO + DuckDB S3
+secrets (reference: src/dlt_iceberg/sql_client.py:70-99); here the
+driver-side metadata I/O routes through the Spark JVM's Hadoop FileSystem,
+so every scheme the cluster supports (s3a://, gs://, abfs://) works with no
+extra dependency.  The sandbox has no object store, but the HadoopFileIO
+code path is REAL either way: these tests drive it against the local
+filesystem through the exact same py4j surface a s3a:// URI would use —
+only the FileSystem implementation behind the JVM call differs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.fileio import (
+    HadoopFileIO,
+    LocalFileIO,
+    fileio_for,
+    scheme_of,
+)
+from dlt_iceberg_spark.lake.table import LakeTable
+
+
+def test_scheme_routing(spark):
+    assert scheme_of("/tmp/x") == ""
+    assert scheme_of("file:///tmp/x") == "file"
+    assert scheme_of("s3a://bucket/path") == "s3a"
+    assert isinstance(fileio_for("/tmp/x"), LocalFileIO)
+    assert isinstance(fileio_for("file:///tmp/x"), LocalFileIO)
+    assert isinstance(fileio_for("hdfs://nn/path", spark), HadoopFileIO)
+    with pytest.raises(ValueError, match="SparkSession"):
+        fileio_for("s3a://bucket/path")  # remote scheme needs a session
+
+
+def test_hadoop_fileio_atomicity_flags(spark, tmp_path):
+    assert HadoopFileIO(spark, str(tmp_path)).atomic_rename is True
+    # an s3a FS can't be *resolved* without the connector jar, but the
+    # atomicity classification is scheme-level and must not pretend
+    assert "s3a" in HadoopFileIO._NON_ATOMIC_SCHEMES
+    assert "gs" in HadoopFileIO._NON_ATOMIC_SCHEMES
+    assert "hdfs" not in HadoopFileIO._NON_ATOMIC_SCHEMES
+
+
+@pytest.fixture(params=["local", "hadoop"])
+def io(request, spark, tmp_path):
+    if request.param == "local":
+        return LocalFileIO()
+    return HadoopFileIO(spark, str(tmp_path))
+
+
+def test_fileio_contract(io, tmp_path):
+    """Both backends satisfy the same protocol semantics."""
+    root = str(tmp_path / "w")
+    io.makedirs(os.path.join(root, "sub"))
+    assert io.isdir(root) and io.isdir(os.path.join(root, "sub"))
+
+    p = os.path.join(root, "a.txt")
+    io.write_text(p, "hello")
+    assert io.read_text(p) == "hello"
+    assert io.exists(p) and not io.isdir(p)
+    assert io.size(p) == 5
+    assert io.mtime(p) > 0
+
+    io.write_bytes(os.path.join(root, "b.bin"), b"\x00\x01\x02")
+    assert io.read_bytes(os.path.join(root, "b.bin")) == b"\x00\x01\x02"
+
+    with pytest.raises(FileExistsError):
+        io.write_text_exclusive(p, "again")
+    io.write_text_exclusive(os.path.join(root, "c.txt"), "new")
+
+    io.rename(os.path.join(root, "c.txt"), os.path.join(root, "sub", "c2.txt"))
+    assert io.read_text(os.path.join(root, "sub", "c2.txt")) == "new"
+
+    assert sorted(io.listdir(root)) == ["a.txt", "b.bin", "sub"]
+    assert list(io.walk_files(root)) == ["a.txt", "b.bin", os.path.join("sub", "c2.txt")]
+
+    with pytest.raises(FileNotFoundError):
+        io.read_text(os.path.join(root, "missing.txt"))
+
+    io.remove(p)
+    assert not io.exists(p)
+    io.rmtree(root)
+    assert not io.exists(root)
+
+
+def test_laketable_e2e_over_hadoop_fileio(spark, tmp_path):
+    """Full table lifecycle with every metadata byte routed through the JVM
+    Hadoop FileSystem: create, append (stats via the DISTRIBUTED Spark job,
+    not driver footer reads), predicate-pruned read, tag, time travel."""
+    loc = str(tmp_path / "ns" / "t")
+    hio = HadoopFileIO(spark, str(tmp_path))
+    t = LakeTable(spark, loc, io=hio)
+
+    df = spark.range(100).select(
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("id") % 10).cast("int").alias("bucket"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    files = t.stage_dataframe(df.repartition(4, "bucket"))
+    assert len(files) >= 2
+    # the non-local path must produce the same stats shape the footer path does
+    assert all(f.rows > 0 and f.bytes > 0 for f in files)
+    assert any("id" in f.stats and "bucket" in f.stats for f in files)
+    snap = t.commit(files, df.schema, "create", None)
+    assert snap.version == 0 and t.read().count() == 100
+
+    # footer-path equivalence: identical [min,max] from both collectors
+    from dlt_iceberg_spark.lake.table import _collect_file_stats
+
+    f0 = files[0]
+    rows, nbytes, stats = _collect_file_stats(
+        os.path.join(loc, f0.path), df.schema, io=LocalFileIO()
+    )
+    assert rows == f0.rows and nbytes == f0.bytes and stats == f0.stats
+
+    more = t.stage_dataframe(
+        spark.createDataFrame([(1000, 3, "x")], df.schema)
+    )
+    snap2 = t.commit(None, df.schema, "append", 0, manifests=snap.manifests, new_files=more)
+    assert snap2.version == 1 and t.read().count() == 101
+
+    pruned = t.read(where=[("id", ">=", 1000)])
+    assert pruned.count() == 1
+
+    t.create_tag("v0", 0)
+    assert t.read(tag="v0").count() == 100
+    assert t.branches() == {"main": 1} and t.tags() == {"v0": 0}
+
+
+def test_catalog_over_file_uri(spark, tmp_path):
+    """A file:// warehouse URI exercises URI-path handling end-to-end
+    (the same joins an s3a:// warehouse would take)."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+
+    cat = LakeCatalog(spark, f"file://{tmp_path}/wh")
+    cat.create_namespace("ns")
+    t = cat.create_table(
+        "ns", "t", spark.range(3).schema
+    )
+    files = t.stage_dataframe(spark.range(3))
+    t.commit(None, spark.range(3).schema, "append", 0, manifests=[], new_files=files)
+    assert cat.list_tables("ns") == ["t"]
+    assert cat.load_table("ns", "t").read().count() == 3
+    cat.drop_table("ns", "t")
+    assert cat.list_tables("ns") == []

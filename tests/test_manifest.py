@@ -71,7 +71,7 @@ def test_append_commit_is_o_touched(big_table, monkeypatch):
     reads = []
     orig = table_mod.read_manifest
     monkeypatch.setattr(
-        table_mod, "read_manifest", lambda loc, ref: reads.append(ref) or orig(loc, ref)
+        table_mod, "read_manifest", lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw)
     )
     snap = big_table.snapshot()
     add = DataFile(path="data/new.parquet", rows=5, bytes=500, stats={"k2": [10**9, 10**9]})
@@ -91,7 +91,7 @@ def test_prune_split_skips_unread_manifests(big_table, monkeypatch):
     reads = []
     orig = table_mod.read_manifest
     monkeypatch.setattr(
-        table_mod, "read_manifest", lambda loc, ref: reads.append(ref) or orig(loc, ref)
+        table_mod, "read_manifest", lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw)
     )
     snap = big_table.snapshot()
     # k2 range covering ~50 files inside one manifest chunk
@@ -311,7 +311,7 @@ def test_partition_overwrite_skips_disjoint_manifests(spark, tmp_path, monkeypat
     reads = []
     # writer imports read_manifest from the manifest module at call time
     monkeypatch.setattr(
-        manifest_mod, "read_manifest", lambda loc, ref: reads.append(ref) or real_read(loc, ref)
+        manifest_mod, "read_manifest", lambda loc, ref, **kw: reads.append(ref) or real_read(loc, ref, **kw)
     )
     writer.write(
         TableSpec(

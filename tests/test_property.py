@@ -305,6 +305,9 @@ def test_prune_split_is_conservative_and_complete(tmp_path_factory, files, probe
     )
     table = LakeTable.__new__(LakeTable)  # prune_split touches no session
     table.location = loc
+    from dlt_iceberg_spark.lake.fileio import LocalFileIO
+
+    table._io = LocalFileIO()
     touched, kept_refs, kept_files = table.prune_split(snap, probes)
 
     touched_paths = {f.path for f in touched}
