@@ -416,3 +416,79 @@ def embedding_near_duplicates(
             F.col("query_id").alias("a"), F.col("neighbor_id").alias("b"), F.col("cosine")
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    block_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then search for near-duplicates only WITHIN clusters —
+    the standard way to make embedding dedup near-linear on web-scale
+    training corpora (the paper prunes LAION/C4 with exactly this shape).
+
+    Scale anatomy:
+    - centroids train on a bounded sample (:func:`_train_spherical_kmeans`,
+      O(sample) driver cost, FAISS recipe);
+    - assignment is a map-side Arrow-batched matmul against broadcast
+      centroids — no shuffle;
+    - the ONE shuffle groups by cluster id; each cluster's pairwise cosine
+      runs as a per-group blocked matmul (``block_rows`` rows at a time, so
+      executor memory is O(block × cluster), never O(cluster²));
+    - within a cluster, a doc is a duplicate iff some other member has
+      cosine ≥ ``threshold``; its canonical is the smallest such member id
+      (deterministic star rule — min-id representative, like
+      dedup.py's exact/minhash canonicals).
+
+    Recall caveat (inherent to SemDeDup, documented in the paper): a
+    near-dup pair split across two clusters is missed; raising
+    ``n_clusters`` trades recall for per-cluster cost.  The exact-recall
+    alternative is :func:`all_pairs_cosine_blocked` / the LSH path.
+
+    Returns (id, cluster, canonical_id, is_duplicate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    centroids = _train_spherical_kmeans(df, vec_col, n_clusters, seed)
+    assign1 = _nearest_centroids(centroids, 1)
+    assigned = fan_out(_as_double(df, vec_col)).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        assign1(F.col(vec_col))[0].alias("cluster"),
+    )
+    out_schema = f"{id_col} bigint, cluster int, canonical_id bigint, is_duplicate boolean"
+
+    def dedup_one_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array(list(pdf["_v"].iloc[order]), dtype=np.float64)
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+        n = len(ids)
+        canonical = ids.copy()
+        for lo in range(0, n, block_rows):
+            hi = min(lo + block_rows, n)
+            sims = mat[lo:hi] @ mat.T  # block × cluster
+            for bi in range(hi - lo):
+                i = lo + bi
+                row = sims[bi]
+                nbrs = np.flatnonzero(row >= threshold)
+                nbrs = nbrs[nbrs != i]
+                if len(nbrs):
+                    canonical[i] = min(ids[i], ids[nbrs].min())
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].iloc[0],
+                "canonical_id": canonical,
+                "is_duplicate": canonical != ids,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(dedup_one_cluster, out_schema)

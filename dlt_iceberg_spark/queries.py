@@ -2288,6 +2288,30 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "semantic_dedup",
+    # rows-only BY DESIGN: cluster assignments depend on Lloyd-trained
+    # k-means centroids (numpy, bounded-sample) that no SQL engine can
+    # replay — same justification as ann_ivf/ann_pq.  The accuracy contract
+    # is enforced in pytest instead: tests/test_operators.py checks
+    # soundness (every flagged duplicate really has a same-cluster neighbor
+    # ≥ threshold, against the oracle-verified exact pair set) and
+    # within-cluster completeness.
+    None,
+    doc=(
+        "SemDeDup (Abbas et al. 2023): k-means clusters over the embedding "
+        "space, near-dup search only within clusters (operators/similarity"
+        ".py::semantic_dedup) — the near-linear embedding-dedup layout for "
+        "web-scale corpora; per-cluster blocked matmul, min-id canonicals."
+    ),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "embedding", "vec_id", n_clusters=8, threshold=0.4)
+
+
+@query(
     "ann_ivf",
     # rows-only BY DESIGN: the output depends on iteratively-trained k-means
     # centroids (10 Lloyd rounds over a hash-gated sample, numpy float64) —
@@ -2903,11 +2927,12 @@ _GATE_PRIORITY = [
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
-    "dedup_exact", "text_quality", "sample_documents",
+    "dedup_exact", "text_quality",
     # new in round 3 — never artifact-verified, so they take the gate slots
     # of entries that already have two green driver rows (mixture_by_source,
-    # split_documents)
+    # split_documents, sample_documents)
     "stream_dedup_users", "text_repetition", "dedup_ngram_jaccard",
+    "semantic_dedup",
 ]
 
 

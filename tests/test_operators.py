@@ -404,6 +404,61 @@ def test_repetition_stats(spark):
     assert rows[3].top_token_ratio == 1.0 and rows[3].dup_bigram_ratio == 0.0
 
 
+def test_semantic_dedup_sound_and_cluster_complete(emb_real):
+    """semantic_dedup is registered rows-only (k-means not SQL-replayable);
+    THIS is its accuracy contract against the exact pair set (which IS
+    oracle-verified as embedding_near_dup):
+
+    - soundness: every flagged duplicate has a genuine cosine-≥-threshold
+      partner in the corpus;
+    - within-cluster completeness: every exact pair whose endpoints share a
+      cluster is caught (the only misses SemDeDup allows are cross-cluster,
+      the paper's documented trade).
+    """
+    from dlt_iceberg_spark.operators.similarity import (
+        all_pairs_cosine_blocked,
+        semantic_dedup,
+    )
+
+    thr = 0.4
+    out = semantic_dedup(emb_real, "embedding", "vec_id", n_clusters=8, threshold=thr)
+    rows = {r.vec_id: r for r in out.collect()}
+    exact_pairs = {
+        (r.a, r.b)
+        for r in all_pairs_cosine_blocked(emb_real, threshold=thr, block_rows=128).collect()
+    }
+    partners = {}
+    for a, b in exact_pairs:
+        partners.setdefault(a, set()).add(b)
+        partners.setdefault(b, set()).add(a)
+
+    assert len(rows) == emb_real.count()
+    dup_count = 0
+    for r in rows.values():
+        if r.is_duplicate:
+            dup_count += 1
+            # canonical really is a ≥-threshold partner, smaller id
+            assert r.canonical_id in partners.get(r.vec_id, set())
+            assert r.canonical_id < r.vec_id
+        else:
+            assert r.canonical_id == r.vec_id
+    assert dup_count > 0  # the fixture corpus does contain near-dups
+
+    for a, b in exact_pairs:
+        if rows[a].cluster == rows[b].cluster:
+            hi = max(a, b)
+            assert rows[hi].is_duplicate and rows[hi].canonical_id <= min(a, b)
+
+    # deterministic: same centroids (seeded, hash-gated sample), same output
+    again = {
+        r.vec_id: (r.cluster, r.canonical_id, r.is_duplicate)
+        for r in semantic_dedup(
+            emb_real, "embedding", "vec_id", n_clusters=8, threshold=thr
+        ).collect()
+    }
+    assert again == {k: (r.cluster, r.canonical_id, r.is_duplicate) for k, r in rows.items()}
+
+
 def test_char_ngram_jaccard_pairs(docs):
     from dlt_iceberg_spark.operators.dedup import char_ngram_jaccard_pairs
 
