@@ -658,3 +658,64 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): a
+    ``window``-token span is *duplicated* when its exact text occurs in ≥ 2
+    distinct documents; each doc reports how much of it is duplicated
+    surface.  The paper's suffix-array pass is single-machine; the
+    distributed equivalent is window fingerprinting — map-side rolling
+    windows hashed to longs, ONE shuffle keyed by window hash to count
+    distinct docs, and a hash-partitioned join back (same key, so the
+    exchange is reused, no second shuffle of the big side).
+
+    Docs shorter than ``window`` tokens have no windows (n_windows = 0,
+    dup_fraction 0.0) — the paper's convention.
+
+    Returns (id, n_windows, n_dup_windows, dup_fraction).
+    """
+    toks = fan_out(df).selectExpr(
+        id_col, f"{_tokens_sql(text_col)} AS _toks"
+    )
+    w = toks.selectExpr(
+        id_col,
+        f"explode(CASE WHEN size(_toks) < {window} THEN array() "
+        f"ELSE transform(sequence(1, size(_toks) - {window} + 1), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {window})))) END) AS wh",
+    )
+    dup = (
+        w.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        w.join(dup.withColumn("_dup", F.lit(1)), "wh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count("_dup").alias("n_dup_windows"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

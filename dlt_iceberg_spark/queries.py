@@ -1905,6 +1905,60 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "substring_dup_profile",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 9)) AS pos,
+             toks
+      FROM t WHERE len(toks) >= 10
+    ),
+    ws AS (
+      SELECT doc_id, array_to_string(toks[pos:pos+9], ' ') AS win FROM w
+    ),
+    dup AS (
+      SELECT win FROM ws GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT ws.doc_id,
+             count(*) AS n_windows,
+             count(dup.win) AS n_dup_windows
+      FROM ws LEFT JOIN dup ON ws.win = dup.win
+      GROUP BY ws.doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(n_windows, 0) AS n_windows,
+           coalesce(n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN coalesce(n_windows, 0) > 0
+                THEN {_sql_rnd('n_dup_windows / CAST(n_windows AS DOUBLE)', 6)}
+                ELSE 0.0 END AS dup_fraction
+    FROM t LEFT JOIN per_doc ON t.doc_id = per_doc.doc_id
+    """,
+    doc=(
+        "Exact-substring duplication profile (Lee et al. 2021, arXiv:"
+        "2107.06499; operators/dedup.py::substring_dup_stats): a 10-token "
+        "window is duplicated when its exact text occurs in >= 2 docs; "
+        "distributed as map-side window fingerprints + one hash-keyed "
+        "shuffle (the suffix-array pass of the paper is single-machine)."
+    ),
+)
+def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = substring_dup_stats(d, "text", "doc_id", window=10)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        rnd(F.col("dup_fraction"), 6).alias("dup_fraction"),
+    )
+
+
+@query(
     "dedup_transitive_clusters",
     r"""
     WITH RECURSIVE d AS (
@@ -2927,12 +2981,12 @@ _GATE_PRIORITY = [
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
-    "dedup_exact", "text_quality",
+    "text_quality",
     # new in round 3 — never artifact-verified, so they take the gate slots
     # of entries that already have two green driver rows (mixture_by_source,
-    # split_documents, sample_documents)
+    # split_documents, sample_documents, dedup_exact)
     "stream_dedup_users", "text_repetition", "dedup_ngram_jaccard",
-    "semantic_dedup",
+    "semantic_dedup", "substring_dup_profile",
 ]
 
 

@@ -350,6 +350,32 @@ def test_token_set_similarity_join_large_vocab_path(spark):
     assert got == exact and len(exact) == 40  # each base/alt pair: j = 9/11 ≈ 0.818
 
 
+def test_substring_dup_stats(spark):
+    """Window accounting: duplicated spans need >= 2 DISTINCT docs; docs
+    shorter than the window have zero windows; within-doc repeats alone
+    don't count."""
+    from dlt_iceberg_spark.operators.dedup import substring_dup_stats
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, shared + " alpha beta"),          # 3 windows, first shared with doc 2
+        (2, shared),                          # 1 window, shared with doc 1
+        (3, "short doc"),                     # < 10 tokens: no windows
+        (4, "a b c d e f g h i j a b c d e f g h i j"),  # self-repeat only
+    ]
+    out = {
+        r.doc_id: r
+        for r in substring_dup_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text", "doc_id", 10
+        ).collect()
+    }
+    assert out[1].n_windows == 3 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 1 and out[2].n_dup_windows == 1
+    assert out[3].n_windows == 0 and out[3].dup_fraction == 0.0
+    assert out[4].n_windows == 11 and out[4].n_dup_windows == 0
+    assert abs(out[1].dup_fraction - 1 / 3) < 1e-9
+
+
 def test_simhash_md5_mode_matches_xx_structure(docs):
     """hash_mode only changes the token hash function, not the simhash
     semantics: exact dups still collide, near dups still beat unrelated."""
