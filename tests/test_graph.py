@@ -19,6 +19,16 @@ def test_long_path_needs_multiple_rounds(spark):
     assert set(comp.values()) == {0} and len(comp) == n
 
 
+def test_pointer_doubling_converges_in_log_rounds(spark):
+    # Pointer doubling halves the label-path each round: a diameter-29 path
+    # must converge well within 7 rounds (plain min-label propagation needs
+    # ~29).  Each saved round is two saved all-data shuffles at scale.
+    n = 30
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
+    comp = {r.node: r.component for r in connected_components(edges, max_iterations=7).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n
+
+
 def test_dedup_clusters_assigns_all_rows(spark):
     docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
     pairs = spark.createDataFrame([(1, 2), (2, 5)], "a long, b long")
