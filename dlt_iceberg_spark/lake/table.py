@@ -62,6 +62,14 @@ from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
     write_chunked,
 )
 
+#: "auto" plan_mode switches manifest-entry pruning from driver-side
+#: expansion to a Spark job (lake/planning.py) at this many undecided
+#: entries — below it, job-launch latency beats the driver loop; above it,
+#: driver memory and single-threaded JSON parsing become the bottleneck.
+DISTRIBUTED_PLAN_MIN_FILES = int(
+    os.environ.get("SPARK_GRAFT_DISTRIBUTED_PLAN_MIN_FILES", "50000")
+)
+
 _STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
 
 #: residual Spark filters for `read(where=...)` predicates
@@ -824,6 +832,7 @@ class LakeTable:
         snapshot_version: int | None = None,
         tag: str | None = None,
         where: list[tuple[str, str, Any]] | None = None,
+        plan_mode: str = "auto",
     ) -> DataFrame:
         """Plan a scan over the snapshot's live files (manifest-driven — no
         directory listing).  ``tag`` reads the named ref's snapshot.
@@ -836,6 +845,14 @@ class LakeTable:
         every file; at 100 TB the manifest prune is the difference between
         a 30-task job and a 300,000-task job.  The predicates are re-applied
         as Spark filters so results are exact even where stats are missing.
+
+        ``plan_mode`` picks where the manifest-entry predicate runs:
+        ``"driver"`` (expand undecided manifests on the driver),
+        ``"spark"`` (evaluate it as a Spark job over the manifest parquet —
+        lake/planning.py), or ``"auto"`` (spark when the undecided
+        manifests hold ≥ ``DISTRIBUTED_PLAN_MIN_FILES`` entries).  Both
+        modes return identical file sets; the spark mode keeps the driver's
+        working set at O(matching files) even on million-file tables.
         """
         if tag is not None:
             if snapshot_version is not None:
@@ -848,19 +865,57 @@ class LakeTable:
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
         if where:
+            import datetime as _dt
+
             names = {f.name for f in snap.schema.fields}
             for c, op, _ in where:
                 if c not in names:
                     raise ValueError(f"no such column {c!r}")
                 if op not in ("=", "==", "!=", ">", ">=", "<", "<="):
                     raise ValueError(f"unsupported predicate op {op!r}")
+            # manifest stats encode date/timestamp as ISO strings (ordering
+            # preserved); normalize probe values the same way so both the
+            # driver and the distributed planner compare like with like
+            where = [
+                (c, op, v.isoformat() if isinstance(v, (_dt.date, _dt.datetime)) else v)
+                for c, op, v in where
+            ]
             # two-level prune, Iceberg-style: manifest aggregate ranges skip
             # whole manifests unread, file [min,max] stats skip files
-            files = [
+            if plan_mode not in ("auto", "driver", "spark"):
+                raise ValueError(f"unknown plan_mode {plan_mode!r}")
+            open_refs = [
+                ref
+                for ref in snap.manifests
+                if all(
+                    ref.may_match(c, *self._probe_range(op, v))
+                    for c, op, v in where
+                )
+            ]
+            n_undecided = sum(r.n_files for r in open_refs)
+            use_spark = plan_mode == "spark" or (
+                plan_mode == "auto" and n_undecided >= DISTRIBUTED_PLAN_MIN_FILES
+            )
+            inline = [
                 f
-                for f in self._candidate_files(snap, where)
+                for f in snap.inline_files
                 if all(_file_may_match(f, c, op, v) for c, op, v in where)
             ]
+            if use_spark:
+                from dlt_iceberg_spark.lake.planning import plan_candidates
+
+                files = inline + plan_candidates(
+                    self.spark, self.location, snap.schema, open_refs, where
+                )
+            else:
+                expanded: list[DataFile] = []
+                for ref in open_refs:
+                    expanded.extend(read_manifest(self.location, ref, io=self._io))
+                files = inline + [
+                    f
+                    for f in expanded
+                    if all(_file_may_match(f, c, op, v) for c, op, v in where)
+                ]
         else:
             files = snap.files
         df = self._plan_scan(snap, files)

@@ -69,24 +69,36 @@ def connected_components(
         # pointer doubling: follow the label one more hop through the freshly
         # stepped labels — component ← label(component).  This is what turns
         # diameter-many rounds into log-many on chain-shaped components.
-        parent = stepped.select(
-            F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
-        )
-        updated = (
-            stepped.join(parent, stepped.component == parent._pnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("_pcomp", F.col("component"))
-                ).alias("component"),
-                (
+        # Skipped in round 0: shallow graphs (the common near-dup case)
+        # converge in two plain rounds, and the jump join would be a pure
+        # extra shuffle there; deep chains still contract exponentially
+        # from round 1 on.
+        if i > 0:
+            parent = stepped.select(
+                F.col("node").alias("_pnode"), F.col("component").alias("_pcomp")
+            )
+            updated = (
+                stepped.join(parent, stepped.component == parent._pnode, "left")
+                .select(
+                    "node",
                     F.least(
                         F.col("component"), F.coalesce("_pcomp", F.col("component"))
-                    )
-                    < F.col("_old")
-                ).alias("_changed"),
+                    ).alias("component"),
+                    (
+                        F.least(
+                            F.col("component"),
+                            F.coalesce("_pcomp", F.col("component")),
+                        )
+                        < F.col("_old")
+                    ).alias("_changed"),
+                )
             )
-        )
+        else:
+            updated = stepped.select(
+                "node",
+                "component",
+                (F.col("component") < F.col("_old")).alias("_changed"),
+            )
         if (i + 1) % checkpoint_every == 0:
             updated = updated.localCheckpoint()
         n_changed = updated.filter(F.col("_changed")).limit(1).count()

@@ -341,3 +341,27 @@ def test_commit_rejects_fully_empty_delta(spark, tmp_path):
     # explicit truncate still works
     s1 = t.commit([], SCHEMA, "overwrite", s0.version)
     assert s1.n_files == 0
+
+
+def test_distributed_planner_on_100k_files(big_table):
+    """Scan planning as a Spark job (lake/planning.py): on the 100k-entry
+    manifest set, a selective k2 probe must return exactly the driver
+    planner's file set while the executors, not the driver, evaluate the
+    100k stats rows."""
+    from dlt_iceberg_spark.lake.planning import plan_candidates
+    from dlt_iceberg_spark.lake.table import _file_may_match
+
+    snap = big_table.snapshot()
+    where = [("k2", ">=", 500_000), ("k2", "<=", 500_499)]
+    dist = sorted(
+        f.path
+        for f in plan_candidates(
+            big_table.spark, big_table.location, SCHEMA, snap.manifests, where
+        )
+    )
+    driver = sorted(
+        f.path
+        for f in snap.files
+        if all(_file_may_match(f, c, op, v) for c, op, v in where)
+    )
+    assert dist == driver and len(dist) == 50
