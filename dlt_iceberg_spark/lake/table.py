@@ -560,6 +560,7 @@ class LakeTable:
         df: DataFrame,
         target_file_rows: int | None = None,
         partition_exprs: list | None = None,
+        bloom_columns: list[str] | None = None,
     ) -> list[DataFile]:
         """Write a DataFrame's content as immutable parquet files in data/
         (not yet visible — visibility comes from the snapshot commit).
@@ -587,9 +588,19 @@ class LakeTable:
         staging = os.path.join(self.location, f"_staging_{uuid.uuid4().hex}")
         if partition_exprs:
             tmp = {f"_p_{n}": expr.cast("string") for n, expr in partition_exprs}
-            df.withColumns(tmp).write.mode("overwrite").partitionBy(*tmp.keys()).parquet(staging)
+            writer = df.withColumns(tmp).write.mode("overwrite").partitionBy(*tmp.keys())
         else:
-            df.write.mode("overwrite").parquet(staging)
+            writer = df.write.mode("overwrite")
+        # parquet bloom filters on equality-probe columns (merge keys /
+        # point-lookup columns): manifest min/max stats pick candidate
+        # FILES; blooms let the parquet reader skip row GROUPS inside them
+        # on `=` probes — the Iceberg write-time recipe
+        # (write.parquet.bloom-filter-enabled.column.*), crucial for
+        # unsorted high-cardinality keys where min/max ranges are wide.
+        for c in bloom_columns or []:
+            if c in df.columns:
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer.parquet(staging)
         spark_stats = (
             None
             if isinstance(io, LocalFileIO)

@@ -68,6 +68,13 @@ class TableSpec:
     #: explicit output-file count for sort_order writes (None = let AQE size
     #: the range partitions by bytes)
     sort_buckets: int | None = None
+    #: write parquet bloom filters on these columns (None = infer: the
+    #: resolved primary key under a merge disposition, plus any
+    #: x-bloom-filter column hints).  Blooms complement min/max stats:
+    #: manifests prune files by range; blooms let the reader skip row
+    #: groups on `=` probes of unsorted high-cardinality keys (Iceberg's
+    #: write.parquet.bloom-filter-enabled.column.* table property).
+    bloom_filter_columns: list[str] | None = None
     #: "cow" rewrites touched files at merge time (read-optimized);
     #: "mor" lands the batch + an equality-delete file in O(batch) and
     #: defers the rewrite to fold_deletes/compaction (write-optimized —
@@ -105,6 +112,19 @@ class TableSpec:
             for c, h in self.column_hints.items()
             if h.get("primary_key") or h.get("x-primary-key")
         ]
+
+    def resolve_bloom_columns(self) -> list[str]:
+        """Columns to write parquet bloom filters for: explicit spec list
+        wins; otherwise x-bloom-filter hints plus — under a merge
+        disposition — the resolved primary key (merge planning probes it
+        with equality, exactly what blooms accelerate)."""
+        if self.bloom_filter_columns is not None:
+            return list(self.bloom_filter_columns)
+        cols = [c for c, h in self.column_hints.items() if h.get("x-bloom-filter")]
+        disposition, _ = self.resolve_strategy()
+        if disposition == "merge":
+            cols.extend(k for k in self.resolve_primary_key() if k not in cols)
+        return cols
 
 
 @dataclass
@@ -163,8 +183,9 @@ class LakeWriter:
         # its partition tuple (enables dynamic overwrite + pruning)
         pexprs = self._partition_exprs(snap.partition_spec)
 
+        bloom = spec.resolve_bloom_columns()
         if disposition == "append":
-            new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
+            new_files = table.stage_dataframe(casted, partition_exprs=pexprs, bloom_columns=bloom)
             # delta commit: parent manifests ride by reference — an append
             # never reads or rewrites the existing file inventory
             table.commit(
@@ -178,9 +199,9 @@ class LakeWriter:
                 else None
             )
             if scope == "partitions":
-                self._replace_partitions(table, casted, target_schema, snap, summary)
+                self._replace_partitions(table, casted, target_schema, snap, summary, bloom)
             else:
-                new_files = table.stage_dataframe(casted, partition_exprs=pexprs)
+                new_files = table.stage_dataframe(casted, partition_exprs=pexprs, bloom_columns=bloom)
                 table.commit(
                     new_files, target_schema, "overwrite", snap.version,
                     summary=summary, delete_files=[],  # nothing left to mask
@@ -272,7 +293,8 @@ class LakeWriter:
         return partition_columns([PartitionField(**p) for p in partition_spec])
 
     def _replace_partitions(
-        self, table, batch: DataFrame, target_schema, snap, summary: dict
+        self, table, batch: DataFrame, target_schema, snap, summary: dict,
+        bloom: list[str] | None = None,
     ) -> None:
         """INSERT OVERWRITE of only the partitions present in the batch
         (Iceberg ``overwritePartitions``): one atomic snapshot where files
@@ -339,8 +361,8 @@ class LakeWriter:
             key = F.concat_ws("\x1f", *[e for e in str_exprs])
             incoming_keys = ["\x1f".join(t) for t in incoming]
             remaining = table.read_files(legacy).filter(~key.isin(incoming_keys))
-            rewritten = table.stage_dataframe(remaining, partition_exprs=pcols)
-        new_files = table.stage_dataframe(batch, partition_exprs=pcols)
+            rewritten = table.stage_dataframe(remaining, partition_exprs=pcols, bloom_columns=bloom)
+        new_files = table.stage_dataframe(batch, partition_exprs=pcols, bloom_columns=bloom)
         table.commit(
             None,
             target_schema,
@@ -381,7 +403,10 @@ class LakeWriter:
                 "table %r: merge requested but no primary key resolved; appending",
                 spec.name,
             )
-            new_files = table.stage_dataframe(batch.drop(hard_delete_col) if has_hard_delete else batch)
+            new_files = table.stage_dataframe(
+                batch.drop(hard_delete_col) if has_hard_delete else batch,
+                bloom_columns=spec.resolve_bloom_columns(),
+            )
             table.commit(
                 None, target_schema, "append", snap.version, summary=summary,
                 manifests=snap.manifests, new_files=snap.inline_files + new_files,
@@ -430,7 +455,7 @@ class LakeWriter:
             hard_delete_col=hard_delete_col if has_hard_delete else None,
             broadcast_source=broadcast_batch,
         )
-        new_files = table.stage_dataframe(merged)
+        new_files = table.stage_dataframe(merged, bloom_columns=spec.resolve_bloom_columns())
         # delta commit: manifests proven disjoint from the batch's key range
         # pass through by reference — the merge is O(touched) end to end
         table.commit(
@@ -483,7 +508,9 @@ class LakeWriter:
         if strategy == "upsert":
             data = _dedupe_source(data, keys, None)
         new_delete_files = table.stage_delete_files(del_keys, keys)
-        new_files = table.stage_dataframe(data)
+        # bloom filters on the merge keys: future CoW planning / point
+        # reads probe these files by key equality
+        new_files = table.stage_dataframe(data, bloom_columns=keys)
         table.commit(
             None,
             target_schema,

@@ -498,3 +498,41 @@ def test_date_column_stats_and_pruned_read(spark, warehouse):
     assert stats and all(isinstance(s[0], str) for s in stats)
     assert table.read().count() == 2
     assert table.read(where=[("d", ">=", "2024-05-01")]).count() == 1
+
+
+def test_resolve_bloom_columns_defaults_to_merge_keys():
+    from dlt_iceberg_spark.lake.writer import TableSpec
+
+    merge = TableSpec(name="t", write_disposition="merge", primary_key=["id"])
+    assert merge.resolve_bloom_columns() == ["id"]
+    append = TableSpec(name="t", write_disposition="append", primary_key=["id"])
+    assert append.resolve_bloom_columns() == []
+    hinted = TableSpec(
+        name="t",
+        write_disposition="append",
+        column_hints={"user": {"x-bloom-filter": True}},
+    )
+    assert hinted.resolve_bloom_columns() == ["user"]
+    explicit = TableSpec(
+        name="t", write_disposition="merge", primary_key=["id"],
+        bloom_filter_columns=[],
+    )
+    assert explicit.resolve_bloom_columns() == []  # explicit empty disables
+
+
+def test_stage_dataframe_writes_parquet_bloom_filters(spark, tmp_path):
+    """bloom_columns must reach the parquet writer: the bloom filter is a
+    real on-disk structure, so the same data must produce strictly larger
+    files with it enabled (pyarrow/duckdb here can't introspect bloom
+    offsets, so size delta is the observable)."""
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    df = spark.range(100_000).selectExpr("id", "cast(id as string) as s").coalesce(1)
+    plain = LakeTable(spark, str(tmp_path / "plain"))
+    bloomed = LakeTable(spark, str(tmp_path / "bloomed"))
+    f_plain = plain.stage_dataframe(df)
+    f_bloom = bloomed.stage_dataframe(df, bloom_columns=["id", "s"])
+    assert sum(f.bytes for f in f_bloom) > sum(f.bytes for f in f_plain) + 100_000
+    # and an absent column is ignored, not an error
+    f_skip = plain.stage_dataframe(df, bloom_columns=["nope"])
+    assert abs(sum(f.bytes for f in f_skip) - sum(f.bytes for f in f_plain)) < 10_000
