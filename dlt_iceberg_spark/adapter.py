@@ -65,11 +65,21 @@ class iceberg_partition:  # noqa: N801 — name parity with the reference API
         return PartitionTransform(column, "truncate", width, name)
 
 
-def iceberg_adapter(res: Resource, *transforms: PartitionTransform) -> Resource:
+def iceberg_adapter(
+    res: Resource,
+    *transforms: PartitionTransform,
+    partition: list[PartitionTransform | str] | None = None,
+) -> Resource:
     """Attach partition hints to a resource (adapter.py:188-276 analogue).
-    Accepts the same shapes: a Resource, or raw data (wrapped)."""
+    Accepts the same shapes: a Resource, or raw data (wrapped); transforms
+    positionally or via the reference's ``partition=[...]`` keyword (where
+    a bare string means identity on that column)."""
     if not isinstance(res, Resource):
         res = Resource(producer=res, name=getattr(res, "__name__", "data"))
+    transforms = tuple(transforms) + tuple(
+        PartitionTransform(t, "identity") if isinstance(t, str) else t
+        for t in partition or []
+    )
     hints = dict(res.column_hints)
     for t in transforms:
         col, hint = t.to_hint()

@@ -125,6 +125,27 @@ class LakeCatalog:
         else:
             self._io.rmtree(os.path.join(loc, "metadata"))
 
+    def drop_tables(
+        self,
+        namespace: str,
+        table_names: list[str],
+        purge: bool = True,
+        missing_ok: bool = True,
+    ) -> list[str]:
+        """Drop several tables; missing names are a no-op by default — the
+        reference contract (tests/test_drop_tables.py:122-153: dlt core may
+        pass names for tables never physically created).  Returns the names
+        actually dropped."""
+        dropped = []
+        for t in table_names:
+            if not self.table_exists(namespace, t):
+                if missing_ok:
+                    continue
+                raise TableNotFoundError(f"{namespace}.{t}")
+            self.drop_table(namespace, t, purge=purge)
+            dropped.append(t)
+        return dropped
+
     def drop_storage(self, namespace: str) -> None:
         """Drop every table in the namespace (drop_storage analogue)."""
         ns_dir = os.path.join(self.warehouse, namespace)

@@ -109,6 +109,7 @@ class Pipeline:
         *resources: Resource,
         load_id: str | None = None,
         truncate_tables: list[str] | None = None,
+        refresh: str | None = None,
     ) -> LoadInfo:
         """Extract → write (one snapshot/table) → ledger append.
 
@@ -116,12 +117,20 @@ class Pipeline:
         pre-check, destination_client.py:1139-1150).  ``truncate_tables``
         are dropped before loading (W9 refresh semantics,
         destination_client.py:872-880) so their resources recreate them
-        from scratch this run."""
+        from scratch this run.  ``refresh="drop_resources"`` drops every
+        table this run's resources write (dlt's refresh mode; reference
+        tests/test_drop_tables.py:224-280 — the second run must see ONLY
+        the new schema, no stale columns)."""
+        if refresh not in (None, "drop_resources"):
+            raise ValueError(f"unsupported refresh mode {refresh!r}")
         t0 = time.perf_counter()
         load_id = load_id or f"{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
         if self.state.load_recorded(load_id):
             return LoadInfo(load_id, [], "", 0.0, already_loaded=True)
-        for t in truncate_tables or []:
+        to_drop = list(truncate_tables or [])
+        if refresh == "drop_resources":
+            to_drop.extend(r.name for r in resources if r.name not in to_drop)
+        for t in to_drop:
             if self.catalog.table_exists(self.dataset_name, t):
                 self.catalog.drop_table(self.dataset_name, t)
 

@@ -90,12 +90,23 @@ class StateStore:
         df = self.spark.createDataFrame(rows, schema)
         if not self.catalog.table_exists(self.namespace, name):
             table = self.catalog.create_table(self.namespace, name, schema)
+            stored = schema
         else:
             table = self.catalog.load_table(self.namespace, name)
+            # an existing state table's schema wins: a pre-created table
+            # with tz-aware (or naive) timestamps keeps its flavor, and the
+            # batch adapts — reference goldens
+            # tests/test_with_state_sync.py:313-430 (state metadata neither
+            # clashes with nor downgrades an existing timestamp[tz] schema)
+            stored = table.schema() or schema
+            if stored != schema:
+                from dlt_iceberg_spark.schema.casting import cast_dataframe_safe
+
+                df = cast_dataframe_safe(df, stored)
         snap = table.snapshot()
         files = table.stage_dataframe(df)
         table.commit(
-            None, schema, "append", snap.version,
+            None, stored, "append", snap.version,
             manifests=snap.manifests, new_files=snap.inline_files + files,
         )
 
@@ -123,6 +134,26 @@ class StateStore:
             ],
         )
         return True
+
+    def clear_schema_versions(self, schema_name: str) -> int:
+        """Remove every ``_dlt_version`` row for ``schema_name`` — the
+        ``drop_tables(delete_schema=True)`` contract
+        (tests/test_drop_tables.py:161-221, SqlJobClientBase parity).
+        Returns the number of rows removed.  One replace snapshot; the
+        surviving rows rewrite distributed (no driver materialization)."""
+        if not self.catalog.table_exists(self.namespace, VERSION_TABLE):
+            return 0
+        table = self.catalog.load_table(self.namespace, VERSION_TABLE)
+        snap = table.snapshot()
+        df = table.read()
+        total = df.count()
+        keep = df.filter(F.col("schema_name") != schema_name)
+        kept_rows = keep.count()
+        if kept_rows == total:
+            return 0
+        files = table.stage_dataframe(keep)
+        table.commit(files, VERSION_SCHEMA, "overwrite", snap.version, delete_files=[])
+        return total - kept_rows
 
     # -- M1/M2: schema lookup ---------------------------------------------
 

@@ -174,3 +174,71 @@ def test_metadata_tables(spark, warehouse):
 
     with _pytest.raises(ValueError, match="unknown metadata"):
         table.metadata_df("nope")
+
+
+def _create(catalog, ns, name):
+    catalog.create_namespace(ns)
+    t = catalog.create_table(ns, name, SCHEMA)
+    df = catalog.spark.createDataFrame([(1,)], SCHEMA)
+    snap = t.snapshot()
+    t.commit(None, SCHEMA, "append", snap.version, manifests=snap.manifests,
+             new_files=snap.inline_files + t.stage_dataframe(df))
+    return t
+
+
+def test_drop_tables_is_idempotent_on_missing(catalog):
+    """Reference golden (tests/test_drop_tables.py:122-153): dlt core may
+    pass names for tables never physically created — a no-op, not an
+    error."""
+    _create(catalog, "ns", "real")
+    dropped = catalog.drop_tables("ns", ["does_not_exist", "real", "also_missing"])
+    assert dropped == ["real"]
+    assert catalog.drop_tables("ns", ["real"]) == []  # second drop: no-op
+    with pytest.raises(TableNotFoundError):
+        catalog.drop_tables("ns", ["real"], missing_ok=False)
+
+
+def test_drop_tables_delete_schema_clears_version_rows(spark, warehouse):
+    """Reference golden (tests/test_drop_tables.py:161-221): the
+    delete_schema=True contract removes every _dlt_version row for the
+    schema name — and ONLY for that schema."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.state import StateStore
+
+    catalog = LakeCatalog(spark, warehouse)
+    catalog.create_namespace("ds")
+    store = StateStore(catalog, "ds")
+    store.store_schema("events_schema", "hash_a", 1, {"tables": {}})
+    store.store_schema("events_schema", "hash_b", 2, {"tables": {}})
+    store.store_schema("other_schema", "hash_c", 1, {"tables": {}})
+    assert store.get_newest_schema("events_schema") is not None
+
+    removed = store.clear_schema_versions("events_schema")
+    assert removed == 2
+    assert store.get_newest_schema("events_schema") is None
+    assert store.get_newest_schema("other_schema") is not None  # untouched
+    assert store.clear_schema_versions("events_schema") == 0  # idempotent
+    assert store.clear_schema_versions("never_stored") == 0
+
+
+def test_refresh_drop_resources_actually_drops(spark, warehouse):
+    """Reference golden (tests/test_drop_tables.py:224-280): after
+    refresh='drop_resources', the second run's table carries ONLY the new
+    resource schema — no stale columns, no stale rows."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    pipe = Pipeline(spark, warehouse, dataset_name="drop_ds")
+    pipe.run(Resource([{"id": 1, "old_col": "old"}], "refreshable"))
+    cols_v1 = set(pipe.dataset()["refreshable"].df().columns)
+    assert "old_col" in cols_v1
+
+    pipe.run(
+        Resource([{"id": 2, "new_col": "new"}], "refreshable"),
+        refresh="drop_resources",
+    )
+    out = pipe.dataset()["refreshable"].df()
+    assert set(out.columns) == {"id", "new_col"}
+    assert out["id"].tolist() == [2]
+
+    with pytest.raises(ValueError, match="refresh"):
+        pipe.run(Resource([{"id": 3}], "refreshable"), refresh="bogus")

@@ -536,3 +536,44 @@ def test_stage_dataframe_writes_parquet_bloom_filters(spark, tmp_path):
     # and an absent column is ignored, not an error
     f_skip = plain.stage_dataframe(df, bloom_columns=["nope"])
     assert abs(sum(f.bytes for f in f_skip) - sum(f.bytes for f in f_plain)) < 10_000
+
+
+def test_custom_partition_name_e2e(spark, warehouse):
+    """Reference golden (tests/test_capabilities.py:285-340): custom
+    partition-field names from the adapter (month('created_at',
+    'event_month'), identity('region', 'event_region')) must flow through
+    the hints into the table's partition spec and every file's partition
+    tuple."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+    from dlt_iceberg_spark.adapter import iceberg_adapter, iceberg_partition
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    hints = iceberg_adapter(
+        {},
+        partition=[
+            iceberg_partition.month("created_at", "event_month"),
+            iceberg_partition.identity("region", "event_region"),
+        ],
+    ).column_hints
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    rows = [
+        Row(id=1, created_at=datetime(2024, 1, 15), region="US"),
+        Row(id=2, created_at=datetime(2024, 3, 2), region="EU"),
+    ]
+    writer.write(
+        TableSpec(name="events", write_disposition="append", column_hints=hints),
+        spark.createDataFrame(rows),
+    )
+    table = catalog.load_table("main", "events")
+    snap = table.snapshot()
+    spec_names = {p["name"] for p in snap.partition_spec}
+    assert spec_names == {"event_month", "event_region"}
+    for f in snap.files:
+        assert set(f.partition) == {"event_month", "event_region"}
+    # custom-named partition prunes: only the US file is read
+    us = table.read(where=None)
+    assert us.count() == 2

@@ -2,6 +2,7 @@
 test_load_metadata_resilience.py)."""
 
 import pytest
+from pyspark.sql import types as T
 
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
 from dlt_iceberg_spark.lake.state import StateStore
@@ -171,3 +172,53 @@ def test_restore_prefers_ledger_over_derivation(spark, warehouse):
            "custom_marker": True}
     store.store_schema("pipe", "hash-1", 1, doc)
     assert store.restore_schema("pipe") == doc
+
+
+# ---- timestamp-flavor compatibility (reference golden cases:
+# tests/test_with_state_sync.py:313-430) -------------------------------------
+
+
+def test_state_created_at_adapts_to_existing_timestamptz_schema(spark, warehouse):
+    """A state table pre-created with tz-aware created_at keeps its flavor;
+    the engine's naive-UTC batch adapts instead of clashing."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.state import STATE_SCHEMA, STATE_TABLE, StateStore
+
+    tz_schema = T.StructType(
+        [
+            T.StructField(
+                f.name, T.TimestampType() if f.name == "created_at" else f.dataType, f.nullable
+            )
+            for f in STATE_SCHEMA.fields
+        ]
+    )
+    catalog = LakeCatalog(spark, warehouse)
+    catalog.create_namespace("ds")
+    catalog.create_table("ds", STATE_TABLE, tz_schema)
+
+    store = StateStore(catalog, "ds")
+    store.store_pipeline_state("my_pipeline", {"state": True}, 1, "hash1")
+
+    table = catalog.load_table("ds", STATE_TABLE)
+    field = {f.name: f.dataType for f in table.schema().fields}["created_at"]
+    assert isinstance(field, T.TimestampType)  # NOT downgraded to ntz
+    row = store.get_stored_state("my_pipeline")
+    assert row is not None and row.state == '{"state": true}'
+    assert row.created_at is not None
+
+
+def test_state_created_at_preserves_naive_schema(spark, warehouse):
+    """Default path: the engine-created table stays timestamp_ntz across
+    appends (no silent upgrade either)."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.state import STATE_TABLE, StateStore
+
+    catalog = LakeCatalog(spark, warehouse)
+    catalog.create_namespace("ds")
+    store = StateStore(catalog, "ds")
+    store.store_pipeline_state("p", {"a": 1}, 1, "h1")
+    store.store_pipeline_state("p", {"a": 2}, 2, "h2")
+    table = catalog.load_table("ds", STATE_TABLE)
+    field = {f.name: f.dataType for f in table.schema().fields}["created_at"]
+    assert isinstance(field, T.TimestampNTZType)
+    assert store.get_stored_state("p").version == 2
