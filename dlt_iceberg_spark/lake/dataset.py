@@ -96,3 +96,20 @@ class Dataset:
             snap = self._table(t).snapshot()
             out[t] = snap.total_rows
         return out
+
+    def aggregate(self, table_name: str, columns: list[str] | None = None) -> dict:
+        """count / per-column min,max — answered from manifest metadata
+        when exact (Iceberg aggregate pushdown; milliseconds at any table
+        size), transparently falling back to a real scan when it isn't
+        (outstanding MoR deletes, missing column stats)."""
+        from pyspark.sql import functions as F
+
+        t = self._table(table_name)
+        got = t.aggregate_stats(columns)
+        if got is not None:
+            return got
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in columns or []:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        return t.read().agg(*aggs).collect()[0].asDict()

@@ -175,6 +175,43 @@ class Snapshot:
             r.bytes for r in self.manifests
         )
 
+    def aggregate_stats(self, columns: list[str] | None = None) -> dict | None:
+        """Metadata-only ``count`` / per-column ``min``/``max`` — Iceberg's
+        aggregate pushdown: a ``SELECT count(*), min(k), max(k)`` over
+        100 TB answers from manifest aggregates in milliseconds, scanning
+        nothing.
+
+        Returns ``None`` when metadata cannot answer EXACTLY:
+
+        - equality deletes outstanding (MoR masks make counts/extremes an
+          upper bound until ``fold_deletes``), or
+        - a requested column whose aggregate range is unbounded (some file
+          lacked stats) — the caller falls back to a real scan.
+
+        Cost is O(manifest refs): per-manifest aggregate ranges answer
+        min/max without opening a single chunk."""
+        if self.delete_files:
+            return None
+        out: dict[str, Any] = {"count": self.total_rows}
+        for col in columns or []:
+            lo: Any = None
+            hi: Any = None
+            for f in self.inline_files:
+                st = f.stats.get(col)
+                if st is None or st[0] is None or st[1] is None:
+                    return None
+                lo = st[0] if lo is None else min(lo, st[0])
+                hi = st[1] if hi is None else max(hi, st[1])
+            for r in self.manifests:
+                rng = r.ranges.get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    return None
+                lo = rng[0] if lo is None else min(lo, rng[0])
+                hi = rng[1] if hi is None else max(hi, rng[1])
+            out[f"min_{col}"] = lo
+            out[f"max_{col}"] = hi
+        return out
+
 
 def _collect_file_stats(
     abs_path: str, schema: T.StructType, io=None
@@ -1076,6 +1113,16 @@ class LakeTable:
             return self.spark.createDataFrame([], end.schema)
         paths = [os.path.join(self.location, p) for p in new_paths]
         return self.spark.read.schema(end.schema).parquet(*paths)
+
+    def aggregate_stats(
+        self, columns: list[str] | None = None, snapshot_version: int | None = None
+    ) -> dict | None:
+        """Metadata-only count/min/max (see :meth:`Snapshot.aggregate_stats`);
+        ``None`` means metadata can't answer exactly — run the scan."""
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        return snap.aggregate_stats(columns)
 
     def read_files(self, files: list[DataFile]) -> DataFrame:
         """Scan a subset of live files (used by copy-on-write merge)."""

@@ -242,3 +242,85 @@ def test_refresh_drop_resources_actually_drops(spark, warehouse):
 
     with pytest.raises(ValueError, match="refresh"):
         pipe.run(Resource([{"id": 3}], "refreshable"), refresh="bogus")
+
+
+def test_aggregate_stats_metadata_only(spark, warehouse):
+    """Iceberg-style aggregate pushdown: count/min/max answered from
+    manifest aggregates with zero data-file reads — and refused (None)
+    whenever metadata can't be exact."""
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.range(1000).selectExpr("id", "id * 2 as v").repartition(4)
+    writer.write(TableSpec(name="t", write_disposition="append"), df)
+    table = catalog.load_table("main", "t")
+
+    # no manifest chunk is opened: monkeypatch-free check via read counter
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        table_mod, "read_manifest", side_effect=AssertionError("opened a manifest")
+    ):
+        got = table.aggregate_stats(["id", "v"])
+    assert got == {
+        "count": 1000,
+        "min_id": 0,
+        "max_id": 999,
+        "min_v": 0,
+        "max_v": 1998,
+    }
+    # cross-check against the real scan
+    row = table.read().selectExpr("count(*) c", "min(id) a", "max(v) b").collect()[0]
+    assert (row.c, row.a, row.b) == (1000, 0, 1998)
+
+    # a column without stats (strings beyond truncation are fine, but a
+    # column absent from stats entirely) -> None
+    assert table.aggregate_stats(["nope"]) is None
+
+    # outstanding MoR deletes -> metadata is only an upper bound -> None
+    dfiles = table.stage_delete_files(
+        spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    snap = table.snapshot()
+    table.commit(
+        None, snap.schema, "merge-mor", snap.version,
+        manifests=snap.manifests, new_files=snap.inline_files,
+        delete_files=list(snap.delete_files) + dfiles,
+    )
+    assert table.aggregate_stats(["id"]) is None
+    table.fold_deletes()
+    after = table.aggregate_stats(["id"])
+    assert after is not None and after["count"] == 999
+
+
+def test_dataset_aggregate_fallback_matches_metadata(spark, warehouse):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.range(100).selectExpr("id", "cast(id as string) as s"),
+    )
+    ds = Dataset(catalog, "main")
+    fast = ds.aggregate("t", ["id"])
+    assert fast == {"count": 100, "min_id": 0, "max_id": 99}
+
+    # force the scan fallback (outstanding MoR delete makes metadata
+    # inexact) and require the same answer shape from the real scan
+    table = catalog.load_table("main", "t")
+    dfiles = table.stage_delete_files(spark.createDataFrame([(5,)], "id long"), ["id"])
+    snap = table.snapshot()
+    table.commit(
+        None, snap.schema, "merge-mor", snap.version,
+        manifests=snap.manifests, new_files=snap.inline_files,
+        delete_files=list(snap.delete_files) + dfiles,
+    )
+    assert table.aggregate_stats(["id"]) is None  # metadata refuses
+    slow = ds.aggregate("t", ["id"])  # scan path
+    assert slow == {"count": 99, "min_id": 0, "max_id": 99}
