@@ -107,3 +107,31 @@ def test_cast_shuffled_field_order_ok(spark):
     target = S(("x", T.LongType(), True), ("y", T.StringType(), True))
     out = cast_dataframe_safe(df, target)
     assert out.collect()[0].x == 1
+
+
+def test_cast_multiple_missing_columns_filled(spark):
+    """Reference golden (tests/test_sparse_schema.py): several missing
+    nullable target columns all null-fill in one cast."""
+    df = spark.createDataFrame([(1,)], "x long")
+    target = S(
+        ("x", T.LongType(), True),
+        ("a", T.StringType(), True),
+        ("b", T.DoubleType(), True),
+        ("c", T.LongType(), True),
+    )
+    out = cast_dataframe_safe(df, target)
+    row = out.collect()[0]
+    assert (row.x, row.a, row.b, row.c) == (1, None, None, None)
+    assert [f.name for f in out.schema.fields] == ["x", "a", "b", "c"]
+
+
+def test_cast_missing_columns_work_in_strict_mode(spark):
+    """Reference golden (tests/test_sparse_schema.py): strict mode rejects
+    narrowing, but a missing NULLABLE column is sparse data, not a type
+    error — it must null-fill even under strict=True."""
+    df = spark.createDataFrame([(1,)], "x long")
+    target = S(("x", T.LongType(), True), ("opt", T.StringType(), True))
+    out = cast_dataframe_safe(df, target, strict=True)
+    assert out.collect()[0].opt is None
+    issues = validate_cast(df.schema, target, strict=True)
+    assert all(i.verdict in (Verdict.OK, Verdict.WARN) for i in issues)
