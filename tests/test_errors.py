@@ -8,6 +8,7 @@ from dlt_iceberg_spark.errors import (
     CastingError,
     CommitConflictError,
     ErrorCategory,
+    NamespaceNotFoundError,
     RetryPolicy,
     SchemaEvolutionError,
     TableAlreadyExistsError,
@@ -101,3 +102,23 @@ def test_on_retry_hook_runs_between_attempts():
 def test_user_message_carries_category_and_hint():
     msg = user_message(CastingError("float64 -> int32"))
     assert "client_error" in msg and "CastingError" in msg and "fix the pipeline" in msg
+
+
+@pytest.mark.parametrize(
+    "exc,fragments",
+    [
+        # reference message goldens (tests/test_error_handling.py:126-163),
+        # mapped onto this engine's category-hint vocabulary: the original
+        # message must survive verbatim and the hint must carry the same
+        # actionable concept.
+        (TableNotFoundError("table foo not found"), ["foo not found", "missing table"]),
+        (NamespaceNotFoundError("namespace bar gone"), ["bar gone", "missing table/namespace"]),
+        (CastingError("schema mismatch"), ["schema mismatch", "fix the pipeline"]),
+        (PermissionError("no permission"), ["no permission", "grants"]),
+        (CommitConflictError("concurrent write"), ["concurrent write", "retried"]),
+    ],
+)
+def test_per_type_user_messages(exc, fragments):
+    msg = user_message(exc)
+    for frag in fragments:
+        assert frag in msg, (msg, frag)
