@@ -577,3 +577,46 @@ def test_custom_partition_name_e2e(spark, warehouse):
     # custom-named partition prunes: only the US file is read
     us = table.read(where=None)
     assert us.count() == 2
+
+
+def test_concurrent_writers_thread_race(spark, warehouse):
+    """Real optimistic-concurrency race: N threads append through the
+    writer simultaneously against one table.  Atomic pointer-rename means
+    exactly one committer wins each version; losers classify the conflict
+    retryable, re-read the head, and reland.  Every row must arrive
+    exactly once, in one snapshot per load."""
+    import threading
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main", WriterConfig(max_retries=10, retry_backoff_base=0.0))
+    spec = TableSpec(name="race_t", write_disposition="append")
+    writer.write(spec, spark.range(0, 10), load_id="seed")
+
+    n_threads = 5
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n_threads)
+
+    def worker(i: int) -> None:
+        try:
+            barrier.wait()
+            writer.write(spec, spark.range(100 + i * 10, 100 + i * 10 + 10), load_id=f"l{i}")
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    table = catalog.load_table("main", "race_t")
+    ids = sorted(r.id for r in table.read().collect())
+    assert ids == list(range(0, 10)) + list(range(100, 100 + n_threads * 10))
+    # one snapshot per append (+1 create): versions strictly increment
+    versions = [s.version for s in table.snapshots()]
+    assert versions == sorted(versions) and len(set(versions)) == len(versions)
+    assert len(versions) >= n_threads + 1
