@@ -323,3 +323,52 @@ def test_prune_split_is_conservative_and_complete(tmp_path_factory, files, probe
     for ref in kept_refs:
         for f in read_manifest(loc, ref):
             assert not brute_may_match(f)
+
+
+# ---- connected components vs union-find model ------------------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-doubling min-label propagation must equal a plain
+    union-find on arbitrary random graphs (self-loops, duplicates,
+    disconnected nodes, long chains)."""
+    from dlt_iceberg_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # canonicalize to min-of-component (find() roots already min-biased,
+    # but path order can leave a non-min root; normalize via group-min)
+    comp_min: dict[int, int] = {}
+    for n, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, max_iterations=30).collect()
+    }
+    assert got == expected
