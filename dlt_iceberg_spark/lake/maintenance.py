@@ -353,3 +353,56 @@ def remove_orphan_files(
                 if not dry_run:
                     io.remove(abs_path)
     return out
+
+
+@dataclass
+class MaintenancePolicy:
+    """Thresholds for one-call table upkeep (`maintain`).  Defaults suit a
+    continuously-loaded table; a 100 TB deployment runs `maintain` on a
+    schedule exactly like Iceberg's maintenance procedures."""
+
+    #: bin-pack when small files exist (compact_table target size)
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES
+    #: fold equality deletes back into data files once this many delete
+    #: files are outstanding (MoR read tax grows with the mask count)
+    fold_deletes_over: int = 8
+    #: snapshot retention
+    expire_older_than: timedelta = timedelta(days=7)
+    keep_last_snapshots: int = 10
+    #: orphan cleanup (staging dirs / files from crashed commits)
+    remove_orphans: bool = True
+    orphans_older_than: timedelta = timedelta(days=3)
+
+
+def maintain(table: LakeTable, policy: MaintenancePolicy | None = None) -> dict:
+    """Run the full upkeep cycle — delete folding, small-file compaction,
+    snapshot expiry, orphan removal — in dependency order, each step its
+    own atomic snapshot (or no-op).  Returns a report of what happened.
+
+    Order matters: deletes fold BEFORE compaction (compaction folds them
+    anyway for safety, but folding first keeps one rewrite); expiry runs
+    after rewrites so superseded files age out; orphan removal last so a
+    crashed prior maintenance run's leftovers are swept too."""
+    policy = policy or MaintenancePolicy()
+    report: dict[str, object] = {}
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    if len(snap.delete_files) >= policy.fold_deletes_over and snap.delete_files:
+        table.fold_deletes()
+        report["folded_delete_files"] = len(snap.delete_files)
+    c = compact_table(table, target_file_bytes=policy.target_file_bytes)
+    report["compaction"] = {
+        "rewritten_files": c.rewritten_files,
+        "carried_files": c.carried_files,
+        "output_files": c.output_files,
+    }
+    report["expired"] = expire_snapshots(
+        table,
+        older_than=policy.expire_older_than,
+        keep_last=policy.keep_last_snapshots,
+    )
+    if policy.remove_orphans:
+        removed = remove_orphan_files(table, older_than=policy.orphans_older_than)
+        report["orphans_removed"] = {k: len(v) for k, v in removed.items()}
+    return report

@@ -237,3 +237,51 @@ def test_zorder_rejects_unorderable_columns(spark, warehouse):
         rewrite_zorder(table, ["s"])
     with pytest.raises(ValueError, match="no such column"):
         rewrite_zorder(table, ["nope"])
+
+
+def test_maintain_runs_full_cycle(spark, tmp_path):
+    """One-call upkeep: folds MoR deletes past the threshold, compacts
+    small files, expires old snapshots, sweeps crashed-commit leftovers —
+    and reports each step."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import MaintenancePolicy, maintain
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable(spark, loc)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    t.commit(t.stage_dataframe(df.repartition(8)), df.schema, "create", None)
+    # outstanding equality deletes over the fold threshold
+    for i in range(3):
+        dfiles = t.stage_delete_files(
+            spark.createDataFrame([(i,)], "k long"), ["k"]
+        )
+        snap = t.snapshot()
+        t.commit(
+            None, snap.schema, "merge-mor", snap.version,
+            manifests=snap.manifests, new_files=snap.inline_files,
+            delete_files=list(snap.delete_files) + dfiles,
+        )
+    # a crashed commit's staging dir
+    import os
+    os.makedirs(os.path.join(loc, "_staging_dead"), exist_ok=True)
+    with open(os.path.join(loc, "_staging_dead", "x.parquet"), "w") as fh:
+        fh.write("junk")
+
+    report = maintain(
+        t,
+        MaintenancePolicy(
+            fold_deletes_over=2,
+            expire_older_than=timedelta(seconds=0),
+            keep_last_snapshots=1,
+            orphans_older_than=timedelta(seconds=0),
+        ),
+    )
+    assert report["folded_delete_files"] == 3
+    assert report["compaction"]["output_files"] >= 1
+    assert report["expired"]["snapshots"] >= 1
+    assert not t.snapshot().delete_files
+    assert sorted(r.k for r in t.read().collect()) == list(range(3, 100))
+    # staging dir swept
+    assert not os.path.exists(os.path.join(loc, "_staging_dead"))
