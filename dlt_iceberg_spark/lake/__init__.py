@@ -20,7 +20,15 @@ from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig, c
 from dlt_iceberg_spark.lake.state import StateStore
 from dlt_iceberg_spark.lake.dataset import Dataset
 from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource, resource, LoadInfo
-from dlt_iceberg_spark.lake.maintenance import compact_table, expire_snapshots, CompactionResult
+from dlt_iceberg_spark.lake.maintenance import (
+    CompactionResult,
+    MaintenancePolicy,
+    compact_table,
+    expire_snapshots,
+    maintain,
+    remove_orphan_files,
+    rewrite_zorder,
+)
 from dlt_iceberg_spark.lake.iceberg_config import IcebergCatalogConfig
 
 __all__ = [
@@ -45,5 +53,9 @@ __all__ = [
     "compact_table",
     "expire_snapshots",
     "CompactionResult",
+    "MaintenancePolicy",
+    "maintain",
+    "remove_orphan_files",
+    "rewrite_zorder",
     "IcebergCatalogConfig",
 ]
