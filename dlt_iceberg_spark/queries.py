@@ -2951,6 +2951,62 @@ def merge_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _merge_result_select(merged.drop("_dlt_deleted_at"))
 
 
+@query(
+    "lake_merge_roundtrip",
+    f"""
+    WITH target AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+         source AS ({_MERGE_SRC_SQL})
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS totalprice, o_orderdate, o_orderpriority
+    FROM (
+        SELECT t.* FROM target t ANTI JOIN source s ON t.o_orderkey = s.o_orderkey
+        UNION ALL
+        SELECT * FROM source
+    )
+    """,
+    doc=(
+        "The W3 upsert through the ACTUAL table format, not just the merge "
+        "plan: target lands via the append disposition (footer stats, "
+        "chunked manifests), the batch upserts via LakeWriter's "
+        "copy-on-write path (key-range file pruning, rewrite, delta "
+        "commit), and the result is the table's post-merge read.  The "
+        "oracle is the reference MERGE semantics in SQL — any fault in "
+        "staging, stats, pruning, commit, or scan planning breaks the "
+        "value hash."
+    ),
+)
+def lake_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_MERGE_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_merge_"))
+        writer = LakeWriter(catalog, "gate")
+        target, source = _merge_batches(spark, sf_dir)
+        spec = TableSpec(
+            name="orders",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["o_orderkey"],
+            sort_order=["o_orderkey"],
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append", sort_order=["o_orderkey"]),
+            target,
+        )
+        writer.write(spec, source)
+        table = catalog.load_table("gate", "orders")
+        _LAKE_MERGE_CACHE[key] = table
+    return _merge_result_select(table.read())
+
+
+_LAKE_MERGE_CACHE: dict = {}
+
+
 #: one lake-table build per (session, sf_dir): the gate and bench call each
 #: query repeatedly; the table is immutable once written
 _LAKE_STATS_CACHE: dict = {}
@@ -3024,6 +3080,7 @@ def lake_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_PRIORITY = [
     # never driver-verified through round 2 — must land inside the gate window
     "merge_upsert", "merge_hard_delete", "lake_stats_pushdown",
+    "lake_merge_roundtrip",
     "dedup_token_jaccard", "dedup_transitive_clusters", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs",
     "ann_cosine_topk", "ann_ivf", "ann_pq",
@@ -3037,7 +3094,7 @@ _GATE_PRIORITY = [
     "q1_pricing_summary", "q5_nation_revenue",
     "q6_revenue_delta", "q9_product_type_profit", "q18_large_orders",
     "q21_waiting_suppliers", "sql_delegated_join",
-    "rollup_nation_status", "pivot_priority_status", "pctl_order_value",
+    "rollup_nation_status", "pctl_order_value",
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
