@@ -58,17 +58,21 @@ class iceberg_partition:  # noqa: N801 — name parity with the reference API
 
     @staticmethod
     def bucket(n: int, column: str, name: str | None = None) -> PartitionTransform:
+        if n <= 0:  # reference golden: tests/test_adapter.py:53-57
+            raise ValueError("bucket count must be positive")
         return PartitionTransform(column, "bucket", n, name)
 
     @staticmethod
     def truncate(width: int, column: str, name: str | None = None) -> PartitionTransform:
+        if width <= 0:  # reference golden: tests/test_adapter.py:66-68
+            raise ValueError("truncate width must be positive")
         return PartitionTransform(column, "truncate", width, name)
 
 
 def iceberg_adapter(
     res: Resource,
     *transforms: PartitionTransform,
-    partition: list[PartitionTransform | str] | None = None,
+    partition: list[PartitionTransform | str] | PartitionTransform | str | None = None,
 ) -> Resource:
     """Attach partition hints to a resource (adapter.py:188-276 analogue).
     Accepts the same shapes: a Resource, or raw data (wrapped); transforms
@@ -76,6 +80,8 @@ def iceberg_adapter(
     a bare string means identity on that column)."""
     if not isinstance(res, Resource):
         res = Resource(producer=res, name=getattr(res, "__name__", "data"))
+    if isinstance(partition, (str, PartitionTransform)):
+        partition = [partition]  # reference accepts a scalar too
     transforms = tuple(transforms) + tuple(
         PartitionTransform(t, "identity") if isinstance(t, str) else t
         for t in partition or []

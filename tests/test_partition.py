@@ -105,3 +105,33 @@ def test_adapter_emits_hints():
     assert adapted.column_hints["region"]["x-partition-name"] == "event_region"
     # original untouched (adapter returns a new resource)
     assert res.column_hints == {}
+
+
+def test_bucket_invalid_count():
+    """Reference golden (tests/test_adapter.py:53-57)."""
+    with pytest.raises(ValueError, match="must be positive"):
+        iceberg_partition.bucket(0, "user_id")
+    with pytest.raises(ValueError, match="must be positive"):
+        iceberg_partition.bucket(-5, "user_id")
+
+
+def test_truncate_invalid_width():
+    with pytest.raises(ValueError, match="must be positive"):
+        iceberg_partition.truncate(0, "email")
+
+
+def test_adapter_partition_keyword_shapes():
+    """Reference shapes: scalar string, string list, mixed list, scalar
+    transform (tests/test_adapter.py:86-130)."""
+    res = Resource([{"id": 1}], "events")
+    one = iceberg_adapter(res, partition="region")
+    assert one.column_hints["region"]["x-partition"] is True
+    mixed = iceberg_adapter(
+        res, partition=["region", iceberg_partition.month("created_at")]
+    )
+    assert mixed.column_hints["region"]["x-partition"] is True
+    assert mixed.column_hints["created_at"]["x-partition-transform"] == "month"
+    scalar_t = iceberg_adapter(res, partition=iceberg_partition.day("ts"))
+    assert scalar_t.column_hints["ts"]["x-partition-transform"] == "day"
+    none = iceberg_adapter(res)
+    assert none.column_hints == {}
