@@ -225,16 +225,22 @@ def select_top_tokens(
     base = df.filter(F.col(score_col).isNotNull())
     # the driver cumsum in step 1 is O(distinct scores) — only safe when the
     # score is quantized.  A raw float score makes distinct ≈ n and would
-    # collect the corpus; fail loudly instead of OOMing the driver.
-    n_distinct = base.select(F.countDistinct(score_col)).collect()[0][0]
-    if n_distinct > max_distinct:
+    # collect the corpus; the limit bounds the collect so the guard and the
+    # totals share ONE job (a separate countDistinct pass would rescan the
+    # corpus just to ask a question this aggregation answers anyway).
+    totals = (
+        base.groupBy(score_col)
+        .agg(F.sum(tokens_col).alias("tok"))
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(totals) > max_distinct:
         raise ValueError(
-            f"select_top_tokens: {n_distinct} distinct values in {score_col!r} "
-            f"(> {max_distinct}) — the per-score driver cumsum requires a "
+            f"select_top_tokens: more than {max_distinct} distinct values in "
+            f"{score_col!r} — the per-score driver cumsum requires a "
             "quantized score; round/bucket the score column first "
             "(e.g. F.round(score, 4))"
         )
-    totals = base.groupBy(score_col).agg(F.sum(tokens_col).alias("tok")).collect()
     scores = sorted(((r[0], r["tok"]) for r in totals), key=lambda x: -x[0])
     cum = 0
     boundary = None
