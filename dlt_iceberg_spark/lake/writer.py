@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dlt_iceberg_spark.errors import CastingError, RetryPolicy
+from dlt_iceberg_spark.errors import CastingError, CommitConflictError, RetryPolicy
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
 from dlt_iceberg_spark.lake.merge import merge_plan
 from dlt_iceberg_spark.lake.table import DataFile, LakeTable
@@ -187,11 +187,13 @@ class LakeWriter:
         if disposition == "append":
             new_files = table.stage_dataframe(casted, partition_exprs=pexprs, bloom_columns=bloom)
             # delta commit: parent manifests ride by reference — an append
-            # never reads or rewrites the existing file inventory
-            table.commit(
-                None, target_schema, "append", snap.version, summary=summary,
-                manifests=snap.manifests, new_files=snap.inline_files + new_files,
-            )
+            # never reads or rewrites the existing file inventory.  An
+            # append's staged files are HEAD-INDEPENDENT, so a lost commit
+            # race re-commits against the new head without restaging — the
+            # conflict-retry cost is O(commit), never O(batch) (at 100 TB
+            # restaging a batch to resolve a millisecond pointer race would
+            # dominate the write path under any concurrency).
+            self._commit_append_on_head(table, target_schema, summary, new_files)
         elif disposition == "replace":
             scope = (
                 spec.write_disposition.get("scope")
@@ -211,6 +213,40 @@ class LakeWriter:
         else:
             raise ValueError(f"unknown write_disposition {disposition!r}")
         return table
+
+    # -- conflict-cheap append commits -------------------------------------
+
+    class _ConcurrentSchemaChange(Exception):
+        """Head schema moved between staging and commit — the batch must
+        replay through create-or-evolve (non-retryable on purpose: the
+        fast commit loop hands it back to the full write retry)."""
+
+    def _commit_append_on_head(
+        self, table: LakeTable, target_schema, summary: dict, new_files: list[DataFile]
+    ) -> None:
+        """Commit staged append files against whatever the CURRENT head is,
+        retrying lost commit races without restaging (staged files are
+        head-independent; the race costs O(commit), not O(batch)).  A
+        concurrent schema evolution aborts the fast path — the outer write
+        retry re-evolves and re-casts the batch."""
+        expected = target_schema.json()
+        policy = RetryPolicy(self.config.max_retries, self.config.retry_backoff_base)
+
+        def attempt() -> None:
+            head = table.snapshot()
+            if head.schema is not None and head.schema.json() != expected:
+                raise LakeWriter._ConcurrentSchemaChange()
+            table.commit(
+                None, target_schema, "append", head.version, summary=summary,
+                manifests=head.manifests, new_files=head.inline_files + new_files,
+            )
+
+        try:
+            policy.run(attempt)
+        except LakeWriter._ConcurrentSchemaChange:
+            raise CommitConflictError(
+                "concurrent schema change during append; replaying load"
+            ) from None
 
     # -- create / evolve ---------------------------------------------------
 
@@ -407,10 +443,7 @@ class LakeWriter:
                 batch.drop(hard_delete_col) if has_hard_delete else batch,
                 bloom_columns=spec.resolve_bloom_columns(),
             )
-            table.commit(
-                None, target_schema, "append", snap.version, summary=summary,
-                manifests=snap.manifests, new_files=snap.inline_files + new_files,
-            )
+            self._commit_append_on_head(table, target_schema, summary, new_files)
             return
 
         if snap.delete_files:
@@ -511,21 +544,43 @@ class LakeWriter:
         # bloom filters on the merge keys: future CoW planning / point
         # reads probe these files by key equality
         new_files = table.stage_dataframe(data, bloom_columns=keys)
-        table.commit(
-            None,
-            target_schema,
-            "merge-mor",
-            snap.version,
-            manifests=snap.manifests,
-            new_files=snap.inline_files + new_files,
-            delete_files=snap.delete_files + new_delete_files,
-            summary={
-                **summary,
-                "strategy": strategy,
-                "merge_mode": "mor",
-                "added-delete-files": len(new_delete_files),
-            },
-        )
+        # staged data + delete files are head-independent (sequence numbers
+        # stamp at commit), so a lost commit race re-commits against the new
+        # head without restaging — O(commit) conflict retry, like append
+        expected = target_schema.json()
+        policy = RetryPolicy(self.config.max_retries, self.config.retry_backoff_base)
+
+        def attempt() -> None:
+            head = table.snapshot()
+            if head.schema is not None and head.schema.json() != expected:
+                raise LakeWriter._ConcurrentSchemaChange()
+            if head.delete_files and any(
+                tuple(d.equality_ids) != tuple(keys) for d in head.delete_files
+            ):
+                # a concurrent load changed the key set: replay fully
+                raise LakeWriter._ConcurrentSchemaChange()
+            table.commit(
+                None,
+                target_schema,
+                "merge-mor",
+                head.version,
+                manifests=head.manifests,
+                new_files=head.inline_files + new_files,
+                delete_files=list(head.delete_files) + new_delete_files,
+                summary={
+                    **summary,
+                    "strategy": strategy,
+                    "merge_mode": "mor",
+                    "added-delete-files": len(new_delete_files),
+                },
+            )
+
+        try:
+            policy.run(attempt)
+        except LakeWriter._ConcurrentSchemaChange:
+            raise CommitConflictError(
+                "concurrent schema/key change during merge-mor; replaying load"
+            ) from None
 
 
 def commit_load(

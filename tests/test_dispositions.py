@@ -620,3 +620,80 @@ def test_concurrent_writers_thread_race(spark, warehouse):
     versions = [s.version for s in table.snapshots()]
     assert versions == sorted(versions) and len(set(versions)) == len(versions)
     assert len(versions) >= n_threads + 1
+
+
+def test_append_conflict_retry_does_not_restage(spark, warehouse, monkeypatch):
+    """A lost commit race must be resolved by RE-COMMITTING the already
+    staged files against the new head — never by re-staging the batch
+    (O(commit) conflict cost, not O(batch))."""
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main", WriterConfig(retry_backoff_base=0.0))
+    spec = TableSpec(name="t", write_disposition="append")
+    writer.write(spec, spark.range(0, 10), load_id="l0")
+
+    stages = {"n": 0}
+    commits = {"n": 0}
+    orig_stage = LakeTable.stage_dataframe
+    orig_commit = LakeTable.commit
+
+    def counting_stage(self, *a, **k):
+        stages["n"] += 1
+        return orig_stage(self, *a, **k)
+
+    def flaky_commit(self, *a, **k):
+        commits["n"] += 1
+        if commits["n"] == 1:
+            raise CommitConflictError("simulated lost race")
+        return orig_commit(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "stage_dataframe", counting_stage)
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    writer.write(spec, spark.range(10, 20), load_id="l1")
+    assert stages["n"] == 1  # staged exactly once despite the conflict
+    assert commits["n"] == 2  # first attempt lost, second landed
+    monkeypatch.undo()
+    table = catalog.load_table("main", "t")
+    assert sorted(r.id for r in table.read().collect()) == list(range(20))
+
+
+def test_mor_conflict_retry_does_not_restage(spark, warehouse, monkeypatch):
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main", WriterConfig(retry_backoff_base=0.0))
+    spec = TableSpec(
+        name="t2", write_disposition="merge", primary_key=["id"], merge_mode="mor"
+    )
+    writer.write(spec, spark.range(0, 10), load_id="l0")
+
+    stages = {"n": 0}
+    commits = {"n": 0}
+    orig_stage = LakeTable.stage_dataframe
+    orig_commit = LakeTable.commit
+
+    def counting_stage(self, *a, **k):
+        stages["n"] += 1
+        return orig_stage(self, *a, **k)
+
+    def flaky_commit(self, *a, **k):
+        commits["n"] += 1
+        if commits["n"] == 1:
+            raise CommitConflictError("simulated lost race")
+        return orig_commit(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "stage_dataframe", counting_stage)
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    writer.write(spec, spark.range(5, 15), load_id="l1")
+    # 2 stage calls = delete-key file + data file, each staged exactly once
+    assert stages["n"] == 2 and commits["n"] == 2
+    monkeypatch.undo()
+    table = catalog.load_table("main", "t2")
+    assert sorted(r.id for r in table.read().collect()) == list(range(15))
