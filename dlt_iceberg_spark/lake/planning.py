@@ -102,6 +102,20 @@ def survives_predicate(col_dtype: T.DataType, col: str, op: str, value: Any):
     """Boolean Column: could a file's [min,max] satisfy the predicate?
     Mirrors table._file_may_match, conservatively (NULL-safe: missing or
     uncastable stats keep the file)."""
+    if op == "in":
+        # envelope filter [min(values), max(values)] — a conservative
+        # superset of the per-value membership test (gaps between probed
+        # values only keep extra files); the exact driver re-check trims
+        # to parity
+        lits = [_probe_literal(col_dtype, x) for x in (value or [])]
+        if not lits or any(lit is None for lit in lits) or len({k for k, _ in lits}) > 1:
+            return F.lit(True)
+        vals = [v for _, v in lits]
+        kind = lits[0][0]
+        mn = _stat_bound(col, 0, kind)
+        mx = _stat_bound(col, 1, kind)
+        dead = (mn > F.lit(max(vals))) | (mx < F.lit(min(vals)))
+        return mn.isNull() | mx.isNull() | ~dead
     lit = _probe_literal(col_dtype, value)
     if lit is None:
         return F.lit(True)

@@ -81,6 +81,7 @@ _OPS = {
     ">=": lambda c, v: c >= v,
     "<": lambda c, v: c < v,
     "<=": lambda c, v: c <= v,
+    "in": lambda c, v: c.isin(list(v)),
 }
 
 
@@ -96,6 +97,8 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     try:
         if op in ("=", "=="):
             return mn <= val <= mx
+        if op == "in":  # any probed value inside the range keeps the file
+            return any(mn <= x <= mx for x in val)
         if op == "!=":  # only a single-valued file can be skipped
             return not (mn == mx == val)
         if op == ">":
@@ -919,15 +922,19 @@ class LakeTable:
             for c, op, _ in where:
                 if c not in names:
                     raise ValueError(f"no such column {c!r}")
-                if op not in ("=", "==", "!=", ">", ">=", "<", "<="):
+                if op not in ("=", "==", "!=", ">", ">=", "<", "<=", "in"):
                     raise ValueError(f"unsupported predicate op {op!r}")
             # manifest stats encode date/timestamp as ISO strings (ordering
             # preserved); normalize probe values the same way so both the
             # driver and the distributed planner compare like with like
-            where = [
-                (c, op, v.isoformat() if isinstance(v, (_dt.date, _dt.datetime)) else v)
-                for c, op, v in where
-            ]
+            def _norm_v(v):
+                if isinstance(v, (_dt.date, _dt.datetime)):
+                    return v.isoformat()
+                if isinstance(v, (list, tuple, set)):
+                    return [_norm_v(x) for x in sorted(v, key=str)]
+                return v
+
+            where = [(c, op, _norm_v(v)) for c, op, v in where]
             # two-level prune, Iceberg-style: manifest aggregate ranges skip
             # whole manifests unread, file [min,max] stats skip files
             if plan_mode not in ("auto", "driver", "spark"):
@@ -1141,6 +1148,11 @@ class LakeTable:
             return v, None
         if op in ("<", "<="):
             return None, v
+        if op == "in" and v:
+            try:
+                return min(v), max(v)
+            except TypeError:
+                return None, None
         return None, None  # != prunes nothing at range level
 
     def _candidate_files(

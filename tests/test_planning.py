@@ -77,6 +77,8 @@ PREDICATES = [
     [("d", ">=", "2024-11-01")],
     [("d", "=", "2024-03-15")],
     [("id", ">=", 10000), ("id", "<", 10500)],  # conjunction
+    [("id", "in", [5, 12345, 29999])],
+    [("name", "in", ["u00042z", "u02000"])],
     [("id", ">=", 0), ("score", ">", 29.0), ("name", ">", "u02900")],
 ]
 
@@ -117,6 +119,7 @@ def test_read_plan_modes_agree_end_to_end(spark, tmp_path):
     for where in (
         [("id", ">=", 150)],
         [("name", "=", "n3")],
+        [("name", "in", ["n1", "n3"])],
         [("d", "<", datetime.date(2024, 4, 1))],  # date-object probe normalizes
     ):
         a = sorted(t.read(where=where, plan_mode="driver").collect())
