@@ -16,7 +16,15 @@ surveyed in SURVEY.md) Spark-first:
 """
 
 from dlt_iceberg_spark.session import get_spark, configure_session
+from dlt_iceberg_spark.destination import IcebergDestination, iceberg_rest, pipeline
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "configure_session", "__version__"]
+__all__ = [
+    "get_spark",
+    "configure_session",
+    "IcebergDestination",
+    "iceberg_rest",
+    "pipeline",
+    "__version__",
+]

@@ -192,3 +192,40 @@ def test_query_time_travel_pins(spark, warehouse):
     assert ds.query("SELECT count(*) AS n FROM t", at={"t": "launch"}).fetchall() == [(2,)]
     # pin is per-query, not sticky
     assert ds.query("SELECT count(*) AS n FROM t").fetchall() == [(4,)]
+# ---- user-facing factory parity with the reference entry points
+# (destination.py:439-473, tests/test_smoke.py, test_capabilities.py) -------
+
+from dlt_iceberg_spark import iceberg_rest
+from dlt_iceberg_spark import pipeline as make_pipeline
+
+
+def test_destination_is_callable_and_capabilities():
+    dest = iceberg_rest(warehouse="/tmp/wh", namespace="prod")
+    caps = dest.capabilities()
+    assert caps["loader_file_format"] == "parquet"
+    assert caps["naming_convention"] == "snake_case"
+    assert caps["supported_merge_strategies"] == ["delete-insert", "upsert"]
+
+
+def test_destination_builds_catalog_config():
+    dest = iceberg_rest(
+        warehouse="file:///tmp/wh",
+        namespace="prod",
+        catalog_uri="https://rest.example/catalog",
+        credential="id:secret",
+        oauth2_server_uri="https://auth.example/token",
+    )
+    assert dest.warehouse == "/tmp/wh"  # file:// stripped for the local engine
+    conf = dest.catalog_config.to_spark_conf()
+    assert conf["spark.sql.catalog.lake.uri"] == "https://rest.example/catalog"
+    assert conf["spark.sql.catalog.lake.credential"] == "id:secret"
+    with pytest.raises(TypeError, match="unknown catalog options"):
+        iceberg_rest(warehouse="/tmp/wh", catalog_uri="x", bogus=1)
+
+
+def test_pipeline_factory_end_to_end(spark, tmp_path):
+    dest = iceberg_rest(warehouse=str(tmp_path / "wh"), namespace="prod")
+    p = make_pipeline("loads", destination=dest, spark=spark)
+    p.run(Resource([{"id": 1, "name": "alice"}, {"id": 2, "name": "bob"}], "users"))
+    assert p.dataset().query("SELECT count(*) AS n FROM users").fetchall() == [(2,)]
+    assert p.dataset_name == "prod"
