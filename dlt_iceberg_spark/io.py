@@ -5,10 +5,15 @@ The reference reads dlt-produced parquet with ``pq.read_table``
 reader so predicate pushdown / column pruning / partition-sized splits come
 from Catalyst for free.
 
-One real-world wrinkle handled here: ``events.ts`` is parquet
-``TIMESTAMP(NANOS)``, which Spark 4 refuses by default.  We read it via
-``spark.sql.legacy.parquet.nanosAsLong`` and truncate to microseconds
-(``TimestampNTZType``), exactly matching the reference's µs precision cap
+One real-world wrinkle handled here: ``events.ts`` has shipped in three
+physical flavors across testdata generations — parquet ``TIMESTAMP(NANOS)``
+(which Spark 4 refuses by default), raw ``int64`` ns-since-epoch, and plain
+``TIMESTAMP(MICROS)``.  We decide the conversion from the parquet *footer*
+(pyarrow), not from Spark's inferred schema: the footer is independent of
+session confs (``spark.sql.legacy.parquet.nanosAsLong``,
+``spark.sql.timestampType``) and of any schema caching, so the chosen branch
+always matches what the analyzer will see.  All flavors normalize to
+µs-precision ``TimestampNTZType``, matching the reference's µs cap
 (destination_client.py:1581) and DuckDB's ``ts::TIMESTAMP`` truncation.
 """
 
@@ -17,6 +22,8 @@ from __future__ import annotations
 import os
 import weakref
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,8 +47,20 @@ TABLES = (
     "embeddings",
 )
 
-# Columns stored as parquet TIMESTAMP(NANOS); converted to µs TimestampNTZ on load.
-_NANOS_COLS = {"events": ("ts",)}
+# Columns normalized to µs TimestampNTZ on load, whatever their physical type.
+_TS_COLS = {"events": ("ts",)}
+
+
+def _footer_type(path: str, col: str) -> "pa.DataType | None":
+    """Arrow type of ``col`` straight from the parquet footer (conf-free)."""
+    try:
+        schema = pq.read_schema(path)
+        idx = schema.get_field_index(col)
+        if idx < 0:
+            return None
+        return schema.field(idx).type
+    except Exception:
+        return None
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,13 +74,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    nanos_cols = _NANOS_COLS.get(name, ())
-    if nanos_cols:
+
+    ts_cols = _TS_COLS.get(name, ())
+    plans: dict[str, str] = {}
+    for c in ts_cols:
+        ftype = _footer_type(path, c)
+        if ftype is None:
+            continue
+        if pa.types.is_integer(ftype):
+            plans[c] = "ns_long"  # raw int64 ns-since-epoch
+        elif pa.types.is_timestamp(ftype) and ftype.unit == "ns":
+            plans[c] = "ns_ts"  # parquet TIMESTAMP(NANOS): Spark refuses w/o conf
+        elif pa.types.is_timestamp(ftype):
+            plans[c] = "cast"  # µs/ms timestamp: normalize to NTZ only
+    if any(p == "ns_ts" for p in plans.values()):
+        # read TIMESTAMP(NANOS) as long so we can truncate to µs ourselves
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     df = spark.read.parquet(path)
-    for c in nanos_cols:
-        dtype = dict(df.dtypes).get(c)
-        if dtype == "bigint":
+    for c, plan in plans.items():
+        if plan in ("ns_long", "ns_ts"):
             # long ns-since-epoch -> µs TimestampNTZ. Integer `div`, NOT `/`:
             # float division loses the last µs digit at ~1.7e15 (double ulp),
             # which shows up as ±1 µs vs the DuckDB oracle's ts::TIMESTAMP.
@@ -69,8 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c,
                 F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
             )
-        elif dtype and dtype.startswith("timestamp") and dtype != "timestamp_ntz":
-            # already µs-precision parquet TIMESTAMP; normalize to NTZ only
+        elif dict(df.dtypes).get(c) != "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
     per_session[key] = df
     return df
