@@ -2367,18 +2367,33 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_ivf",
-    # rows-only BY DESIGN: the output depends on iteratively-trained k-means
-    # centroids (10 Lloyd rounds over a hash-gated sample, numpy float64) —
-    # no SQL engine can replay the training, and pinning centroid literals
-    # into the oracle would test nothing.  The accuracy contract is instead
-    # enforced in pytest: tests/test_operators.py asserts recall@k against
-    # the exact brute-force top-k (which IS oracle-verified as
-    # ann_cosine_topk).
-    None,
+    # Gate trick: with nprobe == n_centroids (probe EVERY inverted list) IVF
+    # is exact by construction — every corpus row lands in exactly one list
+    # and every list is scored with the same JVM cosine fold as brute force —
+    # so the entire machinery (k-means training, list assignment, probe
+    # explode, per-list scoring, ranking) is hash-verified against the
+    # brute-force SQL below.  The *approximate* contract (nprobe < n_lists)
+    # cannot be SQL-replayed (Lloyd-trained centroids); pytest pins it via
+    # recall@k vs exact top-k (tests/test_operators.py).
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
     doc=(
-        "IVF approximate nearest neighbor: KMeans(seed=42) centroids partition "
-        "the corpus; queries probe the 4 nearest lists only "
-        "(operators/similarity.py::ivf_topk)."
+        "IVF nearest neighbor: KMeans(seed=42) centroids partition the corpus "
+        "into inverted lists; gate query probes ALL lists (exact ⇒ "
+        "oracle-checkable); production nprobe<n_lists path recall-pinned in "
+        "pytest (operators/similarity.py::ivf_topk)."
     ),
 )
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2386,9 +2401,12 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    out = ivf_topk(q, e, k=5, n_centroids=16, nprobe=4)
+    out = ivf_topk(q, e, k=5, n_centroids=16, nprobe=16)
     return out.select(
-        "query_id", "neighbor_id", rnd(F.col("cosine"), 6).alias("cosine"), "rank"
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
