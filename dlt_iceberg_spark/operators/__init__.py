@@ -6,6 +6,8 @@ no driver-side state. See BASELINE.json north_star.
 """
 
 from dlt_iceberg_spark.operators.dedup import (
+    batch_vs_corpus_dedup,
+    build_dedup_index,
     char_ngram_jaccard_pairs,
     exact_dedup,
     minhash_signatures,
@@ -58,6 +60,8 @@ __all__ = [
     "ivfpq_topk",
     "char_ngram_jaccard_pairs",
     "minhash_verified_pairs",
+    "batch_vs_corpus_dedup",
+    "build_dedup_index",
     "all_pairs_cosine_blas",
     "all_pairs_cosine_blocked",
     "repetition_stats",

@@ -2071,6 +2071,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", rnd(F.col("jaccard"), 6).alias("jaccard"))
 
 
+@query(
+    "dedup_incremental",
+    """
+    WITH t AS (SELECT doc_id, list_distinct(string_split_regex(text, '\\s+')) AS t
+               FROM documents),
+         c AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+         b AS (SELECT * FROM t WHERE doc_id % 5 = 0)
+    SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+           floor(len(list_intersect(c.t, b.t)) /
+                 CAST(len(list_distinct(list_concat(c.t, b.t))) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
+    FROM c JOIN b ON len(list_intersect(c.t, b.t)) /
+                     CAST(len(list_distinct(list_concat(c.t, b.t))) AS DOUBLE) >= 0.8
+    """,
+    doc=(
+        "Incremental ingestion dedup: a NEW load (doc_id % 5 = 0) probed "
+        "against the EXISTING corpus's persisted class/signature index "
+        "(operators/dedup.py::build_dedup_index + batch_vs_corpus_dedup). "
+        "Batch side broadcasts, corpus index is scanned map-side — zero "
+        "corpus shuffle per load.  Oracle is brute-force cross-side exact "
+        "Jaccard; a banding recall regression fails as missing rows."
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import (
+        batch_vs_corpus_dedup,
+        build_dedup_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    # checkpoint stands in for the PERSISTED index table of a production
+    # pipeline (built once per corpus, appended per load — never recomputed
+    # per probe branch); 'allpairs' because the fixture vocabulary is tiny,
+    # so banding would propose ~every class pair anyway (same corpus
+    # statistic token_set_similarity_join adapts on).
+    idx = build_dedup_index(corpus, "text", "doc_id").localCheckpoint(eager=True)
+    out = batch_vs_corpus_dedup(
+        batch, idx, "text", "doc_id", threshold=0.8, strategy="allpairs"
+    )
+    return out.select(
+        "corpus_id", "batch_id", rnd(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
 #: shared oracle CTE: per-doc SimHash over 60-bit md5-prefix token hashes —
 #: bit b of the hash is set iff more than half the doc's tokens have bit b
 #: set; reproduces operators/dedup.py::simhash(hash_mode='md5') exactly.
@@ -3100,6 +3146,7 @@ _GATE_PRIORITY = [
     "merge_upsert", "merge_hard_delete", "lake_stats_pushdown",
     "lake_merge_roundtrip",
     "dedup_token_jaccard", "dedup_transitive_clusters", "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash", "dedup_simhash_pairs",
     "ann_cosine_topk", "ann_ivf", "ann_pq",
     "embedding_near_dup", "embedding_label_stats",
@@ -3110,7 +3157,7 @@ _GATE_PRIORITY = [
     "corpus_prep", "multimodal_meta", "multimodal_decode",
     # already verified in r01/r02 — representative picks for remaining slots
     "q1_pricing_summary", "q5_nation_revenue",
-    "q6_revenue_delta", "q9_product_type_profit", "q18_large_orders",
+    "q9_product_type_profit", "q18_large_orders",
     "q21_waiting_suppliers", "sql_delegated_join",
     "rollup_nation_status", "pctl_order_value",
     "window_customer_rank",

@@ -495,3 +495,71 @@ def test_char_ngram_jaccard_pairs(docs):
     assert out[(1, 2)] == 1.0  # identical text -> identical trigram set
     assert (1, 3) in out and out[(1, 3)] > 0.7  # one-word edit stays close
     assert (1, 4) not in out  # unrelated content
+
+
+def _inc_corpus_rows():
+    # realistic vocabulary (500 distinct words) so LSH banding actually
+    # prunes: deterministic docs of 20 words each, stride-based so token
+    # sets overlap little between unrelated docs
+    rows = []
+    for i in range(40):
+        words = [f"w{(i * 37 + 7 * j) % 500}" for j in range(20)]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+def test_batch_vs_corpus_dedup_strategies_agree(spark):
+    from dlt_iceberg_spark.operators.dedup import (
+        batch_vs_corpus_dedup,
+        build_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(_inc_corpus_rows(), "doc_id long, text string")
+    # batch: one exact copy of doc 3, one near-dup of doc 5 (one word
+    # swapped: jaccard 19/21 ≈ 0.905), two novel docs
+    near = _inc_corpus_rows()[5][1].replace("w192 ", "w9999 ", 1)
+    batch = spark.createDataFrame(
+        [
+            (100, _inc_corpus_rows()[3][1]),
+            (101, near),
+            (102, " ".join(f"n{j}" for j in range(20))),
+            (103, " ".join(f"m{j}" for j in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(corpus, "text", "doc_id").localCheckpoint(eager=True)
+    lsh = sorted(
+        (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+        for r in batch_vs_corpus_dedup(batch, idx, "text", "doc_id", strategy="lsh").collect()
+    )
+    allp = sorted(
+        (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+        for r in batch_vs_corpus_dedup(
+            batch, idx, "text", "doc_id", strategy="allpairs"
+        ).collect()
+    )
+    # the banding path retrieves exactly the all-pairs-verified pair set
+    assert lsh == allp
+    pairs = dict(((a, b), j) for a, b, j in allp)
+    assert pairs[(3, 100)] == 1.0  # exact copy via the class-key path
+    assert abs(pairs[(5, 101)] - 19 / 21) < 1e-9  # near-dup via banding
+    batch_ids = {b for _, b, _ in allp}
+    assert 102 not in batch_ids and 103 not in batch_ids  # novel docs clean
+
+    with pytest.raises(ValueError):
+        batch_vs_corpus_dedup(batch, idx, "text", "doc_id", strategy="bogus")
+
+
+def test_build_dedup_index_collapses_exact_dups(spark):
+    from dlt_iceberg_spark.operators.dedup import build_dedup_index
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    idx = {tuple(r.ids): r for r in build_dedup_index(df, "text", "doc_id").collect()}
+    # same token SET (order-independent) -> one class with all members
+    assert (1, 2, 3) in idx and (4,) in idx
+    sig = idx[(1, 2, 3)].signature
+    assert len(sig) == 64 and len(idx[(4,)].signature) == 64
+    assert sig != idx[(4,)].signature
