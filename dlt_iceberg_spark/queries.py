@@ -2105,12 +2105,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 5 == 0)
     # checkpoint stands in for the PERSISTED index table of a production
     # pipeline (built once per corpus, appended per load — never recomputed
-    # per probe branch); 'allpairs' because the fixture vocabulary is tiny,
-    # so banding would propose ~every class pair anyway (same corpus
-    # statistic token_set_similarity_join adapts on).
+    # per probe branch); 'auto' probes the vocabulary and picks the exact
+    # bitmask path here (fixture vocab ≤ 64 tokens — banding would propose
+    # ~every class pair anyway, the statistic token_set_similarity_join
+    # adapts on) and LSH banding on real vocabularies.
     idx = build_dedup_index(corpus, "text", "doc_id").localCheckpoint(eager=True)
     out = batch_vs_corpus_dedup(
-        batch, idx, "text", "doc_id", threshold=0.8, strategy="allpairs"
+        batch, idx, "text", "doc_id", threshold=0.8, strategy="auto"
     )
     return out.select(
         "corpus_id", "batch_id", rnd(F.col("jaccard"), 6).alias("jaccard")

@@ -540,6 +540,21 @@ def test_batch_vs_corpus_dedup_strategies_agree(spark):
     )
     # the banding path retrieves exactly the all-pairs-verified pair set
     assert lsh == allp
+    # vocabulary here exceeds 64 tokens -> 'bitmask' falls back to allpairs
+    # and 'auto' picks lsh; all agree
+    bm = sorted(
+        (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+        for r in batch_vs_corpus_dedup(
+            batch, idx, "text", "doc_id", strategy="bitmask"
+        ).collect()
+    )
+    auto = sorted(
+        (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+        for r in batch_vs_corpus_dedup(
+            batch, idx, "text", "doc_id", strategy="auto"
+        ).collect()
+    )
+    assert bm == allp and auto == allp
     pairs = dict(((a, b), j) for a, b, j in allp)
     assert pairs[(3, 100)] == 1.0  # exact copy via the class-key path
     assert abs(pairs[(5, 101)] - 19 / 21) < 1e-9  # near-dup via banding
@@ -563,3 +578,35 @@ def test_build_dedup_index_collapses_exact_dups(spark):
     sig = idx[(1, 2, 3)].signature
     assert len(sig) == 64 and len(idx[(4,)].signature) == 64
     assert sig != idx[(4,)].signature
+
+
+def test_batch_vs_corpus_dedup_bitmask_small_vocab(spark):
+    from dlt_iceberg_spark.operators.dedup import (
+        batch_vs_corpus_dedup,
+        build_dedup_index,
+    )
+
+    # ≤64-token vocabulary: 'auto' must route to the exact bitmask path and
+    # agree with allpairs
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"v{(i + j) % 30}" for j in range(10))) for i in range(25)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, " ".join(f"v{(3 + j) % 30}" for j in range(10))),  # exact dup of doc 3
+         (101, " ".join(f"v{(7 + j) % 30}" for j in range(9)) + " v999")],  # near doc 7
+        "doc_id long, text string",
+    )
+    idx = build_dedup_index(corpus, "text", "doc_id").localCheckpoint(eager=True)
+    out = {}
+    for strat in ("auto", "bitmask", "allpairs"):
+        out[strat] = sorted(
+            (r.corpus_id, r.batch_id, round(r.jaccard, 9))
+            for r in batch_vs_corpus_dedup(
+                batch, idx, "text", "doc_id", threshold=0.8, strategy=strat
+            ).collect()
+        )
+    assert out["auto"] == out["bitmask"] == out["allpairs"]
+    pairs = dict(((a, b), j) for a, b, j in out["auto"])
+    assert pairs[(3, 100)] == 1.0
+    assert abs(pairs[(7, 101)] - 9 / 11) < 1e-9
