@@ -61,14 +61,22 @@ class DataFile:
 
 @dataclass
 class DeleteFile:
-    """Equality-delete file (Iceberg v2 merge-on-read): a parquet file of
-    key tuples; rows of OLDER data files matching any tuple are dead."""
+    """Delete file (Iceberg v2 merge-on-read), two contents:
+
+    - ``content='equality'``: a parquet file of key tuples; rows of
+      STRICTLY OLDER data files matching any tuple are dead.
+    - ``content='position'``: a parquet file of ``(file_path, pos)`` rows
+      (Iceberg's reserved position-delete schema); the addressed row of any
+      data file with sequence ≤ the delete's sequence is dead.
+      ``equality_ids`` is empty.
+    """
 
     path: str
     rows: int
     bytes: int
     equality_ids: list[str]  # key column names the tuples are over
     sequence: int | None = None
+    content: str = "equality"
 
 
 @dataclass

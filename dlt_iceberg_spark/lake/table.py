@@ -580,12 +580,12 @@ class LakeTable:
             if snap is None:
                 raise FileNotFoundError(f"no such table: {self.location}")
             rows = [
-                (d.path, d.rows, d.bytes, list(d.equality_ids), d.sequence)
+                (d.path, d.rows, d.bytes, d.content, list(d.equality_ids), d.sequence)
                 for d in snap.delete_files
             ]
             return self.spark.createDataFrame(
                 rows,
-                "file_path string, rows bigint, bytes bigint, "
+                "file_path string, rows bigint, bytes bigint, content string, "
                 "equality_ids array<string>, sequence int",
             )
         raise ValueError(
@@ -915,111 +915,175 @@ class LakeTable:
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        if where:
-            import datetime as _dt
-
-            names = {f.name for f in snap.schema.fields}
-            for c, op, _ in where:
-                if c not in names:
-                    raise ValueError(f"no such column {c!r}")
-                if op not in ("=", "==", "!=", ">", ">=", "<", "<=", "in"):
-                    raise ValueError(f"unsupported predicate op {op!r}")
-            # manifest stats encode date/timestamp as ISO strings (ordering
-            # preserved); normalize probe values the same way so both the
-            # driver and the distributed planner compare like with like
-            def _norm_v(v):
-                if isinstance(v, (_dt.date, _dt.datetime)):
-                    return v.isoformat()
-                if isinstance(v, (list, tuple, set)):
-                    return [_norm_v(x) for x in sorted(v, key=str)]
-                return v
-
-            where = [(c, op, _norm_v(v)) for c, op, v in where]
-            # two-level prune, Iceberg-style: manifest aggregate ranges skip
-            # whole manifests unread, file [min,max] stats skip files
-            if plan_mode not in ("auto", "driver", "spark"):
-                raise ValueError(f"unknown plan_mode {plan_mode!r}")
-            open_refs = [
-                ref
-                for ref in snap.manifests
-                if all(
-                    ref.may_match(c, *self._probe_range(op, v))
-                    for c, op, v in where
-                )
-            ]
-            n_undecided = sum(r.n_files for r in open_refs)
-            use_spark = plan_mode == "spark" or (
-                plan_mode == "auto" and n_undecided >= DISTRIBUTED_PLAN_MIN_FILES
-            )
-            inline = [
-                f
-                for f in snap.inline_files
-                if all(_file_may_match(f, c, op, v) for c, op, v in where)
-            ]
-            if use_spark:
-                from dlt_iceberg_spark.lake.planning import plan_candidates
-
-                files = inline + plan_candidates(
-                    self.spark, self.location, snap.schema, open_refs, where
-                )
-            else:
-                expanded: list[DataFile] = []
-                for ref in open_refs:
-                    expanded.extend(read_manifest(self.location, ref, io=self._io))
-                files = inline + [
-                    f
-                    for f in expanded
-                    if all(_file_may_match(f, c, op, v) for c, op, v in where)
-                ]
-        else:
-            files = snap.files
+        where, files = self._select_files(snap, where, plan_mode)
         df = self._plan_scan(snap, files)
         for c, op, v in where or []:
             df = df.filter(_OPS[op](F.col(c), v))
         return df
 
-    def _plan_scan(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
-        """Scan ``files`` with the snapshot's equality deletes applied.
+    def _select_files(
+        self,
+        snap: Snapshot,
+        where: list[tuple[str, str, Any]] | None,
+        plan_mode: str = "auto",
+    ) -> tuple[list[tuple[str, str, Any]] | None, list[DataFile]]:
+        """Two-level stats prune shared by :meth:`read` and the delete
+        paths: returns (normalized predicates, maybe-matching files)."""
+        if not where:
+            return where, snap.files
+        import datetime as _dt
 
-        Merge-on-read (Iceberg v2): each delete file masks rows of data
-        files with a STRICTLY smaller sequence.  Data files are grouped by
-        which deletes apply (the sets nest, so there are at most
-        n_delete_sequences+1 groups); each group anti-joins the union of
-        its applicable delete keys.  Delete sets are typically tiny next to
-        the data, so AQE turns these anti-joins into broadcasts — the read
-        cost of MoR is one map-side hash probe, not a shuffle."""
+        names = {f.name for f in snap.schema.fields}
+        for c, op, _ in where:
+            if c not in names:
+                raise ValueError(f"no such column {c!r}")
+            if op not in ("=", "==", "!=", ">", ">=", "<", "<=", "in"):
+                raise ValueError(f"unsupported predicate op {op!r}")
+        # manifest stats encode date/timestamp as ISO strings (ordering
+        # preserved); normalize probe values the same way so both the
+        # driver and the distributed planner compare like with like
+        def _norm_v(v):
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            if isinstance(v, (list, tuple, set)):
+                return [_norm_v(x) for x in sorted(v, key=str)]
+            return v
+
+        where = [(c, op, _norm_v(v)) for c, op, v in where]
+        # two-level prune, Iceberg-style: manifest aggregate ranges skip
+        # whole manifests unread, file [min,max] stats skip files
+        if plan_mode not in ("auto", "driver", "spark"):
+            raise ValueError(f"unknown plan_mode {plan_mode!r}")
+        open_refs = [
+            ref
+            for ref in snap.manifests
+            if all(
+                ref.may_match(c, *self._probe_range(op, v))
+                for c, op, v in where
+            )
+        ]
+        n_undecided = sum(r.n_files for r in open_refs)
+        use_spark = plan_mode == "spark" or (
+            plan_mode == "auto" and n_undecided >= DISTRIBUTED_PLAN_MIN_FILES
+        )
+        inline = [
+            f
+            for f in snap.inline_files
+            if all(_file_may_match(f, c, op, v) for c, op, v in where)
+        ]
+        if use_spark:
+            from dlt_iceberg_spark.lake.planning import plan_candidates
+
+            files = inline + plan_candidates(
+                self.spark, self.location, snap.schema, open_refs, where
+            )
+        else:
+            expanded: list[DataFile] = []
+            for ref in open_refs:
+                expanded.extend(read_manifest(self.location, ref, io=self._io))
+            files = inline + [
+                f
+                for f in expanded
+                if all(_file_may_match(f, c, op, v) for c, op, v in where)
+            ]
+        return where, files
+
+    def _plan_scan(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+        """Scan ``files`` with the snapshot's delete files applied.
+
+        Merge-on-read (Iceberg v2), both delete contents:
+
+        - EQUALITY deletes mask rows of data files with a STRICTLY smaller
+          sequence (a delete committed alongside new data masks old rows,
+          never the rows landing in the same commit).
+        - POSITION deletes address ``(file_path, pos)`` rows of data files
+          with sequence ≤ theirs (a position delete can target rows of a
+          file committed in the same snapshot).
+
+        Data files are grouped by which deletes apply (both sets nest by
+        sequence, so groups are (eq-idx, pos-idx) pairs); each group
+        anti-joins the union of its applicable delete keys/positions.
+        Delete sets are typically tiny next to the data, so AQE turns these
+        anti-joins into broadcasts — the read cost of MoR is one map-side
+        hash probe per row, not a shuffle.  Position probing reads the row
+        address from Spark's ``_metadata.file_path`` / ``row_index`` scan
+        columns (generated by the reader — no extra I/O)."""
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         if not snap.delete_files:
             paths = [os.path.join(self.location, f.path) for f in files]
             return self.spark.read.schema(snap.schema).parquet(*paths)
-        eq_sets = {tuple(d.equality_ids) for d in snap.delete_files}
-        if len(eq_sets) > 1:
-            raise ValueError(
-                f"mixed equality_ids across delete files: {sorted(eq_sets)}"
-            )
-        keys = list(next(iter(eq_sets)))
-        by_name = {fld.name: fld for fld in snap.schema.fields}
-        missing = [k for k in keys if k not in by_name]
-        if missing:
-            raise ValueError(f"delete key columns {missing} not in table schema")
-        key_schema = T.StructType([by_name[k] for k in keys])
-        deletes = sorted(snap.delete_files, key=lambda d: d.sequence or 0)
-        dseqs = [d.sequence or 0 for d in deletes]
-        groups: dict[int, list[DataFile]] = {}
+        eq_dels = sorted(
+            (d for d in snap.delete_files if d.content != "position"),
+            key=lambda d: d.sequence or 0,
+        )
+        pos_dels = sorted(
+            (d for d in snap.delete_files if d.content == "position"),
+            key=lambda d: d.sequence or 0,
+        )
+        keys: list[str] = []
+        key_schema = None
+        if eq_dels:
+            eq_sets = {tuple(d.equality_ids) for d in eq_dels}
+            if len(eq_sets) > 1:
+                raise ValueError(
+                    f"mixed equality_ids across delete files: {sorted(eq_sets)}"
+                )
+            keys = list(next(iter(eq_sets)))
+            by_name = {fld.name: fld for fld in snap.schema.fields}
+            missing = [k for k in keys if k not in by_name]
+            if missing:
+                raise ValueError(
+                    f"delete key columns {missing} not in table schema"
+                )
+            key_schema = T.StructType([by_name[k] for k in keys])
+        eseqs = [d.sequence or 0 for d in eq_dels]
+        pseqs = [d.sequence or 0 for d in pos_dels]
+        groups: dict[tuple[int, int], list[DataFile]] = {}
         for f in files:
-            # first delete strictly newer than the data file
-            idx = bisect.bisect_right(dseqs, f.sequence or 0)
-            groups.setdefault(idx, []).append(f)
+            fseq = f.sequence or 0
+            # equality: first delete STRICTLY newer; position: first delete
+            # with sequence >= the file's (<= rule per the Iceberg spec)
+            ei = bisect.bisect_right(eseqs, fseq)
+            pi = bisect.bisect_left(pseqs, fseq)
+            groups.setdefault((ei, pi), []).append(f)
+        cols = [fld.name for fld in snap.schema.fields]
         parts = []
-        for idx, fl in sorted(groups.items()):
+        for (ei, pi), fl in sorted(groups.items()):
             scan = self.spark.read.schema(snap.schema).parquet(
                 *[os.path.join(self.location, f.path) for f in fl]
             )
-            applicable = deletes[idx:]
-            if applicable:
+            pos_applicable = pos_dels[pi:]
+            if pos_applicable:
+                addressed = self.spark.read.schema(
+                    T.StructType(
+                        [
+                            T.StructField("file_path", T.StringType()),
+                            T.StructField("pos", T.LongType()),
+                        ]
+                    )
+                ).parquet(
+                    *[os.path.join(self.location, d.path) for d in pos_applicable]
+                )
+                # reserved probe names so a user column called file_path/pos
+                # can never collide with the address join
+                probe = addressed.distinct().select(
+                    F.col("file_path").alias("__pd_path"),
+                    F.col("pos").alias("__pd_pos"),
+                )
+                scan = (
+                    scan.select(
+                        F.col("_metadata.file_path").alias("__pd_path"),
+                        F.col("_metadata.row_index").alias("__pd_pos"),
+                        *cols,
+                    )
+                    .join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
+                    .select(*cols)
+                )
+            eq_applicable = eq_dels[ei:]
+            if eq_applicable:
                 dkeys = self.spark.read.schema(key_schema).parquet(
-                    *[os.path.join(self.location, d.path) for d in applicable]
+                    *[os.path.join(self.location, d.path) for d in eq_applicable]
                 )
                 scan = scan.join(dkeys.distinct(), on=keys, how="left_anti")
             parts.append(scan)
@@ -1044,6 +1108,85 @@ class LakeTable:
             )
             for f in staged
         ]
+
+    def stage_position_deletes(
+        self,
+        where: list[tuple[str, str, Any]],
+        snapshot_version: int | None = None,
+        plan_mode: str = "auto",
+    ) -> list[DeleteFile]:
+        """Write POSITION-delete files addressing every live row matching
+        ``where`` (same predicate form as :meth:`read`).
+
+        The Iceberg v2 position-delete write path: candidate files come
+        from the same two-level stats prune as reads (a narrow predicate
+        touches a handful of files, not the table), the matching rows'
+        addresses are read from Spark's ``_metadata`` scan columns (no
+        extra I/O), and ONLY ``(file_path, pos)`` tuples are written — the
+        data files are untouched, so the delete costs O(matching rows), not
+        O(rewritten files).  Rows already masked by earlier deletes may be
+        re-addressed; the read-side distinct makes that harmless.
+
+        Files are invisible until the commit that carries them — pair with
+        :meth:`position_delete_where` for the one-call form.
+        """
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        where_n, files = self._select_files(snap, where, plan_mode)
+        if not files:
+            return []
+        scan = self.spark.read.schema(snap.schema).parquet(
+            *[os.path.join(self.location, f.path) for f in files]
+        )
+        for c, op, v in where_n or []:
+            scan = scan.filter(_OPS[op](F.col(c), v))
+        addressed = scan.select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        staged = self.stage_dataframe(addressed)
+        return [
+            DeleteFile(
+                path=f.path,
+                rows=f.rows,
+                bytes=f.bytes,
+                equality_ids=[],
+                content="position",
+            )
+            for f in staged
+        ]
+
+    def position_delete_where(
+        self, where: list[tuple[str, str, Any]], plan_mode: str = "auto"
+    ) -> Snapshot:
+        """Merge-on-read row delete in one call: stage position deletes for
+        every row matching ``where`` and commit a delete snapshot that
+        REUSES the parent's manifests by reference — O(matching rows) work
+        and O(touched) metadata, the MoR counterpart of the copy-on-write
+        hard-delete path (lake/merge.py).  No-op commit is skipped when
+        nothing matches."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        new_deletes = self.stage_position_deletes(
+            where, snapshot_version=snap.version, plan_mode=plan_mode
+        )
+        if not new_deletes:
+            return snap
+        return self.commit(
+            None,
+            snap.schema,
+            "delete",
+            snap.version,
+            manifests=snap.manifests,
+            new_files=list(snap.inline_files),
+            delete_files=list(snap.delete_files) + new_deletes,
+            summary={
+                "position-delete-files": len(new_deletes),
+                "deleted-rows-addressed": sum(d.rows for d in new_deletes),
+            },
+        )
 
     def fold_deletes(self) -> Snapshot:
         """Rewrite the table with all equality deletes applied (Iceberg's

@@ -156,3 +156,80 @@ def test_mor_metadata_and_pruned_read(spark, base):
     # where-pruned read still applies the masks
     got = {r.id: r.val for r in table.read(where=[("id", "<=", 10)]).collect()}
     assert got[5] == "NEW5" and len(got) == 11
+
+
+def test_position_delete_where(spark, base):
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    before = table.snapshot()
+
+    snap = table.position_delete_where([("id", "<", 10)])
+    assert snap.operation == "delete"
+    # data files untouched — delete is metadata + a tiny address file
+    assert {f.path for f in before.files} == {f.path for f in snap.files}
+    pos = [d for d in snap.delete_files if d.content == "position"]
+    assert pos and all(d.equality_ids == [] for d in pos)
+    assert sum(d.rows for d in pos) == 10
+    assert all(d.sequence == snap.version for d in pos)
+
+    out = {r.id for r in table.read().collect()}
+    assert out == set(range(10, 100))
+    # pruned read still correct through the position mask
+    sub = {r.id for r in table.read(where=[("id", "<", 20)]).collect()}
+    assert sub == set(range(10, 20))
+    # metadata table exposes the content flavor
+    md = table.metadata_df("delete_files").collect()
+    assert {r.content for r in md} == {"position"}
+
+
+def test_position_delete_only_masks_older_or_same_sequence(spark, base):
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    table.position_delete_where([("id", "=", 7)])
+
+    # rows appended AFTER the delete must not be masked even at the same id
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(7, "BACK")], "id long, val string"),
+        load_id="l2",
+    )
+    table = catalog.load_table("ds", "t")
+    vals = sorted(r.val for r in table.read().filter(F.col("id") == 7).collect())
+    assert vals == ["BACK"]
+
+
+def test_position_deletes_compose_with_equality_deletes(spark, base):
+    catalog, writer = base
+    # equality-delete ids 5,6 via a MoR upsert, then position-delete id<3
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(5, "NEW5"), (6, "NEW6")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    table.position_delete_where([("id", "<", 3)])
+    table = catalog.load_table("ds", "t")
+    contents = {d.content for d in table.snapshot().delete_files}
+    assert contents == {"equality", "position"}
+    out = {r.id: r.val for r in table.read().collect()}
+    assert set(out) == set(range(3, 100))
+    assert out[5] == "NEW5" and out[6] == "NEW6" and out[7] == "v7"
+
+
+def test_position_delete_no_match_is_noop(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    snap = table.position_delete_where([("id", ">", 10_000)])
+    assert snap.version == v0  # nothing matched -> no commit
+    assert table.read().count() == 100
+
+
+def test_fold_deletes_clears_position_deletes(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    table.position_delete_where([("id", "<", 50)])
+    table = catalog.load_table("ds", "t")
+    snap = table.fold_deletes()
+    assert snap.delete_files == []
+    assert {r.id for r in table.read().collect()} == set(range(50, 100))
