@@ -1264,6 +1264,183 @@ class LakeTable:
         paths = [os.path.join(self.location, p) for p in new_paths]
         return self.spark.read.schema(end.schema).parquet(*paths)
 
+    #: snapshot operations that rewrite physical layout without changing
+    #: logical content — the changelog passes straight through them
+    _LAYOUT_ONLY_OPS = ("compact", "zorder", "evolve-schema", "evolve-partition")
+
+    def read_changes(
+        self,
+        from_version: int | None,
+        to_version: int | None = None,
+        net_changes: bool = False,
+    ) -> DataFrame:
+        """CDC changelog over ``(from_version, to_version]`` — Iceberg's
+        ``create_changelog_view``: the table's schema plus
+        ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+        Per snapshot in the range (oldest → newest):
+
+        - added data files → their rows as inserts;
+        - removed data files (overwrite/replace/CoW merge) → their LIVE
+          rows at the parent snapshot (parent's MoR masks applied) as
+          delete images;
+        - new EQUALITY delete files (MoR merge) → the parent rows matching
+          the keys as delete images;
+        - new POSITION delete files → the parent rows they address;
+        - layout-only snapshots (compaction, z-order, schema/partition
+          evolution) contribute nothing.
+
+        An upsert therefore appears as delete(old image) + insert(new row);
+        copy-on-write rewrites additionally re-emit UNCHANGED rows as
+        identical delete+insert pairs (same caveat as Iceberg's raw
+        changelog).  ``net_changes=True`` cancels those pairs by signed
+        per-row counting (bag semantics: a row inserted n times more than
+        deleted emits n inserts), stamping ``_commit_version`` with the
+        last version that touched the row.
+
+        Planning cost is O(files touched by the range) — file diffs come
+        from snapshot metadata, never a table scan.
+        """
+        to_v = to_version if to_version is not None else self.current_version()
+        if to_v is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if from_version is not None and from_version > to_v:
+            raise ValueError(
+                f"from_version {from_version} is newer than to_version {to_v}"
+            )
+        end = self.snapshot(to_v)
+        chain: list[Snapshot] = []
+        snap = end
+        while snap is not None and (from_version is None or snap.version > from_version):
+            chain.append(snap)
+            if snap.parent is None:
+                if from_version is not None:
+                    raise ValueError(
+                        f"no snapshot v{from_version} in ancestry of v{to_v}"
+                    )
+                break
+            snap = self.snapshot(snap.parent)
+        chain.reverse()
+        cols = [fld.name for fld in end.schema.fields]
+        parts: list[DataFrame] = []
+
+        def _tag(df: DataFrame, kind: str, version: int) -> DataFrame:
+            return df.select(
+                *cols,
+                F.lit(kind).alias("_change_type"),
+                F.lit(version).alias("_commit_version"),
+            )
+
+        for snap in chain:
+            # layout-only snapshots: dedicated ops, plus "replace" commits
+            # that are really compaction / delete-folding (summary-flagged)
+            if (
+                snap.operation in self._LAYOUT_ONLY_OPS
+                or snap.summary.get("compaction")
+                or "folded-delete-files" in snap.summary
+                or "rewritten-files" in snap.summary
+            ):
+                continue
+            parent = self.snapshot(snap.parent) if snap.parent is not None else None
+            parent_files = parent.files if parent else []
+            parent_paths = {f.path for f in parent_files}
+            cur_paths = {f.path for f in snap.files}
+            added = [f for f in snap.files if f.path not in parent_paths]
+            removed = [f for f in parent_files if f.path not in cur_paths]
+            if added:
+                ins = self.spark.read.schema(snap.schema).parquet(
+                    *[os.path.join(self.location, f.path) for f in added]
+                )
+                parts.append(_tag(ins, "insert", snap.version))
+            if removed and parent:
+                # live rows only: apply the PARENT's delete masks, so a row
+                # already dead before this snapshot is not re-deleted
+                img = self._plan_scan(parent, removed)
+                parts.append(_tag(img, "delete", snap.version))
+            new_dels = [
+                d for d in snap.delete_files if (d.sequence or 0) == snap.version
+            ]
+            if new_dels and parent:
+                eq = [d for d in new_dels if d.content != "position"]
+                pos = [d for d in new_dels if d.content == "position"]
+                if eq:
+                    eq_sets = {tuple(d.equality_ids) for d in eq}
+                    if len(eq_sets) > 1:
+                        raise ValueError(
+                            f"mixed equality_ids across delete files: {sorted(eq_sets)}"
+                        )
+                    keys = list(next(iter(eq_sets)))
+                    by_name = {fld.name: fld for fld in snap.schema.fields}
+                    key_schema = T.StructType([by_name[k] for k in keys])
+                    kdf = self.spark.read.schema(key_schema).parquet(
+                        *[os.path.join(self.location, d.path) for d in eq]
+                    )
+                    img = self._plan_scan(parent, parent_files).join(
+                        kdf.distinct(), on=keys, how="leftsemi"
+                    )
+                    parts.append(_tag(img, "delete", snap.version))
+                if pos:
+                    addressed = self.spark.read.schema(
+                        T.StructType(
+                            [
+                                T.StructField("file_path", T.StringType()),
+                                T.StructField("pos", T.LongType()),
+                            ]
+                        )
+                    ).parquet(*[os.path.join(self.location, d.path) for d in pos])
+                    probe = addressed.distinct().select(
+                        F.col("file_path").alias("__pd_path"),
+                        F.col("pos").alias("__pd_pos"),
+                    )
+                    img = (
+                        self.spark.read.schema(parent.schema)
+                        .parquet(
+                            *[os.path.join(self.location, f.path) for f in parent_files]
+                        )
+                        .select(
+                            F.col("_metadata.file_path").alias("__pd_path"),
+                            F.col("_metadata.row_index").alias("__pd_pos"),
+                            *cols,
+                        )
+                        .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
+                        .select(*cols)
+                    )
+                    parts.append(_tag(img, "delete", snap.version))
+        if not parts:
+            schema = T.StructType(
+                list(end.schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            )
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not net_changes:
+            return out
+        # signed per-row counting cancels identical delete+insert pairs
+        # from copy-on-write rewrites; one hash shuffle on the row content
+        signed = out.groupBy(*cols).agg(
+            F.sum(
+                F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+            ).alias("__n"),
+            F.max("_commit_version").alias("_commit_version"),
+        )
+        return (
+            signed.filter(F.col("__n") != 0)
+            .select(
+                *cols,
+                F.when(F.col("__n") > 0, F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("_change_type"),
+                "_commit_version",
+                F.explode(F.expr("sequence(1, abs(__n))")).alias("__i"),
+            )
+            .drop("__i")
+        )
+
     def aggregate_stats(
         self, columns: list[str] | None = None, snapshot_version: int | None = None
     ) -> dict | None:

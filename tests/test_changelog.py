@@ -1,0 +1,138 @@
+"""CDC changelog (LakeTable.read_changes) — the engine's equivalent of
+Iceberg's create_changelog_view.
+
+Reference parity note: the reference has no changelog surface; this is part
+of the beyond-reference lake layer (SURVEY §2.2 merge semantics are what a
+changelog consumer downstream would feed on).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.maintenance import compact_table
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def _rows(df):
+    return sorted(
+        (r.id, r.val, r._change_type, r._commit_version) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def base(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, val string"
+    ).repartition(2)
+    writer.write(TableSpec(name="t", write_disposition="append"), df, load_id="l0")
+    return catalog, writer
+
+
+def test_appends_become_inserts(spark, base):
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(100, "x"), (101, "y")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    v1 = table.snapshot().version
+    ch = _rows(table.read_changes(v0))
+    assert ch == [(100, "x", "insert", v1), (101, "y", "insert", v1)]
+    # full-history changelog: creation rows are inserts too
+    all_ch = table.read_changes(None)
+    assert all_ch.filter(F.col("_change_type") == "insert").count() == 22
+    assert all_ch.filter(F.col("_change_type") == "delete").count() == 0
+
+
+def test_cow_upsert_raw_and_net(spark, base):
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+        ),
+        spark.createDataFrame([(3, "NEW3"), (777, "NEW777")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    raw = table.read_changes(v0)
+    # raw CoW changelog re-emits rewritten rows; net cancels the noise
+    net = _rows(table.read_changes(v0, net_changes=True))
+    v1 = table.snapshot().version
+    assert net == [
+        (3, "NEW3", "insert", v1),
+        (3, "v3", "delete", v1),
+        (777, "NEW777", "insert", v1),
+    ]
+    # raw contains at least the net rows
+    raw_set = set(_rows(raw))
+    assert set(net) <= raw_set
+
+
+def test_mor_upsert_emits_delete_images(spark, base):
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+            merge_mode="mor",
+        ),
+        spark.createDataFrame([(4, "NEW4")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    v1 = table.snapshot().version
+    ch = _rows(table.read_changes(v0))
+    assert (4, "v4", "delete", v1) in ch  # old image via equality keys
+    assert (4, "NEW4", "insert", v1) in ch
+    assert len(ch) == 2  # MoR touches nothing else
+
+
+def test_position_delete_emits_addressed_images(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    table.position_delete_where([("id", "<", 2)])
+    table = catalog.load_table("ds", "t")
+    v1 = table.snapshot().version
+    ch = _rows(table.read_changes(v0))
+    assert ch == [(0, "v0", "delete", v1), (1, "v1", "delete", v1)]
+
+
+def test_compaction_is_changelog_silent(spark, base):
+    catalog, writer = base
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame([(50 + i, "z")], "id long, val string"),
+            load_id=f"s{i}",
+        )
+    table = catalog.load_table("ds", "t")
+    v_before = table.snapshot().version
+    compact_table(table, target_file_bytes=1 << 30)
+    table = catalog.load_table("ds", "t")
+    assert table.snapshot().version > v_before  # compaction committed
+    assert table.read_changes(v_before).count() == 0
+
+
+def test_changelog_range_validation(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    with pytest.raises(ValueError, match="newer"):
+        table.read_changes(v0 + 5, v0)
+    empty = table.read_changes(v0, v0)
+    assert empty.count() == 0
+    assert empty.columns[-2:] == ["_change_type", "_commit_version"]
