@@ -3072,6 +3072,60 @@ def lake_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAKE_MERGE_CACHE: dict = {}
 
 
+@query(
+    "lake_position_delete",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 10 < 8 AND o_orderdate >= DATE '1993-06-01'
+    """,
+    doc=(
+        "Iceberg v2 POSITION deletes through the ACTUAL table format: the "
+        "target lands via the append disposition (sorted files, stats, "
+        "chunked manifests), position_delete_where stages (file_path, pos) "
+        "addresses for the matching rows — data files untouched — and the "
+        "result is the masked scan (metadata-column anti-join).  The "
+        "file-position addresses depend on physical layout, but the "
+        "SURVIVING ROW SET is value-determined, so a brute-force SQL "
+        "oracle hash-checks staging, sequence rules, and the masked read "
+        "end-to-end."
+    ),
+)
+def lake_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_POSDEL_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_posdel_"))
+        writer = LakeWriter(catalog, "gate")
+        target, _ = _merge_batches(spark, sf_dir)
+        writer.write(
+            TableSpec(
+                name="orders",
+                write_disposition="append",
+                sort_order=["o_orderdate"],
+            ),
+            target,
+        )
+        table = catalog.load_table("gate", "orders")
+        table.position_delete_where(
+            [("o_orderdate", "<", datetime.date(1993, 6, 1))]
+        )
+        table = catalog.load_table("gate", "orders")
+        _LAKE_POSDEL_CACHE[key] = table
+    return _merge_result_select(table.read())
+
+
+_LAKE_POSDEL_CACHE: dict = {}
+
+
 #: one lake-table build per (session, sf_dir): the gate and bench call each
 #: query repeatedly; the table is immutable once written
 _LAKE_STATS_CACHE: dict = {}
@@ -3145,7 +3199,7 @@ def lake_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_PRIORITY = [
     # never driver-verified through round 2 — must land inside the gate window
     "merge_upsert", "merge_hard_delete", "lake_stats_pushdown",
-    "lake_merge_roundtrip",
+    "lake_merge_roundtrip", "lake_position_delete",
     "dedup_token_jaccard", "dedup_transitive_clusters", "dedup_minhash_lsh",
     "dedup_incremental",
     "dedup_simhash", "dedup_simhash_pairs",
@@ -3158,7 +3212,7 @@ _GATE_PRIORITY = [
     "corpus_prep", "multimodal_meta", "multimodal_decode",
     # already verified in r01/r02 — representative picks for remaining slots
     "q1_pricing_summary", "q5_nation_revenue",
-    "q9_product_type_profit", "q18_large_orders",
+    "q9_product_type_profit",
     "q21_waiting_suppliers", "sql_delegated_join",
     "rollup_nation_status", "pctl_order_value",
     "window_customer_rank",
