@@ -132,6 +132,14 @@ def main(warehouse: str) -> None:
     wap.publish(["orders"])
     print("published:", pipe.dataset().query("SELECT count(*) AS n FROM orders").collect()[0].n)
 
+    # -- position deletes (MoR) + CDC changelog -----------------------------
+    v_before = table.snapshot().version
+    table.position_delete_where([("order_id", "=", 99)])
+    table = pipe.catalog.load_table("shop", "orders")
+    print("after position delete:", table.read().count(), "rows (no data file rewritten)")
+    changes = table.read_changes(v_before, net_changes=True)
+    print("changelog:", [(r.order_id, r._change_type) for r in changes.collect()])
+
     # -- predicate-pruned scan: manifest min/max skips files ----------------
     probe = table.read(where=[("order_id", "<=", 11)])
     print(f"pruned scan touched {len(probe.inputFiles())} file(s), rows={probe.count()}")
