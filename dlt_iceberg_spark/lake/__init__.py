@@ -19,6 +19,7 @@ from dlt_iceberg_spark.lake.catalog import LakeCatalog
 from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec, WriterConfig, commit_load
 from dlt_iceberg_spark.lake.state import StateStore
 from dlt_iceberg_spark.lake.dataset import Dataset
+from dlt_iceberg_spark.lake.feed import ChangelogFeed
 from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource, resource, LoadInfo
 from dlt_iceberg_spark.lake.maintenance import (
     CompactionResult,
@@ -46,6 +47,7 @@ __all__ = [
     "commit_load",
     "StateStore",
     "Dataset",
+    "ChangelogFeed",
     "Pipeline",
     "Resource",
     "resource",

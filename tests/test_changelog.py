@@ -136,3 +136,91 @@ def test_changelog_range_validation(spark, base):
     empty = table.read_changes(v0, v0)
     assert empty.count() == 0
     assert empty.columns[-2:] == ["_change_type", "_commit_version"]
+
+
+# ---------------------------------------------------------------------------
+# ChangelogFeed: checkpointed incremental consumption
+# ---------------------------------------------------------------------------
+
+
+def test_feed_drains_and_checkpoints(spark, base):
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    feed = ChangelogFeed(table, name="c1")
+
+    # first poll replays full history as inserts
+    b = feed.poll()
+    assert b.from_version is None
+    assert b.changes.count() == 20
+    feed.ack(b.to_version)
+    assert feed.poll() is None  # caught up
+
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(100, "x")], "id long, val string"),
+        load_id="l1",
+    )
+    b2 = ChangelogFeed(catalog.load_table("ds", "t"), name="c1").poll()
+    assert [(r.id, r._change_type) for r in b2.changes.collect()] == [(100, "insert")]
+
+
+def test_feed_replays_unacked_batch(spark, base):
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    feed = ChangelogFeed(table, name="crashy")
+    first = feed.poll()
+    again = ChangelogFeed(table, name="crashy").poll()  # "restart", no ack
+    assert first.to_version == again.to_version
+    assert first.changes.count() == again.changes.count() == 20
+    with pytest.raises(ValueError, match="rewind"):
+        feed.ack(first.to_version)  # fine
+        feed.ack(first.to_version - 1)
+
+
+def test_feed_process_loop(spark, base):
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+
+    catalog, writer = base
+    seen = []
+    table = catalog.load_table("ds", "t")
+    n = ChangelogFeed(table, name="loop").process(lambda df: seen.append(df.count()))
+    assert n == 1 and seen == [20]
+
+    table.position_delete_where([("id", "<", 5)])
+    table = catalog.load_table("ds", "t")
+    n = ChangelogFeed(table, name="loop").process(lambda df: seen.append(df.count()))
+    assert n == 1 and seen == [20, 5]  # 5 delete images, nothing replayed
+
+    # failing consumer leaves the cursor untouched
+    def boom(df):
+        raise RuntimeError("consumer crash")
+
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(200, "y")], "id long, val string"),
+        load_id="l2",
+    )
+    table = catalog.load_table("ds", "t")
+    feed = ChangelogFeed(table, name="loop")
+    with pytest.raises(RuntimeError):
+        feed.process(boom)
+    n = feed.process(lambda df: seen.append(df.count()))
+    assert n == 1 and seen[-1] == 1  # the same batch replayed
+
+
+def test_feed_independent_consumers(spark, base):
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    a, b = ChangelogFeed(table, name="a"), ChangelogFeed(table, name="b")
+    ba = a.poll()
+    a.ack(ba.to_version)
+    assert a.poll() is None
+    assert b.poll() is not None  # b has its own cursor
+    with pytest.raises(ValueError, match="identifier"):
+        ChangelogFeed(table, name="bad/name")
