@@ -1130,6 +1130,13 @@ class LakeTable:
         Files are invisible until the commit that carries them — pair with
         :meth:`position_delete_where` for the one-call form.
         """
+        if not where:
+            # read() treats an empty predicate as "everything", but a DELETE
+            # must say so explicitly — truncate via the replace disposition
+            raise ValueError(
+                "position deletes need a non-empty predicate; "
+                "use the replace disposition to truncate"
+            )
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")

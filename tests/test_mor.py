@@ -233,3 +233,11 @@ def test_fold_deletes_clears_position_deletes(spark, base):
     snap = table.fold_deletes()
     assert snap.delete_files == []
     assert {r.id for r in table.read().collect()} == set(range(50, 100))
+
+
+def test_position_delete_requires_predicate(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        table.position_delete_where([])
+    assert table.read().count() == 100
