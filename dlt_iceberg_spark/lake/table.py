@@ -46,7 +46,7 @@ from datetime import datetime, timezone
 from typing import Any
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1192,6 +1192,62 @@ class LakeTable:
             summary={
                 "position-delete-files": len(new_deletes),
                 "deleted-rows-addressed": sum(d.rows for d in new_deletes),
+            },
+        )
+
+    def update_where(
+        self,
+        where: list[tuple[str, str, Any]],
+        set: dict[str, Any],
+        plan_mode: str = "auto",
+    ) -> Snapshot:
+        """Row-level UPDATE, merge-on-read, one atomic commit: position
+        deletes mask the matching rows in place and the updated row images
+        land as new data files — ``UPDATE t SET ... WHERE ...`` with
+        O(matching rows) work, no data-file rewrites, and parent manifests
+        reused by reference.
+
+        ``set`` maps column name → Column expression or literal, evaluated
+        over the matching rows (so ``{"price": F.col("price") * 1.1}``
+        works).  The position deletes and the new files carry the same
+        sequence number; the deletes address only old file paths, so the
+        updated rows are never self-masked.  The changelog
+        (:meth:`read_changes`) naturally shows the old images as deletes
+        and the new images as inserts.
+        """
+        if not where:
+            raise ValueError("update_where needs a non-empty predicate")
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        names = {f.name for f in snap.schema.fields}
+        unknown = [c for c in set if c not in names]
+        if unknown:
+            raise ValueError(f"no such column(s) in SET: {unknown}")
+        new_deletes = self.stage_position_deletes(
+            where, snapshot_version=snap.version, plan_mode=plan_mode
+        )
+        if not new_deletes:
+            return snap
+        # live matching rows (current masks + predicate applied), updated
+        updated = self.read(snapshot_version=snap.version, where=where)
+        for c, expr in set.items():
+            updated = updated.withColumn(
+                c, expr if isinstance(expr, Column) else F.lit(expr)
+            )
+        updated = updated.select(*[f.name for f in snap.schema.fields])
+        new_files = self.stage_dataframe(updated)
+        return self.commit(
+            None,
+            snap.schema,
+            "merge",
+            snap.version,
+            manifests=snap.manifests,
+            new_files=list(snap.inline_files) + new_files,
+            delete_files=list(snap.delete_files) + new_deletes,
+            summary={
+                "update-position-delete-files": len(new_deletes),
+                "updated-rows": sum(f.rows for f in new_files),
             },
         )
 

@@ -241,3 +241,55 @@ def test_position_delete_requires_predicate(spark, base):
     with pytest.raises(ValueError, match="non-empty predicate"):
         table.position_delete_where([])
     assert table.read().count() == 100
+
+
+def test_update_where_mor(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    before = table.snapshot()
+
+    snap = table.update_where(
+        [("id", "<", 3)], {"val": F.concat(F.lit("upd:"), F.col("val"))}
+    )
+    assert snap.operation == "merge"
+    # old data files untouched, one small new file with the updated images
+    assert {f.path for f in before.files} <= {f.path for f in snap.files}
+    assert snap.summary["updated-rows"] == 3
+    pos = [d for d in snap.delete_files if d.content == "position"]
+    assert sum(d.rows for d in pos) == 3
+
+    out = {r.id: r.val for r in table.read().collect()}
+    assert len(out) == 100
+    assert out[0] == "upd:v0" and out[2] == "upd:v2" and out[3] == "v3"
+
+    # changelog shows old images out, new images in
+    ch = sorted(
+        (r.id, r.val, r._change_type)
+        for r in table.read_changes(before.version).collect()
+    )
+    assert ch == [
+        (0, "upd:v0", "insert"), (0, "v0", "delete"),
+        (1, "upd:v1", "insert"), (1, "v1", "delete"),
+        (2, "upd:v2", "insert"), (2, "v2", "delete"),
+    ]
+
+
+def test_update_where_literal_and_validation(spark, base):
+    catalog, _ = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    with pytest.raises(ValueError, match="non-empty predicate"):
+        table.update_where([], {"val": "x"})
+    with pytest.raises(ValueError, match="no such column"):
+        table.update_where([("id", "=", 1)], {"bogus": "x"})
+    snap = table.update_where([("id", "=", 1)], {"val": "LIT"})
+    assert snap.version > v0
+    assert table.read().filter(F.col("id") == 1).collect()[0].val == "LIT"
+    # updating already-updated rows works (masks compose across versions)
+    table.update_where([("id", "=", 1)], {"val": "LIT2"})
+    vals = [r.val for r in catalog.load_table("ds", "t").read().filter(F.col("id") == 1).collect()]
+    assert vals == ["LIT2"]
+    # no-match update is a no-op commit
+    t2 = catalog.load_table("ds", "t")
+    v = t2.snapshot().version
+    assert t2.update_where([("id", "=", 99999)], {"val": "never"}).version == v
