@@ -163,7 +163,9 @@ def test_simhash_identical_docs_identical_hash(spark, sizes):
 
 _mor_batches = st.lists(
     st.tuples(
-        st.sampled_from(["mor", "cow", "hard_delete", "append", "fold"]),
+        st.sampled_from(
+            ["mor", "cow", "hard_delete", "append", "fold", "pos_delete", "update"]
+        ),
         st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=5),
     ),
     min_size=1,
@@ -210,6 +212,22 @@ def test_mor_sequences_match_model(spark, ops):
             df = spark.createDataFrame(rows, "id long, val long")
             writer.write(TableSpec(name="t", write_disposition="append"), df, load_id=f"l{n}")
             model += rows
+            continue
+        if kind == "pos_delete":
+            ids = sorted({i for i, _ in rows})
+            t = catalog.load_table("m", "t")
+            t.position_delete_where([("id", "in", ids)])
+            model = [r for r in model if r[0] not in set(ids)]
+            continue
+        if kind == "update":
+            from pyspark.sql import functions as F
+
+            ids = sorted({i for i, _ in rows})
+            t = catalog.load_table("m", "t")
+            t.update_where([("id", "in", ids)], {"val": F.col("val") + 1000})
+            model = [
+                (i, v + 1000) if i in set(ids) else (i, v) for i, v in model
+            ]
             continue
         if kind == "hard_delete":
             df = spark.createDataFrame(
