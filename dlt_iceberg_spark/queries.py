@@ -2360,6 +2360,49 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames",
+    """
+    WITH d AS (SELECT doc_id, text,
+                      octet_length(CAST(text AS BLOB)) AS nbytes
+               FROM documents),
+         f AS (SELECT doc_id, substr(text, 1, 32) AS frame_preview,
+                      unnest(generate_series(
+                        0,
+                        least(greatest(CAST(floor(nbytes / 256.0) AS INT) - 1, 0), 7)
+                      )) AS frame_idx
+               FROM d)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 256 AS BIGINT) AS byte_offset, frame_preview
+    FROM f
+    """,
+    doc=(
+        "Video-frame-sampling plumbing (operators/multimodal.py::"
+        "sample_frames): payloads explode into byte-offset frame slices "
+        "map-side — payload bytes never cross a shuffle, document-length "
+        "skew becomes row count.  The stand-in keyframe arithmetic is "
+        "deterministic, so the oracle replays offsets/previews exactly in "
+        "SQL (real codecs stay stubbed; the Spark-side schema, explode "
+        "shape, and batch plumbing are what this verifies)."
+    ),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import sample_frames
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select("doc_id", "payload")
+    )
+    out = sample_frames(d, "doc_id", "payload", every_n_bytes=256, max_frames=8)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+        "frame_preview",
+    )
+
+
+@query(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3209,12 +3252,12 @@ _GATE_PRIORITY = [
     "text_rolling_fingerprint", "text_quality_score",
     "chunk_documents", "pack_documents", "shuffle_shards",
     "contamination_check", "redact_pii", "select_quality_budget",
-    "corpus_prep", "multimodal_meta", "multimodal_decode",
+    "corpus_prep", "multimodal_meta", "multimodal_decode", "multimodal_frames",
     # already verified in r01/r02 — representative picks for remaining slots
     "q1_pricing_summary", "q5_nation_revenue",
     "q9_product_type_profit",
     "q21_waiting_suppliers", "sql_delegated_join",
-    "rollup_nation_status", "pctl_order_value",
+    "pctl_order_value",
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
