@@ -110,6 +110,47 @@ def decode_image_features(
     return fan_out(df.select(id_col, payload_col)).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+def audio_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    window_bytes: int = 1024,
+    hop_bytes: int = 512,
+    max_windows: int = 16,
+) -> DataFrame:
+    """Overlapping-window segmentation for audio-ish payloads — the STFT
+    framing shape (window ``w``, hop ``h``): windows start at 0, h, 2h, …
+    while a full window fits; payloads shorter than one window still emit
+    one (truncated) window.  Pure map-side expressions: the payload never
+    crosses a shuffle, and per-window work downstream (feature extraction,
+    a real STFT UDF) fans out as rows.  ``max_windows`` caps the explode so
+    a pathological hour-long payload cannot widen one input row into
+    millions.
+
+    Returns (id, window_idx, start_byte, window_len).
+    """
+    n = F.length(payload_col)
+    full = F.floor((n - F.lit(window_bytes)) / F.lit(hop_bytes)).cast("long") + 1
+    count = F.least(F.greatest(full, F.lit(1).cast("long")), F.lit(max_windows).cast("long"))
+    idxs = F.sequence(F.lit(0).cast("long"), count - 1)
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("_n"),
+            F.posexplode(idxs).alias("window_idx", "_i"),
+        )
+        .select(
+            id_col,
+            F.col("window_idx").cast("long").alias("window_idx"),
+            (F.col("_i") * hop_bytes).alias("start_byte"),
+            F.least(
+                F.lit(window_bytes).cast("long"),
+                F.col("_n") - F.col("_i") * hop_bytes,
+            ).alias("window_len"),
+        )
+    )
+
+
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",

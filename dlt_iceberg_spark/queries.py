@@ -2403,6 +2403,44 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_windows",
+    """
+    WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+         w AS (SELECT doc_id, n,
+                      unnest(generate_series(
+                        0,
+                        least(greatest(CAST(floor((n - 128) / 64.0) AS BIGINT) + 1, 1), 12) - 1
+                      )) AS i
+               FROM d)
+    SELECT doc_id, CAST(i AS BIGINT) AS window_idx,
+           CAST(i * 64 AS BIGINT) AS start_byte,
+           CAST(least(128, n - i * 64) AS BIGINT) AS window_len
+    FROM w
+    """,
+    doc=(
+        "Audio STFT-framing plumbing (operators/multimodal.py::"
+        "audio_windows): overlapping (window=128, hop=64) byte segments "
+        "explode map-side with a hard per-row cap — payload bytes never "
+        "shuffle, downstream per-window feature UDFs fan out as rows.  "
+        "Deterministic framing arithmetic replayed exactly by the SQL "
+        "oracle (codecs stay stubbed; this verifies the Spark-side "
+        "segmentation, schema, and cap semantics)."
+    ),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import audio_windows
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select("doc_id", "payload")
+    )
+    return audio_windows(
+        d, "doc_id", "payload", window_bytes=128, hop_bytes=64, max_windows=12
+    )
+
+
+@query(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3253,11 +3291,11 @@ _GATE_PRIORITY = [
     "chunk_documents", "pack_documents", "shuffle_shards",
     "contamination_check", "redact_pii", "select_quality_budget",
     "corpus_prep", "multimodal_meta", "multimodal_decode", "multimodal_frames",
+    "multimodal_audio_windows",
     # already verified in r01/r02 — representative picks for remaining slots
     "q1_pricing_summary", "q5_nation_revenue",
     "q9_product_type_profit",
     "q21_waiting_suppliers", "sql_delegated_join",
-    "pctl_order_value",
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",

@@ -610,3 +610,27 @@ def test_batch_vs_corpus_dedup_bitmask_small_vocab(spark):
     pairs = dict(((a, b), j) for a, b, j in out["auto"])
     assert pairs[(3, 100)] == 1.0
     assert abs(pairs[(7, 101)] - 9 / 11) < 1e-9
+
+
+def test_audio_windows_framing(spark):
+    from dlt_iceberg_spark.operators.multimodal import audio_windows
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 300), (2, b"y" * 50), (3, b"z" * 5000)],
+        "doc_id long, payload binary",
+    )
+    out = sorted(
+        (r.doc_id, r.window_idx, r.start_byte, r.window_len)
+        for r in audio_windows(
+            df, window_bytes=128, hop_bytes=64, max_windows=10
+        ).collect()
+    )
+    by_doc = {}
+    for d, i, s, l in out:
+        by_doc.setdefault(d, []).append((i, s, l))
+    # 300 bytes, w=128 h=64: full windows at 0,64,128 -> floor((300-128)/64)+1 = 3
+    assert by_doc[1] == [(0, 0, 128), (1, 64, 128), (2, 128, 128)]
+    # shorter than one window: a single truncated window
+    assert by_doc[2] == [(0, 0, 50)]
+    # long payload capped at max_windows
+    assert len(by_doc[3]) == 10 and by_doc[3][-1] == (9, 576, 128)
