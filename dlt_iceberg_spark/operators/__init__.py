@@ -26,6 +26,12 @@ from dlt_iceberg_spark.operators.similarity import (
     ivf_topk,
     embedding_near_duplicates,
 )
+from dlt_iceberg_spark.operators.multimodal import (
+    attach_media_metadata,
+    audio_windows,
+    decode_image_features,
+    sample_frames,
+)
 from dlt_iceberg_spark.operators.asof import asof_join
 from dlt_iceberg_spark.operators.range_join import interval_join
 from dlt_iceberg_spark.operators.graph import connected_components, dedup_clusters
@@ -61,6 +67,10 @@ __all__ = [
     "char_ngram_jaccard_pairs",
     "minhash_verified_pairs",
     "batch_vs_corpus_dedup",
+    "attach_media_metadata",
+    "audio_windows",
+    "decode_image_features",
+    "sample_frames",
     "build_dedup_index",
     "all_pairs_cosine_blas",
     "all_pairs_cosine_blocked",
