@@ -1388,8 +1388,18 @@ class LakeTable:
         parts: list[DataFrame] = []
 
         def _tag(df: DataFrame, kind: str, version: int) -> DataFrame:
+            # changelog rows always present the END schema: snapshots from
+            # before a schema evolution null-fill the columns they predate
+            # (the same forward-fill semantics as reading an evolved table)
+            have = set(df.columns)
+            sel = [
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in end.schema.fields
+            ]
             return df.select(
-                *cols,
+                *sel,
                 F.lit(kind).alias("_change_type"),
                 F.lit(version).alias("_commit_version"),
             )
@@ -1455,6 +1465,7 @@ class LakeTable:
                         F.col("file_path").alias("__pd_path"),
                         F.col("pos").alias("__pd_pos"),
                     )
+                    pcols = [f.name for f in parent.schema.fields]
                     img = (
                         self.spark.read.schema(parent.schema)
                         .parquet(
@@ -1463,10 +1474,10 @@ class LakeTable:
                         .select(
                             F.col("_metadata.file_path").alias("__pd_path"),
                             F.col("_metadata.row_index").alias("__pd_pos"),
-                            *cols,
+                            *pcols,
                         )
                         .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
-                        .select(*cols)
+                        .select(*pcols)
                     )
                     parts.append(_tag(img, "delete", snap.version))
         if not parts:

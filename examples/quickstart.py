@@ -140,6 +140,17 @@ def main(warehouse: str) -> None:
     changes = table.read_changes(v_before, net_changes=True)
     print("changelog:", [(r.order_id, r._change_type) for r in changes.collect()])
 
+    # -- row-level UPDATE (MoR) + checkpointed changelog consumption --------
+    from dlt_iceberg_spark.lake import ChangelogFeed
+
+    table.update_where([("channel", "=", "web")], {"amount": F.col("amount") * 1.1})
+    table = pipe.catalog.load_table("shop", "orders")
+    feed = ChangelogFeed(table, name="quickstart")
+    drained = feed.process(lambda df: print(
+        "feed batch:", sorted((r.order_id, r._change_type) for r in df.collect())
+    ))
+    print("feed drained", drained, "batch(es); caught up:", feed.poll() is None)
+
     # -- predicate-pruned scan: manifest min/max skips files ----------------
     probe = table.read(where=[("order_id", "<=", 11)])
     print(f"pruned scan touched {len(probe.inputFiles())} file(s), rows={probe.count()}")

@@ -224,3 +224,26 @@ def test_feed_independent_consumers(spark, base):
     assert b.poll() is not None  # b has its own cursor
     with pytest.raises(ValueError, match="identifier"):
         ChangelogFeed(table, name="bad/name")
+
+
+def test_changelog_across_schema_evolution(spark, base):
+    catalog, writer = base
+    v0 = catalog.load_table("ds", "t").snapshot().version
+    # evolve: a later load adds a column; earlier snapshots predate it
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(300, "n", "ex")], "id long, val string, extra string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    assert "extra" in [f.name for f in table.snapshot().schema.fields]
+    # full-history changelog presents the END schema, null-filling old rows
+    ch = table.read_changes(None)
+    assert ch.columns[:3] == ["id", "val", "extra"]
+    rows = {r.id: r.extra for r in ch.collect()}
+    assert rows[300] == "ex" and rows[0] is None
+    # and delete images from pre-evolution files null-fill too
+    table.position_delete_where([("id", "=", 1)])
+    table = catalog.load_table("ds", "t")
+    ch2 = [r for r in table.read_changes(v0 + 1).collect() if r._change_type == "delete"]
+    assert len(ch2) == 1 and ch2[0].id == 1 and ch2[0].extra is None
