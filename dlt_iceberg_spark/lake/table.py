@@ -1447,9 +1447,28 @@ class LakeTable:
                     key_schema = T.StructType([by_name[k] for k in keys])
                     kdf = self.spark.read.schema(key_schema).parquet(
                         *[os.path.join(self.location, d.path) for d in eq]
-                    )
-                    img = self._plan_scan(parent, parent_files).join(
-                        kdf.distinct(), on=keys, how="leftsemi"
+                    ).distinct()
+                    # prune the parent scan to files whose stats overlap the
+                    # delete-key envelope (one tiny agg over the delete set:
+                    # delete files ≪ data) — image resolution stays
+                    # O(touched files), not O(table)
+                    bounds = kdf.agg(
+                        *[f for k in keys for f in (F.min(k).alias(f"_mn_{k}"), F.max(k).alias(f"_mx_{k}"))]
+                    ).collect()[0]
+                    cand = [
+                        f
+                        for f in parent_files
+                        if all(
+                            bounds[f"_mn_{k}"] is None
+                            or (
+                                _file_may_match(f, k, ">=", bounds[f"_mn_{k}"])
+                                and _file_may_match(f, k, "<=", bounds[f"_mx_{k}"])
+                            )
+                            for k in keys
+                        )
+                    ]
+                    img = self._plan_scan(parent, cand).join(
+                        kdf, on=keys, how="leftsemi"
                     )
                     parts.append(_tag(img, "delete", snap.version))
                 if pos:
@@ -1465,11 +1484,25 @@ class LakeTable:
                         F.col("file_path").alias("__pd_path"),
                         F.col("pos").alias("__pd_pos"),
                     )
+                    # addresses name their files outright — scan ONLY those
+                    # (normalize Spark's file: URIs to compare with table-
+                    # relative paths); image resolution is O(addressed files)
+                    from urllib.parse import urlparse
+
+                    hit = {
+                        urlparse(r[0]).path if "://" in r[0] or r[0].startswith("file:") else r[0]
+                        for r in addressed.select("file_path").distinct().collect()
+                    }
+                    cand = [
+                        f
+                        for f in parent_files
+                        if os.path.abspath(os.path.join(self.location, f.path)) in hit
+                    ]
                     pcols = [f.name for f in parent.schema.fields]
                     img = (
                         self.spark.read.schema(parent.schema)
                         .parquet(
-                            *[os.path.join(self.location, f.path) for f in parent_files]
+                            *[os.path.join(self.location, f.path) for f in cand]
                         )
                         .select(
                             F.col("_metadata.file_path").alias("__pd_path"),
@@ -1478,8 +1511,9 @@ class LakeTable:
                         )
                         .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
                         .select(*pcols)
-                    )
-                    parts.append(_tag(img, "delete", snap.version))
+                    ) if cand else None
+                    if img is not None:
+                        parts.append(_tag(img, "delete", snap.version))
         if not parts:
             schema = T.StructType(
                 list(end.schema.fields)
