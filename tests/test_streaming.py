@@ -342,3 +342,36 @@ def test_stream_merge_mor_no_rewrite(spark, stream_dirs):
     assert b1_files <= {f.path for f in snaps[-1].files}
     out = {r.event_id: r.value for r in table.read().collect()}
     assert out == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_stream_in_cdc_out(spark, stream_dirs):
+    """End-to-end systems shape: micro-batches land as snapshots, a
+    checkpointed ChangelogFeed drains exactly the new rows per cycle —
+    streaming in, CDC out, nothing reprocessed."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    inp, ckpt, wh = stream_dirs
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "s")
+    spec = TableSpec(name="ev", write_disposition="append")
+
+    _drop_file(_mk_events(spark, [(1, _ts("2024-01-01T00:00:00"), 1, "a", 1.0)]), inp, "b1.parquet")
+    _drop_file(_mk_events(spark, [(2, _ts("2024-01-01T00:01:00"), 2, "b", 2.0)]), inp, "b2.parquet")
+    _run_stream(spark, inp, ckpt, writer, spec)
+
+    table = catalog.load_table("s", "ev")
+    feed = ChangelogFeed(table, name="down")
+    got = []
+    n = feed.process(lambda df: got.append(sorted(r.event_id for r in df.collect())))
+    assert n == 1 and sorted(got[0]) == [1, 2]
+
+    # next streaming cycle appends one more batch; the feed sees ONLY it
+    _drop_file(_mk_events(spark, [(3, _ts("2024-01-01T00:02:00"), 3, "c", 3.0)]), inp, "b3.parquet")
+    _run_stream(spark, inp, ckpt, writer, spec)
+    table = catalog.load_table("s", "ev")
+    feed2 = ChangelogFeed(table, name="down")
+    n = feed2.process(lambda df: got.append(sorted(r.event_id for r in df.collect())))
+    assert n == 1 and got[-1] == [3]
+    assert feed2.poll() is None
