@@ -77,6 +77,11 @@ class DeleteFile:
     equality_ids: list[str]  # key column names the tuples are over
     sequence: int | None = None
     content: str = "equality"
+    #: key-column [min, max] over the delete tuples (same shape as
+    #: DataFile.stats) — lets readers skip the anti-join for data files
+    #: whose key ranges the delete cannot touch (Iceberg delete-manifest
+    #: stats).  Empty = unknown = conservatively applies everywhere.
+    stats: dict[str, Any] = dc_field(default_factory=dict)
 
 
 @dataclass

@@ -114,6 +114,28 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     return True
 
 
+def _delete_may_touch(d: "DeleteFile", f: "DataFile", keys: list[str]) -> bool:
+    """Could this equality-delete file kill any row of data file ``f``?
+    Judged by key-range overlap of both sides' stats; missing stats on
+    either side ⇒ conservatively yes."""
+    if not d.stats:
+        return True
+    for k in keys:
+        ds, fs = d.stats.get(k), f.stats.get(k)
+        if not ds or not fs:
+            continue
+        dmn, dmx = ds
+        fmn, fmx = fs
+        if None in (dmn, dmx, fmn, fmx):
+            continue
+        try:
+            if dmn > fmx or fmn > dmx:  # disjoint on this key ⇒ untouchable
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 @dataclass
 class Snapshot:
     """One committed table state.
@@ -1039,17 +1061,29 @@ class LakeTable:
             key_schema = T.StructType([by_name[k] for k in keys])
         eseqs = [d.sequence or 0 for d in eq_dels]
         pseqs = [d.sequence or 0 for d in pos_dels]
-        groups: dict[tuple[int, int], list[DataFile]] = {}
+        # per-FILE delete applicability (Iceberg's model): sequence rules
+        # pick the candidate deletes, then delete-file key-range stats drop
+        # the ones that cannot touch this file's key range — a
+        # partition-localized delete leaves every other file on the plain
+        # scan path with no anti-join at all.  Files group by their exact
+        # applicable-delete set (bounded by distinct applicability patterns,
+        # small when deletes are localized).
+        groups: dict[tuple[tuple[int, ...], int], list[DataFile]] = {}
         for f in files:
             fseq = f.sequence or 0
             # equality: first delete STRICTLY newer; position: first delete
             # with sequence >= the file's (<= rule per the Iceberg spec)
             ei = bisect.bisect_right(eseqs, fseq)
             pi = bisect.bisect_left(pseqs, fseq)
-            groups.setdefault((ei, pi), []).append(f)
+            eq_app = tuple(
+                j
+                for j in range(ei, len(eq_dels))
+                if _delete_may_touch(eq_dels[j], f, keys)
+            )
+            groups.setdefault((eq_app, pi), []).append(f)
         cols = [fld.name for fld in snap.schema.fields]
         parts = []
-        for (ei, pi), fl in sorted(groups.items()):
+        for (eq_app, pi), fl in sorted(groups.items()):
             scan = self.spark.read.schema(snap.schema).parquet(
                 *[os.path.join(self.location, f.path) for f in fl]
             )
@@ -1080,7 +1114,7 @@ class LakeTable:
                     .join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
                     .select(*cols)
                 )
-            eq_applicable = eq_dels[ei:]
+            eq_applicable = [eq_dels[j] for j in eq_app]
             if eq_applicable:
                 dkeys = self.spark.read.schema(key_schema).parquet(
                     *[os.path.join(self.location, d.path) for d in eq_applicable]
@@ -1105,6 +1139,7 @@ class LakeTable:
                 rows=f.rows,
                 bytes=f.bytes,
                 equality_ids=list(equality_ids),
+                stats={k: v for k, v in f.stats.items() if k in equality_ids},
             )
             for f in staged
         ]

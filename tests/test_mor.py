@@ -293,3 +293,40 @@ def test_update_where_literal_and_validation(spark, base):
     t2 = catalog.load_table("ds", "t")
     v = t2.snapshot().version
     assert t2.update_where([("id", "=", 99999)], {"val": "never"}).version == v
+
+
+def test_delete_stats_skip_untouched_files(spark, base):
+    """Delete-file key-range stats (Iceberg delete-manifest stats): a
+    localized MoR delete leaves files outside its key range on the plain
+    scan path — no anti-join at all."""
+    from dlt_iceberg_spark.plans import explain_str
+
+    catalog, writer = base  # base: ids 0..99
+    # MoR-upsert a batch whose key range [200, 201] misses EVERY existing
+    # file: the delete-file stats prove no old row can match, so the read
+    # plans with NO anti-join anywhere (the new same-sequence file is
+    # never masked by its own commit either)
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(200, "N200"), (201, "N201")], "id long, val string"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ds", "t")
+    snap = table.snapshot()
+    assert all(d.stats.get("id") for d in snap.delete_files)  # stats recorded
+    plan = explain_str(table.read(), "simple")
+    assert "LeftAnti" not in plan, plan
+    out = {r.id: r.val for r in table.read().collect()}
+    assert len(out) == 102 and out[200] == "N200" and out[50] == "v50"
+
+    # a second upsert that DOES overlap old ids pays exactly one anti-join
+    writer.write(
+        _mor_spec(),
+        spark.createDataFrame([(0, "N0")], "id long, val string"),
+        load_id="l2",
+    )
+    table = catalog.load_table("ds", "t")
+    plan = explain_str(table.read(), "simple")
+    assert plan.count("LeftAnti") == 1, plan
+    out = {r.id: r.val for r in table.read().collect()}
+    assert out[0] == "N0" and len(out) == 102
