@@ -89,6 +89,22 @@ class Dataset:
             self._table(table_name).metadata_df(kind)
         )
 
+    def changes(
+        self,
+        table_name: str,
+        from_version: int | None,
+        to_version: int | None = None,
+        net_changes: bool = False,
+    ) -> RelationHandle:
+        """CDC changelog relation for a table — the ``table_changes`` TVF
+        surface over :meth:`LakeTable.read_changes` (schema +
+        ``_change_type`` / ``_commit_version``)."""
+        return RelationHandle(
+            self._table(table_name).read_changes(
+                from_version, to_version, net_changes=net_changes
+            )
+        )
+
     def row_counts(self) -> dict[str, int]:
         """Manifest-only row counts (no scan) — file stats make this free."""
         out = {}

@@ -247,3 +247,19 @@ def test_changelog_across_schema_evolution(spark, base):
     table = catalog.load_table("ds", "t")
     ch2 = [r for r in table.read_changes(v0 + 1).collect() if r._change_type == "delete"]
     assert len(ch2) == 1 and ch2[0].id == 1 and ch2[0].extra is None
+
+
+def test_dataset_changes_surface(spark, base):
+    from dlt_iceberg_spark.lake.dataset import Dataset
+
+    catalog, writer = base
+    v0 = catalog.load_table("ds", "t").snapshot().version
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(500, "q")], "id long, val string"),
+        load_id="l1",
+    )
+    ds = Dataset(catalog, "ds")
+    rows = ds.changes("t", v0).dataframe().collect()
+    assert [(r.id, r._change_type) for r in rows] == [(500, "insert")]
+    assert ds.changes("t", v0).fetchall()[0][0] == 500
