@@ -898,6 +898,172 @@ class LakeTable:
         self._io.rename(tmp_ptr, self._ptr_path)
         return snap
 
+    #: Spark SQL type string -> Iceberg primitive type name
+    _ICEBERG_TYPES = {
+        "boolean": "boolean",
+        "int": "int",
+        "integer": "int",
+        "bigint": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "binary": "binary",
+        "date": "date",
+        "timestamp_ntz": "timestamp",
+        "timestamp": "timestamptz",
+    }
+
+    def _iceberg_type(self, dt: T.DataType, next_id: list[int]):
+        s = dt.simpleString()
+        if s in self._ICEBERG_TYPES:
+            return self._ICEBERG_TYPES[s]
+        if s.startswith("decimal"):
+            return s.replace("decimal(", "decimal(").replace(",", ", ")
+        if isinstance(dt, T.ArrayType):
+            eid = next_id[0]
+            next_id[0] += 1
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": self._iceberg_type(dt.elementType, next_id),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                fid = next_id[0]
+                next_id[0] += 1
+                fields.append(
+                    {
+                        "id": fid,
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": self._iceberg_type(f.dataType, next_id),
+                    }
+                )
+            return {"type": "struct", "fields": fields}
+        if isinstance(dt, T.MapType):
+            kid, vid = next_id[0], next_id[0] + 1
+            next_id[0] += 2
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": self._iceberg_type(dt.keyType, next_id),
+                "value-id": vid,
+                "value": self._iceberg_type(dt.valueType, next_id),
+                "value-required": not dt.valueContainsNull,
+            }
+        return "string"  # lossy fallback, documented
+
+    def export_iceberg_metadata(self) -> str:
+        """Write an Iceberg-v2-spec ``TableMetadata`` JSON view of this
+        table and return its path (``metadata/iceberg-metadata.json``).
+
+        The goal is interop-shaped metadata (VERDICT: a future
+        iceberg-jar-backed writer should be a writer swap, not a format
+        migration): stable field ids, schemas list, partition specs in
+        Iceberg transform syntax, the full snapshot list with sequence
+        numbers and refs.  Documented deviations from a jar-written table,
+        unavoidable without the Iceberg runtime:
+
+        - each snapshot carries an inline ``manifests`` array (v1-style)
+          naming our chunked PARQUET manifests — there is no avro
+          manifest-list file;
+        - nested-type field ids are allocated at export time after the
+          last top-level id (top-level ids are the stable ``field_ids``
+          every snapshot records).
+        """
+        import uuid as _uuid
+        from datetime import datetime as _dt
+
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        chain = self.snapshots()
+
+        def _ms(iso: str) -> int:
+            return int(_dt.fromisoformat(iso).timestamp() * 1000)
+
+        field_ids = snap.field_ids or {}
+        next_id = [max(field_ids.values(), default=0) + 1]
+
+        def _schema_obj(s: Snapshot, schema_id: int) -> dict:
+            return {
+                "type": "struct",
+                "schema-id": schema_id,
+                "fields": [
+                    {
+                        "id": field_ids.get(f.name, 0),
+                        "name": f.name,
+                        "required": not f.nullable,
+                        "type": self._iceberg_type(f.dataType, next_id),
+                    }
+                    for f in s.schema.fields
+                ],
+            }
+
+        # one schema entry per distinct schema along the ancestry
+        schemas, schema_id_of = [], {}
+        for s in chain:
+            key = s.schema.json()
+            if key not in schema_id_of:
+                schema_id_of[key] = len(schemas)
+                schemas.append(_schema_obj(s, len(schemas)))
+        spec_fields = [
+            {
+                "name": p.get("name") or p["source"],
+                "transform": p.get("transform", "identity"),
+                "source-id": field_ids.get(p.get("source", ""), 0),
+                "field-id": 1000 + i,
+            }
+            for i, p in enumerate(snap.partition_spec or [])
+        ]
+        snapshots_arr = [
+            {
+                "snapshot-id": s.version,
+                **({"parent-snapshot-id": s.parent} if s.parent is not None else {}),
+                "sequence-number": s.version,
+                "timestamp-ms": _ms(s.timestamp),
+                "summary": {"operation": s.operation, **{k: str(v) for k, v in s.summary.items()}},
+                "schema-id": schema_id_of[s.schema.json()],
+                "manifests": [r.path for r in s.manifests],
+            }
+            for s in chain
+        ]
+        refs = {"main": {"snapshot-id": snap.version, "type": "branch"}}
+        for name, v in self.tags().items():
+            refs[name] = {"snapshot-id": v, "type": "tag"}
+        for name, v in self.branches().items():
+            if name != "main":
+                refs[name] = {"snapshot-id": v, "type": "branch"}
+        payload = {
+            "format-version": 2,
+            "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, self.location)),
+            "location": self.location,
+            "last-sequence-number": snap.version,
+            "last-updated-ms": _ms(snap.timestamp),
+            "last-column-id": max(field_ids.values(), default=0),
+            "schemas": schemas,
+            "current-schema-id": schema_id_of[snap.schema.json()],
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_fields),
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "properties": dict(snap.properties),
+            "current-snapshot-id": snap.version,
+            "snapshots": snapshots_arr,
+            "snapshot-log": [
+                {"timestamp-ms": _ms(s.timestamp), "snapshot-id": s.version}
+                for s in chain
+            ],
+            "metadata-log": [],
+            "refs": refs,
+        }
+        path = os.path.join(self._meta_dir, "iceberg-metadata.json")
+        self._io.write_text(path, json.dumps(payload, indent=2, default=str))
+        return path
+
     # -- reading -----------------------------------------------------------
 
     def read(

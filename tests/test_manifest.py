@@ -365,3 +365,61 @@ def test_distributed_planner_on_100k_files(big_table):
         if all(_file_may_match(f, c, op, v) for c, op, v in where)
     )
     assert dist == driver and len(dist) == 50
+
+
+def test_iceberg_metadata_export_shape(spark, tmp_path):
+    """export_iceberg_metadata writes a v2-spec TableMetadata readable by
+    an independent JSON parser: required top-level fields, field-id'd
+    schemas, snapshot list with sequence numbers, refs."""
+    import json as _json
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a", [1.0])], "id long, v string, e array<double>"),
+        load_id="l0",
+    )
+    # evolve: second load adds a column; tag the head
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, "b", [2.0], 9)], "id long, v string, e array<double>, extra long"),
+        load_id="l1",
+    )
+    table = catalog.load_table("ns", "t")
+    table.create_tag("rel1")
+    path = table.export_iceberg_metadata()
+
+    md = _json.loads(open(path).read())  # independent parser: plain json
+    for k in (
+        "format-version", "table-uuid", "location", "last-sequence-number",
+        "schemas", "current-schema-id", "partition-specs", "sort-orders",
+        "properties", "current-snapshot-id", "snapshots", "snapshot-log", "refs",
+    ):
+        assert k in md, k
+    assert md["format-version"] == 2
+    head = table.snapshot()
+    assert md["current-snapshot-id"] == head.version
+    assert md["last-column-id"] == max(head.field_ids.values())
+    # two distinct schemas along the ancestry; current one has the evolved col
+    assert len(md["schemas"]) == 2
+    cur = md["schemas"][md["current-schema-id"]]
+    names = {f["name"]: f for f in cur["fields"]}
+    assert names["extra"]["id"] == head.field_ids["extra"]
+    assert names["id"]["type"] == "long" and names["v"]["type"] == "string"
+    assert names["e"]["type"]["type"] == "list"
+    assert names["e"]["type"]["element"] == "double"
+    # snapshots oldest-first with parent links and manifests
+    snaps = md["snapshots"]
+    assert [s["snapshot-id"] for s in snaps] == sorted(s["snapshot-id"] for s in snaps)
+    assert snaps[-1]["schema-id"] == md["current-schema-id"]
+    assert snaps[-1]["manifests"]  # head names its parquet manifests
+    assert md["refs"]["main"] == {"snapshot-id": head.version, "type": "branch"}
+    assert md["refs"]["rel1"]["type"] == "tag"
+    # stable across re-export (same uuid, same ids)
+    md2 = _json.loads(open(table.export_iceberg_metadata()).read())
+    assert md2["table-uuid"] == md["table-uuid"]
+    assert md2["schemas"] == md["schemas"]
