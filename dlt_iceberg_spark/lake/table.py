@@ -1583,7 +1583,23 @@ class LakeTable:
                         f"no snapshot v{from_version} in ancestry of v{to_v}"
                     )
                 break
-            snap = self.snapshot(snap.parent)
+            parent = self.snapshot(snap.parent)
+            if parent is None:
+                if from_version is not None:
+                    # ancestry broken (snapshot expired): silently truncating
+                    # would LOSE the changes between from_version and the
+                    # oldest retained snapshot — a checkpointed consumer
+                    # must find out, not skip data
+                    raise ValueError(
+                        f"snapshot v{snap.parent} (parent of v{snap.version}) "
+                        f"has expired; cannot compute changes since "
+                        f"v{from_version} — reset the consumer cursor or "
+                        "retain more history"
+                    )
+                # full-history request on a table with expired history:
+                # the oldest retained snapshot bootstraps as inserts
+                break
+            snap = parent
         chain.reverse()
         cols = [fld.name for fld in end.schema.fields]
         parts: list[DataFrame] = []

@@ -263,3 +263,32 @@ def test_dataset_changes_surface(spark, base):
     rows = ds.changes("t", v0).dataframe().collect()
     assert [(r.id, r._change_type) for r in rows] == [(500, "insert")]
     assert ds.changes("t", v0).fetchall()[0][0] == 500
+
+
+def test_changelog_refuses_expired_range(spark, base, monkeypatch):
+    """A consumer whose cursor predates retained history must get an error,
+    not silently truncated changes."""
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    v0 = table.snapshot().version
+    for i in range(2):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame([(600 + i, "x")], "id long, val string"),
+            load_id=f"l{i}",
+        )
+    table = catalog.load_table("ds", "t")
+    mid = table.snapshot().parent
+    # simulate expiry of the mid snapshot
+    real = type(table).snapshot
+
+    def fake(self, version=None):
+        if version == mid:
+            return None
+        return real(self, version)
+
+    monkeypatch.setattr(type(table), "snapshot", fake)
+    with pytest.raises(ValueError, match="expired"):
+        table.read_changes(v0)
+    # full-history request bootstraps from retained history instead
+    assert table.read_changes(None).count() >= 1
