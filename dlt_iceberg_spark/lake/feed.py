@@ -103,6 +103,76 @@ class ChangelogFeed:
         self._io.write_text(tmp, str(version))
         self._io.rename(tmp, self._cursor)
 
+    def mirror_into(
+        self,
+        writer,
+        table_name: str,
+        primary_key: list[str],
+        max_batches: int | None = None,
+    ) -> int:
+        """Replicate this table into another via CDC apply — the classic
+        changelog-consumer loop: drain batches, resolve each to one
+        merge-shaped source, and land it through the normal disposition
+        path (one snapshot per drained batch, ledger-idempotent).
+
+        Per-key resolution within a batch: a key with any INSERT image
+        upserts its newest insert row; a key with only DELETE images hard-
+        deletes.  (With ``net_changes=True`` — the default feed mode — an
+        update arrives as delete(old)+insert(new) on the same key and
+        resolves to the upsert.)  Cursor acks only after the write commits,
+        so a crash replays the batch and the ledger-idempotent merge
+        absorbs the replay.
+
+        Returns the number of batches applied.
+        """
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from dlt_iceberg_spark.lake.writer import TableSpec
+
+        spec = TableSpec(
+            name=table_name,
+            write_disposition={"disposition": "merge", "strategy": "delete-insert"},
+            primary_key=list(primary_key),
+            hard_delete_column="_dlt_deleted_at",
+        )
+
+        n = 0
+        while max_batches is None or n < max_batches:
+            batch = self.poll()
+            if batch is None:
+                break
+            ch = batch.changes
+            cols = [c for c in ch.columns if c not in ("_change_type", "_commit_version")]
+            w = F.row_number().over(
+                Window.partitionBy(*primary_key).orderBy(
+                    # newest version first; inserts outrank deletes at the
+                    # same version (an update's pair resolves to the insert)
+                    F.col("_commit_version").desc(),
+                    F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+                )
+            )
+            resolved = (
+                ch.withColumn("_rn", w)
+                .filter(F.col("_rn") == 1)
+                .withColumn(
+                    "_dlt_deleted_at",
+                    F.when(
+                        F.col("_change_type") == "delete",
+                        F.current_timestamp(),
+                    ),
+                )
+                .select(*cols, "_dlt_deleted_at")
+            )
+            writer.write(
+                spec,
+                resolved,
+                load_id=f"feed.{self.name}.{batch.to_version}",
+            )
+            self.ack(batch.to_version)
+            n += 1
+        return n
+
     def process(self, fn, max_batches: int | None = None) -> int:
         """Drain the feed: repeatedly poll, hand the batch DataFrame to
         ``fn(changes_df)``, and ack on success.  Returns batches processed.

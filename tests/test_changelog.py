@@ -292,3 +292,46 @@ def test_changelog_refuses_expired_range(spark, base, monkeypatch):
         table.read_changes(v0)
     # full-history request bootstraps from retained history instead
     assert table.read_changes(None).count() >= 1
+
+
+def test_mirror_into_replicates_table(spark, base):
+    """CDC apply: a downstream table tracks the source through appends,
+    updates, and deletes via the changelog feed."""
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+    from dlt_iceberg_spark.lake.writer import LakeWriter
+
+    catalog, writer = base  # source ds.t: ids 0..19
+    mirror_writer = LakeWriter(catalog, "mirror")
+
+    def sync():
+        table = catalog.load_table("ds", "t")
+        return ChangelogFeed(table, name="mir", net_changes=True).mirror_into(
+            mirror_writer, "t2", ["id"]
+        )
+
+    assert sync() == 1  # bootstrap
+    src = lambda: sorted(
+        (r.id, r.val) for r in catalog.load_table("ds", "t").read().collect()
+    )
+    dst = lambda: sorted(
+        (r.id, r.val) for r in catalog.load_table("mirror", "t2").read().collect()
+    )
+    assert dst() == src()
+
+    # mutate the source: update, position delete, append — one sync catches up
+    t = catalog.load_table("ds", "t")
+    t.update_where([("id", "=", 3)], {"val": "U3"})
+    t = catalog.load_table("ds", "t")
+    t.position_delete_where([("id", "=", 7)])
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(900, "new")], "id long, val string"),
+        load_id="lX",
+    )
+    assert sync() == 1
+    assert dst() == src()
+    got = dict(dst())
+    assert got[3] == "U3" and 7 not in got and got[900] == "new"
+
+    # idle source -> no batch, mirror untouched
+    assert sync() == 0
