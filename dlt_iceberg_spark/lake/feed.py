@@ -120,8 +120,9 @@ class ChangelogFeed:
         deletes.  (With ``net_changes=True`` — the default feed mode — an
         update arrives as delete(old)+insert(new) on the same key and
         resolves to the upsert.)  Cursor acks only after the write commits,
-        so a crash replays the batch and the ledger-idempotent merge
-        absorbs the replay.
+        so a crash replays the batch — absorbed because the merge itself is
+        idempotent (replaying "delete these keys, insert these rows" lands
+        the same final state).
 
         Returns the number of batches applied.
         """
