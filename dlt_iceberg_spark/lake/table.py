@@ -1176,8 +1176,14 @@ class LakeTable:
             ]
         return where, files
 
-    def _plan_scan(self, snap: Snapshot, files: list[DataFile]) -> DataFrame:
+    def _plan_scan(
+        self, snap: Snapshot, files: list[DataFile], with_address: bool = False
+    ) -> DataFrame:
         """Scan ``files`` with the snapshot's delete files applied.
+        ``with_address=True`` additionally carries each LIVE row's physical
+        address as ``__pd_path`` / ``__pd_pos`` columns (for callers that
+        must correlate liveness with positions, e.g. changelog
+        position-delete image resolution).
 
         Merge-on-read (Iceberg v2), both delete contents:
 
@@ -1196,11 +1202,25 @@ class LakeTable:
         hash probe per row, not a shuffle.  Position probing reads the row
         address from Spark's ``_metadata.file_path`` / ``row_index`` scan
         columns (generated by the reader — no extra I/O)."""
+        addr = [
+            F.col("_metadata.file_path").alias("__pd_path"),
+            F.col("_metadata.row_index").alias("__pd_pos"),
+        ]
         if not files:
-            return self.spark.createDataFrame([], snap.schema)
+            schema = snap.schema
+            if with_address:
+                schema = T.StructType(
+                    [
+                        T.StructField("__pd_path", T.StringType()),
+                        T.StructField("__pd_pos", T.LongType()),
+                    ]
+                    + list(snap.schema.fields)
+                )
+            return self.spark.createDataFrame([], schema)
         if not snap.delete_files:
             paths = [os.path.join(self.location, f.path) for f in files]
-            return self.spark.read.schema(snap.schema).parquet(*paths)
+            out = self.spark.read.schema(snap.schema).parquet(*paths)
+            return out.select(*addr, "*") if with_address else out
         eq_dels = sorted(
             (d for d in snap.delete_files if d.content != "position"),
             key=lambda d: d.sequence or 0,
@@ -1254,6 +1274,9 @@ class LakeTable:
                 *[os.path.join(self.location, f.path) for f in fl]
             )
             pos_applicable = pos_dels[pi:]
+            need_addr = with_address or bool(pos_applicable)
+            if need_addr:
+                scan = scan.select(*addr, *cols)
             if pos_applicable:
                 addressed = self.spark.read.schema(
                     T.StructType(
@@ -1271,21 +1294,15 @@ class LakeTable:
                     F.col("file_path").alias("__pd_path"),
                     F.col("pos").alias("__pd_pos"),
                 )
-                scan = (
-                    scan.select(
-                        F.col("_metadata.file_path").alias("__pd_path"),
-                        F.col("_metadata.row_index").alias("__pd_pos"),
-                        *cols,
-                    )
-                    .join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
-                    .select(*cols)
-                )
+                scan = scan.join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
             eq_applicable = [eq_dels[j] for j in eq_app]
             if eq_applicable:
                 dkeys = self.spark.read.schema(key_schema).parquet(
                     *[os.path.join(self.location, d.path) for d in eq_applicable]
                 )
                 scan = scan.join(dkeys.distinct(), on=keys, how="left_anti")
+            if need_addr and not with_address:
+                scan = scan.select(*cols)
             parts.append(scan)
         out = parts[0]
         for p in parts[1:]:
@@ -1703,7 +1720,12 @@ class LakeTable:
                     )
                     # addresses name their files outright — scan ONLY those
                     # (normalize Spark's file: URIs to compare with table-
-                    # relative paths); image resolution is O(addressed files)
+                    # relative paths); image resolution is O(addressed files).
+                    # Resolve against the parent's LIVE rows (with_address
+                    # keeps each live row's physical address): an address
+                    # can point at a row some OLDER delete already masked,
+                    # and re-emitting it would double-count the delete in
+                    # net changelogs.
                     from urllib.parse import urlparse
 
                     hit = {
@@ -1715,21 +1737,13 @@ class LakeTable:
                         for f in parent_files
                         if os.path.abspath(os.path.join(self.location, f.path)) in hit
                     ]
-                    pcols = [f.name for f in parent.schema.fields]
-                    img = (
-                        self.spark.read.schema(parent.schema)
-                        .parquet(
-                            *[os.path.join(self.location, f.path) for f in cand]
+                    if cand:
+                        pcols = [f.name for f in parent.schema.fields]
+                        img = (
+                            self._plan_scan(parent, cand, with_address=True)
+                            .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
+                            .select(*pcols)
                         )
-                        .select(
-                            F.col("_metadata.file_path").alias("__pd_path"),
-                            F.col("_metadata.row_index").alias("__pd_pos"),
-                            *pcols,
-                        )
-                        .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
-                        .select(*pcols)
-                    ) if cand else None
-                    if img is not None:
                         parts.append(_tag(img, "delete", snap.version))
         if not parts:
             schema = T.StructType(

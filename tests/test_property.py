@@ -242,8 +242,14 @@ def test_mor_sequences_match_model(spark, ops):
         keys = {i for i, _ in rows}
         model = [r for r in model if r[0] not in keys] + rows
 
-    got = sorted((r.id, r.val) for r in catalog.load_table("m", "t").read().collect())
+    table = catalog.load_table("m", "t")
+    got = sorted((r.id, r.val) for r in table.read().collect())
     assert got == sorted(model)
+    # changelog invariant: the NET changelog from creation is exactly the
+    # live table as inserts — every op flavor's images must reconcile
+    net = table.read_changes(None, net_changes=True).collect()
+    assert sorted((r.id, r.val) for r in net) == sorted(model)
+    assert {r._change_type for r in net} <= {"insert"}
 
 
 # ---- manifest pruning: conservative correctness on arbitrary inputs -------
