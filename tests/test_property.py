@@ -396,3 +396,84 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, max_iterations=30).collect()
     }
     assert got == expected
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_mor_batches)
+def test_mirror_tracks_random_op_sequences(spark, ops):
+    """CDC replication invariant: after ANY op interleaving, draining the
+    changelog feed into a mirror table reproduces the source exactly."""
+    import tempfile
+    import uuid
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.feed import ChangelogFeed
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    wh = tempfile.mkdtemp(prefix=f"mir_prop_{uuid.uuid4().hex[:6]}_")
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "m")
+    mirror_writer = LakeWriter(catalog, "mir")
+
+    def spec(mode, strategy="upsert"):
+        return TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": strategy},
+            primary_key=["id"],
+            merge_mode=mode,
+        )
+
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, -1) for i in range(5)], "id long, val long"),
+        load_id="seed",
+    )
+    for n, (kind, batch) in enumerate(ops):
+        rows = sorted(batch.items())
+        if kind == "fold":
+            catalog.load_table("m", "t").fold_deletes()
+        elif kind == "append":
+            # fresh ids per batch: duplicate-PK sources make a PK-keyed
+            # mirror ambiguous, which is a property of the data, not a bug
+            writer.write(
+                TableSpec(name="t", write_disposition="append"),
+                spark.createDataFrame(
+                    [(100 * (n + 1) + i, v) for i, v in rows], "id long, val long"
+                ),
+                load_id=f"l{n}",
+            )
+        elif kind == "pos_delete":
+            catalog.load_table("m", "t").position_delete_where(
+                [("id", "in", sorted({i for i, _ in rows}))]
+            )
+        elif kind == "update":
+            from pyspark.sql import functions as F
+
+            catalog.load_table("m", "t").update_where(
+                [("id", "in", sorted({i for i, _ in rows}))],
+                {"val": F.col("val") + 1000},
+            )
+        elif kind == "hard_delete":
+            writer.write(
+                spec("mor"),
+                spark.createDataFrame(
+                    [(i, v, "now") for i, v in rows],
+                    "id long, val long, _dlt_deleted_at string",
+                ),
+                load_id=f"l{n}",
+            )
+        else:
+            writer.write(
+                spec(kind),
+                spark.createDataFrame(rows, "id long, val long"),
+                load_id=f"l{n}",
+            )
+
+    table = catalog.load_table("m", "t")
+    ChangelogFeed(table, name="p").mirror_into(mirror_writer, "t2", ["id"])
+    src = sorted((r.id, r.val) for r in table.read().collect())
+    dst = sorted(
+        (r.id, r.val) for r in catalog.load_table("mir", "t2").read().collect()
+    )
+    assert dst == src
