@@ -330,3 +330,36 @@ def test_delete_stats_skip_untouched_files(spark, base):
     assert plan.count("LeftAnti") == 1, plan
     out = {r.id: r.val for r in table.read().collect()}
     assert out[0] == "N0" and len(out) == 102
+
+
+def test_position_delete_conflict_then_retry(spark, base, monkeypatch):
+    """A commit racing past position_delete_where's snapshot raises
+    CommitConflictError (staged address files are head-independent); a
+    plain re-call replans against the new head and succeeds."""
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    catalog, writer = base
+    table = catalog.load_table("ds", "t")
+    real = LakeTable.stage_position_deletes
+    raced = {"done": False}
+
+    def stage_and_race(self, *a, **kw):
+        out = real(self, *a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            writer.write(
+                TableSpec(name="t", write_disposition="append"),
+                spark.createDataFrame([(700, "race")], "id long, val string"),
+                load_id="racer",
+            )
+        return out
+
+    monkeypatch.setattr(LakeTable, "stage_position_deletes", stage_and_race)
+    with pytest.raises(CommitConflictError):
+        table.position_delete_where([("id", "<", 3)])
+    # retry from fresh state: succeeds and composes with the raced append
+    table = catalog.load_table("ds", "t")
+    table.position_delete_where([("id", "<", 3)])
+    out = {r.id for r in catalog.load_table("ds", "t").read().collect()}
+    assert out == set(range(3, 100)) | {700}
