@@ -3,7 +3,7 @@
 Run: python examples/quickstart.py [warehouse_dir]
 
 Walks the full engine surface the way the reference's examples do
-(incremental CSV loads, examples/incremental_load.py; upsert merges), plus
+(incremental CSV loads; upsert merges), plus
 the Spark-native extensions: streaming ingestion and table maintenance.
 """
 
