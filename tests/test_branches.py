@@ -135,3 +135,23 @@ def test_orphan_cleanup_keeps_live_branch_but_reaps_dead_commits(table, spark):
     # live branch untouched
     assert sorted(r.id for r in audit.read().collect()) == list(range(20))
     assert not report["data_files"]
+
+
+def test_position_delete_on_branch_then_publish(table, spark):
+    """WAP-style audited deletes: position deletes land on a branch,
+    main is untouched until fast-forward publishes the branch head."""
+    main_head = table.current_version()
+    audit = table.for_branch("audit")
+    audit.position_delete_where([("id", "<", 3)])
+
+    # branch sees the masked scan, main sees everything
+    assert {r.id for r in audit.read().collect()} == set(range(3, 10))
+    assert table.current_version() == main_head
+    assert {r.id for r in table.read().collect()} == set(range(10))
+
+    table.fast_forward("audit")
+    assert {r.id for r in table.read().collect()} == set(range(3, 10))
+    # published changelog carries the delete images
+    ch = table.read_changes(main_head)
+    assert sorted(r.id for r in ch.collect()) == [0, 1, 2]
+    assert {r._change_type for r in ch.collect()} == {"delete"}
