@@ -30,6 +30,7 @@ from dlt_iceberg_spark.operators.multimodal import (
     attach_media_metadata,
     audio_windows,
     decode_image_features,
+    resize_images,
     sample_frames,
 )
 from dlt_iceberg_spark.operators.asof import asof_join
@@ -70,6 +71,7 @@ __all__ = [
     "attach_media_metadata",
     "audio_windows",
     "decode_image_features",
+    "resize_images",
     "sample_frames",
     "build_dedup_index",
     "all_pairs_cosine_blas",

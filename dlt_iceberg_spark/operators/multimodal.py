@@ -110,6 +110,63 @@ def decode_image_features(
     return fan_out(df.select(id_col, payload_col)).mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """bytes → resized-image bytes via Arrow-batched mapInPandas.
+
+    The resize plumbing of an image-preprocessing stage: payloads stay
+    inside their Arrow batch (never shuffled), output is one row per input
+    with the target geometry and the re-encoded bytes.  With
+    ``fake=False`` this raises NotImplementedError at execution time (no
+    PIL/opencv in this container); ``fake=True`` substitutes a
+    deterministic stand-in — the payload resampled by byte striding to
+    exactly ``width*height`` bytes (cycling when upscaling) — so the
+    Spark-side schema, batch shape, and row accounting are real and
+    oracle-checkable while the codec itself stays stubbed.
+
+    Returns (id, width, height, orig_bytes, resized) with
+    len(resized) == width*height always.
+    """
+    n_out = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv; not available — "
+                    "use fake=True for the deterministic stand-in"
+                )
+            resized = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                if not b:
+                    resized.append(bytes(n_out))
+                    continue
+                resized.append(bytes(b[(i * len(b)) // n_out] for i in range(n_out)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "orig_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "resized": resized,
+                }
+            )
+
+    from dlt_iceberg_spark.operators.util import fan_out
+
+    return fan_out(df.select(id_col, payload_col)).mapInPandas(
+        run,
+        "doc_id long, width int, height int, orig_bytes long, resized binary",
+    )
+
+
 def audio_windows(
     df: DataFrame,
     id_col: str = "doc_id",

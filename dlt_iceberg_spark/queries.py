@@ -2441,6 +2441,50 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         r AS (SELECT doc_id, n,
+                      list_reduce(
+                        list_transform(generate_series(0, 63),
+                                       i -> substr(text, CAST(i * n // 64 AS INT) + 1, 1)),
+                        (a, x) -> a || x
+                      ) AS rs
+               FROM d)
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(n AS BIGINT) AS orig_bytes, md5(rs) AS resized_md5
+    FROM r
+    """,
+    doc=(
+        "Image-resize plumbing (operators/multimodal.py::resize_images): "
+        "Arrow-batched mapInPandas, payload bytes never shuffle, one row "
+        "per image with the target geometry.  Real codecs stay stubbed; "
+        "the deterministic byte-striding stand-in is replayed bit-exactly "
+        "by the SQL oracle (this DuckDB build lacks BLOB substr/md5, but "
+        "the fixture is pure ASCII — asserted 0 multi-byte docs — so "
+        "character striding over the text IS the byte striding), making "
+        "the batch plumbing, schema, and row accounting hash-verified."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import resize_images
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select("doc_id", "payload")
+    )
+    out = resize_images(d, 8, 8, fake=True)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "orig_bytes",
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
+@query(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3291,7 +3335,7 @@ _GATE_PRIORITY = [
     "chunk_documents", "pack_documents", "shuffle_shards",
     "contamination_check", "redact_pii", "select_quality_budget",
     "corpus_prep", "multimodal_meta", "multimodal_decode", "multimodal_frames",
-    "multimodal_audio_windows",
+    "multimodal_audio_windows", "multimodal_resize",
     # already verified in r01/r02 — representative picks for remaining slots
     "q1_pricing_summary", "q5_nation_revenue",
     "q9_product_type_profit",
@@ -3299,7 +3343,6 @@ _GATE_PRIORITY = [
     "window_customer_rank",
     "events_hourly", "events_asof_last_signup", "events_interval_join",
     "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
-    "text_quality",
     # new in round 3 — never artifact-verified, so they take the gate slots
     # of entries that already have two green driver rows (mixture_by_source,
     # split_documents, sample_documents, dedup_exact)

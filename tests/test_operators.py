@@ -634,3 +634,21 @@ def test_audio_windows_framing(spark):
     assert by_doc[2] == [(0, 0, 50)]
     # long payload capped at max_windows
     assert len(by_doc[3]) == 10 and by_doc[3][-1] == (9, 576, 128)
+
+
+def test_resize_images_plumbing(spark):
+    from dlt_iceberg_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefgh"), (2, b"xy")], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in resize_images(df, 2, 2, fake=True).collect()}
+    # every output has exactly width*height bytes
+    assert all(len(r.resized) == 4 for r in out.values())
+    assert (out[1].width, out[1].height, out[1].orig_bytes) == (2, 2, 8)
+    # downscale strides the source; upscale cycles it
+    assert bytes(out[1].resized) == b"aceg"  # indices (i*8)//4 = 0,2,4,6
+    assert bytes(out[2].resized) == b"xxyy"  # indices (i*2)//4 = 0,0,1,1
+
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(df, 2, 2, fake=False).collect()
