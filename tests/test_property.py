@@ -202,8 +202,17 @@ def test_mor_sequences_match_model(spark, ops):
         load_id="seed",
     )
     model: list[tuple[int, int]] = [(i, -1) for i in range(5)]
+    #: (snapshot version, model state) after each op — time-travel goldens
+    history: list[tuple[int, list[tuple[int, int]]]] = []
 
+    def record():
+        history.append(
+            (catalog.load_table("m", "t").current_version(), list(model))
+        )
+
+    record()
     for n, (kind, batch) in enumerate(ops):
+        record()
         rows = sorted(batch.items())
         if kind == "fold":
             catalog.load_table("m", "t").fold_deletes()
@@ -242,9 +251,18 @@ def test_mor_sequences_match_model(spark, ops):
         keys = {i for i, _ in rows}
         model = [r for r in model if r[0] not in keys] + rows
 
+    record()
     table = catalog.load_table("m", "t")
     got = sorted((r.id, r.val) for r in table.read().collect())
     assert got == sorted(model)
+    # time-travel invariant: every recorded version replays its model state
+    # exactly, through whatever MoR masks were outstanding at that version
+    for v, state in history[-3:]:
+        tt = sorted(
+            (r.id, r.val)
+            for r in table.read(snapshot_version=v).collect()
+        )
+        assert tt == sorted(state), f"time travel to v{v} diverged"
     # changelog invariant: the NET changelog from creation is exactly the
     # live table as inserts — every op flavor's images must reconcile
     net = table.read_changes(None, net_changes=True).collect()
