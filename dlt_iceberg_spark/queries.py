@@ -2585,9 +2585,13 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_pq",
     # rows-only BY DESIGN: ADC distances depend on per-subspace k-means
-    # codebooks (Lloyd-trained, numpy) that no SQL engine can replay — same
-    # justification as ann_ivf.  pytest enforces the accuracy contract:
-    # recall@k of PQ top-k vs the oracle-verified exact brute force.
+    # codebooks (Lloyd-trained, numpy) that no SQL engine can replay.
+    # Unlike ann_ivf (whose probe-all mode is exact and therefore
+    # oracle-checkable), PQ's QUANTIZED distances differ from exact cosine
+    # even at full probe — there is no parameter setting that makes the
+    # output SQL-reproducible.  pytest enforces the accuracy contract
+    # instead: recall@k of PQ top-k vs the oracle-verified exact brute
+    # force (test_pq_recall_vs_bruteforce, test_ivfpq_recall_vs_bruteforce).
     None,
     doc=(
         "Product-quantization ANN: per-subspace codebooks (sample-trained), "
