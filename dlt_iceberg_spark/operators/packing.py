@@ -71,7 +71,11 @@ def pack_oracle_sql(
     same window arithmetic) for oracle verification."""
     return f"""
     SELECT {id_col}, pack_group,
-           pack_group * 4294967296 + ((run - n_tok) // {budget}) AS pack_id
+           -- DuckDB's windowed sum() yields HUGEINT; without the cast the
+           -- column round-trips through pandas as float64 and hash-mismatches
+           -- Spark's BIGINT even though the values are identical.
+           CAST(pack_group * 4294967296 + ((run - n_tok) // {budget}) AS BIGINT)
+             AS pack_id
     FROM (
       SELECT {id_col},
              CAST('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8) AS BIGINT)

@@ -62,6 +62,39 @@ def pq_train(
     return books
 
 
+def pq_codebooks_fixed(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic, engine-replayable codebooks: the ``k_codes`` corpus
+    rows with the smallest ``md5(id)`` (hash-ordered, so any engine picks
+    the same rows), L2-normalized and sliced per subspace.
+
+    No training — this exists so the PQ encode/ADC machinery can be
+    hash-verified against a SQL oracle end-to-end (the oracle re-derives
+    the same codebooks from the same hash order).  ``pq_train`` remains the
+    production path; its accuracy is recall-pinned in pytest."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(k_codes)
+        .collect()
+    )
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    return [mat[:, j * sub : (j + 1) * sub].tolist() for j in range(m_subspaces)]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

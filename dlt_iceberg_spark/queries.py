@@ -3317,41 +3317,42 @@ def lake_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
-# of the registry (rounds 1-2 artifacts both stop at exactly 50 entries), so
-# iteration order decides which queries get a driver-verified row.  Rounds 1-2
-# verified the first 50 decorator-order entries; this priority list front-loads
-# the 26 entries those artifacts never reached, then fills the remaining gate
-# slots with the most representative already-verified queries (TPC-H
-# headliners, merge dispositions, events suite).  Every entry keeps its spec;
-# only dict iteration order changes.
+# of the registry (rounds 1-3 artifacts all stop at exactly 50 entries), so
+# iteration order decides which queries get a driver-verified row.  Round-4
+# rotation: CORRECTNESS_r03 covered the first 50 decorator-priority entries,
+# so this list front-loads the 38 queries r3 never reached — the whole TPC-H
+# tail, the rollup/cube/pivot/set-op family, and crucially the four events
+# queries (funnel / retention / user-latest / json-props) that last had a
+# green driver row in round 1 — then the three entries that have never been
+# hash-green (pack_documents: oracle cast fixed this round; ann_pq: oracle
+# added this round; semantic_dedup: rows-only by design), then one
+# representative per already-triple-verified family for the remaining slots.
+# Every entry keeps its spec; only dict iteration order changes.
 
 _GATE_PRIORITY = [
-    # never driver-verified through round 2 — must land inside the gate window
-    "merge_upsert", "merge_hard_delete", "lake_stats_pushdown",
-    "lake_merge_roundtrip", "lake_position_delete",
-    "dedup_token_jaccard", "dedup_transitive_clusters", "dedup_minhash_lsh",
-    "dedup_incremental",
-    "dedup_simhash", "dedup_simhash_pairs",
-    "ann_cosine_topk", "ann_ivf", "ann_pq",
-    "embedding_near_dup", "embedding_label_stats",
-    "doc_fingerprint", "text_token_stats", "text_language_id",
-    "text_rolling_fingerprint", "text_quality_score",
-    "chunk_documents", "pack_documents", "shuffle_shards",
-    "contamination_check", "redact_pii", "select_quality_budget",
-    "corpus_prep", "multimodal_meta", "multimodal_decode", "multimodal_frames",
-    "multimodal_audio_windows", "multimodal_resize",
-    # already verified in r01/r02 — representative picks for remaining slots
+    # absent from CORRECTNESS_r03 — must land inside the 50-row gate window
+    "events_funnel", "events_retention_cohorts", "events_user_latest",
+    "events_json_props",
+    "q2_min_unit_price_supplier", "q3_unshipped_revenue", "q4_order_priority",
+    "q6_revenue_delta", "q7_volume_shipping", "q8_market_share",
+    "q10_returned_customers", "q11_important_parts",
+    "q12_late_shipping_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q20_top_volume_suppliers", "q22_idle_customers",
+    "part_brand_stats", "nation_order_stats",
+    "rollup_nation_status", "cube_brand_size", "groupingsets_priority_status",
+    "pivot_priority_status", "pctl_order_value", "setop_customer_segments",
+    "window_running_total",
+    "sample_documents", "split_documents", "cap_docs_per_lang",
+    "mixture_by_source", "dedup_exact", "text_quality", "text_lang_profile",
+    # never hash-green in any round — fixes land this round
+    "pack_documents", "ann_pq", "semantic_dedup",
+    # representative re-verification picks for the remaining gate slots
+    "merge_upsert", "lake_merge_roundtrip",
     "q1_pricing_summary", "q5_nation_revenue",
-    "q9_product_type_profit",
-    "q21_waiting_suppliers", "sql_delegated_join",
-    "window_customer_rank",
-    "events_hourly", "events_asof_last_signup", "events_interval_join",
-    "events_sessions", "events_heavy_hitters", "stream_windowed_counts",
-    # new in round 3 — never artifact-verified, so they take the gate slots
-    # of entries that already have two green driver rows (mixture_by_source,
-    # split_documents, sample_documents, dedup_exact)
-    "stream_dedup_users", "text_repetition", "dedup_ngram_jaccard",
-    "semantic_dedup", "substring_dup_profile",
+    "dedup_minhash_lsh", "ann_cosine_topk",
+    "events_hourly", "stream_windowed_counts", "multimodal_meta",
 ]
 
 

@@ -76,6 +76,13 @@ def main() -> int:
                 bad = int((~eq).sum())
             except Exception:
                 bad = -1
+            # The driver's gate hashes VALUES, so an int64-vs-float64 drift
+            # (e.g. DuckDB HUGEINT -> pandas float64) hash-mismatches even
+            # when == says equal.  Treat integer-vs-float kind drift as a
+            # failure here too, so it's caught before the driver sees it.
+            kinds = {av.dtype.kind, bv.dtype.kind}
+            if bad == 0 and kinds == {"i", "f"}:
+                bad = -2
             if bad != 0:
                 mismatched_cols.append((c, bad, str(av.dtype), str(bv.dtype)))
         if mismatched_cols:
