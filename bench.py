@@ -78,6 +78,34 @@ def main() -> None:
     spark.stop()
     sys.stdout.flush()
     print(payload, flush=True)
+    # The driver captures only the LAST 2000 chars of stdout and parses the
+    # final line — the full 88-query payload is ~2.6 KB compact, so its line
+    # start falls outside the captured tail and json.loads can never succeed
+    # (this is exactly why BENCH_r01-r03 all recorded "parsed": null).  Emit
+    # a final SHORT line with the same contract shape: headline metric plus
+    # as many per-query times as fit (most expensive first — the ones worth
+    # grading), the rest summarized.  Full detail stays one line up and in
+    # bench_result.json.
+    budget = 1900
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    short: dict = {
+        "metric": "suite_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf_val,
+        "n_queries": len(times),
+        "queries_omitted": len(times),
+        "full_results": "bench_result.json",
+    }
+    for name, t in ranked:
+        short["queries"][name] = round(t, 2)
+        short["queries_omitted"] = len(times) - len(short["queries"])
+        if len(json.dumps(short, separators=(",", ":"))) > budget:
+            del short["queries"][name]
+            short["queries_omitted"] = len(times) - len(short["queries"])
+            break
+    print(json.dumps(short, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -152,6 +152,23 @@ class LakeCatalog:
         if self._io.isdir(ns_dir):
             self._io.rmtree(ns_dir)
 
+    def register_iceberg_table(
+        self, namespace: str, table_name: str, metadata_path: str
+    ) -> LakeTable:
+        """Adopt an existing Iceberg table (v2 TableMetadata JSON) into this
+        catalog as a readable table — metadata-only, data referenced in
+        place (reference surface: catalog.register_table,
+        destination_client.py:768-851).  See lake/iceberg_import.py for
+        flavor support and limitations."""
+        from dlt_iceberg_spark.lake.iceberg_import import register_iceberg_table
+
+        if self.table_exists(namespace, table_name):
+            raise TableAlreadyExistsError(f"{namespace}.{table_name}")
+        self.create_namespace(namespace)
+        return register_iceberg_table(
+            self.spark, metadata_path, self.table_location(namespace, table_name)
+        )
+
     def register_stray_tables(self, namespace: str) -> list[str]:
         """W11 (destination_client.py:768-851): scan the warehouse directory
         for table dirs that have snapshot metadata but aren't 'known' (here:

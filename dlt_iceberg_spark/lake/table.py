@@ -1009,11 +1009,24 @@ class LakeTable:
             if key not in schema_id_of:
                 schema_id_of[key] = len(schemas)
                 schemas.append(_schema_obj(s, len(schemas)))
+        def _transform_syntax(p: dict) -> str:
+            t = p.get("transform", "identity")
+            if t in ("bucket", "truncate") and p.get("param") is not None:
+                return f"{t}[{p['param']}]"
+            return t
+
+        def _spec_field_name(p: dict) -> str:
+            if p.get("name"):
+                return p["name"]
+            col = p.get("column") or p.get("source") or ""
+            t = p.get("transform", "identity")
+            return col if t == "identity" else f"{col}_{t}"
+
         spec_fields = [
             {
-                "name": p.get("name") or p["source"],
-                "transform": p.get("transform", "identity"),
-                "source-id": field_ids.get(p.get("source", ""), 0),
+                "name": _spec_field_name(p),
+                "transform": _transform_syntax(p),
+                "source-id": field_ids.get(p.get("column") or p.get("source") or "", 0),
                 "field-id": 1000 + i,
             }
             for i, p in enumerate(snap.partition_spec or [])

@@ -418,14 +418,45 @@ def embedding_near_duplicates(
     )
 
 
+def fixed_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> list[list[float]]:
+    """Deterministic, engine-replayable centroids: the ``n_centroids``
+    corpus rows with the smallest ``md5(id)``, unit-normalized.
+
+    No training — the SemDeDup gate query uses these so cluster assignment
+    (and therefore the whole dedup output) can be hash-verified against a
+    SQL oracle that derives the identical centroid set from the identical
+    hash order.  ``_train_spherical_kmeans`` remains the production path;
+    its accuracy contract lives in pytest."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    mat = np.array([r["_v"] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    return mat.tolist()
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     threshold: float = 0.9,
     seed: int = 42,
     block_rows: int = 1024,
+    max_cluster_rows: int = 4096,
+    target_cluster_rows: int = 1024,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
     embedding space, then search for near-duplicates only WITHIN clusters —
@@ -433,17 +464,29 @@ def semantic_dedup(
     training corpora (the paper prunes LAION/C4 with exactly this shape).
 
     Scale anatomy:
+    - ``n_clusters=None`` auto-scales the cluster count with the corpus
+      (≈ corpus / ``target_cluster_rows``, clamped to [16, 65536]) — the
+      paper uses tens of thousands of clusters at web scale, and a fixed
+      small count would make each cluster O(corpus);
     - centroids train on a bounded sample (:func:`_train_spherical_kmeans`,
       O(sample) driver cost, FAISS recipe);
     - assignment is a map-side Arrow-batched matmul against broadcast
       centroids — no shuffle;
-    - the ONE shuffle groups by cluster id; each cluster's pairwise cosine
-      runs as a per-group blocked matmul (``block_rows`` rows at a time, so
-      executor memory is O(block × cluster), never O(cluster²));
+    - clusters at most ``max_cluster_rows`` big group-shuffle once and run a
+      per-cluster blocked matmul (``block_rows`` rows at a time, so executor
+      memory is O(block × cluster));
+    - clusters BIGGER than ``max_cluster_rows`` (skewed centroids, or a
+      degenerate corpus where k-means collapses) never materialize whole:
+      they split into hash blocks of ≤ ``max_cluster_rows / 2`` rows and
+      every within-cluster block pair scores independently (the
+      :func:`all_pairs_cosine_blocked` mechanics, keyed by cluster), so
+      per-task memory is hard-capped at O(``max_cluster_rows`` × dim)
+      regardless of cluster skew;
     - within a cluster, a doc is a duplicate iff some other member has
       cosine ≥ ``threshold``; its canonical is the smallest such member id
       (deterministic star rule — min-id representative, like
-      dedup.py's exact/minhash canonicals).
+      dedup.py's exact/minhash canonicals).  Both paths compute the same
+      rule, so capped and uncapped answers are identical.
 
     Recall caveat (inherent to SemDeDup, documented in the paper): a
     near-dup pair split across two clusters is missed; raising
@@ -452,10 +495,15 @@ def semantic_dedup(
 
     Returns (id, cluster, canonical_id, is_duplicate).
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    centroids = _train_spherical_kmeans(df, vec_col, n_clusters, seed)
+    if centroids is None:
+        if n_clusters is None:
+            n_clusters = max(16, min(65_536, df.count() // max(target_cluster_rows, 1) + 1))
+        centroids = _train_spherical_kmeans(df, vec_col, n_clusters, seed)
     assign1 = _nearest_centroids(centroids, 1)
     assigned = fan_out(_as_double(df, vec_col)).select(
         F.col(id_col),
@@ -491,4 +539,80 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(dedup_one_cluster, out_schema)
+    # one tiny aggregation (≤ n_clusters rows) decides which clusters are
+    # safe to materialize whole; the vectors themselves never hit the driver
+    sizes = assigned.groupBy("cluster").count().collect()
+    oversized = {int(r["cluster"]): int(r["count"]) for r in sizes if r["count"] > max_cluster_rows}
+
+    small = assigned
+    if oversized:
+        small = assigned.filter(~F.col("cluster").isin(list(oversized)))
+    small_out = small.groupBy("cluster").applyInPandas(dedup_one_cluster, out_schema)
+    if not oversized:
+        return small_out
+
+    # --- capped path: within-cluster block-pair scoring -------------------
+    # two blocks per task ⇒ block size = cap/2 keeps per-task rows ≤ cap
+    blk_rows = max(1, max_cluster_rows // 2)
+    spark = df.sparkSession
+    nblk = spark.createDataFrame(
+        [(c, math.ceil(sz / blk_rows)) for c, sz in oversized.items()],
+        "cluster int, _nblk int",
+    )
+    big = (
+        assigned.join(F.broadcast(nblk), "cluster")
+        .withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.col("_nblk")).cast("int"),
+        )
+    )
+    blocks = big.groupBy("cluster", "_blk").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("_id"), "_v")).alias("_items")
+    )
+    left = blocks.select(
+        F.col("cluster"), F.col("_blk").alias("_bl"), F.col("_items").alias("_li")
+    )
+    right = blocks.select(
+        F.col("cluster"), F.col("_blk").alias("_br"), F.col("_items").alias("_ri")
+    )
+    bpairs = left.join(right, ["cluster"]).filter(F.col("_bl") <= F.col("_br"))
+
+    pair_schema = "id long, cand long"
+
+    def score_pair(batches):
+        # emits (x, y) for every within-cluster pair with cosine ≥ threshold
+        # and y < x — exactly the candidates the star rule minimizes over
+        for pdf in batches:
+            xs, ys = [], []
+            for _, row in pdf.iterrows():
+                li, ri = row["_li"], row["_ri"]
+                same = row["_bl"] == row["_br"]
+                lid = np.array([it["_id"] for it in li], dtype=np.int64)
+                rid = np.array([it["_id"] for it in ri], dtype=np.int64)
+                lm = np.array([it["_v"] for it in li], dtype=np.float64)
+                rm = np.array([it["_v"] for it in ri], dtype=np.float64)
+                lm = lm / np.maximum(np.sqrt((lm * lm).sum(axis=1, keepdims=True)), 1e-12)
+                rm = rm / np.maximum(np.sqrt((rm * rm).sum(axis=1, keepdims=True)), 1e-12)
+                sims = lm @ rm.T
+                mask = sims >= threshold
+                mask &= lid[:, None] != rid[None, :]
+                for i, j in zip(*np.nonzero(mask)):
+                    x, y = int(lid[i]), int(rid[j])
+                    # both directions matter: the larger id of the pair
+                    # gains the smaller as a canonical candidate
+                    xs.append(max(x, y))
+                    ys.append(min(x, y))
+            yield pd.DataFrame({"id": xs, "cand": ys})
+
+    cands = bpairs.mapInPandas(score_pair, pair_schema)
+    best = cands.groupBy("id").agg(F.min("cand").alias("_best"))
+    big_out = (
+        big.join(best, big[id_col] == best["id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("_best"), F.col(id_col)).alias("canonical_id"),
+            F.col("_best").isNotNull().alias("is_duplicate"),
+        )
+    )
+    return small_out.unionByName(big_out)

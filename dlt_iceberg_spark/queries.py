@@ -2515,26 +2515,63 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semantic_dedup",
-    # rows-only BY DESIGN: cluster assignments depend on Lloyd-trained
-    # k-means centroids (numpy, bounded-sample) that no SQL engine can
-    # replay — same justification as ann_ivf/ann_pq.  The accuracy contract
-    # is enforced in pytest instead: tests/test_operators.py checks
-    # soundness (every flagged duplicate really has a same-cluster neighbor
-    # ≥ threshold, against the oracle-verified exact pair set) and
-    # within-cluster completeness.
-    None,
+    # Gate trick (the ann_ivf/ann_pq treatment): Lloyd-trained k-means
+    # centroids are not SQL-replayable, but semantic_dedup is
+    # centroid-agnostic — so the gate query injects DETERMINISTIC centroids
+    # (the 8 corpus rows with the smallest md5(vec_id), unit-normalized)
+    # and the oracle re-derives the same set, replays nearest-centroid
+    # assignment (argmax cosine, lowest index on ties — matching numpy's
+    # stable argsort) and the within-cluster min-id star rule in plain SQL.
+    # That hash-verifies assignment + per-cluster dedup + canonical rule
+    # end-to-end; the TRAINED path keeps its soundness/completeness
+    # contract in pytest (test_semantic_dedup_sound_and_cluster_complete),
+    # and the oversized-cluster block-pair path is equivalence-pinned by
+    # test_semantic_dedup_cluster_cap_matches_uncapped.
+    """
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c, v AS cv
+           FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v FROM raw
+                 ORDER BY h, vec_id LIMIT 8)
+         ),
+         assign AS (
+           SELECT vec_id, v, c AS cluster
+           FROM (SELECT r.vec_id, r.v, cent.c,
+                        row_number() OVER (
+                          PARTITION BY r.vec_id
+                          ORDER BY list_cosine_similarity(r.v, cent.cv) DESC, cent.c
+                        ) AS rn
+                 FROM raw r CROSS JOIN cent)
+           WHERE rn = 1
+         ),
+         cands AS (
+           SELECT a.vec_id AS id, min(b.vec_id) AS cand
+           FROM assign a JOIN assign b
+             ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+            AND list_cosine_similarity(a.v, b.v) >= 0.4
+           GROUP BY 1
+         )
+    SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+           coalesce(c.cand, s.vec_id) AS canonical_id,
+           c.cand IS NOT NULL AS is_duplicate
+    FROM assign s LEFT JOIN cands c ON s.vec_id = c.id
+    """,
     doc=(
         "SemDeDup (Abbas et al. 2023): k-means clusters over the embedding "
         "space, near-dup search only within clusters (operators/similarity"
         ".py::semantic_dedup) — the near-linear embedding-dedup layout for "
-        "web-scale corpora; per-cluster blocked matmul, min-id canonicals."
+        "web-scale corpora; per-cluster blocked matmul, min-id canonicals, "
+        "hash-blocked pair scoring for clusters past max_cluster_rows.  "
+        "Gate variant injects hash-deterministic centroids so the full "
+        "output is oracle-replayable; the trained path is pytest-pinned."
     ),
 )
 def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dlt_iceberg_spark.operators.similarity import semantic_dedup
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids, semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, "embedding", "vec_id", n_clusters=8, threshold=0.4)
+    cents = fixed_centroids(e, "embedding", "vec_id", n_centroids=8)
+    return semantic_dedup(e, "embedding", "vec_id", threshold=0.4, centroids=cents)
 
 
 @query(
@@ -2584,31 +2621,94 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_pq",
-    # rows-only BY DESIGN: ADC distances depend on per-subspace k-means
-    # codebooks (Lloyd-trained, numpy) that no SQL engine can replay.
-    # Unlike ann_ivf (whose probe-all mode is exact and therefore
-    # oracle-checkable), PQ's QUANTIZED distances differ from exact cosine
-    # even at full probe — there is no parameter setting that makes the
-    # output SQL-reproducible.  pytest enforces the accuracy contract
-    # instead: recall@k of PQ top-k vs the oracle-verified exact brute
-    # force (test_pq_recall_vs_bruteforce, test_ivfpq_recall_vs_bruteforce).
-    None,
+    # Gate trick (the ann_ivf treatment): k-means codebooks are not
+    # SQL-replayable, but the PQ machinery is codebook-agnostic — so the
+    # gate query swaps in DETERMINISTIC codebooks (the 16 corpus rows with
+    # the smallest md5(vec_id), hash-ordered ⇒ any engine derives the same
+    # set) and the oracle re-derives them, re-encodes every corpus row
+    # (per-subspace argmin), and replays ADC table-lookup scoring exactly.
+    # This hash-verifies encode + ADC + ranking end-to-end; the TRAINED
+    # path (pq_train, Lloyd's) keeps its recall contract in pytest
+    # (test_pq_recall_vs_bruteforce, test_ivfpq_recall_vs_bruteforce).
+    #
+    # ADC identity used by the oracle: sum_j ||q_j − c_j||² decomposes per
+    # subspace, so each subspace contributes power(list_distance(slice_q,
+    # slice_c), 2) and the per-neighbor sum is the full ADC distance.
+    """
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         norm AS (
+           SELECT vec_id,
+                  list_transform(v, x -> x / greatest(
+                    sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)),
+                    1e-12)) AS v
+           FROM raw
+         ),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, v
+           FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v FROM norm
+                 ORDER BY h, vec_id LIMIT 16)
+         ),
+         dists AS (
+           SELECT n.vec_id AS nid, t.j AS sub_j, c.code,
+                  list_distance(list_slice(n.v, t.j * 8 + 1, t.j * 8 + 8),
+                                list_slice(c.v, t.j * 8 + 1, t.j * 8 + 8)) AS d
+           FROM norm n
+           CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+           CROSS JOIN cb c
+         ),
+         enc AS (
+           SELECT nid, sub_j, code
+           FROM (SELECT *, row_number() OVER (PARTITION BY nid, sub_j
+                                              ORDER BY d, code) AS rn
+                 FROM dists)
+           WHERE rn = 1
+         ),
+         adc AS (
+           SELECT q.vec_id AS query_id, e.nid AS neighbor_id,
+                  sum(power(list_distance(
+                        list_slice(q.v, e.sub_j * 8 + 1, e.sub_j * 8 + 8),
+                        list_slice(c.v, e.sub_j * 8 + 1, e.sub_j * 8 + 8)), 2)) AS adc_dist
+           FROM (SELECT * FROM norm WHERE vec_id < 8) q
+           CROSS JOIN enc e
+           JOIN cb c ON c.code = e.code
+           WHERE q.vec_id <> e.nid
+           GROUP BY 1, 2
+         )
+    SELECT query_id, neighbor_id,
+           floor(adc_dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= 5
+    """,
     doc=(
-        "Product-quantization ANN: per-subspace codebooks (sample-trained), "
-        "corpus compressed to m=8 one-byte codes, ADC table-lookup scoring "
+        "Product-quantization ANN: per-subspace codebooks, corpus compressed "
+        "to m=8 one-byte codes, ADC table-lookup scoring "
         "(operators/quantization.py) — the FAISS IVF-PQ memory layout for "
-        "corpora that cannot be rescanned as fp32."
+        "corpora that cannot be rescanned as fp32.  Gate variant uses "
+        "hash-deterministic codebooks so encode+ADC is oracle-replayable; "
+        "the k-means-trained path is recall-pinned in pytest."
     ),
 )
 def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dlt_iceberg_spark.operators.quantization import pq_encode, pq_topk, pq_train
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq_train(e, m_subspaces=8, k_codes=16)
+    books = pq_codebooks_fixed(e, m_subspaces=8, k_codes=16)
     codes = pq_encode(e, books)
     q = e.filter(F.col("vec_id") < 8)
     out = pq_topk(q, codes, books, k=5)
-    return out.select("query_id", "neighbor_id", rnd(F.col("adc_dist"), 6).alias("adc_dist"), "rank")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("adc_dist"), 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @query(
@@ -3324,8 +3424,8 @@ def lake_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tail, the rollup/cube/pivot/set-op family, and crucially the four events
 # queries (funnel / retention / user-latest / json-props) that last had a
 # green driver row in round 1 — then the three entries that have never been
-# hash-green (pack_documents: oracle cast fixed this round; ann_pq: oracle
-# added this round; semantic_dedup: rows-only by design), then one
+# hash-green (pack_documents: oracle cast fixed this round; ann_pq and
+# semantic_dedup: deterministic-parameter oracles added this round), then one
 # representative per already-triple-verified family for the remaining slots.
 # Every entry keeps its spec; only dict iteration order changes.
 

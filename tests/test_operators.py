@@ -485,6 +485,50 @@ def test_semantic_dedup_sound_and_cluster_complete(emb_real):
     assert again == {k: (r.cluster, r.canonical_id, r.is_duplicate) for k, r in rows.items()}
 
 
+def test_semantic_dedup_cluster_cap_matches_uncapped(emb_real):
+    """Oversized clusters must never materialize whole in one task: with
+    n_clusters=1 EVERY row lands in one cluster, and a max_cluster_rows far
+    below the corpus forces the block-pair path (per-task rows hard-capped
+    at max_cluster_rows).  The capped answer must be IDENTICAL to the
+    uncapped whole-cluster answer — both implement the same star rule."""
+    from dlt_iceberg_spark.operators.similarity import semantic_dedup
+
+    thr = 0.4
+    n = emb_real.count()
+    uncapped = {
+        r.vec_id: (r.cluster, r.canonical_id, r.is_duplicate)
+        for r in semantic_dedup(
+            emb_real, "embedding", "vec_id", n_clusters=1, threshold=thr,
+            max_cluster_rows=10**9,
+        ).collect()
+    }
+    capped_df = semantic_dedup(
+        emb_real, "embedding", "vec_id", n_clusters=1, threshold=thr,
+        max_cluster_rows=32,
+    )
+    capped = {
+        r.vec_id: (r.cluster, r.canonical_id, r.is_duplicate)
+        for r in capped_df.collect()
+    }
+    assert n > 32  # the degenerate cluster genuinely exceeds the cap
+    assert capped == uncapped
+    assert sum(1 for v in capped.values() if v[2]) > 0  # fixture has dups
+
+
+def test_semantic_dedup_auto_cluster_count(emb_real):
+    """n_clusters=None scales the cluster count with the corpus instead of
+    a fixed 16 — tiny corpus clamps to the floor of 16 clusters."""
+    from dlt_iceberg_spark.operators.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        emb_real, "embedding", "vec_id", n_clusters=None, threshold=0.4,
+        target_cluster_rows=8,
+    )
+    n_clusters_seen = out.select("cluster").distinct().count()
+    assert 1 < n_clusters_seen <= 66  # 500/8+1 = 63 clusters requested, clamped ≥16
+    assert out.count() == emb_real.count()
+
+
 def test_char_ngram_jaccard_pairs(docs):
     from dlt_iceberg_spark.operators.dedup import char_ngram_jaccard_pairs
 
