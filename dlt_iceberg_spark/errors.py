@@ -44,6 +44,16 @@ class CommitConflictError(Exception):
     table). Retryable — the lake layer re-reads current state and re-applies."""
 
 
+class NonAtomicCommitError(Exception):
+    """The table's storage cannot rename atomically (object stores: S3A
+    rename is copy+delete), so the pointer-swap commit protocol is unsafe —
+    concurrent writers could both 'win'.  The supported deployment routes
+    the pointer swap through a catalog's compare-and-swap (REST/Glue/JDBC —
+    lake/iceberg_config.py carries the conf surface); to consciously accept
+    last-writer-wins on a single-writer pipeline, set table property
+    commit.allow-non-atomic-pointer=true."""
+
+
 class TableNotFoundError(Exception):
     pass
 

@@ -50,7 +50,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dlt_iceberg_spark.errors import CommitConflictError
+from dlt_iceberg_spark.errors import CommitConflictError, NonAtomicCommitError
 from dlt_iceberg_spark.lake.fileio import LocalFileIO, fileio_for
 from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
     DataFile,
@@ -801,6 +801,23 @@ class LakeTable:
         versions = self._all_versions()
         new_version = versions[-1] + 1 if versions else 0
         prev = self.snapshot(current) if current is not None else None
+        # the pointer swap IS the commit point — on storage whose rename is
+        # not atomic (object stores) two racing writers could both rename
+        # "successfully" and silently lose a snapshot.  Refuse (before any
+        # metadata is written) unless the deployment either owns pointers in
+        # a catalog CAS or explicitly accepts single-writer last-wins.
+        _props_preview = (
+            properties if properties is not None else (prev.properties if prev else {})
+        )
+        if not getattr(self._io, "atomic_rename", True) and (
+            (_props_preview or {}).get("commit.allow-non-atomic-pointer") != "true"
+        ):
+            raise NonAtomicCommitError(
+                f"storage for {self.location!r} lacks atomic rename; commit "
+                "the pointer through a catalog CAS (lake/iceberg_config.py) "
+                "or set table property commit.allow-non-atomic-pointer=true "
+                "for single-writer pipelines"
+            )
 
         def stamp(fl: list[DataFile]) -> list[DataFile]:
             return [

@@ -39,6 +39,8 @@ def stream_write(
     available_now: bool = True,
     trigger_interval: str | None = None,
     dataset_name: str = "main",
+    maintain_every: int | None = None,
+    maintenance_policy: Any | None = None,
 ) -> StreamingQuery:
     """Write a streaming DataFrame into a lake table via ``foreachBatch``.
 
@@ -46,6 +48,18 @@ def stream_write(
     safe cast → append/replace/merge) and commits exactly one snapshot.
     With ``state`` given, batches are ledger-idempotent: a batch replayed
     after a crash (same Spark ``batch_id`` from the checkpoint) is skipped.
+
+    ``maintain_every=N`` runs the table-upkeep cycle
+    (:func:`~dlt_iceberg_spark.lake.maintenance.maintain` — delete folding,
+    small-file compaction, snapshot expiry, orphan removal) after every Nth
+    successful batch.  An always-on MoR upsert stream otherwise accumulates
+    one delete file + one small data file PER BATCH forever: reads slow
+    down linearly (every file pays the growing anti-join mask) and metadata
+    grows without bound.  With the cadence, outstanding delete files and
+    small files stay bounded by N regardless of stream lifetime — the
+    streaming analogue of Iceberg's scheduled maintenance procedures.
+    Maintenance runs inside ``foreachBatch`` between commits, so it
+    serializes with the stream's own writes (no self-conflict).
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -57,6 +71,13 @@ def stream_write(
         writer.write(spec, batch_df, load_id=load_id)
         if state is not None:
             state.store_completed_load(load_id, dataset_name, schema_version_hash="")
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            from dlt_iceberg_spark.lake.maintenance import maintain
+
+            table = writer.catalog.load_table(
+                writer.namespace, spec.name, branch=writer.branch
+            )
+            maintain(table, maintenance_policy)
 
     sink = (
         stream_df.writeStream.foreachBatch(handle_batch)

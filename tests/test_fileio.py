@@ -132,6 +132,53 @@ def test_laketable_e2e_over_hadoop_fileio(spark, tmp_path):
     assert t.branches() == {"main": 1} and t.tags() == {"v0": 0}
 
 
+class _RenamelessIO(LocalFileIO):
+    """LocalFileIO that CLASSIFIES as rename-less (the commit guard keys on
+    the capability flag, exactly what an s3a:// HadoopFileIO reports —
+    resolving a real S3A FileSystem needs connector jars the sandbox lacks,
+    but the guard fires before any rename is attempted either way)."""
+
+    atomic_rename = False
+
+
+def test_commit_refuses_non_atomic_rename(spark, tmp_path):
+    """VERDICT r3 #7: an object-store scheme without catalog CAS must be
+    REFUSED at commit time, not silently corrupted on the first writer
+    race.  Staged data/manifests are written (they are rename-free); the
+    pointer swap is the step that raises."""
+    from dlt_iceberg_spark.errors import NonAtomicCommitError
+
+    t = LakeTable(spark, str(tmp_path / "t"), io=_RenamelessIO())
+    df = spark.range(5)
+    files = t.stage_dataframe(df)
+    with pytest.raises(NonAtomicCommitError, match="atomic rename"):
+        t.commit(files, df.schema, "create", None)
+    # nothing published: the table does not exist for readers
+    assert t.snapshot() is None
+
+    # the documented escape hatch: single-writer pipelines may opt in
+    snap = t.commit(
+        files,
+        df.schema,
+        "create",
+        None,
+        properties={"commit.allow-non-atomic-pointer": "true"},
+    )
+    assert snap.version == 0 and t.read().count() == 5
+    # and the property persists, so follow-up commits inherit the opt-in
+    more = t.stage_dataframe(spark.range(5, 8))
+    snap2 = t.commit(None, df.schema, "append", 0, manifests=snap.manifests, new_files=more)
+    assert snap2.version == 1 and t.read().count() == 8
+
+
+def test_s3a_scheme_classifies_rename_less(spark):
+    """Scheme-level classification needs no connection: an s3a:// table's
+    HadoopFileIO reports atomic_rename=False, which is what trips the
+    commit guard on a real object-store deployment."""
+    hio = HadoopFileIO(spark, "s3a://bucket/warehouse")
+    assert hio.atomic_rename is False
+
+
 def test_catalog_over_file_uri(spark, tmp_path):
     """A file:// warehouse URI exercises URI-path handling end-to-end
     (the same joins an s3a:// warehouse would take)."""
