@@ -1,0 +1,172 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select pretraining documents whose hashed-n-gram
+distribution looks like a TARGET corpus, by importance weights between two
+bag-of-n-grams models.
+
+This is the modern replacement for hand-tuned quality heuristics in LLM
+data pipelines (the paper selects The-Pile-sized corpora toward
+Wikipedia/books targets).  Anatomy, Spark-first:
+
+1. **Features** (:func:`hashed_ngram_features`): per document, unigram +
+   bigram counts hashed into ``n_buckets`` — pure map-side expression work
+   (split / transform / explode inside whole-stage codegen, md5 hashing so
+   any engine replays the bucketing bit-exactly), one doc-keyed shuffle to
+   count.
+2. **Weights** (:func:`dsir_importance_weights`): two O(n_buckets)
+   aggregates (target corpus, raw corpus), Laplace-smoothed
+   ``log p̂_target(b) − log p̂_raw(b)`` per bucket.  The weight table is
+   ``n_buckets`` rows — broadcast-sized BY CONSTRUCTION at any corpus
+   scale (the paper uses 10⁴ buckets for 10⁹ docs).
+3. **Scores** (:func:`dsir_scores`): per-doc importance = Σ_b count_b ·
+   weight_b — a broadcast join from features to weights plus one doc-keyed
+   sum.  No driver data path anywhere; the only O(corpus) work is the
+   feature scan.
+4. **Selection** (:func:`dsir_select`): the paper resamples with Gumbel
+   noise; here the noise is DETERMINISTIC (md5-uniform → Gumbel via
+   −ln(−ln u)), so retries/engine replays select the same documents —
+   same rule as operators/sampling.py.  ``noise=0`` degrades to plain
+   top-k by weight.
+
+At 100 TB: feature extraction is embarrassingly parallel; both model fits
+are B-row aggregates; scoring is map-side against a broadcast table; the
+only full shuffles are the two groupBys keyed by (doc, bucket) / doc.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _grams_expr(text_col: str) -> str:
+    """SQL expression: unigram + bigram array from whitespace tokens.
+    Generated as ONE SQL string so the whole tree stays in codegen
+    (the operators/dedup.py plan-build rule)."""
+    toks = f"filter(split({text_col}, '\\\\s+'), x -> x <> '')"
+    bigrams = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat(element_at({toks}, i + 1), ' ', element_at({toks}, i + 2))) "
+        f"ELSE array() END"
+    )
+    return f"concat({toks}, {bigrams})"
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, bucket, cnt): hashed unigram+bigram bag per document.
+
+    md5-based bucketing (not xxhash) so the oracle replays it; the hash
+    cost is per-gram map-side work."""
+    grams = df.select(
+        F.col(id_col), F.explode(F.expr(_grams_expr(text_col))).alias("_g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    return grams.select(F.col(id_col), bucket).groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def dsir_importance_weights(
+    target_feats: DataFrame,
+    raw_feats: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, log_w): smoothed log-likelihood ratio per feature bucket.
+
+    ``log((t_b + α)/(T + αB)) − log((r_b + α)/(R + αB))`` — the two model
+    fits of the paper.  Output is B rows; both inputs reduce to B-row
+    aggregates before anything joins."""
+    t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
+    r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
+    t_tot = t.agg(F.sum("tc").alias("tt"))
+    r_tot = r.agg(F.sum("rc").alias("rt"))
+    # raw side is the support (every scored gram appears in the raw corpus);
+    # buckets absent from the target get pure-smoothing mass
+    joined = (
+        r.join(t, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+    )
+    b = float(n_buckets)
+    return joined.select(
+        "bucket",
+        (
+            F.log((F.coalesce(F.col("tc"), F.lit(0)) + alpha) / (F.col("tt") + alpha * b))
+            - F.log((F.col("rc") + alpha) / (F.col("rt") + alpha * b))
+        ).alias("log_w"),
+    )
+
+
+def dsir_scores(
+    feats: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, log_importance): Σ_b cnt_b · log_w_b per document.  The weight
+    table broadcasts (B rows); the sum is one doc-keyed shuffle."""
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("log_w")).alias("log_importance"))
+    )
+
+
+def _gumbel_expr(id_col: str, seed: str) -> F.Column:
+    """Deterministic standard-Gumbel noise from md5(id || seed): u ∈ (0,1)
+    from 13 hex chars (52 bits — exactly a double's mantissa), then
+    −ln(−ln u).  Engine-portable: identical arithmetic in SQL."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(seed))), 1, 13), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**52) + 2.0)
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_n: int = 100,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    noise: float = 1.0,
+    seed: str = "dsir0",
+) -> DataFrame:
+    """Full DSIR pass: fit target/raw models, score every document, keep
+    the ``keep_n`` with the highest ``log_importance + noise · Gumbel``.
+
+    Returns (id, log_importance, gumbel_key, rank) for the selected docs.
+    ``noise=1`` is the paper's importance resampling (deterministic
+    replay); ``noise=0`` is hard top-k by importance."""
+    from pyspark.sql.window import Window
+
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    tfeats = hashed_ngram_features(target, text_col, id_col, n_buckets)
+    weights = dsir_importance_weights(tfeats, feats, n_buckets, alpha)
+    scores = dsir_scores(feats, weights, id_col)
+    key = F.col("log_importance") + (
+        _gumbel_expr(id_col, seed) * noise if noise else F.lit(0.0)
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+    # NOTE: global top-k window — fine because keep_n is driver-bounded and
+    # Spark executes orderBy+limit-style selection as TakeOrdered partials;
+    # for huge keep_n switch to the select_top_tokens threshold technique.
+    return (
+        scores.withColumn("gumbel_key", key)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= keep_n)
+        .select(id_col, "log_importance", "gumbel_key", "rank")
+    )

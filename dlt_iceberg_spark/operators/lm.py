@@ -1,0 +1,119 @@
+"""N-gram language-model perplexity scoring — the CCNet quality filter.
+
+CCNet (Wenzek et al. 2020) and Gopher/MassiveText (Rae et al. 2021) rank
+web documents by perplexity under a language model trained on a trusted
+target corpus (Wikipedia), then keep the head/middle buckets.  The
+transformer-free, engine-portable form of that filter is an n-gram LM —
+this module implements a bigram model with add-k smoothing, entirely as
+DataFrame aggregates and joins:
+
+- :func:`train_bigram_lm`: two count tables from the target corpus —
+  ``(prev, w) → c`` and ``prev → c_total`` — plus the vocabulary size.
+  These are corpus-sized AGGREGATES (bounded by distinct bigrams), not
+  broadcast tables; they join by key downstream, so the model "fits" no
+  matter how large the target corpus is.
+- :func:`lm_score`: per document, mean log probability of its token
+  stream: ``mean_i ln((c(prev_i, w_i) + k) / (c(prev_i·) + k·V))``.
+  Unseen bigrams/contexts degrade smoothly to the smoothing mass (an
+  unseen context scores ``ln(1/V)``).  Lower = more surprising = further
+  from the target distribution; CCNet's buckets are quantiles over this.
+
+Plan shape at 100 TB: token-pair explode is map-side; the model lookups
+are two key joins (Spark picks broadcast vs sort-merge by table size);
+the per-doc mean is one doc-keyed shuffle.  No driver data path — unlike
+a KenLM UDF, nothing needs the model materialized per executor in memory.
+
+Everything is exact count arithmetic + ln, so a SQL oracle replays the
+whole filter bit-for-bit (queries.py::lm_perplexity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKS = "filter(split({col}, '\\\\s+'), x -> x <> '')"
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, prev, w) for every adjacent token pair — map-side explode."""
+    toks = _TOKS.format(col=text_col)
+    pairs = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> struct(element_at({toks}, i + 1) AS prev, element_at({toks}, i + 2) AS w)) "
+        f"ELSE array() END"
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.expr(pairs)).alias("_p")
+    ).select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.w").alias("w"))
+
+
+def train_bigram_lm(
+    target: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the model: bigram counts, context totals, vocabulary size.
+
+    Returns ``(bigrams, contexts, vocab_size)`` where ``bigrams`` is
+    (prev, w, c), ``contexts`` is (prev, c_total).  Two aggregates over one
+    token-pair explode; ``vocab_size`` is a scalar count-distinct."""
+    pairs = _doc_bigrams(target, text_col, id_col)
+    bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
+    toks = _TOKS.format(col=text_col)
+    vocab_size = (
+        target.select(F.explode(F.expr(toks)).alias("t")).distinct().count()
+    )
+    return bigrams, contexts, int(vocab_size)
+
+
+def lm_score(
+    df: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """(id, n_scored, logp_mean): mean token log-prob under the model.
+
+    ``n_scored`` is the number of scored positions (tokens − 1); documents
+    with fewer than 2 tokens are absent from the output (nothing to
+    score — callers treat them separately, as CCNet drops them)."""
+    v = float(vocab_size)
+    pairs = _doc_bigrams(df, text_col, id_col)
+    scored = (
+        pairs.join(bigrams, ["prev", "w"], "left")
+        .join(contexts, ["prev"], "left")
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)).cast("double") + k)
+                / (F.coalesce(F.col("c_total"), F.lit(0)).cast("double") + k * v)
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.avg("_lp").alias("logp_mean"),
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    buckets: int = 3,
+) -> DataFrame:
+    """CCNet head/middle/tail: score every document against the target LM
+    and assign equal-frequency perplexity buckets (1 = closest to target).
+    Adds (n_scored, logp_mean, ppl_bucket)."""
+    from pyspark.sql.window import Window
+
+    bigrams, contexts, vocab = train_bigram_lm(target, text_col, id_col)
+    scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k)
+    w = Window.orderBy(F.col("logp_mean").desc(), F.col(id_col))
+    return scores.withColumn("ppl_bucket", F.ntile(buckets).over(w))

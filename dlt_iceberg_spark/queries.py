@@ -3415,6 +3415,155 @@ def lake_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dsir_select",
+    # Full replay of DSIR (Xie et al. 2023, operators/dsir.py): hashed
+    # unigram+bigram features (md5 buckets), Laplace-smoothed target/raw
+    # log-likelihood-ratio weights, per-doc importance scores, and the
+    # paper's Gumbel resampling with DETERMINISTIC md5-uniform noise —
+    # every stage is engine-portable arithmetic, so the whole selection is
+    # hash-verified end-to-end.
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_concat(
+               t,
+               CASE WHEN len(t) >= 2
+                    THEN [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]
+                    ELSE [] END
+             )) AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b,
+             count(*) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    tgt AS (
+      SELECT b, sum(c) AS tc
+      FROM feats JOIN documents USING (doc_id)
+      WHERE lang = 'en' GROUP BY 1
+    ),
+    raw AS (SELECT b, sum(c) AS rc FROM feats GROUP BY 1),
+    tot AS (SELECT (SELECT sum(tc) FROM tgt) AS tt, (SELECT sum(rc) FROM raw) AS rt),
+    w AS (
+      SELECT r.b,
+             ln((coalesce(tc, 0) + 1.0) / (tt + 256.0))
+               - ln((rc + 1.0) / (rt + 256.0)) AS lw
+      FROM raw r LEFT JOIN tgt t ON r.b = t.b CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT doc_id, sum(c * lw) AS log_importance
+      FROM feats JOIN w ON feats.b = w.b GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id, log_importance,
+             log_importance + (
+               -ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dsir0'), 1, 13))::BIGINT::DOUBLE + 1.0)
+                        / 4503599627370498.0))
+             ) AS gumbel_key
+      FROM scores
+    )
+    SELECT doc_id,
+           floor(log_importance * 1000000.0 + 0.5) / 1000000.0 AS log_importance,
+           floor(gumbel_key * 1000000.0 + 0.5) / 1000000.0 AS gumbel_key,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rn
+          FROM keyed)
+    WHERE rn <= 100
+    """,
+    doc=(
+        "DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169): "
+        "select documents whose hashed-n-gram distribution matches a target "
+        "corpus (here lang='en') via bag-of-n-grams likelihood ratios + "
+        "deterministic Gumbel resampling (operators/dsir.py).  Features are "
+        "map-side codegen expressions; both model fits are n_buckets-row "
+        "aggregates; the weight table broadcasts; only two real shuffles."
+    ),
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_select(
+        d,
+        d.filter(F.col("lang") == "en"),
+        keep_n=100,
+        n_buckets=256,
+        noise=1.0,
+        seed="dsir0",
+    )
+    return out.select(
+        "doc_id",
+        rnd(F.col("log_importance"), 6).alias("log_importance"),
+        rnd(F.col("gumbel_key"), 6).alias("gumbel_key"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@query(
+    "lm_perplexity",
+    # Exact replay of the CCNet-style bigram-LM filter (operators/lm.py):
+    # counts + add-k smoothing + ln are engine-portable arithmetic.  The
+    # ntile bucket stays OUT of the gate output (equal-frequency boundaries
+    # can flip on last-ulp float ties across engines); the score itself is
+    # the contract.
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, t,
+             unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2
+    ),
+    flat AS (SELECT doc_id, lang, t[i] AS prev, t[i + 1] AS w FROM pos),
+    bg AS (SELECT prev, w, count(*) AS c FROM flat WHERE lang = 'en' GROUP BY 1, 2),
+    ctx AS (SELECT prev, sum(c) AS ct FROM bg GROUP BY 1),
+    v AS (
+      SELECT count(DISTINCT x) AS vs
+      FROM (SELECT unnest(t) AS x FROM toks WHERE lang = 'en')
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             ln((coalesce(bg.c, 0) + 0.5) / (coalesce(ctx.ct, 0) + 0.5 * v.vs)) AS lp
+      FROM flat f
+      LEFT JOIN bg ON f.prev = bg.prev AND f.w = bg.w
+      LEFT JOIN ctx ON f.prev = ctx.prev
+      CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_scored,
+           floor(avg(lp) * 1000000.0 + 0.5) / 1000000.0 AS logp_mean
+    FROM scored GROUP BY 1
+    """,
+    doc=(
+        "CCNet-style LM quality filter (Wenzek 2020 / Rae 2021): mean token "
+        "log-prob under an add-k bigram model trained on the target slice "
+        "(lang='en') — operators/lm.py.  Model tables are key-joined "
+        "aggregates (never broadcast-required, never driver-resident), "
+        "token-pair explode is map-side, one doc-keyed shuffle for the mean."
+    ),
+)
+def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.lm import lm_score, train_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    bigrams, contexts, vocab = train_bigram_lm(d.filter(F.col("lang") == "en"))
+    out = lm_score(d, bigrams, contexts, vocab)
+    return out.select(
+        "doc_id",
+        F.col("n_scored").cast("long").alias("n_scored"),
+        rnd(F.col("logp_mean"), 6).alias("logp_mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
 # of the registry (rounds 1-3 artifacts all stop at exactly 50 entries), so
@@ -3448,11 +3597,13 @@ _GATE_PRIORITY = [
     "mixture_by_source", "dedup_exact", "text_quality", "text_lang_profile",
     # never hash-green in any round — fixes land this round
     "pack_documents", "ann_pq", "semantic_dedup",
+    # new in round 4 — take gate slots from triple-verified fillers
+    "dsir_select", "lm_perplexity",
     # representative re-verification picks for the remaining gate slots
     "merge_upsert", "lake_merge_roundtrip",
     "q1_pricing_summary", "q5_nation_revenue",
     "dedup_minhash_lsh", "ann_cosine_topk",
-    "events_hourly", "stream_windowed_counts", "multimodal_meta",
+    "events_hourly",
 ]
 
 

@@ -696,3 +696,96 @@ def test_resize_images_plumbing(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_images(df, 2, 2, fake=False).collect()
+
+
+def test_dsir_prefers_target_like_documents(spark):
+    """DSIR semantic contract (operators/dsir.py, Xie et al. 2023): docs
+    sharing the target corpus' n-gram distribution must outscore docs from
+    a disjoint vocabulary, and the selection must be retry-deterministic."""
+    from dlt_iceberg_spark.operators.dsir import dsir_select
+
+    target_vocab = [f"sci{i}" for i in range(30)]
+    web_vocab = [f"spam{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        v = target_vocab if i < 20 else web_vocab
+        words = [v[(i * 7 + 3 * j) % 30] for j in range(25)]
+        rows.append((i, " ".join(words)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(target_vocab[(i + j) % 30] for j in range(25)))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+
+    picked = dsir_select(corpus, target, keep_n=20, noise=0.0).collect()
+    assert len(picked) == 20
+    # hard top-k with no noise: exactly the target-vocabulary half wins
+    assert {r.doc_id for r in picked} == set(range(20))
+    # and the separation is wide: every kept score beats every dropped one
+    all_scores = {
+        r.doc_id: r.log_importance
+        for r in dsir_select(corpus, target, keep_n=40, noise=0.0).collect()
+    }
+    assert min(all_scores[i] for i in range(20)) > max(
+        all_scores[i] for i in range(20, 40)
+    )
+
+    # with Gumbel noise the pick is still deterministic across reruns
+    a = {(r.doc_id, r.rank) for r in dsir_select(corpus, target, keep_n=10).collect()}
+    b = {(r.doc_id, r.rank) for r in dsir_select(corpus, target, keep_n=10).collect()}
+    assert a == b
+    # and a different seed reshuffles (noise actually applied)
+    c = {(r.doc_id, r.rank) for r in dsir_select(corpus, target, keep_n=10, seed="other").collect()}
+    assert {x for x, _ in a} != {x for x, _ in c} or a != c
+
+
+def test_dsir_feature_plan_is_mapside(spark):
+    """hashed_ngram_features must be expression work + ONE aggregation —
+    no join, no extra exchange beyond the (id,bucket) groupBy."""
+    from dlt_iceberg_spark.operators.dsir import hashed_ngram_features
+    from dlt_iceberg_spark.plans import exchange_count
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    feats = hashed_ngram_features(df)
+    assert exchange_count(feats) <= 1
+
+
+def test_lm_perplexity_separates_target_like_docs(spark):
+    """Bigram-LM filter (operators/lm.py): documents drawn from the target
+    distribution must have higher mean log-prob than disjoint-vocabulary
+    documents, short docs are absent, and buckets are equal-frequency."""
+    from dlt_iceberg_spark.operators.lm import (
+        lm_score,
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    target_rows = [
+        (100 + i, " ".join(f"w{(i + j) % 12}" for j in range(30))) for i in range(8)
+    ]
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{j % 12}" for j in range(20))),       # in-distribution
+            (2, " ".join(f"z{j}" for j in range(20))),            # out-of-distribution
+            (3, "solo"),                                          # unscoreable (1 token)
+        ],
+        "doc_id long, text string",
+    )
+    bigrams, contexts, vocab = train_bigram_lm(target)
+    assert vocab == 12
+    rows = {r.doc_id: r for r in lm_score(corpus, bigrams, contexts, vocab).collect()}
+    assert set(rows) == {1, 2}  # doc 3 has nothing to score
+    assert rows[1].n_scored == 19 and rows[2].n_scored == 19
+    assert rows[1].logp_mean > rows[2].logp_mean
+    # OOV context floor: every pair of doc 2 is unseen -> exactly ln(1/V)
+    import math
+
+    assert abs(rows[2].logp_mean - math.log(0.5 / (0.5 * 12))) < 1e-9
+
+    buckets = {
+        r.doc_id: r.ppl_bucket
+        for r in perplexity_filter(corpus, target, buckets=2).collect()
+    }
+    assert buckets[1] == 1 and buckets[2] == 2  # head vs tail
