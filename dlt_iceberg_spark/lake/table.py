@@ -285,7 +285,12 @@ class LakeTable:
     SURVEY.md §4 'snapshot freshness')."""
 
     def __init__(
-        self, spark: SparkSession, location: str, branch: str = "main", io=None
+        self,
+        spark: SparkSession,
+        location: str,
+        branch: str = "main",
+        io=None,
+        pointer_store=None,
     ):
         self.spark = spark
         self.location = location.rstrip("/")
@@ -295,6 +300,11 @@ class LakeTable:
         self._io = io if io is not None else fileio_for(self.location, spark)
         self._meta_dir = os.path.join(self.location, "metadata")
         self._data_dir = os.path.join(self.location, "data")
+        # when set (lake/pointers.py), BRANCH HEADS live in the catalog and
+        # commits swap them via compare-and-swap instead of file rename —
+        # the real-Iceberg deployment shape for object stores, and the
+        # sanctioned escape from the NonAtomicCommitError guard
+        self._pointer_store = pointer_store
 
     @property
     def _ptr_path(self) -> str:
@@ -311,11 +321,18 @@ class LakeTable:
 
     @property
     def exists(self) -> bool:
+        if self._pointer_store is not None:
+            return self._pointer_store.get("main") is not None
         return self.exists_at(self.location, io=self._io)
 
     def current_version(self) -> int | None:
         # a branch with no commits of its own implicitly points at main's
         # head (Iceberg WAP: the branch forks from current on first write)
+        if self._pointer_store is not None:
+            v = self._pointer_store.get(self.branch)
+            if v is None and self.branch != "main":
+                v = self._pointer_store.get("main")
+            return v
         candidates = [self._ptr_path]
         if self.branch != "main":
             candidates.append(os.path.join(self._meta_dir, "_current"))
@@ -383,10 +400,18 @@ class LakeTable:
     def for_branch(self, branch: str) -> "LakeTable":
         """A view of the same table whose commits move ``branch``'s pointer
         instead of main's (Iceberg branch write / ``spark.wap.branch``)."""
-        return LakeTable(self.spark, self.location, branch=branch, io=self._io)
+        return LakeTable(
+            self.spark,
+            self.location,
+            branch=branch,
+            io=self._io,
+            pointer_store=self._pointer_store,
+        )
 
     def branches(self) -> dict[str, int]:
         """Named mutable refs → head snapshot version (main included)."""
+        if self._pointer_store is not None:
+            return self._pointer_store.refs()
         out: dict[str, int] = {}
         if not self._io.isdir(self._meta_dir):
             return out
@@ -401,6 +426,12 @@ class LakeTable:
     def delete_branch(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot delete the main branch")
+        if self._pointer_store is not None:
+            try:
+                self._pointer_store.delete_ref(name)
+            except FileNotFoundError:
+                raise ValueError(f"no such branch {name!r}") from None
+            return
         try:
             self._io.remove(os.path.join(self._meta_dir, f"_branch_{name}"))
         except FileNotFoundError:
@@ -436,6 +467,13 @@ class LakeTable:
                 f"branch {self.branch!r} at v{mine} is not an ancestor of "
                 f"{source_branch!r} head v{src_head} — cannot fast-forward"
             )
+        if self._pointer_store is not None:
+            raw = self._pointer_store.get(self.branch)  # None = ref not forked yet
+            if not self._pointer_store.cas(self.branch, raw, src_head):
+                raise CommitConflictError(
+                    f"catalog CAS lost: ref {self.branch!r} moved past v{raw}"
+                )
+            return src_head
         self._io.makedirs(self._meta_dir)
         tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
         self._io.write_text(tmp_ptr, str(src_head))
@@ -790,7 +828,22 @@ class LakeTable:
                 "manifests=/new_files= (delta)"
             )
         self._io.makedirs(self._meta_dir)
-        current = self.current_version()
+        # For catalog-owned pointers, remember the branch ref's RAW head at
+        # check time: None means this commit FORKS the branch (CAS expected
+        # None creates the ref; a racing fork loses with 409), while the
+        # fallback head below is only the snapshot we build on.
+        if self._pointer_store is not None:
+            _raw_head = self._pointer_store.get(self.branch)
+            current = (
+                _raw_head
+                if _raw_head is not None
+                else (
+                    self._pointer_store.get("main") if self.branch != "main" else None
+                )
+            )
+        else:
+            _raw_head = None
+            current = self.current_version()
         if current != expected_parent:
             raise CommitConflictError(
                 f"table at version {current}, expected {expected_parent}"
@@ -809,14 +862,17 @@ class LakeTable:
         _props_preview = (
             properties if properties is not None else (prev.properties if prev else {})
         )
-        if not getattr(self._io, "atomic_rename", True) and (
-            (_props_preview or {}).get("commit.allow-non-atomic-pointer") != "true"
+        if (
+            self._pointer_store is None  # a catalog CAS makes the swap safe
+            and not getattr(self._io, "atomic_rename", True)
+            and (_props_preview or {}).get("commit.allow-non-atomic-pointer") != "true"
         ):
             raise NonAtomicCommitError(
                 f"storage for {self.location!r} lacks atomic rename; commit "
-                "the pointer through a catalog CAS (lake/iceberg_config.py) "
-                "or set table property commit.allow-non-atomic-pointer=true "
-                "for single-writer pipelines"
+                "the pointer through a catalog CAS (lake/pointers.py + "
+                "lake/iceberg_config.py) or set table property "
+                "commit.allow-non-atomic-pointer=true for single-writer "
+                "pipelines"
             )
 
         def stamp(fl: list[DataFile]) -> list[DataFile]:
@@ -910,9 +966,19 @@ class LakeTable:
             raise CommitConflictError(
                 f"snapshot v{new_version} already written"
             ) from None
-        tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
-        self._io.write_text(tmp_ptr, str(new_version))
-        self._io.rename(tmp_ptr, self._ptr_path)
+        if self._pointer_store is not None:
+            # catalog-owned swap: the CAS is the commit point (Iceberg REST
+            # assert-ref-snapshot-id); a lost race surfaces as a conflict,
+            # retried by the writer layer like any other
+            if not self._pointer_store.cas(self.branch, _raw_head, new_version):
+                raise CommitConflictError(
+                    f"catalog CAS lost: ref {self.branch!r} moved past "
+                    f"v{_raw_head}"
+                )
+        else:
+            tmp_ptr = os.path.join(self._meta_dir, f"_ptr_{uuid.uuid4().hex}")
+            self._io.write_text(tmp_ptr, str(new_version))
+            self._io.rename(tmp_ptr, self._ptr_path)
         return snap
 
     #: Spark SQL type string -> Iceberg primitive type name

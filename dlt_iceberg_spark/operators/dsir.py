@@ -40,18 +40,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _grams_expr(text_col: str) -> str:
-    """SQL expression: unigram + bigram array from whitespace tokens.
-    Generated as ONE SQL string so the whole tree stays in codegen
-    (the operators/dedup.py plan-build rule)."""
-    toks = f"filter(split({text_col}, '\\\\s+'), x -> x <> '')"
-    bigrams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i -> concat(element_at({toks}, i + 1), ' ', element_at({toks}, i + 2))) "
-        f"ELSE array() END"
-    )
-    return f"concat({toks}, {bigrams})"
+#: unigram + bigram array over a BOUND token column (`_t`).  PERF: bigrams
+#: come from zip_with over two slices — never element_at(tokens_expr, i)
+#: inside a lambda, which re-evaluates the captured split() per ELEMENT and
+#: turns a document into O(tokens²) work (the text.py:89 trap; hitting it
+#: here made dsir_select the slowest query in the suite before this form).
+_GRAMS_OVER_T = (
+    "concat(_t, CASE WHEN size(_t) >= 2 THEN "
+    "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+    "(a, b) -> concat(a, ' ', b)) ELSE array() END)"
+)
 
 
 def hashed_ngram_features(
@@ -65,8 +63,9 @@ def hashed_ngram_features(
     md5-based bucketing (not xxhash) so the oracle replays it; the hash
     cost is per-gram map-side work."""
     grams = df.select(
-        F.col(id_col), F.explode(F.expr(_grams_expr(text_col))).alias("_g")
-    )
+        F.col(id_col),
+        F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')").alias("_t"),
+    ).select(F.col(id_col), F.explode(F.expr(_GRAMS_OVER_T)).alias("_g"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
         % n_buckets

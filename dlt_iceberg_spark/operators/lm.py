@@ -36,17 +36,23 @@ _TOKS = "filter(split({col}, '\\\\s+'), x -> x <> '')"
 
 
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, prev, w) for every adjacent token pair — map-side explode."""
-    toks = _TOKS.format(col=text_col)
+    """(id, prev, w) for every adjacent token pair — map-side explode.
+
+    PERF: pairs come from zip_with over two slices of a BOUND token column
+    — never element_at(tokens_expr, i) inside a lambda, which re-evaluates
+    the captured split() per element → O(tokens²) (the text.py:89 trap)."""
     pairs = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(0, size({toks}) - 2), "
-        f"i -> struct(element_at({toks}, i + 1) AS prev, element_at({toks}, i + 2) AS w)) "
-        f"ELSE array() END"
+        "CASE WHEN size(_t) >= 2 THEN "
+        "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), "
+        "(p, w) -> struct(p AS prev, w AS w)) ELSE array() END"
     )
-    return df.select(
-        F.col(id_col), F.explode(F.expr(pairs)).alias("_p")
-    ).select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.w").alias("w"))
+    return (
+        df.select(
+            F.col(id_col), F.expr(_TOKS.format(col=text_col)).alias("_t")
+        )
+        .select(F.col(id_col), F.explode(F.expr(pairs)).alias("_p"))
+        .select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.w").alias("w"))
+    )
 
 
 def train_bigram_lm(
