@@ -33,6 +33,8 @@ class LakeCatalog:
         spark: SparkSession,
         warehouse: str,
         location_layout: str = DEFAULT_LOCATION_LAYOUT,
+        pointer_catalog_url: str | None = None,
+        pointer_catalog_token: str | None = None,
     ):
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
@@ -41,6 +43,19 @@ class LakeCatalog:
         # s3a://gs://… warehouses ride the session's Hadoop FileSystem
         self._io = fileio_for(self.warehouse, spark)
         self._io.makedirs(self.warehouse)
+        # catalog-owned branch pointers (lake/pointers.py): when a pointer
+        # catalog URL is configured, every table's commits swap heads via
+        # the service's CAS instead of file rename — REQUIRED for object
+        # stores (table.py NonAtomicCommitError), optional elsewhere
+        self._pointer_url = pointer_catalog_url
+        self._pointer_token = pointer_catalog_token
+
+    def _pointer_store_for(self, location: str):
+        if self._pointer_url is None:
+            return None
+        from dlt_iceberg_spark.lake.pointers import RestPointerStore
+
+        return RestPointerStore(self._pointer_url, location, token=self._pointer_token)
 
     # -- namespaces --------------------------------------------------------
 
@@ -76,9 +91,11 @@ class LakeCatalog:
         )
 
     def table_exists(self, namespace: str, table_name: str) -> bool:
-        return LakeTable.exists_at(
-            self.table_location(namespace, table_name), io=self._io
-        )
+        loc = self.table_location(namespace, table_name)
+        store = self._pointer_store_for(loc)
+        if store is not None:
+            return store.get("main") is not None
+        return LakeTable.exists_at(loc, io=self._io)
 
     # -- table lifecycle ---------------------------------------------------
 
@@ -93,8 +110,9 @@ class LakeCatalog:
         if self.table_exists(namespace, table_name):
             raise TableAlreadyExistsError(f"{namespace}.{table_name}")
         self.create_namespace(namespace)
+        loc = self.table_location(namespace, table_name)
         table = LakeTable(
-            self.spark, self.table_location(namespace, table_name), io=self._io
+            self.spark, loc, io=self._io, pointer_store=self._pointer_store_for(loc)
         )
         table.commit(
             files=[],
@@ -110,9 +128,13 @@ class LakeCatalog:
         self, namespace: str, table_name: str, branch: str = "main"
     ) -> LakeTable:
         loc = self.table_location(namespace, table_name)
-        if not LakeTable.exists_at(loc, io=self._io):
+        store = self._pointer_store_for(loc)
+        if store is not None:
+            if store.get("main") is None:
+                raise TableNotFoundError(f"{namespace}.{table_name}")
+        elif not LakeTable.exists_at(loc, io=self._io):
             raise TableNotFoundError(f"{namespace}.{table_name}")
-        return LakeTable(self.spark, loc, branch=branch, io=self._io)
+        return LakeTable(self.spark, loc, branch=branch, io=self._io, pointer_store=store)
 
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
         """W10: drop (and purge data — the reference prefers purge_table,

@@ -149,3 +149,35 @@ def test_bearer_token_auth(spark, tmp_path):
         assert authed.get("main") == 0
     finally:
         srv.stop()
+
+
+def test_catalog_and_writer_over_pointer_catalog(spark, tmp_path, catalog_server):
+    """Full disposition pipeline (LakeWriter merge-upsert) with every
+    commit CAS'd through the pointer catalog — the user-facing deployment
+    surface (LakeCatalog(pointer_catalog_url=...))."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(
+        spark, str(tmp_path / "wh"), pointer_catalog_url=catalog_server
+    )
+    writer = LakeWriter(catalog, "ns")
+    spec = TableSpec(
+        name="t",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+    )
+    writer.write(spec, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), load_id="l0")
+    writer.write(spec, spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"), load_id="l1")
+
+    assert catalog.table_exists("ns", "t")
+    t = catalog.load_table("ns", "t")
+    assert {r.id: r.v for r in t.read().collect()} == {1: "a", 2: "B", 3: "c"}
+    # pointers live in the catalog, not in files
+    assert t._pointer_store is not None
+    assert t._pointer_store.get("main") == t.current_version()
+    import os
+
+    assert not os.path.exists(
+        os.path.join(catalog.table_location("ns", "t"), "metadata", "_current")
+    )
