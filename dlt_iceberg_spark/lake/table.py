@@ -648,9 +648,22 @@ class LakeTable:
                 "file_path string, rows bigint, bytes bigint, content string, "
                 "equality_ids array<string>, sequence int",
             )
+        if kind == "partitions":
+            # Iceberg's `t.partitions`: per-partition-tuple totals over the
+            # CURRENT snapshot — aggregated from the `files` metadata scan,
+            # so it stays a distributed manifest read (O(metadata)); the
+            # operational view for spotting skewed/bloated partitions.
+            files = self.metadata_df("files")
+            return files.groupBy("partition").agg(
+                F.count(F.lit(1)).cast("int").alias("n_files"),
+                F.sum("rows").alias("total_rows"),
+                F.sum("bytes").alias("total_bytes"),
+                F.min("rows").alias("min_file_rows"),
+                F.max("rows").alias("max_file_rows"),
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(snapshots|files|history|refs|delete_files)"
+            "(snapshots|files|history|refs|delete_files|partitions)"
         )
 
     # -- commit protocol ---------------------------------------------------

@@ -3564,6 +3564,54 @@ def lm_perplexity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_image_dedup",
+    # The composed 100 TB image-corpus dedup shape: decode → embed →
+    # near-dup pairs, end-to-end.  The stand-in decoder derives 16 floats
+    # from sha256(payload) (deterministic, codec stubbed — container has no
+    # PIL), so the oracle replays the features bit-exactly (::FLOAT
+    # matches the array<float> schema's rounding; fixture is pure ASCII so
+    # sha256(VARCHAR) == sha256 of the UTF-8 payload bytes) and brute-force
+    # verifies the distributed blocked-BLAS pair kernel on top of them.
+    r"""
+    WITH f AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         v AS (
+           SELECT doc_id,
+                  [((('0x' || substr(h, 2 * i + 1, 2))::INT) / 255.0)::FLOAT::DOUBLE
+                   for i in generate_series(0, 15)] AS feat
+           FROM f
+         )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           floor(list_cosine_similarity(a.feat, b.feat) * 1000000.0 + 0.5)
+             / 1000000.0 AS cosine
+    FROM v a JOIN v b ON a.doc_id < b.doc_id
+    WHERE list_cosine_similarity(a.feat, b.feat) >= 0.95
+    """,
+    doc=(
+        "Composed multimodal pipeline: image decode (Arrow-batched "
+        "mapInPandas, payload bytes never shuffle) → feature embedding → "
+        "exact near-dup pairs via the distributed block-pair BLAS kernel "
+        "(operators/multimodal.py + similarity.py) — the image-corpus dedup "
+        "shape at 100 TB, hash-verified end-to-end over the deterministic "
+        "stand-in decoder."
+    ),
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.multimodal import decode_image_features
+    from dlt_iceberg_spark.operators.similarity import all_pairs_cosine_blocked
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("payload", F.encode("text", "UTF-8"))
+        .select("doc_id", "payload")
+    )
+    feats = decode_image_features(d, fake=True).select("doc_id", "feature")
+    pairs = all_pairs_cosine_blocked(
+        feats, "feature", "doc_id", threshold=0.95, block_rows=256
+    )
+    return pairs.select("a", "b", rnd(F.col("cosine"), 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
 # of the registry (rounds 1-3 artifacts all stop at exactly 50 entries), so
@@ -3598,12 +3646,11 @@ _GATE_PRIORITY = [
     # never hash-green in any round — fixes land this round
     "pack_documents", "ann_pq", "semantic_dedup",
     # new in round 4 — take gate slots from triple-verified fillers
-    "dsir_select", "lm_perplexity",
+    "dsir_select", "lm_perplexity", "multimodal_image_dedup",
     # representative re-verification picks for the remaining gate slots
     "merge_upsert", "lake_merge_roundtrip",
     "q1_pricing_summary", "q5_nation_revenue",
     "dedup_minhash_lsh", "ann_cosine_topk",
-    "events_hourly",
 ]
 
 

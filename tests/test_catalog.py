@@ -6,6 +6,7 @@ tests/test_drop_tables.py and test_capabilities.py:229-279."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dlt_iceberg_spark.errors import (
@@ -174,6 +175,34 @@ def test_metadata_tables(spark, warehouse):
 
     with _pytest.raises(ValueError, match="unknown metadata"):
         table.metadata_df("nope")
+
+
+def test_partitions_metadata_table(spark, warehouse):
+    """Iceberg `t.partitions` parity: per-partition file/row/byte totals
+    aggregated from the distributed manifest scan."""
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "pmeta")
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("bucket")
+    )
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition="append",
+            column_hints={"bucket": {"partition": True}},
+        ),
+        df,
+        load_id="l0",
+    )
+    table = catalog.load_table("pmeta", "t")
+    parts = table.metadata_df("partitions").collect()
+    by_key = {tuple(sorted(r.partition.items())): r for r in parts}
+    assert len(by_key) == 4
+    assert sum(r.total_rows for r in parts) == 40
+    assert all(r.n_files >= 1 and r.total_bytes > 0 for r in parts)
+    assert all(r.min_file_rows <= r.max_file_rows for r in parts)
 
 
 def _create(catalog, ns, name):
