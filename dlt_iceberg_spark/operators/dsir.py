@@ -159,13 +159,18 @@ def dsir_select(
     key = F.col("log_importance") + (
         _gumbel_expr(id_col, seed) * noise if noise else F.lit(0.0)
     )
-    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
-    # NOTE: global top-k window — fine because keep_n is driver-bounded and
-    # Spark executes orderBy+limit-style selection as TakeOrdered partials;
-    # for huge keep_n switch to the select_top_tokens threshold technique.
-    return (
+    # top-k via orderBy+limit → TakeOrderedAndProject (per-partition partial
+    # top-k, driver merges keep_n rows) — NEVER a global row_number window,
+    # which would sort the whole corpus through ONE task.  The rank window
+    # then runs over keep_n driver-bounded rows only.  For keep_n too large
+    # to TakeOrdered, use the select_top_tokens threshold technique instead.
+    top = (
         scores.withColumn("gumbel_key", key)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= keep_n)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(keep_n)
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
         .select(id_col, "log_importance", "gumbel_key", "rank")
     )

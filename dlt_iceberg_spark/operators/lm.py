@@ -113,13 +113,24 @@ def perplexity_filter(
     id_col: str = "doc_id",
     k: float = 0.5,
     buckets: int = 3,
+    quantile_error: float = 0.001,
 ) -> DataFrame:
     """CCNet head/middle/tail: score every document against the target LM
     and assign equal-frequency perplexity buckets (1 = closest to target).
-    Adds (n_scored, logp_mean, ppl_bucket)."""
-    from pyspark.sql.window import Window
+    Adds (n_scored, logp_mean, ppl_bucket).
 
+    Bucket boundaries come from distributed Greenwald-Khanna quantiles
+    (``approxQuantile``) and assignment is a map-side expression — never a
+    global ``ntile`` window, which would sort the whole corpus through one
+    task.  ``quantile_error`` trades boundary exactness for sketch size
+    (CCNet's buckets are themselves heuristic cuts)."""
     bigrams, contexts, vocab = train_bigram_lm(target, text_col, id_col)
     scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k)
-    w = Window.orderBy(F.col("logp_mean").desc(), F.col(id_col))
-    return scores.withColumn("ppl_bucket", F.ntile(buckets).over(w))
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = scores.approxQuantile("logp_mean", probs, quantile_error)
+    # higher logp = closer to target = lower bucket number; strict < so a
+    # doc sitting exactly on a cut falls into the better bucket
+    bucket = F.lit(buckets)
+    for c in cuts:
+        bucket = bucket - (F.lit(float(c)) < F.col("logp_mean")).cast("int")
+    return scores.withColumn("ppl_bucket", bucket)
