@@ -1051,7 +1051,7 @@ class LakeTable:
             }
         return "string"  # lossy fallback, documented
 
-    def export_iceberg_metadata(self) -> str:
+    def export_iceberg_metadata(self, avro_manifests: bool = False) -> str:
         """Write an Iceberg-v2-spec ``TableMetadata`` JSON view of this
         table and return its path (``metadata/iceberg-metadata.json``).
 
@@ -1062,9 +1062,12 @@ class LakeTable:
         numbers and refs.  Documented deviations from a jar-written table,
         unavoidable without the Iceberg runtime:
 
-        - each snapshot carries an inline ``manifests`` array (v1-style)
-          naming our chunked PARQUET manifests — there is no avro
-          manifest-list file;
+        - by default each snapshot carries an inline ``manifests`` array
+          (v1-style) naming our chunked PARQUET manifests.  With
+          ``avro_manifests=True`` the CURRENT snapshot instead gets a
+          spec-shaped ``manifest-list`` chain of AVRO files (field names +
+          field-ids per spec v2, written via the JVM core-avro library —
+          lake/iceberg_avro.py) and ancestors keep the inline form;
         - nested-type field ids are allocated at export time after the
           last top-level id (top-level ids are the stable ``field_ids``
           every snapshot records).
@@ -1127,6 +1130,27 @@ class LakeTable:
             }
             for i, p in enumerate(snap.partition_spec or [])
         ]
+        avro_list_path = None
+        if avro_manifests:
+            if snap.delete_files:
+                # an avro export without delete manifests would RESURRECT
+                # masked rows for any reader of the exported chain
+                raise ValueError(
+                    "avro_manifests export with outstanding MoR delete files "
+                    "would drop the delete masks — run fold_deletes() (or "
+                    "maintain()) first"
+                )
+            from dlt_iceberg_spark.lake.iceberg_avro import write_avro_manifests
+
+            avro_list_path = write_avro_manifests(
+                self.spark, self.location, snap, spec_fields, io=self._io
+            )
+
+        def _snap_files_entry(s: Snapshot) -> dict:
+            if avro_list_path is not None and s.version == snap.version:
+                return {"manifest-list": avro_list_path}
+            return {"manifests": [r.path for r in s.manifests]}
+
         snapshots_arr = [
             {
                 "snapshot-id": s.version,
@@ -1135,7 +1159,7 @@ class LakeTable:
                 "timestamp-ms": _ms(s.timestamp),
                 "summary": {"operation": s.operation, **{k: str(v) for k, v in s.summary.items()}},
                 "schema-id": schema_id_of[s.schema.json()],
-                "manifests": [r.path for r in s.manifests],
+                **_snap_files_entry(s),
             }
             for s in chain
         ]

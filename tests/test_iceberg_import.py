@@ -343,3 +343,89 @@ def test_iceberg_type_mapping_roundtrip():
             T.StructField("bs", T.ArrayType(T.DoubleType(), True), True),
         ]
     )
+
+
+def test_export_avro_manifests_roundtrip(spark, tmp_path):
+    """export_iceberg_metadata(avro_manifests=True) emits a spec-shaped
+    manifest-list chain (avro, field-ids included) for the CURRENT
+    snapshot; registering that metadata exercises the avro READ path on
+    our own export and must reproduce the table exactly."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    for i, lid in enumerate(["l0", "l1"]):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame(
+                [(i * 10 + j, f"v{i}-{j}") for j in range(3)], "id long, v string"
+            ),
+            load_id=lid,
+        )
+    src = catalog.load_table("ns", "t")
+    meta_path = src.export_iceberg_metadata(avro_manifests=True)
+
+    meta = json.loads(open(meta_path).read())
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    assert "manifest-list" in cur and "manifests" not in cur
+    assert cur["manifest-list"].endswith(".avro")
+    # ancestors keep the inline parquet-manifest form
+    older = [s for s in meta["snapshots"] if s["snapshot-id"] != cur["snapshot-id"]]
+    assert all("manifests" in s for s in older)
+
+    imported = catalog.register_iceberg_table("ns2", "t_avro", meta_path)
+    assert _rows(imported.read()) == _rows(src.read())
+    assert imported.snapshot().schema == src.snapshot().schema
+
+
+def test_export_avro_carries_partition_tuples(spark, tmp_path):
+    """Partitioned tables: the avro manifest's r102 partition struct must
+    carry each file's partition tuple (spec field names + values)."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition="append",
+            column_hints={"v": {"partition": True}},
+        ),
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id long, v string"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    meta_path = src.export_iceberg_metadata(avro_manifests=True)
+    meta = json.loads(open(meta_path).read())
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+
+    # read the avro manifest back and check the partition struct contents
+    from dlt_iceberg_spark.lake.iceberg_import import _avro_records
+
+    parts = set()
+    for mf in _avro_records(spark, cur["manifest-list"]):
+        for ent in _avro_records(spark, str(mf.get("manifest_path"))):
+            p = ent.get("data_file").get("partition")
+            parts.add(str(p.get("v")))
+    assert parts == {"a", "b"}
+
+
+def test_export_avro_refuses_outstanding_deletes(spark, tmp_path):
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    spec = TableSpec(
+        name="t",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+        merge_mode="mor",
+    )
+    writer.write(spec, spark.createDataFrame([(1, "a")], "id long, v string"), load_id="l0")
+    writer.write(spec, spark.createDataFrame([(1, "A")], "id long, v string"), load_id="l1")
+    t = catalog.load_table("ns", "t")
+    assert t.snapshot().delete_files  # MoR mask outstanding
+    with pytest.raises(ValueError, match="fold_deletes"):
+        t.export_iceberg_metadata(avro_manifests=True)
+    t.fold_deletes()
+    meta_path = t.export_iceberg_metadata(avro_manifests=True)
+    imported = catalog.register_iceberg_table("ns2", "t2", meta_path)
+    assert {(r.id, r.v) for r in imported.read().collect()} == {(1, "A")}
