@@ -1199,15 +1199,53 @@ class LakeTable:
 
     # -- reading -----------------------------------------------------------
 
+    def version_at(self, as_of) -> int:
+        """Newest snapshot in the current ancestry committed at or before
+        ``as_of`` (datetime, or ISO string) — Iceberg's ``FOR TIMESTAMP AS
+        OF`` resolution over the snapshot log.  Raises if the table has no
+        snapshot that old (mirrors Iceberg: cannot time-travel before the
+        table existed)."""
+        from datetime import datetime as _dt
+        from datetime import timezone as _tz
+
+        if isinstance(as_of, str):
+            as_of = _dt.fromisoformat(as_of)
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=_tz.utc)
+        head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        best: int | None = None
+        for v in self._ancestry(head):
+            s = self.snapshot(v)
+            if s is None:  # expired hole — older history unavailable
+                break
+            ts = _dt.fromisoformat(s.timestamp)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_tz.utc)
+            if ts <= as_of:
+                best = v
+                break  # ancestry iterates newest-first
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {as_of.isoformat()} "
+                f"(oldest retained is newer, or history expired)"
+            )
+        return best
+
     def read(
         self,
         snapshot_version: int | None = None,
         tag: str | None = None,
         where: list[tuple[str, str, Any]] | None = None,
         plan_mode: str = "auto",
+        as_of=None,
     ) -> DataFrame:
         """Plan a scan over the snapshot's live files (manifest-driven — no
-        directory listing).  ``tag`` reads the named ref's snapshot.
+        directory listing).  ``tag`` reads the named ref's snapshot;
+        ``as_of`` (datetime / ISO string) time-travels to the newest
+        snapshot committed at or before that instant (``FOR TIMESTAMP AS
+        OF``).
 
         ``where`` is a conjunction of ``(column, op, value)`` predicates
         (ops ``= == != > >= < <=``).  Matching files are selected by the
@@ -1226,13 +1264,15 @@ class LakeTable:
         modes return identical file sets; the spark mode keeps the driver's
         working set at O(matching files) even on million-file tables.
         """
+        if sum(x is not None for x in (snapshot_version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of snapshot_version / tag / as_of")
         if tag is not None:
-            if snapshot_version is not None:
-                raise ValueError("pass snapshot_version or tag, not both")
             refs = self.tags()
             if tag not in refs:
                 raise ValueError(f"no such tag {tag!r}")
             snapshot_version = refs[tag]
+        if as_of is not None:
+            snapshot_version = self.version_at(as_of)
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")

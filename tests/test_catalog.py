@@ -353,3 +353,31 @@ def test_dataset_aggregate_fallback_matches_metadata(spark, warehouse):
     assert table.aggregate_stats(["id"]) is None  # metadata refuses
     slow = ds.aggregate("t", ["id"])  # scan path
     assert slow == {"count": 99, "min_id": 0, "max_id": 99}
+
+
+def test_timestamp_time_travel(spark, warehouse):
+    """Iceberg `FOR TIMESTAMP AS OF` parity: read(as_of=...) resolves the
+    newest snapshot at-or-before the instant via the snapshot log."""
+    from datetime import datetime, timedelta, timezone
+
+    table, _, _ = _incr_table(spark, warehouse)  # create + 3 appends
+    snaps = table.snapshots()
+    ts1 = datetime.fromisoformat(snaps[1].timestamp)  # after first append
+
+    assert table.version_at(ts1) == snaps[1].version
+    # between two commits -> the earlier one
+    mid = ts1 + (datetime.fromisoformat(snaps[2].timestamp) - ts1) / 2
+    assert table.version_at(mid) == snaps[1].version
+    # far future -> current head; ISO-string input accepted
+    future = (datetime.now(timezone.utc) + timedelta(days=1)).isoformat()
+    assert table.version_at(future) == table.current_version()
+    assert table.read(as_of=future).count() == 30
+    assert table.read(as_of=ts1).count() == 10
+
+    # before the table existed -> error, like Iceberg
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot at or before"):
+        table.version_at(datetime(2000, 1, 1, tzinfo=timezone.utc))
+    with _pytest.raises(ValueError, match="at most one"):
+        table.read(snapshot_version=0, as_of=future)
