@@ -14,16 +14,23 @@ metadata-sized, exactly what real Iceberg writes driver-side.
 Documented deviations from a jar-written table (sandbox-honest — no
 Iceberg runtime exists here to produce the reference bytes):
 
-- column bounds (``lower_bounds``/``upper_bounds``) are omitted — they are
-  optional per spec; our stats live in the parquet manifests and footers;
 - partition values are written as nullable strings regardless of source
   type (identity-over-string is exact; other types arrive stringified).
+
+Column bounds (``lower_bounds``/``upper_bounds``) ARE written, as the
+spec's binary single-value serialization (Appendix D) keyed by field-id in
+the array-of-record map form real manifests use — an engine importing this
+export (including our own ``register_iceberg_table``) gets per-file
+[min, max] and keeps pruning.  Only the stat types our manifests track are
+encoded (int/long/float/double/string/date); other columns simply carry no
+bound, which readers treat as "stats prove nothing".
 """
 
 from __future__ import annotations
 
 import json
 import os
+import struct
 from typing import Any
 
 #: avro schema for one manifest-list entry (manifest_file, spec v2 —
@@ -47,6 +54,93 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+
+#: epoch for Iceberg date encoding (days from 1970-01-01, 4-byte LE int)
+_EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+#: Spark simpleString -> Iceberg primitive, for the types manifest stats
+#: track (table._STATS_TYPES); anything else exports without bounds
+_SPARK_TO_ICEBERG_BOUND = {
+    "int": "int",
+    "integer": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+}
+
+
+def encode_bound(iceberg_type: str, value: Any) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for the
+    stat types our manifests carry.  Dates arrive as ISO strings (the
+    manifest stats encoding); everything else as native Python values.
+    Returns None when the value cannot be encoded for the claimed type —
+    callers omit the bound (optional per spec) rather than write garbage."""
+    import datetime as _dt
+
+    try:
+        if iceberg_type == "int":
+            return struct.pack("<i", int(value))
+        if iceberg_type == "long":
+            return struct.pack("<q", int(value))
+        if iceberg_type == "float":
+            return struct.pack("<f", float(value))
+        if iceberg_type == "double":
+            return struct.pack("<d", float(value))
+        if iceberg_type == "string":
+            return str(value).encode("utf-8")
+        if iceberg_type == "date":
+            d = _dt.date.fromisoformat(str(value)[:10])
+            return struct.pack("<i", d.toordinal() - _EPOCH_ORDINAL)
+    except (ValueError, TypeError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def decode_bound(iceberg_type: str, raw: bytes) -> Any:
+    """Inverse of :func:`encode_bound`; dates decode to ISO strings (the
+    manifest stats convention — lexicographic == chronological).  Returns
+    None for types we don't prune on (timestamps/decimals/uuid/binary) or
+    malformed payloads — the importer then omits the stat, which reads as
+    "unpruned" (correct, conservative)."""
+    import datetime as _dt
+
+    try:
+        if iceberg_type == "int" and len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
+        if iceberg_type == "long" and len(raw) == 8:
+            return struct.unpack("<q", raw)[0]
+        if iceberg_type == "float" and len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
+        if iceberg_type == "double" and len(raw) == 8:
+            return struct.unpack("<d", raw)[0]
+        if iceberg_type == "string":
+            return raw.decode("utf-8")
+        if iceberg_type == "date" and len(raw) == 4:
+            days = struct.unpack("<i", raw)[0]
+            return _dt.date.fromordinal(days + _EPOCH_ORDINAL).isoformat()
+    except (ValueError, UnicodeDecodeError, struct.error):
+        return None
+    return None
+
+
+def _bounds_map_schema(name: str, key_id: int, value_id: int) -> dict:
+    """Iceberg stores int-keyed maps as array<record{key,value}> with
+    logicalType "map" (avro maps only allow string keys)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": "bytes", "field-id": value_id},
+            ],
+        },
+        "logicalType": "map",
+    }
 
 
 def manifest_entry_schema(partition_fields: list[dict]) -> dict:
@@ -89,6 +183,18 @@ def manifest_entry_schema(partition_fields: list[dict]) -> dict:
                         },
                         {"name": "record_count", "type": "long", "field-id": 103},
                         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", _bounds_map_schema("k126_v127", 126, 127)],
+                            "default": None,
+                            "field-id": 125,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", _bounds_map_schema("k129_v130", 129, 130)],
+                            "default": None,
+                            "field-id": 128,
+                        },
                     ],
                 },
             },
@@ -106,19 +212,29 @@ def write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
     )
     writer.create(schema, jvm.java.io.File(path))
 
+    def _unwrap(sub_schema, kind: str):
+        # unwrap ["null", X] unions to the non-null branch of the wanted kind
+        if sub_schema.getType().getName() == "union":
+            for t in sub_schema.getTypes():
+                if t.getType().getName() == kind:
+                    return t
+        return sub_schema
+
     def _fill(rec_schema, row: dict):
         rec = jvm.org.apache.avro.generic.GenericData.Record(rec_schema)
         for k, v in row.items():
             f = rec_schema.getField(k)
             if isinstance(v, dict):
-                sub_schema = f.schema()
-                # unwrap ["null", record] unions
-                if sub_schema.getType().getName() == "union":
-                    for t in sub_schema.getTypes():
-                        if t.getType().getName() == "record":
-                            sub_schema = t
-                            break
-                rec.put(k, _fill(sub_schema, v))
+                rec.put(k, _fill(_unwrap(f.schema(), "record"), v))
+            elif isinstance(v, list):
+                # array<record> (Iceberg's int-keyed map form)
+                arr_schema = _unwrap(f.schema(), "array")
+                items = jvm.java.util.ArrayList()
+                for item in v:
+                    items.add(_fill(arr_schema.getElementType(), item))
+                rec.put(k, items)
+            elif isinstance(v, (bytes, bytearray)):
+                rec.put(k, jvm.java.nio.ByteBuffer.wrap(bytes(v)))
             else:
                 rec.put(k, v)
         return rec
@@ -150,6 +266,31 @@ def write_avro_manifests(
     entry_schema = json.dumps(manifest_entry_schema(partition_fields))
     manifest_path = os.path.join(meta_dir, f"m-{v}.avro")
     spec_names = [p["name"] for p in partition_fields]
+
+    # column name -> (field-id, iceberg primitive type) for bound encoding;
+    # columns without a stable id or with non-primitive types carry no bounds
+    field_ids = snapshot.field_ids or {}
+    bound_cols: dict[str, tuple[int, str]] = {}
+    for fld in snapshot.schema.fields:
+        fid = field_ids.get(fld.name)
+        ice = _SPARK_TO_ICEBERG_BOUND.get(fld.dataType.simpleString())
+        if fid and ice:
+            bound_cols[fld.name] = (fid, ice)
+
+    def _bounds(f) -> dict[str, Any]:
+        lower: list[dict] = []
+        upper: list[dict] = []
+        for col, (fid, ice) in bound_cols.items():
+            st = f.stats.get(col)
+            if not st or st[0] is None or st[1] is None:
+                continue
+            lo, hi = encode_bound(ice, st[0]), encode_bound(ice, st[1])
+            if lo is None or hi is None:
+                continue
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+        return {"lower_bounds": lower or None, "upper_bounds": upper or None}
+
     entries: list[dict[str, Any]] = [
         {
             "status": 1,  # ADDED (a full-state manifest re-adds everything)
@@ -166,6 +307,7 @@ def write_avro_manifests(
                 },
                 "record_count": f.rows,
                 "file_size_in_bytes": f.bytes,
+                **_bounds(f),
             },
         }
         for f in files

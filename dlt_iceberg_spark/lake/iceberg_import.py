@@ -18,14 +18,22 @@ metadata flavors are understood:
 
 The import is METADATA-ONLY: data files are referenced in place via
 absolute paths (``DataFile.path`` joins absolutely), nothing is copied.
-Iceberg binary-encoded column bounds are not decoded — imported entries
-carry no min/max stats, so manifest pruning degrades to reading every file
-(correct, just unpruned) until a compaction rewrites them with stats.
+Iceberg binary single-value column bounds (spec Appendix D) ARE decoded —
+``lower_bounds``/``upper_bounds`` keyed by field-id become per-file
+``DataFile.stats`` [min, max] for the primitive types we prune on
+(int/long/float/double/string/date), so imported tables keep manifest
+pruning; other types (timestamps/decimals/uuid) carry no stat, which reads
+as "must scan" (correct, conservative).  Partition tuples and data
+sequence numbers are imported too.
 
-Limitations (explicit, raised not silently ignored): snapshots whose
-manifests carry live DELETE files (v2 MoR) are refused — folding foreign
-position/equality deletes requires the originating engine's sequence
-semantics end-to-end; fold them there (or compact) before registering.
+POSITION deletes (v2 MoR, content=1 manifests with
+``data_file.content == 1``) are imported as first-class delete files: the
+(file_path, pos) schema is Iceberg's reserved delete schema, which is
+exactly what our merge-on-read read path anti-joins (file URIs are
+canonicalized on both sides of that join, so foreign ``file:/``-style
+paths match).  EQUALITY deletes (content=2) remain refused — folding them
+needs the originating engine's equality-field semantics; compact there
+first.
 """
 
 from __future__ import annotations
@@ -37,7 +45,8 @@ from typing import Any
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from dlt_iceberg_spark.lake.manifest import DataFile, read_manifest
+from dlt_iceberg_spark.lake.iceberg_avro import decode_bound
+from dlt_iceberg_spark.lake.manifest import DataFile, DeleteFile, read_manifest
 from dlt_iceberg_spark.lake.table import LakeTable
 
 #: Iceberg primitive type name -> Spark type (inverse of LakeTable._ICEBERG_TYPES)
@@ -96,7 +105,11 @@ def iceberg_schema_to_spark(schema_obj: dict) -> T.StructType:
 
 
 def _strip_scheme(p: str) -> str:
-    return p[len("file://") :] if p.startswith("file://") else p
+    """``file:/p`` / ``file://p`` / ``file:///p`` -> ``/p`` (writers differ
+    in slash count; all denote a local absolute path)."""
+    if p.startswith("file:"):
+        return "/" + p[len("file:") :].lstrip("/")
+    return p
 
 
 def _avro_records(spark: SparkSession, path: str):
@@ -120,21 +133,103 @@ def _jget(rec: Any, field: str) -> Any:
     return None if v is None else v
 
 
-def _data_files_from_avro(
-    spark: SparkSession, manifest_list_path: str
-) -> list[DataFile]:
-    """Walk manifest-list → manifests → live data-file entries."""
+def _bb_bytes(bb: Any) -> bytes | None:
+    """java.nio.ByteBuffer -> Python bytes (py4j returns byte[] as
+    bytearray; heap buffers may have an offset/position window)."""
+    if bb is None:
+        return None
+    try:
+        arr = bb.array()  # py4j: byte[] -> bytearray
+        off = bb.arrayOffset() + bb.position()
+        return bytes(arr[off : off + bb.remaining()])
+    except Exception:
+        return None
+
+
+def _bound_types(schema_obj: dict) -> dict[int, tuple[str, str]]:
+    """field-id -> (column name, iceberg primitive) for top-level primitive
+    columns — the domain of bound decoding."""
+    out: dict[int, tuple[str, str]] = {}
+    for f in schema_obj.get("fields", []):
+        t = f.get("type")
+        if isinstance(t, str) and isinstance(f.get("id"), int):
+            out[f["id"]] = (f["name"], t)
+    return out
+
+
+def _decode_bounds_map(jmap: Any, types: dict[int, tuple[str, str]]) -> dict[str, Any]:
+    """One avro bounds value (array<record{key,value}> or null) ->
+    {column: decoded value}; undecodable entries are skipped."""
+    out: dict[str, Any] = {}
+    if jmap is None:
+        return out
+    try:
+        items = list(jmap)
+    except Exception:
+        return out
+    for kv in items:
+        try:
+            fid = int(str(kv.get("key")))
+        except (TypeError, ValueError):
+            continue
+        if fid not in types:
+            continue
+        raw = _bb_bytes(kv.get("value"))
+        if raw is None:
+            continue
+        name, ice = types[fid]
+        val = decode_bound(ice, raw)
+        if val is not None:
+            out[name] = val
+    return out
+
+
+def _decode_partition(df_rec: Any) -> dict[str, Any]:
+    """data_file.partition (r102 struct) -> {spec field name: str | None}.
+    Values are stringified — our internal partition-tuple convention (the
+    writer records hive-dir strings), so pruning compares like with like."""
+    try:
+        prec = df_rec.get("partition")
+        if prec is None:
+            return {}
+        out: dict[str, Any] = {}
+        for fld in prec.getSchema().getFields():
+            name = str(fld.name())
+            v = prec.get(name)
+            out[name] = None if v is None else str(v)
+        return out
+    except Exception:
+        return {}
+
+
+def _entry_sequence(ent: Any, manifest_seq: int) -> int:
+    """Iceberg sequence-number inheritance: a null entry sequence means
+    'inherit the manifest's'."""
+    s = _jget(ent, "sequence_number")
+    try:
+        return int(str(s)) if s is not None else manifest_seq
+    except (TypeError, ValueError):
+        return manifest_seq
+
+
+def _files_from_avro(
+    spark: SparkSession, manifest_list_path: str, schema_obj: dict
+) -> tuple[list[DataFile], list[DeleteFile]]:
+    """Walk manifest-list → manifests → live entries.  Returns
+    (data files, position-delete files); equality deletes are refused."""
+    types = _bound_types(schema_obj)
     entries: list[DataFile] = []
+    deletes: list[DeleteFile] = []
     for mf in _avro_records(spark, manifest_list_path):
         manifest_path = _strip_scheme(str(_jget(mf, "manifest_path")))
         # manifest_list 'content': 0=data manifests, 1=delete manifests
         m_content = _jget(mf, "content")
-        if m_content is not None and int(str(m_content)) == 1:
-            raise NotImplementedError(
-                "register_iceberg_table: table has live DELETE manifests "
-                "(Iceberg v2 merge-on-read); compact/fold deletes in the "
-                "source engine before registering"
-            )
+        is_delete_manifest = m_content is not None and int(str(m_content)) == 1
+        m_seq = _jget(mf, "sequence_number")
+        try:
+            m_seq = int(str(m_seq)) if m_seq is not None else 0
+        except (TypeError, ValueError):
+            m_seq = 0
         for ent in _avro_records(spark, manifest_path):
             status = _jget(ent, "status")
             if status is not None and int(str(status)) == 2:  # DELETED entry
@@ -143,23 +238,54 @@ def _data_files_from_avro(
             if df_rec is None:
                 continue
             f_content = _jget(df_rec, "content")
-            if f_content is not None and int(str(f_content)) != 0:
-                raise NotImplementedError(
-                    "register_iceberg_table: data_file entry with delete "
-                    "content; fold deletes before registering"
+            f_content = int(str(f_content)) if f_content is not None else 0
+            seq = _entry_sequence(ent, m_seq)
+            path = _strip_scheme(str(_jget(df_rec, "file_path")))
+            rows = int(str(_jget(df_rec, "record_count")))
+            nbytes = int(str(_jget(df_rec, "file_size_in_bytes")))
+            if f_content == 1:
+                # POSITION delete: Iceberg's reserved (file_path, pos)
+                # parquet schema == our native MoR delete schema
+                deletes.append(
+                    DeleteFile(
+                        path=path,
+                        rows=rows,
+                        bytes=nbytes,
+                        equality_ids=[],
+                        sequence=seq,
+                        content="position",
+                    )
                 )
+                continue
+            if f_content == 2:
+                raise NotImplementedError(
+                    "register_iceberg_table: table carries EQUALITY delete "
+                    "files; fold/compact them in the source engine before "
+                    "registering (position deletes import fine)"
+                )
+            if is_delete_manifest:
+                raise ValueError(
+                    f"malformed metadata: delete manifest {manifest_path!r} "
+                    f"carries a content={f_content} entry"
+                )
+            lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types)
+            upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types)
+            stats = {
+                col: [lower[col], upper[col]]
+                for col in lower
+                if col in upper
+            }
             entries.append(
                 DataFile(
-                    path=_strip_scheme(str(_jget(df_rec, "file_path"))),
-                    rows=int(str(_jget(df_rec, "record_count"))),
-                    bytes=int(str(_jget(df_rec, "file_size_in_bytes"))),
-                    # binary-encoded bounds not decoded: no stats → unpruned
-                    stats={},
-                    partition={},
-                    sequence=0,
+                    path=path,
+                    rows=rows,
+                    bytes=nbytes,
+                    stats=stats,
+                    partition=_decode_partition(df_rec),
+                    sequence=seq,
                 )
             )
-    return entries
+    return entries, deletes
 
 
 def _data_files_from_parquet_manifests(
@@ -216,6 +342,7 @@ def register_iceberg_table(
         )
 
     source_location = _strip_scheme(meta.get("location", os.path.dirname(metadata_path)))
+    delete_files: list[DeleteFile] = []
     if snap_obj is None:
         files: list[DataFile] = []
     elif "manifests" in snap_obj:  # our export flavor (inline parquet manifests)
@@ -223,7 +350,9 @@ def register_iceberg_table(
             source_location, list(snap_obj["manifests"])
         )
     elif "manifest-list" in snap_obj:  # jar-written flavor (avro)
-        files = _data_files_from_avro(spark, _strip_scheme(snap_obj["manifest-list"]))
+        files, delete_files = _files_from_avro(
+            spark, _strip_scheme(snap_obj["manifest-list"]), schema_obj
+        )
     else:
         raise ValueError(
             "snapshot carries neither 'manifests' nor 'manifest-list'"
@@ -267,6 +396,7 @@ def register_iceberg_table(
         operation="register",
         expected_parent=None,
         partition_spec=spec_fields,
+        delete_files=delete_files,
         properties={
             **{str(k): str(v) for k, v in (meta.get("properties") or {}).items()},
             "imported-from": metadata_path,

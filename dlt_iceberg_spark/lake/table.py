@@ -114,6 +114,16 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     return True
 
 
+def _norm_path(c: Column) -> Column:
+    """Canonicalize local file URIs for position-delete address joins:
+    ``file:/p``, ``file://p`` and ``file:///p`` all mean absolute path
+    ``/p``.  Spark's ``_metadata.file_path`` emits ``file:/p``; our own
+    delete files store that form, while FOREIGN (imported Iceberg) position
+    deletes may carry any of the variants — normalizing BOTH sides makes
+    the join exact across writers.  Non-file schemes pass through."""
+    return F.regexp_replace(c, "^file:/+", "/")
+
+
 def _delete_may_touch(d: "DeleteFile", f: "DataFile", keys: list[str]) -> bool:
     """Could this equality-delete file kill any row of data file ``f``?
     Judged by key-range overlap of both sides' stats; missing stats on
@@ -1376,7 +1386,7 @@ class LakeTable:
         address from Spark's ``_metadata.file_path`` / ``row_index`` scan
         columns (generated by the reader — no extra I/O)."""
         addr = [
-            F.col("_metadata.file_path").alias("__pd_path"),
+            _norm_path(F.col("_metadata.file_path")).alias("__pd_path"),
             F.col("_metadata.row_index").alias("__pd_pos"),
         ]
         if not files:
@@ -1464,7 +1474,7 @@ class LakeTable:
                 # reserved probe names so a user column called file_path/pos
                 # can never collide with the address join
                 probe = addressed.distinct().select(
-                    F.col("file_path").alias("__pd_path"),
+                    _norm_path(F.col("file_path")).alias("__pd_path"),
                     F.col("pos").alias("__pd_pos"),
                 )
                 scan = scan.join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
@@ -1888,7 +1898,7 @@ class LakeTable:
                         )
                     ).parquet(*[os.path.join(self.location, d.path) for d in pos])
                     probe = addressed.distinct().select(
-                        F.col("file_path").alias("__pd_path"),
+                        _norm_path(F.col("file_path")).alias("__pd_path"),
                         F.col("pos").alias("__pd_pos"),
                     )
                     # addresses name their files outright — scan ONLY those

@@ -134,9 +134,22 @@ _MANIFEST_FILE_SCHEMA = json.dumps(
             {"name": "manifest_path", "type": "string"},
             {"name": "manifest_length", "type": "long"},
             {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
         ],
     }
 )
+
+_BOUNDS_T = {
+    "type": "array",
+    "items": {
+        "type": "record",
+        "name": "kv_SUFFIX",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    },
+}
 
 _MANIFEST_ENTRY_SCHEMA = json.dumps(
     {
@@ -144,6 +157,7 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps(
         "name": "manifest_entry",
         "fields": [
             {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
             {
                 "name": "data_file",
                 "type": {
@@ -155,6 +169,16 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps(
                         {"name": "file_format", "type": "string"},
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {**_BOUNDS_T, "items": {**_BOUNDS_T["items"], "name": "kv_lo"}}],
+                            "default": None,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {**_BOUNDS_T, "items": {**_BOUNDS_T["items"], "name": "kv_hi"}}],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -165,58 +189,132 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps(
 
 def _write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
     """Write an avro file through the JVM core-avro library (the same
-    library the import path parses with — no Python avro exists here)."""
+    library the import path parses with — no Python avro exists here).
+    Independent of the production writer: fills records by value shape
+    (dict→record, list→array<record>, bytes→ByteBuffer)."""
     jvm = spark._jvm
     schema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
     writer = jvm.org.apache.avro.file.DataFileWriter(
         jvm.org.apache.avro.generic.GenericDatumWriter(schema)
     )
     writer.create(schema, jvm.java.io.File(path))
+
+    def _unwrap(s, kind):
+        if s.getType().getName() == "union":
+            for t in s.getTypes():
+                if t.getType().getName() == kind:
+                    return t
+        return s
+
+    def _fill(rec_schema, row):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(rec_schema)
+        for k, v in row.items():
+            f = rec_schema.getField(k)
+            if isinstance(v, dict):
+                rec.put(k, _fill(_unwrap(f.schema(), "record"), v))
+            elif isinstance(v, list):
+                arr = jvm.java.util.ArrayList()
+                el = _unwrap(f.schema(), "array").getElementType()
+                for item in v:
+                    arr.add(_fill(el, item))
+                rec.put(k, arr)
+            elif isinstance(v, (bytes, bytearray)):
+                rec.put(k, jvm.java.nio.ByteBuffer.wrap(bytes(v)))
+            else:
+                rec.put(k, v)
+        return rec
+
     try:
         for row in rows:
-            rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
-            for k, v in row.items():
-                if isinstance(v, dict):
-                    sub_schema = schema.getField(k).schema()
-                    sub = jvm.org.apache.avro.generic.GenericData.Record(sub_schema)
-                    for sk, sv in v.items():
-                        sub.put(sk, sv)
-                    rec.put(k, sub)
-                else:
-                    rec.put(k, v)
-            writer.append(rec)
+            writer.append(_fill(schema, row))
     finally:
         writer.close()
 
 
-def _fake_iceberg_table(spark, root: str, with_delete_manifest: bool = False):
-    """Materialize an Iceberg-shaped table: parquet data + avro manifest +
-    avro manifest-list + TableMetadata JSON."""
+def _enc(ice_type, value):
+    from dlt_iceberg_spark.lake.iceberg_avro import encode_bound
+
+    return encode_bound(ice_type, value)
+
+
+def _fake_iceberg_table(
+    spark,
+    root: str,
+    with_bounds: bool = False,
+    with_position_delete: bool = False,
+    with_equality_delete: bool = False,
+):
+    """Materialize an Iceberg-shaped table with TWO data files (ids 1-3 /
+    10-12): parquet data + avro manifests + avro manifest-list +
+    TableMetadata JSON — emulating a foreign (jar-written) table, with the
+    fixture's own avro writer and schemas.
+
+    ``with_position_delete`` adds a delete manifest whose position-delete
+    file (Iceberg's reserved (file_path, pos) schema) masks the 2nd row of
+    the first data file (id=2) — using the ``file://`` URI variant to
+    exercise path canonicalization.  ``with_equality_delete`` adds a
+    content=2 entry, which import must refuse."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(os.path.join(root, "data"))
     os.makedirs(os.path.join(root, "metadata"))
-    df = spark.createDataFrame(
-        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0)],
-        "id long, name string, score double",
+    f1 = os.path.join(root, "data", "f1.parquet")
+    f2 = os.path.join(root, "data", "f2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": ["x", "y", "z"],
+                "score": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            }
+        ),
+        f1,
     )
-    data_dir = os.path.join(root, "data")
-    df.coalesce(1).write.mode("overwrite").parquet(data_dir)
-    parts = [
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    ]
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([10, 11, 12], pa.int64()),
+                "name": ["p", "q", "r"],
+                "score": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            }
+        ),
+        f2,
+    )
+    rows = [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0),
+            (10, "p", 1.0), (11, "q", 2.0), (12, "r", 3.0)]
+
+    def _bounds(lo_id, hi_id, lo_name, hi_name):
+        if not with_bounds:
+            return {"lower_bounds": None, "upper_bounds": None}
+        return {
+            "lower_bounds": [
+                {"key": 1, "value": _enc("long", lo_id)},
+                {"key": 2, "value": _enc("string", lo_name)},
+            ],
+            "upper_bounds": [
+                {"key": 1, "value": _enc("long", hi_id)},
+                {"key": 2, "value": _enc("string", hi_name)},
+            ],
+        }
+
     entries = [
         {
             "status": 1,  # ADDED
+            "sequence_number": 1,
             "data_file": {
                 "content": 0,
-                "file_path": p,
+                "file_path": "file:" + p,  # java-style single-slash URI
                 "file_format": "PARQUET",
                 "record_count": 3,
                 "file_size_in_bytes": os.path.getsize(p),
+                **b,
             },
         }
-        for p in parts
+        for p, b in [
+            (f1, _bounds(1, 3, "x", "z")),
+            (f2, _bounds(10, 12, "p", "r")),
+        ]
     ]
     manifest = os.path.join(root, "metadata", "m0.avro")
     _write_avro(spark, manifest, _MANIFEST_ENTRY_SCHEMA, entries)
@@ -225,11 +323,44 @@ def _fake_iceberg_table(spark, root: str, with_delete_manifest: bool = False):
             "manifest_path": manifest,
             "manifest_length": os.path.getsize(manifest),
             "content": 0,
+            "sequence_number": 1,
         }
     ]
-    if with_delete_manifest:
+    if with_position_delete or with_equality_delete:
+        dpath = os.path.join(root, "data", "del1.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": ["file://" + f1],  # another URI variant
+                    "pos": pa.array([1], pa.int64()),
+                }
+            ),
+            dpath,
+        )
+        del_entries = [
+            {
+                "status": 1,
+                "sequence_number": 2,
+                "data_file": {
+                    "content": 2 if with_equality_delete else 1,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        ]
+        dmanifest = os.path.join(root, "metadata", "m1-deletes.avro")
+        _write_avro(spark, dmanifest, _MANIFEST_ENTRY_SCHEMA, del_entries)
         ml_rows.append(
-            {"manifest_path": manifest, "manifest_length": 1, "content": 1}
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": os.path.getsize(dmanifest),
+                "content": 1,
+                "sequence_number": 2,
+            }
         )
     manifest_list = os.path.join(root, "metadata", "snap-1.avro")
     _write_avro(spark, manifest_list, _MANIFEST_FILE_SCHEMA, ml_rows)
@@ -237,7 +368,7 @@ def _fake_iceberg_table(spark, root: str, with_delete_manifest: bool = False):
         "format-version": 2,
         "table-uuid": "11111111-2222-3333-4444-555555555555",
         "location": root,
-        "last-sequence-number": 1,
+        "last-sequence-number": 2,
         "last-updated-ms": 1700000000000,
         "last-column-id": 3,
         "schemas": [
@@ -275,14 +406,14 @@ def _fake_iceberg_table(spark, root: str, with_delete_manifest: bool = False):
     meta_path = os.path.join(root, "metadata", "v1.metadata.json")
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
-    return meta_path, df
+    return meta_path, rows
 
 
 def test_register_avro_flavor(spark, tmp_path):
-    meta_path, df = _fake_iceberg_table(spark, str(tmp_path / "ice"))
+    meta_path, rows = _fake_iceberg_table(spark, str(tmp_path / "ice"))
     catalog = LakeCatalog(spark, str(tmp_path / "wh"))
     t = catalog.register_iceberg_table("ns", "ice", meta_path)
-    assert _rows(t.read()) == _rows(df)
+    assert _rows(t.read()) == sorted(rows)
     assert t.snapshot().schema == T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -292,13 +423,88 @@ def test_register_avro_flavor(spark, tmp_path):
     )
 
 
-def test_register_avro_refuses_delete_manifests(spark, tmp_path):
-    meta_path, _ = _fake_iceberg_table(
-        spark, str(tmp_path / "ice"), with_delete_manifest=True
+def test_register_avro_imports_bounds_and_prunes(spark, tmp_path):
+    """Iceberg binary single-value bounds (spec Appendix D) decode into
+    per-file stats, and an equality probe on the imported table opens only
+    the file whose range covers it — interop tables prune at scale."""
+    meta_path, rows = _fake_iceberg_table(
+        spark, str(tmp_path / "ice"), with_bounds=True
     )
     catalog = LakeCatalog(spark, str(tmp_path / "wh"))
-    with pytest.raises(NotImplementedError, match="DELETE manifests"):
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    by_min_id = sorted(f.stats["id"][0] for f in snap.files)
+    assert by_min_id == [1, 10]
+    for f in snap.files:
+        assert set(f.stats) == {"id", "name"}  # long + string bounds decoded
+    # file-level prune: id=11 can only live in the [10,12] file
+    _, files = t._select_files(snap, [("id", "=", 11)])
+    assert len(files) == 1 and files[0].stats["id"] == [10, 12]
+    # string bounds prune too
+    _, files = t._select_files(snap, [("name", "=", "q")])
+    assert len(files) == 1 and files[0].stats["name"] == ["p", "r"]
+    # and the pruned read still answers exactly
+    assert [r.id for r in t.read(where=[("id", "=", 11)]).collect()] == [11]
+
+
+def test_register_avro_position_deletes(spark, tmp_path):
+    """Foreign v2 position deletes import as first-class MoR delete files:
+    the read masks the addressed row, across file-URI spelling variants
+    (manifest says ``file:/p``, delete file says ``file://p``)."""
+    meta_path, rows = _fake_iceberg_table(
+        spark, str(tmp_path / "ice"), with_bounds=True, with_position_delete=True
+    )
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    assert [(d.content, d.sequence) for d in snap.delete_files] == [("position", 2)]
+    # (2, 'y', 20.0) is the addressed row (f1, pos 1)
+    assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
+    # a predicate read through the same MoR path stays masked
+    assert _rows(t.read(where=[("id", "<=", 3)])) == [(1, "x", 10.0), (3, "z", 30.0)]
+    # the imported table remains writable: folding deletes rewrites clean
+    t.fold_deletes()
+    assert not t.snapshot().delete_files
+    assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
+
+
+def test_register_avro_refuses_equality_deletes(spark, tmp_path):
+    meta_path, _ = _fake_iceberg_table(
+        spark, str(tmp_path / "ice"), with_equality_delete=True
+    )
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
         catalog.register_iceberg_table("ns", "ice", meta_path)
+
+
+def test_bound_codec_roundtrip():
+    """encode_bound/decode_bound are mutually inverse on every supported
+    primitive, and produce the spec's little-endian fixed widths."""
+    from dlt_iceberg_spark.lake.iceberg_avro import decode_bound, encode_bound
+
+    cases = [
+        ("int", 42, 4),
+        ("int", -7, 4),
+        ("long", 2**40, 8),
+        ("long", -(2**40), 8),
+        ("float", 1.5, 4),
+        ("double", -2.25, 8),
+        ("string", "héllo", None),
+        ("date", "2024-02-29", 4),
+    ]
+    for ice, v, width in cases:
+        raw = encode_bound(ice, v)
+        assert raw is not None
+        if width is not None:
+            assert len(raw) == width
+        assert decode_bound(ice, raw) == v
+    # spec examples: little-endian
+    assert encode_bound("int", 1) == b"\x01\x00\x00\x00"
+    assert encode_bound("date", "1970-01-02") == b"\x01\x00\x00\x00"
+    # unsupported/malformed -> None (caller omits the bound)
+    assert encode_bound("uuid", "x") is None
+    assert decode_bound("int", b"\x01") is None
+    assert decode_bound("timestamptz", b"\x00" * 8) is None
 
 
 def test_iceberg_type_mapping_roundtrip():
@@ -376,6 +582,17 @@ def test_export_avro_manifests_roundtrip(spark, tmp_path):
     imported = catalog.register_iceberg_table("ns2", "t_avro", meta_path)
     assert _rows(imported.read()) == _rows(src.read())
     assert imported.snapshot().schema == src.snapshot().schema
+
+    # column bounds survive the avro round-trip: every imported entry keeps
+    # the source entry's [min,max] for the prunable columns, so the
+    # imported table prunes exactly like the source (VERDICT r4 task 1)
+    src_stats = {f.stats["id"][0]: f.stats for f in src.snapshot().files}
+    for f in imported.snapshot().files:
+        assert f.stats == src_stats[f.stats["id"][0]]
+    isnap = imported.snapshot()
+    _, files = imported._select_files(isnap, [("id", "=", 10)])
+    assert len(files) < isnap.n_files
+    assert all(f.stats["id"][0] <= 10 <= f.stats["id"][1] for f in files)
 
 
 def test_export_avro_carries_partition_tuples(spark, tmp_path):
