@@ -142,23 +142,39 @@ def survives_predicate(col_dtype: T.DataType, col: str, op: str, value: Any):
     return mn.isNull() | mx.isNull() | ~dead
 
 
+def _survives_partition(name: str, values: list[str]):
+    """Boolean Column mirroring table._file_partition_may_match: key absent
+    from the partition JSON (older spec) keeps the entry; a recorded null
+    or out-of-set value drops it.  ``get_json_object`` returns NULL for a
+    missing key and the string "null" for a JSON null — exactly the split
+    the exact predicate makes."""
+    raw = F.get_json_object(F.col("partition"), f"$['{name}']")
+    return raw.isNull() | (F.nullif(raw, F.lit("null")).isin(values))
+
+
 def plan_candidates(
     spark: SparkSession,
     table_location: str,
     schema: T.StructType,
     refs: list[ManifestRef],
     where: list[tuple[str, str, Any]],
+    part_probes: dict[str, set] | None = None,
 ) -> list[DataFile]:
-    """Entries of ``refs`` that may satisfy the conjunction ``where``,
-    selected by ONE Spark job over the manifest parquet.  Returns exact
-    driver-plan parity: survivors are re-checked with the exact predicate.
-    """
+    """Entries of ``refs`` that may satisfy the conjunction ``where`` (and
+    the transform-rewritten partition probes), selected by ONE Spark job
+    over the manifest parquet.  Returns exact driver-plan parity:
+    survivors are re-checked with the exact predicates.  Pushing
+    ``part_probes`` executor-side matters precisely where they bind — a
+    point lookup on a bucket-partitioned million-file table collects
+    ~files/N entries instead of every entry."""
     if not refs:
         return []
     by_name = {f.name: f.dataType for f in schema.fields}
     df = entries_df(spark, table_location, refs)
     for col, op, v in where:
         df = df.filter(survives_predicate(by_name[col], col, op, v))
+    for name, vals in (part_probes or {}).items():
+        df = df.filter(_survives_partition(name, sorted(vals)))
     rows = df.collect()
     out = [
         DataFile(
@@ -171,8 +187,11 @@ def plan_candidates(
         )
         for r in rows
     ]
-    from dlt_iceberg_spark.lake.table import _file_may_match
+    from dlt_iceberg_spark.lake.table import LakeTable, _file_may_match
 
     return [
-        f for f in out if all(_file_may_match(f, c, op, v) for c, op, v in where)
+        f
+        for f in out
+        if all(_file_may_match(f, c, op, v) for c, op, v in where)
+        and LakeTable._file_partition_may_match(f, part_probes or {})
     ]

@@ -1292,6 +1292,95 @@ class LakeTable:
             df = df.filter(_OPS[op](F.col(c), v))
         return df
 
+    def _partition_probe_values(
+        self, snap: Snapshot, where: list[tuple[str, str, Any]]
+    ) -> dict[str, set]:
+        """Rewrite source-column equality/IN predicates into PARTITION-TUPLE
+        space: ``{spec field name: allowed transformed values (strings)}``.
+
+        This is Iceberg's transform-aware partition pruning — the piece
+        min/max stats cannot provide: a point lookup ``id = k`` on a
+        ``bucket[N](id)``-partitioned table has file [min,max] ranges that
+        all span the key space (buckets hash), but ``bucket(k)`` names the
+        ONE partition the row could live in, so the scan opens ~1/N of the
+        files.  Works for every transform (bucket/truncate/identity/
+        temporal) because the probe value is pushed through the SAME Spark
+        expression the writer partitioned by (partition.transform_column)
+        — evaluated over a literal in one trivial local job, then compared
+        against the hive-layout strings the manifests record per file.
+
+        A transform that evaluates to NULL for any probe value drops that
+        field's rewrite entirely (conservative).  Range predicates are not
+        rewritten (bucket destroys order); they keep pruning via stats.
+        """
+        spec = snap.partition_spec or []
+        if not spec or not where:
+            return {}
+        from dlt_iceberg_spark.partition import PartitionField, transform_column
+
+        by_col: dict[str, list[PartitionField]] = {}
+        for p in spec:
+            pf = PartitionField(
+                column=p.get("column") or p.get("source") or "",
+                transform=p.get("transform", "identity"),
+                param=p.get("param"),
+                name=p.get("name"),
+            )
+            by_col.setdefault(pf.column, []).append(pf)
+        dtypes = {f.name: f.dataType for f in snap.schema.fields}
+        exprs: list[Column] = []
+        keys: list[tuple[str, Any]] = []
+        for c, op, v in where:
+            if c not in by_col or c not in dtypes:
+                continue
+            if op in ("=", "=="):
+                vals = [v]
+            elif op == "in" and v:
+                vals = list(v)
+            else:
+                continue
+            for pf in by_col[c]:
+                for pv in vals:
+                    try:
+                        lit = F.lit(pv).cast(dtypes[c])
+                        exprs.append(
+                            transform_column(pf, lit)
+                            .cast("string")
+                            .alias(f"_p{len(keys)}")
+                        )
+                        keys.append((pf.field_name, pv))
+                    except Exception:
+                        return {}  # unliteralizable probe: no rewrite
+        if not exprs:
+            return {}
+        # one 1-row local evaluation for ALL (transform, value) pairs —
+        # constant-folded by Catalyst, so this is driver-side µs work
+        row = self.spark.range(1).select(*exprs).first()
+        out: dict[str, set] = {}
+        dropped: set[str] = set()
+        for i, (name, _pv) in enumerate(keys):
+            val = row[f"_p{i}"]
+            if val is None:
+                dropped.add(name)
+            else:
+                out.setdefault(name, set()).add(val)
+        for name in dropped:
+            out.pop(name, None)
+        return out
+
+    @staticmethod
+    def _file_partition_may_match(f: DataFile, probes: dict[str, set]) -> bool:
+        """Could ``f`` hold a row matching every partition probe?  A file
+        from an OLDER spec (key absent — partition-spec evolution) must be
+        kept; a recorded NULL tuple value cannot match a non-null probe
+        (the probed column is null for every row of that file)."""
+        for name, vals in probes.items():
+            if name in f.partition:
+                v = f.partition[name]
+                if v is None or v not in vals:
+                    return False
+        return True
+
     def _select_files(
         self,
         snap: Snapshot,
@@ -1321,16 +1410,22 @@ class LakeTable:
             return v
 
         where = [(c, op, _norm_v(v)) for c, op, v in where]
-        # two-level prune, Iceberg-style: manifest aggregate ranges skip
-        # whole manifests unread, file [min,max] stats skip files
+        # three-level prune, Iceberg-style: manifest aggregate ranges and
+        # partition summaries skip whole manifests unread; file [min,max]
+        # stats AND transform-rewritten partition tuples skip files
         if plan_mode not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown plan_mode {plan_mode!r}")
+        part_probes = self._partition_probe_values(snap, where)
         open_refs = [
             ref
             for ref in snap.manifests
             if all(
                 ref.may_match(c, *self._probe_range(op, v))
                 for c, op, v in where
+            )
+            and all(
+                ref.may_contain_partition(name, vals)
+                for name, vals in part_probes.items()
             )
         ]
         n_undecided = sum(r.n_files for r in open_refs)
@@ -1341,12 +1436,14 @@ class LakeTable:
             f
             for f in snap.inline_files
             if all(_file_may_match(f, c, op, v) for c, op, v in where)
+            and self._file_partition_may_match(f, part_probes)
         ]
         if use_spark:
             from dlt_iceberg_spark.lake.planning import plan_candidates
 
             files = inline + plan_candidates(
-                self.spark, self.location, snap.schema, open_refs, where
+                self.spark, self.location, snap.schema, open_refs, where,
+                part_probes=part_probes,
             )
         else:
             expanded: list[DataFile] = []
@@ -1356,6 +1453,7 @@ class LakeTable:
                 f
                 for f in expanded
                 if all(_file_may_match(f, c, op, v) for c, op, v in where)
+                and self._file_partition_may_match(f, part_probes)
             ]
         return where, files
 

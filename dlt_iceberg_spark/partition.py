@@ -98,11 +98,13 @@ def default_transform(dtype: T.DataType) -> str:
     return "month" if isinstance(dtype, _TEMPORAL) else "identity"
 
 
-def transform_expr(field: PartitionField) -> Column:
-    """Compile a transform to a Spark Column (Iceberg-compatible value
-    domains: year/month/day/hour as truncated epochs, bucket as
-    non-negative murmur3-style hash mod N, truncate as width-truncation)."""
-    c = F.col(field.column)
+def transform_column(field: PartitionField, c: Column) -> Column:
+    """Compile a transform over an arbitrary input Column (Iceberg-
+    compatible value domains: year/month/day/hour as truncated epochs,
+    bucket as non-negative hash mod N, truncate as width-truncation).
+    Used both for write-time layout (over ``F.col``) and for scan-time
+    predicate rewriting (over a typed literal — the SAME expression, so
+    probe values land in exactly the partition a row would)."""
     t = field.transform
     if t == "identity":
         return c
@@ -119,8 +121,13 @@ def transform_expr(field: PartitionField) -> Column:
         # xxhash64 is stable across Spark restarts; pmod keeps [0, N)
         return F.pmod(F.xxhash64(c), F.lit(field.param))
     if t == "truncate":
-        return F.expr(f"substring(CAST({field.column} AS STRING), 1, {field.param})")
+        return F.substring(c.cast("string"), 1, int(field.param))
     raise PartitionSpecError(f"unknown transform {t!r}")
+
+
+def transform_expr(field: PartitionField) -> Column:
+    """Transform over the field's source column (write-time form)."""
+    return transform_column(field, F.col(field.column))
 
 
 def build_partition_spec(
