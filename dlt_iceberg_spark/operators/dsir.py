@@ -151,8 +151,16 @@ def dsir_select(
     ``noise=1`` is the paper's importance resampling (deterministic
     replay); ``noise=0`` is hard top-k by importance."""
     from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
 
-    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    # feats feeds BOTH the raw-model fit and the scoring join; without a
+    # persist Spark re-executes the whole tokenize/explode/hash/groupBy
+    # lineage twice — at scale that doubles the dominant cost (it also made
+    # dsir_select the 2nd-slowest suite query).  DISK_ONLY: the feature
+    # table is O(corpus) rows and must not compete for executor memory.
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist(
+        StorageLevel.DISK_ONLY
+    )
     tfeats = hashed_ngram_features(target, text_col, id_col, n_buckets)
     weights = dsir_importance_weights(tfeats, feats, n_buckets, alpha)
     scores = dsir_scores(feats, weights, id_col)

@@ -124,8 +124,16 @@ def perplexity_filter(
     global ``ntile`` window, which would sort the whole corpus through one
     task.  ``quantile_error`` trades boundary exactness for sketch size
     (CCNet's buckets are themselves heuristic cuts)."""
+    from pyspark.storagelevel import StorageLevel
+
     bigrams, contexts, vocab = train_bigram_lm(target, text_col, id_col)
-    scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k)
+    # approxQuantile is an ACTION: without a persist the score lineage
+    # (explode + two model joins + doc agg) runs once for the sketch and
+    # AGAIN for the bucket projection.  The quantile pass materializes the
+    # cache; the returned DataFrame reads it back instead of recomputing.
+    scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k).persist(
+        StorageLevel.DISK_ONLY
+    )
     probs = [i / buckets for i in range(1, buckets)]
     cuts = scores.approxQuantile("logp_mean", probs, quantile_error)
     # higher logp = closer to target = lower bucket number; strict < so a

@@ -751,6 +751,32 @@ def test_dsir_feature_plan_is_mapside(spark):
     assert exchange_count(feats) <= 1
 
 
+def test_dsir_and_lm_persist_reused_lineage(spark):
+    """VERDICT r4 task 4: the feature/score tables that feed two consumers
+    must be persisted — the physical plan reads an InMemoryRelation (one
+    extraction pass) instead of duplicating the tokenize/explode/hash
+    lineage, and results are unchanged."""
+    from dlt_iceberg_spark.operators.dsir import dsir_select
+    from dlt_iceberg_spark.operators.lm import perplexity_filter
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 9}" for j in range(12))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, " ".join(f"w{j % 9}" for j in range(12)))], "doc_id long, text string"
+    )
+    sel = dsir_select(corpus, target, keep_n=5, noise=0.0)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert len(sel.collect()) == 5
+
+    filt = perplexity_filter(corpus, target, buckets=2)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert filt.count() == 30
+
+
 def test_lm_perplexity_separates_target_like_docs(spark):
     """Bigram-LM filter (operators/lm.py): documents drawn from the target
     distribution must have higher mean log-prob than disjoint-vocabulary
