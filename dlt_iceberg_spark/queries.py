@@ -3614,43 +3614,42 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
-# of the registry (rounds 1-3 artifacts all stop at exactly 50 entries), so
-# iteration order decides which queries get a driver-verified row.  Round-4
-# rotation: CORRECTNESS_r03 covered the first 50 decorator-priority entries,
-# so this list front-loads the 38 queries r3 never reached — the whole TPC-H
-# tail, the rollup/cube/pivot/set-op family, and crucially the four events
-# queries (funnel / retention / user-latest / json-props) that last had a
-# green driver row in round 1 — then the three entries that have never been
-# hash-green (pack_documents: oracle cast fixed this round; ann_pq and
-# semantic_dedup: deterministic-parameter oracles added this round), then one
-# representative per already-triple-verified family for the remaining slots.
+# of the registry (every round's artifact stops at exactly 50 entries), so
+# iteration order decides which queries get a driver-verified row.  Round-5
+# rotation (VERDICT r4 task 5): front-load the 41 queries whose newest driver
+# row is CORRECTNESS_r03 — the dedup/text/multimodal/stream/events-analytics
+# families plus the lake gate queries — so no query's driver row is ever
+# older than two rounds (union r04∪r05 again covers all 91).  The remaining
+# 9 slots re-verify the entries that first went hash-green in r4
+# (pack_documents / ann_pq / semantic_dedup), the r4 newcomers
+# (dsir_select / lm_perplexity / multimodal_image_dedup — dsir and lm also
+# changed this round: persisted lineage), and three long-green anchors.
 # Every entry keeps its spec; only dict iteration order changes.
 
 _GATE_PRIORITY = [
-    # absent from CORRECTNESS_r03 — must land inside the 50-row gate window
-    "events_funnel", "events_retention_cohorts", "events_user_latest",
-    "events_json_props",
-    "q2_min_unit_price_supplier", "q3_unshipped_revenue", "q4_order_priority",
-    "q6_revenue_delta", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_customers", "q11_important_parts",
-    "q12_late_shipping_priority", "q13_order_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q18_large_orders", "q19_bracket_revenue",
-    "q20_top_volume_suppliers", "q22_idle_customers",
-    "part_brand_stats", "nation_order_stats",
-    "rollup_nation_status", "cube_brand_size", "groupingsets_priority_status",
-    "pivot_priority_status", "pctl_order_value", "setop_customer_segments",
-    "window_running_total",
-    "sample_documents", "split_documents", "cap_docs_per_lang",
-    "mixture_by_source", "dedup_exact", "text_quality", "text_lang_profile",
-    # never hash-green in any round — fixes land this round
+    # absent from CORRECTNESS_r04 — must land inside the 50-row gate window
+    "lake_stats_pushdown", "lake_position_delete", "merge_hard_delete",
+    "sql_delegated_join", "window_customer_rank",
+    "q9_product_type_profit", "q21_waiting_suppliers",
+    "events_hourly", "events_sessions", "events_asof_last_signup",
+    "events_interval_join", "events_heavy_hitters",
+    "stream_windowed_counts", "stream_dedup_users",
+    "dedup_incremental", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_token_jaccard", "dedup_ngram_jaccard",
+    "dedup_transitive_clusters", "substring_dup_profile",
+    "embedding_near_dup", "embedding_label_stats", "ann_ivf",
+    "text_language_id", "text_quality_score", "text_token_stats",
+    "text_repetition", "text_rolling_fingerprint", "doc_fingerprint",
+    "contamination_check", "redact_pii", "chunk_documents",
+    "select_quality_budget", "shuffle_shards", "corpus_prep",
+    "multimodal_meta", "multimodal_decode", "multimodal_frames",
+    "multimodal_audio_windows", "multimodal_resize",
+    # first hash-green in r4 — one more driver row to confirm stability
     "pack_documents", "ann_pq", "semantic_dedup",
-    # new in round 4 — take gate slots from triple-verified fillers
+    # r4 newcomers; dsir/lm re-verify the round-5 persist change
     "dsir_select", "lm_perplexity", "multimodal_image_dedup",
-    # representative re-verification picks for the remaining gate slots
-    "merge_upsert", "lake_merge_roundtrip",
-    "q1_pricing_summary", "q5_nation_revenue",
-    "dedup_minhash_lsh", "ann_cosine_topk",
+    # long-green anchors for the last slots
+    "q1_pricing_summary", "merge_upsert", "dedup_minhash_lsh",
 ]
 
 
