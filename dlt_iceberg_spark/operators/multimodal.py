@@ -3,12 +3,15 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct
 (modality, mime, width/height/duration, …).  The Spark-side mechanics —
 schema, batching, partition sizing, Arrow transfer through ``mapInPandas``
-— are real and tested; the actual codecs are STUBBED (image/audio libraries
-are not available in this container):
+— are real and tested.  Codec resolution is AUTODETECTED per executor:
 
-- ``decode_image`` raises NotImplementedError unless ``fake=True``, in
-  which case a deterministic content-derived pseudo-decode runs so the
-  pipeline shape (bytes → HxWxC features) is exercised end-to-end.
+- ``fake=True`` — deterministic content-derived stand-in (the oracle
+  path: stable across runs/partitions, hash-checkable);
+- ``fake=False`` — probe for PIL at execution time and decode/resize for
+  real when it imports; raise NotImplementedError naming both routes
+  (install Pillow, or use fake=True) when it doesn't.  This container
+  ships neither PIL nor ffmpeg, so the real route is exercised by a
+  skip-marked test that activates wherever Pillow exists.
 
 Scale notes: binary payloads dominate row size, so operators here must
 (1) never ship payloads through a shuffle — derive features first, then
@@ -76,34 +79,67 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:_FEATURE_DIM]]
 
 
+def _probe_pil():
+    """PIL.Image if Pillow is importable HERE (called inside the UDF, so
+    the probe answers for the executor actually decoding), else None."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+_NO_CODEC_MSG = (
+    "real image {op} requires Pillow (PIL), which this environment lacks — "
+    "either install Pillow on the executors (the operator autodetects and "
+    "uses it) or pass fake=True for the deterministic oracle-checkable "
+    "stand-in"
+)
+
+
 def decode_image_features(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload", fake: bool = False
 ) -> DataFrame:
     """bytes → fixed-dim feature vector via Arrow-batched mapInPandas.
 
-    With ``fake=False`` this raises NotImplementedError at execution time
-    (no codec libs in this container) — the plan, schema and batch plumbing
-    are identical either way.
+    ``fake=False`` autodetects Pillow per executor: real decodes produce a
+    4×4 grayscale thumbnail's 16 pixel intensities (rows that fail to
+    decode get ``decode_ok=False`` and a zero vector instead of failing
+    the job — corrupt payloads are data, not errors, at corpus scale).
+    Without Pillow it raises NotImplementedError naming both routes.  The
+    plan, schema and batch plumbing are identical in every mode.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _probe_pil()
+        if not fake and Image is None:
+            raise NotImplementedError(_NO_CODEC_MSG.format(op="decode"))
+
+        def real_decode(payload: bytes) -> tuple[list[float], bool]:
+            import io as _io
+
+            try:
+                img = Image.open(_io.BytesIO(payload)).convert("L").resize((4, 4))
+                return [b / 255.0 for b in img.tobytes()], True
+            except Exception:
+                return [0.0] * _FEATURE_DIM, False
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/opencv; not available — "
-                    "use fake=True for the deterministic stand-in"
-                )
-            out = pd.DataFrame(
+            if fake:
+                feats = [(_fake_decode(p), True) for p in pdf[payload_col]]
+            else:
+                feats = [real_decode(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "payload_sha": [
                         hashlib.sha256(p).hexdigest() for p in pdf[payload_col]
                     ],
-                    "feature": [_fake_decode(p) for p in pdf[payload_col]],
-                    "decode_ok": True,
+                    "feature": [f for f, _ in feats],
+                    "decode_ok": [ok for _, ok in feats],
                 }
             )
-            yield out
 
     from dlt_iceberg_spark.operators.util import fan_out
 
@@ -122,13 +158,15 @@ def resize_images(
 
     The resize plumbing of an image-preprocessing stage: payloads stay
     inside their Arrow batch (never shuffled), output is one row per input
-    with the target geometry and the re-encoded bytes.  With
-    ``fake=False`` this raises NotImplementedError at execution time (no
-    PIL/opencv in this container); ``fake=True`` substitutes a
-    deterministic stand-in — the payload resampled by byte striding to
-    exactly ``width*height`` bytes (cycling when upscaling) — so the
-    Spark-side schema, batch shape, and row accounting are real and
-    oracle-checkable while the codec itself stays stubbed.
+    with the target geometry and the re-encoded bytes.  ``fake=False``
+    autodetects Pillow per executor — real path decodes, resizes to
+    (width, height) grayscale and emits the raw pixel bytes (undecodable
+    payloads yield zero bytes rather than failing the job); without
+    Pillow it raises NotImplementedError naming both routes.
+    ``fake=True`` substitutes a deterministic stand-in — the payload
+    resampled by byte striding to exactly ``width*height`` bytes (cycling
+    when upscaling) — so the Spark-side schema, batch shape, and row
+    accounting are real and oracle-checkable while the codec is stubbed.
 
     Returns (id, width, height, orig_bytes, resized) with
     len(resized) == width*height always.
@@ -136,19 +174,30 @@ def resize_images(
     n_out = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _probe_pil()
+        if not fake and Image is None:
+            raise NotImplementedError(_NO_CODEC_MSG.format(op="resize"))
+
+        def real_resize(b: bytes) -> bytes:
+            import io as _io
+
+            try:
+                return Image.open(_io.BytesIO(b)).convert("L").resize(
+                    (width, height)
+                ).tobytes()
+            except Exception:
+                return bytes(n_out)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL/opencv; not available — "
-                    "use fake=True for the deterministic stand-in"
-                )
             resized = []
             for p in pdf[payload_col]:
                 b = bytes(p)
-                if not b:
+                if not fake:
+                    resized.append(real_resize(b))
+                elif not b:
                     resized.append(bytes(n_out))
-                    continue
-                resized.append(bytes(b[(i * len(b)) // n_out] for i in range(n_out)))
+                else:
+                    resized.append(bytes(b[(i * len(b)) // n_out] for i in range(n_out)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),

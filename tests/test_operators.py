@@ -186,10 +186,48 @@ def test_media_metadata_and_fake_decode(spark):
     assert rows[1].feature == rows2[1].feature
 
 
-def test_real_decode_is_stubbed(spark):
+import importlib.util as _ilu
+
+_HAS_PIL = _ilu.find_spec("PIL") is not None
+
+
+@pytest.mark.skipif(_HAS_PIL, reason="Pillow installed: fake=False decodes for real")
+def test_real_decode_raises_without_codec(spark):
+    """Without Pillow the real route must raise a message naming BOTH
+    routes (install Pillow / use fake=True) — never silently stub."""
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="real image decode.*Pillow"):
         decode_image_features(df, fake=False).collect()
+    with pytest.raises(Exception, match="fake=True"):
+        decode_image_features(df, fake=False).collect()
+
+
+@pytest.mark.skipif(not _HAS_PIL, reason="Pillow not installed in this container")
+def test_real_codec_path_with_pillow(spark):
+    """Autodetected real path (runs wherever Pillow exists): decode a real
+    PNG into 16 grayscale intensities and resize it; corrupt payloads get
+    decode_ok=False instead of failing the job."""
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not-an-image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_features(df, fake=False).collect()}
+    assert rows[1].decode_ok and len(rows[1].feature) == 16
+    assert all(abs(v - 200 / 255.0) < 1e-6 for v in rows[1].feature)
+    assert not rows[2].decode_ok and rows[2].feature == [0.0] * 16
+
+    from dlt_iceberg_spark.operators.multimodal import resize_images
+
+    out = {r.doc_id: r for r in resize_images(df, 4, 2, fake=False).collect()}
+    assert len(bytes(out[1].resized)) == 8 and all(b == 200 for b in bytes(out[1].resized))
+    assert bytes(out[2].resized) == bytes(8)
 
 
 def test_sample_frames_plumbing(spark):
@@ -694,8 +732,9 @@ def test_resize_images_plumbing(spark):
     assert bytes(out[1].resized) == b"aceg"  # indices (i*8)//4 = 0,2,4,6
     assert bytes(out[2].resized) == b"xxyy"  # indices (i*2)//4 = 0,0,1,1
 
-    with pytest.raises(Exception, match="NotImplementedError|PIL"):
-        resize_images(df, 2, 2, fake=False).collect()
+    if not _HAS_PIL:  # with Pillow present, fake=False resizes for real
+        with pytest.raises(Exception, match="real image resize.*Pillow"):
+            resize_images(df, 2, 2, fake=False).collect()
 
 
 def test_dsir_prefers_target_like_documents(spark):
