@@ -1,0 +1,166 @@
+"""Metadata scale proof at 1M files (VERDICT r4 task 7).
+
+At 128 MB/file, 1M files ≈ 128 TB — past the 100 TB design point.  The
+table is built incrementally (10 delta commits of 100k synthetic entries)
+so DRIVER memory never holds more than one batch; every claim the 100k
+module (test_manifest.py) makes is re-asserted at 10× scale:
+
+- the snapshot document stays metadata-sized (refs, not entries);
+- a delta append opens ZERO parent manifests;
+- a narrow prune opens only the overlapping manifest chunks;
+- micro-appends keep the ref count bounded via compact_refs;
+- the distributed planner returns survivors only (driver collect is
+  O(matching files), executors evaluate the 1M stats rows).
+
+No sampling, no silent caps: all 1,000,000 entries are committed and all
+assertions run over the full table.  Module budget ~2 min on local[32].
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+import dlt_iceberg_spark.lake.table as table_mod
+from dlt_iceberg_spark.lake.manifest import MANIFEST_CHUNK, MAX_MANIFESTS, DataFile
+from dlt_iceberg_spark.lake.table import LakeTable
+
+N_FILES = 1_000_000
+BATCH = 100_000
+SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def _batch(start: int, n: int) -> list[DataFile]:
+    # k strictly increasing, 10 rows per file — narrow probes map to a
+    # known file count
+    return [
+        DataFile(
+            path=f"data/f{i:07d}.parquet",
+            rows=10,
+            bytes=1000,
+            stats={"k": [i * 10, i * 10 + 9]},
+        )
+        for i in range(start, start + n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def mega_table(spark, tmp_path_factory):
+    loc = str(tmp_path_factory.mktemp("mega") / "t")
+    t = LakeTable(spark, loc)
+    snap = t.commit(_batch(0, BATCH), SCHEMA, "create", None)
+    for b in range(1, N_FILES // BATCH):
+        snap = t.commit(
+            None,
+            SCHEMA,
+            "append",
+            snap.version,
+            manifests=snap.manifests,
+            new_files=_batch(b * BATCH, BATCH),
+        )
+    return t
+
+
+def test_1m_snapshot_is_metadata_sized(mega_table):
+    v = mega_table.current_version()
+    meta_path = os.path.join(mega_table.location, "metadata", f"v{v:06d}.json")
+    with open(meta_path) as fh:
+        raw = json.load(fh)
+    assert len(raw["manifests"]) == N_FILES // MANIFEST_CHUNK
+    # 100 refs with aggregate ranges: well under 100 KB for a 1M-file table
+    assert os.path.getsize(meta_path) < 128 * 1024
+    snap = mega_table.snapshot()
+    assert snap.n_files == N_FILES
+    assert snap.total_rows == N_FILES * 10
+
+
+def test_1m_append_reads_zero_parent_manifests(mega_table, monkeypatch):
+    reads = []
+    orig = table_mod.read_manifest
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw),
+    )
+    snap = mega_table.snapshot()
+    add = DataFile(path="data/new.parquet", rows=5, bytes=500, stats={"k": [10**9, 10**9]})
+    new_snap = mega_table.commit(
+        None, SCHEMA, "append", snap.version, manifests=snap.manifests, new_files=[add]
+    )
+    assert reads == []
+    assert new_snap.n_files == N_FILES + 1
+
+
+def test_1m_prune_opens_only_overlapping_chunks(mega_table, monkeypatch):
+    reads = []
+    orig = table_mod.read_manifest
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw),
+    )
+    snap = mega_table.snapshot()
+    # ~50 files in the middle of the key space
+    touched, kept_refs, kept_files = mega_table.prune_split(
+        snap, {"k": (5_000_000, 5_000_499)}
+    )
+    assert len(reads) <= 2  # 1-2 of the 100 chunks
+    assert 45 <= len(touched) <= 60
+    assert sum(r.n_files for r in kept_refs) + len(kept_files) + len(touched) >= N_FILES
+
+
+def test_1m_micro_appends_keep_ref_count_bounded(mega_table):
+    """70 one-file commits on top of 100 full-size refs: compact_refs folds
+    the small manifests, so the ref list never grows past full-chunks + a
+    bounded tail of smalls (Iceberg's rewrite_manifests behavior)."""
+    t = mega_table
+    snap = t.snapshot()
+    base_full = len(snap.manifests)
+    worst = 0
+    for i in range(70):
+        snap = t.commit(
+            None,
+            SCHEMA,
+            "append",
+            snap.version,
+            manifests=snap.manifests,
+            new_files=[
+                DataFile(
+                    path=f"data/micro{i:03d}.parquet",
+                    rows=1,
+                    bytes=100,
+                    stats={"k": [2 * 10**9 + i, 2 * 10**9 + i]},
+                )
+            ],
+        )
+        worst = max(worst, len(snap.manifests))
+    # bounded: never accumulates one ref per micro-append
+    assert worst <= base_full + max(MAX_MANIFESTS // 8, 4)
+    assert snap.n_files >= N_FILES + 70  # nothing lost in the folds
+    # folded entries stay findable (planning only — the files are synthetic)
+    _, files = t._select_files(snap, [("k", "=", 2 * 10**9 + 33)])
+    assert [f.path for f in files] == ["data/micro033.parquet"]
+
+
+def test_1m_distributed_planner_survivor_only_collect(mega_table):
+    """The planner job over 1M manifest entries returns exactly the files
+    a driver plan would — and ONLY those (the collect that reaches the
+    driver is the 50-row survivor set, not the million-entry inventory)."""
+    from dlt_iceberg_spark.lake.planning import plan_candidates
+
+    snap = mega_table.snapshot()
+    where = [("k", ">=", 7_000_000), ("k", "<=", 7_000_499)]
+    survivors = plan_candidates(
+        mega_table.spark, mega_table.location, SCHEMA, snap.manifests, where
+    )
+    assert len(survivors) == 50
+    assert all(
+        f.stats["k"][1] >= 7_000_000 and f.stats["k"][0] <= 7_000_499
+        for f in survivors
+    )
+    # end-to-end: read() in auto mode flips to the spark planner above the
+    # DISTRIBUTED_PLAN_MIN_FILES threshold — same survivors, no error even
+    # though the data files do not exist (planning never opens data)
+    where_n, files = mega_table._select_files(snap, where, plan_mode="auto")
+    assert sorted(f.path for f in files) == sorted(f.path for f in survivors)
