@@ -30,6 +30,61 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: the sf1 tier times only the suite's most expensive queries (VERDICT r4
+#: task 8 names q18/q21/dedup_incremental/dsir_select et al) — at ~10× data
+#: these are the plans whose scale behavior is worth tracking; the cheap
+#: tail stays noise-level even at sf1.
+SF1_QUERIES = [
+    "dedup_incremental", "dsir_select", "dedup_transitive_clusters",
+    "substring_dup_profile", "dedup_minhash_lsh", "select_quality_budget",
+    "multimodal_image_dedup", "dedup_simhash_pairs", "lm_perplexity",
+    "semantic_dedup", "ann_ivf", "q21_waiting_suppliers",
+    "q18_large_orders", "q10_returned_customers", "q1_pricing_summary",
+    "events_sessions",
+]
+
+SF1_DIR = "/tmp/spark_graft_sf1"
+
+
+def run_sf1() -> None:
+    """Opt-in sf1 tier: generate the ~6M-lineitem dataset if missing
+    (tools/gen_sf.py, deterministic), one warm + one timed pass over the
+    heavy-query list, one JSON line + BENCH_SF1.json."""
+    from dlt_iceberg_spark.session import get_spark
+
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
+        from tools.gen_sf import generate
+
+        generate(spark, "/root/testdata/sf0.1", SF1_DIR, 10)
+    times: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        spec = REGISTRY[name]
+        spark.catalog.clearCache()
+        materialize(spec.fn(spark, SF1_DIR))  # warm (codegen + footers)
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(spec.fn(spark, SF1_DIR))
+        times[name] = round(time.perf_counter() - t0, 4)
+    payload = json.dumps(
+        {
+            "metric": "sf1_heavy_queries_wall",
+            "value": round(sum(times.values()), 4),
+            "unit": "sec",
+            "queries": times,
+            "sf": 1,
+            "n_queries": len(times),
+        }
+    )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json"), "w"
+    ) as f:
+        f.write(payload + "\n")
+    spark.stop()
+    print(payload, flush=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -109,4 +164,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--sf1" in sys.argv:
+        run_sf1()
+    else:
+        main()

@@ -2125,7 +2125,10 @@ class LakeTable:
         return True
 
     def prune_split(
-        self, snap: Snapshot, probes: dict[str, tuple[Any, Any]]
+        self,
+        snap: Snapshot,
+        probes: dict[str, tuple[Any, Any]],
+        part_probes: dict[str, set] | None = None,
     ) -> tuple[list[DataFile], list[ManifestRef], list[DataFile]]:
         """Split the live set by conjunctive range probes WITHOUT expanding
         untouched manifests.
@@ -2144,20 +2147,36 @@ class LakeTable:
         Probing multiple columns intersects the prune sets: a composite-PK
         merge rewrites only files overlapping on EVERY key column, so a
         low-selectivity first key no longer degrades to rewrite-everything.
+
+        ``part_probes`` (``{partition field: allowed value strings}``)
+        additionally intersects PARTITION-TUPLE space — on a
+        ``bucket[N]``-partitioned table, where every file's key [min,max]
+        spans the whole key range (hash mixing defeats range probes), a
+        merge batch touching k buckets rewrites only ~k/N of the files.
         """
+        part_probes = part_probes or {}
         touched: list[DataFile] = []
         kept_refs: list[ManifestRef] = []
         kept_files: list[DataFile] = []
+
+        def _hits(f: DataFile) -> bool:
+            return self._file_overlaps(f, probes) and self._file_partition_may_match(
+                f, part_probes
+            )
+
         for f in snap.inline_files:
-            (touched if self._file_overlaps(f, probes) else kept_files).append(f)
+            (touched if _hits(f) else kept_files).append(f)
         for ref in snap.manifests:
             if any(
                 not ref.may_match(c, lo, hi) for c, (lo, hi) in probes.items()
+            ) or any(
+                not ref.may_contain_partition(name, vals)
+                for name, vals in part_probes.items()
             ):
                 kept_refs.append(ref)
                 continue
             for f in read_manifest(self.location, ref, io=self._io):
-                (touched if self._file_overlaps(f, probes) else kept_files).append(f)
+                (touched if _hits(f) else kept_files).append(f)
         return touched, kept_refs, kept_files
 
     def prune_files(

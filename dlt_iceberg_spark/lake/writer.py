@@ -459,10 +459,38 @@ class LakeWriter:
         # a low-selectivity first key no longer degrades to
         # rewrite-everything.  Files/manifests without stats are handled
         # conservatively inside prune_split (counted as touched / read).
+        #
+        # On a bucket[N]-partitioned PK, range probes cannot prune (every
+        # file's key range spans the hash-mixed key space), so the SAME agg
+        # also collects the batch's distinct bucket values (codomain ≤ N by
+        # construction — never a large collect) and prune_split intersects
+        # in partition-tuple space: a batch touching k buckets rewrites
+        # ~k/N of the files instead of all of them.
+        from dlt_iceberg_spark.partition import PartitionField, transform_column
+
+        bucket_pfs = [
+            pf
+            for pf in (
+                PartitionField(
+                    column=p.get("column") or "",
+                    transform=p.get("transform", "identity"),
+                    param=p.get("param"),
+                    name=p.get("name"),
+                )
+                for p in (snap.partition_spec or [])
+            )
+            if pf.transform == "bucket" and pf.column in keys
+        ]
         aggs = []
         for i, k in enumerate(keys):
             aggs.append(F.min(k).alias(f"_lo{i}"))
             aggs.append(F.max(k).alias(f"_hi{i}"))
+        for j, pf in enumerate(bucket_pfs):
+            aggs.append(
+                F.collect_set(
+                    transform_column(pf, F.col(pf.column)).cast("string")
+                ).alias(f"_pb{j}")
+            )
         aggs.append(F.count(F.lit(1)).alias("_n"))
         stats_row = batch.agg(*aggs).collect()[0]
         if stats_row["_n"] == 0:
@@ -472,7 +500,13 @@ class LakeWriter:
                 k: (stats_row[f"_lo{i}"], stats_row[f"_hi{i}"])
                 for i, k in enumerate(keys)
             }
-            touched, kept_refs, kept_files = table.prune_split(snap, probes)
+            part_probes = {
+                pf.field_name: set(stats_row[f"_pb{j}"])
+                for j, pf in enumerate(bucket_pfs)
+            }
+            touched, kept_refs, kept_files = table.prune_split(
+                snap, probes, part_probes=part_probes
+            )
         broadcast_batch = stats_row["_n"] <= BROADCAST_BATCH_ROWS
 
         target_df = (
@@ -488,7 +522,13 @@ class LakeWriter:
             hard_delete_col=hard_delete_col if has_hard_delete else None,
             broadcast_source=broadcast_batch,
         )
-        new_files = table.stage_dataframe(merged, bloom_columns=spec.resolve_bloom_columns())
+        # rewritten files keep the table's hive layout + partition tuples —
+        # a merge must not degrade future partition pruning / overwrites
+        new_files = table.stage_dataframe(
+            merged,
+            partition_exprs=self._partition_exprs(snap.partition_spec),
+            bloom_columns=spec.resolve_bloom_columns(),
+        )
         # delta commit: manifests proven disjoint from the batch's key range
         # pass through by reference — the merge is O(touched) end to end
         table.commit(
@@ -542,8 +582,13 @@ class LakeWriter:
             data = _dedupe_source(data, keys, None)
         new_delete_files = table.stage_delete_files(del_keys, keys)
         # bloom filters on the merge keys: future CoW planning / point
-        # reads probe these files by key equality
-        new_files = table.stage_dataframe(data, bloom_columns=keys)
+        # reads probe these files by key equality; partition layout kept so
+        # MoR loads don't degrade partition pruning either
+        new_files = table.stage_dataframe(
+            data,
+            partition_exprs=self._partition_exprs(snap.partition_spec),
+            bloom_columns=keys,
+        )
         # staged data + delete files are head-independent (sequence numbers
         # stamp at commit), so a lost commit race re-commits against the new
         # head without restaging — O(commit) conflict retry, like append

@@ -170,6 +170,38 @@ def test_merge_prunes_untouched_files(spark, writer):
     assert out[1050] == "updated" and out[0] == "low" and len(out) == 200
 
 
+def test_merge_on_bucket_partitioned_pk_rewrites_one_bucket(spark, writer):
+    """Copy-on-write on a bucket[8](id) table: key [min,max] cannot prune
+    (hash mixing), so the batch's distinct bucket values must do it — a
+    1-row batch rewrites ~1/8 of the files, and the rewritten files keep
+    their partition tuples (merge must not degrade future pruning)."""
+    hints = {"id": {"partition": True, "x-partition-transform": "bucket[8]"}}
+    spec_append = TableSpec("bt", write_disposition="append", column_hints=hints)
+    df = spark.createDataFrame([(i, "v") for i in range(400)], "id long, v string")
+    writer.write(spec_append, df)
+    table = writer.catalog.load_table("ds", "bt")
+    n_before = table.snapshot().n_files
+    assert n_before >= 8  # hive-layouted: ≥ one file per populated bucket
+
+    spec = TableSpec(
+        "bt",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+        column_hints=hints,
+    )
+    writer.write(spec, spark.createDataFrame([(5, "updated")], "id long, v string"))
+    snap = table.snapshot()
+    assert snap.summary["rewritten_files"] <= -(-n_before // 8) + 1
+    assert snap.summary["pruned_files"] >= n_before - 2
+    out = {r.id: r.v for r in table.read().collect()}
+    assert out[5] == "updated" and len(out) == 400
+    # every live file still records its bucket tuple
+    assert all("id_bucket" in f.partition for f in snap.files)
+    # and the post-merge table still prunes point lookups
+    _, files = table._select_files(snap, [("id", "=", 5)])
+    assert len(files) <= -(-snap.n_files // 8) + 1
+
+
 def test_sort_order_clusters_files_for_pruning(spark, warehouse):
     from dlt_iceberg_spark.lake.catalog import LakeCatalog
     from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
