@@ -62,8 +62,16 @@ def _replicate(df: DataFrame, table: str, k: int) -> DataFrame:
     for col in _KEY_OFFSETS.get(table, []):
         out = out.withColumn(col, (F.col(col) + F.lit(k * _STRIDE)).cast(df.schema[col].dataType))
     if table == "documents":
+        # vowel rotation alone repeats at k=5 (rot is mod-5); the extra
+        # consonant swap for k >= 5 keeps all 10 replicas pairwise distinct
+        # so the tier's dup structure is the base corpus's, scaled — not
+        # artificial cross-replica twins
         rot = _VOWELS[k % 5 :] + _VOWELS[: k % 5]
-        out = out.withColumn("text", F.translate("text", _VOWELS, rot))
+        src_alpha, dst_alpha = _VOWELS, rot
+        if k >= 5:
+            src_alpha += "st"
+            dst_alpha += "ts"
+        out = out.withColumn("text", F.translate("text", src_alpha, dst_alpha))
     if table == "embeddings":
         dim_shift = k % 8
         if dim_shift:
