@@ -119,11 +119,13 @@ class ManifestRef:
 
     def may_contain_partition(self, key: str, values: set) -> bool:
         """Could any entry carry one of ``values`` for partition ``key``?
-        Key absent from the summary ⇒ unknown ⇒ True."""
+        Key absent from the summary ⇒ unknown ⇒ True.  A None summary value
+        is the hive default partition (null AND empty-string transform
+        values fold into it) — it conservatively matches any probe."""
         summary = self.partitions.get(key)
         if summary is None:
             return True
-        return any(v in values for v in summary)
+        return any(v is None or v in values for v in summary)
 
 
 _ENTRY_SCHEMA = pa.schema(

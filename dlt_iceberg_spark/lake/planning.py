@@ -144,12 +144,15 @@ def survives_predicate(col_dtype: T.DataType, col: str, op: str, value: Any):
 
 def _survives_partition(name: str, values: list[str]):
     """Boolean Column mirroring table._file_partition_may_match: key absent
-    from the partition JSON (older spec) keeps the entry; a recorded null
-    or out-of-set value drops it.  ``get_json_object`` returns NULL for a
-    missing key and the string "null" for a JSON null — exactly the split
-    the exact predicate makes."""
+    from the partition JSON (older spec) keeps the entry, and so does a
+    recorded JSON null (hive folds null AND empty-string transform values
+    into the default partition — it must match conservatively); only a
+    present, non-null, out-of-set value drops the entry.
+    ``get_json_object`` returns NULL for a missing key and the string
+    "null" for a JSON null."""
     raw = F.get_json_object(F.col("partition"), f"$['{name}']")
-    return raw.isNull() | (F.nullif(raw, F.lit("null")).isin(values))
+    val = F.nullif(raw, F.lit("null"))
+    return raw.isNull() | val.isNull() | val.isin(values)
 
 
 def plan_candidates(

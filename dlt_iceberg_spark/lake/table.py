@@ -1371,14 +1371,15 @@ class LakeTable:
     @staticmethod
     def _file_partition_may_match(f: DataFile, probes: dict[str, set]) -> bool:
         """Could ``f`` hold a row matching every partition probe?  A file
-        from an OLDER spec (key absent — partition-spec evolution) must be
-        kept; a recorded NULL tuple value cannot match a non-null probe
-        (the probed column is null for every row of that file)."""
+        from an OLDER spec (key absent — partition-spec evolution) is kept,
+        and so is a recorded NULL tuple value: hive layout folds BOTH null
+        and empty-string transform values into ``__HIVE_DEFAULT_PARTITION__``
+        (recorded None), so None must conservatively match any probe —
+        e.g. ``truncate("")`` of an empty-string row lives there."""
         for name, vals in probes.items():
-            if name in f.partition:
-                v = f.partition[name]
-                if v is None or v not in vals:
-                    return False
+            v = f.partition.get(name)
+            if v is not None and v not in vals:
+                return False
         return True
 
     def _select_files(

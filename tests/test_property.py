@@ -495,3 +495,59 @@ def test_mirror_tracks_random_op_sequences(spark, ops):
         (r.id, r.val) for r in catalog.load_table("mir", "t2").read().collect()
     )
     assert dst == src
+
+
+# ---- transform-aware partition pruning vs brute force ----------------------
+
+_SPECIAL_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab /=%#:+.\t") + ["é", "ß"]),
+    min_size=0,
+    max_size=6,
+)
+_part_rows = st.lists(
+    st.tuples(st.integers(0, 10**6), _SPECIAL_TEXT), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=_part_rows,
+    transform=st.sampled_from(
+        [("bucket", 4, "id"), ("truncate", 2, "s"), ("identity", None, "s"),
+         ("bucket", 3, "s")]
+    ),
+)
+def test_partition_rewrite_reads_are_exact(spark, tmp_path_factory, rows, transform):
+    """For ANY data (hive-hostile characters, empty strings, duplicate
+    keys) and ANY transform spec: a pruned `read(where=)` must return
+    exactly the brute-force filter result — the rewrite may only SKIP
+    files that provably hold no match, never drop a matching row.  Guards
+    the hive-layout edge cases (empty string and null both fold into
+    __HIVE_DEFAULT_PARTITION__, URL-escaped specials round-tripping)."""
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+    t_name, param, col = transform
+    rows = list({r[0]: r for r in rows}.values())  # unique ids
+    loc = str(tmp_path_factory.mktemp("pprop") / "t")
+    df = spark.createDataFrame(rows, "id long, s string")
+    spec = [PartitionField(column=col, transform=t_name, param=param)]
+    table = LakeTable(spark, loc)
+    staged = table.stage_dataframe(df, partition_exprs=partition_columns(spec))
+    table.commit(staged, df.schema, "create", None, partition_spec=[vars(p) for p in spec])
+    snap = table.snapshot()
+
+    # probe a value present in the data, one absent, and (when probing the
+    # string column) the empty string — the hive default-partition case
+    present = rows[0][0] if col == "id" else rows[0][1]
+    absents = [10**9] if col == "id" else ["zz-absent"]
+    probes = [present] + absents + ([""] if col == "s" else [])
+    for v in probes:
+        got = sorted((r.id, r.s) for r in table.read(where=[(col, "=", v)]).collect())
+        want = sorted((i, s_) for i, s_ in rows if (i if col == "id" else s_) == v)
+        assert got == want, (t_name, param, v, got, want)
+    # IN probe across both present values
+    vals = sorted({r[0] for r in rows})[:3] if col == "id" else sorted({r[1] for r in rows})[:3]
+    got = sorted((r.id, r.s) for r in table.read(where=[(col, "in", vals)]).collect())
+    want = sorted((i, s_) for i, s_ in rows if (i if col == "id" else s_) in vals)
+    assert got == want
