@@ -34,6 +34,16 @@ def materialize(df) -> None:
 #: task 8 names q18/q21/dedup_incremental/dsir_select et al) — at ~10× data
 #: these are the plans whose scale behavior is worth tracking; the cheap
 #: tail stays noise-level even at sf1.
+#:
+#: Reading the dedup numbers across tiers: the driver fixture's documents
+#: table draws from a ~31-token vocabulary, so at sf0.1 the adaptive
+#: similarity operators take the exact ≤64-token BITMASK path; the sf1
+#: replicas' vowel rotation widens the combined vocabulary past 64, which
+#: correctly flips them to the LSH path over a corpus where most
+#: within-replica pairs ARE near-dups (quadratic match density by
+#: construction).  The sf0.1→sf1 ratio for dedup_minhash_lsh /
+#: dedup_incremental therefore compares different strategies on different
+#: densities — per-strategy scaling is linear (profiled standalone).
 SF1_QUERIES = [
     "dedup_incremental", "dsir_select", "dedup_transitive_clusters",
     "substring_dup_profile", "dedup_minhash_lsh", "select_quality_budget",
