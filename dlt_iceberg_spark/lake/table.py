@@ -72,6 +72,10 @@ DISTRIBUTED_PLAN_MIN_FILES = int(
 
 _STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
 
+#: cap on (transform, value) pairs evaluated for partition-probe rewriting
+#: (table._partition_probe_values) — beyond this, stats pruning alone
+_MAX_PART_PROBE_EXPRS = 512
+
 #: residual Spark filters for `read(where=...)` predicates
 _OPS = {
     "=": lambda c, v: c == v,
@@ -1312,6 +1316,9 @@ class LakeTable:
         A transform that evaluates to NULL for any probe value drops that
         field's rewrite entirely (conservative).  Range predicates are not
         rewritten (bucket destroys order); they keep pruning via stats.
+        Rewrites are skipped wholesale past ``_MAX_PART_PROBE_EXPRS``
+        (transform, value) pairs — a 10k-value IN should prune via stats,
+        not inflate planning latency.
         """
         spec = snap.partition_spec or []
         if not spec or not where:
@@ -1353,6 +1360,8 @@ class LakeTable:
                         return {}  # unliteralizable probe: no rewrite
         if not exprs:
             return {}
+        if len(exprs) > _MAX_PART_PROBE_EXPRS:
+            return {}  # huge IN lists: stats pruning only (conservative)
         # one 1-row local evaluation for ALL (transform, value) pairs —
         # constant-folded by Catalyst, so this is driver-side µs work
         row = self.spark.range(1).select(*exprs).first()

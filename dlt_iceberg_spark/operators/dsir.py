@@ -158,6 +158,10 @@ def dsir_select(
     # lineage twice — at scale that doubles the dominant cost (it also made
     # dsir_select the 2nd-slowest suite query).  DISK_ONLY: the feature
     # table is O(corpus) rows and must not compete for executor memory.
+    # Crossover note: at toy scale (sf0.1, text resident in page cache) the
+    # materialization costs ~15% more than re-extracting; from ~10x that
+    # size the cached features win — the persist is sized for the target
+    # regime, not the fixture.
     feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist(
         StorageLevel.DISK_ONLY
     )

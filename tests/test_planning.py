@@ -223,6 +223,24 @@ def test_truncate_and_temporal_transform_pruning(spark, tmp_path):
     assert got == len([r for r in rows if r[2] == probe_ts]) > 0
 
 
+def test_partition_probe_rewrite_caps_huge_in_lists(spark, tmp_path):
+    """A 600-value IN must skip the transform rewrite (stats pruning only)
+    rather than inflate planning with hundreds of fold expressions — and
+    results stay exact either way."""
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    t = _make_partitioned(
+        spark,
+        str(tmp_path / "tc"),
+        [{"column": "id", "transform": "bucket", "param": 4, "name": None}],
+        df,
+    )
+    snap = t.snapshot()
+    big_in = list(range(600))
+    assert t._partition_probe_values(snap, [("id", "in", big_in)]) == {}
+    assert t._partition_probe_values(snap, [("id", "in", [1, 2])]) != {}
+    assert t.read(where=[("id", "in", big_in)]).count() == 50
+
+
 def test_partition_spec_evolution_keeps_old_files(spark, tmp_path):
     """Files from an OLDER spec lack the partition key — the rewrite must
     keep them (conservative), and results stay exact."""
