@@ -227,11 +227,16 @@ def write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
             if isinstance(v, dict):
                 rec.put(k, _fill(_unwrap(f.schema(), "record"), v))
             elif isinstance(v, list):
-                # array<record> (Iceberg's int-keyed map form)
+                # array<record> (Iceberg's int-keyed map form) or
+                # array<primitive> (e.g. equality_ids)
                 arr_schema = _unwrap(f.schema(), "array")
                 items = jvm.java.util.ArrayList()
                 for item in v:
-                    items.add(_fill(arr_schema.getElementType(), item))
+                    items.add(
+                        _fill(arr_schema.getElementType(), item)
+                        if isinstance(item, dict)
+                        else item
+                    )
                 rec.put(k, items)
             elif isinstance(v, (bytes, bytearray)):
                 rec.put(k, jvm.java.nio.ByteBuffer.wrap(bytes(v)))

@@ -26,14 +26,18 @@ pruning; other types (timestamps/decimals/uuid) carry no stat, which reads
 as "must scan" (correct, conservative).  Partition tuples and data
 sequence numbers are imported too.
 
-POSITION deletes (v2 MoR, content=1 manifests with
-``data_file.content == 1``) are imported as first-class delete files: the
-(file_path, pos) schema is Iceberg's reserved delete schema, which is
-exactly what our merge-on-read read path anti-joins (file URIs are
-canonicalized on both sides of that join, so foreign ``file:/``-style
-paths match).  EQUALITY deletes (content=2) remain refused — folding them
-needs the originating engine's equality-field semantics; compact there
-first.
+Foreign v2 MoR deletes import as first-class delete files, BOTH contents:
+
+- POSITION (content=1): the (file_path, pos) reserved schema is exactly
+  what our merge-on-read read path anti-joins (file URIs are canonicalized
+  on both sides of that join, so foreign ``file:/``-style paths match);
+- EQUALITY (content=2): ``equality_ids`` field-ids map to column names
+  through the schema, the delete parquet carries those key columns by
+  name, and Iceberg's "masks strictly older data sequence numbers" rule is
+  our native equality-MoR rule — the imported file plugs straight into the
+  same anti-join, with any key bounds decoded into skip-stats.  Only
+  equality ids naming nested/non-primitive fields are refused (with a
+  clear message), since we cannot bind them to scan columns.
 """
 
 from __future__ import annotations
@@ -202,6 +206,26 @@ def _decode_partition(df_rec: Any) -> dict[str, Any]:
         return {}
 
 
+def _decode_equality_ids(
+    df_rec: Any, types: dict[int, tuple[str, str]]
+) -> list[str] | None:
+    """data_file.equality_ids (array<int> of field-ids) -> column names, or
+    None when any id falls outside the decodable top-level primitives."""
+    raw = _jget(df_rec, "equality_ids")
+    if raw is None:
+        return None
+    names: list[str] = []
+    try:
+        for x in raw:
+            fid = int(str(x))
+            if fid not in types:
+                return None
+            names.append(types[fid][0])
+    except Exception:
+        return None
+    return names or None
+
+
 def _entry_sequence(ent: Any, manifest_seq: int) -> int:
     """Iceberg sequence-number inheritance: a null entry sequence means
     'inherit the manifest's'."""
@@ -258,11 +282,39 @@ def _files_from_avro(
                 )
                 continue
             if f_content == 2:
-                raise NotImplementedError(
-                    "register_iceberg_table: table carries EQUALITY delete "
-                    "files; fold/compact them in the source engine before "
-                    "registering (position deletes import fine)"
+                # EQUALITY delete: field-ids -> column names; Iceberg's
+                # "applies to strictly older data sequence numbers" rule is
+                # exactly our native equality-MoR rule, and the delete
+                # parquet carries the key columns by name, so the file
+                # plugs straight into the anti-join read path.  Bounds (if
+                # present) become key-range stats that let readers skip
+                # untouchable files.
+                eq_names = _decode_equality_ids(df_rec, types)
+                if eq_names is None:
+                    raise NotImplementedError(
+                        "register_iceberg_table: equality-delete file "
+                        f"{path!r} names field-ids outside the table's "
+                        "top-level primitive columns; fold/compact deletes "
+                        "in the source engine before registering"
+                    )
+                lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types)
+                upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types)
+                deletes.append(
+                    DeleteFile(
+                        path=path,
+                        rows=rows,
+                        bytes=nbytes,
+                        equality_ids=eq_names,
+                        sequence=seq,
+                        content="equality",
+                        stats={
+                            c: [lower[c], upper[c]]
+                            for c in lower
+                            if c in upper and c in eq_names
+                        },
+                    )
                 )
+                continue
             if is_delete_manifest:
                 raise ValueError(
                     f"malformed metadata: delete manifest {manifest_path!r} "

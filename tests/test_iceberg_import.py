@@ -179,6 +179,11 @@ _MANIFEST_ENTRY_SCHEMA = json.dumps(
                             "type": ["null", {**_BOUNDS_T, "items": {**_BOUNDS_T["items"], "name": "kv_hi"}}],
                             "default": None,
                         },
+                        {
+                            "name": "equality_ids",
+                            "type": ["null", {"type": "array", "items": "int"}],
+                            "default": None,
+                        },
                     ],
                 },
             },
@@ -216,7 +221,7 @@ def _write_avro(spark, path: str, schema_json: str, rows: list[dict]) -> None:
                 arr = jvm.java.util.ArrayList()
                 el = _unwrap(f.schema(), "array").getElementType()
                 for item in v:
-                    arr.add(_fill(el, item))
+                    arr.add(_fill(el, item) if isinstance(item, dict) else item)
                 rec.put(k, arr)
             elif isinstance(v, (bytes, bytearray)):
                 rec.put(k, jvm.java.nio.ByteBuffer.wrap(bytes(v)))
@@ -328,15 +333,19 @@ def _fake_iceberg_table(
     ]
     if with_position_delete or with_equality_delete:
         dpath = os.path.join(root, "data", "del1.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "file_path": ["file://" + f1],  # another URI variant
-                    "pos": pa.array([1], pa.int64()),
-                }
-            ),
-            dpath,
-        )
+        if with_equality_delete:
+            # equality-delete parquet: the key COLUMN by name (id=2)
+            pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dpath)
+        else:
+            pq.write_table(
+                pa.table(
+                    {
+                        "file_path": ["file://" + f1],  # another URI variant
+                        "pos": pa.array([1], pa.int64()),
+                    }
+                ),
+                dpath,
+            )
         del_entries = [
             {
                 "status": 1,
@@ -347,8 +356,17 @@ def _fake_iceberg_table(
                     "file_format": "PARQUET",
                     "record_count": 1,
                     "file_size_in_bytes": os.path.getsize(dpath),
-                    "lower_bounds": None,
-                    "upper_bounds": None,
+                    "lower_bounds": (
+                        [{"key": 1, "value": _enc("long", 2)}]
+                        if with_equality_delete
+                        else None
+                    ),
+                    "upper_bounds": (
+                        [{"key": 1, "value": _enc("long", 2)}]
+                        if with_equality_delete
+                        else None
+                    ),
+                    "equality_ids": [1] if with_equality_delete else None,
                 },
             }
         ]
@@ -468,12 +486,89 @@ def test_register_avro_position_deletes(spark, tmp_path):
     assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
 
 
-def test_register_avro_refuses_equality_deletes(spark, tmp_path):
-    meta_path, _ = _fake_iceberg_table(
+def test_register_avro_equality_deletes(spark, tmp_path):
+    """Foreign v2 EQUALITY deletes import: field-ids bind to key columns
+    through the schema, and the masked read drops matching rows of
+    strictly-older data files (id=2 here); key bounds become skip-stats."""
+    meta_path, rows = _fake_iceberg_table(
         spark, str(tmp_path / "ice"), with_equality_delete=True
     )
     catalog = LakeCatalog(spark, str(tmp_path / "wh"))
-    with pytest.raises(NotImplementedError, match="EQUALITY delete"):
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    dels = snap.delete_files
+    assert [(d.content, d.sequence, d.equality_ids) for d in dels] == [
+        ("equality", 2, ["id"])
+    ]
+    assert dels[0].stats == {"id": [2, 2]}  # bounds decoded into skip-stats
+    assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
+    # fold_deletes rewrites clean, proving full MoR integration
+    t.fold_deletes()
+    assert not t.snapshot().delete_files
+    assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
+
+
+def test_register_avro_refuses_unbindable_equality_ids(spark, tmp_path):
+    """equality_ids naming a field-id outside the table's top-level
+    primitives cannot bind to scan columns — refused, never silently
+    dropped (that would resurrect deleted rows)."""
+    import json as _json
+
+    meta_path, _ = _fake_iceberg_table(
+        spark, str(tmp_path / "ice"), with_equality_delete=True
+    )
+    # rewrite the delete manifest with an unknown field-id
+    root = str(tmp_path / "ice")
+    dmanifest = os.path.join(root, "metadata", "m1-deletes.avro")
+    dpath = os.path.join(root, "data", "del1.parquet")
+    _write_avro(
+        spark,
+        dmanifest,
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "sequence_number": 2,
+                "data_file": {
+                    "content": 2,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                    "equality_ids": [999],
+                },
+            }
+        ],
+    )
+    # manifest list references the rewritten manifest with its new length
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    meta = _json.loads(open(meta_path).read())
+    _write_avro(
+        spark,
+        ml,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": os.path.join(root, "metadata", "m0.avro"),
+                "manifest_length": os.path.getsize(
+                    os.path.join(root, "metadata", "m0.avro")
+                ),
+                "content": 0,
+                "sequence_number": 1,
+            },
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": os.path.getsize(dmanifest),
+                "content": 1,
+                "sequence_number": 2,
+            },
+        ],
+    )
+    assert meta["snapshots"][0]["manifest-list"] == ml
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(NotImplementedError, match="field-ids outside"):
         catalog.register_iceberg_table("ns", "ice", meta_path)
 
 
