@@ -22,8 +22,8 @@ spec's binary single-value serialization (Appendix D) keyed by field-id in
 the array-of-record map form real manifests use — an engine importing this
 export (including our own ``register_iceberg_table``) gets per-file
 [min, max] and keeps pruning.  Only the stat types our manifests track are
-encoded (int/long/float/double/string/date); other columns simply carry no
-bound, which readers treat as "stats prove nothing".
+encoded (int/long/float/double/string/date/timestamp[tz]); other columns
+simply carry no bound, which readers treat as "stats prove nothing".
 """
 
 from __future__ import annotations
@@ -69,6 +69,8 @@ _SPARK_TO_ICEBERG_BOUND = {
     "double": "double",
     "string": "string",
     "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
 }
 
 
@@ -94,17 +96,25 @@ def encode_bound(iceberg_type: str, value: Any) -> bytes | None:
         if iceberg_type == "date":
             d = _dt.date.fromisoformat(str(value)[:10])
             return struct.pack("<i", d.toordinal() - _EPOCH_ORDINAL)
+        if iceberg_type in ("timestamp", "timestamptz"):
+            # manifest stats store UTC-naive ISO; spec wants micros from epoch
+            ts = _dt.datetime.fromisoformat(str(value))
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            epoch = _dt.datetime(1970, 1, 1)
+            return struct.pack("<q", round((ts - epoch).total_seconds() * 1e6))
     except (ValueError, TypeError, OverflowError, struct.error):
         return None
     return None
 
 
 def decode_bound(iceberg_type: str, raw: bytes) -> Any:
-    """Inverse of :func:`encode_bound`; dates decode to ISO strings (the
-    manifest stats convention — lexicographic == chronological).  Returns
-    None for types we don't prune on (timestamps/decimals/uuid/binary) or
-    malformed payloads — the importer then omits the stat, which reads as
-    "unpruned" (correct, conservative)."""
+    """Inverse of :func:`encode_bound`; dates and timestamps decode to
+    ISO strings (the manifest stats convention — lexicographic ==
+    chronological; timestamps UTC-naive).  Returns None for types we don't
+    prune on (decimals/uuid/binary) or malformed payloads — the importer
+    then omits the stat, which reads as "unpruned" (correct,
+    conservative)."""
     import datetime as _dt
 
     try:
@@ -121,7 +131,12 @@ def decode_bound(iceberg_type: str, raw: bytes) -> Any:
         if iceberg_type == "date" and len(raw) == 4:
             days = struct.unpack("<i", raw)[0]
             return _dt.date.fromordinal(days + _EPOCH_ORDINAL).isoformat()
-    except (ValueError, UnicodeDecodeError, struct.error):
+        if iceberg_type in ("timestamp", "timestamptz") and len(raw) == 8:
+            micros = struct.unpack("<q", raw)[0]
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+            ).isoformat()
+    except (ValueError, OverflowError, UnicodeDecodeError, struct.error):
         return None
     return None
 

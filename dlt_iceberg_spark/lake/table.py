@@ -70,11 +70,62 @@ DISTRIBUTED_PLAN_MIN_FILES = int(
     os.environ.get("SPARK_GRAFT_DISTRIBUTED_PLAN_MIN_FILES", "50000")
 )
 
-_STATS_TYPES = ("int", "bigint", "double", "float", "string", "date")
+_STATS_TYPES = (
+    "int", "bigint", "double", "float", "string", "date",
+    "timestamp", "timestamp_ntz",
+)
 
 #: cap on (transform, value) pairs evaluated for partition-probe rewriting
 #: (table._partition_probe_values) — beyond this, stats pruning alone
 _MAX_PART_PROBE_EXPRS = 512
+
+
+def _utc_naive(v):
+    """Aware datetime -> UTC-naive (the manifest stats frame: all stored
+    timestamp stats are session-UTC naive ISO strings)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def iso_norm_value(v: Any) -> Any:
+    """Normalize a probe value into the manifest-stats frame: date/datetime
+    -> UTC-naive ISO string, everything else unchanged.  Callers probing
+    stats with collected date/timestamp values (merge key envelopes,
+    changelog bounds) must pass through this, or the datetime-vs-ISO-string
+    compare raises TypeError and pruning silently degrades to keep-all."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return _utc_naive(v).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _ts_prune_value(v: Any) -> str | None:
+    """Probe value -> the exact ISO form timestamp stats are stored in
+    ('YYYY-MM-DDTHH:MM:SS[.ffffff]', UTC-naive), or None when the value
+    cannot be brought into that frame — the caller then SKIPS stats
+    pruning for the predicate (conservative) while the residual Spark
+    filter still applies it exactly.  Needed because lexicographic
+    ISO-string compare is only chronological when both sides use the same
+    separator and timezone frame ('2024-01-01 10:00' sorts before
+    '2024-01-01T09:00' textually)."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v.replace(" ", "T"))
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        return _utc_naive(v).isoformat()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
+    return None
 
 #: residual Spark filters for `read(where=...)` predicates
 _OPS = {
@@ -283,8 +334,10 @@ def _collect_file_stats(
             if isinstance(mn, (_dt.date, _dt.datetime)):
                 # ISO strings order lexicographically == chronologically, so
                 # range pruning keeps working; raw date objects would break
-                # the JSON manifest encoding
-                mn, mx = mn.isoformat(), mx.isoformat()
+                # the JSON manifest encoding.  Aware timestamps normalize to
+                # UTC-naive first — ONE frame for every stored stat, matched
+                # by _ts_prune_value on the probe side.
+                mn, mx = _utc_naive(mn).isoformat(), _utc_naive(mx).isoformat()
             cur = stats.get(name)
             if cur is None:
                 stats[name] = [mn, mx]
@@ -800,7 +853,9 @@ class LakeTable:
                 if isinstance(mn, (date, datetime)):
                     # same ISO encoding as the footer path: lexicographic
                     # order == chronological, and it survives JSON manifests
-                    mn, mx = mn.isoformat(), mx.isoformat()
+                    # (session TZ is UTC, so collected naives are UTC-naive;
+                    # aware values normalize to the same frame)
+                    mn, mx = _utc_naive(mn).isoformat(), _utc_naive(mx).isoformat()
                 stats[c] = [mn, mx]
             base = os.path.basename(urllib.parse.unquote(r["_f"]))
             out[base] = (r["_rows"], stats)
@@ -1414,12 +1469,29 @@ class LakeTable:
         # driver and the distributed planner compare like with like
         def _norm_v(v):
             if isinstance(v, (_dt.date, _dt.datetime)):
-                return v.isoformat()
+                return _utc_naive(v).isoformat()
             if isinstance(v, (list, tuple, set)):
                 return [_norm_v(x) for x in sorted(v, key=str)]
             return v
 
         where = [(c, op, _norm_v(v)) for c, op, v in where]
+        # timestamp stats are UTC-naive 'T'-separated ISO strings; a probe
+        # in any other spelling (space separator, offset suffix) would
+        # compare lexicographically-wrong, so probes that cannot be brought
+        # into that frame are EXCLUDED from pruning (the residual Spark
+        # filter still applies them exactly)
+        dtypes = {f.name: f.dataType for f in snap.schema.fields}
+
+        def _prunable(c, op, v):
+            if not isinstance(dtypes.get(c), (T.TimestampType, T.TimestampNTZType)):
+                return (c, op, v)
+            if isinstance(v, list):
+                vs = [_ts_prune_value(x) for x in v]
+                return (c, op, vs) if all(x is not None for x in vs) else None
+            v2 = _ts_prune_value(v)
+            return (c, op, v2) if v2 is not None else None
+
+        prune_where = [p for p in (map(lambda w: _prunable(*w), where)) if p]
         # three-level prune, Iceberg-style: manifest aggregate ranges and
         # partition summaries skip whole manifests unread; file [min,max]
         # stats AND transform-rewritten partition tuples skip files
@@ -1431,7 +1503,7 @@ class LakeTable:
             for ref in snap.manifests
             if all(
                 ref.may_match(c, *self._probe_range(op, v))
-                for c, op, v in where
+                for c, op, v in prune_where
             )
             and all(
                 ref.may_contain_partition(name, vals)
@@ -1445,14 +1517,14 @@ class LakeTable:
         inline = [
             f
             for f in snap.inline_files
-            if all(_file_may_match(f, c, op, v) for c, op, v in where)
+            if all(_file_may_match(f, c, op, v) for c, op, v in prune_where)
             and self._file_partition_may_match(f, part_probes)
         ]
         if use_spark:
             from dlt_iceberg_spark.lake.planning import plan_candidates
 
             files = inline + plan_candidates(
-                self.spark, self.location, snap.schema, open_refs, where,
+                self.spark, self.location, snap.schema, open_refs, prune_where,
                 part_probes=part_probes,
             )
         else:
@@ -1462,7 +1534,7 @@ class LakeTable:
             files = inline + [
                 f
                 for f in expanded
-                if all(_file_may_match(f, c, op, v) for c, op, v in where)
+                if all(_file_may_match(f, c, op, v) for c, op, v in prune_where)
                 and self._file_partition_may_match(f, part_probes)
             ]
         return where, files
@@ -1986,8 +2058,12 @@ class LakeTable:
                         if all(
                             bounds[f"_mn_{k}"] is None
                             or (
-                                _file_may_match(f, k, ">=", bounds[f"_mn_{k}"])
-                                and _file_may_match(f, k, "<=", bounds[f"_mx_{k}"])
+                                _file_may_match(
+                                    f, k, ">=", iso_norm_value(bounds[f"_mn_{k}"])
+                                )
+                                and _file_may_match(
+                                    f, k, "<=", iso_norm_value(bounds[f"_mx_{k}"])
+                                )
                             )
                             for k in keys
                         )

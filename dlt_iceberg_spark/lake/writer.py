@@ -496,8 +496,15 @@ class LakeWriter:
         if stats_row["_n"] == 0:
             touched, kept_refs, kept_files = [], snap.manifests, snap.inline_files
         else:
+            from dlt_iceberg_spark.lake.table import iso_norm_value
+
+            # date/timestamp key envelopes must enter the ISO stats frame or
+            # the datetime-vs-string compare keeps every file (no pruning)
             probes = {
-                k: (stats_row[f"_lo{i}"], stats_row[f"_hi{i}"])
+                k: (
+                    iso_norm_value(stats_row[f"_lo{i}"]),
+                    iso_norm_value(stats_row[f"_hi{i}"]),
+                )
                 for i, k in enumerate(keys)
             }
             part_probes = {

@@ -38,6 +38,10 @@ def configure_session(builder: SparkSession.Builder, shuffle_partitions: int = D
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # INT96 (Spark's legacy default) writes NO column statistics, which
+        # would silence timestamp range pruning; micros is also what every
+        # other engine (and Iceberg) writes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

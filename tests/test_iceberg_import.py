@@ -596,10 +596,15 @@ def test_bound_codec_roundtrip():
     # spec examples: little-endian
     assert encode_bound("int", 1) == b"\x01\x00\x00\x00"
     assert encode_bound("date", "1970-01-02") == b"\x01\x00\x00\x00"
+    # timestamps: micros from epoch <-> UTC-naive ISO (the stats frame)
+    assert decode_bound("timestamptz", b"\x00" * 8) == "1970-01-01T00:00:00"
+    raw = encode_bound("timestamp", "2024-03-03T12:30:01.250000")
+    assert len(raw) == 8
+    assert decode_bound("timestamp", raw) == "2024-03-03T12:30:01.250000"
     # unsupported/malformed -> None (caller omits the bound)
     assert encode_bound("uuid", "x") is None
     assert decode_bound("int", b"\x01") is None
-    assert decode_bound("timestamptz", b"\x00" * 8) is None
+    assert decode_bound("decimal(10, 2)", b"\x00") is None
 
 
 def test_iceberg_type_mapping_roundtrip():

@@ -223,7 +223,49 @@ def test_truncate_and_temporal_transform_pruning(spark, tmp_path):
     assert got == len([r for r in rows if r[2] == probe_ts]) > 0
 
 
-def test_partition_probe_rewrite_caps_huge_in_lists(spark, tmp_path):
+def test_timestamp_stats_prune_and_stay_exact(spark, tmp_path):
+    """Timestamp columns now carry [min,max] manifest stats (UTC-naive ISO
+    frame): range probes prune files, and probes in OTHER spellings (space
+    separator, tz-aware) stay exact — unframeable probes skip pruning
+    instead of comparing lexicographically-wrong."""
+    import datetime
+
+    loc = str(tmp_path / "ts")
+    t = LakeTable(spark, loc)
+    rows = [(i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i)) for i in range(240)]
+    df = (
+        spark.createDataFrame(rows, "id long, ts timestamp")
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+    )
+    t.commit(t.stage_dataframe(df), df.schema, "create", None)
+    snap = t.snapshot()
+    assert snap.n_files >= 4
+    for f in snap.files:
+        assert "ts" in f.stats and "T" in f.stats["ts"][0]  # ISO frame
+
+    probe = datetime.datetime(2024, 1, 9)  # hour 192 of 240
+    for v in (
+        probe,                                   # naive datetime
+        "2024-01-09T00:00:00",                   # canonical ISO
+        "2024-01-09 00:00:00",                   # space separator
+        probe.replace(tzinfo=datetime.timezone.utc),          # aware UTC
+        datetime.datetime(2024, 1, 9, 2, tzinfo=datetime.timezone(datetime.timedelta(hours=2))),  # aware +02
+    ):
+        got = t.read(where=[("ts", ">=", v)]).count()
+        assert got == 48, (v, got)
+    # and the canonical forms actually prune
+    _, files = t._select_files(snap, [("ts", ">=", probe)])
+    assert len(files) < snap.n_files
+    # an unparseable string probe skips pruning (plans everything) and the
+    # residual filter decides: 0 rows under lenient cast, or an ANSI cast
+    # error — either way, never a silently wrong prune
+    _, files = t._select_files(snap, [("ts", ">", "not-a-timestamp")])
+    assert len(files) == snap.n_files
+    try:
+        assert t.read(where=[("ts", ">", "not-a-timestamp")]).count() == 0
+    except Exception:
+        pass  # ANSI-mode cast failure is the other exact outcome
     """A 600-value IN must skip the transform rewrite (stats pruning only)
     rather than inflate planning with hundreds of fold expressions — and
     results stay exact either way."""
