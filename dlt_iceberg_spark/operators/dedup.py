@@ -547,6 +547,51 @@ def build_dedup_index(
     )
 
 
+def write_dedup_index(table, corpus: DataFrame, text_col: str, id_col: str, n_hashes: int = 64):
+    """Materialize :func:`build_dedup_index` into a LakeTable — the
+    persisted form a continuous-ingestion pipeline maintains (the module
+    docstring's "production pipeline PERSISTS this relation", made real).
+    The table gets per-file ``ck`` [min,max] stats and snapshot history
+    like any other table; returns the created snapshot."""
+    idx = build_dedup_index(corpus, text_col, id_col, n_hashes)
+    files = table.stage_dataframe(idx)
+    return table.commit(files, idx.schema, "create", table.current_version())
+
+
+def append_novel_classes(
+    table, batch: DataFrame, text_col: str, id_col: str, n_hashes: int = 64
+):
+    """Per-load index maintenance: append the batch's token-set classes
+    whose ``ck`` is NOT yet stored.  Cost shape at corpus scale:
+
+    - membership = ONE map-side scan of the index (broadcast semi-join of
+      the batch's class keys — zero corpus shuffle),
+    - the append is a delta commit (parent manifests by reference).
+
+    A batch doc whose class already exists is a DUP — it is reported by
+    :func:`batch_vs_corpus_dedup` at probe time and deliberately NOT added
+    (canonical ids = first ingest); future identical docs keep matching the
+    original class.  Returns the new snapshot (or the current one when the
+    batch brings nothing novel)."""
+    bidx = build_dedup_index(batch, text_col, id_col, n_hashes)
+    probe = F.broadcast(bidx.select("ck").distinct())
+    known = table.read().select("ck").join(probe, "ck", "leftsemi")
+    novel = bidx.join(F.broadcast(known), "ck", "left_anti")
+    snap = table.snapshot()
+    new_files = table.stage_dataframe(novel)
+    if not new_files:
+        return snap
+    return table.commit(
+        None,
+        snap.schema,
+        "append",
+        snap.version,
+        manifests=snap.manifests,
+        new_files=list(snap.inline_files) + new_files,
+        summary={"novel-classes": sum(f.rows for f in new_files)},
+    )
+
+
 def _band_index(index: DataFrame, bands: int) -> DataFrame:
     """(ck, band, bucket) rows from stored signatures — pure map-side."""
     rpb = f"CAST(size(signature) / {bands} AS INT)"

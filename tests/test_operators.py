@@ -854,3 +854,72 @@ def test_lm_perplexity_separates_target_like_docs(spark):
         for r in perplexity_filter(corpus, target, buckets=2).collect()
     }
     assert buckets[1] == 1 and buckets[2] == 2  # head vs tail
+
+
+def test_persisted_dedup_index_lifecycle(spark, tmp_path):
+    """The incremental-dedup index as a PERSISTED LakeTable (the production
+    shape): write once, probe each arriving batch, append only novel
+    classes — re-appending the same batch is a no-op, later batches match
+    classes added by earlier ones, and probing the maintained table equals
+    probing a freshly rebuilt index."""
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.operators.dedup import (
+        append_novel_classes,
+        batch_vs_corpus_dedup,
+        build_dedup_index,
+        write_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            (3, "eta theta iota"),
+            (4, "eta theta iota"),  # exact dup of 3 -> same class
+        ],
+        "doc_id long, text string",
+    )
+    t = LakeTable(spark, str(tmp_path / "idx"))
+    write_dedup_index(t, corpus, "text", "doc_id")
+    n0 = t.read().count()
+    assert n0 == 3  # three token-set classes
+
+    batch1 = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "kappa lambda mu")],
+        "doc_id long, text string",
+    )
+    pairs1 = {
+        (r.corpus_id, r.batch_id, r.jaccard)
+        for r in batch_vs_corpus_dedup(batch1, t.read(), "text", "doc_id").collect()
+    }
+    assert (1, 10, 1.0) in pairs1  # identical content found
+    v1 = append_novel_classes(t, batch1, "text", "doc_id").version
+    assert t.read().count() == n0 + 1  # only doc 11's class is novel
+    # idempotent: same batch again appends nothing, commits nothing
+    assert append_novel_classes(t, batch1, "text", "doc_id").version == v1
+    assert t.read().count() == n0 + 1
+
+    # a later batch matches the class batch1 added (canonical id = 11)
+    batch2 = spark.createDataFrame(
+        [(20, "kappa lambda mu"), (21, "nu xi omicron")],
+        "doc_id long, text string",
+    )
+    maintained = {
+        (r.corpus_id, r.batch_id)
+        for r in batch_vs_corpus_dedup(batch2, t.read(), "text", "doc_id").collect()
+    }
+    assert (11, 20) in maintained
+    # equivalence with a from-scratch rebuild over the same canonical docs
+    rebuilt_corpus = corpus.unionByName(
+        spark.createDataFrame([(11, "kappa lambda mu")], "doc_id long, text string")
+    )
+    fresh = {
+        (r.corpus_id, r.batch_id)
+        for r in batch_vs_corpus_dedup(
+            batch2, build_dedup_index(rebuilt_corpus, "text", "doc_id"), "text", "doc_id"
+        ).collect()
+    }
+    assert maintained == fresh
+    # the stored table is a real table: snapshot history + ck stats
+    assert [s.operation for s in t.snapshots()][:2] == ["create", "append"]
+    assert all("ck" in f.stats for f in t.snapshot().files)
