@@ -164,6 +164,56 @@ def main(warehouse: str) -> None:
     print("25% sample:", sampled.count(), "of", clicks.count())
     print("splits:", {r.split: r.n for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()})
 
+    # -- bucket partitioning: point lookups open ~1/N of the files ----------
+    pipe.run(
+        Resource(
+            producer=[Row(user_id=i, plan=f"p{i % 3}") for i in range(64)],
+            name="users",
+            write_disposition="append",
+            column_hints={"user_id": {"partition": True, "x-partition-transform": "bucket[8]"}},
+        )
+    )
+    users = pipe.catalog.load_table("shop", "users")
+    snap = users.snapshot()
+    _, hit = users._select_files(snap, [("user_id", "=", 7)])
+    print(
+        f"bucket[8] point lookup: planned {len(hit)} of {snap.n_files} files "
+        f"(min/max could not prune a hashed key; the transform rewrite did)"
+    )
+
+    # -- Iceberg interop: export with column bounds, re-register, still prunes
+    meta_path = users.export_iceberg_metadata(avro_manifests=True)
+    twin = pipe.catalog.register_iceberg_table("shop_interop", "users_twin", meta_path)
+    tsnap = twin.snapshot()
+    _, thit = twin._select_files(tsnap, [("user_id", "=", 7)])
+    print(
+        f"interop twin: {twin.read().count()} rows re-read via avro metadata; "
+        f"point lookup plans {len(thit)} of {tsnap.n_files} files (bounds survived)"
+    )
+
+    # -- persisted incremental-dedup index ----------------------------------
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.operators.dedup import (
+        append_novel_classes,
+        batch_vs_corpus_dedup,
+        write_dedup_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], "doc_id long, text string"
+    )
+    idx_table = LakeTable(spark, os.path.join(warehouse, "shop", "_dedup_index"))
+    write_dedup_index(idx_table, docs, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma"), (11, "brand new content")], "doc_id long, text string"
+    )
+    dups = batch_vs_corpus_dedup(batch, idx_table.read(), "text", "doc_id").collect()
+    append_novel_classes(idx_table, batch, "text", "doc_id")
+    print(
+        f"incremental dedup: batch dups {sorted((r.corpus_id, r.batch_id) for r in dups)}; "
+        f"index grew to {idx_table.read().count()} classes (novel only)"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
