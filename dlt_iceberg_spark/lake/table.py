@@ -1482,9 +1482,21 @@ class LakeTable:
         # filter still applies them exactly)
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
 
+        # tz-adjusted timestamps are only prunable under a UTC session:
+        # footer stats decode in the UTC frame while naive probe values are
+        # session-frame, so a non-UTC session (a vanilla driver without our
+        # configs) must skip ts pruning rather than compare across frames.
+        # NTZ columns are wall-clock on both sides — always prunable.
+        session_utc = self.spark.conf.get("spark.sql.session.timeZone", "") in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
+        )
+
         def _prunable(c, op, v):
-            if not isinstance(dtypes.get(c), (T.TimestampType, T.TimestampNTZType)):
+            dt = dtypes.get(c)
+            if not isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
                 return (c, op, v)
+            if isinstance(dt, T.TimestampType) and not session_utc:
+                return None
             if isinstance(v, list):
                 vs = [_ts_prune_value(x) for x in v]
                 return (c, op, vs) if all(x is not None for x in vs) else None
