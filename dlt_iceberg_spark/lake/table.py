@@ -1373,7 +1373,11 @@ class LakeTable:
         rewritten (bucket destroys order); they keep pruning via stats.
         Rewrites are skipped wholesale past ``_MAX_PART_PROBE_EXPRS``
         (transform, value) pairs — a 10k-value IN should prune via stats,
-        not inflate planning latency.
+        not inflate planning latency.  Fields whose SOURCE column is a
+        tz-adjusted timestamp rewrite only under a UTC session: the stored
+        tuples were computed in the writer's session frame, and evaluating
+        the transform in a different frame could name the wrong partition
+        (a wrong prune, not just a missed one).
         """
         spec = snap.partition_spec or []
         if not spec or not where:
@@ -1390,6 +1394,14 @@ class LakeTable:
             )
             by_col.setdefault(pf.column, []).append(pf)
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
+        if not self.spark.conf.get("spark.sql.session.timeZone", "") in (
+            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
+        ):
+            by_col = {
+                c: pfs
+                for c, pfs in by_col.items()
+                if not isinstance(dtypes.get(c), T.TimestampType)
+            }
         exprs: list[Column] = []
         keys: list[tuple[str, Any]] = []
         for c, op, v in where:
