@@ -410,6 +410,32 @@ def register_iceberg_table(
             "snapshot carries neither 'manifests' nor 'manifest-list'"
         )
 
+    # Sequence rebase: native commits stamp sequence = snapshot version
+    # (1, 2, …), which would COLLIDE with imported foreign sequences — a
+    # post-import append at seq 1 would look "strictly older" than a
+    # foreign equality delete at seq 2 and be silently masked.  Shifting
+    # every imported sequence below zero (uniformly, preserving relative
+    # order) keeps the foreign delete/data ordering bit-exact while making
+    # all FUTURE native commits strictly newer — Iceberg's
+    # last-sequence-number invariant, re-expressed.
+    all_seqs = [f.sequence or 0 for f in files] + [
+        d.sequence or 0 for d in delete_files
+    ]
+    if all_seqs:
+        try:
+            last_seq = int(meta.get("last-sequence-number"))
+        except (TypeError, ValueError):
+            last_seq = max(all_seqs)
+        shift = max(last_seq, max(all_seqs)) + 1
+        files = [
+            DataFile(**{**vars(f), "sequence": (f.sequence or 0) - shift})
+            for f in files
+        ]
+        delete_files = [
+            DeleteFile(**{**vars(d), "sequence": (d.sequence or 0) - shift})
+            for d in delete_files
+        ]
+
     # partition spec: Iceberg transform syntax (bucket[N] / truncate[W]) maps
     # back to the internal column/transform/param shape
     spec_fields = []

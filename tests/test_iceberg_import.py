@@ -475,7 +475,8 @@ def test_register_avro_position_deletes(spark, tmp_path):
     catalog = LakeCatalog(spark, str(tmp_path / "wh"))
     t = catalog.register_iceberg_table("ns", "ice", meta_path)
     snap = t.snapshot()
-    assert [(d.content, d.sequence) for d in snap.delete_files] == [("position", 2)]
+    # foreign seq 2 rebases below zero (uniform shift, order preserved)
+    assert [(d.content, d.sequence) for d in snap.delete_files] == [("position", -1)]
     # (2, 'y', 20.0) is the addressed row (f1, pos 1)
     assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
     # a predicate read through the same MoR path stays masked
@@ -498,7 +499,7 @@ def test_register_avro_equality_deletes(spark, tmp_path):
     snap = t.snapshot()
     dels = snap.delete_files
     assert [(d.content, d.sequence, d.equality_ids) for d in dels] == [
-        ("equality", 2, ["id"])
+        ("equality", -1, ["id"])  # foreign seq 2 rebased below zero
     ]
     assert dels[0].stats == {"id": [2, 2]}  # bounds decoded into skip-stats
     assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
@@ -506,6 +507,35 @@ def test_register_avro_equality_deletes(spark, tmp_path):
     t.fold_deletes()
     assert not t.snapshot().delete_files
     assert _rows(t.read()) == sorted(r for r in rows if r[0] != 2)
+
+
+def test_post_import_appends_escape_foreign_deletes(spark, tmp_path):
+    """Imported sequences rebase BELOW native commit sequences: a row
+    appended after import must survive even when a foreign equality delete
+    masks that same key in the imported data — the delete is strictly
+    older than everything native (Iceberg's last-sequence-number
+    invariant)."""
+    meta_path, rows = _fake_iceberg_table(
+        spark, str(tmp_path / "ice"), with_equality_delete=True
+    )
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    assert all((d.sequence or 0) < 0 for d in t.snapshot().delete_files)
+    assert all((f.sequence or 0) < 0 for f in t.snapshot().files)
+    # foreign delete masks the imported id=2 row
+    assert 2 not in {r[0] for r in _rows(t.read())}
+
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="ice", write_disposition="append"),
+        spark.createDataFrame([(2, "reborn", 99.0)], "id long, name string, score double"),
+        load_id="l0",
+    )
+    got = _rows(catalog.load_table("ns", "ice").read())
+    # the NEW id=2 row survives; the OLD imported id=2 row stays masked
+    assert (2, "reborn", 99.0) in got
+    assert (2, "y", 20.0) not in got
+    assert len(got) == len(rows)  # 5 imported survivors + 1 new
 
 
 def test_register_avro_refuses_unbindable_equality_ids(spark, tmp_path):
