@@ -131,6 +131,164 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher quality-rule thresholds (Rae et al. 2021, Appendix A1.1) —
+#: (feature, op, bound); a document is kept when EVERY rule holds.
+GOPHER_THRESHOLDS: tuple[tuple[str, str, float], ...] = (
+    ("n_words", ">=", 50),
+    ("n_words", "<=", 100_000),
+    ("mean_word_len", ">=", 3.0),
+    ("mean_word_len", "<=", 10.0),
+    ("symbol_word_ratio", "<=", 0.1),
+    ("bullet_line_frac", "<=", 0.9),
+    ("ellipsis_line_frac", "<=", 0.3),
+    ("alpha_word_frac", ">=", 0.8),
+    ("req_stopword_count", ">=", 2),
+    ("dup_line_frac", "<=", 0.30),
+    ("dup_para_frac", "<=", 0.30),
+    ("dup_line_char_frac", "<=", 0.20),
+    ("dup_para_char_frac", "<=", 0.20),
+    ("top_2gram_char_frac", "<=", 0.20),
+    ("top_3gram_char_frac", "<=", 0.18),
+    ("top_4gram_char_frac", "<=", 0.16),
+    ("dup_5gram_char_frac", "<=", 0.15),
+    ("dup_6gram_char_frac", "<=", 0.14),
+    ("dup_7gram_char_frac", "<=", 0.13),
+    ("dup_8gram_char_frac", "<=", 0.12),
+    ("dup_9gram_char_frac", "<=", 0.11),
+    ("dup_10gram_char_frac", "<=", 0.10),
+)
+
+#: the 8 "required stopwords" of the Gopher word-presence rule
+GOPHER_REQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _sorted_dup_chars_sql(arr: str) -> str:
+    """Characters inside values occurring ≥ 2 times in array ``arr``
+    (counting every occurrence): mark each element of the SORTED array that
+    equals its predecessor OR successor, then sum those elements' lengths.
+    Slice-shifted zip_with keeps it O(n) — never element_at-by-index inside
+    a lambda (interpreted HOFs re-evaluate captured expressions)."""
+    d = f"sort_array({arr})"
+    prev = f"concat(array(CAST(NULL AS STRING)), slice({d}, 1, size({d}) - 1))"
+    nxt = f"concat(slice({d}, 2, size({d}) - 1), array(CAST(NULL AS STRING)))"
+    mark = (
+        f"zip_with(zip_with({d}, {prev}, (x, p) -> x <=> p), "
+        f"zip_with({d}, {nxt}, (x, s) -> x <=> s), (a, b) -> a OR b)"
+    )
+    return (
+        f"CASE WHEN size({arr}) >= 2 THEN "
+        f"aggregate(zip_with({d}, {mark}, (x, m) -> IF(m, length(x), 0)), "
+        f"0L, (acc, v) -> acc + v) ELSE 0L END"
+    )
+
+
+def _top_run_chars_sql(arr: str) -> str:
+    """Characters covered by the most frequent value of array ``arr``
+    (occurrences × value length), via one pass over the sorted array."""
+    d = f"sort_array({arr})"
+    return (
+        f"aggregate({d}, "
+        f"struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0L AS best), "
+        f"(acc, x) -> struct(x AS prev, "
+        f"IF(x <=> acc.prev, acc.run + 1, 1) AS run, "
+        f"greatest(acc.best, CAST(IF(x <=> acc.prev, acc.run + 1, 1) AS BIGINT) "
+        f"* length(x)) AS best), "
+        f"acc -> acc.best)"
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    """Space-joined word n-grams over the bound token column ``_t``."""
+    return (
+        f"CASE WHEN size(_t) >= {n} THEN "
+        f"transform(sequence(1, size(_t) - {n} + 1), i -> concat_ws(' ', slice(_t, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The COMPLETE Gopher/MassiveText quality-rule matrix (Rae et al.
+    2021, Appendix A1.1) as pure map-side expressions — per document:
+    word-count band, mean word length band, symbol-to-word ratio
+    ('#'/'...'/'…'), bullet- and ellipsis-line fractions, alphabetic-word
+    fraction, required-stopword presence, duplicate line/paragraph count
+    and CHARACTER fractions, top-{2,3,4}-gram character fractions, and
+    duplicate-{5..10}-gram character fractions, plus ``gopher_keep`` =
+    conjunction of every threshold (GOPHER_THRESHOLDS).
+
+    Formula conventions (documented because published reproductions vary):
+    character fractions use the raw document length as denominator; the
+    duplicate-n-gram fraction counts EVERY occurrence of a duplicated
+    n-gram (overlaps not deduplicated); n-gram character length includes
+    the joining spaces.  Every formula is exact count arithmetic, so a SQL
+    oracle replays the whole matrix bit-for-bit.
+
+    Scale shape: zero shuffles, zero UDFs — one projection whose
+    higher-order functions are linear in document length (slice-shifted
+    zip_with, never per-index element_at).
+    """
+    toks = rf"filter(split({text_col}, '\\s+'), x -> x <> '')"
+    base = fan_out(df).withColumns(
+        {
+            "_t": F.expr(toks),
+            "_lines": F.expr(rf"filter(split({text_col}, '\\n'), x -> x <> '')"),
+            "_paras": F.expr(rf"filter(split({text_col}, '\\n\\n'), x -> x <> '')"),
+        }
+    )
+
+    def _cnt(lit: str, width: int) -> str:
+        esc = lit.replace("'", "\\'")
+        return f"(length({text_col}) - length(replace({text_col}, '{esc}', ''))) / {width}"
+
+    nw = "CAST(size(_t) AS DOUBLE)"
+    total_chars = f"CAST(greatest(length({text_col}), 1) AS DOUBLE)"
+    feature_sql: dict[str, str] = {
+        "n_words": "size(_t)",
+        "mean_word_len": f"aggregate(_t, 0L, (a, x) -> a + length(x)) / greatest({nw}, 1.0)",
+        "symbol_word_ratio": f"({_cnt('#', 1)} + {_cnt('...', 3)} + {_cnt('…', 1)}) / greatest({nw}, 1.0)",
+        "bullet_line_frac": (
+            "size(filter(_lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•'))) "
+            "/ CAST(greatest(size(_lines), 1) AS DOUBLE)"
+        ),
+        "ellipsis_line_frac": (
+            "size(filter(_lines, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…')) "
+            "/ CAST(greatest(size(_lines), 1) AS DOUBLE)"
+        ),
+        "alpha_word_frac": (
+            f"size(filter(_t, x -> x RLIKE '[A-Za-z]')) / greatest({nw}, 1.0)"
+        ),
+        "req_stopword_count": (
+            "size(array_intersect(array_distinct(_t), array("
+            + ", ".join(f"'{w}'" for w in GOPHER_REQ_STOPWORDS)
+            + ")))"
+        ),
+        "dup_line_frac": (
+            "1.0 - size(array_distinct(_lines)) / CAST(greatest(size(_lines), 1) AS DOUBLE)"
+        ),
+        "dup_para_frac": (
+            "1.0 - size(array_distinct(_paras)) / CAST(greatest(size(_paras), 1) AS DOUBLE)"
+        ),
+        "dup_line_char_frac": f"{_sorted_dup_chars_sql('_lines')} / {total_chars}",
+        "dup_para_char_frac": f"{_sorted_dup_chars_sql('_paras')} / {total_chars}",
+    }
+    for n in (2, 3, 4):
+        feature_sql[f"top_{n}gram_char_frac"] = (
+            f"{_top_run_chars_sql(_ngrams_sql(n))} / {total_chars}"
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        feature_sql[f"dup_{n}gram_char_frac"] = (
+            f"{_sorted_dup_chars_sql(_ngrams_sql(n))} / {total_chars}"
+        )
+    out = base.selectExpr(
+        *df.columns, *[f"{sql} AS {name}" for name, sql in feature_sql.items()]
+    )
+    keep = F.lit(True)
+    for feat, op, bound in GOPHER_THRESHOLDS:
+        c = F.col(feat)
+        keep = keep & (c >= bound if op == ">=" else c <= bound)
+    return out.withColumn("gopher_keep", keep)
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", markers: dict[str, list[str]] | None = None
 ) -> DataFrame:

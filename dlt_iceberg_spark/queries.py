@@ -2313,6 +2313,126 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_gopher_rules",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+             list_filter(string_split_regex(text, chr(10) || chr(10)), x -> x <> '') AS ps
+      FROM documents
+    ),
+    gl AS (
+      SELECT doc_id, n,
+             unnest(CASE WHEN len(t) >= n
+                    THEN [array_to_string(t[i : i + n - 1], ' ')
+                          for i in generate_series(1, len(t) - n + 1)]
+                    ELSE []::VARCHAR[] END) AS gram
+      FROM base, range(2, 11) ns(n)
+    ),
+    gc AS (SELECT doc_id, n, gram, count(*) AS c, length(gram) AS glen
+           FROM gl GROUP BY ALL),
+    gs AS (SELECT doc_id, n, max(c * glen) AS topc,
+                  sum(CASE WHEN c >= 2 THEN c * glen ELSE 0 END) AS dupc
+           FROM gc GROUP BY 1, 2),
+    gp AS (SELECT doc_id,
+                  {", ".join(f"coalesce(max(CASE WHEN n = {n} THEN topc END), 0) AS top{n}" for n in (2, 3, 4))},
+                  {", ".join(f"coalesce(max(CASE WHEN n = {n} THEN dupc END), 0) AS dup{n}" for n in (5, 6, 7, 8, 9, 10))}
+           FROM gs GROUP BY 1),
+    feat AS (
+      SELECT b.doc_id,
+             len(t) AS nw,
+             greatest(length(text), 1) AS tc,
+             coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+               / greatest(len(t), 1) AS mwl,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + (length(text) - length(replace(text, '…', ''))))
+               / greatest(len(t), 1) AS swr,
+             len(list_filter(ls, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+               / greatest(len(ls), 1) AS blf,
+             len(list_filter(ls, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'))
+               / greatest(len(ls), 1) AS elf,
+             len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+               / greatest(len(t), 1) AS awf,
+             len(list_intersect(list_distinct(t),
+                 ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS rsc,
+             1.0 - len(list_distinct(ls)) / greatest(len(ls), 1) AS dlf,
+             1.0 - len(list_distinct(ps)) / greatest(len(ps), 1) AS dpf,
+             coalesce(list_sum(list_transform(ls, x ->
+               CASE WHEN len(list_filter(ls, y -> y = x)) >= 2 THEN length(x) ELSE 0 END)), 0)
+               / (greatest(length(text), 1)) AS dlcf,
+             coalesce(list_sum(list_transform(ps, x ->
+               CASE WHEN len(list_filter(ps, y -> y = x)) >= 2 THEN length(x) ELSE 0 END)), 0)
+               / (greatest(length(text), 1)) AS dpcf,
+             gp.top2 / greatest(length(text), 1) AS t2,
+             gp.top3 / greatest(length(text), 1) AS t3,
+             gp.top4 / greatest(length(text), 1) AS t4,
+             gp.dup5 / greatest(length(text), 1) AS d5,
+             gp.dup6 / greatest(length(text), 1) AS d6,
+             gp.dup7 / greatest(length(text), 1) AS d7,
+             gp.dup8 / greatest(length(text), 1) AS d8,
+             gp.dup9 / greatest(length(text), 1) AS d9,
+             gp.dup10 / greatest(length(text), 1) AS d10
+      FROM base b JOIN gp USING (doc_id)
+    )
+    SELECT doc_id,
+           nw AS n_words,
+           {_sql_rnd('mwl', 6)} AS mean_word_len,
+           {_sql_rnd('swr', 6)} AS symbol_word_ratio,
+           {_sql_rnd('awf', 6)} AS alpha_word_frac,
+           rsc AS req_stopword_count,
+           {_sql_rnd('dlf', 6)} AS dup_line_frac,
+           {_sql_rnd('elf', 6)} AS ellipsis_line_frac,
+           {_sql_rnd('t2', 6)} AS top_2gram_char_frac,
+           {_sql_rnd('t3', 6)} AS top_3gram_char_frac,
+           {_sql_rnd('t4', 6)} AS top_4gram_char_frac,
+           {_sql_rnd('d5', 6)} AS dup_5gram_char_frac,
+           {_sql_rnd('d10', 6)} AS dup_10gram_char_frac,
+           (nw BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+            AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3 AND awf >= 0.8
+            AND rsc >= 2 AND dlf <= 0.30 AND dpf <= 0.30
+            AND dlcf <= 0.20 AND dpcf <= 0.20
+            AND t2 <= 0.20 AND t3 <= 0.18 AND t4 <= 0.16
+            AND d5 <= 0.15 AND d6 <= 0.14 AND d7 <= 0.13
+            AND d8 <= 0.12 AND d9 <= 0.11 AND d10 <= 0.10) AS gopher_keep
+    FROM feat
+    """,
+    doc=(
+        "The COMPLETE Gopher/MassiveText quality-rule matrix (Rae et al. "
+        "2021 A1.1; operators/text.py::gopher_rules): word-count and mean-"
+        "word-length bands, symbol/bullet/ellipsis ratios, alphabetic-word "
+        "fraction, required-stopword presence, duplicate line/paragraph "
+        "count+character fractions, top-{{2,3,4}}-gram and duplicate-"
+        "{{5..10}}-gram character fractions, and the conjunction keep flag. "
+        "Pure map-side expressions (zero shuffles, zero UDFs); the oracle "
+        "replays every formula via unnest+group n-gram counting — exact "
+        "integer arithmetic end to end."
+    ),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import gopher_rules
+
+    out = gopher_rules(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        rnd(F.col("mean_word_len"), 6).alias("mean_word_len"),
+        rnd(F.col("symbol_word_ratio"), 6).alias("symbol_word_ratio"),
+        rnd(F.col("alpha_word_frac"), 6).alias("alpha_word_frac"),
+        F.col("req_stopword_count").cast("long").alias("req_stopword_count"),
+        rnd(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        rnd(F.col("ellipsis_line_frac"), 6).alias("ellipsis_line_frac"),
+        rnd(F.col("top_2gram_char_frac"), 6).alias("top_2gram_char_frac"),
+        rnd(F.col("top_3gram_char_frac"), 6).alias("top_3gram_char_frac"),
+        rnd(F.col("top_4gram_char_frac"), 6).alias("top_4gram_char_frac"),
+        rnd(F.col("dup_5gram_char_frac"), 6).alias("dup_5gram_char_frac"),
+        rnd(F.col("dup_10gram_char_frac"), 6).alias("dup_10gram_char_frac"),
+        "gopher_keep",
+    )
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id, sha256(text) AS payload_sha,

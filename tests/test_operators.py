@@ -923,3 +923,49 @@ def test_persisted_dedup_index_lifecycle(spark, tmp_path):
     # the stored table is a real table: snapshot history + ck stats
     assert [s.operation for s in t.snapshots()][:2] == ["create", "append"]
     assert all("ck" in f.stats for f in t.snapshot().files)
+
+
+def test_gopher_rules_full_matrix(spark):
+    """Each Gopher rule family flags its crafted offender and passes clean
+    text; formulas follow the documented conventions exactly."""
+    from dlt_iceberg_spark.operators.text import gopher_rules
+
+    clean_words = ("the data pipeline reads and writes files that have been "
+                   "stored with care because every stage of processing must "
+                   "remain stable and fast for users across many regions of "
+                   "the world while keeping costs low and quality high so "
+                   "that teams can trust results every single day without any fail")
+    docs = [
+        (1, clean_words),                                     # passes all
+        (2, "short text"),                                    # word count < 50
+        (3, "#### " * 60),                                    # symbol ratio + alpha
+        (4, "\n".join(["- bullet item " + str(i) for i in range(10)])),  # bullets
+        (5, "\n".join(["same line"] * 8 + ["unique line"])),  # dup lines
+        (6, "spam phrase " * 40),                             # top-2gram + rep
+        (7, " ".join("w%d" % i for i in range(60))),          # no req stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    assert rows[1].gopher_keep
+    assert rows[1].n_words == 50 and rows[1].req_stopword_count >= 2
+
+    assert not rows[2].gopher_keep and rows[2].n_words == 2
+
+    assert rows[3].symbol_word_ratio > 0.1 and rows[3].alpha_word_frac < 0.8
+    assert not rows[3].gopher_keep
+
+    assert rows[4].bullet_line_frac == 1.0 and not rows[4].gopher_keep
+
+    assert abs(rows[5].dup_line_frac - (1 - 2 / 9)) < 1e-9
+    assert rows[5].dup_line_char_frac > 0.2 and not rows[5].gopher_keep
+
+    # "spam phrase spam phrase ..." -> the top bigram covers most chars
+    assert rows[6].top_2gram_char_frac > 0.2
+    assert rows[6].dup_5gram_char_frac > 0.15
+    assert not rows[6].gopher_keep
+
+    assert rows[7].req_stopword_count == 0 and not rows[7].gopher_keep
+
+    # single-line docs: line/paragraph features are well-defined zeros
+    assert rows[1].dup_line_frac == 0.0 and rows[1].dup_para_char_frac == 0.0
