@@ -3851,10 +3851,11 @@ _GATE_PRIORITY = [
     # r4 newcomers; dsir/lm re-verify the round-5 persist change
     "dsir_select", "lm_perplexity", "multimodal_image_dedup",
     # NEW this round: transform-aware bucket pruning through the table
-    # format — takes the slot of a triple-verified anchor
-    "lake_bucket_pruning",
-    # long-green anchors for the last slots
-    "q1_pricing_summary", "merge_upsert",
+    # format and the full Gopher rule matrix — each takes the slot of a
+    # multi-round-green anchor
+    "lake_bucket_pruning", "text_gopher_rules",
+    # long-green anchor for the last slot
+    "q1_pricing_summary",
 ]
 
 
