@@ -551,3 +551,77 @@ def test_partition_rewrite_reads_are_exact(spark, tmp_path_factory, rows, transf
     got = sorted((r.id, r.s) for r in table.read(where=[(col, "in", vals)]).collect())
     want = sorted((i, s_) for i, s_ in rows if (i if col == "id" else s_) in vals)
     assert got == want
+
+
+# ---- gopher_rules vs pure-Python model -------------------------------------
+
+_gopher_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab the… #.*-\n") + ["…"]),
+        min_size=0,
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _py_gopher(text: str) -> dict:
+    """Reference model of operators/text.py::gopher_rules formulas."""
+    import re
+
+    t = [x for x in re.split(r"\s+", text) if x != ""]
+    lines = [x for x in text.split("\n") if x != ""]
+    tc = max(len(text), 1)
+    nw = max(len(t), 1)
+
+    def dup_chars(arr):
+        from collections import Counter
+
+        c = Counter(arr)
+        return sum(len(x) * n for x, n in c.items() if n >= 2)
+
+    def grams(n):
+        return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)] if len(t) >= n else []
+
+    def top_chars(arr):
+        from collections import Counter
+
+        c = Counter(arr)
+        return max((n * len(x) for x, n in c.items()), default=0)
+
+    sym = (
+        text.count("#")
+        + (len(text) - len(text.replace("...", ""))) / 3
+        + text.count("…")
+    )
+    return {
+        "n_words": len(t),
+        "mean_word_len": sum(len(x) for x in t) / nw,
+        "symbol_word_ratio": sym / nw,
+        "alpha_word_frac": sum(1 for x in t if re.search("[A-Za-z]", x)) / nw,
+        "dup_line_frac": (1.0 - len(set(lines)) / max(len(lines), 1)) if lines else 1.0 - 0 / 1,
+        "dup_line_char_frac": dup_chars(lines) / tc,
+        "top_2gram_char_frac": top_chars(grams(2)) / tc,
+        "top_3gram_char_frac": top_chars(grams(3)) / tc,
+        "dup_5gram_char_frac": dup_chars(grams(5)) / tc,
+        "dup_10gram_char_frac": dup_chars(grams(10)) / tc,
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_gopher_texts)
+def test_gopher_rules_match_python_model(spark, texts):
+    """Every Gopher formula must equal the straightforward Python
+    computation on arbitrary text (unicode ellipsis, newlines, empties,
+    symbol runs) — guards the sorted-run/zip-with HOF implementations."""
+    from dlt_iceberg_spark.operators.text import gopher_rules
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_rules(df).collect()}
+    for i, text in enumerate(texts):
+        want = _py_gopher(text)
+        got = rows[i]
+        for feat, w in want.items():
+            g = getattr(got, feat)
+            assert abs(g - w) < 1e-9, (feat, text, g, w)
