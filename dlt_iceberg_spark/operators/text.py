@@ -291,6 +291,57 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("gopher_keep", keep)
 
 
+def c4_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020 §2.2)
+    as map-side expressions — the other canonical web-corpus filter next to
+    :func:`gopher_rules`:
+
+    - a LINE is retained iff it ends in terminal punctuation
+      (``. ! ? "``), has ≥ 5 words, and does not contain "javascript"
+      (case-insensitive);
+    - a PAGE is dropped when it contains a curly brace (code), contains
+      "lorem ipsum" (boilerplate), or retains fewer than 3 lines (the
+      paper's three-sentence minimum, lines standing in for sentences as
+      in the open reproductions).
+
+    Adds ``cleaned_text`` (the retained lines re-joined — the column a
+    pipeline feeds downstream), ``n_lines_total``/``n_lines_kept``,
+    ``has_curly``/``has_lorem_ipsum``, and ``c4_keep``.  Zero shuffles,
+    zero UDFs; O(doc length) per row.
+    """
+    kept = (
+        rf"filter(split({text_col}, '\\n'), l -> "
+        r"substring(rtrim(l), -1, 1) IN ('.', '!', '?', '\"') "
+        r"AND size(filter(split(l, '\\s+'), w -> w <> '')) >= 5 "
+        r"AND NOT contains(lower(l), 'javascript'))"
+    )
+    out = fan_out(df).withColumns(
+        {
+            "_kept": F.expr(kept),
+            "n_lines_total": F.expr(
+                rf"size(filter(split({text_col}, '\\n'), l -> l <> ''))"
+            ).cast("long"),
+            "has_curly": F.expr(f"contains({text_col}, '{{') OR contains({text_col}, '}}')"),
+            "has_lorem_ipsum": F.expr(f"contains(lower({text_col}), 'lorem ipsum')"),
+        }
+    )
+    return (
+        out.withColumns(
+            {
+                "cleaned_text": F.array_join("_kept", "\n"),
+                "n_lines_kept": F.size("_kept").cast("long"),
+            }
+        )
+        .withColumn(
+            "c4_keep",
+            (F.col("n_lines_kept") >= 3)
+            & ~F.col("has_curly")
+            & ~F.col("has_lorem_ipsum"),
+        )
+        .drop("_kept")
+    )
+
+
 def language_id(
     df: DataFrame, text_col: str = "text", markers: dict[str, list[str]] | None = None
 ) -> DataFrame:

@@ -2433,6 +2433,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_c4_rules",
+    r"""
+    WITH d AS (
+      SELECT doc_id, replace(text, ' line ', '.' || chr(10)) AS t2 FROM documents
+    ),
+    f AS (
+      SELECT doc_id, t2,
+             string_split(t2, chr(10)) AS ls,
+             list_filter(string_split(t2, chr(10)), l ->
+               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM d
+    )
+    SELECT doc_id,
+           len(list_filter(ls, l -> l <> '')) AS n_lines_total,
+           len(kept) AS n_lines_kept,
+           coalesce(length(array_to_string(kept, chr(10))), 0) AS cleaned_len,
+           (len(kept) >= 3 AND NOT contains(t2, '{') AND NOT contains(t2, '}')
+            AND NOT contains(lower(t2), 'lorem ipsum')) AS c4_keep
+    FROM f
+    """,
+    doc=(
+        "C4's line- and page-level cleaning rules (Raffel et al. 2020 "
+        "§2.2; operators/text.py::c4_rules) over a deterministically "
+        "multi-lined view of the corpus (every ' line ' token becomes a "
+        "sentence boundary — the fixture text is single-line): terminal-"
+        "punctuation / ≥5-word / javascript line retention, curly-brace / "
+        "lorem-ipsum / three-line page rules, and the cleaned re-joined "
+        "text's length.  Zero shuffles; the oracle replays every rule."
+    ),
+)
+def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.text import c4_rules
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' line ', concat('.', chr(10)))").alias("text")
+    )
+    out = c4_rules(d)
+    return out.select(
+        "doc_id",
+        "n_lines_total",
+        "n_lines_kept",
+        F.length("cleaned_text").cast("long").alias("cleaned_len"),
+        "c4_keep",
+    )
+
+
+@query(
     "multimodal_meta",
     """
     SELECT doc_id, sha256(text) AS payload_sha,

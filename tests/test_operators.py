@@ -969,3 +969,39 @@ def test_gopher_rules_full_matrix(spark):
 
     # single-line docs: line/paragraph features are well-defined zeros
     assert rows[1].dup_line_frac == 0.0 and rows[1].dup_para_char_frac == 0.0
+
+
+def test_c4_rules_line_and_page_filters(spark):
+    """C4 §2.2: terminal-punctuation + ≥5-word + javascript line rules,
+    curly-brace / lorem-ipsum / three-line page rules, and the cleaned
+    re-joined text."""
+    from dlt_iceberg_spark.operators.text import c4_rules
+
+    good = "\n".join(
+        [
+            "this line has enough words and ends well.",
+            "does this second line also qualify for keeping?",
+            'the third line is quoted so it ends with a mark"',
+            "short line.",                       # < 5 words -> dropped
+            "no terminal punctuation here at all",  # no punct -> dropped
+            "this page uses javascript for everything.",  # js -> dropped
+        ]
+    )
+    docs = [
+        (1, good),
+        (2, good + "\nalso { a brace somewhere."),
+        (3, good.replace("quoted", "Lorem Ipsum")),
+        (4, "one fine sentence stands alone here today."),  # < 3 kept lines
+    ]
+    rows = {r.doc_id: r for r in c4_rules(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    assert rows[1].n_lines_total == 6 and rows[1].n_lines_kept == 3
+    assert rows[1].c4_keep
+    assert rows[1].cleaned_text.count("\n") == 2
+    assert "javascript" not in rows[1].cleaned_text
+    assert "short line." not in rows[1].cleaned_text
+
+    assert rows[2].has_curly and not rows[2].c4_keep
+    assert rows[3].has_lorem_ipsum and not rows[3].c4_keep
+    assert rows[4].n_lines_kept == 1 and not rows[4].c4_keep
