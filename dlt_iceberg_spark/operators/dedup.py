@@ -677,25 +677,22 @@ def batch_vs_corpus_dedup(
     cb = bidx.select(
         F.col("ck").alias("bck"), F.col("ts").alias("tb"), F.col("ids").alias("batch_ids")
     )
+    vocab = None
+    if strategy in ("auto", "bitmask"):
+        # ONE vocabulary probe serves both the auto decision and the
+        # bitmask bit assignment — probing twice re-ran the full ts-explode
+        # distinct over the corpus index
+        vocab = (
+            corpus_index.select(F.explode("ts").alias("h"))
+            .union(bidx.select(F.explode("ts").alias("h")))
+            .distinct()
+            .limit(65)
+            .collect()
+        )
     if strategy == "auto":
-        vocab = (
-            corpus_index.select(F.explode("ts").alias("h"))
-            .union(bidx.select(F.explode("ts").alias("h")))
-            .distinct()
-            .limit(65)
-            .collect()
-        )
         strategy = "bitmask" if len(vocab) <= 64 else "lsh"
-    if strategy == "bitmask":
-        vocab = (
-            corpus_index.select(F.explode("ts").alias("h"))
-            .union(bidx.select(F.explode("ts").alias("h")))
-            .distinct()
-            .limit(65)
-            .collect()
-        )
-        if len(vocab) > 64:
-            strategy = "allpairs"
+    if strategy == "bitmask" and len(vocab) > 64:
+        strategy = "allpairs"
     if strategy == "bitmask":
         bit_of = {h: i for i, h in enumerate(sorted(r.h for r in vocab))}
         mapping = F.create_map(

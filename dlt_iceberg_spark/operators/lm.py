@@ -62,9 +62,19 @@ def train_bigram_lm(
 
     Returns ``(bigrams, contexts, vocab_size)`` where ``bigrams`` is
     (prev, w, c), ``contexts`` is (prev, c_total).  Two aggregates over one
-    token-pair explode; ``vocab_size`` is a scalar count-distinct."""
+    token-pair explode; ``vocab_size`` is a scalar count-distinct.
+
+    ``bigrams`` is persisted (DISK_ONLY — bounded by distinct bigrams, far
+    smaller than the pair stream): the scoring join consumes BOTH bigrams
+    and contexts, and contexts derives from bigrams, so an unpersisted
+    plan re-runs the target tokenize/explode/groupBy lineage twice inside
+    every scoring job."""
+    from pyspark.storagelevel import StorageLevel
+
     pairs = _doc_bigrams(target, text_col, id_col)
-    bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.DISK_ONLY
+    )
     contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
     toks = _TOKS.format(col=text_col)
     vocab_size = (
