@@ -133,6 +133,23 @@ def _gumbel_expr(id_col: str, seed: str) -> F.Column:
     return -F.log(-F.log(u))
 
 
+#: size-adaptive caching threshold: below this input size the double
+#: feature extraction is cheaper than materializing the feature table
+#: (tiny corpora live in the page cache); above it the persist halves the
+#: dominant cost.  Same runtime-re-planning philosophy as the dedup
+#: strategy probes.
+PERSIST_MIN_INPUT_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the input plan; unknown ⇒ assume huge
+    (persisting a big input is the safe direction)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def dsir_select(
     df: DataFrame,
     target: DataFrame,
@@ -143,6 +160,7 @@ def dsir_select(
     alpha: float = 1.0,
     noise: float = 1.0,
     seed: str = "dsir0",
+    persist_features: bool | None = None,
 ) -> DataFrame:
     """Full DSIR pass: fit target/raw models, score every document, keep
     the ``keep_n`` with the highest ``log_importance + noise · Gumbel``.
@@ -153,18 +171,17 @@ def dsir_select(
     from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
-    # feats feeds BOTH the raw-model fit and the scoring join; without a
-    # persist Spark re-executes the whole tokenize/explode/hash/groupBy
-    # lineage twice — at scale that doubles the dominant cost (it also made
-    # dsir_select the 2nd-slowest suite query).  DISK_ONLY: the feature
-    # table is O(corpus) rows and must not compete for executor memory.
-    # Crossover note: at toy scale (sf0.1, text resident in page cache) the
-    # materialization costs ~15% more than re-extracting; from ~10x that
-    # size the cached features win — the persist is sized for the target
-    # regime, not the fixture.
-    feats = hashed_ngram_features(df, text_col, id_col, n_buckets).persist(
-        StorageLevel.DISK_ONLY
-    )
+    # feats feeds BOTH the raw-model fit and the scoring join; unpersisted,
+    # Spark re-executes the whole tokenize/explode/hash/groupBy lineage
+    # twice — at scale that doubles the dominant cost.  DISK_ONLY (the
+    # feature table is O(corpus) rows and must not compete for executor
+    # memory), gated on input size (persist_features=None): materializing
+    # a page-cache-resident toy corpus costs more than re-extracting it.
+    feats = hashed_ngram_features(df, text_col, id_col, n_buckets)
+    if persist_features is None:
+        persist_features = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
+    if persist_features:
+        feats = feats.persist(StorageLevel.DISK_ONLY)
     tfeats = hashed_ngram_features(target, text_col, id_col, n_buckets)
     weights = dsir_importance_weights(tfeats, feats, n_buckets, alpha)
     scores = dsir_scores(feats, weights, id_col)

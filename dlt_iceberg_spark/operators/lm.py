@@ -124,6 +124,7 @@ def perplexity_filter(
     k: float = 0.5,
     buckets: int = 3,
     quantile_error: float = 0.001,
+    persist_scores: bool | None = None,
 ) -> DataFrame:
     """CCNet head/middle/tail: score every document against the target LM
     and assign equal-frequency perplexity buckets (1 = closest to target).
@@ -136,14 +137,20 @@ def perplexity_filter(
     (CCNet's buckets are themselves heuristic cuts)."""
     from pyspark.storagelevel import StorageLevel
 
+    from dlt_iceberg_spark.operators.dsir import PERSIST_MIN_INPUT_BYTES, _plan_size_bytes
+
     bigrams, contexts, vocab = train_bigram_lm(target, text_col, id_col)
     # approxQuantile is an ACTION: without a persist the score lineage
     # (explode + two model joins + doc agg) runs once for the sketch and
     # AGAIN for the bucket projection.  The quantile pass materializes the
     # cache; the returned DataFrame reads it back instead of recomputing.
-    scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k).persist(
-        StorageLevel.DISK_ONLY
-    )
+    # Size-adaptive like dsir_select: toy corpora re-score cheaper than
+    # they materialize.
+    scores = lm_score(df, bigrams, contexts, vocab, text_col, id_col, k)
+    if persist_scores is None:
+        persist_scores = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
+    if persist_scores:
+        scores = scores.persist(StorageLevel.DISK_ONLY)
     probs = [i / buckets for i in range(1, buckets)]
     cuts = scores.approxQuantile("logp_mean", probs, quantile_error)
     # higher logp = closer to target = lower bucket number; strict < so a

@@ -805,15 +805,19 @@ def test_dsir_and_lm_persist_reused_lineage(spark):
     target = spark.createDataFrame(
         [(100, " ".join(f"w{j % 9}" for j in range(12)))], "doc_id long, text string"
     )
-    sel = dsir_select(corpus, target, keep_n=5, noise=0.0)
+    sel = dsir_select(corpus, target, keep_n=5, noise=0.0, persist_features=True)
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert len(sel.collect()) == 5
 
-    filt = perplexity_filter(corpus, target, buckets=2)
+    filt = perplexity_filter(corpus, target, buckets=2, persist_scores=True)
     plan = filt._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert filt.count() == 30
+    # size-adaptive default: a tiny corpus skips the persist, results equal
+    a = sorted(map(tuple, perplexity_filter(corpus, target, buckets=2).collect()))
+    b = sorted(map(tuple, filt.collect()))
+    assert a == b
 
 
 def test_lm_perplexity_separates_target_like_docs(spark):
