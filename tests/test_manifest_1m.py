@@ -33,13 +33,15 @@ SCHEMA = T.StructType([T.StructField("k", T.LongType())])
 
 def _batch(start: int, n: int) -> list[DataFile]:
     # k strictly increasing, 10 rows per file — narrow probes map to a
-    # known file count
+    # known file count; synthetic bucket tuples (i mod 8) exercise the
+    # partition-probe pushdown at the same scale
     return [
         DataFile(
             path=f"data/f{i:07d}.parquet",
             rows=10,
             bytes=1000,
             stats={"k": [i * 10, i * 10 + 9]},
+            partition={"k_bucket": str(i % 8)},
         )
         for i in range(start, start + n)
     ]
@@ -164,3 +166,36 @@ def test_1m_distributed_planner_survivor_only_collect(mega_table):
     # though the data files do not exist (planning never opens data)
     where_n, files = mega_table._select_files(snap, where, plan_mode="auto")
     assert sorted(f.path for f in files) == sorted(f.path for f in survivors)
+
+
+def test_1m_partition_probe_pushdown_collects_one_bucket(mega_table):
+    """Partition probes push into the planner job at 1M entries: probing
+    one synthetic bucket collects ~1/8 of the inventory (the survivor set
+    the driver was always going to need), never the full million rows —
+    the scale property behind bucket-partitioned point lookups."""
+    from dlt_iceberg_spark.lake.planning import plan_candidates
+
+    snap = mega_table.snapshot()
+    survivors = plan_candidates(
+        mega_table.spark,
+        mega_table.location,
+        SCHEMA,
+        snap.manifests,
+        where=[],
+        part_probes={"k_bucket": {"3"}},
+    )
+    # earlier module tests appended a few files without the bucket key —
+    # those must be KEPT (spec evolution semantics); bucket-3 files are
+    # exactly 1/8 of the original million
+    assert N_FILES // 8 <= len(survivors) <= N_FILES // 8 + 200
+    assert all(f.partition.get("k_bucket") in (None, "3") for f in survivors)
+    # combined with a range probe: intersection, still survivor-only
+    both = plan_candidates(
+        mega_table.spark,
+        mega_table.location,
+        SCHEMA,
+        snap.manifests,
+        where=[("k", ">=", 0), ("k", "<=", 799_999)],
+        part_probes={"k_bucket": {"3"}},
+    )
+    assert len(both) == 10_000  # 80k files in range / 8 buckets
