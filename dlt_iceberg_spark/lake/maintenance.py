@@ -81,6 +81,82 @@ def compact_table(
     return CompactionResult(len(small), len(keep), len(new_files), small_bytes)
 
 
+def backfill_stats(table: LakeTable, columns: list[str] | None = None) -> int:
+    """Recompute per-file [min, max] stats for live data files that LACK
+    them, WITHOUT rewriting any data — one distributed footer-equivalent
+    job + a metadata-only commit.
+
+    The adoption story's missing piece: ``register_iceberg_table`` on
+    metadata whose manifests carry no usable bounds (older writers, bounds
+    for types we don't decode) produces a correct-but-unpruned table, and
+    the previous remedy — compaction — rewrites every byte.  This reads
+    the stat-less files ONCE (grouped by ``input_file_name``, data never
+    leaves the executors), merges the fresh stats into new manifests, and
+    commits a layout-only snapshot.  Files that already carry stats are
+    untouched and pass through by manifest reference where possible.
+
+    Returns the number of files that gained stats.  ``columns`` limits the
+    stat set (default: every prunable-typed column).
+    """
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.table import _STATS_TYPES, iso_norm_value
+
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    prunable = [
+        f.name
+        for f in snap.schema.fields
+        if f.dataType.simpleString() in _STATS_TYPES
+        and (columns is None or f.name in columns)
+    ]
+    if not prunable:
+        return 0
+    missing = [f for f in snap.files if any(c not in f.stats for c in prunable)]
+    if not missing:
+        return 0
+    sdf = table.read_files(missing)
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in prunable:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    rows = sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    import urllib.parse
+
+    by_path: dict[str, dict] = {}
+    for r in rows:
+        raw = urllib.parse.unquote(r["_f"])
+        if raw.startswith("file:"):
+            raw = "/" + raw[len("file:") :].lstrip("/")
+        stats = {}
+        for c in prunable:
+            mn, mx = r[f"_mn_{c}"], r[f"_mx_{c}"]
+            if mn is None or mx is None:
+                continue
+            stats[c] = [iso_norm_value(mn), iso_norm_value(mx)]
+        by_path[raw] = stats
+    updated = []
+    n_gained = 0
+    for f in snap.files:
+        abs_path = os.path.join(table.location, f.path)
+        fresh = by_path.get(abs_path)
+        if fresh:
+            n_gained += 1
+            updated.append(DataFile(**{**vars(f), "stats": {**fresh, **f.stats}}))
+        else:
+            updated.append(f)
+    table.commit(
+        updated,
+        snap.schema,
+        "backfill-stats",  # layout-only op: changelog readers skip it
+        snap.version,
+        summary={"stats-backfill": True, "files-gaining-stats": n_gained},
+        delete_files=list(snap.delete_files),
+    )
+    return n_gained
+
+
 def expire_snapshots(
     table: LakeTable,
     older_than: timedelta = timedelta(days=7),

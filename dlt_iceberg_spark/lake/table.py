@@ -1934,7 +1934,10 @@ class LakeTable:
 
     #: snapshot operations that rewrite physical layout without changing
     #: logical content — the changelog passes straight through them
-    _LAYOUT_ONLY_OPS = ("compact", "zorder", "evolve-schema", "evolve-partition")
+    _LAYOUT_ONLY_OPS = (
+        "compact", "zorder", "evolve-schema", "evolve-partition",
+        "backfill-stats",
+    )
 
     def read_changes(
         self,

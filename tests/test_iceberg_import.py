@@ -776,3 +776,32 @@ def test_export_avro_refuses_outstanding_deletes(spark, tmp_path):
     meta_path = t.export_iceberg_metadata(avro_manifests=True)
     imported = catalog.register_iceberg_table("ns2", "t2", meta_path)
     assert {(r.id, r.v) for r in imported.read().collect()} == {(1, "A")}
+
+
+def test_backfill_stats_makes_adopted_table_prune(spark, tmp_path):
+    """A foreign table whose manifests carry no bounds imports correct but
+    unpruned; backfill_stats recomputes per-file [min,max] in one metadata
+    commit (zero data rewrites) and point probes prune afterwards."""
+    from dlt_iceberg_spark.lake.maintenance import backfill_stats
+
+    meta_path, rows = _fake_iceberg_table(spark, str(tmp_path / "ice"))  # no bounds
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    assert all(not f.stats for f in snap.files)
+    _, files = t._select_files(snap, [("id", "=", 11)])
+    assert len(files) == snap.n_files  # unpruned before backfill
+
+    data_paths = sorted(f.path for f in snap.files)
+    assert backfill_stats(t) == 2
+    snap2 = t.snapshot()
+    # same physical files, fresh stats, changelog treats it as layout-only
+    assert sorted(f.path for f in snap2.files) == data_paths
+    assert {tuple(f.stats["id"]) for f in snap2.files} == {(1, 3), (10, 12)}
+    assert snap2.operation == "backfill-stats"
+    _, files = t._select_files(snap2, [("id", "=", 11)])
+    assert len(files) == 1  # prunes now
+    assert _rows(t.read(where=[("id", "=", 11)])) == [(11, "q", 2.0)]
+    assert _rows(t.read()) == sorted(rows)
+    # idempotent: nothing left to backfill
+    assert backfill_stats(t) == 0
