@@ -24,6 +24,7 @@ from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource, resource, LoadIn
 from dlt_iceberg_spark.lake.maintenance import (
     CompactionResult,
     MaintenancePolicy,
+    backfill_stats,
     compact_table,
     expire_snapshots,
     maintain,
@@ -52,6 +53,7 @@ __all__ = [
     "Resource",
     "resource",
     "LoadInfo",
+    "backfill_stats",
     "compact_table",
     "expire_snapshots",
     "CompactionResult",

@@ -6,6 +6,7 @@ no driver-side state. See BASELINE.json north_star.
 """
 
 from dlt_iceberg_spark.operators.dedup import (
+    append_novel_classes,
     batch_vs_corpus_dedup,
     build_dedup_index,
     char_ngram_jaccard_pairs,
@@ -15,6 +16,7 @@ from dlt_iceberg_spark.operators.dedup import (
     minhash_lsh_dedup,
     minhash_verified_pairs,
     simhash,
+    write_dedup_index,
     simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
@@ -45,6 +47,8 @@ from dlt_iceberg_spark.operators.text import (
     repetition_stats,
     rolling_fingerprint,
     chunk_documents,
+    c4_rules,
+    gopher_rules,
 )
 from dlt_iceberg_spark.operators.sampling import (
     deterministic_sample,
@@ -74,6 +78,10 @@ __all__ = [
     "resize_images",
     "sample_frames",
     "build_dedup_index",
+    "write_dedup_index",
+    "append_novel_classes",
+    "gopher_rules",
+    "c4_rules",
     "all_pairs_cosine_blas",
     "all_pairs_cosine_blocked",
     "repetition_stats",
