@@ -97,27 +97,51 @@ def encode_bound(iceberg_type: str, value: Any) -> bytes | None:
             d = _dt.date.fromisoformat(str(value)[:10])
             return struct.pack("<i", d.toordinal() - _EPOCH_ORDINAL)
         if iceberg_type in ("timestamp", "timestamptz"):
-            # manifest stats store UTC-naive ISO; spec wants micros from epoch
+            # manifest stats store UTC-naive ISO; spec wants micros from
+            # epoch.  Exact integer arithmetic — float64 total_seconds()
+            # is off by 1µs past ~year 2250, and a bound that excludes
+            # real data makes a consuming engine wrongly prune the file.
             ts = _dt.datetime.fromisoformat(str(value))
             if ts.tzinfo is not None:
                 ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            epoch = _dt.datetime(1970, 1, 1)
-            return struct.pack("<q", round((ts - epoch).total_seconds() * 1e6))
+            d = ts - _dt.datetime(1970, 1, 1)
+            return struct.pack(
+                "<q",
+                (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds,
+            )
     except (ValueError, TypeError, OverflowError, struct.error):
         return None
     return None
 
 
-def decode_bound(iceberg_type: str, raw: bytes) -> Any:
+def decode_bound(iceberg_type: str, raw: bytes, side: str | None = None) -> Any:
     """Inverse of :func:`encode_bound`; dates and timestamps decode to
     ISO strings (the manifest stats convention — lexicographic ==
-    chronological; timestamps UTC-naive).  Returns None for types we don't
-    prune on (decimals/uuid/binary) or malformed payloads — the importer
-    then omits the stat, which reads as "unpruned" (correct,
-    conservative)."""
+    chronological; timestamps UTC-naive).  Decimals (minimal-length
+    big-endian two's-complement unscaled int per Appendix D) decode to a
+    FLOAT widened outward when inexact — ``side`` ("lo"/"hi") says which
+    way; without a side an inexact decimal returns None (a narrowed bound
+    could wrongly prune).  Returns None for uuid/binary or malformed
+    payloads — the importer then omits the stat, which reads as
+    "unpruned" (correct, conservative)."""
     import datetime as _dt
 
     try:
+        if iceberg_type.startswith("decimal("):
+            import math
+            from decimal import Decimal
+
+            scale = int(iceberg_type[len("decimal(") : -1].split(",")[1])
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            exact = Decimal(unscaled).scaleb(-scale)
+            f = float(exact)
+            if Decimal(f) == exact:
+                return f
+            if side == "lo" and Decimal(f) > exact:
+                return math.nextafter(f, -math.inf)
+            if side == "hi" and Decimal(f) < exact:
+                return math.nextafter(f, math.inf)
+            return f if side in ("lo", "hi") else None
         if iceberg_type == "int" and len(raw) == 4:
             return struct.unpack("<i", raw)[0]
         if iceberg_type == "long" and len(raw) == 8:

@@ -20,10 +20,15 @@ The import is METADATA-ONLY: data files are referenced in place via
 absolute paths (``DataFile.path`` joins absolutely), nothing is copied.
 Iceberg binary single-value column bounds (spec Appendix D) ARE decoded —
 ``lower_bounds``/``upper_bounds`` keyed by field-id become per-file
-``DataFile.stats`` [min, max] for the primitive types we prune on
-(int/long/float/double/string/date), so imported tables keep manifest
-pruning; other types (timestamps/decimals/uuid) carry no stat, which reads
-as "must scan" (correct, conservative).  Partition tuples and data
+``DataFile.stats`` [min, max] for the primitive types we prune on:
+int/long/float/double/string/date, timestamps (micros → the UTC-naive ISO
+stats frame), and decimals (unscaled big-endian → float, widened OUTWARD
+when inexact so the bound can never wrongly exclude data).  uuid/binary
+carry no stat, which reads as "must scan" (correct, conservative).
+Partition tuples are imported IN THE FOREIGN DOMAIN (murmur3 buckets,
+epoch-ordinal temporal ints — see lake/iceberg_domain.py): scan and merge
+probe rewriting detects the ``imported-from`` provenance and probes both
+domains, so foreign files prune correctly without a rewrite.  Data
 sequence numbers are imported too.
 
 Foreign v2 MoR deletes import as first-class delete files, BOTH contents:
@@ -109,10 +114,19 @@ def iceberg_schema_to_spark(schema_obj: dict) -> T.StructType:
 
 
 def _strip_scheme(p: str) -> str:
-    """``file:/p`` / ``file://p`` / ``file:///p`` -> ``/p`` (writers differ
-    in slash count; all denote a local absolute path)."""
+    """``file:/p`` / ``file:///p`` -> ``/p`` (writers differ in slash
+    count).  Proper URI parsing, not string slicing: ``file://host/path``
+    carries an authority and does NOT name a local path — mangling it to
+    ``/host/path`` would silently resolve to the wrong file, so reject."""
     if p.startswith("file:"):
-        return "/" + p[len("file:") :].lstrip("/")
+        import urllib.parse
+
+        u = urllib.parse.urlparse(p)
+        if u.netloc and u.netloc != "localhost":
+            raise ValueError(
+                f"file URI with remote authority not supported: {p!r}"
+            )
+        return urllib.parse.unquote(u.path) or "/"
     return p
 
 
@@ -161,9 +175,13 @@ def _bound_types(schema_obj: dict) -> dict[int, tuple[str, str]]:
     return out
 
 
-def _decode_bounds_map(jmap: Any, types: dict[int, tuple[str, str]]) -> dict[str, Any]:
+def _decode_bounds_map(
+    jmap: Any, types: dict[int, tuple[str, str]], side: str | None = None
+) -> dict[str, Any]:
     """One avro bounds value (array<record{key,value}> or null) ->
-    {column: decoded value}; undecodable entries are skipped."""
+    {column: decoded value}; undecodable entries are skipped.  ``side``
+    ("lo"/"hi") lets inexact decimal bounds widen OUTWARD instead of being
+    dropped (decode_bound)."""
     out: dict[str, Any] = {}
     if jmap is None:
         return out
@@ -182,7 +200,7 @@ def _decode_bounds_map(jmap: Any, types: dict[int, tuple[str, str]]) -> dict[str
         if raw is None:
             continue
         name, ice = types[fid]
-        val = decode_bound(ice, raw)
+        val = decode_bound(ice, raw, side=side)
         if val is not None:
             out[name] = val
     return out
@@ -297,8 +315,8 @@ def _files_from_avro(
                         "top-level primitive columns; fold/compact deletes "
                         "in the source engine before registering"
                     )
-                lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types)
-                upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types)
+                lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types, side="lo")
+                upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types, side="hi")
                 deletes.append(
                     DeleteFile(
                         path=path,
@@ -320,8 +338,8 @@ def _files_from_avro(
                     f"malformed metadata: delete manifest {manifest_path!r} "
                     f"carries a content={f_content} entry"
                 )
-            lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types)
-            upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types)
+            lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types, side="lo")
+            upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types, side="hi")
             stats = {
                 col: [lower[col], upper[col]]
                 for col in lower

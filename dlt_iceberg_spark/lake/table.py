@@ -993,6 +993,17 @@ class LakeTable:
             if fld.name not in field_ids:
                 field_ids[fld.name] = next_id
                 next_id += 1
+        resolved_props = dict(
+            properties if properties is not None else (prev.properties if prev else {})
+        )
+        # adoption provenance is table LINEAGE, not user config: probe
+        # rewriting keys the foreign-vs-native partition-tuple domain off
+        # "imported-from" (iceberg_domain.py), so a commit passing explicit
+        # properties must not silently strip it (that would resurrect the
+        # wrong-domain prune on every foreign file still live)
+        for k in ("imported-from", "imported-table-uuid"):
+            if prev and k in prev.properties and k not in resolved_props:
+                resolved_props[k] = prev.properties[k]
         snap = Snapshot(
             version=new_version,
             schema=schema,
@@ -1004,9 +1015,7 @@ class LakeTable:
             if partition_spec is not None
             else (prev.partition_spec if prev else []),
             summary=summary or {},
-            properties=properties
-            if properties is not None
-            else (prev.properties if prev else {}),
+            properties=resolved_props,
             delete_files=resolved_deletes,
             field_ids=field_ids,
             location=self.location,
@@ -1378,6 +1387,16 @@ class LakeTable:
         tuples were computed in the writer's session frame, and evaluating
         the transform in a different frame could name the wrong partition
         (a wrong prune, not just a missed one).
+
+        IMPORTED tables (``register_iceberg_table``) record foreign files'
+        tuples in ICEBERG's value domain (murmur3 buckets, epoch-relative
+        temporal ordinals — lake/iceberg_domain.py), while post-import
+        native appends record the native domain.  Comparing a native probe
+        against a foreign tuple would silently DROP matching foreign files
+        (missing rows on read, lost updates in merge prune), so when the
+        snapshot carries adoption provenance each probe value enters the
+        allowed set in BOTH domains; a field whose foreign spelling cannot
+        be computed loses its rewrite entirely (conservative).
         """
         spec = snap.partition_spec or []
         if not spec or not where:
@@ -1422,24 +1441,40 @@ class LakeTable:
                             .cast("string")
                             .alias(f"_p{len(keys)}")
                         )
-                        keys.append((pf.field_name, pv))
+                        keys.append((pf, pv))
                     except Exception:
                         return {}  # unliteralizable probe: no rewrite
         if not exprs:
             return {}
         if len(exprs) > _MAX_PART_PROBE_EXPRS:
             return {}  # huge IN lists: stats pruning only (conservative)
+        imported = bool((snap.properties or {}).get("imported-from"))
         # one 1-row local evaluation for ALL (transform, value) pairs —
         # constant-folded by Catalyst, so this is driver-side µs work
         row = self.spark.range(1).select(*exprs).first()
         out: dict[str, set] = {}
         dropped: set[str] = set()
-        for i, (name, _pv) in enumerate(keys):
+        for i, (pf, pv) in enumerate(keys):
+            name = pf.field_name
             val = row[f"_p{i}"]
             if val is None:
                 dropped.add(name)
-            else:
-                out.setdefault(name, set()).add(val)
+                continue
+            out.setdefault(name, set()).add(val)
+            if imported:
+                # foreign files carry Iceberg-domain tuples: the probe must
+                # also name the value a foreign writer would have recorded
+                from dlt_iceberg_spark.lake.iceberg_domain import (
+                    iceberg_transform_str,
+                )
+
+                fv = iceberg_transform_str(
+                    pf.transform, pf.param, pv, dtypes[pf.column]
+                )
+                if fv is None:
+                    dropped.add(name)
+                else:
+                    out[name].add(fv)
         for name in dropped:
             out.pop(name, None)
         return out
@@ -1476,12 +1511,17 @@ class LakeTable:
                 raise ValueError(f"no such column {c!r}")
             if op not in ("=", "==", "!=", ">", ">=", "<", "<=", "in"):
                 raise ValueError(f"unsupported predicate op {op!r}")
-        # manifest stats encode date/timestamp as ISO strings (ordering
-        # preserved); normalize probe values the same way so both the
-        # driver and the distributed planner compare like with like
+        # manifest stats encode date/timestamp as ISO strings; normalize
+        # probe values to ISO so the driver and the distributed planner
+        # compare like with like.  Offsets are KEPT here (plain isoformat):
+        # these values also feed the residual Spark filter, where a
+        # UTC-naive string under a non-UTC session would be re-interpreted
+        # in session time and shift the predicate by the offset.  The
+        # UTC-naive stats frame is entered later, per-predicate, by
+        # _ts_prune_value — only for pruning, never for filtering.
         def _norm_v(v):
             if isinstance(v, (_dt.date, _dt.datetime)):
-                return _utc_naive(v).isoformat()
+                return v.isoformat()
             if isinstance(v, (list, tuple, set)):
                 return [_norm_v(x) for x in sorted(v, key=str)]
             return v

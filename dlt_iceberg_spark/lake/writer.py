@@ -481,16 +481,42 @@ class LakeWriter:
             )
             if pf.transform == "bucket" and pf.column in keys
         ]
+        # Imported tables hold foreign files whose bucket tuples live in
+        # ICEBERG's value domain (murmur3) — the native probe alone would
+        # mark them "untouched" and a CoW merge would LOSE their updates.
+        # For those, the same agg also collects the batch's foreign-domain
+        # bucket values (iceberg_domain.py); a bucket field whose type has
+        # no foreign computation drops out of partition probing entirely
+        # (conservative: range stats still prune).
+        from dlt_iceberg_spark.lake.iceberg_domain import (
+            iceberg_bucket_column,
+            iceberg_bucket_supported,
+        )
+
+        imported = bool((snap.properties or {}).get("imported-from"))
+        dtypes = {f.name: f.dataType for f in snap.schema.fields}
         aggs = []
         for i, k in enumerate(keys):
             aggs.append(F.min(k).alias(f"_lo{i}"))
             aggs.append(F.max(k).alias(f"_hi{i}"))
+        foreign_ok: dict[int, bool] = {}
         for j, pf in enumerate(bucket_pfs):
             aggs.append(
                 F.collect_set(
                     transform_column(pf, F.col(pf.column)).cast("string")
                 ).alias(f"_pb{j}")
             )
+            foreign_ok[j] = imported and iceberg_bucket_supported(
+                dtypes.get(pf.column, T.NullType())
+            )
+            if foreign_ok[j]:
+                aggs.append(
+                    F.collect_set(
+                        iceberg_bucket_column(dtypes[pf.column], pf.param)(
+                            F.col(pf.column)
+                        )
+                    ).alias(f"_fb{j}")
+                )
         aggs.append(F.count(F.lit(1)).alias("_n"))
         stats_row = batch.agg(*aggs).collect()[0]
         if stats_row["_n"] == 0:
@@ -507,10 +533,14 @@ class LakeWriter:
                 )
                 for i, k in enumerate(keys)
             }
-            part_probes = {
-                pf.field_name: set(stats_row[f"_pb{j}"])
-                for j, pf in enumerate(bucket_pfs)
-            }
+            part_probes = {}
+            for j, pf in enumerate(bucket_pfs):
+                if imported and not foreign_ok[j]:
+                    continue  # cannot name the foreign bucket: no probe
+                vals = set(stats_row[f"_pb{j}"])
+                if foreign_ok[j]:
+                    vals |= set(stats_row[f"_fb{j}"])
+                part_probes[pf.field_name] = vals
             touched, kept_refs, kept_files = table.prune_split(
                 snap, probes, part_probes=part_probes
             )

@@ -634,7 +634,9 @@ def test_bound_codec_roundtrip():
     # unsupported/malformed -> None (caller omits the bound)
     assert encode_bound("uuid", "x") is None
     assert decode_bound("int", b"\x01") is None
-    assert decode_bound("decimal(10, 2)", b"\x00") is None
+    # decimals decode (exact here: 0.00); widening behavior is pinned in
+    # test_iceberg_domain.py::test_decimal_bound_decode_widens_outward
+    assert decode_bound("decimal(10, 2)", b"\x00") == 0.0
 
 
 def test_iceberg_type_mapping_roundtrip():
@@ -805,3 +807,297 @@ def test_backfill_stats_makes_adopted_table_prune(spark, tmp_path):
     assert _rows(t.read()) == sorted(rows)
     # idempotent: nothing left to backfill
     assert backfill_stats(t) == 0
+
+
+# ---------------------------------------------------------------------------
+# partitioned foreign tables: tuples live in ICEBERG's value domain
+# ---------------------------------------------------------------------------
+
+_PARTITIONED_ENTRY_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": "id_bucket", "type": ["null", "int"], "default": None},
+                                    {"name": "ts_month", "type": ["null", "int"], "default": None},
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "lower_bounds",
+                            "type": ["null", {**_BOUNDS_T, "items": {**_BOUNDS_T["items"], "name": "kv_plo"}}],
+                            "default": None,
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": ["null", {**_BOUNDS_T, "items": {**_BOUNDS_T["items"], "name": "kv_phi"}}],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+)
+
+
+def _fake_partitioned_iceberg_table(spark, root: str):
+    """A foreign table partitioned by ``bucket[8](id)`` + ``month(ts)``,
+    with partition tuples in ICEBERG's value domain (murmur3 bucket ints,
+    months-since-epoch ints) and Appendix-D timestamp bounds — the layout a
+    real jar-written warehouse has.  ids 34/35 are chosen because their
+    murmur3 bucket differs from the native xxhash64 bucket (34: 3 vs 7,
+    35: 5 vs 0), so any native-domain probe comparison drops their files —
+    the regression these tests pin."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dlt_iceberg_spark.lake.iceberg_domain import iceberg_bucket
+
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    # one (bucket, month) tuple per file, like a real partitioned write
+    file_rows = [
+        ("f_a.parquet", [(34, ts("2017-11-16T22:31:08"), "a")]),
+        ("f_b.parquet", [(35, ts("2017-11-20T10:00:00"), "b")]),
+        ("f_c.parquet", [(34, ts("2018-02-01T00:00:00"), "c")]),
+    ]
+    entries = []
+    all_rows = []
+    for fname, rows in file_rows:
+        p = os.path.join(root, "data", fname)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                    "v": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            p,
+        )
+        all_rows.extend(rows)
+        ids = [r[0] for r in rows]
+        tss = [r[1] for r in rows]
+        bucket = iceberg_bucket(ids[0], T.LongType(), 8)
+        month = (tss[0].year - 1970) * 12 + (tss[0].month - 1)
+        entries.append(
+            {
+                "status": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {"id_bucket": bucket, "ts_month": month},
+                    "record_count": len(rows),
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "lower_bounds": [
+                        {"key": 1, "value": _enc("long", min(ids))},
+                        {"key": 2, "value": _enc("timestamptz", min(tss).isoformat())},
+                    ],
+                    "upper_bounds": [
+                        {"key": 1, "value": _enc("long", max(ids))},
+                        {"key": 2, "value": _enc("timestamptz", max(tss).isoformat())},
+                    ],
+                },
+            }
+        )
+    manifest = os.path.join(root, "metadata", "m0.avro")
+    _write_avro(spark, manifest, _PARTITIONED_ENTRY_SCHEMA, entries)
+    manifest_list = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(
+        spark,
+        manifest_list,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "content": 0,
+                "sequence_number": 1,
+            }
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+        "location": root,
+        "last-sequence-number": 1,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 3,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {"id": 2, "name": "ts", "required": False, "type": "timestamptz"},
+                    {"id": 3, "name": "v", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {"name": "id_bucket", "transform": "bucket[8]", "source-id": 1, "field-id": 1000},
+                    {"name": "ts_month", "transform": "month", "source-id": 2, "field-id": 1001},
+                ],
+            }
+        ],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "manifest-list": manifest_list,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 1, "type": "branch"}},
+    }
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return meta_path, all_rows
+
+
+def test_imported_partition_probes_use_foreign_domain(spark, tmp_path):
+    """Point probes on an imported bucket/month-partitioned table must
+    compare in the FOREIGN tuple domain (murmur3 / months-since-epoch):
+    a native-domain comparison drops every matching file and silently
+    returns missing rows."""
+    import datetime as dt
+
+    meta_path, rows = _fake_partitioned_iceberg_table(spark, str(tmp_path / "ice"))
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    # tuples imported verbatim in the foreign domain
+    assert {f.partition["id_bucket"] for f in snap.files} == {"3", "5"}
+    assert {f.partition["ts_month"] for f in snap.files} == {"574", "577"}
+
+    # id=34 lives in murmur3 bucket 3 (native xxhash64 says 7): both
+    # bucket-3 files must be opened, the bucket-5 file pruned
+    got = sorted((r.id, r.v) for r in t.read(where=[("id", "=", 34)]).collect())
+    assert got == [(34, "a"), (34, "c")]
+    # drop the id-bounds interference by probing file selection directly:
+    # partition probing alone must keep exactly the two bucket-3 files
+    _, files = t._select_files(snap, [("id", "=", 34)])
+    assert sorted(os.path.basename(f.path) for f in files) == [
+        "f_a.parquet",
+        "f_c.parquet",
+    ]
+    _, files = t._select_files(snap, [("id", "=", 35)])
+    assert [os.path.basename(f.path) for f in files] == ["f_b.parquet"]
+
+    # month probe: ts equality names foreign month 574 (native says
+    # '2017-11'); the 2018-02 file must prune, the row must come back
+    probe = dt.datetime(2017, 11, 16, 22, 31, 8)
+    got = [(r.id, r.v) for r in t.read(where=[("ts", "=", probe)]).collect()]
+    assert got == [(34, "a")]
+
+
+def test_imported_timestamp_bounds_prune(spark, tmp_path):
+    """Appendix-D timestamp bounds decode on import and a range probe
+    opens only the files whose [min,max] overlap (VERDICT r5 task 4)."""
+    meta_path, rows = _fake_partitioned_iceberg_table(spark, str(tmp_path / "ice"))
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    snap = t.snapshot()
+    for f in snap.files:
+        assert "ts" in f.stats and "id" in f.stats  # bounds decoded
+    # range probe: only the 2018 file overlaps ts >= 2018-01-01
+    _, files = t._select_files(snap, [("ts", ">=", "2018-01-01T00:00:00")])
+    assert [os.path.basename(f.path) for f in files] == ["f_c.parquet"]
+    got = [(r.id, r.v) for r in t.read(where=[("ts", ">=", "2018-01-01T00:00:00")]).collect()]
+    assert got == [(34, "c")]
+
+
+def test_imported_bucket_merge_touches_foreign_files(spark, tmp_path):
+    """A CoW merge into an imported bucket-partitioned table must mark the
+    foreign files holding the batch's keys as TOUCHED — a native-domain
+    bucket probe would 'keep' them untouched and silently lose the update."""
+    meta_path, rows = _fake_partitioned_iceberg_table(spark, str(tmp_path / "ice"))
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="ice", write_disposition="merge", primary_key=["id"]),
+        spark.sql(
+            "select 34L as id, timestamp'2017-11-16 22:31:08' as ts, 'UPDATED' as v"
+        ),
+        load_id="l0",
+    )
+    t2 = catalog.load_table("ns", "ice")
+    got = sorted((r.id, r.v) for r in t2.read().collect())
+    # BOTH id=34 rows were upserted to the same key... merge keeps one row
+    # per key: the batch row replaces them
+    assert (35, "b") in got
+    assert all(v == "UPDATED" for i, v in got if i == 34)
+    assert any(v == "UPDATED" for i, v in got)
+    # adoption provenance survives the native commit (sticky lineage)
+    assert t2.snapshot().properties.get("imported-from") == meta_path
+
+
+def test_imported_table_append_keeps_both_domains_pruning(spark, tmp_path):
+    """Post-import native appends record NATIVE tuples; probes must then
+    match across the mixed file population — foreign files in the Iceberg
+    domain AND native files in the hive-string domain."""
+    meta_path, rows = _fake_partitioned_iceberg_table(spark, str(tmp_path / "ice"))
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="ice", write_disposition="append"),
+        spark.sql("select 34L as id, timestamp'2019-05-05 00:00:00' as ts, 'native' as v"),
+        load_id="l0",
+    )
+    t2 = catalog.load_table("ns", "ice")
+    assert t2.snapshot().properties.get("imported-from") == meta_path
+    got = sorted((r.id, r.v) for r in t2.read(where=[("id", "=", 34)]).collect())
+    assert got == [(34, "a"), (34, "c"), (34, "native")]
+    # file selection keeps the two foreign bucket-3 files plus the native
+    # append, prunes the foreign bucket-5 file
+    snap = t2.snapshot()
+    _, files = t2._select_files(snap, [("id", "=", 34)])
+    names = sorted(os.path.basename(f.path) for f in files)
+    assert "f_b.parquet" not in names
+    assert {"f_a.parquet", "f_c.parquet"} <= set(names)
+    assert len(names) == 3

@@ -6,6 +6,8 @@ cartesian products. A change that keeps answers right but reads the whole
 lake at 100 TB fails here.
 """
 
+import os
+
 import pytest
 
 from dlt_iceberg_spark.plans import (
@@ -93,9 +95,24 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
 
     from dlt_iceberg_spark.plans import exchange_count, sort_merge_join_count
 
+    import shutil
+    import urllib.parse
+
+    def _clear(name):
+        # DROP alone is not enough: a run killed mid-save leaves the
+        # warehouse LOCATION without a catalog entry, and every later
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS (VERDICT r5 #1)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = urllib.parse.urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        ).path
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+
     prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        _clear("bt_left")
+        _clear("bt_right")
         spark.range(1000).withColumn("v", F.col("id") % 7).write.bucketBy(
             8, "id"
         ).sortBy("id").mode("overwrite").saveAsTable("bt_left")
@@ -108,8 +125,8 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         assert joined.count() == 500
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-        spark.sql("DROP TABLE IF EXISTS bt_left")
-        spark.sql("DROP TABLE IF EXISTS bt_right")
+        _clear("bt_left")
+        _clear("bt_right")
 
 
 def test_registry_wide_no_cartesian(spark):
