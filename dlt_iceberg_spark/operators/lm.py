@@ -56,7 +56,10 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def train_bigram_lm(
-    target: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    persist_model: bool | None = None,
 ) -> tuple[DataFrame, DataFrame, int]:
     """Fit the model: bigram counts, context totals, vocabulary size.
 
@@ -68,13 +71,22 @@ def train_bigram_lm(
     smaller than the pair stream): the scoring join consumes BOTH bigrams
     and contexts, and contexts derives from bigrams, so an unpersisted
     plan re-runs the target tokenize/explode/groupBy lineage twice inside
-    every scoring job."""
+    every scoring job.  Size-adaptive like dsir_select/perplexity_filter
+    (``persist_model=None`` gates on PERSIST_MIN_INPUT_BYTES): a toy
+    target recomputes cheaper than it materializes, a real one doesn't."""
     from pyspark.storagelevel import StorageLevel
 
-    pairs = _doc_bigrams(target, text_col, id_col)
-    bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c")).persist(
-        StorageLevel.DISK_ONLY
+    from dlt_iceberg_spark.operators.dsir import (
+        PERSIST_MIN_INPUT_BYTES,
+        _plan_size_bytes,
     )
+
+    if persist_model is None:
+        persist_model = _plan_size_bytes(target) >= PERSIST_MIN_INPUT_BYTES
+    pairs = _doc_bigrams(target, text_col, id_col)
+    bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
+    if persist_model:
+        bigrams = bigrams.persist(StorageLevel.DISK_ONLY)
     contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
     toks = _TOKS.format(col=text_col)
     vocab_size = (

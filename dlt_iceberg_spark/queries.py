@@ -2365,16 +2365,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(list_sum(list_transform(ps, x ->
                CASE WHEN len(list_filter(ps, y -> y = x)) >= 2 THEN length(x) ELSE 0 END)), 0)
                / (greatest(length(text), 1)) AS dpcf,
-             gp.top2 / greatest(length(text), 1) AS t2,
-             gp.top3 / greatest(length(text), 1) AS t3,
-             gp.top4 / greatest(length(text), 1) AS t4,
-             gp.dup5 / greatest(length(text), 1) AS d5,
-             gp.dup6 / greatest(length(text), 1) AS d6,
-             gp.dup7 / greatest(length(text), 1) AS d7,
-             gp.dup8 / greatest(length(text), 1) AS d8,
-             gp.dup9 / greatest(length(text), 1) AS d9,
-             gp.dup10 / greatest(length(text), 1) AS d10
-      FROM base b JOIN gp USING (doc_id)
+             coalesce(gp.top2, 0) / greatest(length(text), 1) AS t2,
+             coalesce(gp.top3, 0) / greatest(length(text), 1) AS t3,
+             coalesce(gp.top4, 0) / greatest(length(text), 1) AS t4,
+             coalesce(gp.dup5, 0) / greatest(length(text), 1) AS d5,
+             coalesce(gp.dup6, 0) / greatest(length(text), 1) AS d6,
+             coalesce(gp.dup7, 0) / greatest(length(text), 1) AS d7,
+             coalesce(gp.dup8, 0) / greatest(length(text), 1) AS d8,
+             coalesce(gp.dup9, 0) / greatest(length(text), 1) AS d9,
+             coalesce(gp.dup10, 0) / greatest(length(text), 1) AS d10
+      -- LEFT: a doc with <2 whitespace tokens yields no n-gram rows for
+      -- any n and has no gp row; the operator still emits it with zeroed
+      -- fractions, so the oracle must too.
+      FROM base b LEFT JOIN gp USING (doc_id)
     )
     SELECT doc_id,
            nw AS n_words,
@@ -3866,43 +3869,41 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
 # of the registry (every round's artifact stops at exactly 50 entries), so
-# iteration order decides which queries get a driver-verified row.  Round-5
-# rotation (VERDICT r4 task 5): front-load the 41 queries whose newest driver
-# row is CORRECTNESS_r03 — the dedup/text/multimodal/stream/events-analytics
-# families plus the lake gate queries — so no query's driver row is ever
-# older than two rounds (union r04∪r05 again covers all 91).  The remaining
-# 9 slots re-verify the entries that first went hash-green in r4
-# (pack_documents / ann_pq / semantic_dedup), the r4 newcomers
-# (dsir_select / lm_perplexity / multimodal_image_dedup — dsir and lm also
-# changed this round: persisted lineage), and three long-green anchors.
-# Every entry keeps its spec; only dict iteration order changes.
+# iteration order decides which queries get a driver-verified row.  Round-6
+# rotation (VERDICT r5 task 1): slot 1 is text_c4_rules — the ONLY registry
+# entry without a driver row (it joined after the r5 gate window froze) —
+# followed by the 43 queries whose newest driver row is CORRECTNESS_r04, so
+# after this round the r05∪r06 union covers all 94 and no query's driver row
+# is older than two rounds.  The last 6 slots re-verify the code this round
+# touched: the lake scan/merge probe paths (imported-domain partition
+# probes landed in table.py/writer.py) and lm_perplexity (persist gate),
+# plus one long-green anchor.  Every entry keeps its spec; only dict
+# iteration order changes.
 
 _GATE_PRIORITY = [
-    # absent from CORRECTNESS_r04 — must land inside the 50-row gate window
-    "lake_stats_pushdown", "lake_position_delete", "merge_hard_delete",
-    "sql_delegated_join", "window_customer_rank",
-    "q9_product_type_profit", "q21_waiting_suppliers",
-    "events_hourly", "events_sessions", "events_asof_last_signup",
-    "events_interval_join", "events_heavy_hitters",
-    "stream_windowed_counts", "stream_dedup_users",
-    "dedup_incremental", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_token_jaccard", "dedup_ngram_jaccard",
-    "dedup_transitive_clusters", "substring_dup_profile",
-    "embedding_near_dup", "embedding_label_stats", "ann_ivf",
-    "text_language_id", "text_quality_score", "text_token_stats",
-    "text_repetition", "text_rolling_fingerprint", "doc_fingerprint",
-    "contamination_check", "redact_pii", "chunk_documents",
-    "select_quality_budget", "shuffle_shards", "corpus_prep",
-    "multimodal_meta", "multimodal_decode", "multimodal_frames",
-    "multimodal_audio_windows", "multimodal_resize",
-    # first hash-green in r4 — one more driver row to confirm stability
-    "pack_documents", "ann_pq", "semantic_dedup",
-    # r4 newcomers; dsir/lm re-verify the round-5 persist change
-    "dsir_select", "lm_perplexity", "multimodal_image_dedup",
-    # NEW this round: transform-aware bucket pruning through the table
-    # format and the full Gopher rule matrix — each takes the slot of a
-    # multi-round-green anchor
-    "lake_bucket_pruning", "text_gopher_rules",
+    # never driver-verified — front of the line
+    "text_c4_rules",
+    # newest driver row is r04 — refresh before it ages past two rounds
+    "q3_unshipped_revenue", "q4_order_priority", "q5_nation_revenue",
+    "q6_revenue_delta", "q10_returned_customers", "q13_order_distribution",
+    "q15_top_supplier", "q18_large_orders", "q22_idle_customers",
+    "part_brand_stats", "nation_order_stats",
+    "q2_min_unit_price_supplier", "q7_volume_shipping", "q8_market_share",
+    "q11_important_parts", "q12_late_shipping_priority", "q14_promo_revenue",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q19_bracket_revenue", "q20_top_volume_suppliers",
+    "rollup_nation_status", "cube_brand_size", "groupingsets_priority_status",
+    "pivot_priority_status", "pctl_order_value", "setop_customer_segments",
+    "window_running_total",
+    "events_funnel", "events_retention_cohorts", "events_user_latest",
+    "events_json_props",
+    "sample_documents", "split_documents", "cap_docs_per_lang",
+    "mixture_by_source",
+    "dedup_exact", "text_quality", "text_lang_profile", "ann_cosine_topk",
+    "dedup_minhash_lsh", "merge_upsert", "lake_merge_roundtrip",
+    # code touched this round: lake probe/scan/merge paths + lm persist gate
+    "lake_stats_pushdown", "lake_bucket_pruning", "lake_position_delete",
+    "merge_hard_delete", "lm_perplexity",
     # long-green anchor for the last slot
     "q1_pricing_summary",
 ]

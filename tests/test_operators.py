@@ -790,7 +790,7 @@ def test_dsir_feature_plan_is_mapside(spark):
     assert exchange_count(feats) <= 1
 
 
-def test_dsir_and_lm_persist_reused_lineage(spark):
+def test_dsir_and_lm_persist_reused_lineage(spark, tmp_path):
     """VERDICT r4 task 4: the feature/score tables that feed two consumers
     must be persisted — the physical plan reads an InMemoryRelation (one
     extraction pass) instead of duplicating the tokenize/explode/hash
@@ -818,6 +818,22 @@ def test_dsir_and_lm_persist_reused_lineage(spark):
     a = sorted(map(tuple, perplexity_filter(corpus, target, buckets=2).collect()))
     b = sorted(map(tuple, filt.collect()))
     assert a == b
+
+    # train_bigram_lm gates its model persist the same way (VERDICT r5 #2:
+    # it used to pin DISK_ONLY unconditionally — at toy scale the
+    # materialization costs more than recomputation).  The gate reads
+    # Catalyst's plan-size stat, which is unknown (= huge, persist — the
+    # safe direction) for createDataFrame plans, so exercise the default
+    # through a parquet-backed target whose size is real.
+    from dlt_iceberg_spark.operators.lm import train_bigram_lm
+
+    target.write.parquet(str(tmp_path / "lm_target"))
+    small = spark.read.parquet(str(tmp_path / "lm_target"))
+    bg, _, _ = train_bigram_lm(small)  # tiny target: no persist
+    assert not bg.storageLevel.useDisk and not bg.storageLevel.useMemory
+    bg2, _, _ = train_bigram_lm(target, persist_model=True)
+    assert bg2.storageLevel.useDisk
+    bg2.unpersist()
 
 
 def test_lm_perplexity_separates_target_like_docs(spark):
@@ -1009,3 +1025,43 @@ def test_c4_rules_line_and_page_filters(spark):
     assert rows[2].has_curly and not rows[2].c4_keep
     assert rows[3].has_lorem_ipsum and not rows[3].c4_keep
     assert rows[4].n_lines_kept == 1 and not rows[4].c4_keep
+
+
+def test_gopher_oracle_keeps_zero_gram_documents(spark, tmp_path):
+    """ADVICE r5: a document with fewer than 2 whitespace tokens produces no
+    n-gram rows, so the oracle's gp CTE has no row for it — an inner join
+    dropped such docs while the operator emits them with zeroed fractions.
+    Pin Spark-vs-DuckDB parity on a fixture that contains empty, 1-token,
+    and normal documents."""
+    import duckdb
+    import pandas as pd
+
+    from dlt_iceberg_spark.queries import REGISTRY
+
+    docs = [
+        (1, ""),                                  # zero tokens
+        (2, "word"),                              # one token: no bigrams
+        (3, "  \n \n  "),                         # whitespace only
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    spec = REGISTRY["text_gopher_rules"]
+    got = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(spec.oracle).fetchdf()
+
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    got, want = norm(got), norm(want)
+    assert len(got) == len(want) == 4          # no doc dropped on either side
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
+    )
