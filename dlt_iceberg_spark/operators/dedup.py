@@ -18,6 +18,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from dlt_iceberg_spark.operators.util import fan_out
 
+#: Last physical strategy chosen by each adaptive operator (operator name →
+#: "bitmask" | "lsh" | "allpairs").  The auto paths re-plan at runtime from
+#: corpus statistics, so two benchmark tiers can legitimately run different
+#: algorithms for the same query — bench.py snapshots this after each query
+#: and records it in the artifact, making cross-tier strategy flips visible
+#: instead of reading as regressions (VERDICT r5 task 2).
+STRATEGY_TRACE: dict[str, str] = {}
+
 
 def _tokens(text_col: str):
     return F.split(F.col(text_col), r"\s+")
@@ -456,9 +464,11 @@ def token_set_similarity_join(
     # bounded collect: caller-declared universe budget (≤64 distinct tokens)
     vocab_rows = vocab.limit(small_universe_bits + 1).collect()
     if len(vocab_rows) > small_universe_bits:
+        STRATEGY_TRACE["token_set_similarity_join"] = "lsh"
         return _verified_pairs_token_classes(
             df, text_col, id_col, n_hashes, bands, threshold
         )
+    STRATEGY_TRACE["token_set_similarity_join"] = "bitmask"
     bit_of = {r.t: i for i, r in enumerate(sorted(vocab_rows))}
     mapping = F.create_map(
         *[x for t, i in bit_of.items() for x in (F.lit(t), F.lit(i))]
@@ -693,6 +703,7 @@ def batch_vs_corpus_dedup(
         strategy = "bitmask" if len(vocab) <= 64 else "lsh"
     if strategy == "bitmask" and len(vocab) > 64:
         strategy = "allpairs"
+    STRATEGY_TRACE["batch_vs_corpus_dedup"] = strategy
     if strategy == "bitmask":
         bit_of = {h: i for i, h in enumerate(sorted(r.h for r in vocab))}
         mapping = F.create_map(
