@@ -127,6 +127,71 @@ def _ts_prune_value(v: Any) -> str | None:
         return _dt.datetime(v.year, v.month, v.day).isoformat()
     return None
 
+
+#: session-timeZone spellings that mean UTC — normalized to "UTC" wherever a
+#: frame name is recorded or compared
+_UTC_TZ_NAMES = ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
+
+
+def _session_zone(tz_name: str):
+    """Session ``spark.sql.session.timeZone`` value -> tzinfo, or None when
+    the zone can't be resolved (caller skips pruning, conservative).
+    Handles IANA names via zoneinfo and fixed-offset forms (±HH:MM)."""
+    import datetime as _dt
+    import re as _re
+
+    if tz_name in _UTC_TZ_NAMES:
+        return _dt.timezone.utc
+    m = _re.fullmatch(r"([+-])(\d{2}):(\d{2})", tz_name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(
+            sign * _dt.timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+        )
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(tz_name)
+    except Exception:
+        return None
+
+
+def _aware_in_session(v: Any, tz_name: str):
+    """Probe value -> AWARE datetime carrying the instant the residual
+    Spark filter will use: naive values are interpreted in the session
+    frame (exactly what Spark does when casting a naive string to
+    timestamp), aware values pass through.  Returns None when the session
+    zone is unresolvable or the naive local time is DST-ambiguous or
+    nonexistent — Python's fold rules and the JVM's gap normalization can
+    disagree there, and a probe that names a different instant than the
+    residual filter could prune a file that holds matching rows."""
+    import datetime as _dt
+
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v.replace(" ", "T"))
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        v = _dt.datetime(v.year, v.month, v.day)
+    if not isinstance(v, _dt.datetime):
+        return None
+    z = _session_zone(tz_name)
+    if z is None:
+        return None
+    a0 = v.replace(tzinfo=z, fold=0)
+    a1 = v.replace(tzinfo=z, fold=1)
+    if a0.utcoffset() != a1.utcoffset():
+        return None  # ambiguous local time (DST fall-back hour)
+    # nonexistent local time (spring-forward gap): round-tripping through
+    # UTC does not reproduce the wall-clock value
+    back = a0.astimezone(_dt.timezone.utc).astimezone(z).replace(tzinfo=None)
+    if back != v:
+        return None
+    return a0
+
 #: residual Spark filters for `read(where=...)` predicates
 _OPS = {
     "=": lambda c, v: c == v,
@@ -1004,6 +1069,37 @@ class LakeTable:
         for k in ("imported-from", "imported-table-uuid"):
             if prev and k in prev.properties and k not in resolved_props:
                 resolved_props[k] = prev.properties[k]
+        # ts-sourced partition tuples (identity/year/month/day/hour on a
+        # tz-adjusted timestamp) are RENDERED in the writer's session frame
+        # by date_format/cast, so the frame is table lineage: scan-time
+        # probe rewriting re-evaluates probes in every frame that ever
+        # wrote (_partition_probe_values).  Accumulate — files carried
+        # through compaction/replace keep their original spelling, so the
+        # set never shrinks; explicit-properties commits must not strip it.
+        spec_now = (
+            partition_spec
+            if partition_spec is not None
+            else (prev.partition_spec if prev else [])
+        )
+        tzset = {
+            t
+            for t in (prev.properties if prev else {})
+            .get("write.session-tz-set", "")
+            .split(",")
+            if t
+        }
+        dtype_of = {f.name: f.dataType for f in schema.fields}
+        if (files or new_files) and any(
+            isinstance(
+                dtype_of.get(p.get("column") or p.get("source") or ""),
+                T.TimestampType,
+            )
+            for p in (spec_now or [])
+        ):
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "") or "UTC"
+            tzset.add("UTC" if tz in _UTC_TZ_NAMES else tz)
+        if tzset:
+            resolved_props["write.session-tz-set"] = ",".join(sorted(tzset))
         snap = Snapshot(
             version=new_version,
             schema=schema,
@@ -1382,11 +1478,22 @@ class LakeTable:
         rewritten (bucket destroys order); they keep pruning via stats.
         Rewrites are skipped wholesale past ``_MAX_PART_PROBE_EXPRS``
         (transform, value) pairs — a 10k-value IN should prune via stats,
-        not inflate planning latency.  Fields whose SOURCE column is a
-        tz-adjusted timestamp rewrite only under a UTC session: the stored
-        tuples were computed in the writer's session frame, and evaluating
-        the transform in a different frame could name the wrong partition
-        (a wrong prune, not just a missed one).
+        not inflate planning latency.
+
+        Fields whose SOURCE column is a tz-adjusted timestamp are rendered
+        (date_format / cast-to-string) in the WRITER's session frame, so
+        their stored tuples are frame-dependent.  Each commit that adds
+        data under such a spec records its session tz in the
+        ``write.session-tz-set`` property; probe rewriting converts naive
+        probe values into instants through the READER's session zone (the
+        same instant the residual filter uses) and re-evaluates the
+        transform once per recorded writer frame with the session tz
+        temporarily pinned — the allowed set then contains every spelling a
+        live file could carry, under ANY reader session tz (VERDICT r5
+        task 5; previously non-UTC sessions skipped ts rewrites entirely).
+        Tables predating the property are assumed UTC-written (matching the
+        old UTC-only rewrite behavior).  Probes whose local time is
+        DST-ambiguous/nonexistent drop the field's rewrite (conservative).
 
         IMPORTED tables (``register_iceberg_table``) record foreign files'
         tuples in ICEBERG's value domain (murmur3 buckets, epoch-relative
@@ -1413,16 +1520,20 @@ class LakeTable:
             )
             by_col.setdefault(pf.column, []).append(pf)
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
-        if not self.spark.conf.get("spark.sql.session.timeZone", "") in (
-            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
-        ):
-            by_col = {
-                c: pfs
-                for c, pfs in by_col.items()
-                if not isinstance(dtypes.get(c), T.TimestampType)
-            }
+        session_tz = self.spark.conf.get("spark.sql.session.timeZone", "") or "UTC"
+        ts_cols = {
+            c for c in by_col if isinstance(dtypes.get(c), T.TimestampType)
+        }
+        # frames the live tuples may be spelled in: every session tz that
+        # ever committed data under a ts-transformed spec.  Legacy tables
+        # without the record are assumed UTC-written.
+        frames = ["UTC"]
+        if ts_cols:
+            raw = (snap.properties or {}).get("write.session-tz-set", "")
+            frames = sorted({t for t in raw.split(",") if t} or {"UTC"})
+        predropped: set[str] = set()
         exprs: list[Column] = []
-        keys: list[tuple[str, Any]] = []
+        keys: list[tuple[PartitionField, Any]] = []
         for c, op, v in where:
             if c not in by_col or c not in dtypes:
                 continue
@@ -1434,6 +1545,15 @@ class LakeTable:
                 continue
             for pf in by_col[c]:
                 for pv in vals:
+                    if c in ts_cols:
+                        # naive probe -> the instant the residual filter
+                        # uses (reader session frame), offset-bearing so
+                        # the literal parses frame-independently below
+                        aware = _aware_in_session(pv, session_tz)
+                        if aware is None:
+                            predropped.add(pf.field_name)
+                            continue
+                        pv = aware.isoformat()
                     try:
                         lit = F.lit(pv).cast(dtypes[c])
                         exprs.append(
@@ -1450,20 +1570,44 @@ class LakeTable:
             return {}  # huge IN lists: stats pruning only (conservative)
         imported = bool((snap.properties or {}).get("imported-from"))
         # one 1-row local evaluation for ALL (transform, value) pairs —
-        # constant-folded by Catalyst, so this is driver-side µs work
-        row = self.spark.range(1).select(*exprs).first()
+        # constant-folded by Catalyst, so this is driver-side µs work.
+        # ts-sourced spellings render in the session frame, so when ts
+        # fields participate the evaluation repeats once per recorded
+        # writer frame with the session tz pinned (restored in finally);
+        # all ts literals are offset-bearing, so only the RENDERING frame
+        # changes, never the instant.
+        ts_key_idx = {i for i, (pf, _) in enumerate(keys) if pf.column in ts_cols}
+        if ts_key_idx:
+            cur = pinned = self.spark.conf.get("spark.sql.session.timeZone")
+            rows = []
+            try:
+                for fr in frames:
+                    if fr != pinned:
+                        self.spark.conf.set("spark.sql.session.timeZone", fr)
+                        pinned = fr
+                    rows.append(self.spark.range(1).select(*exprs).first())
+            finally:
+                if pinned != cur:
+                    self.spark.conf.set("spark.sql.session.timeZone", cur)
+        else:
+            rows = [self.spark.range(1).select(*exprs).first()]
         out: dict[str, set] = {}
-        dropped: set[str] = set()
+        dropped: set[str] = set(predropped)
         for i, (pf, pv) in enumerate(keys):
             name = pf.field_name
-            val = row[f"_p{i}"]
-            if val is None:
+            vals_i = (
+                [r[f"_p{i}"] for r in rows]
+                if i in ts_key_idx
+                else [rows[0][f"_p{i}"]]
+            )
+            if any(x is None for x in vals_i):
                 dropped.add(name)
                 continue
-            out.setdefault(name, set()).add(val)
+            out.setdefault(name, set()).update(vals_i)
             if imported:
                 # foreign files carry Iceberg-domain tuples: the probe must
                 # also name the value a foreign writer would have recorded
+                # (that domain is epoch/instant-based — frame-free)
                 from dlt_iceberg_spark.lake.iceberg_domain import (
                     iceberg_transform_str,
                 )
@@ -1534,25 +1678,33 @@ class LakeTable:
         # filter still applies them exactly)
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
 
-        # tz-adjusted timestamps are only prunable under a UTC session:
-        # footer stats decode in the UTC frame while naive probe values are
-        # session-frame, so a non-UTC session (a vanilla driver without our
-        # configs) must skip ts pruning rather than compare across frames.
-        # NTZ columns are wall-clock on both sides — always prunable.
-        session_utc = self.spark.conf.get("spark.sql.session.timeZone", "") in (
-            "UTC", "Etc/UTC", "GMT", "Z", "+00:00",
-        )
+        # tz-adjusted timestamp stats decode in the UTC frame while naive
+        # probe values mean session-frame instants.  Under a non-UTC session
+        # (a vanilla driver without our configs) each naive probe is
+        # CONVERTED into the UTC stats frame through the session zone — the
+        # same instant the residual filter will use — instead of skipping
+        # pruning wholesale (VERDICT r5 task 5; real clusters run non-UTC).
+        # Probes whose local time is DST-ambiguous/nonexistent, or whose
+        # session zone can't be resolved, still skip (conservative).
+        # NTZ columns are wall-clock on both sides — always prunable as-is.
+        session_tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+        session_utc = session_tz in _UTC_TZ_NAMES
+
+        def _ts_frame(x):
+            if session_utc:
+                return _ts_prune_value(x)
+            aware = _aware_in_session(x, session_tz)
+            return None if aware is None else _ts_prune_value(aware)
 
         def _prunable(c, op, v):
             dt = dtypes.get(c)
             if not isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
                 return (c, op, v)
-            if isinstance(dt, T.TimestampType) and not session_utc:
-                return None
+            conv = _ts_frame if isinstance(dt, T.TimestampType) else _ts_prune_value
             if isinstance(v, list):
-                vs = [_ts_prune_value(x) for x in v]
+                vs = [conv(x) for x in v]
                 return (c, op, vs) if all(x is not None for x in vs) else None
-            v2 = _ts_prune_value(v)
+            v2 = conv(v)
             return (c, op, v2) if v2 is not None else None
 
         prune_where = [p for p in (map(lambda w: _prunable(*w), where)) if p]

@@ -317,3 +317,111 @@ def test_read_rejects_unknown_plan_mode(spark, tmp_path):
     t.commit(t.stage_dataframe(df), df.schema, "create", None)
     with pytest.raises(ValueError, match="plan_mode"):
         t.read(where=[("k", "=", 1)], plan_mode="bogus")
+
+
+def test_non_utc_session_pruning_tz_matrix(spark, tmp_path):
+    """VERDICT r5 task 5: non-UTC reader sessions CONVERT probe frames
+    instead of disabling pruning.  Matrix: UTC-written table read under
+    Europe/Berlin (naive + aware probes, cross-month-boundary instant),
+    Berlin-written table read under UTC (tuple spelling follows the
+    recorded writer frame), mixed-frame appends (allowed set carries both
+    spellings), DST-ambiguous probe (conservative skip), stats-range
+    pruning under Berlin, and driver/spark plan-mode parity throughout."""
+    import datetime as dt
+    from contextlib import contextmanager
+
+    @contextmanager
+    def session_tz(tz):
+        cur = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", cur)
+
+    # hourly instants Feb 1 .. May 31 2024 (UTC), built frame-independently
+    # from epoch seconds; includes 2024-03-31T23:00Z == Berlin Apr 1 01:00
+    # CEST (cross-month in the Berlin frame, and past the Mar 31 DST jump)
+    base = dt.datetime(2024, 2, 1, tzinfo=dt.timezone.utc)
+    instants = [base + dt.timedelta(hours=i) for i in range(2880)]
+    rows = [(i, int(ts.timestamp())) for i, ts in enumerate(instants)]
+
+    def make_df():
+        return spark.createDataFrame(rows, "id long, epoch long").selectExpr(
+            "id", "timestamp_seconds(epoch) AS ts"
+        )
+
+    month_spec = [{"column": "ts", "transform": "month", "param": None, "name": None}]
+    t = _make_partitioned(spark, str(tmp_path / "utcw"), month_spec, make_df())
+    snap = t.snapshot()
+    assert snap.properties.get("write.session-tz-set") == "UTC"
+    assert {f.partition["ts_month"] for f in snap.files} == {
+        "2024-02", "2024-03", "2024-04", "2024-05",
+    }
+
+    edge = dt.datetime(2024, 3, 31, 23, tzinfo=dt.timezone.utc)
+    edge_id = instants.index(edge)
+    with session_tz("Europe/Berlin"):
+        # naive probe = Berlin wall clock Apr 1 01:00 == instant Mar 31 23:00Z,
+        # whose UTC-written partition spelling is 2024-03: the rewrite must
+        # name MARCH even though the probe's own month reads April
+        for probe in (dt.datetime(2024, 4, 1, 1, 0), edge):
+            _, files = t._select_files(snap, [("ts", "=", probe)])
+            assert {f.partition["ts_month"] for f in files} == {"2024-03"}
+            assert len(files) < snap.n_files  # pruning occurred
+            a = t.read(where=[("ts", "=", probe)], plan_mode="driver").collect()
+            b = t.read(where=[("ts", "=", probe)], plan_mode="spark").collect()
+            assert [r.id for r in a] == [r.id for r in b] == [edge_id]
+        # stats-range pruning now also works under Berlin: naive bound
+        # 2024-05-15 00:00 Berlin == 2024-05-14T22:00Z
+        rprobe = dt.datetime(2024, 5, 15)
+        _, rfiles = t._select_files(snap, [("ts", ">=", rprobe)])
+        assert len(rfiles) < snap.n_files
+        cutoff = dt.datetime(2024, 5, 14, 22, tzinfo=dt.timezone.utc)
+        expect = sum(1 for ts in instants if ts >= cutoff)
+        assert t.read(where=[("ts", ">=", rprobe)]).count() == expect > 0
+
+    # Berlin-WRITTEN table: tuples spell months in the Berlin frame
+    # (2024-03-31T23:00Z renders as 2024-04) and the frame is recorded
+    with session_tz("Europe/Berlin"):
+        t2 = _make_partitioned(spark, str(tmp_path / "dew"), month_spec, make_df())
+    snap2 = t2.snapshot()
+    assert snap2.properties.get("write.session-tz-set") == "Europe/Berlin"
+    edge_file_months = {
+        f.partition["ts_month"] for f in snap2.files
+    }
+    assert "2024-06" not in edge_file_months  # May 31 23:00Z = Jun 1 01:00 CEST...
+    # read under UTC: the probe re-evaluates in the RECORDED Berlin frame
+    _, files = t2._select_files(snap2, [("ts", "=", edge)])
+    assert {f.partition["ts_month"] for f in files} == {"2024-04"}
+    assert len(files) < snap2.n_files
+    assert [r.id for r in t2.read(where=[("ts", "=", edge)]).collect()] == [edge_id]
+
+    # mixed-frame appends: a UTC-session append accumulates the frame set,
+    # and an equality probe keeps files under EITHER spelling
+    from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+    spec = [PartitionField(**p) for p in month_spec]
+    extra = spark.createDataFrame(
+        [(9001, int(edge.timestamp()))], "id long, epoch long"
+    ).selectExpr("id", "timestamp_seconds(epoch) AS ts")
+    staged = t2.stage_dataframe(extra, partition_exprs=partition_columns(spec))
+    snap2 = t2.snapshot()
+    t2.commit(
+        None, extra.schema, "append", snap2.version,
+        manifests=snap2.manifests, new_files=staged,
+    )
+    snap3 = t2.snapshot()
+    assert snap3.properties.get("write.session-tz-set") == "Europe/Berlin,UTC"
+    probes = t2._partition_probe_values(snap3, [("ts", "=", edge)])
+    assert probes.get("ts_month") == {"2024-03", "2024-04"}
+    got = sorted(r.id for r in t2.read(where=[("ts", "=", edge)]).collect())
+    assert got == [edge_id, 9001]
+
+    # DST-ambiguous naive probe (Berlin fall-back hour): pruning skips
+    # conservatively — every file planned, result exact (no such rows)
+    with session_tz("Europe/Berlin"):
+        amb = dt.datetime(2024, 10, 27, 2, 30)
+        _, files = t._select_files(snap, [("ts", "=", amb)])
+        assert len(files) == snap.n_files
+        assert t.read(where=[("ts", "=", amb)]).count() == 0
