@@ -165,13 +165,25 @@ def _bb_bytes(bb: Any) -> bytes | None:
 
 
 def _bound_types(schema_obj: dict) -> dict[int, tuple[str, str]]:
-    """field-id -> (column name, iceberg primitive) for top-level primitive
-    columns — the domain of bound decoding."""
+    """field-id -> (dotted column path, iceberg primitive) for primitive
+    columns at top level or nested inside STRUCTS ("meta.uid") — the
+    domain of bound decoding and equality-id binding.  List/map element
+    ids stay out: their values aren't addressable as a scan column, so
+    deletes keyed on them remain refused."""
     out: dict[int, tuple[str, str]] = {}
-    for f in schema_obj.get("fields", []):
-        t = f.get("type")
-        if isinstance(t, str) and isinstance(f.get("id"), int):
-            out[f["id"]] = (f["name"], t)
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            t = f.get("type")
+            if not isinstance(f.get("id"), int):
+                continue
+            name = prefix + f["name"]
+            if isinstance(t, str):
+                out[f["id"]] = (name, t)
+            elif isinstance(t, dict) and t.get("type") == "struct":
+                walk(t.get("fields", []), name + ".")
+
+    walk(schema_obj.get("fields", []), "")
     return out
 
 
@@ -227,8 +239,9 @@ def _decode_partition(df_rec: Any) -> dict[str, Any]:
 def _decode_equality_ids(
     df_rec: Any, types: dict[int, tuple[str, str]]
 ) -> list[str] | None:
-    """data_file.equality_ids (array<int> of field-ids) -> column names, or
-    None when any id falls outside the decodable top-level primitives."""
+    """data_file.equality_ids (array<int> of field-ids) -> dotted column
+    paths (top-level or struct-nested primitives), or None when any id
+    falls outside that domain (list/map-nested values)."""
     raw = _jget(df_rec, "equality_ids")
     if raw is None:
         return None
@@ -312,8 +325,9 @@ def _files_from_avro(
                     raise NotImplementedError(
                         "register_iceberg_table: equality-delete file "
                         f"{path!r} names field-ids outside the table's "
-                        "top-level primitive columns; fold/compact deletes "
-                        "in the source engine before registering"
+                        "primitive columns (top-level or struct-nested); "
+                        "fold/compact deletes in the source engine before "
+                        "registering"
                     )
                 lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types, side="lo")
                 upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types, side="hi")

@@ -244,6 +244,52 @@ def _norm_path(c: Column) -> Column:
     return F.regexp_replace(c, "^file:/+", "/")
 
 
+def _schema_leaf(schema: T.DataType, dotted: str) -> T.StructField | None:
+    """Resolve a dotted field path ("meta.uid") through nested STRUCTS to
+    its leaf field; None when any segment is missing or the path crosses a
+    non-struct container (list/map)."""
+    cur: T.DataType = schema
+    fld: T.StructField | None = None
+    for part in dotted.split("."):
+        if not isinstance(cur, T.StructType):
+            return None
+        fld = next((f for f in cur.fields if f.name == part), None)
+        if fld is None:
+            return None
+        cur = fld.dataType
+    return fld
+
+
+def _nested_key_schema(
+    schema: T.StructType, keys: list[str]
+) -> T.StructType | None:
+    """Minimal (possibly nested) read schema covering the dotted delete-key
+    paths — the shape an Iceberg equality-delete parquet stores its key
+    projection in (spec: full column projection of each referenced field).
+    Top-level keys reduce to the flat per-key StructType the native MoR
+    path always used.  None when a path doesn't resolve."""
+    tree: dict = {}
+    for k in keys:
+        leaf = _schema_leaf(schema, k)
+        if leaf is None:
+            return None
+        parts = k.split(".")
+        d = tree
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = leaf.dataType
+
+    def build(d: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(n, v if isinstance(v, T.DataType) else build(v))
+                for n, v in d.items()
+            ]
+        )
+
+    return build(tree)
+
+
 def _delete_may_touch(d: "DeleteFile", f: "DataFile", keys: list[str]) -> bool:
     """Could this equality-delete file kill any row of data file ``f``?
     Judged by key-range overlap of both sides' stats; missing stats on
@@ -1817,13 +1863,12 @@ class LakeTable:
                     f"mixed equality_ids across delete files: {sorted(eq_sets)}"
                 )
             keys = list(next(iter(eq_sets)))
-            by_name = {fld.name: fld for fld in snap.schema.fields}
-            missing = [k for k in keys if k not in by_name]
-            if missing:
+            key_schema = _nested_key_schema(snap.schema, keys)
+            if key_schema is None:
+                missing = [k for k in keys if _schema_leaf(snap.schema, k) is None]
                 raise ValueError(
                     f"delete key columns {missing} not in table schema"
                 )
-            key_schema = T.StructType([by_name[k] for k in keys])
         eseqs = [d.sequence or 0 for d in eq_dels]
         pseqs = [d.sequence or 0 for d in pos_dels]
         # per-FILE delete applicability (Iceberg's model): sequence rules
@@ -1879,7 +1924,21 @@ class LakeTable:
                 dkeys = self.spark.read.schema(key_schema).parquet(
                     *[os.path.join(self.location, d.path) for d in eq_applicable]
                 )
-                scan = scan.join(dkeys.distinct(), on=keys, how="left_anti")
+                if any("." in k for k in keys):
+                    # imported nested-field equality ids (iceberg_import):
+                    # flatten the nested key projection and anti-join on
+                    # null-safe equality — the Iceberg spec matches a null
+                    # delete-key value against null column values
+                    flat = dkeys.select(
+                        *[F.col(k).alias(f"__ek{i}") for i, k in enumerate(keys)]
+                    ).distinct()
+                    cond = None
+                    for i, k in enumerate(keys):
+                        c = F.col(k).eqNullSafe(flat[f"__ek{i}"])
+                        cond = c if cond is None else cond & c
+                    scan = scan.join(flat, on=cond, how="left_anti")
+                else:
+                    scan = scan.join(dkeys.distinct(), on=keys, how="left_anti")
             if need_addr and not with_address:
                 scan = scan.select(*cols)
             parts.append(scan)

@@ -1101,3 +1101,170 @@ def test_imported_table_append_keeps_both_domains_pruning(spark, tmp_path):
     assert "f_b.parquet" not in names
     assert {"f_a.parquet", "f_c.parquet"} <= set(names)
     assert len(names) == 3
+
+
+def test_register_avro_nested_equality_deletes(spark, tmp_path):
+    """VERDICT r5 task 7: equality_ids naming STRUCT-NESTED primitives bind
+    through the dotted path ("meta.uid") into the MoR anti-join — the
+    masked read drops the matching row, key bounds become dotted skip-
+    stats, and fold_deletes rewrites clean.  List/map-nested ids stay
+    refused (test_register_avro_refuses_unbindable_equality_ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    f1 = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "meta": pa.array(
+                    [
+                        {"uid": 1, "tag": "a"},
+                        {"uid": 2, "tag": "b"},
+                        {"uid": 3, "tag": "c"},
+                    ],
+                    pa.struct([("uid", pa.int64()), ("tag", pa.string())]),
+                ),
+            }
+        ),
+        f1,
+    )
+    # equality-delete parquet: the spec's full column projection of the
+    # referenced nested field — struct meta{uid} with uid=2
+    dpath = os.path.join(root, "data", "del1.parquet")
+    pq.write_table(
+        pa.table(
+            {"meta": pa.array([{"uid": 2}], pa.struct([("uid", pa.int64())]))}
+        ),
+        dpath,
+    )
+    manifest = os.path.join(root, "metadata", "m0.avro")
+    _write_avro(
+        spark,
+        manifest,
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f1,
+                    "file_format": "PARQUET",
+                    "record_count": 3,
+                    "file_size_in_bytes": os.path.getsize(f1),
+                },
+            }
+        ],
+    )
+    dmanifest = os.path.join(root, "metadata", "m1-deletes.avro")
+    _write_avro(
+        spark,
+        dmanifest,
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "sequence_number": 2,
+                "data_file": {
+                    "content": 2,
+                    "file_path": dpath,
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(dpath),
+                    "lower_bounds": [{"key": 5, "value": _enc("long", 2)}],
+                    "upper_bounds": [{"key": 5, "value": _enc("long", 2)}],
+                    "equality_ids": [5],
+                },
+            }
+        ],
+    )
+    manifest_list = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(
+        spark,
+        manifest_list,
+        _MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": manifest,
+                "manifest_length": os.path.getsize(manifest),
+                "content": 0,
+                "sequence_number": 1,
+            },
+            {
+                "manifest_path": dmanifest,
+                "manifest_length": os.path.getsize(dmanifest),
+                "content": 1,
+                "sequence_number": 2,
+            },
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "11111111-2222-3333-4444-666666666666",
+        "location": root,
+        "last-sequence-number": 2,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 6,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "id", "required": False, "type": "long"},
+                    {
+                        "id": 4,
+                        "name": "meta",
+                        "required": False,
+                        "type": {
+                            "type": "struct",
+                            "fields": [
+                                {"id": 5, "name": "uid", "required": False, "type": "long"},
+                                {"id": 6, "name": "tag", "required": False, "type": "string"},
+                            ],
+                        },
+                    },
+                ],
+            }
+        ],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 1,
+                "timestamp-ms": 1700000000000,
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+                "manifest-list": manifest_list,
+            }
+        ],
+        "snapshot-log": [],
+        "metadata-log": [],
+        "refs": {"main": {"snapshot-id": 1, "type": "branch"}},
+    }
+    meta_path = os.path.join(root, "metadata", "v1.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    t = catalog.register_iceberg_table("ns", "ice", meta_path)
+    dels = t.snapshot().delete_files
+    assert [(d.content, d.equality_ids) for d in dels] == [
+        ("equality", ["meta.uid"])
+    ]
+    assert dels[0].stats == {"meta.uid": [2, 2]}  # dotted skip-stats
+    got = sorted((r.id, r.meta.uid, r.meta.tag) for r in t.read().collect())
+    assert got == [(1, 1, "a"), (3, 3, "c")]
+    # fold_deletes rewrites clean, proving full MoR integration
+    t.fold_deletes()
+    assert not t.snapshot().delete_files
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
