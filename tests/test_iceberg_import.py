@@ -256,9 +256,10 @@ def _fake_iceberg_table(
 
     ``with_position_delete`` adds a delete manifest whose position-delete
     file (Iceberg's reserved (file_path, pos) schema) masks the 2nd row of
-    the first data file (id=2) — using the ``file://`` URI variant to
-    exercise path canonicalization.  ``with_equality_delete`` adds a
-    content=2 entry, which import must refuse."""
+    a data file — using the ``file://`` URI variant to exercise path
+    canonicalization.  ``with_equality_delete`` adds a content=2 entry
+    masking id=2.  Together they mask id=2 (equality) and id=11
+    (position, shifted to f2 so the two masks have distinct victims)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -332,44 +333,58 @@ def _fake_iceberg_table(
         }
     ]
     if with_position_delete or with_equality_delete:
-        dpath = os.path.join(root, "data", "del1.parquet")
+        del_entries = []
         if with_equality_delete:
             # equality-delete parquet: the key COLUMN by name (id=2)
+            dpath = os.path.join(root, "data", "del1.parquet")
             pq.write_table(pa.table({"id": pa.array([2], pa.int64())}), dpath)
-        else:
+            del_entries.append(
+                {
+                    "status": 1,
+                    "sequence_number": 2,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": [{"key": 1, "value": _enc("long", 2)}],
+                        "upper_bounds": [{"key": 1, "value": _enc("long", 2)}],
+                        "equality_ids": [1],
+                    },
+                }
+            )
+        if with_position_delete:
+            # masks f2's 2nd row (id=11) when combined with the equality
+            # delete, f1's 2nd row (id=2) alone — distinct victims so the
+            # combined fixture exercises both masks at once
+            dpath = os.path.join(root, "data", "del0.parquet")
+            victim = f2 if with_equality_delete else f1
             pq.write_table(
                 pa.table(
                     {
-                        "file_path": ["file://" + f1],  # another URI variant
+                        "file_path": ["file://" + victim],  # another URI variant
                         "pos": pa.array([1], pa.int64()),
                     }
                 ),
                 dpath,
             )
-        del_entries = [
-            {
-                "status": 1,
-                "sequence_number": 2,
-                "data_file": {
-                    "content": 2 if with_equality_delete else 1,
-                    "file_path": dpath,
-                    "file_format": "PARQUET",
-                    "record_count": 1,
-                    "file_size_in_bytes": os.path.getsize(dpath),
-                    "lower_bounds": (
-                        [{"key": 1, "value": _enc("long", 2)}]
-                        if with_equality_delete
-                        else None
-                    ),
-                    "upper_bounds": (
-                        [{"key": 1, "value": _enc("long", 2)}]
-                        if with_equality_delete
-                        else None
-                    ),
-                    "equality_ids": [1] if with_equality_delete else None,
-                },
-            }
-        ]
+            del_entries.append(
+                {
+                    "status": 1,
+                    "sequence_number": 2,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": dpath,
+                        "file_format": "PARQUET",
+                        "record_count": 1,
+                        "file_size_in_bytes": os.path.getsize(dpath),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": None,
+                    },
+                }
+            )
         dmanifest = os.path.join(root, "metadata", "m1-deletes.avro")
         _write_avro(spark, dmanifest, _MANIFEST_ENTRY_SCHEMA, del_entries)
         ml_rows.append(
@@ -1268,3 +1283,104 @@ def test_register_avro_nested_equality_deletes(spark, tmp_path):
     t.fold_deletes()
     assert not t.snapshot().delete_files
     assert sorted(r.id for r in t.read().collect()) == [1, 3]
+
+
+def test_interop_cycle_property(spark, tmp_path):
+    """VERDICT r5 task 8 — full interop cycle, property-tested: adopt a
+    foreign table carrying BOTH position and equality deletes, interleave
+    random native mutations (merge-upsert MoR, append, UPDATE ... WHERE,
+    MoR row delete, fold_deletes), and require the read to equal a plain
+    Python list model after EVERY step; then fold outstanding deletes,
+    `export_iceberg_metadata(avro_manifests=True)`, re-import, and require
+    the re-read bit-equal.  Sequence-number REBASE (imported history below
+    zero, commit `2ba709f`) makes the combination subtle: a native upsert
+    of an imported-and-foreign-deleted key must resurrect it exactly once,
+    and foreign deletes must never mask native rows.
+
+    One shared foreign fixture, 50 seeded interleavings (the fixture's
+    data files are referenced in place and never mutated — fold/merge
+    rewrites land in each adopted table's own location, so imports are
+    independent).  Reference surface: catalog.register_table adoption,
+    /root/reference/src/dlt_iceberg/destination_client.py:768-851."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    meta_path, rows = _fake_iceberg_table(
+        spark,
+        str(tmp_path / "ice"),
+        with_bounds=True,
+        with_position_delete=True,
+        with_equality_delete=True,
+    )
+    # foreign masks: equality delete kills id=2, position delete kills the
+    # 2nd row of f2 (id=11)
+    start = [r for r in rows if r[0] not in (2, 11)]
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    merge_spec = lambda name: TableSpec(  # noqa: E731
+        name=name,
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+        merge_mode="mor",
+    )
+    writer = LakeWriter(catalog, "ns")
+    schema = "id long, name string, score double"
+
+    def check(t, model, ctx):
+        assert _rows(t.read()) == sorted(model), ctx
+
+    n_fold_mid = 0
+    for seed in range(50):
+        rng = random.Random(seed)
+        name = f"t{seed}"
+        t = catalog.register_iceberg_table("ns", name, meta_path)
+        model = list(start)
+        check(t, model, f"seed={seed} post-import")
+        for step in range(3):
+            ctx = f"seed={seed} step={step}"
+            # keys from BOTH populations: imported survivors, imported-
+            # and-foreign-deleted (2, 11), and fresh native ids
+            key = rng.choice([1, 2, 3, 10, 11, 12, 100 + seed, 200 + step])
+            op = rng.choice(["upsert", "append", "update", "delete", "fold"])
+            if op == "upsert":
+                writer.write(
+                    merge_spec(name),
+                    spark.createDataFrame([(key, f"u{step}", float(step))], schema),
+                    load_id=f"{seed}-{step}",
+                )
+                model = [r for r in model if r[0] != key]
+                model.append((key, f"u{step}", float(step)))
+            elif op == "append":
+                writer.write(
+                    TableSpec(name=name, write_disposition="append"),
+                    spark.createDataFrame([(key, f"a{step}", -1.0)], schema),
+                    load_id=f"{seed}-{step}",
+                )
+                model.append((key, f"a{step}", -1.0))
+            elif op == "update":
+                t.update_where(
+                    [("id", "=", key)], {"score": F.col("score") + 0.5}
+                )
+                model = [
+                    (i, n, s + 0.5) if i == key else (i, n, s)
+                    for (i, n, s) in model
+                ]
+            elif op == "delete":
+                t.position_delete_where([("id", "=", key)])
+                model = [r for r in model if r[0] != key]
+            else:
+                if t.snapshot().delete_files:
+                    n_fold_mid += 1
+                t.fold_deletes()
+            t = catalog.load_table("ns", name)
+            check(t, model, ctx)
+        # cycle out: fold -> avro export -> re-import -> bit-equal
+        t.fold_deletes()
+        t = catalog.load_table("ns", name)
+        exported = t.export_iceberg_metadata(avro_manifests=True)
+        back = catalog.register_iceberg_table("ns2", name, exported)
+        assert _rows(back.read()) == sorted(model) == _rows(t.read()), (
+            f"seed={seed} export/re-import"
+        )
+        assert back.snapshot().schema == t.snapshot().schema, f"seed={seed}"
+    assert n_fold_mid >= 3  # mid-sequence folds genuinely exercised
