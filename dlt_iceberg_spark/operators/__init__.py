@@ -26,6 +26,7 @@ from dlt_iceberg_spark.operators.similarity import (
     cosine_topk_bruteforce,
     hyperplane_lsh_topk,
     ivf_topk,
+    knn_classify,
     embedding_near_duplicates,
 )
 from dlt_iceberg_spark.operators.multimodal import (
@@ -48,7 +49,14 @@ from dlt_iceberg_spark.operators.text import (
     rolling_fingerprint,
     chunk_documents,
     c4_rules,
+    dedup_lines,
     gopher_rules,
+)
+from dlt_iceberg_spark.operators.features import (
+    nb_classify,
+    nb_score,
+    nb_train,
+    tfidf_top_terms,
 )
 from dlt_iceberg_spark.operators.sampling import (
     deterministic_sample,
@@ -82,6 +90,12 @@ __all__ = [
     "append_novel_classes",
     "gopher_rules",
     "c4_rules",
+    "dedup_lines",
+    "tfidf_top_terms",
+    "nb_train",
+    "nb_score",
+    "nb_classify",
+    "knn_classify",
     "all_pairs_cosine_blas",
     "all_pairs_cosine_blocked",
     "repetition_stats",

@@ -1,0 +1,211 @@
+"""Corpus feature extraction and lightweight text classification.
+
+Training-data pipelines tag and route documents with cheap lexical
+models before any GPU touches them: TF-IDF keyword profiles for topic
+routing, and fastText-style linear classifiers for language / quality
+gating (CCNet trains one against Wikipedia; C4 uses a langid model).
+Both are expressible as pure DataFrame aggregations — the "model" is a
+small table, training is a groupBy, scoring is a broadcast join — so
+the whole path stays JVM-side with zero UDFs and survives a 100 TB
+corpus: every shuffle is keyed by (doc, term) or (term), and the model
+tables are vocabulary-sized (≪ corpus) broadcasts.
+
+Multinomial Naive Bayes with add-one smoothing replaces the logistic
+regression a real pipeline would train — same feature plumbing, but the
+training step is a closed-form aggregation, so both engines (Spark and
+the DuckDB oracle) can reproduce it exactly.  The smoothing identity
+used for scoring:
+
+    score(d, y) = ln p(y) - M_d * ln(C_y + V) + Σ_{t∈d} n_t * ln(c(t,y)+1)
+
+where M_d = token count of d, C_y = total token count of class y, V =
+vocabulary size.  Unseen (t, y) pairs contribute ln(0+1) = 0, so an
+INNER join against the sparse count table is exact — no dense
+vocab × class matrix is ever materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dlt_iceberg_spark.operators.util import fan_out
+
+
+def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) pairs; empty tokens dropped (split artifacts)."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (smoothed:
+    ``idf = ln((N+1)/(df+1)) + 1`` — never zero, so single-doc corpora
+    still rank).
+
+    Plan shape: one shuffle to (doc, term) counts, one vocabulary-keyed
+    aggregate for document frequency (vocab ≪ corpus), the IDF table
+    broadcast back onto the counts, and a per-doc window for top-k.  Set
+    ``broadcast_model=False`` when the vocabulary itself is too large to
+    broadcast (e.g. n-gram terms) — the join falls back to a term-keyed
+    shuffle.
+
+    Output: ``(id_col, term, tf, tfidf, rank)``; ties rank by term
+    ascending in both this plan and the SQL oracle.
+    """
+    tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("doc_freq") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf) if broadcast_model else idf, "term").select(
+        id_col, "term", "tf", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def nb_train(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB: returns ``(token_weights, class_consts)``.
+
+    ``token_weights``: (term, label, w) with ``w = ln(c(t,y)+1)`` — sparse,
+    only observed (term, class) pairs.  ``class_consts``: (label,
+    ln_prior, ln_denom) with ``ln_denom = ln(C_y + V)``.  Both are
+    vocabulary/class-sized model tables, not data-sized.
+    """
+    toks = fan_out(
+        df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
+    token_weights = counts.select(
+        "term",
+        F.col(label_col).alias("label"),
+        F.log(F.col("c") + F.lit(1.0)).alias("w"),
+    )
+    vocab = counts.select("term").distinct().agg(F.count("*").alias("v"))
+    class_tot = counts.groupBy(label_col).agg(F.sum("c").alias("cy"))
+    n_total = df.select(F.countDistinct(id_col).alias("n"))
+    priors = df.groupBy(label_col).agg(F.countDistinct(id_col).alias("n_y"))
+    class_consts = (
+        class_tot.join(priors, label_col)
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(label_col).alias("label"),
+            F.log(F.col("n_y") / F.col("n")).alias("ln_prior"),
+            F.log(F.col("cy") + F.col("v")).alias("ln_denom"),
+        )
+    )
+    return token_weights, class_consts
+
+
+def nb_score(
+    df: DataFrame,
+    token_weights: DataFrame,
+    class_consts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every class and pick the argmax.
+
+    The doc × class score frame is built from broadcast model tables; the
+    unseen-pair term vanishes under add-one smoothing (see module
+    docstring), so the evidence join is INNER against the sparse weights.
+    Ties break deterministically: higher score, then label ascending.
+
+    Output: ``(id_col, predicted, score)``.
+    """
+    tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    evidence = (
+        tf.join(F.broadcast(token_weights), "term")
+        .groupBy(id_col, "label")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("ev"))
+    )
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("m"))
+    grid = doc_len.crossJoin(F.broadcast(class_consts))
+    scored = (
+        grid.join(evidence, [id_col, "label"], "left")
+        .select(
+            id_col,
+            "label",
+            (
+                F.col("ln_prior")
+                - F.col("m") * F.col("ln_denom")
+                + F.coalesce(F.col("ev"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("label").alias("predicted"), "score")
+    )
+
+
+def nb_classify(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    persist_input: bool | None = None,
+) -> DataFrame:
+    """Self-train-and-score convenience: fit NB on ``df``'s labels, predict
+    for every row, and report agreement — the shape of a language-ID /
+    quality-gate audit (how separable are the declared labels under a bag
+    of words?).
+
+    Training and scoring each tokenize the corpus, so the combined plan
+    scans ``df`` several times; past the :data:`dsir.PERSIST_MIN_INPUT_BYTES`
+    threshold the input is pinned DISK_ONLY first (same size-adaptive
+    policy as dsir_select — materializing a page-cache-resident toy corpus
+    costs more than re-scanning it)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from dlt_iceberg_spark.operators.dsir import (
+        PERSIST_MIN_INPUT_BYTES,
+        _plan_size_bytes,
+    )
+
+    if persist_input is None:
+        persist_input = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
+    if persist_input:
+        df = df.persist(StorageLevel.DISK_ONLY)
+    tw, cc = nb_train(df, text_col, label_col, id_col)
+    pred = nb_score(df, tw, cc, text_col, id_col)
+    return pred.join(
+        df.select(id_col, F.col(label_col).alias("actual")), id_col
+    ).select(
+        id_col,
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).cast("int").alias("match"),
+        "score",
+    )

@@ -69,6 +69,46 @@ def cosine_topk_bruteforce(
     )
 
 
+def knn_classify(
+    queries: DataFrame,
+    labeled: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN label propagation: tag each query vector with the majority
+    label of its ``k`` nearest labeled neighbors (cosine) — the standard
+    way a small hand-labeled seed set fans out over an unlabeled corpus
+    (quality tiers, topic buckets) before training a real classifier.
+
+    Composes :func:`cosine_topk_bruteforce` (broadcast queries × corpus
+    scan — swap in :func:`ivf_topk` past ~10M vectors) with a vote
+    aggregate; the label join is keyed on neighbor id over k·|queries|
+    rows, never corpus-sized.  Ties break by (votes desc, best cosine
+    desc, label asc) — deterministic and mirrored in the SQL oracle.
+
+    Output: ``(query_id, predicted, votes, best_cosine)``.
+    """
+    topk = cosine_topk_bruteforce(queries, labeled, vec_col, id_col, k)
+    lab = labeled.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        topk.join(lab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").alias("votes"), F.max("cosine").alias("best_cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.desc("best_cosine"), F.asc("nl")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nl").alias("predicted"), "votes", "best_cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (driver-side tiny constant)."""
     import numpy as np

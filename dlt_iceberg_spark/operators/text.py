@@ -494,6 +494,67 @@ def chunk_documents(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-corpus line deduplication (RefinedWeb / CCNet boilerplate
+    removal): drop every line that occurs in at least ``min_docs``
+    DISTINCT documents — navigation chrome, cookie banners, and license
+    footers repeat across a crawl while real prose doesn't — then
+    reassemble each document from its surviving lines in order.
+
+    Plan shape: posexplode to (doc, pos, line); the per-line document
+    frequency is a two-stage aggregate (distinct (line, doc) first, then
+    count) so hot boilerplate lines partial-aggregate map-side instead of
+    funnelling raw occurrence rows into one reducer; the boilerplate set
+    joins back keyed by line; reassembly is one doc-keyed aggregate over
+    ``array_sort(struct(pos, line))`` — no window, no UDF.  A document
+    whose every line is boilerplate survives with empty text (the row is
+    kept so downstream joins don't silently lose doc ids).
+
+    Returns (id, text, n_kept, n_removed).
+    """
+    if min_docs < 2:
+        raise ValueError("min_docs < 2 would delete every line")
+    lines = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    )
+    freq = (
+        lines.select("line", id_col)
+        .dropDuplicates(["line", id_col])
+        .groupBy("line")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    tagged = lines.join(freq.withColumn("_dup", F.lit(1)), "line", "left")
+    rebuilt = tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_dup").isNull(), F.struct("pos", "line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("_dup").isNull(), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    return rebuilt
+
+
 def contamination_check(
     docs: DataFrame,
     probes: DataFrame,

@@ -1,6 +1,8 @@
 """Operator tests: dedup (exact/MinHash/SimHash/Jaccard), similarity
 (bruteforce/LSH/IVF), text analysis, multimodal plumbing."""
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1065,3 +1067,134 @@ def test_gopher_oracle_keeps_zero_gram_documents(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=False, rtol=0, atol=1e-9
     )
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    """RefinedWeb line dedup: a footer shared by >=2 docs disappears from
+    all of them, order is preserved, unique lines survive, and a doc made
+    entirely of boilerplate keeps its row with empty text."""
+    from dlt_iceberg_spark.operators.text import dedup_lines
+
+    footer = "subscribe to our newsletter today."
+    docs = [
+        (1, "unique first line.\n" + footer + "\nunique last line."),
+        (2, footer + "\nanother unique thought."),
+        (3, footer),  # all-boilerplate doc
+        (4, "wholly original document."),
+    ]
+    rows = {r.doc_id: r for r in dedup_lines(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+
+    assert rows[1].text == "unique first line.\nunique last line."
+    assert (rows[1].n_kept, rows[1].n_removed) == (2, 1)
+    assert rows[2].text == "another unique thought."
+    assert rows[3].text == "" and rows[3].n_kept == 0 and rows[3].n_removed == 1
+    assert rows[4].text == "wholly original document."
+    assert set(rows) == {1, 2, 3, 4}  # no doc silently dropped
+
+
+def test_dedup_lines_threshold_counts_distinct_docs(spark):
+    """A line repeated WITHIN one doc is not boilerplate (frequency counts
+    distinct documents, not occurrences) — and min_docs=3 keeps a 2-doc
+    line."""
+    from dlt_iceberg_spark.operators.text import dedup_lines
+
+    rep = "internally repeated line."
+    docs = [(1, rep + "\n" + rep), (2, "shared.\nmine."), (3, "shared.\nyours.")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    rows = {r.doc_id: r for r in dedup_lines(df, min_docs=2).collect()}
+    assert rows[1].text == rep + "\n" + rep  # within-doc repeat kept
+    assert rows[2].text == "mine." and rows[3].text == "yours."
+
+    rows3 = {r.doc_id: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert rows3[2].text == "shared.\nmine."  # 2-doc line below threshold
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    """A term unique to one doc outranks a corpus-wide term regardless of
+    raw tf; ties rank by term ascending; k truncates."""
+    from dlt_iceberg_spark.operators.features import tfidf_top_terms
+
+    docs = [
+        (1, "common rare"),
+        (2, "common other"),
+        (3, "common other"),
+    ]
+    out = tfidf_top_terms(
+        spark.createDataFrame(docs, "doc_id long, text string"), k=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    # equal tf=1: 'rare' (df=1 -> idf=ln(4/2)+1) beats 'common' (df=3 ->
+    # idf=ln(4/4)+1=1, the smoothed floor)
+    assert d1[0].term == "rare" and d1[1].term == "common"
+    assert abs(d1[0].tfidf - (math.log(4 / 2) + 1)) < 1e-12
+    assert abs(d1[1].tfidf - 1.0) < 1e-12
+    # docs 2/3 tie 'common' vs 'other' on tf; both idf>0 -> 'other' (df=2)
+    # beats 'common' (df=3), then term ascending for equal scores
+    assert [r.term for r in sorted(by_doc[2], key=lambda r: r.rank)] == [
+        "other", "common",
+    ]
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_nb_classifier_learns_separable_labels(spark):
+    """Multinomial NB with add-one smoothing: disjoint vocabularies are
+    perfectly separable, scores match a hand computation, and an unseen
+    token at scoring time doesn't crash (smoothing identity)."""
+    from dlt_iceberg_spark.operators.features import nb_classify, nb_score, nb_train
+
+    docs = [
+        (1, "apple banana apple", "fruit"),
+        (2, "banana apple banana", "fruit"),
+        (3, "iron copper iron", "metal"),
+        (4, "copper iron copper", "metal"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, label string")
+    out = nb_classify(df, label_col="label").collect()
+    assert all(r.match == 1 for r in out)
+
+    # hand computation for doc 1 under class 'fruit':
+    # c(apple,fruit)=3 c(banana,fruit)=3, C_fruit=6, V=4, prior=1/2
+    # score = ln(.5) - 3*ln(6+4) + 2*ln(3+1) + 1*ln(3+1)
+    expected = math.log(0.5) - 3 * math.log(10) + 3 * math.log(4)
+    got = {r.doc_id: r.score for r in out}
+    assert abs(got[1] - expected) < 1e-9
+
+    tw, cc = nb_train(df, label_col="label")
+    novel = spark.createDataFrame(
+        [(9, "apple zzz-unseen-token")], "doc_id long, text string"
+    )
+    pred = nb_score(novel, tw, cc).collect()
+    assert pred[0].predicted == "fruit"  # evidence from 'apple' alone
+
+
+def test_knn_classify_majority_and_ties(spark):
+    """kNN label vote: majority wins; on a vote tie the label owning the
+    closest neighbor wins (best-cosine tie-break)."""
+    from dlt_iceberg_spark.operators.similarity import knn_classify
+
+    # axis-aligned corpus: 2 'x'-ish vectors, 1 'y'-ish vector near the x axis
+    labeled = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], "x"),
+            (11, [0.9, 0.1], "x"),
+            (12, [0.0, 1.0], "y"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "vec_id long, embedding array<double>"
+    )
+    got = knn_classify(q, labeled, k=3).collect()
+    assert got[0].predicted == "x" and got[0].votes == 2
+
+    # one-per-class corpus at k=2 -> one vote each; 'x' owns the nearest
+    # neighbor -> wins the best-cosine tie-break
+    got2 = knn_classify(
+        q, labeled.filter(F.col("vec_id") != 11), k=2
+    ).collect()
+    assert got2[0].predicted == "x" and got2[0].votes == 1
