@@ -57,6 +57,15 @@ class DataFile:
     # file.  None = not yet committed; commit() stamps it.  Equality deletes
     # apply only to data files with a strictly smaller sequence.
     sequence: int | None = None
+    # CURRENT column name -> PHYSICAL name inside the parquet file, recorded
+    # only where they differ (metadata-only rename_column: old files keep
+    # their written names; Iceberg achieves the same indirection through
+    # field-ids in the parquet footer).  A ``None`` physical name means the
+    # file PREDATES the column entirely (a column re-added after drop_column
+    # must read NULL from old files, never resurrect the dropped values —
+    # Iceberg assigns the re-add a fresh field id for the same reason).
+    # Empty dict = identity mapping (the overwhelmingly common case).
+    names: dict[str, Any] = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -82,6 +91,9 @@ class DeleteFile:
     #: whose key ranges the delete cannot touch (Iceberg delete-manifest
     #: stats).  Empty = unknown = conservatively applies everywhere.
     stats: dict[str, Any] = dc_field(default_factory=dict)
+    #: CURRENT key-column name -> PHYSICAL name inside the delete parquet
+    #: (same contract as DataFile.names; populated by rename_column).
+    names: dict[str, Any] = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -136,6 +148,10 @@ _ENTRY_SCHEMA = pa.schema(
         pa.field("sequence", pa.int64(), nullable=True),
         pa.field("stats", pa.string(), nullable=False),  # json: {col: [min,max]}
         pa.field("partition", pa.string(), nullable=False),  # json: {col: value}
+        # json: {current_col: physical_col|null}; "{}" = identity (files
+        # written before rename_column existed simply lack the column —
+        # read_manifest defaults it)
+        pa.field("names", pa.string(), nullable=False),
     ]
 )
 
@@ -218,6 +234,7 @@ def write_manifest(
             "sequence": [f.sequence for f in entries],
             "stats": [json.dumps(f.stats, default=str) for f in entries],
             "partition": [json.dumps(f.partition, default=str) for f in entries],
+            "names": [json.dumps(f.names) for f in entries],
         },
         schema=_ENTRY_SCHEMA,
     )
@@ -257,6 +274,7 @@ def read_manifest(
             sequence=cols["sequence"][i],
             stats=json.loads(cols["stats"][i]),
             partition=json.loads(cols["partition"][i]),
+            names=json.loads(cols["names"][i]) if "names" in cols else {},
         )
         for i in range(t.num_rows)
     ]

@@ -48,7 +48,7 @@ from dlt_iceberg_spark.lake.manifest import DataFile, ManifestRef
 #: Spark-side schema of a manifest chunk (mirrors manifest._ENTRY_SCHEMA).
 ENTRY_DDL = (
     "path string, rows bigint, bytes bigint, sequence bigint, "
-    "stats string, partition string"
+    "stats string, partition string, names string"
 )
 
 _NUMERIC = (
@@ -187,6 +187,8 @@ def plan_candidates(
             sequence=r.sequence,
             stats=json.loads(r.stats),
             partition=json.loads(r.partition),
+            # pre-rename-era manifests lack the column → null → identity
+            names=json.loads(r.names) if r.names else {},
         )
         for r in rows
     ]

@@ -984,6 +984,7 @@ class LakeTable:
         delete_files: list[DeleteFile] | None = None,
         manifests: list[ManifestRef] | None = None,
         new_files: list[DataFile] | None = None,
+        field_ids: dict[str, int] | None = None,
     ) -> Snapshot:
         """Atomically publish a new snapshot.
 
@@ -1097,8 +1098,13 @@ class LakeTable:
         ]
         # stable field ids (Iceberg compat): carry the parent's mapping,
         # assign fresh ids only to never-before-seen columns.  Dropped
-        # columns keep their id reserved — ids are never reused.
-        field_ids = dict(prev.field_ids) if prev else {}
+        # columns keep their id reserved — ids are never reused.  Schema-DDL
+        # callers (rename_column: same id, new name; add_column after drop:
+        # fresh id for the re-added name) pass the rebased mapping in.
+        if field_ids is None:
+            field_ids = dict(prev.field_ids) if prev else {}
+        else:
+            field_ids = dict(field_ids)
         next_id = max(field_ids.values(), default=0) + 1
         for fld in schema.fields:
             if fld.name not in field_ids:
@@ -1389,6 +1395,30 @@ class LakeTable:
         for name, v in self.branches().items():
             if name != "main":
                 refs[name] = {"snapshot-id": v, "type": "branch"}
+        # Iceberg name mapping (spec §name-mapping-serialization): our
+        # parquet files carry no embedded field ids, so a real Iceberg
+        # reader resolves columns by name through
+        # ``schema.name-mapping.default``.  After rename_column, files from
+        # older eras keep their written names — listing every name a field
+        # id has EVER had makes ALL eras resolvable to the consumer.
+        _export_props = dict(snap.properties)
+        _names_of: dict[int, list[str]] = {}
+        for s in chain:
+            for n, i in (s.field_ids or {}).items():
+                bucket = _names_of.setdefault(i, [])
+                if n not in bucket:
+                    bucket.append(n)
+        if any(len(v) > 1 for v in _names_of.values()):
+            _export_props["schema.name-mapping.default"] = json.dumps(
+                [
+                    {
+                        "field-id": field_ids[f.name],
+                        "names": _names_of.get(field_ids[f.name], [f.name]),
+                    }
+                    for f in snap.schema.fields
+                    if f.name in field_ids
+                ]
+            )
         payload = {
             "format-version": 2,
             "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, self.location)),
@@ -1403,7 +1433,7 @@ class LakeTable:
             "last-partition-id": 999 + len(spec_fields),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
-            "properties": dict(snap.properties),
+            "properties": _export_props,
             "current-snapshot-id": snap.version,
             "snapshots": snapshots_arr,
             "snapshot-log": [
@@ -1801,6 +1831,105 @@ class LakeTable:
             ]
         return where, files
 
+    def _physical_read(
+        self,
+        files: list[DataFile],
+        schema: T.StructType,
+        with_addr: bool = False,
+    ) -> DataFrame:
+        """Read data files projected to ``schema``'s CURRENT column names.
+
+        Metadata-only schema DDL (``rename_column`` / ``add_column`` after a
+        drop) leaves each parquet footer keyed by the names in force when
+        the file was written; the manifest entry's ``names`` mapping
+        (current → physical, ``None`` = column absent from the file)
+        bridges the eras.  Files group by mapping era — ONE parquet scan
+        per era, so a 100 TB table pays zero per-file overhead: the era
+        count equals the number of schema-DDL generations that still have
+        live files (a handful at most), and predicate pushdown / column
+        pruning pass straight through the per-era Project into each scan
+        (Catalyst rewrites filters on the alias into the written name).
+
+        ``with_addr=True`` prefixes the row address columns ``__pd_path`` /
+        ``__pd_pos`` (from the reader-generated ``_metadata`` struct).
+        """
+        addr = [
+            _norm_path(F.col("_metadata.file_path")).alias("__pd_path"),
+            F.col("_metadata.row_index").alias("__pd_pos"),
+        ]
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            groups.setdefault(tuple(sorted((f.names or {}).items())), []).append(f)
+        parts = []
+        for sig, fl in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            mapping = dict(sig)
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                    )
+                    for f in schema.fields
+                    if mapping.get(f.name, f.name) is not None
+                ]
+            )
+            scan = self.spark.read.schema(phys).parquet(
+                *[os.path.join(self.location, f.path) for f in fl]
+            )
+            if not mapping and not with_addr:
+                parts.append(scan)
+                continue
+            sel: list[Column] = list(addr) if with_addr else []
+            for f in schema.fields:
+                p = mapping.get(f.name, f.name)
+                if p is None:
+                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif p == f.name:
+                    sel.append(F.col(f.name))
+                else:
+                    sel.append(F.col(p).alias(f.name))
+            parts.append(scan.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_delete_keys(
+        self, dels: list[DeleteFile], key_schema: T.StructType
+    ) -> DataFrame:
+        """Read equality-delete key tuples projected to CURRENT top-level
+        names (same era-group contract as :meth:`_physical_read` — a delete
+        file written before a merge-key rename keeps its written column
+        name; its ``names`` mapping bridges it)."""
+        groups: dict[tuple, list[DeleteFile]] = {}
+        for d in dels:
+            groups.setdefault(tuple(sorted((d.names or {}).items())), []).append(d)
+        parts = []
+        for sig, dl in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+            mapping = dict(sig)
+            phys = T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                    )
+                    for f in key_schema.fields
+                ]
+            )
+            df = self.spark.read.schema(phys).parquet(
+                *[os.path.join(self.location, d.path) for d in dl]
+            )
+            if mapping:
+                df = df.select(
+                    *[
+                        F.col(mapping.get(f.name, f.name)).alias(f.name)
+                        for f in key_schema.fields
+                    ]
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def _plan_scan(
         self, snap: Snapshot, files: list[DataFile], with_address: bool = False
     ) -> DataFrame:
@@ -1827,10 +1956,6 @@ class LakeTable:
         hash probe per row, not a shuffle.  Position probing reads the row
         address from Spark's ``_metadata.file_path`` / ``row_index`` scan
         columns (generated by the reader — no extra I/O)."""
-        addr = [
-            _norm_path(F.col("_metadata.file_path")).alias("__pd_path"),
-            F.col("_metadata.row_index").alias("__pd_pos"),
-        ]
         if not files:
             schema = snap.schema
             if with_address:
@@ -1843,9 +1968,7 @@ class LakeTable:
                 )
             return self.spark.createDataFrame([], schema)
         if not snap.delete_files:
-            paths = [os.path.join(self.location, f.path) for f in files]
-            out = self.spark.read.schema(snap.schema).parquet(*paths)
-            return out.select(*addr, "*") if with_address else out
+            return self._physical_read(files, snap.schema, with_addr=with_address)
         eq_dels = sorted(
             (d for d in snap.delete_files if d.content != "position"),
             key=lambda d: d.sequence or 0,
@@ -1894,13 +2017,9 @@ class LakeTable:
         cols = [fld.name for fld in snap.schema.fields]
         parts = []
         for (eq_app, pi), fl in sorted(groups.items()):
-            scan = self.spark.read.schema(snap.schema).parquet(
-                *[os.path.join(self.location, f.path) for f in fl]
-            )
             pos_applicable = pos_dels[pi:]
             need_addr = with_address or bool(pos_applicable)
-            if need_addr:
-                scan = scan.select(*addr, *cols)
+            scan = self._physical_read(fl, snap.schema, with_addr=need_addr)
             if pos_applicable:
                 addressed = self.spark.read.schema(
                     T.StructType(
@@ -1921,9 +2040,7 @@ class LakeTable:
                 scan = scan.join(probe, on=["__pd_path", "__pd_pos"], how="left_anti")
             eq_applicable = [eq_dels[j] for j in eq_app]
             if eq_applicable:
-                dkeys = self.spark.read.schema(key_schema).parquet(
-                    *[os.path.join(self.location, d.path) for d in eq_applicable]
-                )
+                dkeys = self._read_delete_keys(eq_applicable, key_schema)
                 if any("." in k for k in keys):
                     # imported nested-field equality ids (iceberg_import):
                     # flatten the nested key projection and anti-join on
@@ -1999,14 +2116,12 @@ class LakeTable:
         where_n, files = self._select_files(snap, where, plan_mode)
         if not files:
             return []
-        scan = self.spark.read.schema(snap.schema).parquet(
-            *[os.path.join(self.location, f.path) for f in files]
-        )
+        scan = self._physical_read(files, snap.schema, with_addr=True)
         for c, op, v in where_n or []:
             scan = scan.filter(_OPS[op](F.col(c), v))
         addressed = scan.select(
-            F.col("_metadata.file_path").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"),
+            F.col("__pd_path").alias("file_path"),
+            F.col("__pd_pos").alias("pos"),
         )
         staged = self.stage_dataframe(addressed)
         return [
@@ -2162,7 +2277,10 @@ class LakeTable:
         while snap is not None and (from_version is None or snap.version > from_version):
             # metadata-only evolution snapshots carry the parent's file set
             # unchanged, so incremental reads pass straight through them
-            if snap.operation not in ("append", "create", "evolve-schema", "evolve-partition"):
+            if snap.operation not in (
+                "append", "create", "evolve-schema", "evolve-partition",
+                "rename-column", "add-column", "drop-column",
+            ):
                 raise ValueError(
                     f"cannot read incrementally across a '{snap.operation}' "
                     f"snapshot (v{snap.version}): rows were rewritten or removed"
@@ -2180,14 +2298,18 @@ class LakeTable:
             snap = self.snapshot(snap.parent)
         if not new_paths:
             return self.spark.createDataFrame([], end.schema)
-        paths = [os.path.join(self.location, p) for p in new_paths]
-        return self.spark.read.schema(end.schema).parquet(*paths)
+        # read through the END snapshot's entries: a rename-column in the
+        # range leaves older files keyed by their written names, and only
+        # the end entries carry the current->physical mapping for them
+        wanted = set(new_paths)
+        files = [f for f in end.files if f.path in wanted]
+        return self._physical_read(files, end.schema)
 
     #: snapshot operations that rewrite physical layout without changing
     #: logical content — the changelog passes straight through them
     _LAYOUT_ONLY_OPS = (
         "compact", "zorder", "evolve-schema", "evolve-partition",
-        "backfill-stats",
+        "backfill-stats", "rename-column", "add-column", "drop-column",
     )
 
     def read_changes(
@@ -2262,17 +2384,24 @@ class LakeTable:
         cols = [fld.name for fld in end.schema.fields]
         parts: list[DataFrame] = []
 
-        def _tag(df: DataFrame, kind: str, version: int) -> DataFrame:
+        def _tag(df: DataFrame, kind: str, version: int, era: Snapshot) -> DataFrame:
             # changelog rows always present the END schema: snapshots from
             # before a schema evolution null-fill the columns they predate
-            # (the same forward-fill semantics as reading an evolved table)
+            # (the same forward-fill semantics as reading an evolved table).
+            # ``era`` is the snapshot whose schema ``df`` follows — a column
+            # renamed between era and end resolves through its STABLE field
+            # id (rename_column keeps the id), so pre-rename images keep
+            # their values under the end-schema name instead of null-filling
+            era_of_id = {i: n for n, i in (era.field_ids or {}).items()}
             have = set(df.columns)
-            sel = [
-                F.col(f.name)
-                if f.name in have
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in end.schema.fields
-            ]
+            sel = []
+            for f in end.schema.fields:
+                eid = (end.field_ids or {}).get(f.name)
+                era_name = era_of_id.get(eid, f.name) if eid is not None else f.name
+                if era_name in have:
+                    sel.append(F.col(era_name).alias(f.name))
+                else:
+                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
             return df.select(
                 *sel,
                 F.lit(kind).alias("_change_type"),
@@ -2299,12 +2428,12 @@ class LakeTable:
                 ins = self.spark.read.schema(snap.schema).parquet(
                     *[os.path.join(self.location, f.path) for f in added]
                 )
-                parts.append(_tag(ins, "insert", snap.version))
+                parts.append(_tag(ins, "insert", snap.version, snap))
             if removed and parent:
                 # live rows only: apply the PARENT's delete masks, so a row
                 # already dead before this snapshot is not re-deleted
                 img = self._plan_scan(parent, removed)
-                parts.append(_tag(img, "delete", snap.version))
+                parts.append(_tag(img, "delete", snap.version, parent))
             new_dels = [
                 d for d in snap.delete_files if (d.sequence or 0) == snap.version
             ]
@@ -2349,7 +2478,7 @@ class LakeTable:
                     img = self._plan_scan(parent, cand).join(
                         kdf, on=keys, how="leftsemi"
                     )
-                    parts.append(_tag(img, "delete", snap.version))
+                    parts.append(_tag(img, "delete", snap.version, parent))
                 if pos:
                     addressed = self.spark.read.schema(
                         T.StructType(
@@ -2389,7 +2518,7 @@ class LakeTable:
                             .join(probe, on=["__pd_path", "__pd_pos"], how="leftsemi")
                             .select(*pcols)
                         )
-                        parts.append(_tag(img, "delete", snap.version))
+                        parts.append(_tag(img, "delete", snap.version, parent))
         if not parts:
             schema = T.StructType(
                 list(end.schema.fields)
@@ -2440,8 +2569,252 @@ class LakeTable:
         schema = self.schema()
         if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.location, f.path) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._physical_read(files, schema)
+
+    # -- schema DDL (metadata-only, Iceberg ALTER TABLE parity) ------------
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Metadata-only column rename (Iceberg ``ALTER TABLE .. RENAME
+        COLUMN``) — zero data files touched at ANY table size.
+
+        Iceberg gets renames for free because every consumer keys on field
+        ids; this format keys manifests by NAME, so the rename rewrites the
+        manifests once (O(metadata): ~n_files/10k small parquet files —
+        `rewrite_manifests`-sized, never data-sized) so stats, partition
+        tuples, and delete keys all stay keyed by CURRENT names and every
+        pruning/planning path is rename-oblivious.  Each rewritten entry
+        records ``names[new] = <written name>`` and scans read old files
+        under their written name (:meth:`_physical_read`).  The column
+        keeps its STABLE field id, so the changelog resolves pre-rename
+        images (``read_changes``) and exported Iceberg metadata shows a
+        true rename.
+
+        Renames chain (a→b→c keeps one mapping entry ``c → a``) and compose
+        with merge-on-read: equality-delete files keep their written key
+        column, bridged the same way.  Reference surface: schema evolution,
+        /root/reference/src/dlt_iceberg/schema_evolution.py (the reference
+        delegates renames to PyIceberg's UpdateSchema).
+        """
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        cols = [f.name for f in snap.schema.fields]
+        if old not in cols:
+            raise ValueError(f"no such column: {old!r}")
+        if new in cols:
+            raise ValueError(f"column {new!r} already exists")
+        if not new or "." in new or new.startswith("__pd_"):
+            raise ValueError(f"invalid column name: {new!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable, f.metadata)
+                for f in snap.schema.fields
+            ]
+        )
+        from dlt_iceberg_spark.partition import PartitionField
+
+        # partition spec: re-key the source column; the spec FIELD name (the
+        # partition-tuple key) follows for default-named fields, so tuple
+        # keys in the rewritten manifests track it
+        key_renames: dict[str, str] = {}
+        spec = []
+        for p in snap.partition_spec or []:
+            p = dict(p)
+            if p.get("column") == old:
+                before = PartitionField(
+                    column=old,
+                    transform=p.get("transform", "identity"),
+                    param=p.get("param"),
+                    name=p.get("name"),
+                ).field_name
+                p["column"] = new
+                after = PartitionField(
+                    column=new,
+                    transform=p.get("transform", "identity"),
+                    param=p.get("param"),
+                    name=p.get("name"),
+                ).field_name
+                if before != after:
+                    key_renames[before] = after
+            spec.append(p)
+
+        def _rekey(d: dict, ren: dict[str, str]) -> dict:
+            return {ren.get(k, k): v for k, v in d.items()}
+
+        def _col_rename(k: str) -> str:
+            # exact match, or the root of an imported dotted key ("a.b")
+            if k == old:
+                return new
+            if k.startswith(old + "."):
+                return new + k[len(old):]
+            return k
+
+        stat_renames = {old: new}
+
+        def _fix_names(nm: dict) -> dict:
+            nm = dict(nm)
+            phys = nm.pop(old, old)
+            if phys != new:
+                nm[new] = phys
+            return nm
+
+        def _fix(f: DataFile) -> DataFile:
+            return DataFile(
+                path=f.path,
+                rows=f.rows,
+                bytes=f.bytes,
+                stats={_col_rename(k): v for k, v in f.stats.items()},
+                partition=_rekey(f.partition, key_renames),
+                sequence=f.sequence,
+                names=_fix_names(f.names),
+            )
+
+        new_refs: list[ManifestRef] = []
+        for ref in snap.manifests:
+            entries = [_fix(e) for e in read_manifest(self.location, ref, io=self._io)]
+            new_refs.extend(write_chunked(self.location, entries, io=self._io))
+        inline = [_fix(e) for e in snap.inline_files]
+        new_deletes = []
+        for d in snap.delete_files:
+            roots = {k.split(".")[0] for k in d.equality_ids}
+            new_deletes.append(
+                DeleteFile(
+                    path=d.path,
+                    rows=d.rows,
+                    bytes=d.bytes,
+                    equality_ids=[_col_rename(k) for k in d.equality_ids],
+                    sequence=d.sequence,
+                    content=d.content,
+                    stats={_col_rename(k): v for k, v in d.stats.items()},
+                    names=_fix_names(d.names) if old in roots else dict(d.names),
+                )
+            )
+        ids = dict(snap.field_ids)
+        if old in ids:
+            ids[new] = ids.pop(old)
+        return self.commit(
+            None,
+            new_schema,
+            "rename-column",
+            snap.version,
+            partition_spec=spec,
+            summary={"renamed-column": f"{old} -> {new}"},
+            delete_files=new_deletes,
+            manifests=new_refs,
+            new_files=inline,
+            field_ids=ids,
+        )
+
+    def drop_column(self, col: str) -> Snapshot:
+        """Metadata-only column drop — no data rewritten; readers simply
+        stop projecting the column (the explicit read schema omits it, so
+        parquet never even decodes those pages).  The field id stays
+        RESERVED (never reused), and a later :meth:`add_column` of the same
+        name gets a fresh id plus per-file ``names[name]=None`` guards so
+        the dropped values can never resurrect — Iceberg's drop/re-add
+        semantics.  Refused while a partition spec sources the column or an
+        outstanding equality delete keys on it (fold_deletes first)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if col not in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"no such column: {col!r}")
+        if len(snap.schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        for p in snap.partition_spec or []:
+            if p.get("column") == col:
+                raise ValueError(
+                    f"column {col!r} is a partition source; evolve the "
+                    "partition spec first"
+                )
+        for d in snap.delete_files:
+            if any(k == col or k.startswith(col + ".") for k in d.equality_ids):
+                raise ValueError(
+                    f"column {col!r} keys outstanding equality deletes; "
+                    "fold_deletes() first"
+                )
+        new_schema = T.StructType(
+            [f for f in snap.schema.fields if f.name != col]
+        )
+        return self.commit(
+            None,
+            new_schema,
+            "drop-column",
+            snap.version,
+            summary={"dropped-column": col},
+            delete_files=list(snap.delete_files),
+            manifests=list(snap.manifests),
+            new_files=list(snap.inline_files),
+        )
+
+    def add_column(
+        self, name: str, dtype: T.DataType | str, nullable: bool = True
+    ) -> Snapshot:
+        """Metadata-only column add — existing files read NULL for it.
+
+        A NEVER-before-seen name costs one snapshot write: the explicit
+        read schema simply includes the new field and parquet returns null
+        where the page is absent.  A name previously seen (drop/re-add
+        cycle, detected via the reserved field id) additionally rewrites
+        the manifests to pin ``names[name] = None`` on every existing
+        entry — old files physically CONTAIN the dropped values under this
+        name, and resurrecting them would be silent corruption; the re-add
+        also gets a FRESH field id (Iceberg never rebinds a dropped id)."""
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if name in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"column {name!r} already exists")
+        if not name or "." in name or name.startswith("__pd_"):
+            raise ValueError(f"invalid column name: {name!r}")
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        if not nullable:
+            raise ValueError(
+                "a metadata-only add is necessarily nullable (existing "
+                "rows have no value); add as nullable"
+            )
+        new_schema = T.StructType(
+            list(snap.schema.fields) + [T.StructField(name, dtype, True)]
+        )
+        ids = None
+        manifests: list[ManifestRef] | None = list(snap.manifests)
+        inline = list(snap.inline_files)
+        if name in snap.field_ids:  # drop/re-add: guard old physical values
+
+            def _guard(f: DataFile) -> DataFile:
+                stats = dict(f.stats)
+                stats.pop(name, None)  # stale stats describe the DROPPED values
+                return DataFile(
+                    path=f.path,
+                    rows=f.rows,
+                    bytes=f.bytes,
+                    stats=stats,
+                    partition=dict(f.partition),
+                    sequence=f.sequence,
+                    names={**f.names, name: None},
+                )
+
+            manifests = []
+            for ref in snap.manifests:
+                entries = [
+                    _guard(e) for e in read_manifest(self.location, ref, io=self._io)
+                ]
+                manifests.extend(write_chunked(self.location, entries, io=self._io))
+            inline = [_guard(e) for e in inline]
+            ids = dict(snap.field_ids)
+            ids[name] = max(ids.values(), default=0) + 1
+        return self.commit(
+            None,
+            new_schema,
+            "add-column",
+            snap.version,
+            summary={"added-column": f"{name} {dtype.simpleString()}"},
+            delete_files=list(snap.delete_files),
+            manifests=manifests,
+            new_files=inline,
+            field_ids=ids,
+        )
 
     @staticmethod
     def _probe_range(op: str, v: Any) -> tuple[Any, Any]:

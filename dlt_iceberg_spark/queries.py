@@ -3718,6 +3718,71 @@ def lake_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAKE_POSDEL_CACHE: dict = {}
 
 
+@query(
+    "lake_rename_column",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS total_price, o_orderdate
+    FROM orders
+    WHERE o_totalprice >= 150000
+    """,
+    doc=(
+        "Metadata-only RENAME COLUMN through the ACTUAL table format "
+        "(Iceberg ALTER TABLE parity): half the orders land under the "
+        "original column name, rename_column('o_totalprice', "
+        "'total_price') rewrites ONLY manifests (zero data files touched, "
+        "stable field id), the other half appends under the new name, and "
+        "the read probes the renamed column — stats pruning on re-keyed "
+        "manifests plus the per-era written-name bridge "
+        "(LakeTable._physical_read) both sit on the value-hash path.  The "
+        "oracle is the plain union the two eras must reconstitute."
+    ),
+)
+def lake_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_RENAME_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_rename_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", sort_order=["o_totalprice"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        table = catalog.load_table("gate", "orders")
+        table.rename_column("o_totalprice", "total_price")
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", sort_order=["total_price"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 1).withColumnRenamed(
+                "o_totalprice", "total_price"
+            ),
+        )
+        table = catalog.load_table("gate", "orders")
+        _LAKE_RENAME_CACHE[key] = table
+    return table.read(where=[("total_price", ">=", 150000.0)]).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        rnd(F.col("total_price")).alias("total_price"),
+        "o_orderdate",
+    )
+
+
+_LAKE_RENAME_CACHE: dict = {}
+
+
 #: one lake-table build per (session, sf_dir): the gate and bench call each
 #: query repeatedly; the table is immutable once written
 _LAKE_STATS_CACHE: dict = {}
@@ -4079,11 +4144,13 @@ _GATE_PRIORITY = [
     "mixture_by_source",
     "dedup_exact", "text_quality", "text_lang_profile", "ann_cosine_topk",
     "dedup_minhash_lsh", "merge_upsert", "lake_merge_roundtrip",
-    # code touched this round: lake probe/scan/merge paths + lm persist gate
+    # code touched this round: lake probe/scan/merge paths + lm persist
+    # gate, plus the NEW metadata-only rename DDL whose _physical_read
+    # era bridge now sits under EVERY lake scan (it takes the former
+    # long-green-anchor slot; q1 was green in r05, well within rotation)
     "lake_stats_pushdown", "lake_bucket_pruning", "lake_position_delete",
     "merge_hard_delete", "lm_perplexity",
-    # long-green anchor for the last slot
-    "q1_pricing_summary",
+    "lake_rename_column",
 ]
 # NOTE: the four r6-added queries (text_tfidf_terms, text_nb_language,
 # knn_label_vote, dedup_boilerplate_lines) intentionally sit OUTSIDE this
