@@ -128,6 +128,19 @@ def _ts_prune_value(v: Any) -> str | None:
     return None
 
 
+def _session_tz(spark) -> str:
+    """Resolved ``spark.sql.session.timeZone`` (e.g. ``'Etc/UTC'`` on a
+    vanilla JVM-default session).  Never pass a string default to
+    ``conf.get`` for this key: Spark 4 VALIDATES the default against the
+    conf entry's parser when the key is unset, so ``get(key, "")`` raises
+    INVALID_CONF_VALUE on any session that did not set it explicitly —
+    exactly the vanilla driver sessions the correctness gate runs."""
+    try:
+        return spark.conf.get("spark.sql.session.timeZone") or "UTC"
+    except Exception:
+        return "UTC"
+
+
 #: session-timeZone spellings that mean UTC — normalized to "UTC" wherever a
 #: frame name is recorded or compared
 _UTC_TZ_NAMES = ("UTC", "Etc/UTC", "GMT", "Z", "+00:00")
@@ -1148,7 +1161,7 @@ class LakeTable:
             )
             for p in (spec_now or [])
         ):
-            tz = self.spark.conf.get("spark.sql.session.timeZone", "") or "UTC"
+            tz = _session_tz(self.spark)
             tzset.add("UTC" if tz in _UTC_TZ_NAMES else tz)
         if tzset:
             resolved_props["write.session-tz-set"] = ",".join(sorted(tzset))
@@ -1596,7 +1609,7 @@ class LakeTable:
             )
             by_col.setdefault(pf.column, []).append(pf)
         dtypes = {f.name: f.dataType for f in snap.schema.fields}
-        session_tz = self.spark.conf.get("spark.sql.session.timeZone", "") or "UTC"
+        session_tz = _session_tz(self.spark)
         ts_cols = {
             c for c in by_col if isinstance(dtypes.get(c), T.TimestampType)
         }
@@ -1654,7 +1667,7 @@ class LakeTable:
         # changes, never the instant.
         ts_key_idx = {i for i, (pf, _) in enumerate(keys) if pf.column in ts_cols}
         if ts_key_idx:
-            cur = pinned = self.spark.conf.get("spark.sql.session.timeZone")
+            cur = pinned = _session_tz(self.spark)
             rows = []
             try:
                 for fr in frames:
@@ -1763,7 +1776,7 @@ class LakeTable:
         # Probes whose local time is DST-ambiguous/nonexistent, or whose
         # session zone can't be resolved, still skip (conservative).
         # NTZ columns are wall-clock on both sides — always prunable as-is.
-        session_tz = self.spark.conf.get("spark.sql.session.timeZone", "")
+        session_tz = _session_tz(self.spark)
         session_utc = session_tz in _UTC_TZ_NAMES
 
         def _ts_frame(x):

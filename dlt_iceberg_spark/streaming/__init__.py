@@ -18,6 +18,11 @@ from dlt_iceberg_spark.streaming.micro_batch import (
     streaming_dedup,
     windowed_event_counts,
 )
+from dlt_iceberg_spark.streaming.source import (
+    LakeTableStreamSource,
+    read_stream,
+    register_lake_stream_source,
+)
 
 __all__ = [
     "stream_write",
@@ -26,4 +31,7 @@ __all__ = [
     "running_user_totals",
     "stream_interval_join",
     "streaming_dedup",
+    "LakeTableStreamSource",
+    "read_stream",
+    "register_lake_stream_source",
 ]
