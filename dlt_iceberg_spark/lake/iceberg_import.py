@@ -389,9 +389,88 @@ def _data_files_from_parquet_manifests(
                     stats=f.stats,
                     partition=f.partition,
                     sequence=0,
+                    # a source-side rename_column leaves files keyed by
+                    # their written names; the mapping travels with the
+                    # entry so the adopted table bridges eras identically
+                    names=dict(f.names),
                 )
             )
     return entries
+
+
+def _apply_name_mapping(
+    meta: dict,
+    schema_obj: dict,
+    source_location: str,
+    files: list[DataFile],
+    delete_files: list[DeleteFile],
+) -> tuple[list[DataFile], list[DeleteFile]]:
+    """Resolve each imported file's WRITTEN column names through the
+    table's ``schema.name-mapping.default`` property (Iceberg spec
+    name-mapping serialization): for every current column missing from a
+    file's parquet footer, the first listed alias present in the footer
+    becomes the entry's ``names`` mapping; no alias present means the file
+    predates the column (reads NULL, per the spec's name-mapping miss).
+
+    No-op without the property or when no field lists a genuine alias.
+    Files whose footer cannot be read are left unmapped (conservative:
+    identical behavior to the pre-mapping import)."""
+    import pyarrow.parquet as pq
+
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if not nm_raw:
+        return files, delete_files
+    try:
+        mapping_list = json.loads(nm_raw)
+    except (TypeError, ValueError):
+        return files, delete_files
+    by_id = {
+        m.get("field-id"): [n for n in m.get("names", []) if isinstance(n, str)]
+        for m in mapping_list
+        if isinstance(m, dict)
+    }
+    aliases_of: dict[str, list[str]] = {}
+    for fld in schema_obj.get("fields", []):
+        cands = by_id.get(fld.get("id"), [])
+        if any(n != fld["name"] for n in cands):
+            aliases_of[fld["name"]] = cands
+    if not aliases_of:
+        return files, delete_files
+
+    def _abs(path: str) -> str:
+        return path if os.path.isabs(path) else os.path.join(source_location, path)
+
+    def _resolve(path: str, wanted: dict[str, list[str]]) -> dict | None:
+        try:
+            footer = set(pq.ParquetFile(_abs(path)).schema_arrow.names)
+        except Exception:
+            return None
+        names: dict = {}
+        for cur, cands in wanted.items():
+            if cur in footer:
+                continue
+            names[cur] = next((c for c in cands if c in footer), None)
+        return names
+
+    out_files = []
+    for f in files:
+        resolved = _resolve(f.path, aliases_of)
+        out_files.append(
+            f if not resolved else DataFile(**{**vars(f), "names": resolved})
+        )
+    out_deletes = []
+    for d in delete_files:
+        if d.content == "position" or not d.equality_ids:
+            out_deletes.append(d)
+            continue
+        wanted = {
+            k: aliases_of[k] for k in d.equality_ids if k in aliases_of
+        }
+        resolved = _resolve(d.path, wanted) if wanted else None
+        out_deletes.append(
+            d if not resolved else DeleteFile(**{**vars(d), "names": resolved})
+        )
+    return out_files, out_deletes
 
 
 def register_iceberg_table(
@@ -441,6 +520,18 @@ def register_iceberg_table(
         raise ValueError(
             "snapshot carries neither 'manifests' nor 'manifest-list'"
         )
+
+    # Renamed foreign tables: a real Iceberg reader resolves columns in
+    # id-less parquet through ``schema.name-mapping.default`` (current
+    # name's field id listing every alias, tried against the file's
+    # footer).  Without this, files written before a source-side rename
+    # would silently read NULL for the renamed column.  Resolution is one
+    # footer-only read per data file (µs each, driver-side — the same cost
+    # class as adoption stats collection) and runs ONLY when the property
+    # exists with a genuine alias.
+    files, delete_files = _apply_name_mapping(
+        meta, schema_obj, source_location, files, delete_files
+    )
 
     # Sequence rebase: native commits stamp sequence = snapshot version
     # (1, 2, …), which would COLLIDE with imported foreign sequences — a

@@ -1384,3 +1384,57 @@ def test_interop_cycle_property(spark, tmp_path):
         )
         assert back.snapshot().schema == t.snapshot().schema, f"seed={seed}"
     assert n_fold_mid >= 3  # mid-sequence folds genuinely exercised
+
+
+def test_avro_roundtrip_of_renamed_table_resolves_written_names(spark, tmp_path):
+    """Name-mapping interop: a table renamed AFTER its first append exports
+    ``schema.name-mapping.default`` (every era's name per field id); the
+    avro import flavor resolves each file's WRITTEN column names through
+    the mapping + a parquet footer peek, so pre-rename files answer under
+    the current name instead of silently reading NULL."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    src.rename_column("v", "val")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(3, "c")], "id long, val string"),
+        load_id="l1",
+    )
+    src = catalog.load_table("ns", "t")
+    meta_path = src.export_iceberg_metadata(avro_manifests=True)
+    meta = json.loads(open(meta_path).read())
+    assert "schema.name-mapping.default" in meta["properties"]
+
+    imported = catalog.register_iceberg_table("ns2", "t_ren", meta_path)
+    assert sorted(r.val for r in imported.read().collect() if r.val) == [
+        "a", "b", "c",
+    ]
+    assert _rows(imported.read()) == _rows(src.read())
+    # the pre-rename files carry the resolved written-name mapping
+    mapped = [f for f in imported.snapshot().files if f.names]
+    assert len(mapped) > 0 and all(f.names == {"val": "v"} for f in mapped)
+
+
+def test_name_mapping_miss_reads_null_not_garbage(spark, tmp_path):
+    """A current column whose id has NO alias present in a file's footer
+    (file predates the column under any name) must read NULL."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1,)], "id long"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    src.add_column("note", "string")
+    src.rename_column("note", "comment")
+    meta_path = src.export_iceberg_metadata(avro_manifests=True)
+    imported = catalog.register_iceberg_table("ns2", "t_miss", meta_path)
+    rows = imported.read().collect()
+    assert [(r.id, r.comment) for r in rows] == [(1, None)]
