@@ -214,6 +214,25 @@ def main(warehouse: str) -> None:
         f"index grew to {idx_table.read().count()} classes (novel only)"
     )
 
+    # -- metadata-only rename + streaming tail ------------------------------
+    users.rename_column("plan", "tier")
+    assert users.read(where=[("tier", "=", "p1")]).count() > 0  # old files bridge
+    from dlt_iceberg_spark.streaming.source import read_stream
+
+    tail = (
+        read_stream(spark, users.location, from_beginning=True)
+        .writeStream.format("memory")
+        .queryName("users_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    tail.awaitTermination(120)
+    n = spark.sql("select count(*) c from users_tail").collect()[0].c
+    print(
+        f"rename_column('plan','tier') touched zero data files; streaming "
+        f"tail replayed {n} rows under the new name"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))

@@ -382,3 +382,44 @@ def test_export_emits_name_mapping_after_rename(spark, warehouse):
     entry = [m for m in mapping if m["field-id"] == vid][0]
     # every era's written name resolves to the same field id
     assert set(entry["names"]) == {"v", "val"}
+
+
+def test_changelog_delete_images_across_rename(spark, warehouse):
+    """A CoW upsert AFTER a rename re-reads pre-rename files for delete
+    images; those images must resolve values under the END-schema name via
+    the stable field id (never null-filled, never the written name)."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    spec = TableSpec(
+        name="t",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+    )
+    writer.write(
+        spec,
+        spark.createDataFrame([(1, "old1"), (2, "old2")], "id long, v string"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    t.rename_column("v", "val")
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+        ),
+        spark.createDataFrame([(1, "NEW1")], "id long, val string"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    ch = t.read_changes(None, net_changes=False).collect()
+    dels = [(r.id, r.val) for r in ch if r._change_type == "delete"]
+    # the rewrite re-emits both rows of the touched file as delete images,
+    # with the PRE-RENAME values present under the END name
+    assert (1, "old1") in dels and all(v is not None for _, v in dels)
+    ins = {(r.id, r.val) for r in ch if r._change_type == "insert"}
+    assert (1, "NEW1") in ins and (1, "old1") in ins
+    # net form cancels the rewrite's unchanged-row pairs
+    net = {(r.id, r.val) for r in t.read_changes(None, net_changes=True).collect()
+           if r._change_type == "insert"}
+    assert net == {(1, "NEW1"), (2, "old2")}
