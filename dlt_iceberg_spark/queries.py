@@ -3848,6 +3848,64 @@ def stream_lake_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_TAIL_CACHE: dict = {}
 
 
+@query(
+    "stream_lake_sink",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           {_sql_rnd('o_totalprice')} AS total_price, o_orderdate
+    FROM orders
+    """,
+    doc=(
+        "Native streaming SINK (`writeStream.format('laketable')`, "
+        "streaming/sink.py): orders flow as a file stream through the "
+        "Python Data Source sink — executor-side Arrow→parquet staging "
+        "with per-file min/max stats, one atomic snapshot per epoch, "
+        "replay-safe batch markers — and the read back from the landed "
+        "LakeTable must hash-match the plain orders oracle.  Table build "
+        "(one streaming query) is cached; the read is live each call."
+    ),
+)
+def stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.streaming.source import register_lake_stream_source
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    location = _STREAM_SINK_CACHE.get(key)
+    if location is None:
+        register_lake_stream_source(spark)
+        base = tempfile.mkdtemp(prefix="lake_sink_")
+        src_dir = os.path.join(base, "in")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        orders.write.parquet(os.path.join(src_dir, "p1"))
+        location = os.path.join(base, "orders")
+        q = (
+            spark.readStream.schema(orders.schema)
+            .parquet(src_dir + "/*")
+            .writeStream.format("laketable")
+            .option("location", location)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        _STREAM_SINK_CACHE[key] = location
+    return LakeTable(spark, location).read().select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        rnd(F.col("o_totalprice")).alias("total_price"),
+        "o_orderdate",
+    )
+
+
+_STREAM_SINK_CACHE: dict = {}
+
+
 #: one lake-table build per (session, sf_dir): the gate and bench call each
 #: query repeatedly; the table is immutable once written
 _LAKE_STATS_CACHE: dict = {}
@@ -4217,9 +4275,10 @@ _GATE_PRIORITY = [
     "merge_hard_delete", "lm_perplexity",
     "lake_rename_column",
 ]
-# NOTE: five of the six r6-added queries (text_tfidf_terms,
+# NOTE: six of the seven r6-added queries (text_tfidf_terms,
 # text_nb_language, knn_label_vote, dedup_boilerplate_lines,
-# stream_lake_tail) intentionally sit OUTSIDE this 50-slot window —
+# stream_lake_tail, stream_lake_sink) intentionally sit OUTSIDE this
+# 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
 # driver row older than two rounds).  They are verified by
 # tools/check_oracle.py this round and are the r7 front-load candidates;

@@ -24,6 +24,10 @@ from dlt_iceberg_spark.streaming.source import (
     register_lake_stream_source,
 )
 
+# the sink half of format("laketable") lives in streaming/sink.py and is
+# reached through LakeTableStreamSource.streamWriter — registering the
+# source registers both directions
+
 __all__ = [
     "stream_write",
     "windowed_event_counts",

@@ -256,6 +256,17 @@ class LakeTableStreamSource(DataSource):
     def streamReader(self, schema: T.StructType) -> _LakeStreamReader:
         return _LakeStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "the laketable sink is append-only (outputMode('append')); "
+                "complete/update modes need the disposition pipeline — use "
+                "streaming.stream_write"
+            )
+        from dlt_iceberg_spark.streaming.sink import _LakeStreamWriter
+
+        return _LakeStreamWriter(schema, dict(self.options))
+
 
 def register_lake_stream_source(spark) -> None:
     """Idempotently register the ``laketable`` streaming format."""
