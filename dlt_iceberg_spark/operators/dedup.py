@@ -991,3 +991,85 @@ def substring_dup_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 10,
+) -> DataFrame:
+    """Exact-substring DEDUPLICATION — the removal pass of Lee et al. 2021
+    (arXiv:2107.06499 §4: cut every repeated span, keep one occurrence),
+    where :func:`substring_dup_stats` is only the profile.
+
+    Every ``window``-token span whose exact text occurs ≥ 2 times in the
+    corpus (across OR within documents) is removed from every occurrence
+    except the globally FIRST (minimal ``(id, pos)`` — deterministic); a
+    token survives iff no removed span covers it.  Output text is the
+    surviving tokens single-space joined (tokenization is
+    whitespace-normalizing, the analogue of the paper's byte-exact pass
+    over normalized text).
+
+    Distribution shape: map-side window extraction, ONE shuffle keyed by
+    the window text to pick the keeper and count occurrences, a join back
+    on the same key (exchange reuse), then per-document token filtering as
+    linear higher-order functions — zero UDFs, zero driver collection.
+    The keeper pick is a single ``min(struct(id, pos))`` partial-aggregate
+    (map-side combine), so the reduce side sees one candidate per
+    partition per key, not every occurrence.
+
+    Returns ``(id, text, n_tokens, n_removed_tokens)``; docs shorter than
+    ``window`` tokens pass through with zero removals.
+    """
+    toks = fan_out(df).selectExpr(id_col, f"{_tokens_sql(text_col)} AS _toks")
+    w = toks.selectExpr(
+        id_col,
+        f"explode(CASE WHEN size(_toks) < {window} THEN "
+        f"CAST(array() AS array<struct<pos:int,win:string>>) "
+        f"ELSE transform(sequence(1, size(_toks) - {window} + 1), "
+        f"i -> struct(CAST(i AS INT) AS pos, "
+        f"concat_ws(' ', slice(_toks, i, {window})) AS win)) END) AS _w",
+    ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.win").alias("win"))
+    dup = (
+        w.groupBy("win")
+        .agg(
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keeper"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+    )
+    removals = (
+        w.join(dup, "win")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_keeper.{id_col}"))
+                & (F.col("pos") == F.col("_keeper.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    spans = removals.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_starts")
+    )
+    return (
+        toks.join(spans, id_col, "left")
+        .selectExpr(
+            id_col,
+            "_toks",
+            "coalesce(_starts, CAST(array() AS array<int>)) AS _starts",
+        )
+        .selectExpr(
+            id_col,
+            "_toks",
+            # surviving token indices: not covered by any removed span
+            f"filter(sequence(1, size(_toks)), t -> NOT exists(_starts, "
+            f"s -> t >= s AND t <= s + {window} - 1)) AS _kept",
+        )
+        .selectExpr(
+            id_col,
+            f"concat_ws(' ', transform(_kept, t -> element_at(_toks, t))) AS {text_col}",
+            "size(_toks) AS n_tokens",
+            "size(_toks) - size(_kept) AS n_removed_tokens",
+        )
+    )

@@ -1959,6 +1959,78 @@ def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_removal",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 9)) AS pos, toks
+      FROM t WHERE len(toks) >= 10
+    ),
+    ws AS (
+      SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS win FROM w
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY win) AS cnt
+      FROM ws
+    ),
+    rem AS (SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tokv,
+             unnest(generate_series(1, len(toks))) AS tpos
+      FROM t
+    ),
+    kept AS (
+      SELECT doc_id, tpos, tokv FROM tok
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem
+        WHERE rem.doc_id = tok.doc_id
+          AND tok.tpos >= rem.pos AND tok.tpos <= rem.pos + 9
+      )
+    ),
+    agg AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             md5(string_agg(tokv, ' ' ORDER BY tpos)) AS text_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - coalesce(agg.n_kept, 0) AS n_removed_tokens,
+           coalesce(agg.text_hash, md5('')) AS text_hash
+    FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """,
+    doc=(
+        "Exact-substring REMOVAL — the deduplication pass of Lee et al. "
+        "2021 (arXiv:2107.06499 §4), not just the profile: every 10-token "
+        "span occurring >= 2 times corpus-wide is cut from all but its "
+        "globally first occurrence (min (doc_id, pos)), and surviving "
+        "tokens reassemble the text (operators/dedup.py::"
+        "remove_duplicate_spans — one window-text shuffle, keeper pick as "
+        "a map-side-combined min(struct), HOF token filtering, zero "
+        "UDFs).  The oracle replays keeper selection via window "
+        "functions and rebuilds the text with ordered string_agg; the "
+        "md5 of the reassembled text puts every surviving byte on the "
+        "hash path."
+    ),
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(d, "text", "doc_id", window=10)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+
+
+@query(
     "dedup_transitive_clusters",
     r"""
     WITH RECURSIVE d AS (

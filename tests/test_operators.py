@@ -1198,3 +1198,52 @@ def test_knn_classify_majority_and_ties(spark):
         q, labeled.filter(F.col("vec_id") != 11), k=2
     ).collect()
     assert got2[0].predicted == "x" and got2[0].votes == 1
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from dlt_iceberg_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "a b c d e f g h i j"  # the only shared 10-token window
+    df = spark.createDataFrame(
+        [
+            (2, boiler + " dos zwei tail"),
+            (1, boiler + " uno eins tail"),
+            (3, "entirely different words that never repeat anywhere else here now"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id").collect()}
+    # global keeper is the MIN (doc_id, pos): doc 1 keeps the span
+    assert out[1].text == boiler + " uno eins tail"
+    assert out[1].n_removed_tokens == 0
+    assert out[2].text == "dos zwei tail" and out[2].n_removed_tokens == 10
+    assert out[3].n_removed_tokens == 0
+    assert out[4].text == "tiny" and out[4].n_tokens == 1  # < window: untouched
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    from dlt_iceberg_spark.operators.dedup import remove_duplicate_spans
+
+    # 11 shared tokens -> two overlapping duplicated windows in doc 2;
+    # their union (all 11 tokens) must be removed, not double-counted
+    shared = "a b c d e f g h i j k"
+    df = spark.createDataFrame(
+        [(1, shared + " one"), (2, shared + " two")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(df, "text", "doc_id").collect()}
+    assert out[1].n_removed_tokens == 0
+    assert out[2].n_removed_tokens == 11 and out[2].text == "two"
+
+
+def test_remove_duplicate_spans_within_one_document(spark):
+    from dlt_iceberg_spark.operators.dedup import remove_duplicate_spans
+
+    span = "p q r s t u v w x y"
+    df = spark.createDataFrame(
+        [(1, span + " mid " + span)], "doc_id long, text string"
+    )
+    out = remove_duplicate_spans(df, "text", "doc_id").collect()[0]
+    # the second in-document occurrence is removed, the first kept
+    assert out.text == span + " mid"
+    assert out.n_removed_tokens == 10
