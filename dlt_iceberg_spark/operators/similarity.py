@@ -69,6 +69,75 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    max_rows: int = 500_000,
+) -> DataFrame:
+    """Exact top-k with the same contract and tie-breaks as
+    :func:`cosine_topk_bruteforce` — ``(query_id, neighbor_id, cosine,
+    rank)``, ranked by (cosine desc, neighbor_id asc), self-pairs
+    excluded — but scored as one numpy matmul per Arrow batch against the
+    broadcast normalized corpus matrix instead of a |Q|·|C| pair
+    explosion through a window sort.  The expression form shuffles and
+    sorts every pair (the dominant cost); here only k·|Q| rows ever leave
+    the executors.  Corpora past broadcast budget (``max_rows``) must go
+    through :func:`ivf_topk`; this is the documented drop-to-Pandas-UDF
+    case (same rule as :func:`all_pairs_cosine_blas`)."""
+    import numpy as np
+    import pandas as pd
+
+    n = corpus.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_topk_blas: corpus has {n} rows > max_rows={max_rows}; "
+            "the corpus matrix is broadcast — use ivf_topk at this scale"
+        )
+    rows = corpus.select(id_col, F.col(vec_col).cast("array<double>")).collect()
+    c_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    c_mat = np.array([r[1] for r in rows], dtype=np.float64)
+    c_mat = c_mat / np.sqrt((c_mat * c_mat).sum(axis=1, keepdims=True))
+    bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_mat))
+    kk = int(k)
+
+    def score(batches):
+        ids, mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["qv"]), dtype=np.float64)
+            q = q / np.sqrt((q * q).sum(axis=1, keepdims=True))
+            sims = q @ mat.T
+            qids = pdf["query_id"].astype("int64").to_numpy()
+            oq, on, oc, orr = [], [], [], []
+            for r in range(sims.shape[0]):
+                keep = np.nonzero(ids != qids[r])[0]
+                if not len(keep):
+                    continue
+                # full lexsort keeps boundary TIES bit-identical to the
+                # window form (argpartition could drop an equal-cosine,
+                # smaller-id neighbor at the kth slot)
+                order = keep[np.lexsort((ids[keep], -sims[r, keep]))][:kk]
+                for rank, j in enumerate(order, start=1):
+                    oq.append(qids[r])
+                    on.append(int(ids[j]))
+                    oc.append(float(sims[r, j]))
+                    orr.append(rank)
+            yield pd.DataFrame(
+                {"query_id": oq, "neighbor_id": on, "cosine": oc, "rank": orr}
+            )
+
+    src = fan_out(
+        _as_double(queries, vec_col).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    return src.mapInPandas(score, "query_id long, neighbor_id long, cosine double, rank int")
+
+
 def knn_classify(
     queries: DataFrame,
     labeled: DataFrame,
@@ -82,15 +151,16 @@ def knn_classify(
     way a small hand-labeled seed set fans out over an unlabeled corpus
     (quality tiers, topic buckets) before training a real classifier.
 
-    Composes :func:`cosine_topk_bruteforce` (broadcast queries × corpus
-    scan — swap in :func:`ivf_topk` past ~10M vectors) with a vote
-    aggregate; the label join is keyed on neighbor id over k·|queries|
-    rows, never corpus-sized.  Ties break by (votes desc, best cosine
-    desc, label asc) — deterministic and mirrored in the SQL oracle.
+    Composes :func:`cosine_topk_blas` (broadcast labeled matrix + one
+    matmul per Arrow batch; same tie-breaks as the expression form — swap
+    in :func:`ivf_topk` past broadcast budget) with a vote aggregate; the
+    label join is keyed on neighbor id over k·|queries| rows, never
+    corpus-sized.  Ties break by (votes desc, best cosine desc, label
+    asc) — deterministic and mirrored in the SQL oracle.
 
     Output: ``(query_id, predicted, votes, best_cosine)``.
     """
-    topk = cosine_topk_bruteforce(queries, labeled, vec_col, id_col, k)
+    topk = cosine_topk_blas(queries, labeled, vec_col, id_col, k)
     lab = labeled.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
     )
