@@ -625,3 +625,119 @@ def test_gopher_rules_match_python_model(spark, texts):
         for feat, w in want.items():
             g = getattr(got, feat)
             assert abs(g - w) < 1e-9, (feat, text, g, w)
+
+
+# ---------------------------------------------------------------------------
+# Schema DDL: random rename/drop/add/write interleavings agree with a model
+# ---------------------------------------------------------------------------
+
+_ddl_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["rename", "drop", "add", "append", "upsert"]),
+        st.dictionaries(st.integers(0, 9), st.integers(0, 99), min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_ddl_ops)
+def test_schema_ddl_sequences_match_model(spark, ops):
+    """Random interleavings of rename_column / drop_column / add_column /
+    append / CoW upsert must agree with a driver-side dict model at every
+    step — the property that the per-file ``names`` bridge, the field-id
+    stability, and the drop/re-add resurrection guard compose under ANY
+    history, not just the unit-test scripts."""
+    import tempfile
+    import uuid
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    wh = tempfile.mkdtemp(prefix=f"ddl_prop_{uuid.uuid4().hex[:6]}_")
+    catalog = LakeCatalog(spark, wh)
+    writer = LakeWriter(catalog, "m")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, -1) for i in range(5)], "id long, c0 long"),
+        load_id="seed",
+    )
+    # model: {id: {col: value}}; data_col = the current name of the value
+    # column lineage (renames move it); extra cols from re-adds start null
+    cols = ["id", "c0"]
+    model: dict[int, dict] = {i: {"id": i, "c0": -1} for i in range(5)}
+    next_col = 1
+
+    def check():
+        t = catalog.load_table("m", "t")
+        got = sorted(
+            tuple(r[c] for c in cols) for r in t.read().select(*cols).collect()
+        )
+        want = sorted(
+            tuple(row.get(c) for c in cols) for row in model.values()
+        )
+        assert got == want, f"cols={cols}\ngot={got}\nwant={want}"
+
+    for n, (kind, batch) in enumerate(ops):
+        t = catalog.load_table("m", "t")
+        rows = sorted(batch.items())
+        data_cols = [c for c in cols if c != "id"]
+        if kind == "rename" and data_cols:
+            old = data_cols[0]
+            new = f"c{next_col}"
+            next_col += 1
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for row in model.values():
+                row[new] = row.pop(old, None)
+        elif kind == "drop" and len(data_cols) > 1:
+            victim = data_cols[-1]
+            t.drop_column(victim)
+            cols.remove(victim)
+            for row in model.values():
+                row.pop(victim, None)
+        elif kind == "add":
+            # alternate fresh names and re-adds of previously-seen names
+            name = f"c{next_col}" if n % 2 == 0 else "c0"
+            if name in cols:
+                name = f"c{next_col}"
+            if name in (t.snapshot().field_ids or {}) and name in cols:
+                continue
+            t.add_column(name, "long")
+            if name not in cols:
+                cols.append(name)
+            next_col += 1
+            for row in model.values():
+                row[name] = None
+        elif kind == "append" and data_cols:
+            vcol = data_cols[0]
+            df = spark.createDataFrame(rows, f"id long, {vcol} long")
+            writer.write(
+                TableSpec(name="t", write_disposition="append"), df, load_id=f"l{n}"
+            )
+            for i, v in rows:
+                model[max(model, default=0) + 1000 + i] = {
+                    **{c: None for c in cols}, "id": i, vcol: v,
+                }
+        elif kind == "upsert" and data_cols:
+            vcol = data_cols[0]
+            df = spark.createDataFrame(rows, f"id long, {vcol} long")
+            writer.write(
+                TableSpec(
+                    name="t",
+                    write_disposition={"disposition": "merge", "strategy": "upsert"},
+                    primary_key=["id"],
+                ),
+                df,
+                load_id=f"l{n}",
+            )
+            # upsert collapses every model row with the key (appends may
+            # have duplicated ids) into one updated row
+            for i, v in rows:
+                hit = [k for k, row in model.items() if row["id"] == i]
+                for k in hit:
+                    del model[k]
+                model[i] = {**{c: None for c in cols}, "id": i, vcol: v}
+        check()
