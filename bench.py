@@ -89,6 +89,11 @@ SF1_QUERIES = [
     "semantic_dedup", "ann_ivf", "q21_waiting_suppliers",
     "q18_large_orders", "q10_returned_customers", "q1_pricing_summary",
     "events_sessions",
+    # r6 additions whose scale behavior is worth tracking: the substring
+    # REMOVAL pass (window-text shuffle + HOF reassembly), the BLAS kNN
+    # kernel, and the NB classifier (multi-aggregate model build over a
+    # persisted input)
+    "dedup_substring_removal", "knn_label_vote", "text_nb_language",
 ]
 
 SF1_DIR = "/tmp/spark_graft_sf1"

@@ -1326,12 +1326,17 @@ class LakeTable:
         next_id = [max(field_ids.values(), default=0) + 1]
 
         def _schema_obj(s: Snapshot, schema_id: int) -> dict:
+            # resolve ids through the snapshot's OWN field_ids: a column
+            # renamed later keeps its id under the era's name (the current
+            # mapping would miss pre-rename names entirely); legacy
+            # snapshots without a mapping fall back to the current one
+            era_ids = s.field_ids or field_ids
             return {
                 "type": "struct",
                 "schema-id": schema_id,
                 "fields": [
                     {
-                        "id": field_ids.get(f.name, 0),
+                        "id": era_ids.get(f.name, field_ids.get(f.name, 0)),
                         "name": f.name,
                         "required": not f.nullable,
                         "type": self._iceberg_type(f.dataType, next_id),

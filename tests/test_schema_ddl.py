@@ -423,3 +423,21 @@ def test_changelog_delete_images_across_rename(spark, warehouse):
     net = {(r.id, r.val) for r in t.read_changes(None, net_changes=True).collect()
            if r._change_type == "insert"}
     assert net == {(1, "NEW1"), (2, "old2")}
+
+
+def test_export_historical_schemas_resolve_era_ids(spark, warehouse):
+    import json
+
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v long")
+    vid = t.snapshot().field_ids["v"]
+    t.rename_column("v", "val")
+    meta = json.loads(open(t.export_iceberg_metadata()).read())
+    # the PRE-rename schema entry lists the old name under the SAME id,
+    # never id 0 — real Iceberg readers track columns by id across schemas
+    old = [
+        s for s in meta["schemas"]
+        if any(f["name"] == "v" for f in s["fields"])
+    ]
+    assert old and all(
+        f["id"] == vid for s in old for f in s["fields"] if f["name"] == "v"
+    )
