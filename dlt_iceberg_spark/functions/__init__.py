@@ -26,6 +26,8 @@ from dlt_iceberg_spark.functions.sketches import (
     approx_quantiles,
     column_profile,
     heavy_hitters,
+    kmv_overlap_estimate,
+    kmv_sketch,
 )
 
 __all__ = [
@@ -38,5 +40,7 @@ __all__ = [
     "approx_distinct",
     "approx_quantiles",
     "heavy_hitters",
+    "kmv_overlap_estimate",
+    "kmv_sketch",
     "column_profile",
 ]

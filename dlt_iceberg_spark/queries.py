@@ -1482,6 +1482,64 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_overlap_kmv",
+    f"""
+    WITH a AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 1),
+         i AS (SELECT count(*) AS c FROM (SELECT text FROM a INTERSECT SELECT text FROM b)),
+         u AS (SELECT count(*) AS c FROM (SELECT text FROM a UNION SELECT text FROM b))
+    SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS distinct_a,
+           CAST((SELECT count(*) FROM b) AS DOUBLE) AS distinct_b,
+           CAST((SELECT c FROM i) AS DOUBLE) AS intersection,
+           {_sql_rnd('(SELECT c FROM i) / CAST((SELECT c FROM u) AS DOUBLE)', 6)} AS jaccard,
+           TRUE AS exact
+    """,
+    doc=(
+        "Cross-corpus overlap via KMV (theta) sketches — the pre-flight "
+        "for cross-corpus dedup: estimate how much two document sets "
+        "share before paying for the full similarity join.  "
+        "functions/sketches.py::kmv_sketch keeps the k smallest distinct "
+        "md5 hashes per side (distinct -> TakeOrderedAndProject: every "
+        "partition forwards <= k candidates, no corpus-sized aggregation "
+        "state); kmv_overlap_estimate combines two k-row sketches "
+        "driver-side.  At sf0.01 the distinct count sits below k, so the "
+        "sketch is EXACT and the oracle is plain set algebra; the "
+        "estimator path is pytest-checked against known cardinalities "
+        "with theta-sketch tolerance."
+    ),
+)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.functions.sketches import (
+        kmv_overlap_estimate,
+        kmv_sketch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k = 4096
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    ka = kmv_sketch(a, "text", k=k, hash_mode="md5").collect()[0]
+    kb = kmv_sketch(b, "text", k=k, hash_mode="md5").collect()[0]
+    est = kmv_overlap_estimate(list(ka.ks), list(kb.ks), k, hash_mode="md5")
+    import math
+
+    jacc = math.floor(est["jaccard"] * 10**6 + 0.5) / 10**6  # rnd() convention
+    return spark.createDataFrame(
+        [
+            (
+                float(est["distinct_a"]),
+                float(est["distinct_b"]),
+                float(est["intersection"]),
+                jacc,
+                bool(est["exact"]),
+            )
+        ],
+        "distinct_a double, distinct_b double, intersection double, "
+        "jaccard double, exact boolean",
+    )
+
+
+@query(
     "events_user_latest",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type

@@ -47,3 +47,44 @@ def test_cosine_and_rnd(spark):
     df = spark.createDataFrame([([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>")
     out = df.select(rnd(cosine(F.col("a"), F.col("b")), 4).alias("c")).collect()
     assert [r.c for r in out] == [1.0, 0.0]
+
+
+def test_kmv_sketch_exact_below_k(spark):
+    from dlt_iceberg_spark.functions.sketches import kmv_overlap_estimate, kmv_sketch
+
+    a = spark.range(100).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(50, 130).selectExpr("CAST(id AS STRING) AS v")
+    ka = kmv_sketch(a, "v", k=256).collect()[0]
+    kb = kmv_sketch(b, "v", k=256).collect()[0]
+    est = kmv_overlap_estimate(list(ka.ks), list(kb.ks), 256)
+    assert est["exact"] is True
+    assert est["distinct_a"] == 100 and est["distinct_b"] == 80
+    assert est["intersection"] == 50
+    assert abs(est["jaccard"] - 50 / 130) < 1e-12
+
+
+def test_kmv_sketch_estimates_within_theta_error(spark):
+    from dlt_iceberg_spark.functions.sketches import kmv_overlap_estimate, kmv_sketch
+
+    n, k = 20_000, 512
+    a = spark.range(n).selectExpr("CAST(id AS STRING) AS v")
+    b = spark.range(n // 2, n + n // 2).selectExpr("CAST(id AS STRING) AS v")
+    ka = kmv_sketch(a, "v", k=k).collect()[0]
+    kb = kmv_sketch(b, "v", k=k).collect()[0]
+    assert len(ka.ks) == k  # bounded output, never corpus-sized
+    est = kmv_overlap_estimate(list(ka.ks), list(kb.ks), k)
+    assert est["exact"] is False
+    # KMV relative error ~ 1/sqrt(k) ≈ 4.4%; allow 4 sigma
+    for key, truth in (("distinct_a", n), ("distinct_b", n), ("intersection", n // 2)):
+        assert abs(est[key] - truth) / truth < 0.18, (key, est[key], truth)
+    assert abs(est["jaccard"] - (n // 2) / (n + n // 2)) < 0.06
+
+
+def test_kmv_sketch_plan_is_bounded_topk(spark):
+    from dlt_iceberg_spark.functions.sketches import kmv_sketch
+
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS v")
+    plan = kmv_sketch(df, "v", k=16)._jdf.queryExecution().executedPlan().toString()
+    # distinct+orderBy+limit must compile to the two-stage bounded top-k,
+    # not a global sort of every distinct hash
+    assert "TakeOrderedAndProject" in plan
