@@ -136,6 +136,38 @@ class LakeCatalog:
             raise TableNotFoundError(f"{namespace}.{table_name}")
         return LakeTable(self.spark, loc, branch=branch, io=self._io, pointer_store=store)
 
+    def rename_table(
+        self,
+        namespace: str,
+        old: str,
+        new: str,
+        new_namespace: str | None = None,
+    ) -> LakeTable:
+        """Catalog-level table rename/move (Iceberg ``catalog.rename_table``)
+        — ONE atomic directory rename, any table size.  Data and manifest
+        paths inside the table are location-relative, so nothing else
+        moves; adopted tables referencing absolute foreign paths keep
+        working too.  Refused under a pointer catalog: branch heads are
+        keyed by table location at the service, so the rename must go
+        through the catalog there (a direct move would strand every
+        head)."""
+        if self._pointer_url is not None:
+            raise ValueError(
+                "rename_table under a pointer catalog must go through the "
+                "catalog service (branch heads are keyed by table location)"
+            )
+        src = self.table_location(namespace, old)
+        if not LakeTable.exists_at(src, io=self._io):
+            raise TableNotFoundError(f"{namespace}.{old}")
+        dst_ns = new_namespace or namespace
+        dst = self.table_location(dst_ns, new)
+        if self._io.isdir(dst):
+            raise ValueError(f"table {dst_ns}.{new} already exists")
+        self.create_namespace(dst_ns)
+        self._io.makedirs(os.path.dirname(dst))
+        self._io.rename(src, dst)
+        return self.load_table(dst_ns, new)
+
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
         """W10: drop (and purge data — the reference prefers purge_table,
         destination_client.py:892-931)."""

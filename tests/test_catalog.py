@@ -381,3 +381,49 @@ def test_timestamp_time_travel(spark, warehouse):
         table.version_at(datetime(2000, 1, 1, tzinfo=timezone.utc))
     with _pytest.raises(ValueError, match="at most one"):
         table.read(snapshot_version=0, as_of=future)
+
+
+def test_rename_table_is_one_directory_move(spark, warehouse):
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, i * 2) for i in range(10)], "id long, v long"),
+        load_id="l0",
+    )
+    v0 = catalog.load_table("ds", "t").current_version()
+    renamed = catalog.rename_table("ds", "t", "t2")
+    assert sorted(r.v for r in renamed.read().collect()) == [i * 2 for i in range(10)]
+    assert renamed.current_version() == v0  # history moved intact
+    assert not catalog.table_exists("ds", "t")
+    # writes keep working at the new identity (relative paths resolved)
+    writer.write(
+        TableSpec(name="t2", write_disposition="append"),
+        spark.createDataFrame([(100, 7)], "id long, v long"),
+        load_id="l1",
+    )
+    assert catalog.load_table("ds", "t2").read().count() == 11
+    # time travel across the move
+    assert renamed.read(snapshot_version=v0).count() == 10
+
+
+def test_rename_table_into_other_namespace_and_refusals(spark, warehouse):
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    for name in ("a", "b"):
+        writer.write(
+            TableSpec(name=name, write_disposition="append"),
+            spark.createDataFrame([(1,)], "id long"),
+            load_id="l0",
+        )
+    moved = catalog.rename_table("ds", "a", "a_archived", new_namespace="cold")
+    assert moved.read().count() == 1
+    assert catalog.table_exists("cold", "a_archived")
+    with pytest.raises(ValueError, match="already exists"):
+        catalog.rename_table("ds", "b", "a_archived", new_namespace="cold")
+    with pytest.raises(TableNotFoundError):
+        catalog.rename_table("ds", "nope", "x")
