@@ -109,6 +109,16 @@ class _LakeStreamReader(DataSourceStreamReader):
         self.location = options["location"]
         self.from_beginning = str(options.get("from_beginning", "")).lower() == "true"
         self.starting_version = options.get("starting_version")
+        #: admission control for backfills (Iceberg's
+        #: streaming-max-files-per-micro-batch, in snapshot units): each
+        #: micro-batch advances at most N versions, so tailing a
+        #: 10k-snapshot table from the beginning chunks instead of
+        #: planning one giant batch.  The cap is applied in latestOffset
+        #: relative to the LAST PLANNED end, tracked on the reader (the
+        #: driver keeps one reader instance per run).
+        mv = options.get("max_versions_per_batch")
+        self.max_versions = int(mv) if mv is not None else None
+        self._last_end: int | None = None
         # the stream presents the schema as of stream START; capture that
         # snapshot's field ids so mid-stream renames translate through the
         # STABLE ids (same bridge as LakeTable.read_changes)
@@ -129,10 +139,20 @@ class _LakeStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _current_version(self.location)
-        return {"version": -1 if cur is None else cur}
+        if cur is None:
+            return {"version": -1}
+        if self.max_versions is not None:
+            floor = (
+                self._last_end
+                if self._last_end is not None
+                else self.initialOffset()["version"]
+            )
+            cur = min(cur, floor + self.max_versions)
+        return {"version": cur}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = start["version"], end["version"]
+        self._last_end = max(e, self._last_end or e)
         if e <= s:
             # Spark requires ≥1 partition per planned batch; an empty file
             # partition yields zero rows

@@ -158,3 +158,38 @@ def test_stream_typed_columns_roundtrip(spark, warehouse):
     r = out.collect()[0]
     b = df.collect()[0]
     assert (r.id, r.ts, r.d, r.x) == (b.id, b.ts, b.d, b.x)
+
+
+def test_max_versions_per_batch_chunks_backfill(spark, warehouse, tmp_path):
+    """Backfill admission control: with max_versions_per_batch=1 a
+    3-snapshot history drains in 3 micro-batches of one append each
+    (ProcessingTime trigger; Spark keeps calling until latestOffset stops
+    advancing), never one giant batch."""
+    import time
+
+    catalog, writer, t = _mk(
+        spark, warehouse, [[(1, "a")], [(2, "b")], [(3, "c")]]
+    )
+    sdf = read_stream(
+        spark, t.location, from_beginning=True, max_versions_per_batch=1
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("tail_chunked")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from tail_chunked").collect()[0].c == 3:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert sorted(
+        (r.id, r.v) for r in spark.sql("select * from tail_chunked").collect()
+    ) == [(1, "a"), (2, "b"), (3, "c")]
+    # each planned batch advanced ONE version: with 1 row per append, no
+    # batch may carry more than one row
+    prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert prog and all(p["numInputRows"] == 1 for p in prog)
