@@ -25,6 +25,7 @@ from dlt_iceberg_spark.lake.maintenance import (
     CompactionResult,
     MaintenancePolicy,
     backfill_stats,
+    consolidate_position_deletes,
     compact_table,
     expire_snapshots,
     maintain,
@@ -54,6 +55,7 @@ __all__ = [
     "resource",
     "LoadInfo",
     "backfill_stats",
+    "consolidate_position_deletes",
     "compact_table",
     "expire_snapshots",
     "CompactionResult",

@@ -450,6 +450,93 @@ class MaintenancePolicy:
     orphans_older_than: timedelta = timedelta(days=3)
 
 
+def consolidate_position_deletes(table: LakeTable) -> dict:
+    """Merge outstanding POSITION-delete files into one and drop dangling
+    addresses — Iceberg's ``rewrite_position_delete_files``: O(delete
+    rows), ZERO data files touched.
+
+    The cheap middle step between "do nothing" (every read pays one
+    anti-join probe per delete-file group) and :meth:`LakeTable.fold_deletes`
+    (full data rewrite): a long-running MoR stream accumulates one tiny
+    position-delete file per batch; consolidation caps the mask count at
+    one while the data stays put.  Addresses whose target file is no
+    longer live (rewritten by CoW merge / compaction) are dropped.
+
+    Sequence safety: the consolidated file takes the NEW commit's sequence
+    — valid because an address can only ever name a file that existed
+    when the delete was staged (paths are write-once UUIDs), so raising
+    the sequence can never bring a newer file into the mask.
+
+    Returns ``{"consolidated": n_files, "addresses": kept, "dropped": n}``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dlt_iceberg_spark.lake.manifest import DeleteFile
+    from dlt_iceberg_spark.lake.table import _norm_path
+
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    pos = [d for d in snap.delete_files if d.content == "position"]
+    if len(pos) <= 1:
+        return {"consolidated": 0, "addresses": 0, "dropped": 0}
+    others = [d for d in snap.delete_files if d.content != "position"]
+    addressed = table.spark.read.schema(
+        T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        )
+    ).parquet(*[os.path.join(table.location, d.path) for d in pos])
+    norm = addressed.select(
+        _norm_path(F.col("file_path")).alias("file_path"), "pos"
+    ).distinct()
+    # live data-file paths in the address frame's absolute form — from the
+    # distributed manifest scan, so the join side is O(metadata), not a
+    # driver list
+    live = table.metadata_df("files").select(
+        F.when(
+            F.col("file_path").startswith("/"), F.col("file_path")
+        )
+        .otherwise(F.concat(F.lit(table.location + "/"), F.col("file_path")))
+        .alias("file_path")
+    )
+    kept_df = norm.join(live, "file_path", "leftsemi")
+    n_before = sum(d.rows for d in pos)
+    staged = table.stage_dataframe(kept_df.coalesce(1))
+    new_deletes = [
+        DeleteFile(
+            path=f.path,
+            rows=f.rows,
+            bytes=f.bytes,
+            equality_ids=[],
+            content="position",
+        )
+        for f in staged
+    ]
+    n_kept = sum(f.rows for f in staged)
+    table.commit(
+        None,
+        snap.schema,
+        "consolidate-deletes",
+        snap.version,
+        manifests=list(snap.manifests),
+        new_files=list(snap.inline_files),
+        delete_files=others + new_deletes,
+        summary={
+            "consolidated-delete-files": len(pos),
+            "dropped-addresses": n_before - n_kept,
+        },
+    )
+    return {
+        "consolidated": len(pos),
+        "addresses": n_kept,
+        "dropped": n_before - n_kept,
+    }
+
+
 def maintain(table: LakeTable, policy: MaintenancePolicy | None = None) -> dict:
     """Run the full upkeep cycle — delete folding, small-file compaction,
     snapshot expiry, orphan removal — in dependency order, each step its

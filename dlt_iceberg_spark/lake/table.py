@@ -2328,6 +2328,7 @@ class LakeTable:
     _LAYOUT_ONLY_OPS = (
         "compact", "zorder", "evolve-schema", "evolve-partition",
         "backfill-stats", "rename-column", "add-column", "drop-column",
+        "consolidate-deletes",  # mask dedupe/dangling-drop: row set unchanged
     )
 
     def read_changes(

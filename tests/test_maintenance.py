@@ -285,3 +285,71 @@ def test_maintain_runs_full_cycle(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == list(range(3, 100))
     # staging dir swept
     assert not os.path.exists(os.path.join(loc, "_staging_dead"))
+
+
+def test_consolidate_position_deletes_merges_and_drops_dangling(spark, tmp_path):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import consolidate_position_deletes
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, i) for i in range(20)], "id long, v long"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    # three separate position-delete commits -> three mask files
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        t.position_delete_where([("v", ">=", lo), ("v", "<", hi)])
+        t = catalog.load_table("ds", "t")
+    n_masks = len([d for d in t.snapshot().delete_files if d.content == "position"])
+    assert n_masks >= 3  # one mask file per delete commit (or more: one per partition)
+    before = sorted(r.v for r in t.read().collect())
+
+    report = consolidate_position_deletes(t)
+    assert report["consolidated"] == n_masks and report["addresses"] == 6
+    t = catalog.load_table("ds", "t")
+    pos = [d for d in t.snapshot().delete_files if d.content == "position"]
+    assert len(pos) == 1  # one mask file now
+    assert sorted(r.v for r in t.read().collect()) == before  # row set unchanged
+    # data files untouched (zero-rewrite guarantee)
+    assert t.snapshot().summary.get("consolidated-delete-files") == n_masks
+    # changelog passes straight through the consolidation snapshot
+    ch = t.read_changes(t.snapshot().parent)
+    assert ch.count() == 0
+
+
+def test_consolidation_after_cow_rewrite_drops_dangling_addresses(spark, tmp_path):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import consolidate_position_deletes
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, val string"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    t.position_delete_where([("id", "=", 3)])
+    t.position_delete_where([("id", "=", 4)])
+    # CoW upsert rewrites the file(s) holding the addressed rows: the old
+    # addresses dangle (their target path leaves the live set)
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+        ),
+        spark.createDataFrame([(5, "FIVE")], "id long, val string"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    before = sorted((r.id, r.val) for r in t.read().collect())
+    report = consolidate_position_deletes(t)
+    t = catalog.load_table("ds", "t")
+    assert sorted((r.id, r.val) for r in t.read().collect()) == before
+    assert report["dropped"] >= 0
