@@ -442,6 +442,9 @@ class MaintenancePolicy:
     #: fold equality deletes back into data files once this many delete
     #: files are outstanding (MoR read tax grows with the mask count)
     fold_deletes_over: int = 8
+    #: merge position-delete files (zero data rewritten) once this many
+    #: are outstanding — the cheap step that usually makes folding moot
+    consolidate_deletes_over: int = 4
     #: snapshot retention
     expire_older_than: timedelta = timedelta(days=7)
     keep_last_snapshots: int = 10
@@ -551,6 +554,13 @@ def maintain(table: LakeTable, policy: MaintenancePolicy | None = None) -> dict:
     snap = table.snapshot()
     if snap is None:
         raise FileNotFoundError(f"no such table: {table.location}")
+    # position masks first — O(delete rows), zero data rewritten — so a
+    # stream accumulating one mask per batch rarely escalates to the full
+    # fold below
+    n_pos = sum(1 for d in snap.delete_files if d.content == "position")
+    if n_pos >= policy.consolidate_deletes_over:
+        report["consolidated_deletes"] = consolidate_position_deletes(table)
+        snap = table.snapshot()
     if len(snap.delete_files) >= policy.fold_deletes_over and snap.delete_files:
         table.fold_deletes()
         report["folded_delete_files"] = len(snap.delete_files)
