@@ -1090,12 +1090,13 @@ class LakeTable:
             ]
 
         if files is not None:
-            refs = write_chunked(self.location, stamp(files), io=self._io)
+            _added = stamp(files)
+            refs = write_chunked(self.location, _added, io=self._io)
         else:
             refs = list(manifests or [])
-            adds = stamp(new_files or [])
-            if adds:
-                refs.extend(write_chunked(self.location, adds, io=self._io))
+            _added = stamp(new_files or [])
+            if _added:
+                refs.extend(write_chunked(self.location, _added, io=self._io))
             # fold accumulated micro-manifests (reads only the small ones)
             refs = compact_refs(self.location, refs, io=self._io)
         # None = inherit: an append/evolve on a merge-on-read table must not
@@ -1175,7 +1176,19 @@ class LakeTable:
             partition_spec=partition_spec
             if partition_spec is not None
             else (prev.partition_spec if prev else []),
-            summary=summary or {},
+            # Iceberg-standard snapshot summary metrics (spec "Metrics"),
+            # computed from manifest refs — O(refs), never a data read;
+            # explicit caller keys win on collision
+            summary={
+                "added-data-files": len(_added),
+                "added-records": sum(f.rows for f in _added),
+                "added-files-size": sum(f.bytes for f in _added),
+                "total-data-files": sum(r.n_files for r in refs),
+                "total-records": sum(r.rows for r in refs),
+                "total-files-size": sum(r.bytes for r in refs),
+                "total-delete-files": len(resolved_deletes),
+                **(summary or {}),
+            },
             properties=resolved_props,
             delete_files=resolved_deletes,
             field_ids=field_ids,

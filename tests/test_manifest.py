@@ -423,3 +423,32 @@ def test_iceberg_metadata_export_shape(spark, tmp_path):
     md2 = _json.loads(open(table.export_iceberg_metadata()).read())
     assert md2["table-uuid"] == md["table-uuid"]
     assert md2["schemas"] == md["schemas"]
+
+
+def test_commit_records_iceberg_standard_metrics(spark, tmp_path):
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, str(tmp_path / "t"))
+    df = spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.commit(t.stage_dataframe(df), df.schema, "create", None)
+    s = t.snapshot().summary
+    assert s["added-records"] == 10 and s["total-records"] == 10
+    assert s["added-data-files"] == s["total-data-files"] > 0
+    assert s["added-files-size"] == s["total-files-size"] > 0
+    snap = t.snapshot()
+    adds = t.stage_dataframe(spark.createDataFrame([(100, 1)], "id bigint, v bigint"))
+    t.commit(
+        None, t.schema(), "append", snap.version,
+        manifests=snap.manifests, new_files=adds,
+    )
+    s2 = t.snapshot().summary
+    assert s2["added-records"] == 1 and s2["total-records"] == 11
+    # explicit caller keys win on collision
+    snap = t.snapshot()
+    t.commit(
+        None, t.schema(), "append", snap.version,
+        manifests=snap.manifests, new_files=[],
+        summary={"added-records": "caller-said-so"},
+    )
+    assert t.snapshot().summary["added-records"] == "caller-said-so"
