@@ -2310,7 +2310,7 @@ class LakeTable:
             # unchanged, so incremental reads pass straight through them
             if snap.operation not in (
                 "append", "create", "evolve-schema", "evolve-partition",
-                "rename-column", "add-column", "drop-column",
+                "rename-column", "add-column", "drop-column", "promote-column",
             ):
                 raise ValueError(
                     f"cannot read incrementally across a '{snap.operation}' "
@@ -2341,6 +2341,7 @@ class LakeTable:
     _LAYOUT_ONLY_OPS = (
         "compact", "zorder", "evolve-schema", "evolve-partition",
         "backfill-stats", "rename-column", "add-column", "drop-column",
+        "promote-column",
         "consolidate-deletes",  # mask dedupe/dangling-drop: row set unchanged
     )
 
@@ -2431,7 +2432,9 @@ class LakeTable:
                 eid = (end.field_ids or {}).get(f.name)
                 era_name = era_of_id.get(eid, f.name) if eid is not None else f.name
                 if era_name in have:
-                    sel.append(F.col(era_name).alias(f.name))
+                    # cast: a pre-promotion era image carries the narrower
+                    # written type; the changelog presents the END schema
+                    sel.append(F.col(era_name).cast(f.dataType).alias(f.name))
                 else:
                     sel.append(F.lit(None).cast(f.dataType).alias(f.name))
             return df.select(
@@ -2846,6 +2849,91 @@ class LakeTable:
             manifests=manifests,
             new_files=inline,
             field_ids=ids,
+        )
+
+    def promote_column_type(self, col: str, new_type: T.DataType | str) -> Snapshot:
+        """Metadata-only type widening (Iceberg ``ALTER TABLE .. ALTER
+        COLUMN .. TYPE``) — zero data files touched at ANY table size.
+
+        Only Iceberg-safe promotions are accepted (int→long, float→double,
+        decimal precision widening — :func:`can_promote_type`); the parquet
+        reader widens the physical pages at scan time (Spark's explicit
+        read schema accepts a wider logical type over a narrower physical
+        one), so files written before and after the promotion share one
+        scan per name era.  The field KEEPS its stable id — Iceberg
+        promotions never rebind ids — so the changelog, time travel (old
+        snapshots read under their era's narrower type) and exported
+        metadata all stay consistent.  Completes the metadata-only DDL set
+        (rename / drop / add / promote).  Reference surface: schema
+        evolution, /root/reference/src/dlt_iceberg/schema_evolution.py
+        (the reference delegates promotions to PyIceberg's UpdateSchema).
+
+        Refused when the column sources a partition field whose stored
+        tuples are TYPE-SENSITIVE: ``bucket`` hashes int and long to
+        different values (xxhash64 hashes 4 vs 8 bytes), and float→double /
+        decimal-scale changes alter the string rendering ``identity`` /
+        ``truncate`` tuples are keyed by — a probe rewrite would then name
+        a different partition than the live files record and silently drop
+        matching files.  Evolve the partition spec off the column first.
+        """
+        from dlt_iceberg_spark.schema.evolution import can_promote_type
+
+        snap = self.snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        by_name = {f.name: f for f in snap.schema.fields}
+        if col not in by_name:
+            raise ValueError(f"no such column: {col!r}")
+        if isinstance(new_type, str):
+            new_type = T._parse_datatype_string(new_type)
+        old_type = by_name[col].dataType
+        if old_type == new_type:
+            raise ValueError(f"column {col!r} already has type {new_type.simpleString()}")
+        if not can_promote_type(old_type, new_type):
+            raise ValueError(
+                f"{old_type.simpleString()} -> {new_type.simpleString()} is not "
+                "a safe (Iceberg) promotion; only int->long, float->double and "
+                "decimal precision widening read old files losslessly"
+            )
+        rendering_changes = isinstance(old_type, T.FloatType) or (
+            isinstance(old_type, T.DecimalType)
+            and isinstance(new_type, T.DecimalType)
+            and new_type.scale != old_type.scale
+        )
+        for p in snap.partition_spec or []:
+            if (p.get("column") or p.get("source")) != col:
+                continue
+            tr = p.get("transform", "identity")
+            if tr == "bucket" or rendering_changes:
+                raise ValueError(
+                    f"column {col!r} sources a {tr!r} partition field whose "
+                    "stored tuples are type-sensitive; evolve the partition "
+                    "spec off the column first"
+                )
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    new_type if f.name == col else f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in snap.schema.fields
+            ]
+        )
+        return self.commit(
+            None,
+            new_schema,
+            "promote-column",
+            snap.version,
+            summary={
+                "promoted-column": (
+                    f"{col}: {old_type.simpleString()} -> {new_type.simpleString()}"
+                )
+            },
+            delete_files=list(snap.delete_files),
+            manifests=list(snap.manifests),
+            new_files=list(snap.inline_files),
         )
 
     @staticmethod

@@ -3914,6 +3914,70 @@ _LAKE_RENAME_CACHE: dict = {}
 
 
 @query(
+    "lake_promote_type",
+    """
+    SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS cust_key,
+           o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc=(
+        "Metadata-only TYPE PROMOTION through the ACTUAL table format "
+        "(Iceberg ALTER COLUMN .. TYPE parity): half the orders land with "
+        "the key column written as INT32, promote_column_type('cust_key', "
+        "'long') widens the schema without touching a single data file "
+        "(stable field id, manifests by reference), the other half appends "
+        "as INT64, and the read probes the promoted column — the parquet "
+        "reader widens int32 pages under the long read schema and stats "
+        "pruning spans both type eras.  The oracle is the plain projection "
+        "both eras must reconstitute."
+    ),
+)
+def lake_promote_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_PROMOTE_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_promote_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("cust_key"),
+            "o_orderstatus",
+            "o_orderdate",
+        )
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", sort_order=["cust_key"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+                "cust_key", F.col("cust_key").cast("int")
+            ),
+        )
+        table = catalog.load_table("gate", "orders")
+        table.promote_column_type("cust_key", "long")
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", sort_order=["cust_key"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        table = catalog.load_table("gate", "orders")
+        _LAKE_PROMOTE_CACHE[key] = table
+    return table.read(where=[("cust_key", "<", 100)]).select(
+        "o_orderkey", "cust_key", "o_orderstatus", "o_orderdate"
+    )
+
+
+_LAKE_PROMOTE_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -4405,9 +4469,10 @@ _GATE_PRIORITY = [
     "merge_hard_delete", "lm_perplexity",
     "lake_rename_column",
 ]
-# NOTE: six of the seven r6-added queries (text_tfidf_terms,
-# text_nb_language, knn_label_vote, dedup_boilerplate_lines,
-# stream_lake_tail, stream_lake_sink) intentionally sit OUTSIDE this
+# NOTE: most r6-added queries (text_tfidf_terms, text_nb_language,
+# knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
+# stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
+# lake_promote_type, lake_spec_evolution) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
 # driver row older than two rounds).  They are verified by

@@ -47,7 +47,7 @@ from pyspark.sql.datasource import (
 #: snapshot ops a streaming tail passes through without emitting rows
 _PASS_THROUGH_OPS = (
     "evolve-schema", "evolve-partition", "rename-column", "add-column",
-    "drop-column", "backfill-stats",
+    "drop-column", "promote-column", "backfill-stats",
 )
 _APPEND_OPS = ("append", "create")
 

@@ -441,3 +441,131 @@ def test_export_historical_schemas_resolve_era_ids(spark, warehouse):
     assert old and all(
         f["id"] == vid for s in old for f in s["fields"] if f["name"] == "v"
     )
+
+
+def test_promote_int_to_long_reads_old_and_new_files(spark, warehouse):
+    catalog, writer, t = _mk(
+        spark, warehouse, [(i, i * 10) for i in range(5)], "id long, v int"
+    )
+    refs_before = [r.path for r in t.snapshot().manifests]
+    old_id = t.snapshot().field_ids["v"]
+    t.promote_column_type("v", "long")
+    # pure metadata: manifests pass through by reference, field id stable
+    assert [r.path for r in t.snapshot().manifests] == refs_before
+    assert t.snapshot().field_ids["v"] == old_id
+    assert {f.name: f.dataType for f in t.schema().fields}["v"] == T.LongType()
+    # old int32 pages read widened
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(i, i * 10) for i in range(5)]
+    # post-promotion appends (written long) mix with pre-promotion files
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(100, 2**40)], "id long, v long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(i, i * 10) for i in range(5)] + [(100, 2**40)]
+    # stats pruning still applies across both eras
+    assert t.read(where=[("v", ">=", 2**40)]).count() == 1
+    assert t.read(where=[("v", "<", 50)]).count() == 5
+
+
+def test_promote_refusals(spark, warehouse):
+    catalog, writer, t = _mk(
+        spark,
+        warehouse,
+        [(1, 1, 1.5)],
+        "id int, b int, f float",
+        partition_hints={"b": "bucket[4]", "f": "identity"},
+    )
+    with pytest.raises(ValueError, match="no such column"):
+        t.promote_column_type("nope", "long")
+    with pytest.raises(ValueError, match="already has type"):
+        t.promote_column_type("id", "int")
+    with pytest.raises(ValueError, match="not a safe"):
+        t.promote_column_type("id", "string")
+    with pytest.raises(ValueError, match="already has type"):
+        t.promote_column_type("f", "float")
+    with pytest.raises(ValueError, match="type-sensitive"):
+        t.promote_column_type("b", "long")  # bucket hashes int/long differently
+    with pytest.raises(ValueError, match="type-sensitive"):
+        t.promote_column_type("f", "double")  # identity tuple rendering changes
+
+
+def test_promote_identity_partition_int_keeps_pruning(spark, warehouse):
+    catalog, writer, t = _mk(
+        spark,
+        warehouse,
+        [(i, i % 3) for i in range(9)],
+        "id long, grp int",
+        partition_hints={"grp": "identity"},
+    )
+    t.promote_column_type("grp", "long")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(100, 1)], "id long, grp long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    got = sorted(r.id for r in t.read(where=[("grp", "=", 1)]).collect())
+    assert got == [1, 4, 7, 100]
+
+
+def test_promote_merge_key_with_outstanding_equality_deletes(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    spec = TableSpec(
+        name="t",
+        write_disposition={"disposition": "merge", "strategy": "upsert"},
+        primary_key=["id"],
+        merge_mode="mor",
+    )
+    writer.write(spec, spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), load_id="l0")
+    writer.write(spec, spark.createDataFrame([(1, "a2")], "id int, v string"), load_id="l1")
+    t = catalog.load_table("ds", "t")
+    assert t.snapshot().delete_files  # MoR mask outstanding
+    t.promote_column_type("id", "long")
+    # old int delete-key parquet reads widened and still masks row id=1
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(1, "a2"), (2, "b")]
+    # a post-promotion MoR merge keyed long composes with the int-era mask
+    writer.write(spec, spark.createDataFrame([(2, "b2")], "id long, v string"), load_id="l2")
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.v) for r in t.read().collect())
+    assert got == [(1, "a2"), (2, "b2")]
+
+
+def test_changelog_and_time_travel_across_promotion(spark, warehouse):
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v int")
+    v1 = t.current_version()
+    t.promote_column_type("v", "long")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 2**40)], "id long, v long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    # time travel: the old snapshot reads under its era's narrower type
+    old = t.read(snapshot_version=v1)
+    assert dict((f.name, f.dataType) for f in old.schema.fields)["v"] == T.IntegerType()
+    assert [(r.id, r.v) for r in old.collect()] == [(1, 10)]
+    # changelog presents the END schema: pre-promotion images cast wide
+    ch = t.read_changes(None)
+    assert dict((f.name, f.dataType) for f in ch.schema.fields)["v"] == T.LongType()
+    got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+    assert got == [(1, 10, "insert"), (2, 2**40, "insert")]
+
+
+def test_read_incremental_across_promotion(spark, warehouse):
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v int")
+    v0 = t.current_version()
+    t.promote_column_type("v", "long")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 2**40)], "id long, v long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    inc = t.read_incremental(v0)
+    assert [(r.id, r.v) for r in inc.collect()] == [(2, 2**40)]

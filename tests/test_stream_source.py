@@ -193,3 +193,28 @@ def test_max_versions_per_batch_chunks_backfill(spark, warehouse, tmp_path):
     # batch may carry more than one row
     prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert prog and all(p["numInputRows"] == 1 for p in prog)
+
+
+def test_stream_bridges_promote_eras(spark, warehouse):
+    """A promote-column snapshot inside the tailed range passes through;
+    int32-era files read widened under the long stream schema."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, 10)], "id long, v int"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    t.promote_column_type("v", "long")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 2**40)], "id long, v long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    out = _drain(
+        spark, read_stream(spark, t.location, from_beginning=True), "tail_promo"
+    )
+    assert dict(out.dtypes)["v"] == "bigint"
+    assert sorted((r.id, r.v) for r in out.collect()) == [(1, 10), (2, 2**40)]
