@@ -3978,6 +3978,83 @@ _LAKE_PROMOTE_CACHE: dict = {}
 
 
 @query(
+    "lake_spec_evolution",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1995-07-01'
+    """,
+    doc=(
+        "Partition-spec EVOLUTION through the ACTUAL table format (Iceberg "
+        "ALTER TABLE .. ADD PARTITION FIELD parity): half the orders land "
+        "UNPARTITIONED (and deliberately unsorted, so min/max stats span "
+        "the full date range and cannot prune), the spec then evolves to "
+        "month(o_orderdate) — metadata-only, old files keep their empty "
+        "partition tuples — and the other half appends month-clustered.  A "
+        "single-month probe must prune the evolved era down to one month's "
+        "files BY TUPLE while conservatively keeping every pre-evolution "
+        "file (asserted in-process).  The oracle is the plain date-range "
+        "scan both eras must reconstitute."
+    ),
+)
+def lake_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_SPEC_EVO_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_specevo_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        writer.write(
+            TableSpec(
+                name="orders",
+                write_disposition="append",
+                column_hints={
+                    "o_orderdate": {
+                        "partition": True,
+                        "x-partition-transform": "month",
+                    }
+                },
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        table = catalog.load_table("gate", "orders")
+        assert "evolve-partition" in [s.operation for s in table.snapshots()]
+        _LAKE_SPEC_EVO_CACHE[key] = table
+    snap = table.snapshot()
+    where = [
+        ("o_orderdate", ">=", dt.date(1995, 6, 1)),
+        ("o_orderdate", "<", dt.date(1995, 7, 1)),
+    ]
+    _, files = table._select_files(snap, where)
+    # pre-evolution files carry no month key: all conservatively kept
+    # (unsorted era-1 stats span the full range, so stats cannot prune);
+    # evolved-era survivors are exactly the probed month's tuple
+    months = {f.partition.get("o_orderdate_month") for f in files}
+    assert months - {None} == {"1995-06"}, months
+    n_old = sum(1 for f in snap.files if not f.partition)
+    assert sum(1 for f in files if not f.partition) == n_old
+    return table.read(where=where).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+
+
+_LAKE_SPEC_EVO_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
