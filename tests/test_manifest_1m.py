@@ -199,3 +199,21 @@ def test_1m_partition_probe_pushdown_collects_one_bucket(mega_table):
         part_probes={"k_bucket": {"3"}},
     )
     assert len(both) == 10_000  # 80k files in range / 8 buckets
+
+
+def test_1m_metadata_only_ddl_reads_zero_manifests(mega_table, monkeypatch):
+    """add_column + promote_column_type at 1M entries: both commits pass
+    manifests BY REFERENCE — zero manifest chunks read, zero rewritten."""
+    reads = []
+    orig = table_mod.read_manifest
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw),
+    )
+    before = [r.path for r in mega_table.snapshot().manifests]
+    mega_table.add_column("w", "int")
+    snap = mega_table.promote_column_type("w", "long")
+    assert reads == []
+    assert [r.path for r in snap.manifests] == before
+    assert {f.name: f.dataType for f in snap.schema.fields}["w"] == T.LongType()
