@@ -1894,6 +1894,15 @@ class LakeTable:
         parts = []
         for sig, fl in sorted(groups.items(), key=lambda kv: repr(kv[0])):
             mapping = dict(sig)
+            # a physical name explicitly CLAIMED by a mapping belongs to
+            # that lineage: an unmapped column defaulting to the same
+            # physical name (rename-away then re-add, guard entry missing
+            # e.g. on an imported/hand-built table) must read NULL, not the
+            # other column's pages
+            claimed = {p for p in mapping.values() if p is not None}
+            for f in schema.fields:
+                if f.name not in mapping and f.name in claimed:
+                    mapping[f.name] = None
             phys = T.StructType(
                 [
                     T.StructField(
@@ -2815,7 +2824,25 @@ class LakeTable:
         ids = None
         manifests: list[ManifestRef] | None = list(snap.manifests)
         inline = list(snap.inline_files)
-        if name in snap.field_ids:  # drop/re-add: guard old physical values
+        # a name the table has EVER used is dangerous to re-add bare: after
+        # drop/re-add the old pages hold the DROPPED values, and after a
+        # rename-away chain (c0→c1, add c0) live files still carry physical
+        # 'c0' pages that now belong to the RENAMED lineage — either way the
+        # new column must read NULL from pre-existing files, so pin
+        # names[name]=None on every entry.  Reserved field ids catch the
+        # drop case; the ancestry walk catches renamed-away names (each hop
+        # is one small metadata JSON read, no manifest is opened).
+        historical = name in snap.field_ids
+        if not historical:
+            s = snap
+            while s is not None:
+                if name in (s.field_ids or {}) or any(
+                    f.name == name for f in s.schema.fields
+                ):
+                    historical = True
+                    break
+                s = self.snapshot(s.parent) if s.parent is not None else None
+        if historical:  # drop/re-add or rename-away: guard old physical values
 
             def _guard(f: DataFile) -> DataFile:
                 stats = dict(f.stats)

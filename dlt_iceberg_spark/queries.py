@@ -4055,6 +4055,137 @@ _LAKE_SPEC_EVO_CACHE: dict = {}
 
 
 @query(
+    "lake_cdc_changelog",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, 'delete'
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey < 50
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'X', o_orderdate, 'insert'
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey < 50
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, 'insert'
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc=(
+        "CDC changelog through the ACTUAL table format (Iceberg "
+        "create_changelog_view parity), hash-verified image by image: "
+        "append evens, MoR update_where flips o_orderstatus to 'X' for "
+        "o_custkey<50 (position deletes + a rewritten-row file, no CoW), "
+        "append odds, then read_changes(None) must emit exactly the "
+        "insert images of both appends PLUS a delete(original image) / "
+        "insert(updated image) pair per touched row — the oracle "
+        "reconstructs all four image sets from the raw fixture.  Planning "
+        "is O(files touched), never a table diff."
+    ),
+)
+def lake_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_CDC_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cdc_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        table = catalog.load_table("gate", "orders")
+        table.update_where(
+            [("o_custkey", "<", 50)], {"o_orderstatus": "X"}
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        table = catalog.load_table("gate", "orders")
+        _LAKE_CDC_CACHE[key] = table
+    return table.read_changes(None).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "_change_type"
+    )
+
+
+_LAKE_CDC_CACHE: dict = {}
+
+
+@query(
+    "lake_iceberg_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+    """,
+    doc=(
+        "Iceberg interop ROUND TRIP on the value-hash path: write orders "
+        "date-sorted through the dispositions, export_iceberg_metadata("
+        "avro_manifests=True) — spec-shaped v2 TableMetadata + avro "
+        "manifest list/manifests with Appendix-D column bounds — then "
+        "ADOPT the export into a second catalog (register_iceberg_table, "
+        "metadata-only, data referenced in place) and answer a date-range "
+        "probe through the imported table.  The in-process assertion that "
+        "the probe opened a strict subset of files proves the bounds "
+        "survived the encode→decode cycle; the oracle is the plain "
+        "date-range scan."
+    ),
+)
+def lake_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_ICB_RT_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_icbrt_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(
+                name="orders",
+                write_disposition="append",
+                sort_order=["o_orderdate"],
+                sort_buckets=8,
+            ),
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+            ),
+        )
+        native = catalog.load_table("gate", "orders")
+        meta_path = native.export_iceberg_metadata(avro_manifests=True)
+        adopting = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_icbrt_b_"))
+        table = adopting.register_iceberg_table("gate", "orders_icb", meta_path)
+        _LAKE_ICB_RT_CACHE[key] = table
+    snap = table.snapshot()
+    where = [
+        ("o_orderdate", ">=", dt.date(1996, 1, 1)),
+        ("o_orderdate", "<", dt.date(1996, 4, 1)),
+    ]
+    _, files = table._select_files(snap, where)
+    # the proof the Appendix-D bounds survived export->adopt: the probe
+    # plans a strict subset of the date-sorted files
+    assert snap.n_files > 1 and len(files) < snap.n_files, (len(files), snap.n_files)
+    return table.read(where=where).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+
+
+_LAKE_ICB_RT_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -4549,7 +4680,8 @@ _GATE_PRIORITY = [
 # NOTE: most r6-added queries (text_tfidf_terms, text_nb_language,
 # knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
-# lake_promote_type, lake_spec_evolution) intentionally sit OUTSIDE this
+# lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
+# lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
 # driver row older than two rounds).  They are verified by

@@ -569,3 +569,29 @@ def test_read_incremental_across_promotion(spark, warehouse):
     t = catalog.load_table("ds", "t")
     inc = t.read_incremental(v0)
     assert [(r.id, r.v) for r in inc.collect()] == [(2, 2**40)]
+
+
+def test_readd_of_renamed_away_name_reads_null_not_old_pages(spark, warehouse):
+    """rename c0->c1 leaves live files physically keyed 'c0'; a later
+    add_column('c0') must pin names['c0']=None on those files (fresh
+    field id, guard rewrite) so the new column reads NULL — never the
+    renamed lineage's pages."""
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10), (2, 20)], "id long, c0 long")
+    t.rename_column("c0", "c1")
+    t = catalog.load_table("ds", "t")
+    t.add_column("c0", "long")
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.c1, r.c0) for r in t.read().collect())
+    assert got == [(1, 10, None), (2, 20, None)]
+    # both lineages keep distinct field ids
+    ids = t.snapshot().field_ids
+    assert ids["c0"] != ids["c1"]
+    # post-add appends land values in the NEW column only
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(3, 30, 300)], "id long, c1 long, c0 long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.c1, r.c0) for r in t.read().collect())
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, 300)]
