@@ -1135,6 +1135,23 @@ class LakeTable:
         for k in ("imported-from", "imported-table-uuid"):
             if prev and k in prev.properties and k not in resolved_props:
                 resolved_props[k] = prev.properties[k]
+        # names the table has EVER used (renamed-away / dropped) are table
+        # lineage: add_column consults this to know a bare re-add must
+        # guard old physical pages.  Monotone — explicit-properties
+        # commits must not strip it (same contract as the tz set below).
+        reserved = {
+            n
+            for n in (prev.properties if prev else {})
+            .get("schema.reserved-names", "")
+            .split(",")
+            if n
+        } | {
+            n
+            for n in resolved_props.get("schema.reserved-names", "").split(",")
+            if n
+        }
+        if reserved:
+            resolved_props["schema.reserved-names"] = ",".join(sorted(reserved))
         # ts-sourced partition tuples (identity/year/month/day/hour on a
         # tz-adjusted timestamp) are RENDERED in the writer's session frame
         # by date_format/cast, so the frame is table lineage: scan-time
@@ -1433,6 +1450,30 @@ class LakeTable:
         # older eras keep their written names — listing every name a field
         # id has EVER had makes ALL eras resolvable to the consumer.
         _export_props = dict(snap.properties)
+        # a REBOUND name — reserved by an earlier rename/drop and later
+        # re-added under a fresh field id — is not expressible in Iceberg's
+        # table-level name mapping: live pre-DDL files physically carry the
+        # same column name for the OLD lineage, and a single names→id entry
+        # would bind one era's pages to the other era's field id (silent
+        # resurrection for any foreign reader, which our per-file guard
+        # can't protect).  Refuse honestly.
+        _rebound = sorted(
+            {
+                n
+                for n in snap.properties.get("schema.reserved-names", "").split(",")
+                if n
+            }
+            & {f.name for f in snap.schema.fields}
+        )
+        if _rebound:
+            raise ValueError(
+                f"columns {_rebound} were dropped/renamed away and later "
+                "re-added: Iceberg name mapping cannot bind one physical "
+                "name to two field ids, so exported metadata would let a "
+                "foreign reader resurrect stale pages.  Rewrite the data "
+                "first (compact_table + expire_snapshots) or export before "
+                "re-adding the name."
+            )
         _names_of: dict[int, list[str]] = {}
         for s in chain:
             for n, i in (s.field_ids or {}).items():
@@ -2736,12 +2777,20 @@ class LakeTable:
         ids = dict(snap.field_ids)
         if old in ids:
             ids[new] = ids.pop(old)
+        props = dict(snap.properties)
+        props["schema.reserved-names"] = ",".join(
+            sorted(
+                {n for n in props.get("schema.reserved-names", "").split(",") if n}
+                | {old}
+            )
+        )
         return self.commit(
             None,
             new_schema,
             "rename-column",
             snap.version,
             partition_spec=spec,
+            properties=props,
             summary={"renamed-column": f"{old} -> {new}"},
             delete_files=new_deletes,
             manifests=new_refs,
@@ -2780,11 +2829,19 @@ class LakeTable:
         new_schema = T.StructType(
             [f for f in snap.schema.fields if f.name != col]
         )
+        props = dict(snap.properties)
+        props["schema.reserved-names"] = ",".join(
+            sorted(
+                {n for n in props.get("schema.reserved-names", "").split(",") if n}
+                | {col}
+            )
+        )
         return self.commit(
             None,
             new_schema,
             "drop-column",
             snap.version,
+            properties=props,
             summary={"dropped-column": col},
             delete_files=list(snap.delete_files),
             manifests=list(snap.manifests),
@@ -2830,18 +2887,19 @@ class LakeTable:
         # 'c0' pages that now belong to the RENAMED lineage — either way the
         # new column must read NULL from pre-existing files, so pin
         # names[name]=None on every entry.  Reserved field ids catch the
-        # drop case; the ancestry walk catches renamed-away names (each hop
-        # is one small metadata JSON read, no manifest is opened).
-        historical = name in snap.field_ids
-        if not historical:
-            s = snap
-            while s is not None:
-                if name in (s.field_ids or {}) or any(
-                    f.name == name for f in s.schema.fields
-                ):
-                    historical = True
-                    break
-                s = self.snapshot(s.parent) if s.parent is not None else None
+        # drop case; `schema.reserved-names` (a monotone snapshot property
+        # every rename/drop accumulates into — O(1), survives snapshot
+        # expiry) catches renamed-away names.  Tables whose DDL history
+        # this format didn't write (imports, hand-built metadata) are
+        # still read-safe: _physical_read never lets an unmapped column
+        # default onto a physical name another lineage's mapping claims.
+        historical = name in snap.field_ids or name in {
+            n
+            for n in (snap.properties or {})
+            .get("schema.reserved-names", "")
+            .split(",")
+            if n
+        }
         if historical:  # drop/re-add or rename-away: guard old physical values
 
             def _guard(f: DataFile) -> DataFile:

@@ -595,3 +595,70 @@ def test_readd_of_renamed_away_name_reads_null_not_old_pages(spark, warehouse):
     t = catalog.load_table("ds", "t")
     got = sorted((r.id, r.c1, r.c0) for r in t.read().collect())
     assert got == [(1, 10, None), (2, 20, None), (3, 30, 300)]
+
+
+def test_add_after_rename_survives_snapshot_expiry(spark, warehouse):
+    """The renamed-away-name reservation must not depend on walking
+    snapshot ancestry: expire every pre-rename snapshot, then re-add the
+    old name — the guard rewrite still fires (schema.reserved-names is a
+    monotone snapshot property) and old pages read NULL."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import expire_snapshots
+
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, c0 long")
+    t.rename_column("c0", "c1")
+    t = catalog.load_table("ds", "t")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 20)], "id long, c1 long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    expire_snapshots(t, older_than=timedelta(seconds=0), keep_last=1)
+    t = catalog.load_table("ds", "t")
+    # the pre-rename snapshot is GONE (reading it raises) — an ancestry
+    # walk could not have seen the rename; the property must carry it
+    import pytest as _pytest
+
+    if t.snapshot().parent is not None:
+        with _pytest.raises(FileNotFoundError):
+            t.snapshot(t.snapshot().parent)
+    t.add_column("c0", "long")
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.c1, r.c0) for r in t.read().collect())
+    assert got == [(1, 10, None), (2, 20, None)]
+    snap = t.snapshot()
+    assert snap.field_ids["c0"] != snap.field_ids["c1"]
+    # the reservation survived expiry and the guard rewrite fired: every
+    # pre-add entry pins names['c0']=None
+    assert "c0" in snap.properties.get("schema.reserved-names", "")
+    assert all(f.names.get("c0", "missing") is None for f in snap.files)
+
+
+def test_export_refuses_rebound_names(spark, warehouse):
+    """Iceberg name mapping binds a physical name to ONE field id; a
+    drop/re-add or rename-away/re-add rebinding is not expressible, so
+    export must refuse instead of emitting metadata that would let a
+    foreign reader resurrect stale pages."""
+    import pytest as _pytest
+
+    # drop then re-add
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10, 5)], "id long, v long, w long")
+    t.drop_column("v")
+    t = catalog.load_table("ds", "t")
+    t.add_column("v", "long")
+    t = catalog.load_table("ds", "t")
+    with _pytest.raises(ValueError, match="re-added"):
+        t.export_iceberg_metadata()
+
+    # rename away then re-add the vacated name
+    catalog2, writer2, t2 = _mk(
+        spark, os.path.join(warehouse, "wh2"), [(1, 10)], "id long, c0 long", name="t2"
+    )
+    t2.rename_column("c0", "c1")
+    t2 = catalog2.load_table("ds", "t2")
+    t2.add_column("c0", "long")
+    t2 = catalog2.load_table("ds", "t2")
+    with _pytest.raises(ValueError, match="re-added"):
+        t2.export_iceberg_metadata()
