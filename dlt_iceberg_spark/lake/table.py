@@ -1370,6 +1370,12 @@ class LakeTable:
                         "name": f.name,
                         "required": not f.nullable,
                         "type": self._iceberg_type(f.dataType, next_id),
+                        # Iceberg v3: pre-add rows read this constant
+                        **(
+                            {"initial-default": (f.metadata or {})["initial-default"]}
+                            if (f.metadata or {}).get("initial-default") is not None
+                            else {}
+                        ),
                     }
                     for f in s.schema.fields
                 ],
@@ -1963,7 +1969,10 @@ class LakeTable:
             for f in schema.fields:
                 p = mapping.get(f.name, f.name)
                 if p is None:
-                    sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+                    # the file predates the column: Iceberg v3 semantics —
+                    # the field's initial-default if declared, else NULL
+                    dflt = (f.metadata or {}).get("initial-default")
+                    sel.append(F.lit(dflt).cast(f.dataType).alias(f.name))
                 elif p == f.name:
                     sel.append(F.col(f.name))
                 else:
@@ -2849,7 +2858,11 @@ class LakeTable:
         )
 
     def add_column(
-        self, name: str, dtype: T.DataType | str, nullable: bool = True
+        self,
+        name: str,
+        dtype: T.DataType | str,
+        nullable: bool = True,
+        default: Any = None,
     ) -> Snapshot:
         """Metadata-only column add — existing files read NULL for it.
 
@@ -2860,7 +2873,18 @@ class LakeTable:
         the manifests to pin ``names[name] = None`` on every existing
         entry — old files physically CONTAIN the dropped values under this
         name, and resurrecting them would be silent corruption; the re-add
-        also gets a FRESH field id (Iceberg never rebinds a dropped id)."""
+        also gets a FRESH field id (Iceberg never rebinds a dropped id).
+
+        ``default`` (Iceberg v3 ``initial-default``): rows written BEFORE
+        the add read this constant instead of NULL.  Still metadata-only —
+        the value lives in the field's schema metadata, every pre-add
+        entry is pinned ``names[name]=None`` so the scan knows the file
+        predates the column, and the entry's stats record ``[D, D]`` (every
+        pre-add row reads exactly D), so predicate pushdown prunes old
+        files on the new column for free.  Supported for int/float/
+        string/boolean columns; appends after the add must carry the
+        column explicitly (write-defaults are the caster's null-injection
+        concern, not the table format's)."""
         snap = self.snapshot()
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
@@ -2875,8 +2899,27 @@ class LakeTable:
                 "a metadata-only add is necessarily nullable (existing "
                 "rows have no value); add as nullable"
             )
+        meta: dict[str, Any] = {}
+        if default is not None:
+            _ok = {
+                T.LongType: int,
+                T.IntegerType: int,
+                T.ShortType: int,
+                T.ByteType: int,
+                T.DoubleType: (int, float),
+                T.FloatType: (int, float),
+                T.StringType: str,
+                T.BooleanType: bool,
+            }.get(type(dtype))
+            if _ok is None or not isinstance(default, _ok) or isinstance(default, bool) != isinstance(dtype, T.BooleanType):
+                raise ValueError(
+                    f"initial default {default!r} unsupported for "
+                    f"{dtype.simpleString()} (int/float/string/boolean "
+                    "columns take a matching python literal)"
+                )
+            meta["initial-default"] = default
         new_schema = T.StructType(
-            list(snap.schema.fields) + [T.StructField(name, dtype, True)]
+            list(snap.schema.fields) + [T.StructField(name, dtype, True, meta)]
         )
         ids = None
         manifests: list[ManifestRef] | None = list(snap.manifests)
@@ -2900,11 +2943,17 @@ class LakeTable:
             .split(",")
             if n
         }
-        if historical:  # drop/re-add or rename-away: guard old physical values
+        if historical or default is not None:
+            # drop/re-add or rename-away: guard old physical values.  A
+            # defaulted add pins the same marker (the scan must know the
+            # file PREDATES the column to substitute the default) and can
+            # record exact [D, D] stats — every pre-add row reads D.
 
             def _guard(f: DataFile) -> DataFile:
                 stats = dict(f.stats)
                 stats.pop(name, None)  # stale stats describe the DROPPED values
+                if default is not None:
+                    stats[name] = [default, default]
                 return DataFile(
                     path=f.path,
                     rows=f.rows,

@@ -4186,6 +4186,71 @@ _LAKE_ICB_RT_CACHE: dict = {}
 
 
 @query(
+    "lake_add_column_default",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, 7 AS priority_score
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_custkey % 10
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+    doc=(
+        "Iceberg-v3 initial-default through the table format, "
+        "hash-verified: append a third of orders, add_column("
+        "'priority_score', default=7) — METADATA-ONLY (the constant lives "
+        "in the field's schema metadata; every pre-add entry is pinned "
+        "names[col]=None with exact [7,7] stats) — then append the rest "
+        "with real values.  Pre-add rows must read 7, post-add rows their "
+        "values, and the in-process assertion that a priority_score>9 "
+        "probe plans ONLY post-add files proves the default participates "
+        "in stats pruning.  The oracle rebuilds both row sets with a "
+        "CASE-free UNION."
+    ),
+)
+def lake_add_column_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_ADD_DEFAULT_CACHE.get(key)
+    if table is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_adddflt_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+        )
+        table = catalog.load_table("gate", "orders")
+        table.add_column("priority_score", "long", default=7)
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+                "priority_score", F.col("o_custkey") % 10
+            ),
+        )
+        table = catalog.load_table("gate", "orders")
+        _LAKE_ADD_DEFAULT_CACHE[key] = table
+    snap = table.snapshot()
+    pre_add = [f for f in snap.files if f.names.get("priority_score", "x") is None]
+    _, files = table._select_files(snap, [("priority_score", ">", 9)])
+    # default stats prune: no pre-add (guarded) file survives a probe that
+    # excludes the constant
+    assert pre_add and not ({f.path for f in files} & {f.path for f in pre_add})
+    return table.read().select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "priority_score"
+    )
+
+
+_LAKE_ADD_DEFAULT_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -4681,6 +4746,7 @@ _GATE_PRIORITY = [
 # knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
+# lake_add_column_default,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no

@@ -662,3 +662,89 @@ def test_export_refuses_rebound_names(spark, warehouse):
     t2 = catalog2.load_table("ds", "t2")
     with _pytest.raises(ValueError, match="re-added"):
         t2.export_iceberg_metadata()
+
+
+def test_add_column_with_initial_default(spark, warehouse):
+    """Iceberg v3 initial-default: pre-add rows read the constant, the
+    guard entries carry exact [D, D] stats so the new column PRUNES on
+    old files, and post-add appends read their real values."""
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10), (2, 20)], "id long, v long")
+    t.add_column("score", "long", default=7)
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.score) for r in t.read().collect())
+    assert got == [(1, 7), (2, 7)]
+    # stats-pruning: a probe excluding the default skips the old file
+    snap = t.snapshot()
+    _, files = t._select_files(snap, [("score", ">", 100)])
+    assert files == []
+    _, files = t._select_files(snap, [("score", "=", 7)])
+    assert len(files) == snap.n_files
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(3, 30, 500)], "id long, v long, score long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.score) for r in t.read().collect())
+    assert got == [(1, 7), (2, 7), (3, 500)]
+    # the probe now plans exactly the post-add file
+    _, files = t._select_files(t.snapshot(), [("score", ">", 100)])
+    assert len(files) == 1
+    assert sorted(r.id for r in t.read(where=[("score", "=", 7)]).collect()) == [1, 2]
+
+
+def test_drop_then_readd_with_default_reads_default(spark, warehouse):
+    catalog, writer, t = _mk(
+        spark, warehouse, [(1, 10, 99)], "id long, v long, flag long"
+    )
+    t.drop_column("flag")
+    t = catalog.load_table("ds", "t")
+    t.add_column("flag", "long", default=0)
+    t = catalog.load_table("ds", "t")
+    # the dropped 99 never resurrects; the NEW lineage's default applies
+    assert [(r.id, r.flag) for r in t.read().collect()] == [(1, 0)]
+
+
+def test_add_column_default_survives_compaction_and_promotion(spark, warehouse):
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v long")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 20)], "id long, v long"),
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    t.add_column("score", "int", default=7)
+    t = catalog.load_table("ds", "t")
+    compact_table(t)
+    t = catalog.load_table("ds", "t")
+    assert sorted((r.id, r.score) for r in t.read().collect()) == [(1, 7), (2, 7)]
+    t.promote_column_type("score", "long")
+    t = catalog.load_table("ds", "t")
+    assert [f.metadata for f in t.schema().fields if f.name == "score"] == [
+        {"initial-default": 7}
+    ]
+    assert sorted((r.id, r.score) for r in t.read().collect()) == [(1, 7), (2, 7)]
+
+
+def test_add_column_default_exports_v3_field(spark, warehouse):
+    import json
+
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v long")
+    t.add_column("score", "long", default=7)
+    t = catalog.load_table("ds", "t")
+    meta = json.loads(open(t.export_iceberg_metadata()).read())
+    cur = [s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]][0]
+    fld = [f for f in cur["fields"] if f["name"] == "score"][0]
+    assert fld["initial-default"] == 7
+
+
+def test_add_column_default_type_validation(spark, warehouse):
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v long")
+    with pytest.raises(ValueError, match="unsupported"):
+        t.add_column("d", "date", default="2020-01-01")
+    with pytest.raises(ValueError, match="unsupported"):
+        t.add_column("n", "long", default="seven")
+    with pytest.raises(ValueError, match="unsupported"):
+        t.add_column("b", "long", default=True)  # bool is not an int default
