@@ -1370,12 +1370,13 @@ class LakeTable:
                         "name": f.name,
                         "required": not f.nullable,
                         "type": self._iceberg_type(f.dataType, next_id),
-                        # Iceberg v3: pre-add rows read this constant
-                        **(
-                            {"initial-default": (f.metadata or {})["initial-default"]}
-                            if (f.metadata or {}).get("initial-default") is not None
-                            else {}
-                        ),
+                        # Iceberg v3: pre-add rows read initial-default;
+                        # writes omitting the column land write-default
+                        **{
+                            k: (f.metadata or {})[k]
+                            for k in ("initial-default", "write-default")
+                            if (f.metadata or {}).get(k) is not None
+                        },
                     }
                     for f in s.schema.fields
                 ],
@@ -2917,7 +2918,12 @@ class LakeTable:
                     f"{dtype.simpleString()} (int/float/string/boolean "
                     "columns take a matching python literal)"
                 )
+            # Iceberg v3 keeps the pair distinct: initial-default backfills
+            # pre-add rows at read time, write-default fills batches that
+            # omit the column.  add_column sets both to the same constant
+            # (the common case); the caster honors write-default.
             meta["initial-default"] = default
+            meta["write-default"] = default
         new_schema = T.StructType(
             list(snap.schema.fields) + [T.StructField(name, dtype, True, meta)]
         )

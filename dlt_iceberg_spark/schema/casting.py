@@ -156,8 +156,13 @@ def validate_cast(
     for name, df_ in dst_by_name.items():
         if name not in src_by_name:
             if df_.nullable:
-                issues.append(CastIssue(name, Verdict.WARN, "missing in source; null-filled"))
-                logger.warning("target column %r missing in source; null-filling", name)
+                fill = (
+                    "default-filled"
+                    if (df_.metadata or {}).get("write-default") is not None
+                    else "null-filled"
+                )
+                issues.append(CastIssue(name, Verdict.WARN, f"missing in source; {fill}"))
+                logger.warning("target column %r missing in source; %s", name, fill)
             else:
                 fatal.append(f"required target column {name!r} missing from source")
     if fatal:
@@ -177,5 +182,9 @@ def cast_dataframe_safe(
         if f.name in src_names:
             cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            # Iceberg v3 write-default: a batch omitting a defaulted column
+            # lands the constant, not NULL (add_column(default=...) sets
+            # both keys; a bare initial-default still null-fills here)
+            dflt = (f.metadata or {}).get("write-default")
+            cols.append(F.lit(dflt).cast(f.dataType).alias(f.name))
     return df.select(*cols)

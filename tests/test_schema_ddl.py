@@ -723,7 +723,7 @@ def test_add_column_default_survives_compaction_and_promotion(spark, warehouse):
     t.promote_column_type("score", "long")
     t = catalog.load_table("ds", "t")
     assert [f.metadata for f in t.schema().fields if f.name == "score"] == [
-        {"initial-default": 7}
+        {"initial-default": 7, "write-default": 7}
     ]
     assert sorted((r.id, r.score) for r in t.read().collect()) == [(1, 7), (2, 7)]
 
@@ -748,3 +748,20 @@ def test_add_column_default_type_validation(spark, warehouse):
         t.add_column("n", "long", default="seven")
     with pytest.raises(ValueError, match="unsupported"):
         t.add_column("b", "long", default=True)  # bool is not an int default
+
+
+def test_append_omitting_defaulted_column_lands_write_default(spark, warehouse):
+    """Iceberg v3 write-default: a post-add batch that omits the defaulted
+    column lands the constant (the caster default-fills instead of
+    null-filling), so readers see one consistent value story."""
+    catalog, writer, t = _mk(spark, warehouse, [(1, 10)], "id long, v long")
+    t.add_column("score", "long", default=7)
+    t = catalog.load_table("ds", "t")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(2, 20)], "id long, v long"),  # no score
+        load_id="l1",
+    )
+    t = catalog.load_table("ds", "t")
+    got = sorted((r.id, r.score) for r in t.read().collect())
+    assert got == [(1, 7), (2, 7)]
