@@ -669,6 +669,7 @@ def test_schema_ddl_sequences_match_model(spark, ops):
     cols = ["id", "c0"]
     model: dict[int, dict] = {i: {"id": i, "c0": -1} for i in range(5)}
     next_col = 1
+    defaults: dict[str, int] = {}  # col -> initial/write default
 
     def check():
         t = catalog.load_table("m", "t")
@@ -690,12 +691,15 @@ def test_schema_ddl_sequences_match_model(spark, ops):
             next_col += 1
             t.rename_column(old, new)
             cols[cols.index(old)] = new
+            if old in defaults:
+                defaults[new] = defaults.pop(old)
             for row in model.values():
                 row[new] = row.pop(old, None)
         elif kind == "drop" and len(data_cols) > 1:
             victim = data_cols[-1]
             t.drop_column(victim)
             cols.remove(victim)
+            defaults.pop(victim, None)
             for row in model.values():
                 row.pop(victim, None)
         elif kind == "add":
@@ -705,12 +709,20 @@ def test_schema_ddl_sequences_match_model(spark, ops):
                 name = f"c{next_col}"
             if name in (t.snapshot().field_ids or {}) and name in cols:
                 continue
-            t.add_column(name, "long")
+            # every third add carries an Iceberg-v3 default: existing rows
+            # must read it (initial-default), later sparse batches land it
+            # (write-default) — composed with renames/drops/re-adds
+            dflt = 7 + n if n % 3 == 0 else None
+            t.add_column(name, "long", default=dflt)
             if name not in cols:
                 cols.append(name)
             next_col += 1
+            if dflt is not None:
+                defaults[name] = dflt
+            else:
+                defaults.pop(name, None)
             for row in model.values():
-                row[name] = None
+                row[name] = dflt
         elif kind == "append" and data_cols:
             vcol = data_cols[0]
             df = spark.createDataFrame(rows, f"id long, {vcol} long")
@@ -719,7 +731,7 @@ def test_schema_ddl_sequences_match_model(spark, ops):
             )
             for i, v in rows:
                 model[max(model, default=0) + 1000 + i] = {
-                    **{c: None for c in cols}, "id": i, vcol: v,
+                    **{c: defaults.get(c) for c in cols}, "id": i, vcol: v,
                 }
         elif kind == "upsert" and data_cols:
             vcol = data_cols[0]
@@ -739,5 +751,5 @@ def test_schema_ddl_sequences_match_model(spark, ops):
                 hit = [k for k, row in model.items() if row["id"] == i]
                 for k in hit:
                     del model[k]
-                model[i] = {**{c: None for c in cols}, "id": i, vcol: v}
+                model[i] = {**{c: defaults.get(c) for c in cols}, "id": i, vcol: v}
         check()
