@@ -91,7 +91,18 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
         return T.StructType(
             [
                 T.StructField(
-                    f["name"], iceberg_type_to_spark(f["type"]), not f.get("required", False)
+                    f["name"],
+                    iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                    # Iceberg v3 defaults ride in field metadata so the
+                    # scan substitutes initial-default (not NULL) for
+                    # files predating the column, and sparse writes to
+                    # the adopted table land write-default
+                    {
+                        k: f[k]
+                        for k in ("initial-default", "write-default")
+                        if f.get(k) is not None
+                    },
                 )
                 for f in t["fields"]
             ]
@@ -398,6 +409,45 @@ def _data_files_from_parquet_manifests(
     return entries
 
 
+def _pin_defaulted_absents(
+    schema: T.StructType, source_location: str, files: list[DataFile]
+) -> list[DataFile]:
+    """Iceberg v3 initial-defaults on an ADOPTED table: a file whose
+    parquet footer lacks a defaulted column predates it and must read the
+    constant, so the entry gets the same ``names[col]=None`` marker a
+    native defaulted add pins (the scan substitutes the field's
+    initial-default for None-mapped columns).  One footer-only read per
+    file, only when a defaulted column exists and the entry doesn't
+    already map it; unreadable footers stay unmapped (conservative NULL,
+    the pre-v3 behavior)."""
+    import pyarrow.parquet as pq
+
+    defaulted = [
+        f.name
+        for f in schema.fields
+        if (f.metadata or {}).get("initial-default") is not None
+    ]
+    if not defaulted:
+        return files
+    out = []
+    for f in files:
+        wanted = [c for c in defaulted if c not in (f.names or {})]
+        if not wanted:
+            out.append(f)
+            continue
+        path = f.path if os.path.isabs(f.path) else os.path.join(source_location, f.path)
+        try:
+            footer = set(pq.ParquetFile(path).schema_arrow.names)
+        except Exception:
+            out.append(f)
+            continue
+        absent = {c: None for c in wanted if c not in footer}
+        out.append(
+            f if not absent else DataFile(**{**vars(f), "names": {**f.names, **absent}})
+        )
+    return out
+
+
 def _apply_name_mapping(
     meta: dict,
     schema_obj: dict,
@@ -532,6 +582,7 @@ def register_iceberg_table(
     files, delete_files = _apply_name_mapping(
         meta, schema_obj, source_location, files, delete_files
     )
+    files = _pin_defaulted_absents(schema, source_location, files)
 
     # Sequence rebase: native commits stamp sequence = snapshot version
     # (1, 2, …), which would COLLIDE with imported foreign sequences — a

@@ -1438,3 +1438,49 @@ def test_name_mapping_miss_reads_null_not_garbage(spark, tmp_path):
     imported = catalog.register_iceberg_table("ns2", "t_miss", meta_path)
     rows = imported.read().collect()
     assert [(r.id, r.comment) for r in rows] == [(1, None)]
+
+
+def test_defaulted_column_roundtrips_both_flavors(spark, tmp_path):
+    """Iceberg v3 initial-default across the interop bridge: export a
+    table whose pre-add files predate a defaulted column, adopt it in a
+    second namespace (both manifest flavors), and the adopted read must
+    substitute the constant — never NULL, never a resurrection.  The avro
+    flavor carries no per-entry names, so the import's footer peek must
+    pin names[col]=None on pre-add files by itself."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ns", "t")
+    t.add_column("score", "long", default=7)
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(3, "c", 30)], "id long, v string, score long"),
+        load_id="l1",
+    )
+    src = catalog.load_table("ns", "t")
+    want = sorted((r.id, r.score) for r in src.read().collect())
+    assert want == [(1, 7), (2, 7), (3, 30)]
+
+    for flavor, kwargs in (("parquet", {}), ("avro", {"avro_manifests": True})):
+        meta_path = src.export_iceberg_metadata(**kwargs)
+        meta = json.loads(open(meta_path).read())
+        cur = [
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        ][0]
+        fld = [f for f in cur["fields"] if f["name"] == "score"][0]
+        assert fld["initial-default"] == 7 and fld["write-default"] == 7
+        imported = catalog.register_iceberg_table(
+            "ns2", f"t_dflt_{flavor}", meta_path
+        )
+        got = sorted((r.id, r.score) for r in imported.read().collect())
+        assert got == want, flavor
+        # the adopted entries carry the predates-column marker
+        pre = [
+            f for f in imported.snapshot().files
+            if f.names.get("score", "x") is None
+        ]
+        assert len(pre) >= 1, flavor
