@@ -1,0 +1,233 @@
+"""Incrementally-maintained aggregate tables (CDC rollups).
+
+The 100 TB pattern: a fact table takes appends / row-level updates /
+deletes all day, and a handful of dashboards need ``GROUP BY`` summaries
+of it.  Recomputing the aggregate is an O(source) scan per refresh; this
+module maintains the summary as a first-class :class:`LakeTable` from the
+source's CDC changelog instead — every refresh costs O(changed rows +
+touched groups), never O(source).  TimescaleDB calls the shape a
+continuous aggregate; Iceberg users hand-roll it over
+``create_changelog_view``; the reference has no equivalent (its engine
+delegates aggregation entirely — SURVEY.md §2.5).
+
+Mechanics:
+
+- ``refresh()`` reads ``source.read_changes(cursor, head)`` and folds it
+  into signed per-group deltas: insert images add, delete images
+  subtract.  Copy-on-write rewrites re-emit unchanged rows as identical
+  delete+insert pairs, which cancel exactly in the signed sums — the raw
+  changelog is consumed without a net-changes pass.
+- The deltas join the CURRENT group rows (a semi-join keeps it to touched
+  groups) and land through the writer's ordinary key-localized CoW merge:
+  untouched rollup files pass by reference, groups whose row count drops
+  to zero ride the hard-delete marker out of the table — one atomic
+  snapshot.
+- **Exactly-once without a side channel**: the refresh stamps
+  ``load_id="rollup-src-<version>"`` into that snapshot's summary, and
+  the next refresh recovers its cursor by walking the rollup's snapshots
+  (newest first) for the marker.  Data and cursor commit atomically — a
+  crash before the commit replays the same delta; after it, the marker
+  advances.
+- Only aggregates with an inverse are maintainable under deletes: ``sum``
+  and ``count`` (``avg`` = sum/count at read time).  ``min``/``max`` are
+  refused — retracting the current extremum needs a group rescan, which
+  is exactly the O(source) cost this exists to avoid.
+
+Caveats (documented, not silent): float sums drift under heavy
+insert/delete cancellation (use decimals for exactness); rows with NULL
+in a rollup key form a group in the delta but cannot be merge-joined
+(same null-key semantics as SQL MERGE) — filter or coalesce upstream;
+a refresh whose cursor predates the source's expired history raises via
+``read_changes`` (refresh more often than you expire, or ``rebuild()``).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.table import LakeTable
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+logger = logging.getLogger(__name__)
+
+_MARKER = "rollup-src-"
+_DELETE_COL = "__rollup_delete"
+
+
+class IncrementalRollup:
+    """A ``GROUP BY keys`` summary of ``source``, maintained from CDC.
+
+    ``aggs`` maps each output column to its spec:
+
+    - ``("sum", src_col)`` — signed sum of ``src_col``;
+    - ``("count",)`` or ``("count", "*")`` — rows per group;
+    - ``("count", src_col)`` — non-null values of ``src_col`` per group.
+
+    The rollup table additionally keeps ``__rows`` (rows per group) to
+    know when a group vanishes; it is dropped from :meth:`read`.
+    """
+
+    def __init__(
+        self,
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        source: LakeTable,
+        keys: list[str],
+        aggs: dict[str, tuple],
+    ):
+        if not keys:
+            raise ValueError("rollup needs at least one group key")
+        for col, spec in aggs.items():
+            if spec[0] not in ("sum", "count"):
+                raise ValueError(
+                    f"aggregate {spec[0]!r} for {col!r} has no inverse; "
+                    "incremental maintenance supports sum/count (avg = "
+                    "sum/count at read time; min/max need a rescan - "
+                    "recompute those with a plain query)"
+                )
+        reserved = set(keys) | {"__rows", _DELETE_COL}
+        if reserved & set(aggs):
+            raise ValueError(f"aggregate columns collide with {sorted(reserved & set(aggs))}")
+        self.catalog = catalog
+        self.namespace = namespace
+        self.name = name
+        self.source = source
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self._writer = LakeWriter(catalog, namespace)
+
+    # -- internals -----------------------------------------------------
+
+    def _signed_aggs(self, sign) -> list:
+        out = []
+        for col, spec in self.aggs.items():
+            if spec[0] == "sum":
+                out.append(F.sum(sign * F.col(spec[1])).alias(col))
+            elif len(spec) == 1 or spec[1] == "*":
+                out.append(F.sum(sign).alias(col))
+            else:
+                out.append(
+                    F.sum(sign * F.col(spec[1]).isNotNull().cast("long")).alias(col)
+                )
+        out.append(F.sum(sign).alias("__rows"))
+        return out
+
+    def _table(self) -> LakeTable | None:
+        from dlt_iceberg_spark.errors import TableNotFoundError
+
+        try:
+            return self.catalog.load_table(self.namespace, self.name)
+        except (FileNotFoundError, TableNotFoundError):
+            return None
+
+    def _cursor(self, tgt: LakeTable) -> int:
+        """Newest refresh marker along the rollup's ancestry — the source
+        version whose changes are already folded in.  O(snapshots since
+        the last refresh), pure metadata."""
+        snap = tgt.snapshot()
+        while snap is not None:
+            lid = str(snap.summary.get("load_id", ""))
+            if lid.startswith(_MARKER):
+                return int(lid[len(_MARKER):])
+            snap = tgt.snapshot(snap.parent) if snap.parent is not None else None
+        raise ValueError(
+            f"table {self.namespace}.{self.name} carries no rollup marker; "
+            "was it created by IncrementalRollup?"
+        )
+
+    # -- API -------------------------------------------------------------
+
+    def refresh(self) -> dict:
+        """Fold source changes since the last refresh into the rollup.
+
+        Returns ``{"source_version": v, "groups_touched": n}`` (n = -1 on
+        the initial full build, 0 for a no-op)."""
+        src_v = self.source.current_version()
+        if src_v is None:
+            raise FileNotFoundError(f"no such table: {self.source.location}")
+        tgt = self._table()
+        if tgt is None:
+            # initial build: one aggregate over the pinned source snapshot
+            one = F.lit(1)
+            full = self.source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
+                *self._signed_aggs(one)
+            )
+            self._writer.write(
+                TableSpec(
+                    name=self.name,
+                    write_disposition="append",
+                    primary_key=list(self.keys),
+                ),
+                full,
+                load_id=f"{_MARKER}{src_v}",
+            )
+            return {"source_version": src_v, "groups_touched": -1}
+
+        cursor = self._cursor(tgt)
+        if cursor >= src_v:
+            return {"source_version": cursor, "groups_touched": 0}
+
+        ch = self.source.read_changes(cursor, src_v)
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        delta = ch.groupBy(*self.keys).agg(*self._signed_aggs(sign))
+        # drop all-cancelled groups early (CoW rewrite pairs often cancel
+        # an entire group): no delta row -> group untouched -> not rewritten
+        val_cols = [c for c in delta.columns if c not in self.keys]
+        changed = F.col("__rows") != 0
+        for c in val_cols:
+            changed = changed | (F.coalesce(F.col(c), F.lit(0)) != 0)
+        delta = delta.filter(changed)
+        cur = tgt.read().join(
+            delta.select(*self.keys).distinct(), on=self.keys, how="left_semi"
+        )
+        merged = (
+            cur.unionByName(delta)
+            .groupBy(*self.keys)
+            .agg(*[F.sum(c).alias(c) for c in val_cols])
+        )
+        n = merged.count()
+        out = merged.withColumn(
+            _DELETE_COL, F.when(F.col("__rows") <= 0, F.lit(True))
+        )
+        self._writer.write(
+            TableSpec(
+                name=self.name,
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=list(self.keys),
+                hard_delete_column=_DELETE_COL,
+            ),
+            out,
+            load_id=f"{_MARKER}{src_v}",
+        )
+        return {"source_version": src_v, "groups_touched": n}
+
+    def rebuild(self) -> dict:
+        """Recompute the rollup from a full source scan (escape hatch for
+        a cursor older than the source's retained history) — replaces the
+        table in one snapshot."""
+        src_v = self.source.current_version()
+        one = F.lit(1)
+        full = self.source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
+            *self._signed_aggs(one)
+        )
+        self._writer.write(
+            TableSpec(name=self.name, write_disposition="replace"),
+            full,
+            load_id=f"{_MARKER}{src_v}",
+        )
+        return {"source_version": src_v, "groups_touched": -1}
+
+    def read(self) -> DataFrame:
+        """Current rollup rows (bookkeeping column dropped)."""
+        tgt = self._table()
+        if tgt is None:
+            raise FileNotFoundError(f"rollup {self.namespace}.{self.name} not built")
+        return tgt.read().drop("__rows")

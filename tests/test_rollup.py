@@ -1,0 +1,203 @@
+"""IncrementalRollup: CDC-maintained GROUP BY tables.
+
+The invariant everything here checks: after any sequence of source
+appends / row-level updates / hard deletes and rollup refreshes, the
+rollup table equals the direct aggregate of the source's current state —
+while each refresh reads only the changelog slice, never the source.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def _mk_source(spark, warehouse, rows):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame(rows, "id long, grp string, amt double"),
+        load_id="l0",
+    )
+    return catalog, writer, catalog.load_table("ds", "fact")
+
+
+def _direct(src):
+    return {
+        (r.grp): (r.s, r.n)
+        for r in src.read()
+        .groupBy("grp")
+        .agg(F.sum("amt").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def _rolled(ru):
+    return {r.grp: (r.total, r.n) for r in ru.read().collect()}
+
+
+def test_rollup_tracks_appends_updates_deletes(spark, warehouse):
+    catalog, writer, src = _mk_source(
+        spark, warehouse, [(i, f"g{i % 3}", float(i)) for i in range(12)]
+    )
+    ru = IncrementalRollup(
+        catalog, "ds", "fact_by_grp", src,
+        keys=["grp"],
+        aggs={"total": ("sum", "amt"), "n": ("count",)},
+    )
+    assert ru.refresh()["groups_touched"] == -1  # initial build
+    assert _rolled(ru) == _direct(src)
+
+    # append a batch touching one group + a new group
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame(
+            [(100, "g0", 5.0), (101, "gNEW", 2.5)], "id long, grp string, amt double"
+        ),
+        load_id="l1",
+    )
+    src = catalog.load_table("ds", "fact")
+    r = ru.refresh()
+    assert r["groups_touched"] == 2
+    assert _rolled(ru) == _direct(src)
+
+    # row-level UPDATE through the format (position deletes + new images)
+    src.update_where([("grp", "=", "g1")], {"amt": 100.0})
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    assert _rolled(ru) == _direct(src)
+
+    # CoW upsert rewrite: unchanged-row delete+insert pairs must cancel
+    writer.write(
+        TableSpec(
+            name="fact",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+        ),
+        spark.createDataFrame([(0, "g0", 1000.0)], "id long, grp string, amt double"),
+        load_id="l2",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    assert _rolled(ru) == _direct(src)
+
+
+def test_rollup_group_vanishes_and_reappears(spark, warehouse):
+    catalog, writer, src = _mk_source(
+        spark, warehouse, [(1, "a", 1.0), (2, "b", 2.0)]
+    )
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"],
+        aggs={"total": ("sum", "amt"), "n": ("count",)},
+    )
+    ru.refresh()
+    # hard-delete every 'b' row -> the group must LEAVE the rollup
+    writer.write(
+        TableSpec(
+            name="fact",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+            hard_delete_column="_del",
+        ),
+        spark.createDataFrame(
+            [(2, "b", 2.0, True)], "id long, grp string, amt double, _del boolean"
+        ),
+        load_id="l1",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    assert _rolled(ru) == {"a": (1.0, 1)}
+    # reappear with fresh values
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame([(3, "b", 9.0)], "id long, grp string, amt double"),
+        load_id="l2",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    assert _rolled(ru) == _direct(src) == {"a": (1.0, 1), "b": (9.0, 1)}
+
+
+def test_rollup_refresh_is_idempotent_noop(spark, warehouse):
+    catalog, writer, src = _mk_source(spark, warehouse, [(1, "a", 1.0)])
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"], aggs={"n": ("count",)}
+    )
+    ru.refresh()
+    tgt = catalog.load_table("ds", "r")
+    v = tgt.current_version()
+    # no source change -> no rollup commit, cursor unchanged
+    assert ru.refresh()["groups_touched"] == 0
+    assert catalog.load_table("ds", "r").current_version() == v
+
+
+def test_rollup_cursor_rides_the_data_commit(spark, warehouse):
+    """Crash-replay: the cursor is the load-id marker in the SAME snapshot
+    as the folded delta, so re-running refresh never double-applies."""
+    catalog, writer, src = _mk_source(spark, warehouse, [(1, "a", 1.0)])
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"],
+        aggs={"total": ("sum", "amt")},
+    )
+    ru.refresh()
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame([(2, "a", 4.0)], "id long, grp string, amt double"),
+        load_id="l1",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    assert {r.grp: r.total for r in ru.read().collect()} == {"a": 5.0}
+    # replaying refresh (as a crashed driver would) applies nothing
+    ru.refresh()
+    ru.refresh()
+    assert {r.grp: r.total for r in ru.read().collect()} == {"a": 5.0}
+    # marker points at the source head
+    tgt = catalog.load_table("ds", "r")
+    assert tgt.snapshot().summary["load_id"] == f"rollup-src-{src.current_version()}"
+
+
+def test_rollup_nonnull_count_and_counts_star(spark, warehouse):
+    catalog, writer, src = _mk_source(spark, warehouse, [(1, "a", 1.0)])
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame(
+            [(2, "a", None), (3, "a", 3.0)], "id long, grp string, amt double"
+        ),
+        load_id="l1",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"],
+        aggs={"n_all": ("count", "*"), "n_amt": ("count", "amt")},
+    )
+    ru.refresh()
+    row = ru.read().collect()[0]
+    assert (row.n_all, row.n_amt) == (3, 2)
+    src.position_delete_where([("id", "=", 2)])  # the NULL-amt row
+    src = catalog.load_table("ds", "fact")
+    ru.refresh()
+    row = ru.read().collect()[0]
+    assert (row.n_all, row.n_amt) == (2, 2)
+
+
+def test_rollup_refuses_minmax_and_rebuild_recovers(spark, warehouse):
+    catalog, writer, src = _mk_source(spark, warehouse, [(1, "a", 1.0)])
+    with pytest.raises(ValueError, match="no inverse"):
+        IncrementalRollup(
+            catalog, "ds", "r", src, keys=["grp"], aggs={"m": ("max", "amt")}
+        )
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"], aggs={"total": ("sum", "amt")}
+    )
+    ru.refresh()
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame([(2, "b", 2.0)], "id long, grp string, amt double"),
+        load_id="l1",
+    )
+    ru.rebuild()
+    assert {r.grp: r.total for r in ru.read().collect()} == {"a": 1.0, "b": 2.0}
