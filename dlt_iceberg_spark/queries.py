@@ -4251,6 +4251,131 @@ _LAKE_ADD_DEFAULT_CACHE: dict = {}
 
 
 @query(
+    "lake_rollup_incremental",
+    f"""
+    WITH raw AS (
+      SELECT l_orderkey * 8 + l_linenumber AS id,
+             l_returnflag AS grp, l_linestatus AS status,
+             l_quantity AS amt
+      FROM lineitem
+    ), base AS (
+      -- the fixture has duplicate (orderkey, linenumber) pairs; the fact
+      -- table needs a genuine key, so collapse deterministically
+      SELECT id, MAX(grp) AS grp, MAX(status) AS status, MAX(amt) AS amt
+      FROM raw GROUP BY id
+    ), upd AS (
+      SELECT id, grp, status,
+             CASE WHEN status = 'O' THEN CAST(5.0 AS DOUBLE) ELSE amt END AS amt
+      FROM base
+    ), merged AS (
+      SELECT id, grp, status,
+             CASE WHEN id % 31 = 0 THEN CAST(777.0 AS DOUBLE) ELSE amt END AS amt
+      FROM upd
+      UNION ALL
+      SELECT id + 100000000, 'Z', 'NEW', CAST(1.0 AS DOUBLE)
+      FROM base WHERE id % 101 = 0
+    ), final AS (
+      SELECT * FROM merged WHERE NOT (grp = 'R' AND amt < 10)
+    )
+    SELECT grp, {_sql_rnd('SUM(amt)')} AS total, COUNT(*) AS n_rows
+    FROM final GROUP BY grp
+    """,
+    doc=(
+        "Incrementally-maintained rollup (lake/rollup.py — TimescaleDB "
+        "continuous-aggregate shape over the CDC changelog): a lineitem "
+        "fact table takes an append, a MoR update_where, a keyed upsert "
+        "(replacing existing rows AND inserting a new 'Z' group), and a "
+        "position-delete sweep; IncrementalRollup.refresh() folds each "
+        "changelog slice into signed per-group deltas — O(changed rows + "
+        "touched groups) per refresh, never O(source).  The oracle "
+        "recomputes the DIRECT aggregate of the final source state, so a "
+        "hash match proves delta folding (including CoW rewrite-pair "
+        "cancellation and group-level retraction) equals recomputation.  "
+        "In-process assertions pin the exactly-once cursor: a replayed "
+        "refresh is a no-op at the same rollup version."
+    ),
+)
+def lake_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    ru = _LAKE_ROLLUP_CACHE.get(key)
+    if ru is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_rollup_"))
+        writer = LakeWriter(catalog, "gate")
+        base = (
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+                F.col("l_returnflag").alias("grp"),
+                F.col("l_linestatus").alias("status"),
+                F.col("l_quantity").cast("double").alias("amt"),
+            )
+            # fixture has duplicate (orderkey, linenumber) pairs; the fact
+            # table needs a genuine key (mirrors the oracle's GROUP BY id)
+            .groupBy("id")
+            .agg(
+                F.max("grp").alias("grp"),
+                F.max("status").alias("status"),
+                F.max("amt").alias("amt"),
+            )
+        )
+        writer.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            base,
+        )
+        src = catalog.load_table("gate", "fact")
+        ru = IncrementalRollup(
+            catalog, "gate", "fact_by_grp", src,
+            keys=["grp"],
+            aggs={"total": ("sum", "amt"), "n_rows": ("count",)},
+        )
+        assert ru.refresh()["groups_touched"] == -1  # initial full build
+        src.update_where([("status", "=", "O")], {"amt": 5.0})
+        ru.source = catalog.load_table("gate", "fact")
+        r = ru.refresh()
+        assert r["groups_touched"] > 0, r
+        batch = base.filter(F.col("id") % 31 == 0).withColumn(
+            "amt", F.lit(777.0)
+        ).unionByName(
+            base.filter(F.col("id") % 101 == 0).select(
+                (F.col("id") + 100000000).alias("id"),
+                F.lit("Z").alias("grp"),
+                F.lit("NEW").alias("status"),
+                F.lit(1.0).alias("amt"),
+            )
+        )
+        writer.write(
+            TableSpec(
+                name="fact",
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=["id"],
+            ),
+            batch,
+        )
+        src = catalog.load_table("gate", "fact")
+        src.position_delete_where([("grp", "=", "R"), ("amt", "<", 10.0)])
+        ru.source = catalog.load_table("gate", "fact")
+        ru.refresh()
+        # exactly-once cursor: a replayed refresh applies nothing
+        v = catalog.load_table("gate", "fact_by_grp").current_version()
+        assert ru.refresh()["groups_touched"] == 0
+        assert catalog.load_table("gate", "fact_by_grp").current_version() == v
+        _LAKE_ROLLUP_CACHE[key] = ru
+    return ru.read().select(
+        "grp", rnd(F.col("total")).alias("total"), "n_rows"
+    )
+
+
+_LAKE_ROLLUP_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -4746,7 +4871,7 @@ _GATE_PRIORITY = [
 # knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
-# lake_add_column_default,
+# lake_add_column_default, lake_rollup_incremental,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
