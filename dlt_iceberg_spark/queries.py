@@ -1396,6 +1396,65 @@ def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_gapfill",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) AS bucket,
+             avg("value") AS avg_value, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), span AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM b),
+    grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL '15 minutes')) AS bucket
+      FROM span
+    ), dense AS (
+      SELECT k.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) k CROSS JOIN grid g
+    )
+    SELECT d.event_type, d.bucket,
+           {_sql_rnd('''last_value(b.avg_value IGNORE NULLS) OVER (
+               PARTITION BY d.event_type ORDER BY d.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+             AS avg_locf,
+           COALESCE(b.n_events, 0) AS n_events,
+           (b.event_type IS NULL) AS is_gap
+    FROM dense d
+    LEFT JOIN b ON b.event_type = d.event_type AND b.bucket = d.bucket
+    """,
+    doc=(
+        "Time-series gap-fill (operators/timeseries.py — TimescaleDB "
+        "time_bucket_gapfill + locf parity): events downsample into "
+        "15-minute buckets per type, the grid densifies over the observed "
+        "span (~half the 14.4k slots are empty at sf0.01), empty buckets "
+        "are synthesized with zero-filled counts and last-observation-"
+        "carried-forward averages, and is_gap marks them.  One data "
+        "shuffle (the bucketed agg); the grid is a broadcast 1-row "
+        "sequence; the oracle rebuilds the dense frame with DuckDB "
+        "generate_series + IGNORE NULLS windows."
+    ),
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.timeseries import gapfill
+
+    e = _t(spark, sf_dir, "events")
+    out = gapfill(
+        e,
+        on="ts",
+        by="event_type",
+        bucket_width="15 minutes",
+        aggs={"avg_value": ("avg", "value"), "n_events": ("count",)},
+        fill={"avg_value": "locf", "n_events": "zero"},
+    )
+    return out.select(
+        "event_type",
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        rnd(F.col("avg_value")).alias("avg_locf"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "is_gap",
+    )
+
+
+@query(
     "events_asof_last_signup",
     f"""
     WITH l AS (SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events),
@@ -4871,7 +4930,7 @@ _GATE_PRIORITY = [
 # knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
-# lake_add_column_default, lake_rollup_incremental,
+# lake_add_column_default, lake_rollup_incremental, events_gapfill,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
