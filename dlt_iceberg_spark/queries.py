@@ -2674,6 +2674,56 @@ def text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      FROM documents
+    ), wc AS (
+      SELECT word, count(*) AS cnt FROM words WHERE word <> '' GROUP BY word
+    ), syms AS (
+      SELECT cnt, list_append(regexp_extract_all(word, '.'), '</w>') AS s
+      FROM wc
+    ), pairs AS (
+      SELECT s[i] AS left_sym, s[i + 1] AS right_sym, cnt
+      FROM syms, LATERAL (
+        SELECT unnest(generate_series(1, len(s) - 1)) AS i
+      ) t
+    )
+    SELECT left_sym, right_sym, CAST(SUM(cnt) AS BIGINT) AS freq
+    FROM pairs GROUP BY 1, 2
+    ORDER BY freq DESC, left_sym, right_sym
+    LIMIT 30
+    """,
+    doc=(
+        "BPE vocabulary induction, iteration zero (operators/bpe.py — "
+        "Sennrich 2016): the corpus collapses to its distinct-word "
+        "frequency table in ONE shuffle, then adjacent character-pair "
+        "frequencies (with the </w> end-of-word sentinel) come from a "
+        "map-side zip_with explode over |vocab| rows — the exact argmax "
+        "relation every merge iteration consumes.  Training (train_bpe) "
+        "iterates this plus a JVM-side fold per merge on the SAME compact "
+        "table, pytest-verified merge-for-merge against a pure-Python "
+        "reference; corpus size only ever affects the first aggregation."
+    ),
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.bpe import pair_counts, word_symbol_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        pair_counts(word_symbol_counts(d, "text"))
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(30)
+    )
+
+
+@query(
     "text_tfidf_terms",
     f"""
     WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
@@ -4931,6 +4981,7 @@ _GATE_PRIORITY = [
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
 # lake_add_column_default, lake_rollup_incremental, events_gapfill,
+# text_bpe_pairs,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
