@@ -57,6 +57,21 @@ class LakeCatalog:
 
         return RestPointerStore(self._pointer_url, location, token=self._pointer_token)
 
+    # -- transactions ------------------------------------------------------
+
+    def transaction(self, namespace: str, config=None):
+        """Open a multi-table transaction in ``namespace`` (all staged
+        writes publish atomically on ``commit()`` — lake/transaction.py).
+        Pending intents from a crashed publish are rolled forward first,
+        so a new transaction never builds on a torn state."""
+        from dlt_iceberg_spark.lake.transaction import (
+            CatalogTransaction,
+            recover_transactions,
+        )
+
+        recover_transactions(self)
+        return CatalogTransaction(self, namespace, config=config)
+
     # -- namespaces --------------------------------------------------------
 
     def create_namespace(self, namespace: str) -> None:

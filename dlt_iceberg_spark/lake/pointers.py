@@ -99,6 +99,29 @@ class RestPointerStore:
             raise ConnectionError(f"pointer catalog DELETE ref -> {status}")
 
 
+def rest_commit_transaction(
+    base_url: str, changes: list[dict], token: str | None = None
+) -> bool:
+    """Multi-ref CAS — the Iceberg REST ``commitTransaction`` shape.
+
+    ``changes``: ``[{"table": location, "ref": name, "expected": int|None,
+    "new": int}, ...]``.  The server applies ALL swaps under one lock or
+    none (409).  True = committed; False = some ref moved."""
+    url = f"{base_url.rstrip('/')}/v1/transactions"
+    body = json.dumps({"changes": changes}).encode()
+    req = urllib.request.Request(url, data=body, method="POST")
+    req.add_header("Content-Type", "application/json")
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    try:
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            return resp.status == 200
+    except urllib.error.HTTPError as err:
+        if err.code == 409:
+            return False
+        raise ConnectionError(f"pointer catalog transaction -> {err.code}")
+
+
 class MockCatalogServer:
     """In-process CAS pointer service (stdlib HTTP, true compare-and-swap
     under a lock).  ``start()`` returns the base URL; ``stop()`` tears it
@@ -156,6 +179,21 @@ class MockCatalogServer:
             def do_POST(self):
                 if not self._auth_ok():
                     return self._send(401)
+                if self.path == "/v1/transactions":
+                    # multi-ref CAS (Iceberg REST commitTransaction): every
+                    # change validates under ONE lock hold, then every swap
+                    # applies — indivisible for any concurrent client
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    changes = body.get("changes", [])
+                    with outer._lock:
+                        for c in changes:
+                            refs = outer._tables.setdefault(c["table"], {})
+                            if refs.get(c["ref"]) != c.get("expected"):
+                                return self._send(409)
+                        for c in changes:
+                            outer._tables[c["table"]][c["ref"]] = int(c["new"])
+                    return self._send(200, {"committed": len(changes)})
                 parsed = self._parse()
                 if not parsed or parsed[1] != ["commit"]:
                     return self._send(404)

@@ -4485,6 +4485,110 @@ _LAKE_ROLLUP_CACHE: dict = {}
 
 
 @query(
+    "lake_multi_table_txn",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_fact,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_sql_rnd('SUM(o_totalprice)')} AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc=(
+        "Multi-table transaction (lake/transaction.py — Iceberg REST "
+        "commitTransaction shape): odds append to the fact table and the "
+        "per-status summary lands in a SECOND table inside one "
+        "transaction; staging rides per-txn WAP branches, publish is an "
+        "intent-logged all-or-nothing pointer flip.  In-process "
+        "assertions pin the isolation story: pre-commit main sees only "
+        "the seeded evens and an EMPTY summary; a second transaction "
+        "whose fork is overtaken by a foreign writer raises and "
+        "publishes nothing.  The oracle recomputes both tables' contents "
+        "from raw orders — a hash match proves fact and summary "
+        "published consistently (the same atomic cut)."
+    ),
+)
+def lake_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    catalog = _LAKE_TXN_CACHE.get(key)
+    if catalog is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_txn_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        writer.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["o_orderkey"]),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        n_evens = catalog.load_table("gate", "fact").read().count()
+        txn = catalog.transaction("gate")
+        txn.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["o_orderkey"]),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        txn.write(
+            TableSpec(name="summary", write_disposition="replace"),
+            orders.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("total_price"),
+            ),
+        )
+        # isolation: main still sees only the evens, and an empty summary
+        assert catalog.load_table("gate", "fact").read().count() == n_evens
+        assert catalog.load_table("gate", "summary").read().count() == 0
+        txn.commit()
+        # conflict round on a scratch table: a foreign write between stage
+        # and publish fails the WHOLE transaction, publishing nothing
+        writer.write(
+            TableSpec(name="audit", write_disposition="append"),
+            spark.createDataFrame([(1, "seed")], "id long, note string"),
+        )
+        txn2 = catalog.transaction("gate")
+        txn2.write(
+            TableSpec(name="audit", write_disposition="append"),
+            spark.createDataFrame([(2, "staged")], "id long, note string"),
+        )
+        writer.write(
+            TableSpec(name="audit", write_disposition="append"),
+            spark.createDataFrame([(3, "foreign")], "id long, note string"),
+        )
+        try:
+            txn2.commit()
+            raise AssertionError("overtaken transaction must not publish")
+        except CommitConflictError:
+            pass
+        txn2.rollback()
+        notes = {
+            r.note for r in catalog.load_table("gate", "audit").read().collect()
+        }
+        assert notes == {"seed", "foreign"}, notes
+        _LAKE_TXN_CACHE[key] = catalog
+    fact_n = (
+        catalog.load_table("gate", "fact")
+        .read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_fact"))
+    )
+    summary = catalog.load_table("gate", "summary").read()
+    return fact_n.join(summary, on="o_orderstatus").select(
+        "o_orderstatus",
+        F.col("n_fact").cast("long").alias("n_fact"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        rnd(F.col("total_price")).alias("total_price"),
+    )
+
+
+_LAKE_TXN_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -4981,7 +5085,7 @@ _GATE_PRIORITY = [
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
 # lake_add_column_default, lake_rollup_incremental, events_gapfill,
-# text_bpe_pairs,
+# text_bpe_pairs, lake_multi_table_txn,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no

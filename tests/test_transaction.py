@@ -1,0 +1,323 @@
+"""Multi-table transactions: atomic publish, rollback, conflicts, and
+crash recovery (intent-log roll-forward), in both pointer modes.
+
+The invariant: across any interleaving of staged writes, crashes between
+pointer flips, and recovery, readers of main end up seeing either EVERY
+table of a transaction published or NONE — and a transaction whose fork
+point was overtaken publishes nothing.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.errors import CommitConflictError, TableNotFoundError
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.transaction import (
+    CatalogTransaction,
+    TransactionError,
+    _flip_main,
+    recover_transactions,
+)
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def _df(spark, rows, schema="id long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+@pytest.fixture
+def catalog(spark, warehouse):
+    return LakeCatalog(spark, warehouse)
+
+
+def _seed(catalog, spark):
+    w = LakeWriter(catalog, "ds")
+    w.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "a"), (2, "b")]),
+        load_id="seed",
+    )
+    return catalog.load_table("ds", "fact")
+
+
+def test_commit_publishes_every_table_or_none(spark, catalog):
+    fact = _seed(catalog, spark)
+    v0 = fact.current_version()
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    txn.write(
+        TableSpec(name="dims", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(10, "x")]),
+    )
+    # nothing visible on main before commit: fact unchanged, dims empty
+    assert catalog.load_table("ds", "fact").current_version() == v0
+    assert catalog.load_table("ds", "fact").read().count() == 2
+    assert catalog.load_table("ds", "dims").read().count() == 0  # stage-create
+    res = txn.commit()
+    assert sorted(res["tables"]) == ["dims", "fact"]
+    assert catalog.load_table("ds", "fact").read().count() == 3
+    assert catalog.load_table("ds", "dims").read().count() == 1
+    # intent cleaned up, branch refs gone
+    assert not catalog._io.isdir(os.path.join(catalog.warehouse, "_txns")) or \
+        catalog._io.listdir(os.path.join(catalog.warehouse, "_txns")) == []
+    assert "txn-" not in " ".join(catalog.load_table("ds", "fact").branches())
+
+
+def test_rollback_discards_staging_and_created_tables(spark, catalog):
+    fact = _seed(catalog, spark)
+    v0 = fact.current_version()
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    txn.write(
+        TableSpec(name="dims", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(10, "x")]),
+    )
+    txn.rollback()
+    assert catalog.load_table("ds", "fact").current_version() == v0
+    assert catalog.load_table("ds", "fact").read().count() == 2
+    with pytest.raises(TableNotFoundError):
+        catalog.load_table("ds", "dims")
+    with pytest.raises(TransactionError):
+        txn.commit()
+
+
+def test_conflict_when_any_table_overtaken(spark, catalog):
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    txn.write(
+        TableSpec(name="other", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "z")]),
+    )
+    # a foreign writer lands on fact's main between stage and publish
+    LakeWriter(catalog, "ds").write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(99, "zz")]),
+        load_id="foreign",
+    )
+    with pytest.raises(CommitConflictError, match="fork"):
+        txn.commit()
+    # nothing published: fact holds only the foreign row, other is empty
+    assert catalog.load_table("ds", "fact").read().count() == 3
+    assert catalog.load_table("ds", "other").read().count() == 0
+    txn.rollback()
+
+
+def test_row_level_ops_ride_the_transaction_branch(spark, catalog):
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.table("fact").update_where([("id", "=", 1)], {"v": "UPDATED"})
+    main_vals = {
+        r.id: r.v for r in catalog.load_table("ds", "fact").read().collect()
+    }
+    assert main_vals[1] == "a"  # invisible pre-commit
+    txn.commit()
+    vals = {r.id: r.v for r in catalog.load_table("ds", "fact").read().collect()}
+    assert vals[1] == "UPDATED"
+
+
+def test_context_manager_commits_on_success_rolls_back_on_error(spark, catalog):
+    _seed(catalog, spark)
+    with catalog.transaction("ds") as txn:
+        txn.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            _df(spark, [(3, "c")]),
+        )
+    assert catalog.load_table("ds", "fact").read().count() == 3
+    with pytest.raises(RuntimeError, match="boom"):
+        with catalog.transaction("ds") as txn:
+            txn.write(
+                TableSpec(
+                    name="fact", write_disposition="append", primary_key=["id"]
+                ),
+                _df(spark, [(4, "d")]),
+            )
+            raise RuntimeError("boom")
+    assert catalog.load_table("ds", "fact").read().count() == 3
+
+
+def test_empty_transaction_commit_is_noop(spark, catalog):
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.table("fact")  # tracked, never written
+    assert txn.commit() == {"txn": txn.txn_id, "tables": []}
+
+
+def test_crash_mid_publish_rolls_forward_on_recovery(spark, catalog, monkeypatch):
+    _seed(catalog, spark)
+    w = LakeWriter(catalog, "ds")
+    w.write(
+        TableSpec(name="second", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "s")]),
+        load_id="seed2",
+    )
+    txn = catalog.transaction("ds")
+    for name, row in (("fact", (3, "c")), ("second", (2, "t"))):
+        txn.write(
+            TableSpec(name=name, write_disposition="append", primary_key=["id"]),
+            _df(spark, [row]),
+        )
+    # crash after the FIRST pointer flip
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    real_flip = txn_mod._flip_main
+    calls = {"n": 0}
+
+    def dying_flip(table, expected, to):
+        if calls["n"] >= 1:
+            raise OSError("simulated crash")
+        calls["n"] += 1
+        real_flip(table, expected, to)
+
+    monkeypatch.setattr(txn_mod, "_flip_main", dying_flip)
+    with pytest.raises(OSError, match="simulated crash"):
+        txn.commit()
+    monkeypatch.setattr(txn_mod, "_flip_main", real_flip)
+    # torn state: exactly one of the two tables published, intent retained
+    counts = [
+        catalog.load_table("ds", n).read().count() for n in ("fact", "second")
+    ]
+    assert sorted(counts) == [1, 3] or sorted(counts) == [2, 3]
+    txn_dir = os.path.join(catalog.warehouse, "_txns")
+    assert len(catalog._io.listdir(txn_dir)) == 1
+    # recovery (run implicitly by the next transaction()) rolls FORWARD
+    results = recover_transactions(catalog)
+    assert results and results[0]["action"] == "rolled-forward"
+    assert catalog.load_table("ds", "fact").read().count() == 3
+    assert catalog.load_table("ds", "second").read().count() == 2
+    assert catalog._io.listdir(txn_dir) == []
+    # idempotent: nothing pending on a second pass
+    assert recover_transactions(catalog) == []
+
+
+def test_recovery_blocks_on_foreign_write_over_unflipped_table(
+    spark, catalog, monkeypatch
+):
+    _seed(catalog, spark)
+    w = LakeWriter(catalog, "ds")
+    w.write(
+        TableSpec(name="second", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "s")]),
+        load_id="seed2",
+    )
+    txn = catalog.transaction("ds")
+    for name, row in (("fact", (3, "c")), ("second", (2, "t"))):
+        txn.write(
+            TableSpec(name=name, write_disposition="append", primary_key=["id"]),
+            _df(spark, [row]),
+        )
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    real_flip = txn_mod._flip_main
+    calls = {"n": 0}
+
+    def dying_flip(table, expected, to):
+        if calls["n"] >= 1:
+            raise OSError("simulated crash")
+        calls["n"] += 1
+        real_flip(table, expected, to)
+
+    monkeypatch.setattr(txn_mod, "_flip_main", dying_flip)
+    with pytest.raises(OSError):
+        txn.commit()
+    monkeypatch.setattr(txn_mod, "_flip_main", real_flip)
+    # a foreign writer overwrites the NOT-yet-flipped table
+    flipped_first = (
+        catalog.load_table("ds", "fact").read().count() == 3
+    )
+    victim = "second" if flipped_first else "fact"
+    LakeWriter(catalog, "ds").write(
+        TableSpec(name=victim, write_disposition="append", primary_key=["id"]),
+        _df(spark, [(77, "foreign")]),
+        load_id="foreign",
+    )
+    results = recover_transactions(catalog)
+    assert results and results[0]["action"] == "blocked"
+    assert results[0]["blocked"] == [victim]
+    # intent kept for the operator
+    txn_dir = os.path.join(catalog.warehouse, "_txns")
+    assert len(catalog._io.listdir(txn_dir)) == 1
+
+
+def test_rest_catalog_multi_ref_cas_is_indivisible(spark, tmp_path):
+    from dlt_iceberg_spark.lake.pointers import MockCatalogServer
+
+    server = MockCatalogServer()
+    url = server.start()
+    try:
+        catalog = LakeCatalog(spark, str(tmp_path / "wh"), pointer_catalog_url=url)
+        _seed(catalog, spark)
+        txn = catalog.transaction("ds")
+        txn.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            _df(spark, [(3, "c")]),
+        )
+        txn.write(
+            TableSpec(name="dims", write_disposition="append", primary_key=["id"]),
+            _df(spark, [(10, "x")]),
+        )
+        txn.commit()
+        assert catalog.load_table("ds", "fact").read().count() == 3
+        assert catalog.load_table("ds", "dims").read().count() == 1
+
+        # the server CAS is all-or-nothing: one stale change rejects the
+        # WHOLE batch, leaving even the valid change unapplied
+        from dlt_iceberg_spark.lake.pointers import rest_commit_transaction
+
+        fact_store = catalog._pointer_store_for(
+            catalog.table_location("ds", "fact")
+        )
+        dims_store = catalog._pointer_store_for(
+            catalog.table_location("ds", "dims")
+        )
+        fact_head, dims_head = fact_store.get("main"), dims_store.get("main")
+        ok = rest_commit_transaction(
+            url,
+            [
+                {
+                    "table": catalog.table_location("ds", "fact"),
+                    "ref": "main",
+                    "expected": fact_head,
+                    "new": fact_head + 1,
+                },
+                {
+                    "table": catalog.table_location("ds", "dims"),
+                    "ref": "main",
+                    "expected": dims_head + 41,  # stale
+                    "new": dims_head + 42,
+                },
+            ],
+        )
+        assert ok is False
+        assert fact_store.get("main") == fact_head  # valid change NOT applied
+        assert dims_store.get("main") == dims_head
+
+        # a foreign write between stage and publish fails the transaction
+        txn2 = catalog.transaction("ds")
+        txn2.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            _df(spark, [(4, "d")]),
+        )
+        LakeWriter(catalog, "ds").write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            _df(spark, [(99, "zz")]),
+            load_id="foreign",
+        )
+        with pytest.raises(CommitConflictError):
+            txn2.commit()
+        # nothing flipped by the failed transaction
+        assert catalog.load_table("ds", "fact").read().count() == 4
+    finally:
+        server.stop()
