@@ -110,6 +110,7 @@ class Pipeline:
         load_id: str | None = None,
         truncate_tables: list[str] | None = None,
         refresh: str | None = None,
+        transactional: bool = False,
     ) -> LoadInfo:
         """Extract → write (one snapshot/table) → ledger append.
 
@@ -120,9 +121,23 @@ class Pipeline:
         from scratch this run.  ``refresh="drop_resources"`` drops every
         table this run's resources write (dlt's refresh mode; reference
         tests/test_drop_tables.py:224-280 — the second run must see ONLY
-        the new schema, no stale columns)."""
+        the new schema, no stale columns).
+
+        ``transactional=True`` publishes the WHOLE multi-resource load
+        atomically (lake/transaction.py): a failing resource — or a
+        conflicting foreign write to any one table — publishes NOTHING,
+        and a crash mid-publish is rolled forward on the next run.  The
+        reference commits one transaction per table (SURVEY.md §2.2 W1);
+        this is the cross-table upgrade.  Table drops
+        (``truncate_tables``/``refresh``) run before and outside the
+        transaction — they are destructive setup, not part of the load."""
         if refresh not in (None, "drop_resources"):
             raise ValueError(f"unsupported refresh mode {refresh!r}")
+        if transactional and self.branch != "main":
+            raise ValueError(
+                "transactional runs stage on their own branch; combine with "
+                "WAP by publishing the transaction, not a pipeline branch"
+            )
         t0 = time.perf_counter()
         load_id = load_id or f"{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
         if self.state.load_recorded(load_id):
@@ -136,16 +151,31 @@ class Pipeline:
 
         schema_doc: dict[str, Any] = {"tables": {}}
         written: list[str] = []
-        for res in resources:
-            df = res.materialize(self.spark)
-            self.writer.write(res.to_spec(), df, load_id=load_id)
-            written.append(res.name)
-            schema_doc["tables"][res.name] = {
-                "columns": {
-                    f.name: {"data_type": spark_type_to_dlt(f.dataType), "nullable": f.nullable}
-                    for f in df.schema.fields
+        txn = (
+            self.catalog.transaction(self.dataset_name, config=self.writer.config)
+            if transactional
+            else None
+        )
+        try:
+            for res in resources:
+                df = res.materialize(self.spark)
+                if txn is not None:
+                    txn.write(res.to_spec(), df, load_id=load_id)
+                else:
+                    self.writer.write(res.to_spec(), df, load_id=load_id)
+                written.append(res.name)
+                schema_doc["tables"][res.name] = {
+                    "columns": {
+                        f.name: {"data_type": spark_type_to_dlt(f.dataType), "nullable": f.nullable}
+                        for f in df.schema.fields
+                    }
                 }
-            }
+        except BaseException:
+            if txn is not None:
+                txn.rollback()
+            raise
+        if txn is not None:
+            txn.commit()
         version_hash = hashlib.sha256(
             json.dumps(schema_doc, sort_keys=True).encode()
         ).hexdigest()[:16]

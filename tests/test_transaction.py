@@ -321,3 +321,65 @@ def test_rest_catalog_multi_ref_cas_is_indivisible(spark, tmp_path):
         assert catalog.load_table("ds", "fact").read().count() == 4
     finally:
         server.stop()
+
+
+def test_pipeline_transactional_run_is_all_or_nothing(spark, warehouse):
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    p = Pipeline(spark, warehouse, dataset_name="ds")
+
+    def good():
+        return spark.createDataFrame([(1, "a")], "id long, v string")
+
+    def bad():
+        raise RuntimeError("extract exploded")
+
+    with pytest.raises(RuntimeError, match="extract exploded"):
+        p.run(
+            Resource(good, "t1", "append", ["id"]),
+            Resource(bad, "t2", "append", ["id"]),
+            load_id="l0",
+            transactional=True,
+        )
+    # nothing published, load not recorded
+    with pytest.raises(TableNotFoundError):
+        p.catalog.load_table("ds", "t1")
+    assert not p.state.load_recorded("l0")
+
+    info = p.run(
+        Resource(good, "t1", "append", ["id"]),
+        Resource(
+            lambda: spark.createDataFrame([(2, "b")], "id long, v string"),
+            "t2",
+            "append",
+            ["id"],
+        ),
+        load_id="l1",
+        transactional=True,
+    )
+    assert sorted(info.tables) == ["t1", "t2"]
+    assert p.catalog.load_table("ds", "t1").read().count() == 1
+    assert p.catalog.load_table("ds", "t2").read().count() == 1
+    assert p.state.load_recorded("l1")
+    # idempotent replay
+    assert p.run(
+        Resource(good, "t1", "append", ["id"]),
+        load_id="l1",
+        transactional=True,
+    ).already_loaded
+
+
+def test_pipeline_transactional_refuses_wap_branch(spark, warehouse):
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    p = Pipeline(spark, warehouse, dataset_name="ds", branch="audit")
+    with pytest.raises(ValueError, match="transactional"):
+        p.run(
+            Resource(
+                lambda: spark.createDataFrame([(1, "a")], "id long, v string"),
+                "t1",
+                "append",
+                ["id"],
+            ),
+            transactional=True,
+        )
