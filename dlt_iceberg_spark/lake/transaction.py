@@ -290,9 +290,20 @@ class CatalogTransaction:
         for name, info in self._touched.items():
             if info["created"]:
                 try:
-                    self.catalog.drop_table(self.namespace, name)
+                    t = self.catalog.load_table(self.namespace, name)
                 except Exception:
-                    pass
+                    continue
+                # drop only while the table is still OURS alone: a foreign
+                # writer may have committed to the created table since —
+                # dropping it would destroy their data, so just shed our
+                # branch and leave the (foreign-owned) table standing
+                if t.current_version() == info["fork"]:
+                    try:
+                        self.catalog.drop_table(self.namespace, name)
+                    except Exception:
+                        pass
+                else:
+                    _drop_branch_ref(t, self.branch)
                 continue
             _drop_branch_ref(
                 self.catalog.load_table(self.namespace, name), self.branch

@@ -383,3 +383,129 @@ def test_pipeline_transactional_refuses_wap_branch(spark, warehouse):
             ),
             transactional=True,
         )
+
+
+def test_property_random_txn_interleavings_match_model(spark, warehouse, monkeypatch):
+    """30 seeded rounds of {stage-on-1..3-tables, commit | rollback |
+    foreign-write-then-conflict | crash-mid-publish-then-recover} must
+    leave every table equal to a pure-Python model at every settle point:
+    a transaction lands in the model all-or-nothing."""
+    import random
+
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    rng = random.Random(7)
+    catalog = LakeCatalog(spark, warehouse)
+    w = LakeWriter(catalog, "ds")
+    tables = ["t0", "t1", "t2"]
+    model: dict[str, set] = {}
+    next_id = [0]
+
+    def batch(n=2):
+        rows = [(next_id[0] + i, f"r{next_id[0] + i}") for i in range(n)]
+        next_id[0] += n
+        return rows
+
+    def foreign(name):
+        rows = batch(1)
+        w.write(
+            TableSpec(name=name, write_disposition="append", primary_key=["id"]),
+            _df(spark, rows),
+            load_id=f"f{next_id[0]}",
+        )
+        model.setdefault(name, set()).update(rows)
+
+    def settle_check():
+        for name, expect in model.items():
+            got = {
+                (r.id, r.v)
+                for r in catalog.load_table("ds", name).read().collect()
+            }
+            assert got == expect, (name, got ^ expect)
+
+    real_flip = txn_mod._flip_main
+    for rnd_i in range(30):
+        action = rng.choice(["commit", "commit", "rollback", "conflict", "crash"])
+        touched = rng.sample(tables, rng.randint(1, 3))
+        txn = catalog.transaction("ds")
+        staged: dict[str, list] = {}
+        for name in touched:
+            rows = batch(rng.randint(1, 3))
+            staged[name] = rows
+            txn.write(
+                TableSpec(
+                    name=name, write_disposition="append", primary_key=["id"]
+                ),
+                _df(spark, rows),
+            )
+        if action == "rollback":
+            txn.rollback()
+            # created-but-rolled-back tables leave the catalog
+            for name in touched:
+                if name not in model and catalog.table_exists("ds", name):
+                    raise AssertionError(f"{name} should have been dropped")
+        elif action == "conflict":
+            victim = rng.choice(touched)
+            if victim not in model:
+                # foreign write CREATES the table the txn also created ->
+                # writer appends on main past the fork
+                pass
+            foreign(victim)
+            try:
+                txn.commit()
+                raise AssertionError("expected CommitConflictError")
+            except CommitConflictError:
+                pass
+            txn.rollback() if txn._state == "open" else None
+        elif action == "crash":
+            kill_at = rng.randint(0, max(0, len(touched) - 1))
+            calls = {"n": 0}
+
+            def dying(table, expected, to, _k=kill_at, _c=calls):
+                if _c["n"] == _k:
+                    raise OSError("crash")
+                _c["n"] += 1
+                real_flip(table, expected, to)
+
+            monkeypatch.setattr(txn_mod, "_flip_main", dying)
+            try:
+                txn.commit()
+                committed = True
+            except OSError:
+                committed = False
+            monkeypatch.setattr(txn_mod, "_flip_main", real_flip)
+            res = recover_transactions(catalog)
+            if not committed:
+                assert res and res[0]["action"] in ("rolled-forward", "completed")
+            # intent-logged: the txn lands fully (roll-forward semantics)
+            for name, rows in staged.items():
+                model.setdefault(name, set()).update(rows)
+        else:
+            txn.commit()
+            for name, rows in staged.items():
+                model.setdefault(name, set()).update(rows)
+        # occasionally interleave plain foreign writes
+        if rng.random() < 0.3:
+            foreign(rng.choice(tables))
+        settle_check()
+
+
+def test_rollback_spares_created_table_with_foreign_commits(spark, catalog):
+    """A table this transaction created but a foreign writer has since
+    committed to is NOT dropped on rollback — only our branch is shed."""
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fresh", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "staged")]),
+    )
+    LakeWriter(catalog, "ds").write(
+        TableSpec(name="fresh", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(2, "foreign")]),
+        load_id="foreign",
+    )
+    with pytest.raises(CommitConflictError):
+        txn.commit()
+    txn.rollback()
+    rows = {r.v for r in catalog.load_table("ds", "fresh").read().collect()}
+    assert rows == {"foreign"}
