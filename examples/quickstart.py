@@ -233,6 +233,38 @@ def main(warehouse: str) -> None:
         f"tail replayed {n} rows under the new name"
     )
 
+    # -- multi-table transaction + incremental rollup -----------------------
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+    from dlt_iceberg_spark.lake.writer import TableSpec
+
+    txn = pipe.catalog.transaction("shop")
+    txn.write(
+        TableSpec(name="fact_sales", write_disposition="append", primary_key=["sale_id"]),
+        spark.createDataFrame(
+            [(1, "us", 10.0), (2, "eu", 20.0), (3, "us", 5.0)],
+            "sale_id long, region string, amount double",
+        ),
+    )
+    txn.write(
+        TableSpec(name="sales_meta", write_disposition="append"),
+        spark.createDataFrame([("batch-1", 3)], "batch string, n long"),
+    )
+    res = txn.commit()
+    fact = pipe.catalog.load_table("shop", "fact_sales")
+    ru = IncrementalRollup(
+        pipe.catalog, "shop", "sales_by_region", fact,
+        keys=["region"], aggs={"total": ("sum", "amount"), "n": ("count",)},
+    )
+    ru.refresh()
+    fact.update_where([("region", "=", "us")], {"amount": 100.0})
+    ru.source = pipe.catalog.load_table("shop", "fact_sales")
+    ru.refresh()  # folds only the changelog slice, never rescans the fact
+    rolled = {r.region: (r.total, r.n) for r in ru.read().collect()}
+    print(
+        f"txn {res['txn']} published {sorted(res['tables'])} atomically; "
+        f"CDC rollup after update_where: {rolled}"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
