@@ -94,6 +94,11 @@ SF1_QUERIES = [
     # kernel, and the NB classifier (multi-aggregate model build over a
     # persisted input)
     "dedup_substring_removal", "knn_label_vote", "text_nb_language",
+    # r6-late additions: BPE iteration-zero (corpus-sized wordcount then
+    # |vocab|-sized pair relation), the dense gap-fill grid (key x bucket,
+    # corpus-size-independent densify), and the CDC-maintained rollup
+    # (build cost is the one-off table load; refreshes are O(changed))
+    "text_bpe_pairs", "events_gapfill", "lake_rollup_incremental",
 ]
 
 SF1_DIR = "/tmp/spark_graft_sf1"

@@ -509,3 +509,25 @@ def test_rollback_spares_created_table_with_foreign_commits(spark, catalog):
     txn.rollback()
     rows = {r.v for r in catalog.load_table("ds", "fresh").read().collect()}
     assert rows == {"foreign"}
+
+
+def test_orphan_cleanup_spares_open_transaction_staging(spark, catalog):
+    """Files referenced only by an OPEN transaction's branch survive
+    remove_orphan_files even with a zero grace window — branch-head
+    reachability, not mtime, is what protects them."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import remove_orphan_files
+
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    res = remove_orphan_files(
+        catalog.load_table("ds", "fact"), older_than=timedelta(seconds=0)
+    )
+    assert res["data_files"] == [] and res["metadata_files"] == []
+    txn.commit()
+    assert catalog.load_table("ds", "fact").read().count() == 3
