@@ -4654,6 +4654,84 @@ _STREAM_TAIL_CACHE: dict = {}
 
 
 @query(
+    "stream_lake_changes",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, 'delete'
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey < 50
+    UNION ALL
+    SELECT o_orderkey, o_custkey, 'X', o_orderdate, 'insert'
+    FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey < 50
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, 'insert'
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    doc=(
+        "CDC STREAMING source (read_stream(..., changes=True), "
+        "streaming/source.py — the streaming twin of read_changes, "
+        "Iceberg changelog-scan parity): the same mutation history as "
+        "lake_cdc_changelog (append evens, MoR update_where flips "
+        "o_custkey<50 to 'X' via position deletes, append odds) tailed "
+        "as a REAL streaming query; executors materialize delete/insert "
+        "images from parquet + delete files via Arrow, applying the "
+        "parent's MoR masks so already-dead rows are never re-deleted.  "
+        "The oracle reconstructs all four image sets from the raw "
+        "fixture — identical to the batch changelog oracle, so the "
+        "stream is held to the exact batch semantics on the value-hash "
+        "path.  Each invocation re-runs the stream end-to-end."
+    ),
+)
+def stream_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.source import read_stream
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    location = _STREAM_CDC_CACHE.get(key)
+    if location is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cdcstream_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        catalog.load_table("gate", "orders").update_where(
+            [("o_custkey", "<", 50)], {"o_orderstatus": "X"}
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        location = catalog.load_table("gate", "orders").location
+        _STREAM_CDC_CACHE[key] = location
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_stream(spark, location, from_beginning=True, changes=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "_change_type"
+    )
+
+
+_STREAM_CDC_CACHE: dict = {}
+
+
+@query(
     "stream_lake_sink",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5085,7 +5163,7 @@ _GATE_PRIORITY = [
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
 # lake_add_column_default, lake_rollup_incremental, events_gapfill,
-# text_bpe_pairs, lake_multi_table_txn,
+# text_bpe_pairs, lake_multi_table_txn, stream_lake_changes,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no

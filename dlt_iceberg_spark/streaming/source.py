@@ -51,6 +51,24 @@ _PASS_THROUGH_OPS = (
 )
 _APPEND_OPS = ("append", "create")
 
+#: ops/flags that change layout, not the row set — the CDC stream emits
+#: nothing for them (keep in sync with LakeTable._LAYOUT_ONLY_OPS +
+#: read_changes' summary flags; a unit test pins the equality)
+_CDC_LAYOUT_ONLY_OPS = (
+    "compact", "zorder", "evolve-schema", "evolve-partition",
+    "backfill-stats", "rename-column", "add-column", "drop-column",
+    "promote-column", "consolidate-deletes",
+)
+_CDC_LAYOUT_SUMMARY_FLAGS = ("compaction", "folded-delete-files", "rewritten-files")
+
+
+def _strip_file_uri(p: str) -> str:
+    """file:/p | file://p | file:///p -> /p (mirror of table._norm_path)."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        return "/" + rest.lstrip("/")
+    return p
+
 
 def _read_text(path: str) -> str:
     with open(path) as fh:
@@ -71,13 +89,18 @@ def _snapshot_raw(location: str, version: int) -> dict:
 
 
 def _file_entries(location: str, raw: dict) -> list[dict]:
-    """Live file entries of a raw snapshot: path + names mapping (all the
-    streaming source needs), from inline files + chunked manifests —
-    pyarrow only, no SparkSession."""
+    """Live file entries of a raw snapshot: path + names mapping + data
+    sequence + stats (all the streaming source needs), from inline files +
+    chunked manifests — pyarrow only, no SparkSession."""
     import pyarrow.parquet as pq
 
     out = [
-        {"path": f["path"], "names": f.get("names", {})}
+        {
+            "path": f["path"],
+            "names": f.get("names", {}),
+            "sequence": f.get("sequence"),
+            "stats": f.get("stats", {}),
+        }
         for f in raw.get("files", [])
     ]
     for ref in raw.get("manifests", []):
@@ -92,6 +115,10 @@ def _file_entries(location: str, raw: dict) -> list[dict]:
                     "names": json.loads(cols["names"][i])
                     if "names" in cols and cols["names"][i]
                     else {},
+                    "sequence": cols.get("sequence", [None] * t.num_rows)[i],
+                    "stats": json.loads(cols["stats"][i])
+                    if "stats" in cols and cols["stats"][i]
+                    else {},
                 }
             )
     return out
@@ -101,6 +128,29 @@ def _file_entries(location: str, raw: dict) -> list[dict]:
 class _FilePartition(InputPartition):
     abs_path: str
     names: dict  # current column -> physical column (None = absent)
+
+
+@dataclass
+class _ChangePartition(InputPartition):
+    """One data file's contribution to a CDC micro-batch.
+
+    ``kind``: ``insert`` (added file, all rows), ``delete`` (removed
+    file, LIVE rows at parent), ``delete_pos`` (parent live rows
+    addressed by this snapshot's new position deletes), ``delete_eq``
+    (parent live rows matching this snapshot's new equality-delete
+    keys).  ``parent_pos``/``parent_eq`` are the PARENT's applicable
+    masks (so already-dead rows are never re-deleted); ``new_pos``/
+    ``new_eq`` carry the snapshot's own delete files for the restricted
+    kinds.  All paths absolute; eq entries are (path, [key cols])."""
+
+    kind: str
+    abs_path: str
+    names: dict
+    version: int
+    parent_pos: list
+    parent_eq: list
+    new_pos: list
+    new_eq: list
 
 
 class _LakeStreamReader(DataSourceStreamReader):
@@ -118,6 +168,10 @@ class _LakeStreamReader(DataSourceStreamReader):
         #: driver keeps one reader instance per run).
         mv = options.get("max_versions_per_batch")
         self.max_versions = int(mv) if mv is not None else None
+        #: CDC mode: emit change IMAGES (_change_type/_commit_version)
+        #: instead of refusing non-append snapshots — the streaming twin of
+        #: LakeTable.read_changes, which is its batch oracle in tests
+        self.changes = str(options.get("changes", "")).lower() == "true"
         self._last_end: int | None = None
         # the stream presents the schema as of stream START; capture that
         # snapshot's field ids so mid-stream renames translate through the
@@ -172,6 +226,8 @@ class _LakeStreamReader(DataSourceStreamReader):
                     )
                 break
             raw = _snapshot_raw(self.location, parent)
+        if self.changes:
+            return self._change_partitions(chain)
         added: list[str] = []
         for raw in chain:
             op = raw.get("operation")
@@ -181,7 +237,8 @@ class _LakeStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     f"cannot stream across a '{op}' snapshot "
                     f"(v{raw['version']}): rows were rewritten or removed; "
-                    "use read_changes/ChangelogFeed for CDC"
+                    "use read_changes/ChangelogFeed for CDC "
+                    "(or open the stream with changes=true)"
                 )
             entries = _file_entries(self.location, raw)
             parent = raw.get("parent")
@@ -225,6 +282,221 @@ class _LakeStreamReader(DataSourceStreamReader):
             )
         return parts or [_FilePartition("", {})]
 
+    # -- CDC planning ------------------------------------------------------
+
+    def _data_fields(self):
+        return [
+            f
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version")
+        ]
+
+    def _mapping_for(self, era_field_ids: dict, entry_names: dict) -> dict:
+        """Stream-schema column -> physical column in a file whose entry
+        follows ``era_field_ids`` naming — the same stable-field-id bridge
+        as the append path, per era."""
+        name_of_id = {i: n for n, i in (era_field_ids or {}).items()}
+        start_ids = self._start_field_ids or era_field_ids or {}
+        mapping = {}
+        for f in self._data_fields():
+            sid = start_ids.get(f.name)
+            era = name_of_id.get(sid, f.name) if sid is not None else f.name
+            phys = entry_names.get(era, era)
+            if phys != f.name:
+                mapping[f.name] = phys
+        return mapping
+
+    @staticmethod
+    def _stats_overlap(entry_stats: dict, delete_stats: dict, keys: list) -> bool:
+        """Conservative file-vs-delete-envelope overlap on the key columns
+        (same check as the batch changelog's candidate prune); missing
+        stats on either side keep the file."""
+        for k in keys:
+            e = entry_stats.get(k)
+            d = delete_stats.get(k)
+            if not e or not d or e[0] is None or d[0] is None:
+                continue
+            try:
+                if e[0] > d[1] or e[1] < d[0]:
+                    return False
+            except TypeError:
+                continue
+        return True
+
+    def _change_partitions(self, chain: list[dict]) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for raw in chain:
+            op = raw.get("operation")
+            summary = raw.get("summary", {})
+            if op in _CDC_LAYOUT_ONLY_OPS or any(
+                f in summary and summary.get(f) for f in _CDC_LAYOUT_SUMMARY_FLAGS
+            ):
+                continue
+            version = raw["version"]
+            parent_v = raw.get("parent")
+            parent_raw = (
+                _snapshot_raw(self.location, parent_v)
+                if parent_v is not None
+                else None
+            )
+            entries = _file_entries(self.location, raw)
+            parent_entries = (
+                _file_entries(self.location, parent_raw) if parent_raw else []
+            )
+            parent_paths = {f["path"] for f in parent_entries}
+            cur_paths = {f["path"] for f in entries}
+            era_ids = raw.get("field_ids", {})
+            parent_ids = (parent_raw or {}).get("field_ids", {})
+            parent_deletes = (parent_raw or {}).get("delete_files", [])
+
+            def _masks_for(entry):
+                seq = entry.get("sequence") or 0
+                pos = [
+                    os.path.join(self.location, d["path"])
+                    for d in parent_deletes
+                    if d.get("content") == "position" and (d.get("sequence") or 0) >= seq
+                ]
+                eq = [
+                    (
+                        os.path.join(self.location, d["path"]),
+                        list(d.get("equality_ids") or []),
+                    )
+                    for d in parent_deletes
+                    if d.get("content") != "position" and (d.get("sequence") or 0) > seq
+                ]
+                return pos, eq
+
+            def _guard_keys(entry, mapping, keys, what):
+                for k in keys:
+                    if mapping.get(k, k) != k or entry["names"].get(k, k) != k:
+                        raise ValueError(
+                            f"CDC streaming cannot bridge renamed {what} key "
+                            f"{k!r} (file {entry['path']}); use "
+                            "LakeTable.read_changes for this range"
+                        )
+
+            # inserts: files added by this snapshot
+            for f in entries:
+                if f["path"] in parent_paths:
+                    continue
+                parts.append(
+                    _ChangePartition(
+                        kind="insert",
+                        abs_path=os.path.join(self.location, f["path"]),
+                        names=self._mapping_for(era_ids, f["names"]),
+                        version=version,
+                        parent_pos=[],
+                        parent_eq=[],
+                        new_pos=[],
+                        new_eq=[],
+                    )
+                )
+            # delete images: files REMOVED by this snapshot (live rows only)
+            for f in parent_entries:
+                if f["path"] in cur_paths:
+                    continue
+                pos, eq = _masks_for(f)
+                mapping = self._mapping_for(parent_ids, f["names"])
+                for _, keys in eq:
+                    _guard_keys(f, mapping, keys, "equality-delete")
+                parts.append(
+                    _ChangePartition(
+                        kind="delete",
+                        abs_path=os.path.join(self.location, f["path"]),
+                        names=mapping,
+                        version=version,
+                        parent_pos=pos,
+                        parent_eq=eq,
+                        new_pos=[],
+                        new_eq=[],
+                    )
+                )
+            # delete images from this snapshot's NEW delete files
+            new_dels = [
+                d
+                for d in raw.get("delete_files", [])
+                if (d.get("sequence") or 0) == version
+            ]
+            if new_dels and parent_raw is not None:
+                import pyarrow.parquet as pq
+
+                new_pos = [d for d in new_dels if d.get("content") == "position"]
+                new_eq = [d for d in new_dels if d.get("content") != "position"]
+                if new_pos:
+                    # addresses name their files outright — plan ONLY those
+                    addressed: set[str] = set()
+                    for d in new_pos:
+                        t = pq.read_table(
+                            os.path.join(self.location, d["path"]),
+                            columns=["file_path"],
+                        )
+                        addressed.update(
+                            _strip_file_uri(p) for p in set(t.column("file_path").to_pylist())
+                        )
+                    for f in parent_entries:
+                        if os.path.abspath(
+                            os.path.join(self.location, f["path"])
+                        ) not in addressed:
+                            continue
+                        pos, eq = _masks_for(f)
+                        mapping = self._mapping_for(parent_ids, f["names"])
+                        for _, keys in eq:
+                            _guard_keys(f, mapping, keys, "equality-delete")
+                        parts.append(
+                            _ChangePartition(
+                                kind="delete_pos",
+                                abs_path=os.path.join(self.location, f["path"]),
+                                names=mapping,
+                                version=version,
+                                parent_pos=pos,
+                                parent_eq=eq,
+                                new_pos=[
+                                    os.path.join(self.location, d["path"])
+                                    for d in new_pos
+                                ],
+                                new_eq=[],
+                            )
+                        )
+                if new_eq:
+                    for f in parent_entries:
+                        f_seq = f.get("sequence") or 0
+                        applicable = [
+                            d
+                            for d in new_eq
+                            if (d.get("sequence") or 0) > f_seq
+                            and self._stats_overlap(
+                                f.get("stats", {}),
+                                d.get("stats", {}),
+                                list(d.get("equality_ids") or []),
+                            )
+                        ]
+                        if not applicable:
+                            continue
+                        pos, eq = _masks_for(f)
+                        mapping = self._mapping_for(parent_ids, f["names"])
+                        eq_new = [
+                            (
+                                os.path.join(self.location, d["path"]),
+                                list(d.get("equality_ids") or []),
+                            )
+                            for d in applicable
+                        ]
+                        for _, keys in [*eq, *eq_new]:
+                            _guard_keys(f, mapping, keys, "equality-delete")
+                        parts.append(
+                            _ChangePartition(
+                                kind="delete_eq",
+                                abs_path=os.path.join(self.location, f["path"]),
+                                names=mapping,
+                                version=version,
+                                parent_pos=pos,
+                                parent_eq=eq,
+                                new_pos=[],
+                                new_eq=eq_new,
+                            )
+                        )
+        return parts or [_FilePartition("", {})]
+
     def read(self, partition: _FilePartition) -> Iterator:
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -233,6 +505,8 @@ class _LakeStreamReader(DataSourceStreamReader):
         target = to_arrow_schema(self.schema)
         if not partition.abs_path:
             return iter(pa.table([[] for _ in target], schema=target).to_batches())
+        if isinstance(partition, _ChangePartition):
+            return self._read_change(partition, target)
         mapping = partition.names or {}
         phys_cols = [
             mapping.get(f.name, f.name)
@@ -247,6 +521,71 @@ class _LakeStreamReader(DataSourceStreamReader):
                 arrays.append(pa.nulls(t.num_rows, type=field.type))
             else:
                 arrays.append(t.column(p).cast(field.type))
+        return iter(pa.table(arrays, schema=target).to_batches())
+
+    def _read_change(self, p: _ChangePartition, target) -> Iterator:
+        """Executor-side CDC image materialization for one data file:
+        compute the PARENT-live row set (parent masks — position by
+        address, equality by key with sequence rules already resolved at
+        planning), restrict by kind, and emit with the image columns."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p.abs_path)
+        n = t.num_rows
+        abs_self = os.path.abspath(p.abs_path)
+
+        def _positions(paths) -> set:
+            out: set = set()
+            for path in paths:
+                dt = pq.read_table(path, columns=["file_path", "pos"])
+                for fp, pos in zip(
+                    dt.column("file_path").to_pylist(), dt.column("pos").to_pylist()
+                ):
+                    if _strip_file_uri(fp) == abs_self:
+                        out.add(pos)
+            return out
+
+        def _eq_matches(paths_keys) -> set:
+            out: set = set()
+            for path, ks in paths_keys:
+                if not ks:
+                    continue
+                kt = pq.read_table(path, columns=ks)
+                kset = set(zip(*[kt.column(k).to_pylist() for k in ks]))
+                data_cols = [t.column(k).to_pylist() for k in ks]
+                out |= {i for i, tup in enumerate(zip(*data_cols)) if tup in kset}
+            return out
+
+        if p.kind == "insert":
+            take = list(range(n))
+        else:
+            dead = _positions(p.parent_pos) | _eq_matches(p.parent_eq)
+            live = [i for i in range(n) if i not in dead]
+            if p.kind == "delete_pos":
+                addressed = _positions(p.new_pos)
+                take = [i for i in live if i in addressed]
+            elif p.kind == "delete_eq":
+                match = _eq_matches(p.new_eq)
+                take = [i for i in live if i in match]
+            else:  # removed file: every parent-live row
+                take = live
+        sub = t if p.kind == "insert" else t.take(take)
+        rows = sub.num_rows
+        mapping = p.names or {}
+        change = "insert" if p.kind == "insert" else "delete"
+        arrays = []
+        for f, field in zip(self.schema.fields, target):
+            if f.name == "_change_type":
+                arrays.append(pa.array([change] * rows, type=field.type))
+            elif f.name == "_commit_version":
+                arrays.append(pa.array([p.version] * rows, type=field.type))
+            else:
+                phys = mapping.get(f.name, f.name)
+                if phys is None or phys not in sub.column_names:
+                    arrays.append(pa.nulls(rows, type=field.type))
+                else:
+                    arrays.append(sub.column(phys).cast(field.type))
         return iter(pa.table(arrays, schema=target).to_batches())
 
     def commit(self, end: dict) -> None:
@@ -271,7 +610,16 @@ class LakeTableStreamSource(DataSource):
         cur = _current_version(location)
         if cur is None:
             raise FileNotFoundError(f"no such table: {location}")
-        return T.StructType.fromJson(_snapshot_raw(location, cur)["schema"])
+        schema = T.StructType.fromJson(_snapshot_raw(location, cur)["schema"])
+        if str(self.options.get("changes", "")).lower() == "true":
+            schema = T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("_change_type", T.StringType(), False),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema: T.StructType) -> _LakeStreamReader:
         return _LakeStreamReader(schema, dict(self.options))
@@ -297,7 +645,12 @@ def read_stream(spark, location: str, **options):
     """Streaming DataFrame tailing a LakeTable's appends.
 
     ``options``: ``from_beginning=True`` streams existing rows first;
-    ``starting_version=N`` rewinds to just after snapshot N.
+    ``starting_version=N`` rewinds to just after snapshot N;
+    ``changes=True`` switches to CDC mode — the stream carries
+    ``_change_type``/``_commit_version`` image columns and emits
+    delete(old image)/insert(new image) pairs across merges, row-level
+    deletes and rewrites (the streaming twin of
+    ``LakeTable.read_changes``, which is its batch oracle).
     """
     register_lake_stream_source(spark)
     reader = spark.readStream.format("laketable").option("location", location)
