@@ -124,6 +124,41 @@ def _file_entries(location: str, raw: dict) -> list[dict]:
     return out
 
 
+def _ref_diff(
+    location: str, raw_cur: dict, raw_parent: dict | None
+) -> tuple[list[dict], list[dict]]:
+    """(added_entries, removed_entries) between a snapshot and its parent,
+    diffing MANIFEST REFS first: entries inside manifests both snapshots
+    share by reference cannot have changed, so only each side's UNIQUE
+    manifests (plus inline file lists) are read.  An append tail therefore
+    plans O(added + folded), never O(table) — the manifest-list reuse that
+    keeps commits O(touched) pays off symmetrically on the read side."""
+    cur_refs = {r["path"] for r in raw_cur.get("manifests", [])}
+    par_refs = {r["path"] for r in (raw_parent or {}).get("manifests", [])}
+    cur_view = {
+        **raw_cur,
+        "manifests": [
+            r for r in raw_cur.get("manifests", []) if r["path"] not in par_refs
+        ],
+    }
+    cur_entries = _file_entries(location, cur_view)
+    if raw_parent is None:
+        return cur_entries, []
+    par_view = {
+        **raw_parent,
+        "manifests": [
+            r for r in raw_parent.get("manifests", []) if r["path"] not in cur_refs
+        ],
+    }
+    par_entries = _file_entries(location, par_view)
+    cur_paths = {f["path"] for f in cur_entries}
+    par_paths = {f["path"] for f in par_entries}
+    return (
+        [f for f in cur_entries if f["path"] not in par_paths],
+        [f for f in par_entries if f["path"] not in cur_paths],
+    )
+
+
 @dataclass
 class _FilePartition(InputPartition):
     abs_path: str
@@ -228,7 +263,7 @@ class _LakeStreamReader(DataSourceStreamReader):
             raw = _snapshot_raw(self.location, parent)
         if self.changes:
             return self._change_partitions(chain)
-        added: list[str] = []
+        parts: list[InputPartition] = []
         for raw in chain:
             op = raw.get("operation")
             if op in _PASS_THROUGH_OPS:
@@ -240,46 +275,25 @@ class _LakeStreamReader(DataSourceStreamReader):
                     "use read_changes/ChangelogFeed for CDC "
                     "(or open the stream with changes=true)"
                 )
-            entries = _file_entries(self.location, raw)
             parent = raw.get("parent")
-            parent_paths = (
-                {
-                    f["path"]
-                    for f in _file_entries(
-                        self.location, _snapshot_raw(self.location, parent)
+            parent_raw = (
+                _snapshot_raw(self.location, parent) if parent is not None else None
+            )
+            # manifest-ref diff: only manifests UNIQUE to either side are
+            # read, so planning an append batch costs O(added + folded)
+            # entries — never a scan of the whole table's manifest set.
+            # Each added entry's written names bridge to the stream schema
+            # through ITS OWN era's field ids (a rename before or after the
+            # add resolves through the stable id either way).
+            added_entries, _removed = _ref_diff(self.location, raw, parent_raw)
+            era_ids = raw.get("field_ids", {})
+            for f in added_entries:
+                parts.append(
+                    _FilePartition(
+                        os.path.join(self.location, f["path"]),
+                        self._mapping_for(era_ids, f["names"]),
                     )
-                }
-                if parent is not None
-                else set()
-            )
-            added.extend(f["path"] for f in entries if f["path"] not in parent_paths)
-        # written-name mappings come from the END snapshot's entries (only
-        # they are current w.r.t. any rename in or before the range); the
-        # end-era column names translate to the STREAM schema's names via
-        # stable field ids
-        end_names_of = {
-            f["path"]: f["names"] for f in _file_entries(self.location, raw_end)
-        }
-        end_field_ids = raw_end.get("field_ids", {})
-        end_name_of_id = {i: n for n, i in end_field_ids.items()}
-        start_ids = self._start_field_ids or end_field_ids
-        era_name = {
-            f.name: end_name_of_id.get(start_ids.get(f.name), f.name)
-            if start_ids.get(f.name) is not None
-            else f.name
-            for f in self.schema.fields
-        }
-        parts: list[InputPartition] = []
-        for path in added:
-            en = end_names_of.get(path, {})
-            mapping = {}
-            for f in self.schema.fields:
-                phys = en.get(era_name[f.name], era_name[f.name])
-                if phys != f.name:
-                    mapping[f.name] = phys
-            parts.append(
-                _FilePartition(os.path.join(self.location, path), mapping)
-            )
+                )
         return parts or [_FilePartition("", {})]
 
     # -- CDC planning ------------------------------------------------------
@@ -339,12 +353,12 @@ class _LakeStreamReader(DataSourceStreamReader):
                 if parent_v is not None
                 else None
             )
-            entries = _file_entries(self.location, raw)
-            parent_entries = (
-                _file_entries(self.location, parent_raw) if parent_raw else []
+            # ref-diff keeps per-snapshot planning O(changed + folded);
+            # the FULL parent entry set is read only when this snapshot
+            # lands new delete files (their candidates can touch any file)
+            added_entries, removed_entries = _ref_diff(
+                self.location, raw, parent_raw
             )
-            parent_paths = {f["path"] for f in parent_entries}
-            cur_paths = {f["path"] for f in entries}
             era_ids = raw.get("field_ids", {})
             parent_ids = (parent_raw or {}).get("field_ids", {})
             parent_deletes = (parent_raw or {}).get("delete_files", [])
@@ -376,9 +390,7 @@ class _LakeStreamReader(DataSourceStreamReader):
                         )
 
             # inserts: files added by this snapshot
-            for f in entries:
-                if f["path"] in parent_paths:
-                    continue
+            for f in added_entries:
                 parts.append(
                     _ChangePartition(
                         kind="insert",
@@ -392,9 +404,7 @@ class _LakeStreamReader(DataSourceStreamReader):
                     )
                 )
             # delete images: files REMOVED by this snapshot (live rows only)
-            for f in parent_entries:
-                if f["path"] in cur_paths:
-                    continue
+            for f in removed_entries:
                 pos, eq = _masks_for(f)
                 mapping = self._mapping_for(parent_ids, f["names"])
                 for _, keys in eq:
@@ -420,6 +430,10 @@ class _LakeStreamReader(DataSourceStreamReader):
             if new_dels and parent_raw is not None:
                 import pyarrow.parquet as pq
 
+                # delete candidates can live in ANY parent file: the full
+                # entry listing is the price of a delete batch (rare next
+                # to appends), pruned below by address / stats envelope
+                parent_entries = _file_entries(self.location, parent_raw)
                 new_pos = [d for d in new_dels if d.get("content") == "position"]
                 new_eq = [d for d in new_dels if d.get("content") != "position"]
                 if new_pos:

@@ -218,3 +218,45 @@ def test_stream_bridges_promote_eras(spark, warehouse):
     )
     assert dict(out.dtypes)["v"] == "bigint"
     assert sorted((r.id, r.v) for r in out.collect()) == [(1, 10), (2, 2**40)]
+
+
+def test_append_planning_reads_only_unique_manifests(spark, warehouse, monkeypatch):
+    """Manifest-ref diff: planning one append micro-batch on a table with
+    many prior appends reads ONLY the manifests unique to that step (the
+    new one, plus any fold), never the whole manifest set — the streaming
+    tail stays O(added) at any table size."""
+    import pyarrow.parquet as pq_mod
+
+    from dlt_iceberg_spark.streaming import source as src_mod
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    for i in range(12):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            load_id=f"l{i}",
+        )
+    t = catalog.load_table("ds", "t")
+    head = t.current_version()
+    n_manifests_total = len(t.snapshot().manifests)
+    assert n_manifests_total >= 3  # the table actually has history
+
+    reader = src_mod._LakeStreamReader(
+        t.schema(), {"location": t.location}
+    )
+    reads = []
+    real = pq_mod.read_table
+
+    def counting(path, *a, **kw):
+        if "/metadata/m-" in str(path):
+            reads.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "read_table", counting)
+    parts = reader.partitions({"version": head - 1}, {"version": head})
+    monkeypatch.setattr(pq_mod, "read_table", real)
+    assert len(parts) == 1  # the one appended file
+    # strictly fewer manifest reads than the table holds; an append step
+    # reads its own new manifest (plus at most a fold's worth)
+    assert 0 < len(set(reads)) < n_manifests_total, (len(set(reads)), n_manifests_total)
