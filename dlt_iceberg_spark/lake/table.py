@@ -2340,6 +2340,34 @@ class LakeTable:
             summary={"folded-delete-files": len(snap.delete_files)},
         )
 
+    def _diff_files(
+        self, snap: "Snapshot", parent: "Snapshot | None"
+    ) -> tuple[list[DataFile], list[DataFile]]:
+        """(added, removed) between a snapshot and its parent by MANIFEST-REF
+        diff: entries inside manifests both snapshots share by reference
+        cannot differ, so only each side's unique manifests are read — an
+        append step diffs in O(added + folded), never O(table).  The same
+        trick that keeps commits O(touched) (manifest reuse) paying off on
+        the changelog read side."""
+        par_refs = {r.path for r in parent.manifests} if parent else set()
+        cur_refs = {r.path for r in snap.manifests}
+        cur = list(snap.inline_files)
+        for r in snap.manifests:
+            if r.path not in par_refs:
+                cur.extend(read_manifest(self.location, r, io=self._io))
+        if parent is None:
+            return cur, []
+        par = list(parent.inline_files)
+        for r in parent.manifests:
+            if r.path not in cur_refs:
+                par.extend(read_manifest(self.location, r, io=self._io))
+        cur_paths = {f.path for f in cur}
+        par_paths = {f.path for f in par}
+        return (
+            [f for f in cur if f.path not in par_paths],
+            [f for f in par if f.path not in cur_paths],
+        )
+
     def read_incremental(
         self, from_version: int | None, to_version: int | None = None
     ) -> DataFrame:
@@ -2363,7 +2391,8 @@ class LakeTable:
                 f"from_version {from_version} is newer than to_version {to_v}"
             )
         end = self.snapshot(to_v)
-        new_paths: list[str] = []
+        added_files: list[DataFile] = []
+        same_vocab = True
         snap = end
         while snap is not None and (from_version is None or snap.version > from_version):
             # metadata-only evolution snapshots carry the parent's file set
@@ -2376,23 +2405,31 @@ class LakeTable:
                     f"cannot read incrementally across a '{snap.operation}' "
                     f"snapshot (v{snap.version}): rows were rewritten or removed"
                 )
-            parent_paths = (
-                {f.path for f in self.snapshot(snap.parent).files}
-                if snap.parent is not None
-                else set()
+            parent_snap = (
+                self.snapshot(snap.parent) if snap.parent is not None else None
             )
-            new_paths.extend(f.path for f in snap.files if f.path not in parent_paths)
+            # manifest-ref diff: an append step reads only its own new
+            # manifest (plus any fold), never the table's whole entry set
+            added, _removed = self._diff_files(snap, parent_snap)
+            added_files.extend(added)
+            # identical field_ids = identical column vocabulary: the
+            # adding-era entries' names mappings are already current
+            if snap.field_ids != end.field_ids:
+                same_vocab = False
             if snap.parent is None:
                 if from_version is not None:
                     raise ValueError(f"no snapshot v{from_version} in ancestry of v{to_v}")
                 break
-            snap = self.snapshot(snap.parent)
-        if not new_paths:
+            snap = parent_snap
+        if not added_files:
             return self.spark.createDataFrame([], end.schema)
-        # read through the END snapshot's entries: a rename-column in the
-        # range leaves older files keyed by their written names, and only
-        # the end entries carry the current->physical mapping for them
-        wanted = set(new_paths)
+        if same_vocab:
+            return self._physical_read(added_files, end.schema)
+        # a rename in the range leaves added-era entries keyed by written
+        # names of an older vocabulary: fall back to the END snapshot's
+        # entries, which carry the current->physical mapping (one O(table)
+        # listing, paid only when DDL actually intervened)
+        wanted = {f.path for f in added_files}
         files = [f for f in end.files if f.path in wanted]
         return self._physical_read(files, end.schema)
 
@@ -2514,11 +2551,11 @@ class LakeTable:
             ):
                 continue
             parent = self.snapshot(snap.parent) if snap.parent is not None else None
-            parent_files = parent.files if parent else []
-            parent_paths = {f.path for f in parent_files}
-            cur_paths = {f.path for f in snap.files}
-            added = [f for f in snap.files if f.path not in parent_paths]
-            removed = [f for f in parent_files if f.path not in cur_paths]
+            # manifest-ref diff: O(changed + folded) per snapshot.  The FULL
+            # parent listing (parent.files) is touched only below, when this
+            # snapshot lands new delete files — their candidates can live in
+            # any parent file
+            added, removed = self._diff_files(snap, parent)
             if added:
                 ins = self.spark.read.schema(snap.schema).parquet(
                     *[os.path.join(self.location, f.path) for f in added]
@@ -2556,7 +2593,7 @@ class LakeTable:
                     ).collect()[0]
                     cand = [
                         f
-                        for f in parent_files
+                        for f in parent.files
                         if all(
                             bounds[f"_mn_{k}"] is None
                             or (
@@ -2603,7 +2640,7 @@ class LakeTable:
                     }
                     cand = [
                         f
-                        for f in parent_files
+                        for f in parent.files
                         if os.path.abspath(os.path.join(self.location, f.path)) in hit
                     ]
                     if cand:

@@ -335,3 +335,40 @@ def test_mirror_into_replicates_table(spark, base):
 
     # idle source -> no batch, mirror untouched
     assert sync() == 0
+
+
+def test_changelog_planning_reads_only_unique_manifests(spark, warehouse, monkeypatch):
+    """Manifest-ref diff on the BATCH changelog: read_changes over an
+    append-only range plans from each step's unique manifests, never a
+    full per-snapshot listing (the planning twin of the streaming test in
+    test_stream_source.py)."""
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    for i in range(12):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            load_id=f"l{i}",
+        )
+    t = catalog.load_table("ds", "t")
+    head = t.current_version()
+    n_manifests = len(t.snapshot().manifests)
+    assert n_manifests >= 3
+
+    real = table_mod.read_manifest
+    reads = []
+
+    def counting(location, ref, io=None):
+        reads.append(ref.path)
+        return real(location, ref, io=io)
+
+    monkeypatch.setattr(table_mod, "read_manifest", counting)
+    out = t.read_changes(head - 1, head)
+    n_rows = out.count()
+    monkeypatch.setattr(table_mod, "read_manifest", real)
+    assert n_rows == 1
+    assert 0 < len(set(reads)) < n_manifests, (len(set(reads)), n_manifests)
