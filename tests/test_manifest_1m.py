@@ -217,3 +217,30 @@ def test_1m_metadata_only_ddl_reads_zero_manifests(mega_table, monkeypatch):
     assert reads == []
     assert [r.path for r in snap.manifests] == before
     assert {f.name: f.dataType for f in snap.schema.fields}["w"] == T.LongType()
+
+
+def test_1m_changelog_diff_reads_only_the_new_manifest(mega_table, monkeypatch):
+    """The changelog planner's manifest-ref diff at 1M entries: diffing an
+    append snapshot against its parent reads ONLY the manifest the append
+    introduced — the planning step behind read_changes/read_incremental
+    and the streaming CDC source stays O(added) at 128 TB scale."""
+    snap = mega_table.snapshot()
+    add = DataFile(
+        path="data/cdc_new.parquet", rows=5, bytes=500, stats={"k": [10**9 + 1, 10**9 + 1]}
+    )
+    new_snap = mega_table.commit(
+        None, SCHEMA, "append", snap.version, manifests=snap.manifests, new_files=[add]
+    )
+    reads = []
+    orig = table_mod.read_manifest
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda loc, ref, **kw: reads.append(ref) or orig(loc, ref, **kw),
+    )
+    added, removed = mega_table._diff_files(new_snap, mega_table.snapshot(snap.version))
+    assert [f.path for f in added] == ["data/cdc_new.parquet"]
+    assert removed == []
+    # every manifest read was unique to one side; the shared 1M-entry set
+    # was passed by reference and never opened
+    assert len(reads) <= 2, [r.path for r in reads]
