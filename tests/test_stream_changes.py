@@ -166,13 +166,15 @@ def test_starting_version_slices_like_batch(spark, warehouse):
 
 def test_property_random_histories_match_batch_oracle(spark, warehouse):
     """Seeded random mutation histories (append / update_where /
-    position-delete / upsert / hard-delete / compaction) — the drained
+    position-delete / upsert / hard-delete / compaction / replace) — the drained
     CDC stream must equal read_changes(None) image-for-image."""
     rng = random.Random(1234)
     catalog, writer = _mk(spark, warehouse)
     next_id = [1000]
     for step in range(8):
-        op = rng.choice(["append", "update", "posdel", "upsert", "harddel", "compact"])
+        op = rng.choice(
+            ["append", "update", "posdel", "upsert", "harddel", "compact", "replace"]
+        )
         t = catalog.load_table("ds", "t")
         if op == "append":
             rows = [
@@ -223,8 +225,18 @@ def test_property_random_histories_match_batch_oracle(spark, warehouse):
                     ),
                     load_id=f"s{step}",
                 )
-        else:
+        elif op == "compact":
             from dlt_iceberg_spark.lake.maintenance import compact_table
 
             compact_table(t)
+        else:  # replace: full rewrite -> delete images for every live row
+            rows = [
+                (next_id[0] + i, "gR", float(i)) for i in range(rng.randint(2, 5))
+            ]
+            next_id[0] += len(rows)
+            writer.write(
+                TableSpec(name="t", write_disposition="replace"),
+                spark.createDataFrame(rows, "id long, grp string, amt double"),
+                load_id=f"s{step}",
+            )
     _check_against_batch_oracle(spark, catalog)
