@@ -135,9 +135,10 @@ class CatalogTransaction:
         self.namespace = namespace
         self.txn_id = uuid.uuid4().hex[:12]
         self.branch = f"txn-{self.txn_id}"
-        self._writer = LakeWriter(catalog, namespace, config=config, branch=self.branch)
-        #: table name -> {"fork": main head at first touch, "created": bool}
-        self._touched: dict[str, dict[str, Any]] = {}
+        self._config = config
+        self._writers: dict[str, LakeWriter] = {}
+        #: (namespace, table) -> {"fork": main head at first touch, "created": bool}
+        self._touched: dict[tuple[str, str], dict[str, Any]] = {}
         self._state = "open"
 
     # -- staging -----------------------------------------------------------
@@ -146,52 +147,72 @@ class CatalogTransaction:
         if self._state != "open":
             raise TransactionError(f"transaction {self.txn_id} is {self._state}")
 
-    def _track(self, name: str) -> None:
-        if name in self._touched:
+    def _writer_for(self, namespace: str) -> LakeWriter:
+        w = self._writers.get(namespace)
+        if w is None:
+            w = LakeWriter(
+                self.catalog, namespace, config=self._config, branch=self.branch
+            )
+            self._writers[namespace] = w
+        return w
+
+    def _track(self, namespace: str, name: str) -> None:
+        if (namespace, name) in self._touched:
             return
-        created = not self.catalog.table_exists(self.namespace, name)
+        created = not self.catalog.table_exists(namespace, name)
         fork = (
             None
             if created
-            else self.catalog.load_table(self.namespace, name).current_version()
+            else self.catalog.load_table(namespace, name).current_version()
         )
-        self._touched[name] = {"fork": fork, "created": created}
+        self._touched[(namespace, name)] = {"fork": fork, "created": created}
 
-    def write(self, spec: TableSpec, df: DataFrame, load_id: str | None = None):
+    def write(
+        self,
+        spec: TableSpec,
+        df: DataFrame,
+        load_id: str | None = None,
+        namespace: str | None = None,
+    ):
         """Land one batch on the transaction branch through the ordinary
         dispositions.  A table created here exists (empty) on main
         immediately — Iceberg's stage-create caveat — but its DATA stays
-        on the branch until commit."""
+        on the branch until commit.  ``namespace`` overrides the
+        transaction's default — a transaction can span namespaces, like
+        Iceberg REST commitTransaction."""
         self._check_open()
-        self._track(spec.name)
-        out = self._writer.write(spec, df, load_id=load_id)
-        info = self._touched[spec.name]
+        ns = namespace or self.namespace
+        self._track(ns, spec.name)
+        out = self._writer_for(ns).write(spec, df, load_id=load_id)
+        info = self._touched[(ns, spec.name)]
         if info["created"] and info["fork"] is None:
             # the create committed v0 (schema) on main; that is the fork
             # point the publish must CAS against
             info["fork"] = self.catalog.load_table(
-                self.namespace, spec.name
+                ns, spec.name
             ).current_version()
         return out
 
-    def table(self, name: str) -> LakeTable:
+    def table(self, name: str, namespace: str | None = None) -> LakeTable:
         """Branch-pinned view for row-level ops inside the transaction
         (``update_where``, ``position_delete_where``, DDL...)."""
         self._check_open()
-        self._track(name)
-        return self.catalog.load_table(self.namespace, name, branch=self.branch)
+        ns = namespace or self.namespace
+        self._track(ns, name)
+        return self.catalog.load_table(ns, name, branch=self.branch)
 
     # -- publish -----------------------------------------------------------
 
     def _entries(self) -> list[dict[str, Any]]:
         out = []
-        for name, info in self._touched.items():
-            t = self.catalog.load_table(self.namespace, name)
+        for (ns, name), info in self._touched.items():
+            t = self.catalog.load_table(ns, name)
             head = _raw_branch_head(t, self.branch)
             if head is None:
                 continue  # tracked but never committed to: no-op
             out.append(
                 {
+                    "namespace": ns,
                     "table": name,
                     "location": t.location,
                     "expected": info["fork"],
@@ -214,7 +235,7 @@ class CatalogTransaction:
         # conflict pre-flight: every main must still be at its fork point
         for e in entries:
             cur = self.catalog.load_table(
-                self.namespace, e["table"]
+                e["namespace"], e["table"]
             ).current_version()
             if cur != e["expected"]:
                 raise CommitConflictError(
@@ -239,14 +260,14 @@ class CatalogTransaction:
                 self._commit_via_catalog_cas(entries)
             else:
                 for e in entries:
-                    t = self.catalog.load_table(self.namespace, e["table"])
+                    t = self.catalog.load_table(e["namespace"], e["table"])
                     _flip_main(t, e["expected"], e["to"])
         finally:
             # flips either all happened or an exception left a partial
             # window; in BOTH cases the intent has served its purpose only
             # when every flip landed.  On failure keep it for recovery.
             done = all(
-                self.catalog.load_table(self.namespace, e["table"]).current_version()
+                self.catalog.load_table(e["namespace"], e["table"]).current_version()
                 == e["to"]
                 for e in entries
             )
@@ -254,7 +275,7 @@ class CatalogTransaction:
                 io.remove(intent_path)
         for e in entries:
             _drop_branch_ref(
-                self.catalog.load_table(self.namespace, e["table"]), self.branch
+                self.catalog.load_table(e["namespace"], e["table"]), self.branch
             )
         self._state = "committed"
         return {"txn": self.txn_id, "tables": [e["table"] for e in entries]}
@@ -287,10 +308,10 @@ class CatalogTransaction:
         created).  Staged data files become orphans, reclaimed by
         ``remove_orphan_files``."""
         self._check_open()
-        for name, info in self._touched.items():
+        for (ns, name), info in self._touched.items():
             if info["created"]:
                 try:
-                    t = self.catalog.load_table(self.namespace, name)
+                    t = self.catalog.load_table(ns, name)
                 except Exception:
                     continue
                 # drop only while the table is still OURS alone: a foreign
@@ -299,14 +320,14 @@ class CatalogTransaction:
                 # branch and leave the (foreign-owned) table standing
                 if t.current_version() == info["fork"]:
                     try:
-                        self.catalog.drop_table(self.namespace, name)
+                        self.catalog.drop_table(ns, name)
                     except Exception:
                         pass
                 else:
                     _drop_branch_ref(t, self.branch)
                 continue
             _drop_branch_ref(
-                self.catalog.load_table(self.namespace, name), self.branch
+                self.catalog.load_table(ns, name), self.branch
             )
         self._state = "rolled-back"
 

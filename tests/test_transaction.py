@@ -531,3 +531,24 @@ def test_orphan_cleanup_spares_open_transaction_staging(spark, catalog):
     assert res["data_files"] == [] and res["metadata_files"] == []
     txn.commit()
     assert catalog.load_table("ds", "fact").read().count() == 3
+
+
+def test_transaction_spans_namespaces(spark, catalog):
+    """One transaction can publish tables in DIFFERENT namespaces
+    atomically (Iceberg REST commitTransaction spans namespaces)."""
+    _seed(catalog, spark)
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    txn.write(
+        TableSpec(name="audit_log", write_disposition="append"),
+        _df(spark, [(1, "created fact batch")]),
+        namespace="ops",
+    )
+    assert catalog.load_table("ds", "fact").read().count() == 2
+    res = txn.commit()
+    assert sorted(res["tables"]) == ["audit_log", "fact"]
+    assert catalog.load_table("ds", "fact").read().count() == 3
+    assert catalog.load_table("ops", "audit_log").read().count() == 1
