@@ -240,3 +240,12 @@ def test_property_random_histories_match_batch_oracle(spark, warehouse):
                 load_id=f"s{step}",
             )
     _check_against_batch_oracle(spark, catalog)
+
+
+def test_cdc_layout_ops_stay_in_sync_with_table_constant():
+    """The streaming planner's layout-only op list must equal the batch
+    changelog's (source.py promises this equality in a comment)."""
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.streaming.source import _CDC_LAYOUT_ONLY_OPS
+
+    assert set(_CDC_LAYOUT_ONLY_OPS) == set(LakeTable._LAYOUT_ONLY_OPS)
