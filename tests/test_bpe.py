@@ -129,3 +129,25 @@ def test_null_and_empty_text_rows_are_ignored(spark):
     assert merges == ref_train({"low": 2}, 2)
     out = apply_bpe(df, merges).select("bpe_tokens").collect()
     assert out[1].bpe_tokens == [] and out[2].bpe_tokens == []
+
+
+def test_bpe_token_budget_composition(spark):
+    """Real-pipeline shape: train BPE, tokenize, then curate to a token
+    budget counted in BPE units (not whitespace words) with the
+    sorted-cumsum selector — the pieces compose without glue code."""
+    from dlt_iceberg_spark.operators.sampling import select_top_tokens
+
+    rows = [
+        (1, "low low low low", 0.9),
+        (2, "lower lowest low", 0.8),
+        (3, "completely unrelated words here", 0.4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    merges = train_bpe(df, num_merges=6, min_freq=2)
+    toks = apply_bpe(df, merges).withColumn(
+        "n_bpe", F.size(F.col("bpe_tokens")).cast("long")
+    )
+    n = {r.doc_id: r.n_bpe for r in toks.collect()}
+    budget = n[1] + n[2]  # exactly the two best docs
+    kept = select_top_tokens(toks, "quality", "n_bpe", budget)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
