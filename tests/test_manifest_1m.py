@@ -244,3 +244,36 @@ def test_1m_changelog_diff_reads_only_the_new_manifest(mega_table, monkeypatch):
     # every manifest read was unique to one side; the shared 1M-entry set
     # was passed by reference and never opened
     assert len(reads) <= 2, [r.path for r in reads]
+
+
+def test_1m_stream_planning_reads_only_unique_manifests(mega_table, monkeypatch):
+    """The STREAMING source's pyarrow ref-diff at 1M entries: planning one
+    append micro-batch touches only the manifests unique to that step."""
+    import pyarrow.parquet as pq_mod
+
+    from dlt_iceberg_spark.streaming import source as src_mod
+
+    snap = mega_table.snapshot()
+    add = DataFile(
+        path="data/stream_new.parquet", rows=5, bytes=500,
+        stats={"k": [10**9 + 2, 10**9 + 2]},
+    )
+    new_snap = mega_table.commit(
+        None, SCHEMA, "append", snap.version, manifests=snap.manifests, new_files=[add]
+    )
+    reader = src_mod._LakeStreamReader(SCHEMA, {"location": mega_table.location})
+    reads = []
+    real = pq_mod.read_table
+
+    def counting(path, *a, **kw):
+        if "/metadata/m-" in str(path):
+            reads.append(str(path))
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "read_table", counting)
+    parts = reader.partitions(
+        {"version": snap.version}, {"version": new_snap.version}
+    )
+    monkeypatch.setattr(pq_mod, "read_table", real)
+    assert len(parts) == 1 and parts[0].abs_path.endswith("stream_new.parquet")
+    assert 0 < len(set(reads)) <= 2, len(set(reads))
