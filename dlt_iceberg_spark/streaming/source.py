@@ -51,15 +51,16 @@ _PASS_THROUGH_OPS = (
 )
 _APPEND_OPS = ("append", "create")
 
-#: ops/flags that change layout, not the row set — the CDC stream emits
-#: nothing for them (keep in sync with LakeTable._LAYOUT_ONLY_OPS +
-#: read_changes' summary flags; a unit test pins the equality)
+#: ops that change layout, not the row set — the CDC stream emits nothing
+#: for them (keep in sync with LakeTable._LAYOUT_ONLY_OPS; a unit test
+#: pins the equality.  Summary-flag skips — compaction / folded-delete-
+#: files / rewritten-files — are inlined at the planning site with the
+#: batch changelog's exact presence-vs-truthiness semantics)
 _CDC_LAYOUT_ONLY_OPS = (
     "compact", "zorder", "evolve-schema", "evolve-partition",
     "backfill-stats", "rename-column", "add-column", "drop-column",
     "promote-column", "consolidate-deletes",
 )
-_CDC_LAYOUT_SUMMARY_FLAGS = ("compaction", "folded-delete-files", "rewritten-files")
 
 
 def _strip_file_uri(p: str) -> str:
@@ -342,8 +343,14 @@ class _LakeStreamReader(DataSourceStreamReader):
         for raw in chain:
             op = raw.get("operation")
             summary = raw.get("summary", {})
-            if op in _CDC_LAYOUT_ONLY_OPS or any(
-                f in summary and summary.get(f) for f in _CDC_LAYOUT_SUMMARY_FLAGS
+            # EXACT batch-changelog semantics (table.py read_changes):
+            # compaction skips on truthiness, the fold/rewrite markers on
+            # PRESENCE — a "folded-delete-files": 0 still means layout-only
+            if (
+                op in _CDC_LAYOUT_ONLY_OPS
+                or summary.get("compaction")
+                or "folded-delete-files" in summary
+                or "rewritten-files" in summary
             ):
                 continue
             version = raw["version"]
