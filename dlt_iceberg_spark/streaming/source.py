@@ -17,14 +17,24 @@ Semantics (matching Iceberg's streaming read and our ``read_incremental``):
   appends flow — Iceberg's default).  ``starting_version`` rewinds the
   start (exclusive); ``from_beginning=true`` streams the whole table
   history first.
+- ``changes=true`` switches to CDC MODE (Iceberg changelog-scan parity,
+  the streaming twin of ``LakeTable.read_changes`` — which is its batch
+  oracle in tests): the schema gains ``_change_type``/``_commit_version``
+  and every snapshot contributes images — added files as inserts, removed
+  files' parent-LIVE rows as deletes, new position/equality delete files
+  as deletes of the parent rows they address/match, with the parent's MoR
+  masks applied under the spec's sequence rules so already-dead rows are
+  never re-deleted.  Layout-only snapshots contribute nothing.
 
-Scale: everything driver-side is O(metadata) — offsets and file diffs come
-from snapshot JSON + chunked parquet manifests (pyarrow, no SparkSession
-needed in the data-source worker).  One :class:`InputPartition` per data
-file; executors read their file with pyarrow and emit Arrow record
-batches, so rows never pass through the driver.  Era-aware: each
-partition carries the entry's ``names`` mapping, so files written before
-a ``rename_column`` stream under current names.
+Scale: everything driver-side is O(metadata) — offsets come from snapshot
+JSON, and file diffs use a MANIFEST-REF diff (only manifests unique to a
+snapshot vs its parent are read), so planning an append micro-batch costs
+O(added + folded) at any table size (proved at 1M entries).  One
+:class:`InputPartition` per data file; executors read their file with
+pyarrow and emit Arrow record batches, so rows never pass through the
+driver.  Era-aware: each partition carries the entry's ``names`` mapping
+bridged through stable field ids, so files written before a
+``rename_column`` stream under current names.
 
 Reference surface: the reference has no streaming source (batch loads
 only); this extends §2.12 the way Iceberg's spark integration does.
