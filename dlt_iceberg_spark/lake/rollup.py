@@ -118,11 +118,11 @@ class IncrementalRollup:
         out.append(F.sum(sign).alias("__rows"))
         return out
 
-    def _table(self) -> LakeTable | None:
+    def _table(self, branch: str = "main") -> LakeTable | None:
         from dlt_iceberg_spark.errors import TableNotFoundError
 
         try:
-            return self.catalog.load_table(self.namespace, self.name)
+            return self.catalog.load_table(self.namespace, self.name, branch=branch)
         except (FileNotFoundError, TableNotFoundError):
             return None
 
@@ -143,29 +143,50 @@ class IncrementalRollup:
 
     # -- API -------------------------------------------------------------
 
-    def refresh(self) -> dict:
+    def refresh(self, transaction=None) -> dict:
         """Fold source changes since the last refresh into the rollup.
 
         Returns ``{"source_version": v, "groups_touched": n}`` (n = -1 on
-        the initial full build, 0 for a no-op)."""
-        src_v = self.source.current_version()
+        the initial full build, 0 for a no-op).
+
+        ``transaction`` (a :class:`~dlt_iceberg_spark.lake.transaction.
+        CatalogTransaction`) stages the refresh on the transaction's
+        branch, READING the source's staged state: fact mutations and
+        their rollup fold then publish as ONE atomic cut — dashboards can
+        never observe the fact table ahead of its summary."""
+        branch = transaction.branch if transaction is not None else "main"
+        source = (
+            self.source.for_branch(branch)
+            if transaction is not None
+            else self.source
+        )
+        src_v = source.current_version()
         if src_v is None:
             raise FileNotFoundError(f"no such table: {self.source.location}")
-        tgt = self._table()
+
+        def _write(spec: TableSpec, df: DataFrame, load_id: str) -> None:
+            if transaction is not None:
+                transaction.write(
+                    spec, df, load_id=load_id, namespace=self.namespace
+                )
+            else:
+                self._writer.write(spec, df, load_id=load_id)
+
+        tgt = self._table(branch)
         if tgt is None:
             # initial build: one aggregate over the pinned source snapshot
             one = F.lit(1)
-            full = self.source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
+            full = source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
                 *self._signed_aggs(one)
             )
-            self._writer.write(
+            _write(
                 TableSpec(
                     name=self.name,
                     write_disposition="append",
                     primary_key=list(self.keys),
                 ),
                 full,
-                load_id=f"{_MARKER}{src_v}",
+                f"{_MARKER}{src_v}",
             )
             return {"source_version": src_v, "groups_touched": -1}
 
@@ -173,7 +194,7 @@ class IncrementalRollup:
         if cursor >= src_v:
             return {"source_version": cursor, "groups_touched": 0}
 
-        ch = self.source.read_changes(cursor, src_v)
+        ch = source.read_changes(cursor, src_v)
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
@@ -197,7 +218,7 @@ class IncrementalRollup:
         out = merged.withColumn(
             _DELETE_COL, F.when(F.col("__rows") <= 0, F.lit(True))
         )
-        self._writer.write(
+        _write(
             TableSpec(
                 name=self.name,
                 write_disposition={"disposition": "merge", "strategy": "upsert"},
@@ -205,7 +226,7 @@ class IncrementalRollup:
                 hard_delete_column=_DELETE_COL,
             ),
             out,
-            load_id=f"{_MARKER}{src_v}",
+            f"{_MARKER}{src_v}",
         )
         return {"source_version": src_v, "groups_touched": n}
 

@@ -201,3 +201,35 @@ def test_rollup_refuses_minmax_and_rebuild_recovers(spark, warehouse):
     )
     ru.rebuild()
     assert {r.grp: r.total for r in ru.read().collect()} == {"a": 1.0, "b": 2.0}
+
+
+def test_rollup_refresh_inside_transaction_publishes_one_cut(spark, warehouse):
+    """refresh(transaction=txn) stages the fold on the transaction's
+    branch, READING the staged fact state — fact mutation and rollup
+    advance in one atomic publish, so main never shows the fact table
+    ahead of its summary."""
+    catalog, writer, src = _mk_source(
+        spark, warehouse, [(i, f"g{i % 2}", float(i)) for i in range(8)]
+    )
+    ru = IncrementalRollup(
+        catalog, "ds", "fact_by_grp", src,
+        keys=["grp"], aggs={"total": ("sum", "amt"), "n": ("count",)},
+    )
+    ru.refresh()
+    before = _rolled(ru)
+
+    txn = catalog.transaction("ds")
+    txn.table("fact").update_where([("grp", "=", "g0")], {"amt": 50.0})
+    r = ru.refresh(transaction=txn)
+    assert r["groups_touched"] >= 1
+    # pre-commit: main still shows the OLD cut on both tables
+    assert _rolled(ru) == before
+    assert _rolled(ru) == _direct(catalog.load_table("ds", "fact"))
+    res = txn.commit()
+    assert sorted(res["tables"]) == ["fact", "fact_by_grp"]
+    # post-commit: both advanced to the same cut
+    src = catalog.load_table("ds", "fact")
+    assert _rolled(ru) == _direct(src)
+    assert {v for v in _rolled(ru)} == {"g0", "g1"}
+    # marker names the committed fact head: replay refresh is a no-op
+    assert ru.refresh()["groups_touched"] == 0
