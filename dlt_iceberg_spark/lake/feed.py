@@ -143,28 +143,7 @@ class ChangelogFeed:
             batch = self.poll()
             if batch is None:
                 break
-            ch = batch.changes
-            cols = [c for c in ch.columns if c not in ("_change_type", "_commit_version")]
-            w = F.row_number().over(
-                Window.partitionBy(*primary_key).orderBy(
-                    # newest version first; inserts outrank deletes at the
-                    # same version (an update's pair resolves to the insert)
-                    F.col("_commit_version").desc(),
-                    F.when(F.col("_change_type") == "insert", 0).otherwise(1),
-                )
-            )
-            resolved = (
-                ch.withColumn("_rn", w)
-                .filter(F.col("_rn") == 1)
-                .withColumn(
-                    "_dlt_deleted_at",
-                    F.when(
-                        F.col("_change_type") == "delete",
-                        F.current_timestamp(),
-                    ),
-                )
-                .select(*cols, "_dlt_deleted_at")
-            )
+            resolved = resolve_change_images(batch.changes, list(primary_key))
             writer.write(
                 spec,
                 resolved,
@@ -188,3 +167,34 @@ class ChangelogFeed:
             self.ack(batch.to_version)
             n += 1
         return n
+
+
+def resolve_change_images(
+    changes, primary_key: list[str], deleted_col: str = "_dlt_deleted_at"
+):
+    """Collapse a CDC image batch to ONE merge-shaped row per key: a key
+    with any INSERT image upserts its newest insert row (inserts outrank
+    deletes at the same version, so an update's delete+insert pair
+    resolves to the insert); a key with only DELETE images carries the
+    ``deleted_col`` marker for a hard delete.  Shared by the batch
+    changelog consumer (:meth:`ChangelogFeed.mirror_into`) and the
+    streaming mirror (streaming/mirror.py)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cols = [c for c in changes.columns if c not in ("_change_type", "_commit_version")]
+    w = F.row_number().over(
+        Window.partitionBy(*primary_key).orderBy(
+            F.col("_commit_version").desc(),
+            F.when(F.col("_change_type") == "insert", 0).otherwise(1),
+        )
+    )
+    return (
+        changes.withColumn("_rn", w)
+        .filter(F.col("_rn") == 1)
+        .withColumn(
+            deleted_col,
+            F.when(F.col("_change_type") == "delete", F.current_timestamp()),
+        )
+        .select(*cols, deleted_col)
+    )

@@ -41,6 +41,7 @@ def stream_write(
     dataset_name: str = "main",
     maintain_every: int | None = None,
     maintenance_policy: Any | None = None,
+    transform=None,
 ) -> StreamingQuery:
     """Write a streaming DataFrame into a lake table via ``foreachBatch``.
 
@@ -60,6 +61,11 @@ def stream_write(
     streaming analogue of Iceberg's scheduled maintenance procedures.
     Maintenance runs inside ``foreachBatch`` between commits, so it
     serializes with the stream's own writes (no self-conflict).
+
+    ``transform`` (DataFrame -> DataFrame) runs on each micro-batch BEFORE
+    the disposition — the hook for per-batch logic a streaming plan cannot
+    express (e.g. keyed windows resolving CDC images, see
+    :func:`stream_mirror`).
     """
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,6 +74,8 @@ def stream_write(
             return
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
         writer.write(spec, batch_df, load_id=load_id)
         if state is not None:
             state.store_completed_load(load_id, dataset_name, schema_version_hash="")

@@ -249,3 +249,45 @@ def test_cdc_layout_ops_stay_in_sync_with_table_constant():
     from dlt_iceberg_spark.streaming.source import _CDC_LAYOUT_ONLY_OPS
 
     assert set(_CDC_LAYOUT_ONLY_OPS) == set(LakeTable._LAYOUT_ONLY_OPS)
+
+
+def test_stream_mirror_replicates_and_catches_up(spark, warehouse, tmp_path):
+    """stream_mirror: CDC stream -> per-epoch merge apply.  The mirror
+    equals the source after the first drain, catches up after further
+    mutations using the SAME checkpoint (only new changes applied), and
+    propagates hard deletes."""
+    from dlt_iceberg_spark.streaming.mirror import stream_mirror
+
+    catalog, writer = _mk(spark, warehouse)
+    src = catalog.load_table("ds", "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_mirror(
+            spark, src.location, writer, "t_mirror", ["id"], ckpt,
+            query_name="mirror_test",
+        )
+        q.awaitTermination(180)
+
+    def snap(table):
+        return {
+            (r.id, r.grp, r.amt)
+            for r in catalog.load_table("ds", table).read()
+            .select("id", "grp", "amt").collect()
+        }
+
+    drain()
+    assert snap("t_mirror") == snap("t")
+
+    # mutate the source: update + delete + append, then catch up
+    src.update_where([("grp", "=", "g1")], {"amt": 77.0})
+    src = catalog.load_table("ds", "t")
+    src.position_delete_where([("id", "=", 0)])
+    writer.write(
+        TableSpec(name="t", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame([(50, "gZ", 5.0)], "id long, grp string, amt double"),
+        load_id="l9",
+    )
+    drain()
+    assert snap("t_mirror") == snap("t")
+    assert (0, "g0", 0.0) not in snap("t_mirror")  # delete propagated
