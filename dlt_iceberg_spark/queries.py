@@ -4732,6 +4732,81 @@ _STREAM_CDC_CACHE: dict = {}
 
 
 @query(
+    "stream_lake_mirror",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 2 = 0 AND o_custkey < 50
+                THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           o_orderdate
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_custkey >= 140)
+    """,
+    doc=(
+        "Streaming table MIRROR (streaming/mirror.py — the CDC source's "
+        "canonical consumer): the source takes an append, a MoR "
+        "update_where, a position-delete sweep, and a second append; "
+        "stream_mirror replicates it through a real streaming query — "
+        "each epoch's images collapse to one merge-shaped row per key and "
+        "land via the delete-insert disposition.  The oracle reconstructs "
+        "the source's FINAL state from the raw fixture, so a hash match "
+        "proves update propagation, delete propagation, and idempotent "
+        "epoch replay end-to-end.  Each invocation re-drains the stream "
+        "against its checkpoint (a no-op epoch) before reading."
+    ),
+)
+def stream_lake_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.mirror import stream_mirror
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _STREAM_MIRROR_CACHE.get(key)
+    if cached is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_mirror_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+        )
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", primary_key=["o_orderkey"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+        )
+        src = catalog.load_table("gate", "orders")
+        src.update_where([("o_custkey", "<", 50)], {"o_orderstatus": "X"})
+        catalog.load_table("gate", "orders").position_delete_where(
+            [("o_custkey", ">=", 140)]
+        )
+        writer.write(
+            TableSpec(
+                name="orders", write_disposition="append", primary_key=["o_orderkey"]
+            ),
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+        )
+        ckpt = tempfile.mkdtemp(prefix="lake_mirror_ckpt_")
+        cached = (catalog, writer, catalog.load_table("gate", "orders").location, ckpt)
+        _STREAM_MIRROR_CACHE[key] = cached
+    catalog, writer, location, ckpt = cached
+    q = stream_mirror(
+        spark, location, writer, "orders_mirror", ["o_orderkey"], ckpt,
+        query_name="gate_mirror",
+    )
+    q.awaitTermination(300)
+    return (
+        catalog.load_table("gate", "orders_mirror")
+        .read()
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    )
+
+
+_STREAM_MIRROR_CACHE: dict = {}
+
+
+@query(
     "stream_lake_sink",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5163,7 +5238,7 @@ _GATE_PRIORITY = [
 # stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
 # lake_add_column_default, lake_rollup_incremental, events_gapfill,
-# text_bpe_pairs, lake_multi_table_txn, stream_lake_changes,
+# text_bpe_pairs, lake_multi_table_txn, stream_lake_changes, stream_lake_mirror,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
