@@ -25,6 +25,10 @@ logger = logging.getLogger("dlt_iceberg_spark")
 T = TypeVar("T")
 
 
+class ExpectationViolationError(Exception):
+    """A batch failed a table's data-quality expectations (fail mode)."""
+
+
 class CastingError(Exception):
     """Unsafe or impossible cast between source data and target schema
     (schema_casting.py CastingError analogue)."""
@@ -85,6 +89,7 @@ _CLASSIFICATION: list[tuple[type[Exception], ErrorCategory]] = [
     (NamespaceNotFoundError, ErrorCategory.CLIENT_ERROR),
     (TableAlreadyExistsError, ErrorCategory.CLIENT_ERROR),
     (CastingError, ErrorCategory.CLIENT_ERROR),
+    (ExpectationViolationError, ErrorCategory.CLIENT_ERROR),
     (SchemaEvolutionError, ErrorCategory.CLIENT_ERROR),
     (PartitionSpecError, ErrorCategory.CLIENT_ERROR),
     (PermissionError, ErrorCategory.PERMISSION_ERROR),

@@ -151,7 +151,14 @@ class CatalogTransaction:
         w = self._writers.get(namespace)
         if w is None:
             w = LakeWriter(
-                self.catalog, namespace, config=self._config, branch=self.branch
+                self.catalog,
+                namespace,
+                config=self._config,
+                branch=self.branch,
+                # derived tables the writer lands on its own (expectation
+                # quarantines) must publish/roll back with the transaction;
+                # post-write tracking records their post-create fork (v0)
+                observer=lambda name, ns=namespace: self._track(ns, name),
             )
             self._writers[namespace] = w
         return w

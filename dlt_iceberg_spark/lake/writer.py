@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from dlt_iceberg_spark.errors import CastingError, CommitConflictError, RetryPolicy
+from dlt_iceberg_spark.errors import (
+    CastingError,
+    CommitConflictError,
+    ExpectationViolationError,
+    RetryPolicy,
+)
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
 from dlt_iceberg_spark.lake.merge import merge_plan
 from dlt_iceberg_spark.lake.table import DataFile, LakeTable
@@ -82,6 +87,18 @@ class TableSpec:
     #: is a full-table rewrite under cow; mor makes it proportional to the
     #: batch.
     merge_mode: str = "cow"
+    #: data-quality contracts (Delta Live Tables expectations shape):
+    #: name -> SQL boolean predicate evaluated per incoming row BEFORE the
+    #: disposition; a NULL predicate result counts as a violation.
+    expectations: dict[str, str] = field(default_factory=dict)
+    #: what a violating row does: "fail" aborts the whole batch (one
+    #: counting pass; non-retryable ExpectationViolationError with per-
+    #: expectation counts), "drop" silently filters it, "quarantine"
+    #: diverts it (plus a `_violated_expectations` array) to
+    #: `<table>__quarantine` in the same namespace — an ordinary appended
+    #: LakeTable, so the rejects are queryable, snapshotted, and
+    #: transaction-staged alongside the clean rows.
+    on_violation: str = "fail"
 
     def resolve_strategy(self) -> tuple[str, str | None]:
         """(disposition, merge_strategy) — W8 (destination_client.py:1152-1168):
@@ -143,10 +160,16 @@ class LakeWriter:
         namespace: str,
         config: WriterConfig | None = None,
         branch: str = "main",
+        observer=None,
     ):
         self.catalog = catalog
         self.namespace = namespace
         self.config = config or WriterConfig()
+        #: called with every table name this writer lands a batch on —
+        #: INCLUDING derived tables it writes on its own (expectation
+        #: quarantines).  CatalogTransaction installs one so every side
+        #: table publishes/rolls back with the transaction.
+        self.observer = observer
         #: WAP target: data commits move this branch's pointer, not main's
         #: (Iceberg's ``spark.wap.branch``); table CREATION still lands on
         #: main so the table is discoverable before publish.
@@ -161,7 +184,72 @@ class LakeWriter:
         policy = RetryPolicy(self.config.max_retries, self.config.retry_backoff_base)
         return policy.run(lambda: self._write_once(spec, df, load_id))
 
+    def _enforce_expectations(
+        self, spec: TableSpec, df: DataFrame, load_id: str | None
+    ) -> DataFrame:
+        """Apply the spec's data-quality expectations to the incoming batch
+        (one extra pass in fail mode, a filter otherwise) — before casting
+        and evolution, so rejects keep their original values."""
+        if not spec.expectations:
+            return df
+        if spec.on_violation not in ("fail", "drop", "quarantine"):
+            raise ValueError(
+                f"on_violation must be fail|drop|quarantine, got {spec.on_violation!r}"
+            )
+        names = list(spec.expectations)
+        flags = [
+            (~F.coalesce(F.expr(sql), F.lit(False))).alias(f"__exp_{i}")
+            for i, sql in enumerate(spec.expectations.values())
+        ]
+        flagged = df.select("*", *flags)
+        viol_any = F.lit(False)
+        for i in range(len(names)):
+            viol_any = viol_any | F.col(f"__exp_{i}")
+        if spec.on_violation == "fail":
+            row = flagged.agg(
+                *[
+                    F.sum(F.col(f"__exp_{i}").cast("long")).alias(f"n{i}")
+                    for i in range(len(names))
+                ]
+            ).first()
+            bad = {
+                names[i]: int(row[f"n{i}"] or 0)
+                for i in range(len(names))
+                if (row[f"n{i}"] or 0) > 0
+            }
+            if bad:
+                raise ExpectationViolationError(
+                    f"batch for {spec.name!r} violates expectations {bad} "
+                    f"(load_id={load_id}); fix the data or use "
+                    "on_violation='drop'/'quarantine'"
+                )
+            return df
+        flag_cols = [f"__exp_{i}" for i in range(len(names))]
+        if spec.on_violation == "quarantine":
+            rejects = (
+                flagged.filter(viol_any)
+                .withColumn(
+                    "_violated_expectations",
+                    F.array_compact(
+                        F.array(
+                            *[
+                                F.when(F.col(f"__exp_{i}"), F.lit(names[i]))
+                                for i in range(len(names))
+                            ]
+                        )
+                    ),
+                )
+                .drop(*flag_cols)
+            )
+            self.write(
+                TableSpec(name=f"{spec.name}__quarantine", write_disposition="append"),
+                rejects,
+                load_id=f"{load_id}.quarantine" if load_id else None,
+            )
+        return flagged.filter(~viol_any).drop(*flag_cols)
+
     def _write_once(self, spec: TableSpec, df: DataFrame, load_id: str | None) -> LakeTable:
+        df = self._enforce_expectations(spec, df, load_id)
         disposition, strategy = spec.resolve_strategy()
         hard_delete_col = spec.hard_delete_column or self.config.hard_delete_column
         # The delete marker is transient merge metadata, never table data
@@ -212,6 +300,8 @@ class LakeWriter:
             self._merge(table, spec, casted, target_schema, strategy or "delete-insert", summary)
         else:
             raise ValueError(f"unknown write_disposition {disposition!r}")
+        if self.observer is not None:
+            self.observer(spec.name)
         return table
 
     # -- conflict-cheap append commits -------------------------------------
