@@ -4589,6 +4589,83 @@ _LAKE_TXN_CACHE: dict = {}
 
 
 @query(
+    "lake_expectations",
+    """
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN n_chars >= 150 AND lang IN ('en','de','fr')
+                THEN 'kept' ELSE 'quarantined' END AS status,
+           CASE WHEN n_chars >= 150 AND lang IN ('en','de','fr') THEN ''
+                ELSE concat_ws(',',
+                    CASE WHEN NOT (lang IN ('en','de','fr')) THEN 'known_lang' END,
+                    CASE WHEN n_chars < 150 THEN 'long_enough' END)
+           END AS violated
+    FROM documents
+    """,
+    doc=(
+        "Write-time expectations on the REAL write path (TableSpec("
+        "expectations=..., on_violation='quarantine') — Delta Live "
+        "Tables data contracts): documents land through the dispositions "
+        "with two quality predicates; passing rows publish to the table, "
+        "violating rows divert to <table>__quarantine with their "
+        "_violated_expectations reasons.  The query unions both tables "
+        "back with status + sorted reason list; the oracle recomputes "
+        "the split with CASE over the raw fixture, so a hash match "
+        "proves routing AND per-row reason attribution."
+    ),
+)
+def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    catalog = _LAKE_EXPECT_CACHE.get(key)
+    if catalog is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_expect_"))
+        writer = LakeWriter(catalog, "gate")
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+        writer.write(
+            TableSpec(
+                name="docs",
+                write_disposition="append",
+                expectations={
+                    "known_lang": "lang IN ('en','de','fr')",
+                    "long_enough": "n_chars >= 150",
+                },
+                on_violation="quarantine",
+            ),
+            docs,
+        )
+        _LAKE_EXPECT_CACHE[key] = catalog
+    kept = (
+        catalog.load_table("gate", "docs")
+        .read()
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.lit("kept").alias("status"),
+            F.lit("").alias("violated"),
+        )
+    )
+    quarantined = (
+        catalog.load_table("gate", "docs__quarantine")
+        .read()
+        .select(
+            "doc_id", "lang", "n_chars",
+            F.lit("quarantined").alias("status"),
+            F.array_join(
+                F.array_sort("_violated_expectations"), ","
+            ).alias("violated"),
+        )
+    )
+    return kept.unionByName(quarantined)
+
+
+_LAKE_EXPECT_CACHE: dict = {}
+
+
+@query(
     "stream_lake_tail",
     f"""
     SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -5239,6 +5316,7 @@ _GATE_PRIORITY = [
 # lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
 # lake_add_column_default, lake_rollup_incremental, events_gapfill,
 # text_bpe_pairs, lake_multi_table_txn, stream_lake_changes, stream_lake_mirror,
+# lake_expectations,
 # lake_iceberg_roundtrip) intentionally sit OUTSIDE this
 # 50-slot window —
 # displacing r04-aged entries would break the rotation invariant (no
