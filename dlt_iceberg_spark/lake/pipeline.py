@@ -36,6 +36,12 @@ class Resource:
     write_disposition: str | dict[str, Any] = "append"
     primary_key: list[str] = field(default_factory=list)
     column_hints: dict[str, dict] = field(default_factory=dict)
+    #: data-quality contracts, passed through to the writer (TableSpec
+    #: expectations — fail aborts the load, quarantine diverts rejects;
+    #: under run(transactional=True) a failing contract publishes NOTHING
+    #: and quarantines publish with the load's atomic cut)
+    expectations: dict[str, str] = field(default_factory=dict)
+    on_violation: str = "fail"
 
     def to_spec(self) -> TableSpec:
         return TableSpec(
@@ -43,6 +49,8 @@ class Resource:
             write_disposition=self.write_disposition,
             primary_key=self.primary_key,
             column_hints=self.column_hints,
+            expectations=self.expectations,
+            on_violation=self.on_violation,
         )
 
     def materialize(self, spark: SparkSession) -> DataFrame:

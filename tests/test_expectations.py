@@ -142,3 +142,38 @@ def test_invalid_on_violation_rejected(spark, warehouse):
             ),
             _df(spark),
         )
+
+
+def test_pipeline_resource_expectations_fail_transactional_load(spark, warehouse):
+    """A failing contract on ONE resource publishes NOTHING of a
+    transactional multi-resource load."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    p = Pipeline(spark, warehouse, dataset_name="ds")
+    good = Resource(
+        lambda: spark.createDataFrame([(1, 5.0)], "id long, amount double"),
+        "clean", "append", ["id"],
+    )
+    bad = Resource(
+        lambda: spark.createDataFrame([(2, -1.0)], "id long, amount double"),
+        "dirty", "append", ["id"],
+        expectations={"amount_positive": "amount > 0"},
+    )
+    with pytest.raises(ExpectationViolationError):
+        p.run(good, bad, load_id="l0", transactional=True)
+    with pytest.raises(Exception):
+        p.catalog.load_table("ds", "clean").read()
+    assert not p.state.load_recorded("l0")
+    # quarantine mode lands both, rejects included, in one atomic cut
+    bad_q = Resource(
+        lambda: spark.createDataFrame(
+            [(2, -1.0), (3, 4.0)], "id long, amount double"
+        ),
+        "dirty", "append", ["id"],
+        expectations={"amount_positive": "amount > 0"},
+        on_violation="quarantine",
+    )
+    info = p.run(good, bad_q, load_id="l1", transactional=True)
+    assert sorted(info.tables) == ["clean", "dirty"]
+    assert [r.id for r in p.catalog.load_table("ds", "dirty").read().collect()] == [3]
+    assert [r.id for r in p.catalog.load_table("ds", "dirty__quarantine").read().collect()] == [2]
