@@ -177,3 +177,34 @@ def test_pipeline_resource_expectations_fail_transactional_load(spark, warehouse
     assert sorted(info.tables) == ["clean", "dirty"]
     assert [r.id for r in p.catalog.load_table("ds", "dirty").read().collect()] == [3]
     assert [r.id for r in p.catalog.load_table("ds", "dirty__quarantine").read().collect()] == [2]
+
+
+def test_expectations_apply_inside_streaming_writes(spark, warehouse, tmp_path):
+    """stream_write reuses the disposition path, so data contracts hold
+    per micro-batch with zero extra wiring: rejects quarantine, clean
+    rows land."""
+    from dlt_iceberg_spark.streaming.micro_batch import stream_write
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 6.0), (3, "c", -2.0)],
+        "id long, name string, amount double",
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("id long, name string, amount double").parquet(src_dir)
+    q = stream_write(
+        stream,
+        writer,
+        TableSpec(
+            name="t", write_disposition="append",
+            expectations=EXPECT, on_violation="quarantine",
+        ),
+        str(tmp_path / "ckpt"),
+        query_name="exp_stream",
+    )
+    q.awaitTermination(120)
+    assert sorted(r.id for r in catalog.load_table("ds", "t").read().collect()) == [1]
+    assert sorted(
+        r.id for r in catalog.load_table("ds", "t__quarantine").read().collect()
+    ) == [2, 3]
