@@ -99,6 +99,10 @@ SF1_QUERIES = [
     # corpus-size-independent densify), and the CDC-maintained rollup
     # (build cost is the one-off table load; refreshes are O(changed))
     "text_bpe_pairs", "events_gapfill", "lake_rollup_incremental",
+    # r6-final additions: the streaming mirror (CDC replication whose
+    # per-epoch cost follows change volume) and write-time expectations
+    # (one counting/filter pass over the batch)
+    "stream_lake_mirror", "lake_expectations",
 ]
 
 SF1_DIR = "/tmp/spark_graft_sf1"

@@ -265,6 +265,30 @@ def main(warehouse: str) -> None:
         f"CDC rollup after update_where: {rolled}"
     )
 
+    # -- write-time expectations: quarantine the rejects --------------------
+    from dlt_iceberg_spark.lake.writer import LakeWriter
+
+    qwriter = LakeWriter(pipe.catalog, "shop")
+    qwriter.write(
+        TableSpec(
+            name="sensor_readings",
+            write_disposition="append",
+            expectations={"in_range": "reading BETWEEN 0 AND 100"},
+            on_violation="quarantine",
+        ),
+        spark.createDataFrame(
+            [(1, 42.0), (2, 250.0), (3, 7.5)], "sensor_id long, reading double"
+        ),
+    )
+    kept = pipe.catalog.load_table("shop", "sensor_readings").read().count()
+    rejects = pipe.catalog.load_table(
+        "shop", "sensor_readings__quarantine"
+    ).read().collect()
+    print(
+        f"expectations: kept {kept} rows; quarantined "
+        f"{[(r.sensor_id, r._violated_expectations) for r in rejects]}"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
