@@ -350,6 +350,32 @@ class CatalogTransaction:
             self.rollback()
 
 
+def abort_transaction(catalog: "LakeCatalog", txn_id: str) -> dict[str, Any]:
+    """Discard a pending (typically BLOCKED) transaction intent after
+    operator inspection: the intent file and the staged branch refs are
+    removed.  Tables whose main already flipped STAY published (flips are
+    real commits — aborting doesn't rewrite history); un-flipped tables
+    keep their current main.  Use when recovery reports ``blocked`` and
+    the operator decides the foreign write wins."""
+    io = catalog._io
+    path = os.path.join(catalog.warehouse, _TXN_DIR, f"{txn_id}.json")
+    if not io.exists(path):
+        raise FileNotFoundError(f"no pending transaction {txn_id!r}")
+    intent = json.loads(io.read_text(path))
+    flipped, discarded = [], []
+    for e in intent["entries"]:
+        t = LakeTable(
+            catalog.spark,
+            e["location"],
+            io=io,
+            pointer_store=catalog._pointer_store_for(e["location"]),
+        )
+        (flipped if t.current_version() == e["to"] else discarded).append(e["table"])
+        _drop_branch_ref(t, intent["branch"])
+    io.remove(path)
+    return {"txn": txn_id, "kept_published": flipped, "discarded": discarded}
+
+
 def recover_transactions(catalog: "LakeCatalog") -> list[dict[str, Any]]:
     """Resolve transactions interrupted mid-publish.
 

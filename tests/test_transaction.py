@@ -552,3 +552,55 @@ def test_transaction_spans_namespaces(spark, catalog):
     assert sorted(res["tables"]) == ["audit_log", "fact"]
     assert catalog.load_table("ds", "fact").read().count() == 3
     assert catalog.load_table("ops", "audit_log").read().count() == 1
+
+
+def test_abort_clears_blocked_intent(spark, catalog, monkeypatch):
+    """After recovery reports `blocked`, abort_transaction discards the
+    intent and branches; already-published tables stay, the blocked one
+    keeps the foreign write."""
+    from dlt_iceberg_spark.lake.transaction import abort_transaction
+
+    _seed(catalog, spark)
+    w = LakeWriter(catalog, "ds")
+    w.write(
+        TableSpec(name="second", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(1, "s")]),
+        load_id="seed2",
+    )
+    txn = catalog.transaction("ds")
+    for name, row in (("fact", (3, "c")), ("second", (2, "t"))):
+        txn.write(
+            TableSpec(name=name, write_disposition="append", primary_key=["id"]),
+            _df(spark, [row]),
+        )
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    real_flip = txn_mod._flip_main
+    calls = {"n": 0}
+
+    def dying_flip(table, expected, to):
+        if calls["n"] >= 1:
+            raise OSError("simulated crash")
+        calls["n"] += 1
+        real_flip(table, expected, to)
+
+    monkeypatch.setattr(txn_mod, "_flip_main", dying_flip)
+    with pytest.raises(OSError):
+        txn.commit()
+    monkeypatch.setattr(txn_mod, "_flip_main", real_flip)
+    flipped_first = catalog.load_table("ds", "fact").read().count() == 3
+    victim = "second" if flipped_first else "fact"
+    LakeWriter(catalog, "ds").write(
+        TableSpec(name=victim, write_disposition="append", primary_key=["id"]),
+        _df(spark, [(77, "foreign")]),
+        load_id="foreign",
+    )
+    assert recover_transactions(catalog)[0]["action"] == "blocked"
+    res = abort_transaction(catalog, txn.txn_id)
+    assert victim in res["discarded"] and len(res["kept_published"]) == 1
+    # intent cleared: recovery has nothing pending, victim keeps foreign row
+    assert recover_transactions(catalog) == []
+    rows = {r.v for r in catalog.load_table("ds", victim).read().collect()}
+    assert "foreign" in rows and ("c" not in rows and "t" not in rows)
+    with pytest.raises(FileNotFoundError):
+        abort_transaction(catalog, txn.txn_id)
