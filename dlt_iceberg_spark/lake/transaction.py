@@ -350,6 +350,21 @@ class CatalogTransaction:
             self.rollback()
 
 
+def pending_transactions(catalog: "LakeCatalog") -> list[dict[str, Any]]:
+    """Pending (crashed or blocked) transaction intents, newest-file last:
+    the read-only side of the ops loop (list → :func:`recover_transactions`
+    → :func:`abort_transaction`).  Empty list = no torn publishes."""
+    io = catalog._io
+    txn_dir = os.path.join(catalog.warehouse, _TXN_DIR)
+    if not io.isdir(txn_dir):
+        return []
+    out = []
+    for fname in sorted(io.listdir(txn_dir)):
+        if fname.endswith(".json"):
+            out.append(json.loads(io.read_text(os.path.join(txn_dir, fname))))
+    return out
+
+
 def abort_transaction(catalog: "LakeCatalog", txn_id: str) -> dict[str, Any]:
     """Discard a pending (typically BLOCKED) transaction intent after
     operator inspection: the intent file and the staged branch refs are

@@ -604,3 +604,32 @@ def test_abort_clears_blocked_intent(spark, catalog, monkeypatch):
     assert "foreign" in rows and ("c" not in rows and "t" not in rows)
     with pytest.raises(FileNotFoundError):
         abort_transaction(catalog, txn.txn_id)
+
+
+def test_pending_transactions_lists_intents(spark, catalog, monkeypatch):
+    from dlt_iceberg_spark.lake.transaction import (
+        abort_transaction,
+        pending_transactions,
+    )
+
+    _seed(catalog, spark)
+    assert pending_transactions(catalog) == []
+    txn = catalog.transaction("ds")
+    txn.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        _df(spark, [(3, "c")]),
+    )
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    monkeypatch.setattr(
+        txn_mod, "_flip_main",
+        lambda *a: (_ for _ in ()).throw(OSError("crash")),
+    )
+    with pytest.raises(OSError):
+        txn.commit()
+    monkeypatch.undo()
+    pending = pending_transactions(catalog)
+    assert [p["txn"] for p in pending] == [txn.txn_id]
+    assert pending[0]["entries"][0]["table"] == "fact"
+    abort_transaction(catalog, txn.txn_id)
+    assert pending_transactions(catalog) == []
