@@ -34,6 +34,7 @@ downsample.  Skewed keys behave like any keyed shuffle (salt upstream).
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -99,7 +100,14 @@ def gapfill(
             f"aggregate columns collide with {sorted(reserved & set(aggs))}"
         )
 
-    bucket = F.window(F.col(on), bucket_width).getField("start")
+    # calendar widths (months/years) are variable-length, which F.window
+    # cannot express — bucket by date_trunc instead; the sequence() grid
+    # below handles calendar intervals natively either way
+    m = re.fullmatch(r"\s*1\s+(month|year)s?\s*", bucket_width)
+    if m:
+        bucket = F.date_trunc(m.group(1), F.col(on))
+    else:
+        bucket = F.window(F.col(on), bucket_width).getField("start")
     bucketed = (
         df.groupBy(*by_cols, bucket.alias(bucket_col))
         .agg(*[_agg_col(spec, name) for name, spec in aggs.items()])

@@ -123,3 +123,41 @@ def test_validation_errors(series):
         gapfill(series, by="k", aggs={"k": ("count",)})
     with pytest.raises(ValueError, match="unknown aggregate"):
         gapfill(series, by="k", aggs={"m": ("median", "v")})
+
+
+def test_calendar_month_buckets(spark):
+    """'1 month' is a variable-length calendar width F.window cannot
+    express — gapfill buckets by date_trunc and grids with a calendar
+    interval, so February and a 31-day month are both one bucket."""
+    rows = [
+        ("a", dt.datetime(2024, 1, 15), 10.0),
+        ("a", dt.datetime(2024, 1, 20), 20.0),
+        # February skipped entirely
+        ("a", dt.datetime(2024, 3, 2), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = gapfill(
+        df, by="k", bucket_width="1 month",
+        aggs={"total": ("sum", "v"), "n": ("count",)},
+        fill={"total": "locf", "n": "zero"},
+    )
+    got = {r.bucket.month: (r.total, r.n, r.is_gap) for r in out.collect()}
+    assert got == {
+        1: (30.0, 2, False),
+        2: (30.0, 0, True),   # synthesized, locf carries January's total
+        3: (30.0, 1, False),
+    }
+    assert all(r.bucket.day == 1 for r in out.collect())
+
+
+def test_calendar_year_buckets(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2022, 6, 1), 1.0), ("a", dt.datetime(2024, 2, 1), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = gapfill(
+        df, by="k", bucket_width="1 year",
+        aggs={"n": ("count",)}, fill={"n": "zero"},
+    )
+    got = {r.bucket.year: (r.n, r.is_gap) for r in out.collect()}
+    assert got == {2022: (1, False), 2023: (0, True), 2024: (1, False)}
