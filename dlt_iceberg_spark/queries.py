@@ -5270,60 +5270,54 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Registry ordering.  The driver's correctness gate checks a fixed-size prefix
 # of the registry (every round's artifact stops at exactly 50 entries), so
-# iteration order decides which queries get a driver-verified row.  Round-6
-# rotation (VERDICT r5 task 1): slot 1 is text_c4_rules — the ONLY registry
-# entry without a driver row (it joined after the r5 gate window froze) —
-# followed by the 43 queries whose newest driver row is CORRECTNESS_r04, so
-# after this round the r05∪r06 union covers all 94 and no query's driver row
-# is older than two rounds.  The last 6 slots re-verify the code this round
-# touched: the lake scan/merge probe paths (imported-domain partition
-# probes landed in table.py/writer.py) and lm_perplexity (persist gate),
-# plus one long-green anchor.  Every entry keeps its spec; only dict
-# iteration order changes.
+# iteration order decides which queries get a driver-verified row.
+#
+# ROTATION POLICY (codified per VERDICT r6 task 1): with 115 registered
+# queries and a 50-slot gate window, the freshness horizon is
+# ceil(115 / 50) = 3 rounds — every query must have a driver row at most
+# 3 rounds old.  Each round, order the window by staleness: queries with
+# NO driver row ever go first, then queries whose newest driver row is
+# oldest.  Ties (same newest round) break alphabetically so the rotation
+# stays mechanical and reviewable.
+#
+# Round-7 window:
+#   slots 1-20  — the 20 round-6 additions that have never had a driver
+#                 row (the r6 gate window froze before they landed; all 20
+#                 passed the builder's oracle replica in r6).
+#   slots 21-50 — 30 of the 45 queries whose newest driver row is
+#                 CORRECTNESS_r05 (all equally stale; alphabetical prefix).
+# Round-8 plan (write it down now so the rotation stays mechanical):
+#   the 15 alphabetically-last r05-only rows (they hit the 3-round limit
+#   at r8) followed by the 35 stalest r06 rows.  Every entry keeps its
+# spec; only dict iteration order changes.
 
 _GATE_PRIORITY = [
-    # never driver-verified — front of the line
-    "text_c4_rules",
-    # newest driver row is r04 — refresh before it ages past two rounds
-    "q3_unshipped_revenue", "q4_order_priority", "q5_nation_revenue",
-    "q6_revenue_delta", "q10_returned_customers", "q13_order_distribution",
-    "q15_top_supplier", "q18_large_orders", "q22_idle_customers",
-    "part_brand_stats", "nation_order_stats",
-    "q2_min_unit_price_supplier", "q7_volume_shipping", "q8_market_share",
-    "q11_important_parts", "q12_late_shipping_priority", "q14_promo_revenue",
-    "q16_supplier_part_count", "q17_small_quantity_revenue",
-    "q19_bracket_revenue", "q20_top_volume_suppliers",
-    "rollup_nation_status", "cube_brand_size", "groupingsets_priority_status",
-    "pivot_priority_status", "pctl_order_value", "setop_customer_segments",
-    "window_running_total",
-    "events_funnel", "events_retention_cohorts", "events_user_latest",
-    "events_json_props",
-    "sample_documents", "split_documents", "cap_docs_per_lang",
-    "mixture_by_source",
-    "dedup_exact", "text_quality", "text_lang_profile", "ann_cosine_topk",
-    "dedup_minhash_lsh", "merge_upsert", "lake_merge_roundtrip",
-    # code touched this round: lake probe/scan/merge paths + lm persist
-    # gate, plus the NEW metadata-only rename DDL whose _physical_read
-    # era bridge now sits under EVERY lake scan (it takes the former
-    # long-green-anchor slot; q1 was green in r05, well within rotation)
-    "lake_stats_pushdown", "lake_bucket_pruning", "lake_position_delete",
-    "merge_hard_delete", "lm_perplexity",
-    "lake_rename_column",
+    # -- never driver-verified (r6 additions) — front of the line --------
+    "events_gapfill", "text_bpe_pairs", "text_tfidf_terms",
+    "text_nb_language", "knn_label_vote", "dedup_boilerplate_lines",
+    "dedup_substring_removal", "corpus_overlap_kmv", "lake_promote_type",
+    "lake_spec_evolution", "lake_cdc_changelog", "lake_iceberg_roundtrip",
+    "lake_add_column_default", "lake_rollup_incremental",
+    "lake_multi_table_txn", "lake_expectations", "stream_lake_tail",
+    "stream_lake_changes", "stream_lake_mirror", "stream_lake_sink",
+    # -- newest driver row is r05 — alphabetical prefix of the 45 --------
+    "ann_ivf", "ann_pq", "chunk_documents", "contamination_check",
+    "corpus_prep", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_token_jaccard",
+    "dedup_transitive_clusters", "doc_fingerprint", "dsir_select",
+    "embedding_label_stats", "embedding_near_dup",
+    "events_asof_last_signup", "events_heavy_hitters", "events_hourly",
+    "events_interval_join", "events_sessions", "multimodal_audio_windows",
+    "multimodal_decode", "multimodal_frames", "multimodal_image_dedup",
+    "multimodal_meta", "multimodal_resize", "pack_documents",
+    "q1_pricing_summary", "q21_waiting_suppliers", "q9_product_type_profit",
 ]
-# NOTE: most r6-added queries (text_tfidf_terms, text_nb_language,
-# knn_label_vote, dedup_boilerplate_lines, stream_lake_tail,
-# stream_lake_sink, corpus_overlap_kmv, dedup_substring_removal,
-# lake_promote_type, lake_spec_evolution, lake_cdc_changelog,
-# lake_add_column_default, lake_rollup_incremental, events_gapfill,
-# text_bpe_pairs, lake_multi_table_txn, stream_lake_changes, stream_lake_mirror,
-# lake_expectations,
-# lake_iceberg_roundtrip) intentionally sit OUTSIDE this
-# 50-slot window —
-# displacing r04-aged entries would break the rotation invariant (no
-# driver row older than two rounds).  They are verified by
-# tools/check_oracle.py this round and are the r7 front-load candidates;
-# lake_rename_column DID take a slot because its era-bridge scan path now
-# sits under every other lake query.
+# The 15 r05 rows deferred to the r8 window (3-round limit hits then):
+# redact_pii, select_quality_budget, semantic_dedup, shuffle_shards,
+# sql_delegated_join, stream_dedup_users, stream_windowed_counts,
+# substring_dup_profile, text_gopher_rules, text_language_id,
+# text_quality_score, text_repetition, text_rolling_fingerprint,
+# text_token_stats, window_customer_rank.
 
 
 def _reorder_registry() -> None:
