@@ -28,10 +28,25 @@ Mechanics:
   (newest first) for the marker.  Data and cursor commit atomically — a
   crash before the commit replays the same delta; after it, the marker
   advances.
-- Only aggregates with an inverse are maintainable under deletes: ``sum``
-  and ``count`` (``avg`` = sum/count at read time).  ``min``/``max`` are
-  refused — retracting the current extremum needs a group rescan, which
-  is exactly the O(source) cost this exists to avoid.
+- Only aggregates with an inverse ride the signed fold: ``sum`` and
+  ``count`` (``avg`` = sum/count at read time).  ``min``/``max`` have no
+  inverse — retracting the current extremum needs a group rescan — so
+  they are refused under the default strategy and accepted with
+  ``strategy="rescan"``: sums/counts stay incremental, while min/max are
+  recomputed from the source *only for the groups the changelog touched*
+  (a keyed semi-join rescan).  Cost table per refresh:
+
+  ======================  =============================================
+  strategy                cost
+  ======================  =============================================
+  ``"incremental"``       O(changed rows + touched groups) — never
+                          reads the source outside the changelog
+  ``"rescan"``            the above + O(touched groups' source rows);
+                          when few groups are touched the rescan scan is
+                          file-pruned to the touched key range via
+                          manifest stats, so it is never O(source) for
+                          localized mutations
+  ======================  =============================================
 
 Caveats (documented, not silent): float sums drift under heavy
 insert/delete cancellation (use decimals for exactness); rows with NULL
@@ -58,6 +73,13 @@ logger = logging.getLogger(__name__)
 _MARKER = "rollup-src-"
 _DELETE_COL = "__rollup_delete"
 
+# Below this many touched groups the rescan collects the key set to the
+# driver and prunes the source scan to the touched key RANGE via manifest
+# stats (plus a broadcast semi-join for exactness).  Above it, a plain
+# shuffled semi-join — still O(touched groups' source rows) of output, but
+# the scan itself can no longer be file-pruned.
+RESCAN_KEY_PUSHDOWN_MAX = 10_000
+
 
 class IncrementalRollup:
     """A ``GROUP BY keys`` summary of ``source``, maintained from CDC.
@@ -66,7 +88,10 @@ class IncrementalRollup:
 
     - ``("sum", src_col)`` — signed sum of ``src_col``;
     - ``("count",)`` or ``("count", "*")`` — rows per group;
-    - ``("count", src_col)`` — non-null values of ``src_col`` per group.
+    - ``("count", src_col)`` — non-null values of ``src_col`` per group;
+    - ``("min", src_col)`` / ``("max", src_col)`` — require
+      ``strategy="rescan"`` (no inverse; maintained by rescanning only
+      the touched groups — see the module cost table).
 
     The rollup table additionally keeps ``__rows`` (rows per group) to
     know when a group vanishes; it is dropped from :meth:`read`.
@@ -80,16 +105,27 @@ class IncrementalRollup:
         source: LakeTable,
         keys: list[str],
         aggs: dict[str, tuple],
+        strategy: str = "incremental",
     ):
         if not keys:
             raise ValueError("rollup needs at least one group key")
+        if strategy not in ("incremental", "rescan"):
+            raise ValueError(f"unknown strategy {strategy!r}: incremental | rescan")
         for col, spec in aggs.items():
-            if spec[0] not in ("sum", "count"):
+            if spec[0] in ("min", "max"):
+                if strategy != "rescan":
+                    raise ValueError(
+                        f"aggregate {spec[0]!r} for {col!r} has no inverse; "
+                        "pass strategy=\"rescan\" to maintain min/max by "
+                        "rescanning touched groups (sum/count stay "
+                        "incremental), or recompute with a plain query"
+                    )
+            elif spec[0] not in ("sum", "count"):
                 raise ValueError(
                     f"aggregate {spec[0]!r} for {col!r} has no inverse; "
                     "incremental maintenance supports sum/count (avg = "
-                    "sum/count at read time; min/max need a rescan - "
-                    "recompute those with a plain query)"
+                    "sum/count at read time) and, under strategy="
+                    "\"rescan\", min/max"
                 )
         reserved = set(keys) | {"__rows", _DELETE_COL}
         if reserved & set(aggs):
@@ -100,13 +136,16 @@ class IncrementalRollup:
         self.source = source
         self.keys = list(keys)
         self.aggs = dict(aggs)
+        self.strategy = strategy
+        self._minmax = {c: s for c, s in aggs.items() if s[0] in ("min", "max")}
+        self._incr = {c: s for c, s in aggs.items() if s[0] not in ("min", "max")}
         self._writer = LakeWriter(catalog, namespace)
 
     # -- internals -----------------------------------------------------
 
     def _signed_aggs(self, sign) -> list:
         out = []
-        for col, spec in self.aggs.items():
+        for col, spec in self._incr.items():
             if spec[0] == "sum":
                 out.append(F.sum(sign * F.col(spec[1])).alias(col))
             elif len(spec) == 1 or spec[1] == "*":
@@ -117,6 +156,39 @@ class IncrementalRollup:
                 )
         out.append(F.sum(sign).alias("__rows"))
         return out
+
+    def _minmax_aggs(self) -> list:
+        return [
+            (F.min if spec[0] == "min" else F.max)(F.col(spec[1])).alias(col)
+            for col, spec in self._minmax.items()
+        ]
+
+    def _rescan_minmax(self, source: LakeTable, src_v: int, touched: DataFrame):
+        """min/max per touched group, recomputed from the source snapshot.
+
+        When the touched key set is small enough to collect, the scan is
+        bounded two ways: the manifest planner prunes files to the touched
+        key RANGE (per-key min/max conjunction — sound because every
+        touched group lies inside it), and the semi-join side is an
+        explicit broadcast.  Localized mutations then rescan a handful of
+        files no matter how large the source is.  Past the threshold we
+        fall back to a shuffled semi-join over an unpruned scan (output
+        still O(touched groups' source rows))."""
+        where = None
+        bounded = touched.limit(RESCAN_KEY_PUSHDOWN_MAX + 1).collect()
+        if len(bounded) <= RESCAN_KEY_PUSHDOWN_MAX:
+            where = []
+            for k in self.keys:
+                vals = [r[k] for r in bounded if r[k] is not None]
+                if vals:
+                    where += [(k, ">=", min(vals)), (k, "<=", max(vals))]
+            where = where or None
+            src = source.read(snapshot_version=src_v, where=where)
+            joined = src.join(F.broadcast(touched), on=self.keys, how="left_semi")
+        else:
+            src = source.read(snapshot_version=src_v)
+            joined = src.join(touched, on=self.keys, how="left_semi")
+        return joined.groupBy(*self.keys).agg(*self._minmax_aggs())
 
     def _table(self, branch: str = "main") -> LakeTable | None:
         from dlt_iceberg_spark.errors import TableNotFoundError
@@ -177,7 +249,7 @@ class IncrementalRollup:
             # initial build: one aggregate over the pinned source snapshot
             one = F.lit(1)
             full = source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
-                *self._signed_aggs(one)
+                *self._signed_aggs(one), *self._minmax_aggs()
             )
             _write(
                 TableSpec(
@@ -199,35 +271,60 @@ class IncrementalRollup:
             F.lit(-1)
         )
         delta = ch.groupBy(*self.keys).agg(*self._signed_aggs(sign))
-        # drop all-cancelled groups early (CoW rewrite pairs often cancel
-        # an entire group): no delta row -> group untouched -> not rewritten
         val_cols = [c for c in delta.columns if c not in self.keys]
-        changed = F.col("__rows") != 0
-        for c in val_cols:
-            changed = changed | (F.coalesce(F.col(c), F.lit(0)) != 0)
-        delta = delta.filter(changed)
-        cur = tgt.read().join(
-            delta.select(*self.keys).distinct(), on=self.keys, how="left_semi"
-        )
-        merged = (
-            cur.unionByName(delta)
-            .groupBy(*self.keys)
-            .agg(*[F.sum(c).alias(c) for c in val_cols])
-        )
-        n = merged.count()
-        out = merged.withColumn(
-            _DELETE_COL, F.when(F.col("__rows") <= 0, F.lit(True))
-        )
-        _write(
-            TableSpec(
-                name=self.name,
-                write_disposition={"disposition": "merge", "strategy": "upsert"},
-                primary_key=list(self.keys),
-                hard_delete_column=_DELETE_COL,
-            ),
-            out,
-            f"{_MARKER}{src_v}",
-        )
+        if not self._minmax:
+            # drop all-cancelled groups early (CoW rewrite pairs often
+            # cancel an entire group): no delta row -> group untouched ->
+            # not rewritten.  With min/max aggregates this filter would be
+            # UNSOUND — a rewrite can swap {3,5} for {4,4} (zero net sums,
+            # changed extremum) — so rescan mode keeps every changelog
+            # group.
+            changed = F.col("__rows") != 0
+            for c in val_cols:
+                changed = changed | (F.coalesce(F.col(c), F.lit(0)) != 0)
+            delta = delta.filter(changed)
+        # materialize the changelog fold ONCE: everything downstream (the
+        # semi-join's key set, the union, the touched-group count, the
+        # write, the min/max rescan key set) replays from this cache, so
+        # the O(changed) scan happens exactly once per refresh.
+        delta = delta.persist()
+        merged = None
+        try:
+            delta.count()
+            touched = delta.select(*self.keys)  # groupBy output: one row/group
+            cur = tgt.read().select(*self.keys, *val_cols).join(
+                touched, on=self.keys, how="left_semi"
+            )
+            merged = (
+                cur.unionByName(delta)
+                .groupBy(*self.keys)
+                .agg(*[F.sum(c).alias(c) for c in val_cols])
+            )
+            if self._minmax:
+                merged = merged.join(
+                    self._rescan_minmax(source, src_v, touched),
+                    on=self.keys,
+                    how="left",
+                )
+            merged = merged.persist()
+            n = merged.count()
+            out = merged.withColumn(
+                _DELETE_COL, F.when(F.col("__rows") <= 0, F.lit(True))
+            )
+            _write(
+                TableSpec(
+                    name=self.name,
+                    write_disposition={"disposition": "merge", "strategy": "upsert"},
+                    primary_key=list(self.keys),
+                    hard_delete_column=_DELETE_COL,
+                ),
+                out,
+                f"{_MARKER}{src_v}",
+            )
+        finally:
+            delta.unpersist()
+            if merged is not None:
+                merged.unpersist()
         return {"source_version": src_v, "groups_touched": n}
 
     def rebuild(self) -> dict:
@@ -237,7 +334,7 @@ class IncrementalRollup:
         src_v = self.source.current_version()
         one = F.lit(1)
         full = self.source.read(snapshot_version=src_v).groupBy(*self.keys).agg(
-            *self._signed_aggs(one)
+            *self._signed_aggs(one), *self._minmax_aggs()
         )
         self._writer.write(
             TableSpec(name=self.name, write_disposition="replace"),
