@@ -42,6 +42,10 @@ class Resource:
     #: and quarantines publish with the load's atomic cut)
     expectations: dict[str, str] = field(default_factory=dict)
     on_violation: str = "fail"
+    #: aggregate-level contracts over what lands (TableSpec
+    #: batch_expectations — "count(*) >= 1000" etc.; fail | warn)
+    batch_expectations: dict[str, str] = field(default_factory=dict)
+    on_batch_violation: str = "fail"
 
     def to_spec(self) -> TableSpec:
         return TableSpec(
@@ -51,6 +55,8 @@ class Resource:
             column_hints=self.column_hints,
             expectations=self.expectations,
             on_violation=self.on_violation,
+            batch_expectations=self.batch_expectations,
+            on_batch_violation=self.on_batch_violation,
         )
 
     def materialize(self, spark: SparkSession) -> DataFrame:

@@ -99,6 +99,19 @@ class TableSpec:
     #: LakeTable, so the rejects are queryable, snapshotted, and
     #: transaction-staged alongside the clean rows.
     on_violation: str = "fail"
+    #: aggregate-level contracts (the Great Expectations / DLT
+    #: "expect_table_*" shape): name -> SQL boolean over AGGREGATES of the
+    #: batch, e.g. "count(*) >= 1000" or
+    #: "sum(cast(pk IS NULL as int)) / count(*) < 0.001".  Evaluated over
+    #: the rows that will actually land (after drop/quarantine row
+    #: routing); in fail mode they share the row-counting pass, so the
+    #: batch is still scanned once.  A NULL result (empty batch averages)
+    #: counts as a violation.
+    batch_expectations: dict[str, str] = field(default_factory=dict)
+    #: what an aggregate violation does: "fail" aborts the batch (nothing
+    #: lands — rejecting individual rows is meaningless for an aggregate),
+    #: "warn" logs the failing contracts and proceeds.
+    on_batch_violation: str = "fail"
 
     def resolve_strategy(self) -> tuple[str, str | None]:
         """(disposition, merge_strategy) — W8 (destination_client.py:1152-1168):
@@ -189,13 +202,27 @@ class LakeWriter:
     ) -> DataFrame:
         """Apply the spec's data-quality expectations to the incoming batch
         (one extra pass in fail mode, a filter otherwise) — before casting
-        and evolution, so rejects keep their original values."""
-        if not spec.expectations:
+        and evolution, so rejects keep their original values.  Aggregate
+        contracts (``batch_expectations``) ride the same counting pass in
+        fail mode; under drop/quarantine they run over the clean rows."""
+        if not spec.expectations and not spec.batch_expectations:
             return df
         if spec.on_violation not in ("fail", "drop", "quarantine"):
             raise ValueError(
                 f"on_violation must be fail|drop|quarantine, got {spec.on_violation!r}"
             )
+        if spec.on_batch_violation not in ("fail", "warn"):
+            raise ValueError(
+                "on_batch_violation must be fail|warn, got "
+                f"{spec.on_batch_violation!r}"
+            )
+        batch_aggs = [
+            F.coalesce(F.expr(sql).cast("boolean"), F.lit(False)).alias(f"__bexp_{i}")
+            for i, sql in enumerate(spec.batch_expectations.values())
+        ]
+        if not spec.expectations:
+            self._check_batch_expectations(spec, df.agg(*batch_aggs).first(), load_id)
+            return df
         names = list(spec.expectations)
         flags = [
             (~F.coalesce(F.expr(sql), F.lit(False))).alias(f"__exp_{i}")
@@ -206,11 +233,16 @@ class LakeWriter:
         for i in range(len(names)):
             viol_any = viol_any | F.col(f"__exp_{i}")
         if spec.on_violation == "fail":
+            # ONE counting pass covers both contract kinds: per-row
+            # violation counts and the batch-aggregate booleans (row
+            # violations abort first, so evaluating the aggregates over
+            # the unfiltered batch is indistinguishable from clean rows).
             row = flagged.agg(
                 *[
                     F.sum(F.col(f"__exp_{i}").cast("long")).alias(f"n{i}")
                     for i in range(len(names))
-                ]
+                ],
+                *batch_aggs,
             ).first()
             bad = {
                 names[i]: int(row[f"n{i}"] or 0)
@@ -223,6 +255,7 @@ class LakeWriter:
                     f"(load_id={load_id}); fix the data or use "
                     "on_violation='drop'/'quarantine'"
                 )
+            self._check_batch_expectations(spec, row, load_id)
             return df
         flag_cols = [f"__exp_{i}" for i in range(len(names))]
         if spec.on_violation == "quarantine":
@@ -246,7 +279,39 @@ class LakeWriter:
                 rejects,
                 load_id=f"{load_id}.quarantine" if load_id else None,
             )
-        return flagged.filter(~viol_any).drop(*flag_cols)
+        clean = flagged.filter(~viol_any).drop(*flag_cols)
+        if batch_aggs:
+            # aggregate contracts gate what LANDS, so under drop/
+            # quarantine they run after row routing (one extra O(batch)
+            # pass — the quarantine path already re-scans for rejects)
+            self._check_batch_expectations(
+                spec, clean.agg(*batch_aggs).first(), load_id
+            )
+        return clean
+
+    def _check_batch_expectations(self, spec: TableSpec, row, load_id) -> None:
+        if not spec.batch_expectations:
+            return
+        names = list(spec.batch_expectations)
+        bad = {
+            names[i]: spec.batch_expectations[names[i]]
+            for i in range(len(names))
+            if not row[f"__bexp_{i}"]
+        }
+        if not bad:
+            return
+        if spec.on_batch_violation == "warn":
+            logger.warning(
+                "batch for %r fails aggregate expectations %s (load_id=%s); "
+                "proceeding (on_batch_violation='warn')",
+                spec.name, sorted(bad), load_id,
+            )
+            return
+        raise ExpectationViolationError(
+            f"batch for {spec.name!r} fails aggregate expectations {bad} "
+            f"(load_id={load_id}); nothing landed — fix the batch or use "
+            "on_batch_violation='warn'"
+        )
 
     def _write_once(self, spec: TableSpec, df: DataFrame, load_id: str | None) -> LakeTable:
         df = self._enforce_expectations(spec, df, load_id)

@@ -4610,7 +4610,11 @@ _LAKE_TXN_CACHE: dict = {}
         "_violated_expectations reasons.  The query unions both tables "
         "back with status + sorted reason list; the oracle recomputes "
         "the split with CASE over the raw fixture, so a hash match "
-        "proves routing AND per-row reason attribution."
+        "proves routing AND per-row reason attribution.  The write also "
+        "carries an aggregate contract (batch_expectations: clean rows "
+        ">= 100, null-lang fraction < 1%) evaluated over what LANDS — "
+        "the same single counting pass — so the gate exercises both "
+        "contract kinds."
     ),
 )
 def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4635,6 +4639,11 @@ def lake_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "long_enough": "n_chars >= 150",
                 },
                 on_violation="quarantine",
+                batch_expectations={
+                    "enough_clean_rows": "count(*) >= 100",
+                    "lang_mostly_nonnull":
+                        "sum(cast(lang IS NULL AS int)) / count(*) < 0.01",
+                },
             ),
             docs,
         )

@@ -208,3 +208,137 @@ def test_expectations_apply_inside_streaming_writes(spark, warehouse, tmp_path):
     assert sorted(
         r.id for r in catalog.load_table("ds", "t__quarantine").read().collect()
     ) == [2, 3]
+
+
+# -- aggregate-level contracts (batch_expectations) -----------------------
+
+
+def test_batch_expectations_fail_aborts_whole_batch(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    with pytest.raises(ExpectationViolationError, match="enough_rows") as ei:
+        writer.write(
+            TableSpec(
+                name="t", write_disposition="append",
+                batch_expectations={"enough_rows": "count(*) >= 1000"},
+            ),
+            _df(spark),
+            load_id="l0",
+        )
+    assert not is_retryable(ei.value)
+    # nothing landed
+    from dlt_iceberg_spark.errors import TableNotFoundError
+    with pytest.raises((FileNotFoundError, TableNotFoundError)):
+        catalog.load_table("ds", "t")
+
+
+def test_batch_expectations_pass_and_null_fraction_contract(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(
+            name="t", write_disposition="append",
+            batch_expectations={
+                "enough_rows": "count(*) >= 4",
+                "pk_mostly_nonnull": "sum(cast(id IS NULL AS int)) / count(*) < 0.5",
+            },
+        ),
+        _df(spark),
+        load_id="l0",
+    )
+    assert catalog.load_table("ds", "t").read().count() == 4
+
+
+def test_batch_expectations_warn_mode_logs_and_lands(spark, warehouse, caplog):
+    import logging
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    with caplog.at_level(logging.WARNING, logger="dlt_iceberg_spark"):
+        writer.write(
+            TableSpec(
+                name="t", write_disposition="append",
+                batch_expectations={"enough_rows": "count(*) >= 1000"},
+                on_batch_violation="warn",
+            ),
+            _df(spark),
+            load_id="l0",
+        )
+    assert any("enough_rows" in r.message for r in caplog.records)
+    assert catalog.load_table("ds", "t").read().count() == 4
+
+
+def test_batch_expectations_evaluate_after_row_routing(spark, warehouse):
+    """Aggregate contracts gate what LANDS: with quarantine routing, the
+    count runs over the clean rows, not the raw batch."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    spec = TableSpec(
+        name="t", write_disposition="append",
+        expectations=EXPECT, on_violation="quarantine",
+        batch_expectations={"enough_clean": "count(*) >= 3"},
+    )
+    # raw batch has 4 rows but only 2 clean ones -> the contract fails;
+    # the quarantine write happens before the gate by design, so rejects
+    # stay inspectable even when the clean batch aborts.
+    with pytest.raises(ExpectationViolationError, match="enough_clean"):
+        writer.write(spec, _df(spark), load_id="l0")
+    from dlt_iceberg_spark.errors import TableNotFoundError
+    with pytest.raises((FileNotFoundError, TableNotFoundError)):
+        catalog.load_table("ds", "t")
+    # passing contract at the clean-row level lands both sides
+    spec2 = TableSpec(
+        name="t", write_disposition="append",
+        expectations=EXPECT, on_violation="quarantine",
+        batch_expectations={"enough_clean": "count(*) >= 2"},
+    )
+    writer.write(spec2, _df(spark), load_id="l1")
+    assert catalog.load_table("ds", "t").read().count() == 2
+
+
+def test_batch_expectations_empty_batch_null_aggregate_violates(spark, warehouse):
+    writer = LakeWriter(LakeCatalog(spark, warehouse), "ds")
+    empty = _df(spark).filter("id > 100")
+    with pytest.raises(ExpectationViolationError, match="avg_positive"):
+        writer.write(
+            TableSpec(
+                name="t", write_disposition="append",
+                batch_expectations={"avg_positive": "avg(amount) > 0"},
+            ),
+            empty,
+        )
+
+
+def test_batch_expectations_invalid_mode_rejected(spark, warehouse):
+    writer = LakeWriter(LakeCatalog(spark, warehouse), "ds")
+    with pytest.raises(ValueError, match="on_batch_violation"):
+        writer.write(
+            TableSpec(
+                name="t", write_disposition="append",
+                batch_expectations={"x": "count(*) > 0"},
+                on_batch_violation="drop",
+            ),
+            _df(spark),
+        )
+
+
+def test_batch_expectations_compose_with_transactions(spark, warehouse):
+    """A failing aggregate contract inside a transaction aborts the txn
+    write; nothing publishes on commit of the surviving tables only."""
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"), _df(spark), load_id="l0"
+    )
+    txn = catalog.transaction("ds")
+    with pytest.raises(ExpectationViolationError):
+        txn.write(
+            TableSpec(
+                name="t", write_disposition="append",
+                batch_expectations={"enough_rows": "count(*) >= 1000"},
+            ),
+            _df(spark),
+            load_id="l1",
+        )
+    txn.rollback()
+    assert catalog.load_table("ds", "t").read().count() == 4
