@@ -4700,6 +4700,7 @@ def stream_lake_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dlt_iceberg_spark.lake.catalog import LakeCatalog
     from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
     from dlt_iceberg_spark.streaming.source import read_stream
 
     key = (id(spark), os.path.abspath(sf_dir))
@@ -4726,7 +4727,7 @@ def stream_lake_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.table(name).select(
         "o_orderkey",
         "o_custkey",
@@ -4777,6 +4778,7 @@ def stream_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dlt_iceberg_spark.lake.catalog import LakeCatalog
     from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
     from dlt_iceberg_spark.streaming.source import read_stream
 
     key = (id(spark), os.path.abspath(sf_dir))
@@ -4808,7 +4810,7 @@ def stream_lake_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.table(name).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "_change_type"
     )
@@ -4846,6 +4848,7 @@ def stream_lake_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dlt_iceberg_spark.lake.catalog import LakeCatalog
     from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
     from dlt_iceberg_spark.streaming.mirror import stream_mirror
 
     key = (id(spark), os.path.abspath(sf_dir))
@@ -4881,7 +4884,7 @@ def stream_lake_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, location, writer, "orders_mirror", ["o_orderkey"], ckpt,
         query_name="gate_mirror",
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return (
         catalog.load_table("gate", "orders_mirror")
         .read()
@@ -4914,6 +4917,7 @@ def stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
     from dlt_iceberg_spark.streaming.source import register_lake_stream_source
 
     key = (id(spark), os.path.abspath(sf_dir))
@@ -4936,7 +4940,7 @@ def stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
         _STREAM_SINK_CACHE[key] = location
     return LakeTable(spark, location).read().select(
         "o_orderkey",

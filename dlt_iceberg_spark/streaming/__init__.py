@@ -11,6 +11,7 @@ ledger idempotency.
 """
 
 from dlt_iceberg_spark.streaming.micro_batch import (
+    await_stream,
     running_user_totals,
     stream_interval_join,
     sessionized,
@@ -29,6 +30,7 @@ from dlt_iceberg_spark.streaming.source import (
 # source registers both directions
 
 __all__ = [
+    "await_stream",
     "stream_write",
     "windowed_event_counts",
     "sessionized",

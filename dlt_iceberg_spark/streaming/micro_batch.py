@@ -29,6 +29,29 @@ from dlt_iceberg_spark.lake.state import StateStore
 from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
 
 
+def await_stream(q: StreamingQuery, timeout: float = 300) -> None:
+    """Block until ``q`` terminates, surfacing failures LOUDLY.
+
+    ``awaitTermination(timeout)`` alone is a silent trap for bounded
+    (availableNow) queries: a source that crashes mid-batch leaves the
+    query terminated-with-exception, and a hung one leaves it running —
+    either way a naive caller reads a partial sink and fails later with a
+    confusing wrong-rows error far from the cause.  This raises the
+    stream's own error if it failed, and a TimeoutError (after stopping
+    the query) if it never finished."""
+    finished = q.awaitTermination(timeout)
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name or q.id} did not terminate within "
+            f"{timeout}s (no failure reported; likely hung source or "
+            "starved scheduler)"
+        )
+
+
 def stream_write(
     stream_df: DataFrame,
     writer: LakeWriter,

@@ -441,3 +441,47 @@ def test_long_stream_mor_with_maintenance_cadence(spark, stream_dirs):
     _run_stream(spark, inp, ckpt2, writer2, spec)
     unmaintained = catalog.load_table("nomaint", "ev_long").snapshot()
     assert len(unmaintained.delete_files) >= 11  # one per MoR batch, unbounded
+
+
+def test_await_stream_surfaces_stream_failure(spark, tmp_path):
+    """A crashed stream must raise its OWN error at the await — not leak a
+    partial sink that fails later as a confusing wrong-rows mismatch
+    (VERDICT r6 task 7)."""
+    import pytest
+
+    from dlt_iceberg_spark.streaming import await_stream
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src_dir)
+
+    def boom(df, epoch_id):
+        raise RuntimeError("deliberate boom in micro-batch")
+
+    q = (
+        spark.readStream.schema("id long, v string")
+        .parquet(src_dir)
+        .writeStream.foreachBatch(boom)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="deliberate boom"):
+        await_stream(q)
+
+
+def test_await_stream_passes_healthy_bounded_query(spark, tmp_path):
+    from dlt_iceberg_spark.streaming import await_stream
+
+    src_dir = str(tmp_path / "in")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(src_dir)
+    q = (
+        spark.readStream.schema("id long, v string")
+        .parquet(src_dir)
+        .writeStream.format("memory")
+        .queryName("await_ok")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q)
+    assert spark.table("await_ok").count() == 1
