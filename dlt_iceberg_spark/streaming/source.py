@@ -99,10 +99,15 @@ def _snapshot_raw(location: str, version: int) -> dict:
     )
 
 
-def _file_entries(location: str, raw: dict) -> list[dict]:
+def _file_entries(location: str, raw: dict, ref_keep=None) -> list[dict]:
     """Live file entries of a raw snapshot: path + names mapping + data
     sequence + stats (all the streaming source needs), from inline files +
-    chunked manifests — pyarrow only, no SparkSession."""
+    chunked manifests — pyarrow only, no SparkSession.
+
+    ``ref_keep`` (manifest-ref dict -> bool) skips whole chunks WITHOUT
+    opening them, using the refs' aggregate metadata — the caller promises
+    the skipped chunks cannot hold entries it needs (eq-delete envelope
+    pruning below)."""
     import pyarrow.parquet as pq
 
     out = [
@@ -115,6 +120,8 @@ def _file_entries(location: str, raw: dict) -> list[dict]:
         for f in raw.get("files", [])
     ]
     for ref in raw.get("manifests", []):
+        if ref_keep is not None and not ref_keep(ref):
+            continue
         t = pq.read_table(
             os.path.join(location, ref["path"]), columns=None
         )
@@ -447,12 +454,15 @@ class _LakeStreamReader(DataSourceStreamReader):
             if new_dels and parent_raw is not None:
                 import pyarrow.parquet as pq
 
-                # delete candidates can live in ANY parent file: the full
-                # entry listing is the price of a delete batch (rare next
-                # to appends), pruned below by address / stats envelope
-                parent_entries = _file_entries(self.location, parent_raw)
                 new_pos = [d for d in new_dels if d.get("content") == "position"]
                 new_eq = [d for d in new_dels if d.get("content") != "position"]
+                # POSITION deletes address files by path, which manifest-ref
+                # aggregates cannot index — the full parent entry listing is
+                # the price of a position-delete batch (rare next to
+                # appends), filtered below to the addressed paths.
+                parent_entries = (
+                    _file_entries(self.location, parent_raw) if new_pos else None
+                )
                 if new_pos:
                     # addresses name their files outright — plan ONLY those
                     addressed: set[str] = set()
@@ -489,7 +499,46 @@ class _LakeStreamReader(DataSourceStreamReader):
                             )
                         )
                 if new_eq:
-                    for f in parent_entries:
+                    # EQUALITY deletes carry key-column [min,max] stats, and
+                    # manifest refs carry aggregate ranges: a chunk whose
+                    # range misses EVERY new delete's envelope on some key
+                    # cannot hold a candidate file, so it is never opened —
+                    # a key-localized eq-delete batch plans O(overlapping
+                    # chunks), not O(table), at any inventory size.
+                    # Missing stats on either side conservatively keep.
+                    def _ref_may_hold_candidate(ref: dict) -> bool:
+                        rngs = ref.get("ranges") or {}
+                        for d in new_eq:
+                            dstats = d.get("stats") or {}
+                            hit = True
+                            for k in list(d.get("equality_ids") or []):
+                                rng = rngs.get(k)
+                                ds = dstats.get(k)
+                                if (
+                                    not rng or not ds
+                                    or rng[0] is None or rng[1] is None
+                                    or ds[0] is None or ds[1] is None
+                                ):
+                                    continue
+                                try:
+                                    if rng[0] > ds[1] or rng[1] < ds[0]:
+                                        hit = False
+                                        break
+                                except TypeError:
+                                    continue
+                            if hit:
+                                return True
+                        return False
+
+                    eq_entries = (
+                        parent_entries
+                        if parent_entries is not None  # pos batch paid already
+                        else _file_entries(
+                            self.location, parent_raw,
+                            ref_keep=_ref_may_hold_candidate,
+                        )
+                    )
+                    for f in eq_entries:
                         f_seq = f.get("sequence") or 0
                         applicable = [
                             d
