@@ -222,7 +222,11 @@ class LakeCatalog:
             self._io.rmtree(ns_dir)
 
     def register_iceberg_table(
-        self, namespace: str, table_name: str, metadata_path: str
+        self,
+        namespace: str,
+        table_name: str,
+        metadata_path: str,
+        fold_unsupported_deletes: bool = False,
     ) -> LakeTable:
         """Adopt an existing Iceberg table (v2 TableMetadata JSON) into this
         catalog as a readable table — metadata-only, data referenced in
@@ -235,7 +239,10 @@ class LakeCatalog:
             raise TableAlreadyExistsError(f"{namespace}.{table_name}")
         self.create_namespace(namespace)
         return register_iceberg_table(
-            self.spark, metadata_path, self.table_location(namespace, table_name)
+            self.spark,
+            metadata_path,
+            self.table_location(namespace, table_name),
+            fold_unsupported_deletes=fold_unsupported_deletes,
         )
 
     def register_stray_tables(self, namespace: str) -> list[str]:

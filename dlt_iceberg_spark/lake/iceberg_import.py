@@ -40,14 +40,17 @@ Foreign v2 MoR deletes import as first-class delete files, BOTH contents:
   through the schema, the delete parquet carries those key columns by
   name, and Iceberg's "masks strictly older data sequence numbers" rule is
   our native equality-MoR rule — the imported file plugs straight into the
-  same anti-join, with any key bounds decoded into skip-stats.  Only
-  equality ids naming nested/non-primitive fields are refused (with a
-  clear message), since we cannot bind them to scan columns.
+  same anti-join, with any key bounds decoded into skip-stats.  Equality
+  ids naming list/map-nested values cannot bind to scan columns: refused
+  by default (with a clear message), or folded at adoption by rewriting
+  only the affected data files (register_iceberg_table(...,
+  fold_unsupported_deletes=True)).
 """
 
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any
 
@@ -57,6 +60,8 @@ from pyspark.sql import types as T
 from dlt_iceberg_spark.lake.iceberg_avro import decode_bound
 from dlt_iceberg_spark.lake.manifest import DataFile, DeleteFile, read_manifest
 from dlt_iceberg_spark.lake.table import LakeTable
+
+logger = logging.getLogger("dlt_iceberg_spark")
 
 #: Iceberg primitive type name -> Spark type (inverse of LakeTable._ICEBERG_TYPES)
 _PRIMITIVES: dict[str, T.DataType] = {
@@ -198,6 +203,67 @@ def _bound_types(schema_obj: dict) -> dict[int, tuple[str, str]]:
     return out
 
 
+def _collection_value_ids(schema_obj: dict) -> dict[int, tuple[str, str]]:
+    """field-id -> (dotted collection column path, kind) for PRIMITIVE
+    list elements and map keys/values — the ids `_bound_types` leaves out.
+    These cannot bind to a scan column (Iceberg itself cannot declare them
+    as identifier fields), but a delete keyed on one CAN be folded at
+    adoption: kind tells the fold how to match (element / key / value
+    containment)."""
+    out: dict[int, tuple[str, str]] = {}
+
+    def walk(fields: list, prefix: str) -> None:
+        for f in fields:
+            t = f.get("type")
+            name = prefix + str(f.get("name", ""))
+            if not isinstance(t, dict):
+                continue
+            tt = t.get("type")
+            if tt == "struct":
+                walk(t.get("fields", []), name + ".")
+            elif tt == "list":
+                if isinstance(t.get("element"), str) and isinstance(
+                    t.get("element-id"), int
+                ):
+                    out[t["element-id"]] = (name, "list")
+            elif tt == "map":
+                if isinstance(t.get("key"), str) and isinstance(t.get("key-id"), int):
+                    out[t["key-id"]] = (name, "map-key")
+                if isinstance(t.get("value"), str) and isinstance(
+                    t.get("value-id"), int
+                ):
+                    out[t["value-id"]] = (name, "map-value")
+
+    walk(schema_obj.get("fields", []), "")
+    return out
+
+
+def _decode_foldable_ids(
+    df_rec: Any,
+    types: dict[int, tuple[str, str]],
+    coll: dict[int, tuple[str, str]],
+) -> list[tuple[str, str]] | None:
+    """equality_ids -> [(column path, match kind)] where kind is "eq" for
+    scan-bindable primitives and list/map-key/map-value for collection
+    ids, or None when some id resolves nowhere in the schema."""
+    raw = _jget(df_rec, "equality_ids")
+    if raw is None:
+        return None
+    fields: list[tuple[str, str]] = []
+    try:
+        for x in raw:
+            fid = int(str(x))
+            if fid in types:
+                fields.append((types[fid][0], "eq"))
+            elif fid in coll:
+                fields.append(coll[fid])
+            else:
+                return None
+    except Exception:
+        return None
+    return fields or None
+
+
 def _decode_bounds_map(
     jmap: Any, types: dict[int, tuple[str, str]], side: str | None = None
 ) -> dict[str, Any]:
@@ -280,12 +346,17 @@ def _entry_sequence(ent: Any, manifest_seq: int) -> int:
 
 def _files_from_avro(
     spark: SparkSession, manifest_list_path: str, schema_obj: dict
-) -> tuple[list[DataFile], list[DeleteFile]]:
+) -> tuple[list[DataFile], list[DeleteFile], list[dict]]:
     """Walk manifest-list → manifests → live entries.  Returns
-    (data files, position-delete files); equality deletes are refused."""
+    (data files, delete files, unsupported equality deletes).  The third
+    list holds deletes keyed on list/map-nested ids — unbindable to scan
+    columns, but foldable at adoption (see ``_fold_nested_deletes``);
+    the caller decides to fold or refuse."""
     types = _bound_types(schema_obj)
+    coll = _collection_value_ids(schema_obj)
     entries: list[DataFile] = []
     deletes: list[DeleteFile] = []
+    unsupported: list[dict] = []
     for mf in _avro_records(spark, manifest_list_path):
         manifest_path = _strip_scheme(str(_jget(mf, "manifest_path")))
         # manifest_list 'content': 0=data manifests, 1=delete manifests
@@ -333,13 +404,24 @@ def _files_from_avro(
                 # untouchable files.
                 eq_names = _decode_equality_ids(df_rec, types)
                 if eq_names is None:
-                    raise NotImplementedError(
-                        "register_iceberg_table: equality-delete file "
-                        f"{path!r} names field-ids outside the table's "
-                        "primitive columns (top-level or struct-nested); "
-                        "fold/compact deletes in the source engine before "
-                        "registering"
+                    foldable = _decode_foldable_ids(df_rec, types, coll)
+                    if foldable is None:
+                        raise NotImplementedError(
+                            "register_iceberg_table: equality-delete file "
+                            f"{path!r} names field-ids outside the table's "
+                            "schema; fold/compact deletes in the source "
+                            "engine before registering"
+                        )
+                    unsupported.append(
+                        {
+                            "path": path,
+                            "rows": rows,
+                            "bytes": nbytes,
+                            "sequence": seq,
+                            "fields": foldable,
+                        }
                     )
+                    continue
                 lower = _decode_bounds_map(_jget(df_rec, "lower_bounds"), types, side="lo")
                 upper = _decode_bounds_map(_jget(df_rec, "upper_bounds"), types, side="hi")
                 deletes.append(
@@ -380,7 +462,7 @@ def _files_from_avro(
                     sequence=seq,
                 )
             )
-    return entries, deletes
+    return entries, deletes, unsupported
 
 
 def _data_files_from_parquet_manifests(
@@ -523,13 +605,123 @@ def _apply_name_mapping(
     return out_files, out_deletes
 
 
+def _fold_nested_deletes(
+    spark: SparkSession,
+    source_location: str,
+    table: LakeTable,
+    files: list[DataFile],
+    unsupported: list[dict],
+) -> list[DataFile]:
+    """One-time adoption rewrite applying equality deletes keyed on
+    list/map-nested ids (``register_iceberg_table(...,
+    fold_unsupported_deletes=True)``).
+
+    Per the Iceberg equality rule, a delete applies to data files with a
+    STRICTLY smaller data sequence.  For each affected file the matching
+    rows are removed via a chain of broadcast left-anti joins against the
+    delete tuples (containment semantics per kind: list element, map key,
+    map value; plain "eq" ids compare directly) and the survivors are
+    staged as new parquet under the adopting table's location, keeping
+    the original sequence and partition tuple.  Untouched files — and
+    touched-but-unaffected ones (anti-join kept every row) — pass through
+    by reference.  Cost: one scan per candidate file, once, at adoption;
+    the registered table then needs no delete machinery for these."""
+    from pyspark.sql import functions as F
+
+    def _abs(p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(source_location, p)
+
+    dels = []
+    for u in unsupported:
+        dv = spark.read.parquet(_abs(u["path"])).dropDuplicates()
+        for field, _kind in u["fields"]:
+            leaf = field.split(".")[-1]
+            if leaf not in dv.columns:
+                raise ValueError(
+                    f"cannot fold delete file {u['path']!r}: expected a "
+                    f"column {leaf!r} (the collection field's name) in the "
+                    f"delete parquet, found {dv.columns}"
+                )
+        dels.append((u, dv))
+
+    out: list[DataFile] = []
+    n_rewritten = 0
+    for f in files:
+        applicable = [
+            (u, dv) for u, dv in dels if (f.sequence or 0) < (u["sequence"] or 0)
+        ]
+        if not applicable:
+            out.append(f)
+            continue
+        if f.names and any(f.names.get(k) != k for k in f.names):
+            raise NotImplementedError(
+                f"cannot fold deletes into name-mapped file {f.path!r}; "
+                "fold deletes in the source engine before registering"
+            )
+        kept = spark.read.parquet(_abs(f.path))
+        for u, dv in applicable:
+            cond = None
+            for field, kind in u["fields"]:
+                target = F.col("__a." + field)
+                probe = F.col("__d." + field.split(".")[-1])
+                if kind == "eq":
+                    c = target.eqNullSafe(probe)
+                elif kind == "list":
+                    c = F.array_contains(target, probe)
+                elif kind == "map-key":
+                    c = F.array_contains(F.map_keys(target), probe)
+                else:  # map-value
+                    c = F.array_contains(F.map_values(target), probe)
+                cond = c if cond is None else (cond & c)
+            kept = (
+                kept.alias("__a")
+                .join(F.broadcast(dv).alias("__d"), cond, "left_anti")
+            )
+        n_kept = kept.count()
+        if n_kept == f.rows:
+            out.append(f)  # envelope said maybe, data said no — keep as-is
+            continue
+        staged = table.stage_dataframe(kept)
+        n_rewritten += 1
+        out.extend(
+            DataFile(
+                **{
+                    **vars(s),
+                    "sequence": f.sequence,
+                    "partition": dict(f.partition),
+                }
+            )
+            for s in staged
+        )
+    logger.info(
+        "fold_unsupported_deletes: folded %d nested-key delete file(s); "
+        "rewrote %d of %d data file(s)",
+        len(unsupported), n_rewritten, len(files),
+    )
+    return out
+
+
 def register_iceberg_table(
-    spark: SparkSession, metadata_path: str, location: str
+    spark: SparkSession,
+    metadata_path: str,
+    location: str,
+    fold_unsupported_deletes: bool = False,
 ) -> LakeTable:
     """Create a readable LakeTable at ``location`` from Iceberg
     ``TableMetadata`` JSON at ``metadata_path`` (metadata-only adoption —
     data files referenced in place; see module docstring for flavors and
-    limitations).  Returns the new table handle."""
+    limitations).  Returns the new table handle.
+
+    ``fold_unsupported_deletes``: equality deletes keyed on list/map-
+    nested field ids cannot bind to a scan column, so by default the
+    whole table is refused.  With the flag, adoption instead FOLDS them:
+    the affected data files (strictly older sequence, as the spec's
+    equality rule demands) are rewritten once, minus the matching rows,
+    under the new table's location — a one-time, logged O(affected
+    files) cost, after which the table is an ordinary clean import.  The
+    delete parquet must carry one column per folded id, named after the
+    collection field; matching is containment (list element / map key /
+    map value)."""
     with open(_strip_scheme(metadata_path)) as fh:
         meta = json.load(fh)
     fv = meta.get("format-version")
@@ -556,6 +748,7 @@ def register_iceberg_table(
 
     source_location = _strip_scheme(meta.get("location", os.path.dirname(metadata_path)))
     delete_files: list[DeleteFile] = []
+    unsupported: list[dict] = []
     if snap_obj is None:
         files: list[DataFile] = []
     elif "manifests" in snap_obj:  # our export flavor (inline parquet manifests)
@@ -563,9 +756,18 @@ def register_iceberg_table(
             source_location, list(snap_obj["manifests"])
         )
     elif "manifest-list" in snap_obj:  # jar-written flavor (avro)
-        files, delete_files = _files_from_avro(
+        files, delete_files, unsupported = _files_from_avro(
             spark, _strip_scheme(snap_obj["manifest-list"]), schema_obj
         )
+        if unsupported and not fold_unsupported_deletes:
+            raise NotImplementedError(
+                "register_iceberg_table: equality-delete file(s) "
+                f"{[u['path'] for u in unsupported]} name list/map-nested "
+                "field-ids, which cannot bind to a scan column; pass "
+                "fold_unsupported_deletes=True to rewrite the affected "
+                "data files once at adoption, or fold/compact deletes in "
+                "the source engine before registering"
+            )
     else:
         raise ValueError(
             "snapshot carries neither 'manifests' nor 'manifest-list'"
@@ -592,9 +794,11 @@ def register_iceberg_table(
     # order) keeps the foreign delete/data ordering bit-exact while making
     # all FUTURE native commits strictly newer — Iceberg's
     # last-sequence-number invariant, re-expressed.
-    all_seqs = [f.sequence or 0 for f in files] + [
-        d.sequence or 0 for d in delete_files
-    ]
+    all_seqs = (
+        [f.sequence or 0 for f in files]
+        + [d.sequence or 0 for d in delete_files]
+        + [u["sequence"] or 0 for u in unsupported]
+    )
     if all_seqs:
         try:
             last_seq = int(meta.get("last-sequence-number"))
@@ -608,6 +812,9 @@ def register_iceberg_table(
         delete_files = [
             DeleteFile(**{**vars(d), "sequence": (d.sequence or 0) - shift})
             for d in delete_files
+        ]
+        unsupported = [
+            {**u, "sequence": (u["sequence"] or 0) - shift} for u in unsupported
         ]
 
     # partition spec: Iceberg transform syntax (bucket[N] / truncate[W]) maps
@@ -642,6 +849,10 @@ def register_iceberg_table(
     table = LakeTable(spark, location)
     if table.exists:
         raise FileExistsError(f"table already exists at {location}")
+    if unsupported:
+        files = _fold_nested_deletes(
+            spark, source_location, table, files, unsupported
+        )
     table.commit(
         files=files,
         schema=schema,

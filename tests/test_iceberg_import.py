@@ -1484,3 +1484,235 @@ def test_defaulted_column_roundtrips_both_flavors(spark, tmp_path):
             if f.names.get("score", "x") is None
         ]
         assert len(pre) >= 1, flavor
+
+
+# ---------------------------------------------------------------------------
+# fold_unsupported_deletes: list/map-nested equality ids (VERDICT r6 task 8)
+# ---------------------------------------------------------------------------
+
+
+def _fake_list_keyed_table(spark, root: str):
+    """Foreign table whose equality delete is keyed on a LIST ELEMENT id —
+    unexpressible as an identifier field in Iceberg proper, refused by the
+    plain import, foldable at adoption.  Layout: two seq-1 data files, a
+    seq-2 equality delete on tags-element values {spam, c}, and a seq-3
+    data file that also carries 'spam' but is STRICTLY NEWER than the
+    delete, so it must survive the fold untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    tags_t = pa.list_(pa.string())
+    f1 = os.path.join(root, "data", "f1.parquet")
+    f2 = os.path.join(root, "data", "f2.parquet")
+    f3 = os.path.join(root, "data", "f3.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "tags": pa.array([["a", "b"], ["c"], ["d"]], tags_t),
+        }), f1,
+    )
+    pq.write_table(
+        pa.table({
+            "id": pa.array([10, 11, 12], pa.int64()),
+            "tags": pa.array([["a"], ["x", "spam"], []], tags_t),
+        }), f2,
+    )
+    pq.write_table(
+        pa.table({
+            "id": pa.array([20], pa.int64()),
+            "tags": pa.array([["spam"]], tags_t),
+        }), f3,
+    )
+    dpath = os.path.join(root, "data", "del_tags.parquet")
+    pq.write_table(pa.table({"tags": pa.array(["spam", "c"], pa.string())}), dpath)
+
+    def _entry(path, n, seq, content=0, eq_ids=None):
+        return {
+            "status": 1,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    md = os.path.join(root, "metadata", "m1-deletes.avro")
+    _write_avro(spark, m0, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(f1, 3, 1), _entry(f2, 3, 1)])
+    _write_avro(spark, m2, _MANIFEST_ENTRY_SCHEMA, [_entry(f3, 1, 3)])
+    # equality_ids = [5] — the tags ELEMENT id
+    _write_avro(spark, md, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(dpath, 2, 2, content=2, eq_ids=[5])])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(spark, ml, _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": m0, "manifest_length": os.path.getsize(m0),
+         "content": 0, "sequence_number": 1},
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "content": 0, "sequence_number": 3},
+        {"manifest_path": md, "manifest_length": os.path.getsize(md),
+         "content": 1, "sequence_number": 2},
+    ])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+        "location": root,
+        "last-sequence-number": 3,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 5,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "tags", "required": False,
+                 "type": {"type": "list", "element-id": 5,
+                          "element": "string", "element-required": False}},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "sequence-number": 3,
+            "timestamp-ms": 1700000000000,
+            "summary": {"operation": "append"},
+            "manifest-list": ml, "schema-id": 0,
+        }],
+    }
+    meta_path = os.path.join(root, "metadata", "v2.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return meta_path
+
+
+def test_register_refuses_list_keyed_delete_without_flag(spark, tmp_path):
+    meta_path = _fake_list_keyed_table(spark, str(tmp_path / "ice"))
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    with pytest.raises(NotImplementedError, match="fold_unsupported_deletes"):
+        catalog.register_iceberg_table("ns", "ice", meta_path)
+
+
+def test_register_folds_list_keyed_delete_at_adoption(spark, tmp_path):
+    from dlt_iceberg_spark.lake.iceberg_import import register_iceberg_table
+
+    meta_path = _fake_list_keyed_table(spark, str(tmp_path / "ice"))
+    loc = str(tmp_path / "wh" / "ns" / "ice")
+    t = register_iceberg_table(
+        spark, meta_path, loc, fold_unsupported_deletes=True
+    )
+    got = {(r.id, tuple(r.tags)) for r in t.read().collect()}
+    # ids 2 (tags [c]) and 11 (tags [x, spam]) die; seq-3 id=20 SURVIVES
+    # despite carrying 'spam' (the delete masks strictly OLDER files only)
+    assert got == {
+        (1, ("a", "b")), (3, ("d",)),
+        (10, ("a",)), (12, ()),
+        (20, ("spam",)),
+    }
+    snap = t.snapshot()
+    # the folded delete is consumed, not imported
+    assert snap.delete_files == []
+    # exactly the two affected files were rewritten (under the NEW
+    # location); the untouched seq-3 file is still referenced in place
+    paths = [f.path for f in snap.files]
+    rewritten = [p for p in paths if not os.path.isabs(p) or p.startswith(loc)]
+    original = [p for p in paths if p.endswith("f3.parquet")]
+    assert len(original) == 1
+    assert len(rewritten) == 2, paths
+    # sequences and strict-older ordering survive the fold: everything
+    # imported is rebased below zero, so post-import native commits win
+    assert all((f.sequence or 0) < 0 for f in snap.files)
+
+
+def test_register_folds_map_value_keyed_delete(spark, tmp_path):
+    """Map-VALUE keyed equality delete folds with containment semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dlt_iceberg_spark.lake.iceberg_import import register_iceberg_table
+
+    root = str(tmp_path / "ice")
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    props_t = pa.map_(pa.string(), pa.string())
+    f1 = os.path.join(root, "data", "f1.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "props": pa.array(
+                [[("k", "keep")], [("k", "drop_me")], []], props_t
+            ),
+        }), f1,
+    )
+    dpath = os.path.join(root, "data", "del_props.parquet")
+    pq.write_table(pa.table({"props": pa.array(["drop_me"], pa.string())}), dpath)
+
+    def _entry(path, n, seq, content=0, eq_ids=None):
+        return {
+            "status": 1, "sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": path,
+                "file_format": "PARQUET", "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    md = os.path.join(root, "metadata", "m1-deletes.avro")
+    _write_avro(spark, m0, _MANIFEST_ENTRY_SCHEMA, [_entry(f1, 3, 1)])
+    _write_avro(spark, md, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(dpath, 1, 2, content=2, eq_ids=[6])])  # map VALUE id
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(spark, ml, _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": m0, "manifest_length": os.path.getsize(m0),
+         "content": 0, "sequence_number": 1},
+        {"manifest_path": md, "manifest_length": os.path.getsize(md),
+         "content": 1, "sequence_number": 2},
+    ])
+    meta = {
+        "format-version": 2, "table-uuid": "u", "location": root,
+        "last-sequence-number": 2, "last-updated-ms": 1, "last-column-id": 6,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "props", "required": False,
+                 "type": {"type": "map", "key-id": 5, "key": "string",
+                          "value-id": 6, "value": "string",
+                          "value-required": False}},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0, "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "sequence-number": 2, "timestamp-ms": 1,
+            "summary": {"operation": "append"},
+            "manifest-list": ml, "schema-id": 0,
+        }],
+    }
+    meta_path = os.path.join(root, "metadata", "v2.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    t = register_iceberg_table(
+        spark, meta_path, str(tmp_path / "wh" / "t"),
+        fold_unsupported_deletes=True,
+    )
+    assert sorted(r.id for r in t.read().collect()) == [1, 3]
