@@ -4485,6 +4485,110 @@ _LAKE_ROLLUP_CACHE: dict = {}
 
 
 @query(
+    "lake_rollup_minmax",
+    f"""
+    WITH raw AS (
+      SELECT l_orderkey * 8 + l_linenumber AS id,
+             l_returnflag AS grp, l_linestatus AS status,
+             l_quantity AS amt
+      FROM lineitem
+    ), base AS (
+      SELECT id, MAX(grp) AS grp, MAX(status) AS status, MAX(amt) AS amt
+      FROM raw GROUP BY id
+    ), upd AS (
+      SELECT id, grp, status,
+             CASE WHEN status = 'F' THEN CAST(7.0 AS DOUBLE) ELSE amt END AS amt
+      FROM base
+    ), final AS (
+      SELECT * FROM upd WHERE NOT (grp = 'R' AND amt > 45)
+    )
+    SELECT grp, {_sql_rnd('SUM(amt)')} AS total,
+           {_sql_rnd('MIN(amt)')} AS lo, {_sql_rnd('MAX(amt)')} AS hi,
+           COUNT(*) AS n_rows
+    FROM final GROUP BY grp
+    """,
+    doc=(
+        "Rollup with min/max under strategy='rescan' (lake/rollup.py): "
+        "sum/count stay incrementally folded from the CDC changelog while "
+        "the extrema — which have no inverse — are recomputed ONLY for "
+        "the touched groups via a keyed semi-join rescan of the source, "
+        "file-pruned to the touched key range through manifest stats.  "
+        "The fact table takes a MoR update (moving every 'F' row to the "
+        "middle of the range, so old extremes must RETRACT) and a "
+        "position-delete sweep of the 'R' group's high outliers (the "
+        "current max dies — exactly the case pure folding cannot "
+        "handle).  The oracle recomputes the direct aggregate of the "
+        "final source state; a hash match proves retraction-correct "
+        "extrema alongside exact sums."
+    ),
+)
+def lake_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    ru = _LAKE_ROLLUP_MM_CACHE.get(key)
+    if ru is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_rollup_mm_"))
+        writer = LakeWriter(catalog, "gate")
+        base = (
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+                F.col("l_returnflag").alias("grp"),
+                F.col("l_linestatus").alias("status"),
+                F.col("l_quantity").cast("double").alias("amt"),
+            )
+            .groupBy("id")
+            .agg(
+                F.max("grp").alias("grp"),
+                F.max("status").alias("status"),
+                F.max("amt").alias("amt"),
+            )
+        )
+        writer.write(
+            TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+            base,
+        )
+        src = catalog.load_table("gate", "fact")
+        ru = IncrementalRollup(
+            catalog, "gate", "fact_mm", src,
+            keys=["grp"],
+            aggs={
+                "total": ("sum", "amt"), "lo": ("min", "amt"),
+                "hi": ("max", "amt"), "n_rows": ("count",),
+            },
+            strategy="rescan",
+        )
+        assert ru.refresh()["groups_touched"] == -1
+        # MoR update: every 'F' row moves to mid-range — group extremes
+        # computed at build time must retract, not stick
+        src.update_where([("status", "=", "F")], {"amt": 7.0})
+        ru.source = catalog.load_table("gate", "fact")
+        assert ru.refresh()["groups_touched"] > 0
+        # kill the 'R' group's high outliers: the current max dies
+        src = catalog.load_table("gate", "fact")
+        src.position_delete_where([("grp", "=", "R"), ("amt", ">", 45)])
+        ru.source = catalog.load_table("gate", "fact")
+        ru.refresh()
+        # exactly-once: replayed refresh applies nothing
+        assert ru.refresh()["groups_touched"] == 0
+        _LAKE_ROLLUP_MM_CACHE[key] = ru
+    return ru.read().select(
+        "grp", rnd(F.col("total")).alias("total"),
+        rnd(F.col("lo")).alias("lo"), rnd(F.col("hi")).alias("hi"),
+        "n_rows",
+    )
+
+
+_LAKE_ROLLUP_MM_CACHE: dict = {}
+
+
+@query(
     "lake_multi_table_txn",
     f"""
     SELECT o_orderstatus,
