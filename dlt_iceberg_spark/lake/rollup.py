@@ -28,8 +28,9 @@ Mechanics:
   (newest first) for the marker.  Data and cursor commit atomically — a
   crash before the commit replays the same delta; after it, the marker
   advances.
-- Only aggregates with an inverse ride the signed fold: ``sum`` and
-  ``count`` (``avg`` = sum/count at read time).  ``min``/``max`` have no
+- Only aggregates with an inverse ride the signed fold: ``sum``,
+  ``count``, and ``avg`` (maintained as its sum/count decomposition,
+  derived at read time).  ``min``/``max`` have no
   inverse — retracting the current extremum needs a group rescan — so
   they are refused under the default strategy and accepted with
   ``strategy="rescan"``: sums/counts stay incremental, while min/max are
@@ -89,6 +90,8 @@ class IncrementalRollup:
     - ``("sum", src_col)`` — signed sum of ``src_col``;
     - ``("count",)`` or ``("count", "*")`` — rows per group;
     - ``("count", src_col)`` — non-null values of ``src_col`` per group;
+    - ``("avg", src_col)`` — maintained as hidden sum + non-null count,
+      derived at read time (exact under deletes, like sum/count);
     - ``("min", src_col)`` / ``("max", src_col)`` — require
       ``strategy="rescan"`` (no inverse; maintained by rescanning only
       the touched groups — see the module cost table).
@@ -120,12 +123,14 @@ class IncrementalRollup:
                         "rescanning touched groups (sum/count stay "
                         "incremental), or recompute with a plain query"
                     )
+            elif spec[0] == "avg":
+                if len(spec) < 2 or spec[1] in (None, "*"):
+                    raise ValueError(f"avg for {col!r} needs a source column")
             elif spec[0] not in ("sum", "count"):
                 raise ValueError(
                     f"aggregate {spec[0]!r} for {col!r} has no inverse; "
-                    "incremental maintenance supports sum/count (avg = "
-                    "sum/count at read time) and, under strategy="
-                    "\"rescan\", min/max"
+                    "incremental maintenance supports sum/count/avg and, "
+                    "under strategy=\"rescan\", min/max"
                 )
         reserved = set(keys) | {"__rows", _DELETE_COL}
         if reserved & set(aggs):
@@ -138,7 +143,16 @@ class IncrementalRollup:
         self.aggs = dict(aggs)
         self.strategy = strategy
         self._minmax = {c: s for c, s in aggs.items() if s[0] in ("min", "max")}
-        self._incr = {c: s for c, s in aggs.items() if s[0] not in ("min", "max")}
+        #: avg maintains as (sum, non-null count) under hidden columns and
+        #: derives the ratio at read time — the standard self-maintainable
+        #: decomposition, so deletes retract it exactly like sum/count
+        self._avg = {c: s[1] for c, s in aggs.items() if s[0] == "avg"}
+        self._incr = {
+            c: s for c, s in aggs.items() if s[0] not in ("min", "max", "avg")
+        }
+        for col, src_col in self._avg.items():
+            self._incr[f"__avg_sum_{col}"] = ("sum", src_col)
+            self._incr[f"__avg_cnt_{col}"] = ("count", src_col)
         self._writer = LakeWriter(catalog, namespace)
 
     # -- internals -----------------------------------------------------
@@ -344,8 +358,20 @@ class IncrementalRollup:
         return {"source_version": src_v, "groups_touched": -1}
 
     def read(self) -> DataFrame:
-        """Current rollup rows (bookkeeping column dropped)."""
+        """Current rollup rows (bookkeeping columns dropped; avg columns
+        derived from their maintained sum/count decomposition — NULL for a
+        group whose values are all NULL, like SQL AVG)."""
         tgt = self._table()
         if tgt is None:
             raise FileNotFoundError(f"rollup {self.namespace}.{self.name} not built")
-        return tgt.read().drop("__rows")
+        df = tgt.read()
+        hidden = ["__rows"]
+        for col in self._avg:
+            s, n = f"__avg_sum_{col}", f"__avg_cnt_{col}"
+            df = df.withColumn(
+                col,
+                F.when(F.col(n) > 0, F.col(s) / F.col(n)),
+            )
+            hidden += [s, n]
+        # present columns in the declared aggs order (keys first)
+        return df.drop(*hidden).select(*self.keys, *self.aggs)

@@ -455,3 +455,39 @@ def test_rollup_refresh_inside_transaction_publishes_one_cut(spark, warehouse):
     assert {v for v in _rolled(ru)} == {"g0", "g1"}
     # marker names the committed fact head: replay refresh is a no-op
     assert ru.refresh()["groups_touched"] == 0
+
+
+def test_rollup_avg_maintained_exactly_under_deletes(spark, warehouse):
+    """("avg", col) decomposes into hidden sum + non-null count and is
+    derived at read — so deletes and NULLs retract it exactly like SQL
+    AVG recomputed from scratch."""
+    catalog, writer, src = _mk_source(
+        spark, warehouse, [(1, "a", 2.0), (2, "a", 4.0), (3, "b", 9.0)]
+    )
+    writer.write(
+        TableSpec(name="fact", write_disposition="append", primary_key=["id"]),
+        spark.createDataFrame([(4, "a", None)], "id long, grp string, amt double"),
+        load_id="l1",
+    )
+    src = catalog.load_table("ds", "fact")
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"],
+        aggs={"mean_amt": ("avg", "amt"), "n": ("count",)},
+    )
+    ru.refresh()
+    got = {r.grp: (r.mean_amt, r.n) for r in ru.read().collect()}
+    assert got == {"a": (3.0, 3), "b": (9.0, 1)}  # NULL excluded from avg
+    assert set(ru.read().columns) == {"grp", "mean_amt", "n"}
+    # delete one 'a' value -> mean shifts to the survivor's value
+    src.position_delete_where([("id", "=", 2)])
+    ru.source = catalog.load_table("ds", "fact")
+    ru.refresh()
+    got = {r.grp: (r.mean_amt, r.n) for r in ru.read().collect()}
+    assert got == {"a": (2.0, 2), "b": (9.0, 1)}
+    # delete the LAST non-null 'a' value -> avg goes NULL, count stays
+    src = catalog.load_table("ds", "fact")
+    src.position_delete_where([("id", "=", 1)])
+    ru.source = catalog.load_table("ds", "fact")
+    ru.refresh()
+    got = {r.grp: (r.mean_amt, r.n) for r in ru.read().collect()}
+    assert got == {"a": (None, 1), "b": (9.0, 1)}
