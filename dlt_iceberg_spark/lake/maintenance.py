@@ -42,6 +42,7 @@ def compact_table(
     table: LakeTable,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     small_file_threshold: float = 0.5,
+    where: list | None = None,
 ) -> CompactionResult:
     """Bin-pack small files into ~target-size outputs, one atomic snapshot.
 
@@ -49,6 +50,14 @@ def compact_table(
     The rewrite reads only the small files and repartitions them to
     ``ceil(small_bytes / target)`` outputs — a distributed job sized by the
     data actually rewritten, not the table.
+
+    ``where`` (a conjunction of ``(column, op, value)`` — same predicate
+    shape as :meth:`LakeTable.read`) scopes compaction to the files whose
+    stats/partition tuples MAY match (Iceberg's ``rewrite_data_files ...
+    where``): at 100 TB the small-file debt concentrates in the partitions
+    currently being appended to, and a scoped run binpacks just those
+    without even listing unrelated regions' candidates past the metadata
+    pass — cold small files elsewhere stay untouched.
     """
     snap = table.snapshot()
     if snap is None:
@@ -57,9 +66,15 @@ def compact_table(
         # compaction reads files raw; fold equality deletes first so masked
         # rows can't resurrect with a fresh sequence number
         snap = table.fold_deletes()
+    in_scope = snap.files
+    out_of_scope: list = []
+    if where:
+        _, in_scope = table._select_files(snap, list(where))
+        scope_paths = {f.path for f in in_scope}
+        out_of_scope = [f for f in snap.files if f.path not in scope_paths]
     cutoff = int(target_file_bytes * small_file_threshold)
-    small = [f for f in snap.files if f.bytes < cutoff]
-    keep = [f for f in snap.files if f.bytes >= cutoff]
+    small = [f for f in in_scope if f.bytes < cutoff]
+    keep = [f for f in in_scope if f.bytes >= cutoff] + out_of_scope
     if len(small) <= 1:
         return CompactionResult(0, len(snap.files), 0, 0)
 

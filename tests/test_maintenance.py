@@ -38,6 +38,24 @@ def test_compact_merges_small_files(loaded_table):
     assert sorted(r.id for r in loaded_table.read().collect()) == list(range(40))
 
 
+def test_compact_where_scopes_the_rewrite(loaded_table):
+    """compact_table(where=...) binpacks only the files whose stats may
+    match; out-of-scope small files carry over by reference (Iceberg's
+    rewrite_data_files filter) and their rows are untouched."""
+    before = loaded_table.snapshot()
+    assert len(before.files) == 4  # ids 0-9 / 10-19 / 20-29 / 30-39
+    res = compact_table(
+        loaded_table, target_file_bytes=1 << 20, where=[("id", "<", 20)]
+    )
+    after = loaded_table.snapshot()
+    # the two low-range files merged into one; the other two carried over
+    assert res.rewritten_files == 2 and res.output_files == 1
+    assert len(after.files) == 3
+    kept_paths = {f.path for f in before.files} & {f.path for f in after.files}
+    assert len(kept_paths) == 2  # high-range files referenced unchanged
+    assert sorted(r.id for r in loaded_table.read().collect()) == list(range(40))
+
+
 def test_compact_noop_when_files_are_large(loaded_table):
     res = compact_table(loaded_table, target_file_bytes=64)  # every file "large"
     assert res.rewritten_files == 0 and res.output_files == 0
