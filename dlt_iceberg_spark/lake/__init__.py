@@ -33,8 +33,12 @@ from dlt_iceberg_spark.lake.maintenance import (
     rewrite_zorder,
 )
 from dlt_iceberg_spark.lake.iceberg_config import IcebergCatalogConfig
+from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+from dlt_iceberg_spark.lake.rollup import IncrementalRollup
 
 __all__ = [
+    "IncrementalJoinView",
+    "IncrementalRollup",
     "upsert_plan",
     "delete_insert_plan",
     "split_hard_deletes",

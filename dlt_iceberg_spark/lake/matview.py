@@ -1,0 +1,330 @@
+"""Incrementally-maintained JOIN views (materialized views over CDC).
+
+The companion to :class:`~dlt_iceberg_spark.lake.rollup.IncrementalRollup`
+for the other half of the dashboard-query shape: ``A JOIN B``
+materialized as a first-class :class:`LakeTable` and kept current from
+both sources' CDC changelogs, never by re-running the join.  PostgreSQL
+calls this incremental view maintenance; Materialize/Feldera build whole
+engines around it; Iceberg users hand-roll it over changelog views; the
+reference has no equivalent (its engine delegates joins — SURVEY.md
+§2.4).
+
+The algebra is the classic delta-join identity.  With ``A1``/``B1`` the
+sources at the view's cursors and ``A2``/``B2`` at their heads:
+
+    M2 − M1 = ΔA ⋈ B2  +  A1 ⋈ ΔB
+
+(expanding ``(A1+ΔA) ⋈ (B1+ΔB)`` — the ΔA⋈ΔB cross term lands in the
+first factor because it joins against the NEW right side).  Both delta
+terms are SIGNED: insert images carry +1, delete images −1, and signed
+content-level folding cancels the stale intermediate images exactly
+(e.g. when the same pair's A-row and B-row both changed in one refresh,
+the ``A1 ⋈ ΔB`` term's half-new image is annihilated by the
+``ΔA ⋈ B2`` term's matching delete image — the general IVM property, no
+special-casing).
+
+Scale shape, per refresh:
+
+- ``ΔA`` / ``ΔB`` are planned O(changed) from snapshot metadata
+  (``read_changes``) and persisted so each is computed once.
+- The full-side reads are NEVER full scans: each is semi-joined to the
+  other delta's join keys, and when the changed key set is collectable
+  (≤ ``JOIN_KEY_PUSHDOWN_MAX``) the scan carries a key-range ``where``
+  so manifest stats file-prune it — a localized mutation joins against
+  a handful of files at any table size.
+- The result lands through the ordinary key-localized merge on the
+  view's composite primary key (left pk + right pk), so only the view
+  files holding touched pairs rewrite.
+- **Exactly-once without a side channel**: both source cursors ride the
+  view snapshot's ``load_id`` (``mjoin-a<v>-b<v>``) — data and cursor
+  commit atomically, same contract as the rollup.
+
+Limits (explicit, not silent): inner equi-joins only — outer joins need
+per-key match counting to retract null-extended rows (refused with this
+explanation); join keys must be non-null (inner-join semantics drop null
+keys anyway); both sources need primary keys so view rows are uniquely
+addressable.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.table import LakeTable
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+logger = logging.getLogger(__name__)
+
+_MARKER = "mjoin-"
+_DELETE_COL = "__mjoin_delete"
+
+#: below this many changed join keys, the opposite-side scan collects the
+#: key set and pushes a key-range `where` for manifest file pruning (same
+#: policy as rollup.RESCAN_KEY_PUSHDOWN_MAX)
+JOIN_KEY_PUSHDOWN_MAX = 10_000
+
+
+class IncrementalJoinView:
+    """``left INNER JOIN right ON on`` as a CDC-maintained LakeTable.
+
+    Output columns: every column of both sides, join keys once (name
+    collisions outside the join keys are an error — project/rename
+    upstream).  The view's primary key is ``left_pk + right_pk``.
+    """
+
+    def __init__(
+        self,
+        catalog: LakeCatalog,
+        namespace: str,
+        name: str,
+        left: LakeTable,
+        right: LakeTable,
+        on: list[str],
+        left_pk: list[str],
+        right_pk: list[str],
+        how: str = "inner",
+    ):
+        if how != "inner":
+            raise NotImplementedError(
+                f"how={how!r}: only inner equi-joins are incrementally "
+                "maintainable here — outer joins need per-key match "
+                "counting to retract null-extended rows; materialize "
+                "those with a plain query"
+            )
+        if not on:
+            raise ValueError("join needs at least one key column")
+        if not left_pk or not right_pk:
+            raise ValueError(
+                "both sides need primary keys: view rows are addressed by "
+                "(left_pk + right_pk) in the maintenance merge"
+            )
+        self.catalog = catalog
+        self.namespace = namespace
+        self.name = name
+        self.left = left
+        self.right = right
+        self.on = list(on)
+        self.left_pk = list(left_pk)
+        self.right_pk = list(right_pk)
+        self._writer = LakeWriter(catalog, namespace)
+
+    # -- internals -----------------------------------------------------
+
+    def _out_columns(self, lcols: list[str], rcols: list[str]) -> list[str]:
+        overlap = (set(lcols) & set(rcols)) - set(self.on)
+        if overlap:
+            raise ValueError(
+                f"column collision outside the join keys: {sorted(overlap)}; "
+                "project or rename before building the view"
+            )
+        return lcols + [c for c in rcols if c not in self.on]
+
+    def _table(self) -> LakeTable | None:
+        from dlt_iceberg_spark.errors import TableNotFoundError
+
+        try:
+            return self.catalog.load_table(self.namespace, self.name)
+        except (FileNotFoundError, TableNotFoundError):
+            return None
+
+    def _cursors(self, tgt: LakeTable) -> tuple[int, int]:
+        snap = tgt.snapshot()
+        while snap is not None:
+            lid = str(snap.summary.get("load_id", ""))
+            if lid.startswith(_MARKER):
+                a, b = lid[len(_MARKER):].split("-")
+                return int(a[1:]), int(b[1:])
+            snap = tgt.snapshot(snap.parent) if snap.parent is not None else None
+        raise ValueError(
+            f"table {self.namespace}.{self.name} carries no join-view "
+            "marker; was it created by IncrementalJoinView?"
+        )
+
+    def _marker(self, av: int, bv: int) -> str:
+        return f"{_MARKER}a{av}-b{bv}"
+
+    def _pruned_side(
+        self, side: LakeTable, version: int, keys: DataFrame
+    ) -> DataFrame:
+        """The full side of a delta term, bounded two ways: a key-range
+        ``where`` when the changed key set is collectable (manifest-stats
+        file pruning), always a broadcast/shuffle semi-join on the
+        changed join keys (row exactness)."""
+        where = None
+        bounded = keys.limit(JOIN_KEY_PUSHDOWN_MAX + 1).collect()
+        if len(bounded) <= JOIN_KEY_PUSHDOWN_MAX:
+            where = []
+            for k in self.on:
+                vals = [r[k] for r in bounded if r[k] is not None]
+                if vals:
+                    where += [(k, ">=", min(vals)), (k, "<=", max(vals))]
+            where = where or None
+            src = side.read(snapshot_version=version, where=where)
+            return src.join(F.broadcast(keys), on=self.on, how="left_semi")
+        src = side.read(snapshot_version=version)
+        return src.join(keys, on=self.on, how="left_semi")
+
+    @staticmethod
+    def _signed(ch: DataFrame) -> DataFrame:
+        return ch.withColumn(
+            "__sign",
+            F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        ).drop("_change_type", "_commit_version")
+
+    # -- API -------------------------------------------------------------
+
+    def refresh(self) -> dict:
+        """Fold both sources' changes since the last refresh into the
+        view.  Returns ``{"left_version", "right_version",
+        "pairs_touched"}`` (−1 on the initial full build, 0 no-op)."""
+        av = self.left.current_version()
+        bv = self.right.current_version()
+        if av is None or bv is None:
+            raise FileNotFoundError("both join sources must exist")
+
+        tgt = self._table()
+        if tgt is None:
+            lcols = self.left.read().columns
+            rcols = self.right.read().columns
+            out_cols = self._out_columns(lcols, rcols)
+            full = (
+                self.left.read(snapshot_version=av)
+                .join(self.right.read(snapshot_version=bv), on=self.on, how="inner")
+                .select(*out_cols)
+            )
+            self._writer.write(
+                TableSpec(
+                    name=self.name,
+                    write_disposition="append",
+                    primary_key=self.left_pk + self.right_pk,
+                ),
+                full,
+                load_id=self._marker(av, bv),
+            )
+            return {"left_version": av, "right_version": bv, "pairs_touched": -1}
+
+        a_cur, b_cur = self._cursors(tgt)
+        if a_cur >= av and b_cur >= bv:
+            return {
+                "left_version": a_cur,
+                "right_version": b_cur,
+                "pairs_touched": 0,
+            }
+
+        lcols = self.left.read().columns
+        rcols = self.right.read().columns
+        out_cols = self._out_columns(lcols, rcols)
+        r_only = [c for c in rcols if c not in self.on]
+
+        terms = []
+        persisted = []
+        try:
+            if av > a_cur:
+                dA = self._signed(self.left.read_changes(a_cur, av)).persist()
+                persisted.append(dA)
+                dA.count()
+                # ΔA ⋈ B2 (the NEW right side, so the ΔA⋈ΔB cross term
+                # lands exactly once)
+                b2 = self._pruned_side(
+                    self.right, bv, dA.select(*self.on).distinct()
+                )
+                terms.append(
+                    dA.join(b2, on=self.on, how="inner").select(
+                        *out_cols, "__sign"
+                    )
+                )
+            if bv > b_cur:
+                dB = self._signed(self.right.read_changes(b_cur, bv)).persist()
+                persisted.append(dB)
+                dB.count()
+                # A1 ⋈ ΔB (the OLD left side)
+                a1 = self._pruned_side(
+                    self.left, a_cur, dB.select(*self.on).distinct()
+                )
+                terms.append(
+                    a1.join(dB, on=self.on, how="inner").select(
+                        *out_cols, "__sign"
+                    )
+                )
+            delta = terms[0]
+            for t in terms[1:]:
+                delta = delta.unionByName(t)
+            # signed CONTENT fold: stale intermediate images (half-updated
+            # pairs, CoW rewrite noise) cancel exactly; what survives is
+            # the true row-level diff of the join
+            net = (
+                delta.groupBy(*out_cols)
+                .agg(F.sum("__sign").alias("__n"))
+                .filter(F.col("__n") != 0)
+            )
+            # per view key at most one positive image survives (the join
+            # is functional on left_pk + right_pk); a key with ONLY a
+            # negative survivor left the join
+            pk = self.left_pk + self.right_pk
+            payload = [c for c in out_cols if c not in pk]
+            merged = (
+                net.groupBy(*pk)
+                .agg(
+                    F.max_by(
+                        F.struct(*payload, F.col("__n").alias("__n")),
+                        F.col("__n"),
+                    ).alias("__img")
+                )
+                .select(*pk, "__img.*")
+            ).persist()
+            persisted.append(merged)
+            n = merged.count()
+            out = merged.withColumn(
+                _DELETE_COL, F.when(F.col("__n") < 0, F.lit(True))
+            ).drop("__n")
+            self._writer.write(
+                TableSpec(
+                    name=self.name,
+                    write_disposition={
+                        "disposition": "merge",
+                        "strategy": "upsert",
+                    },
+                    primary_key=pk,
+                    hard_delete_column=_DELETE_COL,
+                ),
+                out,
+                load_id=self._marker(av, bv),
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+        return {"left_version": av, "right_version": bv, "pairs_touched": n}
+
+    def rebuild(self) -> dict:
+        """Recompute the view from a full join (escape hatch for cursors
+        older than a source's retained history)."""
+        av = self.left.current_version()
+        bv = self.right.current_version()
+        lcols = self.left.read().columns
+        rcols = self.right.read().columns
+        out_cols = self._out_columns(lcols, rcols)
+        full = (
+            self.left.read(snapshot_version=av)
+            .join(self.right.read(snapshot_version=bv), on=self.on, how="inner")
+            .select(*out_cols)
+        )
+        self._writer.write(
+            TableSpec(name=self.name, write_disposition="replace"),
+            full,
+            load_id=self._marker(av, bv),
+        )
+        return {"left_version": av, "right_version": bv, "pairs_touched": -1}
+
+    def read(self) -> DataFrame:
+        tgt = self._table()
+        if tgt is None:
+            raise FileNotFoundError(
+                f"join view {self.namespace}.{self.name} not built"
+            )
+        return tgt.read()

@@ -4589,6 +4589,131 @@ _LAKE_ROLLUP_MM_CACHE: dict = {}
 
 
 @query(
+    "lake_matview_join",
+    f"""
+    WITH l0 AS (
+      SELECT o_orderkey, o_custkey AS cust, o_orderstatus, o_totalprice
+      FROM orders
+    ), l1 AS (
+      SELECT o_orderkey, cust, o_orderstatus,
+             CASE WHEN o_orderstatus = 'P' THEN CAST(1000.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM l0
+    ), l2 AS (
+      SELECT * FROM l1
+      UNION ALL
+      SELECT o_orderkey + 100000000, cust, o_orderstatus, o_totalprice
+      FROM l1 WHERE o_orderkey % 101 = 0
+    ), r0 AS (
+      SELECT c_custkey AS cust, c_mktsegment, c_acctbal FROM customer
+    ), r1 AS (
+      SELECT cust, c_mktsegment,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(0.0 AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM r0
+    ), r2 AS (
+      SELECT * FROM r1 WHERE cust % 50 <> 0
+    )
+    SELECT l2.o_orderkey, l2.cust, l2.o_orderstatus,
+           {_sql_rnd('l2.o_totalprice')} AS total_price,
+           r2.c_mktsegment, {_sql_rnd('r2.c_acctbal')} AS acctbal
+    FROM l2 JOIN r2 ON l2.cust = r2.cust
+    """,
+    doc=(
+        "Incrementally-maintained JOIN view (lake/matview.py — classic "
+        "delta-join IVM: M2-M1 = dA JOIN B2 + A1 JOIN dB, signed content "
+        "fold cancels stale half-updated images): orders JOIN customer "
+        "materialized as a LakeTable, then BOTH sides mutate — a MoR "
+        "price update on 'P' orders, an order append for a keyed subset, "
+        "a customer balance update, and a customer hard-delete sweep — "
+        "and ONE refresh folds the multi-snapshot changelogs of both "
+        "cursors.  Full-side reads are semi-joined to the other delta's "
+        "keys and range-pruned via manifest stats, never full re-joins.  "
+        "The oracle recomputes the inner join of both final states; a "
+        "hash match proves the maintained view equals recomputation."
+    ),
+)
+def lake_matview_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    mv = _LAKE_MATVIEW_CACHE.get(key)
+    if mv is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_matview_"))
+        writer = LakeWriter(catalog, "gate")
+        left0 = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_custkey").alias("cust"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        writer.write(
+            TableSpec(name="ord", write_disposition="append", primary_key=["o_orderkey"]),
+            left0,
+        )
+        right0 = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        writer.write(
+            TableSpec(name="cust", write_disposition="append", primary_key=["cust"]),
+            right0,
+        )
+        mv = IncrementalJoinView(
+            catalog, "gate", "order_cust",
+            catalog.load_table("gate", "ord"),
+            catalog.load_table("gate", "cust"),
+            on=["cust"], left_pk=["o_orderkey"], right_pk=["cust"],
+        )
+        assert mv.refresh()["pairs_touched"] == -1  # initial build
+        # LEFT: MoR update, then a keyed append derived from the updated state
+        lt = catalog.load_table("gate", "ord")
+        lt.update_where([("o_orderstatus", "=", "P")], {"o_totalprice": 1000.0})
+        lt = catalog.load_table("gate", "ord")
+        writer.write(
+            TableSpec(name="ord", write_disposition="append", primary_key=["o_orderkey"]),
+            lt.read()
+            .filter(F.col("o_orderkey") % 101 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 100000000),
+        )
+        # RIGHT: balance update + hard-delete sweep
+        rt = catalog.load_table("gate", "cust")
+        rt.update_where([("c_mktsegment", "=", "BUILDING")], {"c_acctbal": 0.0})
+        rt = catalog.load_table("gate", "cust")
+        writer.write(
+            TableSpec(
+                name="cust",
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=["cust"],
+                hard_delete_column="__del",
+            ),
+            rt.read().filter(F.col("cust") % 50 == 0).withColumn("__del", F.lit(True)),
+        )
+        # ONE refresh folds multi-snapshot changelogs on BOTH cursors
+        mv.left = catalog.load_table("gate", "ord")
+        mv.right = catalog.load_table("gate", "cust")
+        r = mv.refresh()
+        assert r["pairs_touched"] > 0
+        # exactly-once: replay applies nothing
+        assert mv.refresh()["pairs_touched"] == 0
+        _LAKE_MATVIEW_CACHE[key] = mv
+    return mv.read().select(
+        "o_orderkey", "cust", "o_orderstatus",
+        rnd(F.col("o_totalprice")).alias("total_price"),
+        "c_mktsegment", rnd(F.col("c_acctbal")).alias("acctbal"),
+    )
+
+
+_LAKE_MATVIEW_CACHE: dict = {}
+
+
+@query(
     "lake_multi_table_txn",
     f"""
     SELECT o_orderstatus,

@@ -1,0 +1,270 @@
+"""IncrementalJoinView: CDC-maintained materialized joins.
+
+The invariant: after any sequence of appends / updates / deletes on
+EITHER side and view refreshes, the view equals the direct inner join of
+both sources' current states — while each refresh reads the changelogs
+plus key-pruned slices of the opposite sides, never a full re-join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+
+def _mk_sources(spark, warehouse, orders, customers):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame(orders, "o_id long, cust long, amt double"),
+        load_id="o0",
+    )
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame(customers, "c_id long, cust long, seg string"),
+        load_id="c0",
+    )
+    return catalog, writer
+
+
+def _view(catalog):
+    return IncrementalJoinView(
+        catalog, "ds", "order_cust",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"],
+        left_pk=["o_id"],
+        right_pk=["c_id"],
+    )
+
+
+def _direct(catalog):
+    o = catalog.load_table("ds", "orders").read()
+    c = catalog.load_table("ds", "cust").read()
+    return {
+        (r.o_id, r.c_id): (r.cust, r.amt, r.seg)
+        for r in o.join(c, on="cust", how="inner").collect()
+    }
+
+
+def _rolled(mv):
+    return {
+        (r.o_id, r.c_id): (r.cust, r.amt, r.seg) for r in mv.read().collect()
+    }
+
+
+def test_join_view_tracks_both_sides(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, i % 3, float(i)) for i in range(9)],
+        customers=[(100 + g, g, f"seg{g}") for g in range(4)],  # g=3 unmatched
+    )
+    mv = _view(catalog)
+    assert mv.refresh()["pairs_touched"] == -1
+    assert _rolled(mv) == _direct(catalog)
+
+    # LEFT side: append orders for an existing and an unmatched customer
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame(
+            [(50, 1, 5.5), (51, 9, 6.5)], "o_id long, cust long, amt double"
+        ),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    r = mv.refresh()
+    assert r["pairs_touched"] == 1  # only cust=1 joins
+    assert _rolled(mv) == _direct(catalog)
+
+    # RIGHT side: append the customer that makes o_id=51 join
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame([(109, 9, "seg9")], "c_id long, cust long, seg string"),
+        load_id="c1",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    assert _rolled(mv) == _direct(catalog)
+    assert (51, 109) in _rolled(mv)
+
+    # LEFT update: amounts move, view payload follows
+    mv.left.update_where([("cust", "=", 0)], {"amt": 99.0})
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    assert _rolled(mv) == _direct(catalog)
+
+    # RIGHT delete: customer leaves -> all their pairs leave the view
+    writer.write(
+        TableSpec(
+            name="cust",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["c_id"],
+            hard_delete_column="_del",
+        ),
+        spark.createDataFrame(
+            [(101, 1, "seg1", True)], "c_id long, cust long, seg string, _del boolean"
+        ),
+        load_id="c2",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    direct = _direct(catalog)
+    assert _rolled(mv) == direct
+    assert not any(c == 101 for (_, c) in _rolled(mv))
+
+
+def test_join_view_both_sides_change_in_one_refresh(spark, warehouse):
+    """The IVM cross-term case: the same pair's A-row AND B-row change in
+    a single refresh window — stale half-updated images must cancel in
+    the signed content fold, leaving exactly the new pair."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 7, 10.0), (2, 8, 20.0)],
+        customers=[(70, 7, "old7"), (80, 8, "old8")],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    # mutate BOTH sides before refreshing once
+    lt = catalog.load_table("ds", "orders")
+    lt.update_where([("o_id", "=", 1)], {"amt": 11.0})
+    rt = catalog.load_table("ds", "cust")
+    rt.update_where([("c_id", "=", 70)], {"seg": "new7"})
+    mv.left = catalog.load_table("ds", "orders")
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    got = _rolled(mv)
+    assert got == _direct(catalog)
+    assert got[(1, 70)] == (7, 11.0, "new7")  # fully-new image, no stale mix
+
+
+def test_join_view_idempotent_and_cursor_rides_commit(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0)], customers=[(50, 5, "s")],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    v = catalog.load_table("ds", "order_cust").current_version()
+    assert mv.refresh()["pairs_touched"] == 0
+    assert catalog.load_table("ds", "order_cust").current_version() == v
+    # marker names both source heads
+    lid = catalog.load_table("ds", "order_cust").snapshot().summary["load_id"]
+    assert lid == (
+        f"mjoin-a{mv.left.current_version()}-b{mv.right.current_version()}"
+    )
+
+
+def test_join_view_random_history_matches_full_join(spark, warehouse):
+    """Property: across random mutations on both sides, every refresh
+    leaves the view equal to the recomputed inner join."""
+    import random
+
+    rng = random.Random(31)
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, rng.randrange(5), float(rng.randint(1, 50))) for i in range(12)],
+        customers=[(100 + g, g, f"s{g}") for g in range(6)],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    next_o = 100
+    for step in range(5):
+        op = ["o_append", "o_update", "c_update", "o_delete", "c_append"][step]
+        if op == "o_append":
+            writer.write(
+                TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+                spark.createDataFrame(
+                    [(next_o + j, rng.randrange(7), float(j)) for j in range(3)],
+                    "o_id long, cust long, amt double",
+                ),
+                load_id=f"s{step}",
+            )
+            next_o += 3
+        elif op == "o_update":
+            catalog.load_table("ds", "orders").update_where(
+                [("cust", "=", rng.randrange(5))], {"amt": 777.0}
+            )
+        elif op == "c_update":
+            catalog.load_table("ds", "cust").update_where(
+                [("cust", "=", rng.randrange(5))], {"seg": f"upd{step}"}
+            )
+        elif op == "o_delete":
+            victim = rng.choice(
+                [r.o_id for r in catalog.load_table("ds", "orders").read().collect()]
+            )
+            catalog.load_table("ds", "orders").position_delete_where(
+                [("o_id", "=", victim)]
+            )
+        else:
+            writer.write(
+                TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+                spark.createDataFrame(
+                    [(200 + step, 6, f"late{step}")], "c_id long, cust long, seg string"
+                ),
+                load_id=f"s{step}",
+            )
+        mv.left = catalog.load_table("ds", "orders")
+        mv.right = catalog.load_table("ds", "cust")
+        mv.refresh()
+        assert _rolled(mv) == _direct(catalog), f"step {step} ({op})"
+
+
+def test_join_view_prunes_opposite_side_by_key_range(spark, warehouse, monkeypatch):
+    from dlt_iceberg_spark.lake import table as table_mod
+
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, i % 4, float(i)) for i in range(8)],
+        customers=[(100 + g, g, f"s{g}") for g in range(4)],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(99, 2, 9.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    seen = []
+    real = table_mod.LakeTable.read
+
+    def spying(self, *a, **kw):
+        if kw.get("where") is not None:
+            seen.append(kw["where"])
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(table_mod.LakeTable, "read", spying)
+    mv.refresh()
+    monkeypatch.undo()
+    assert [("cust", ">=", 2), ("cust", "<=", 2)] in seen
+    assert _rolled(mv) == _direct(catalog)
+
+
+def test_join_view_refuses_outer_and_collisions(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse, orders=[(1, 0, 1.0)], customers=[(100, 0, "s")],
+    )
+    with pytest.raises(NotImplementedError, match="inner"):
+        IncrementalJoinView(
+            catalog, "ds", "v",
+            catalog.load_table("ds", "orders"),
+            catalog.load_table("ds", "cust"),
+            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="left",
+        )
+    # column collision outside join keys
+    writer.write(
+        TableSpec(name="cust2", write_disposition="append", primary_key=["c_id"]),
+        catalog.load_table("ds", "cust").read().withColumn("amt", F.lit(0.0)),
+        load_id="cc",
+    )
+    mv = IncrementalJoinView(
+        catalog, "ds", "v2",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust2"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"],
+    )
+    with pytest.raises(ValueError, match="collision"):
+        mv.refresh()
