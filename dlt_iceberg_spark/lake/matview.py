@@ -123,11 +123,11 @@ class IncrementalJoinView:
             )
         return lcols + [c for c in rcols if c not in self.on]
 
-    def _table(self) -> LakeTable | None:
+    def _table(self, branch: str = "main") -> LakeTable | None:
         from dlt_iceberg_spark.errors import TableNotFoundError
 
         try:
-            return self.catalog.load_table(self.namespace, self.name)
+            return self.catalog.load_table(self.namespace, self.name, branch=branch)
         except (FileNotFoundError, TableNotFoundError):
             return None
 
@@ -179,33 +179,55 @@ class IncrementalJoinView:
 
     # -- API -------------------------------------------------------------
 
-    def refresh(self) -> dict:
+    def refresh(self, transaction=None) -> dict:
         """Fold both sources' changes since the last refresh into the
         view.  Returns ``{"left_version", "right_version",
-        "pairs_touched"}`` (−1 on the initial full build, 0 no-op)."""
-        av = self.left.current_version()
-        bv = self.right.current_version()
+        "pairs_touched"}`` (−1 on the initial full build, 0 no-op).
+
+        ``transaction`` (a :class:`~dlt_iceberg_spark.lake.transaction.
+        CatalogTransaction`) stages the refresh on the transaction's
+        branch, READING both sources' staged states — source mutations
+        and the join fold publish as ONE atomic cut."""
+        branch = transaction.branch if transaction is not None else "main"
+        left = (
+            self.left.for_branch(branch) if transaction is not None else self.left
+        )
+        right = (
+            self.right.for_branch(branch)
+            if transaction is not None
+            else self.right
+        )
+        av = left.current_version()
+        bv = right.current_version()
         if av is None or bv is None:
             raise FileNotFoundError("both join sources must exist")
 
-        tgt = self._table()
+        def _write(spec: TableSpec, df: DataFrame, load_id: str) -> None:
+            if transaction is not None:
+                transaction.write(
+                    spec, df, load_id=load_id, namespace=self.namespace
+                )
+            else:
+                self._writer.write(spec, df, load_id=load_id)
+
+        tgt = self._table(branch)
         if tgt is None:
-            lcols = self.left.read().columns
-            rcols = self.right.read().columns
+            lcols = left.read().columns
+            rcols = right.read().columns
             out_cols = self._out_columns(lcols, rcols)
             full = (
-                self.left.read(snapshot_version=av)
-                .join(self.right.read(snapshot_version=bv), on=self.on, how="inner")
+                left.read(snapshot_version=av)
+                .join(right.read(snapshot_version=bv), on=self.on, how="inner")
                 .select(*out_cols)
             )
-            self._writer.write(
+            _write(
                 TableSpec(
                     name=self.name,
                     write_disposition="append",
                     primary_key=self.left_pk + self.right_pk,
                 ),
                 full,
-                load_id=self._marker(av, bv),
+                self._marker(av, bv),
             )
             return {"left_version": av, "right_version": bv, "pairs_touched": -1}
 
@@ -217,22 +239,21 @@ class IncrementalJoinView:
                 "pairs_touched": 0,
             }
 
-        lcols = self.left.read().columns
-        rcols = self.right.read().columns
+        lcols = left.read().columns
+        rcols = right.read().columns
         out_cols = self._out_columns(lcols, rcols)
-        r_only = [c for c in rcols if c not in self.on]
 
         terms = []
         persisted = []
         try:
             if av > a_cur:
-                dA = self._signed(self.left.read_changes(a_cur, av)).persist()
+                dA = self._signed(left.read_changes(a_cur, av)).persist()
                 persisted.append(dA)
                 dA.count()
                 # ΔA ⋈ B2 (the NEW right side, so the ΔA⋈ΔB cross term
                 # lands exactly once)
                 b2 = self._pruned_side(
-                    self.right, bv, dA.select(*self.on).distinct()
+                    right, bv, dA.select(*self.on).distinct()
                 )
                 terms.append(
                     dA.join(b2, on=self.on, how="inner").select(
@@ -240,12 +261,12 @@ class IncrementalJoinView:
                     )
                 )
             if bv > b_cur:
-                dB = self._signed(self.right.read_changes(b_cur, bv)).persist()
+                dB = self._signed(right.read_changes(b_cur, bv)).persist()
                 persisted.append(dB)
                 dB.count()
                 # A1 ⋈ ΔB (the OLD left side)
                 a1 = self._pruned_side(
-                    self.left, a_cur, dB.select(*self.on).distinct()
+                    left, a_cur, dB.select(*self.on).distinct()
                 )
                 terms.append(
                     a1.join(dB, on=self.on, how="inner").select(
@@ -283,7 +304,7 @@ class IncrementalJoinView:
             out = merged.withColumn(
                 _DELETE_COL, F.when(F.col("__n") < 0, F.lit(True))
             ).drop("__n")
-            self._writer.write(
+            _write(
                 TableSpec(
                     name=self.name,
                     write_disposition={
@@ -294,7 +315,7 @@ class IncrementalJoinView:
                     hard_delete_column=_DELETE_COL,
                 ),
                 out,
-                load_id=self._marker(av, bv),
+                self._marker(av, bv),
             )
         finally:
             for df in persisted:

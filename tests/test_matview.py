@@ -268,3 +268,95 @@ def test_join_view_refuses_outer_and_collisions(spark, warehouse):
     )
     with pytest.raises(ValueError, match="collision"):
         mv.refresh()
+
+
+def test_join_view_refresh_inside_transaction_one_cut(spark, warehouse):
+    """refresh(transaction=txn): source mutation and the join fold stage
+    on the txn branch and publish as one atomic cut — main never shows a
+    source ahead of the view."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 6, 2.0)],
+        customers=[(50, 5, "a"), (60, 6, "b")],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    before = _rolled(mv)
+
+    txn = catalog.transaction("ds")
+    txn.table("orders").update_where([("cust", "=", 5)], {"amt": 42.0})
+    mv.left = catalog.load_table("ds", "orders")
+    r = mv.refresh(transaction=txn)
+    assert r["pairs_touched"] >= 1
+    # pre-commit: main shows the old cut on both
+    assert _rolled(mv) == before
+    res = txn.commit()
+    assert sorted(res["tables"]) == ["order_cust", "orders"]
+    assert _rolled(mv) == _direct(catalog)
+    assert _rolled(mv)[(1, 50)][1] == 42.0
+    assert mv.refresh()["pairs_touched"] == 0  # cursor rode the cut
+
+
+def test_rollup_composes_over_join_view(spark, warehouse):
+    """CDC chains: fact tables -> IncrementalJoinView -> IncrementalRollup.
+    The view is an ordinary LakeTable whose maintenance merges emit a
+    changelog, so a rollup maintained FROM the view stays equal to the
+    direct aggregate of the direct join after every propagated refresh."""
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, i % 3, float(i + 1)) for i in range(9)],
+        customers=[(100 + g, g, f"s{g}") for g in range(3)],
+    )
+    mv = _view(catalog)
+    mv.refresh()
+    ru = IncrementalRollup(
+        catalog, "ds", "by_seg",
+        catalog.load_table("ds", "order_cust"),
+        keys=["seg"],
+        aggs={"total": ("sum", "amt"), "n": ("count",)},
+    )
+    ru.refresh()
+
+    def _direct_agg():
+        o = catalog.load_table("ds", "orders").read()
+        c = catalog.load_table("ds", "cust").read()
+        return {
+            r.seg: (r.total, r.n)
+            for r in o.join(c, on="cust", how="inner")
+            .groupBy("seg")
+            .agg(F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    assert {r.seg: (r.total, r.n) for r in ru.read().collect()} == _direct_agg()
+    # mutate the base fact; propagate view -> rollup
+    catalog.load_table("ds", "orders").update_where(
+        [("cust", "=", 1)], {"amt": 100.0}
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    ru.source = catalog.load_table("ds", "order_cust")
+    ru.refresh()
+    assert {r.seg: (r.total, r.n) for r in ru.read().collect()} == _direct_agg()
+    # delete a customer; their orders leave the join, the rollup retracts
+    writer.write(
+        TableSpec(
+            name="cust",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["c_id"],
+            hard_delete_column="_del",
+        ),
+        spark.createDataFrame(
+            [(102, 2, "s2", True)], "c_id long, cust long, seg string, _del boolean"
+        ),
+        load_id="c9",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    ru.source = catalog.load_table("ds", "order_cust")
+    ru.refresh()
+    got = {r.seg: (r.total, r.n) for r in ru.read().collect()}
+    assert got == _direct_agg()
+    assert "s2" not in got
