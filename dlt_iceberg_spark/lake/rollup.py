@@ -32,10 +32,12 @@ Mechanics:
   ``count``, and ``avg`` (maintained as its sum/count decomposition,
   derived at read time).  ``min``/``max`` have no
   inverse — retracting the current extremum needs a group rescan — so
-  they are refused under the default strategy and accepted with
-  ``strategy="rescan"``: sums/counts stay incremental, while min/max are
-  recomputed from the source *only for the groups the changelog touched*
-  (a keyed semi-join rescan).  Cost table per refresh:
+  they are refused under the default strategy — as is
+  ``count_distinct``, inverse-less for the same reason — and accepted
+  with ``strategy="rescan"``: sums/counts stay incremental, while
+  min/max/count_distinct are recomputed from the source *only for the
+  groups the changelog touched* (a keyed semi-join rescan).  Cost table
+  per refresh:
 
   ======================  =============================================
   strategy                cost
@@ -92,9 +94,10 @@ class IncrementalRollup:
     - ``("count", src_col)`` — non-null values of ``src_col`` per group;
     - ``("avg", src_col)`` — maintained as hidden sum + non-null count,
       derived at read time (exact under deletes, like sum/count);
-    - ``("min", src_col)`` / ``("max", src_col)`` — require
-      ``strategy="rescan"`` (no inverse; maintained by rescanning only
-      the touched groups — see the module cost table).
+    - ``("min", src_col)`` / ``("max", src_col)`` /
+      ``("count_distinct", src_col)`` — require ``strategy="rescan"``
+      (no inverse; maintained by rescanning only the touched groups —
+      see the module cost table).
 
     The rollup table additionally keeps ``__rows`` (rows per group) to
     know when a group vanishes; it is dropped from :meth:`read`.
@@ -115,12 +118,12 @@ class IncrementalRollup:
         if strategy not in ("incremental", "rescan"):
             raise ValueError(f"unknown strategy {strategy!r}: incremental | rescan")
         for col, spec in aggs.items():
-            if spec[0] in ("min", "max"):
+            if spec[0] in ("min", "max", "count_distinct"):
                 if strategy != "rescan":
                     raise ValueError(
                         f"aggregate {spec[0]!r} for {col!r} has no inverse; "
-                        "pass strategy=\"rescan\" to maintain min/max by "
-                        "rescanning touched groups (sum/count stay "
+                        "pass strategy=\"rescan\" to maintain it by "
+                        "rescanning touched groups (sum/count/avg stay "
                         "incremental), or recompute with a plain query"
                     )
             elif spec[0] == "avg":
@@ -130,7 +133,7 @@ class IncrementalRollup:
                 raise ValueError(
                     f"aggregate {spec[0]!r} for {col!r} has no inverse; "
                     "incremental maintenance supports sum/count/avg and, "
-                    "under strategy=\"rescan\", min/max"
+                    "under strategy=\"rescan\", min/max/count_distinct"
                 )
         reserved = set(keys) | {"__rows", _DELETE_COL}
         if reserved & set(aggs):
@@ -142,13 +145,19 @@ class IncrementalRollup:
         self.keys = list(keys)
         self.aggs = dict(aggs)
         self.strategy = strategy
-        self._minmax = {c: s for c, s in aggs.items() if s[0] in ("min", "max")}
+        self._minmax = {
+            c: s
+            for c, s in aggs.items()
+            if s[0] in ("min", "max", "count_distinct")
+        }
         #: avg maintains as (sum, non-null count) under hidden columns and
         #: derives the ratio at read time — the standard self-maintainable
         #: decomposition, so deletes retract it exactly like sum/count
         self._avg = {c: s[1] for c, s in aggs.items() if s[0] == "avg"}
         self._incr = {
-            c: s for c, s in aggs.items() if s[0] not in ("min", "max", "avg")
+            c: s
+            for c, s in aggs.items()
+            if s[0] not in ("min", "max", "count_distinct", "avg")
         }
         for col, src_col in self._avg.items():
             self._incr[f"__avg_sum_{col}"] = ("sum", src_col)
@@ -172,8 +181,9 @@ class IncrementalRollup:
         return out
 
     def _minmax_aggs(self) -> list:
+        fns = {"min": F.min, "max": F.max, "count_distinct": F.countDistinct}
         return [
-            (F.min if spec[0] == "min" else F.max)(F.col(spec[1])).alias(col)
+            fns[spec[0]](F.col(spec[1])).alias(col)
             for col, spec in self._minmax.items()
         ]
 

@@ -491,3 +491,34 @@ def test_rollup_avg_maintained_exactly_under_deletes(spark, warehouse):
     ru.refresh()
     got = {r.grp: (r.mean_amt, r.n) for r in ru.read().collect()}
     assert got == {"a": (None, 1), "b": (9.0, 1)}
+
+
+def test_rollup_count_distinct_rescan(spark, warehouse):
+    """count_distinct rides the same touched-group rescan as min/max —
+    exact under inserts, updates, and retraction of the last occurrence
+    of a value."""
+    catalog, writer, src = _mk_source(
+        spark, warehouse,
+        [(1, "a", 1.0), (2, "a", 1.0), (3, "a", 2.0), (4, "b", 5.0)],
+    )
+    ru = IncrementalRollup(
+        catalog, "ds", "r", src, keys=["grp"],
+        aggs={"nd": ("count_distinct", "amt"), "n": ("count",)},
+        strategy="rescan",
+    )
+    ru.refresh()
+    got = {r.grp: (r.nd, r.n) for r in ru.read().collect()}
+    assert got == {"a": (2, 3), "b": (1, 1)}
+    # delete ONE of the two amt=1.0 rows: distinct count must NOT drop
+    src.position_delete_where([("id", "=", 2)])
+    ru.source = catalog.load_table("ds", "fact")
+    ru.refresh()
+    got = {r.grp: (r.nd, r.n) for r in ru.read().collect()}
+    assert got == {"a": (2, 2), "b": (1, 1)}
+    # delete the LAST amt=1.0 row: now it drops
+    src = catalog.load_table("ds", "fact")
+    src.position_delete_where([("id", "=", 1)])
+    ru.source = catalog.load_table("ds", "fact")
+    ru.refresh()
+    got = {r.grp: (r.nd, r.n) for r in ru.read().collect()}
+    assert got == {"a": (1, 1), "b": (1, 1)}
