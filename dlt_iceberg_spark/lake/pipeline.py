@@ -125,6 +125,7 @@ class Pipeline:
         truncate_tables: list[str] | None = None,
         refresh: str | None = None,
         transactional: bool = False,
+        derived: list | None = None,
     ) -> LoadInfo:
         """Extract → write (one snapshot/table) → ledger append.
 
@@ -144,7 +145,14 @@ class Pipeline:
         reference commits one transaction per table (SURVEY.md §2.2 W1);
         this is the cross-table upgrade.  Table drops
         (``truncate_tables``/``refresh``) run before and outside the
-        transaction — they are destructive setup, not part of the load."""
+        transaction — they are destructive setup, not part of the load.
+
+        ``derived`` lists downstream assets to refresh after the
+        resources land — anything with a ``refresh(transaction=...)``
+        method (:class:`IncrementalRollup`, :class:`IncrementalJoinView`).
+        Under ``transactional=True`` they stage on the SAME transaction,
+        so facts and their summaries/views publish as one atomic cut (the
+        dbt/DLT downstream-model shape, incrementally maintained)."""
         if refresh not in (None, "drop_resources"):
             raise ValueError(f"unsupported refresh mode {refresh!r}")
         if transactional and self.branch != "main":
@@ -184,6 +192,12 @@ class Pipeline:
                         for f in df.schema.fields
                     }
                 }
+            for d in derived or []:
+                if txn is not None:
+                    d.refresh(transaction=txn)
+                else:
+                    d.refresh()
+                written.append(d.name)
         except BaseException:
             if txn is not None:
                 txn.rollback()

@@ -229,3 +229,47 @@ def test_pipeline_factory_end_to_end(spark, tmp_path):
     p.run(Resource([{"id": 1, "name": "alice"}, {"id": 2, "name": "bob"}], "users"))
     assert p.dataset().query("SELECT count(*) AS n FROM users").fetchall() == [(2,)]
     assert p.dataset_name == "prod"
+
+
+def test_pipeline_run_refreshes_derived_assets_in_the_same_cut(spark, warehouse):
+    """run(derived=[rollup]) under transactional=True: the fact load and
+    its rollup refresh publish as ONE atomic cut; replays are no-ops."""
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+    from pyspark.sql import functions as F
+
+    p = Pipeline(spark, warehouse, dataset_name="ds")
+    batch1 = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "b", 3.0)], "id long, grp string, amt double"
+    )
+    res = Resource(batch1, "fact", "append", ["id"])
+    p.run(res, load_id="l0")
+    ru = IncrementalRollup(
+        p.catalog, "ds", "fact_by_grp", p.catalog.load_table("ds", "fact"),
+        keys=["grp"], aggs={"total": ("sum", "amt")},
+    )
+    ru.refresh()  # initial build
+
+    batch2 = spark.createDataFrame([(3, "a", 10.0)], "id long, grp string, amt double")
+    res2 = Resource(
+        batch2,
+        "fact",
+        {"disposition": "merge", "strategy": "upsert"},
+        ["id"],
+    )
+    ru.source = p.catalog.load_table("ds", "fact")
+    info = p.run(res2, load_id="l1", transactional=True, derived=[ru])
+    assert sorted(info.tables) == ["fact", "fact_by_grp"]
+    got = {r.grp: r.total for r in ru.read().collect()}
+    assert got == {"a": 12.0, "b": 3.0}
+    # direct equality with the published fact state
+    direct = {
+        r.grp: r.s
+        for r in p.catalog.load_table("ds", "fact")
+        .read().groupBy("grp").agg(F.sum("amt").alias("s")).collect()
+    }
+    assert got == direct
+    # replay: ledger no-op, rollup cursor unmoved
+    info2 = p.run(res2, load_id="l1", transactional=True, derived=[ru])
+    assert info2.already_loaded
+    assert {r.grp: r.total for r in ru.read().collect()} == got
