@@ -289,6 +289,32 @@ def main(warehouse: str) -> None:
         f"{[(r.sensor_id, r._violated_expectations) for r in rejects]}"
     )
 
+    # -- incrementally-maintained JOIN view (delta-join IVM) ----------------
+    from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+
+    qwriter.write(
+        TableSpec(name="regions", write_disposition="append", primary_key=["region"]),
+        spark.createDataFrame(
+            [("us", "americas"), ("eu", "emea")], "region string, theatre string"
+        ),
+    )
+    mv = IncrementalJoinView(
+        pipe.catalog, "shop", "sales_regions",
+        pipe.catalog.load_table("shop", "fact_sales"),
+        pipe.catalog.load_table("shop", "regions"),
+        on=["region"], left_pk=["sale_id"], right_pk=["region"],
+    )
+    mv.refresh()
+    pipe.catalog.load_table("shop", "regions").update_where(
+        [("region", "=", "eu")], {"theatre": "europe"}
+    )
+    mv.right = pipe.catalog.load_table("shop", "regions")
+    mv.refresh()  # folds both changelogs; never re-runs the join
+    pairs = sorted(
+        (r.sale_id, r.theatre) for r in mv.read().collect()
+    )
+    print(f"join view after right-side update: {pairs}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
