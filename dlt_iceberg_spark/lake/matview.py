@@ -39,11 +39,14 @@ Scale shape, per refresh:
   view snapshot's ``load_id`` (``mjoin-a<v>-b<v>``) — data and cursor
   commit atomically, same contract as the rollup.
 
-Limits (explicit, not silent): inner equi-joins only — outer joins need
-per-key match counting to retract null-extended rows (refused with this
-explanation); join keys must be non-null (inner-join semantics drop null
-keys anyway); both sources need primary keys so view rows are uniquely
-addressable.
+Limits (explicit, not silent): inner and LEFT equi-joins — a left join
+maintains the null-extended half in a companion ``<name>__unmatched``
+table, flipping rows on per-key match-count zero crossings computed from
+ΔB alone (old = new − Δ over ΔB's keys, never a full-side count), with
+the two halves published atomically.  Right joins = swap the sides; full
+outer needs the symmetric machinery on both sides (refused with this
+explanation).  Join keys must be non-null; both sources need primary
+keys so view rows are uniquely addressable.
 """
 
 from __future__ import annotations
@@ -69,11 +72,21 @@ JOIN_KEY_PUSHDOWN_MAX = 10_000
 
 
 class IncrementalJoinView:
-    """``left INNER JOIN right ON on`` as a CDC-maintained LakeTable.
+    """``left [INNER|LEFT] JOIN right ON on`` as a CDC-maintained LakeTable.
 
     Output columns: every column of both sides, join keys once (name
     collisions outside the join keys are an error — project/rename
     upstream).  The view's primary key is ``left_pk + right_pk``.
+
+    ``how="left"`` additionally maintains ``<name>__unmatched`` — the
+    left rows whose key currently has zero matches — keyed by ``left_pk``
+    (NULL right keys cannot merge-join, so the null-extended half lives
+    in its own table and :meth:`read` unions it back with typed NULL
+    right columns).  Rows flip between the halves on per-key match-count
+    ZERO CROSSINGS, detected from ΔB alone: old_count = new_count − Δ,
+    both computed over ΔB's keys only — never a full-side count.  The two
+    halves always publish atomically (the refresh opens its own
+    transaction when the caller didn't supply one).
     """
 
     def __init__(
@@ -88,12 +101,14 @@ class IncrementalJoinView:
         right_pk: list[str],
         how: str = "inner",
     ):
-        if how != "inner":
+        if how not in ("inner", "left"):
             raise NotImplementedError(
-                f"how={how!r}: only inner equi-joins are incrementally "
-                "maintainable here — outer joins need per-key match "
-                "counting to retract null-extended rows; materialize "
-                "those with a plain query"
+                f"how={how!r}: inner and left equi-joins are "
+                "incrementally maintainable here (left keeps a companion "
+                "<name>__unmatched table driven by per-key match-count "
+                "transitions); right/full need the symmetric machinery — "
+                "materialize those with a plain query, or swap the sides "
+                "for a right join"
             )
         if not on:
             raise ValueError("join needs at least one key column")
@@ -110,6 +125,11 @@ class IncrementalJoinView:
         self.on = list(on)
         self.left_pk = list(left_pk)
         self.right_pk = list(right_pk)
+        self.how = how
+        #: left joins keep the null-extended half in a companion table
+        #: keyed by left_pk alone (NULL right keys cannot merge-join);
+        #: read() unions the two halves
+        self.unmatched_name = f"{name}__unmatched"
         self._writer = LakeWriter(catalog, namespace)
 
     # -- internals -----------------------------------------------------
@@ -187,7 +207,23 @@ class IncrementalJoinView:
         ``transaction`` (a :class:`~dlt_iceberg_spark.lake.transaction.
         CatalogTransaction`) stages the refresh on the transaction's
         branch, READING both sources' staged states — source mutations
-        and the join fold publish as ONE atomic cut."""
+        and the join fold publish as ONE atomic cut.
+
+        A LEFT join refresh writes two tables (matched + unmatched
+        halves); without a caller-supplied transaction it opens its own,
+        so the halves can never publish torn."""
+        if self.how == "left" and transaction is None:
+            txn = self.catalog.transaction(self.namespace)
+            try:
+                r = self._refresh(txn)
+                txn.commit()
+                return r
+            except BaseException:
+                txn.rollback()
+                raise
+        return self._refresh(transaction)
+
+    def _refresh(self, transaction=None) -> dict:
         branch = transaction.branch if transaction is not None else "main"
         left = (
             self.left.for_branch(branch) if transaction is not None else self.left
@@ -229,6 +265,21 @@ class IncrementalJoinView:
                 full,
                 self._marker(av, bv),
             )
+            if self.how == "left":
+                unmatched = left.read(snapshot_version=av).join(
+                    right.read(snapshot_version=bv).select(*self.on).distinct(),
+                    on=self.on,
+                    how="left_anti",
+                )
+                _write(
+                    TableSpec(
+                        name=self.unmatched_name,
+                        write_disposition="append",
+                        primary_key=list(self.left_pk),
+                    ),
+                    unmatched,
+                    self._marker(av, bv),
+                )
             return {"left_version": av, "right_version": bv, "pairs_touched": -1}
 
         a_cur, b_cur = self._cursors(tgt)
@@ -244,6 +295,7 @@ class IncrementalJoinView:
         out_cols = self._out_columns(lcols, rcols)
 
         terms = []
+        u_terms = []
         persisted = []
         try:
             if av > a_cur:
@@ -260,6 +312,17 @@ class IncrementalJoinView:
                         *out_cols, "__sign"
                     )
                 )
+                if self.how == "left":
+                    # ΔA rows whose key has NO match in B2 flow through
+                    # the null-extended half with ΔA's own signs (b2 is
+                    # pruned to ΔA's keys, so the anti-join is exact)
+                    u_terms.append(
+                        dA.join(
+                            b2.select(*self.on).distinct(),
+                            on=self.on,
+                            how="left_anti",
+                        ).select(*lcols, "__sign")
+                    )
             if bv > b_cur:
                 dB = self._signed(right.read_changes(b_cur, bv)).persist()
                 persisted.append(dB)
@@ -273,6 +336,48 @@ class IncrementalJoinView:
                         *out_cols, "__sign"
                     )
                 )
+                if self.how == "left":
+                    # per-key match-count TRANSITIONS: a key whose B-row
+                    # count crossed zero flips its A1 rows between the
+                    # halves.  old = new − Δ, both computed over ΔB's
+                    # keys only (metadata-small)
+                    d_counts = dB.groupBy(*self.on).agg(
+                        F.sum("__sign").alias("__d")
+                    )
+                    new_counts = (
+                        self._pruned_side(
+                            right, bv, dB.select(*self.on).distinct()
+                        )
+                        .groupBy(*self.on)
+                        .agg(F.count(F.lit(1)).alias("__new"))
+                    )
+                    trans = (
+                        d_counts.join(new_counts, on=self.on, how="left")
+                        .withColumn(
+                            "__new", F.coalesce(F.col("__new"), F.lit(0))
+                        )
+                        .withColumn("__old", F.col("__new") - F.col("__d"))
+                        .filter(
+                            (F.col("__old") > 0) != (F.col("__new") > 0)
+                        )
+                        # key died (>0 → 0): its A1 rows ENTER unmatched;
+                        # key came alive (0 → >0): they LEAVE
+                        .withColumn(
+                            "__usign",
+                            F.when(F.col("__new") == 0, F.lit(1)).otherwise(
+                                F.lit(-1)
+                            ),
+                        )
+                        .select(*self.on, "__usign")
+                    )
+                    a1t = self._pruned_side(
+                        left, a_cur, trans.select(*self.on)
+                    )
+                    u_terms.append(
+                        a1t.join(trans, on=self.on, how="inner").select(
+                            *lcols, F.col("__usign").alias("__sign")
+                        )
+                    )
             delta = terms[0]
             for t in terms[1:]:
                 delta = delta.unionByName(t)
@@ -317,6 +422,46 @@ class IncrementalJoinView:
                 out,
                 self._marker(av, bv),
             )
+            if self.how == "left" and u_terms:
+                u_delta = u_terms[0]
+                for t in u_terms[1:]:
+                    u_delta = u_delta.unionByName(t)
+                u_net = (
+                    u_delta.groupBy(*lcols)
+                    .agg(F.sum("__sign").alias("__n"))
+                    .filter(F.col("__n") != 0)
+                )
+                u_payload = [c for c in lcols if c not in self.left_pk]
+                u_merged = (
+                    u_net.groupBy(*self.left_pk)
+                    .agg(
+                        F.max_by(
+                            F.struct(
+                                *u_payload, F.col("__n").alias("__n")
+                            ),
+                            F.col("__n"),
+                        ).alias("__img")
+                    )
+                    .select(*self.left_pk, "__img.*")
+                ).persist()
+                persisted.append(u_merged)
+                n += u_merged.count()
+                u_out = u_merged.withColumn(
+                    _DELETE_COL, F.when(F.col("__n") < 0, F.lit(True))
+                ).drop("__n")
+                _write(
+                    TableSpec(
+                        name=self.unmatched_name,
+                        write_disposition={
+                            "disposition": "merge",
+                            "strategy": "upsert",
+                        },
+                        primary_key=list(self.left_pk),
+                        hard_delete_column=_DELETE_COL,
+                    ),
+                    u_out,
+                    self._marker(av, bv),
+                )
         finally:
             for df in persisted:
                 df.unpersist()
@@ -340,12 +485,34 @@ class IncrementalJoinView:
             full,
             load_id=self._marker(av, bv),
         )
+        if self.how == "left":
+            unmatched = self.left.read(snapshot_version=av).join(
+                self.right.read(snapshot_version=bv)
+                .select(*self.on)
+                .distinct(),
+                on=self.on,
+                how="left_anti",
+            )
+            self._writer.write(
+                TableSpec(name=self.unmatched_name, write_disposition="replace"),
+                unmatched,
+                load_id=self._marker(av, bv),
+            )
         return {"left_version": av, "right_version": bv, "pairs_touched": -1}
 
     def read(self) -> DataFrame:
+        """Current view rows.  Left joins union the matched half with the
+        null-extended unmatched half (right columns typed NULL)."""
         tgt = self._table()
         if tgt is None:
             raise FileNotFoundError(
                 f"join view {self.namespace}.{self.name} not built"
             )
-        return tgt.read()
+        m = tgt.read()
+        if self.how != "left":
+            return m
+        u = self.catalog.load_table(self.namespace, self.unmatched_name).read()
+        for f in m.schema.fields:
+            if f.name not in u.columns:
+                u = u.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return m.unionByName(u.select(*m.columns))

@@ -247,12 +247,12 @@ def test_join_view_refuses_outer_and_collisions(spark, warehouse):
     catalog, writer = _mk_sources(
         spark, warehouse, orders=[(1, 0, 1.0)], customers=[(100, 0, "s")],
     )
-    with pytest.raises(NotImplementedError, match="inner"):
+    with pytest.raises(NotImplementedError, match="symmetric"):
         IncrementalJoinView(
             catalog, "ds", "v",
             catalog.load_table("ds", "orders"),
             catalog.load_table("ds", "cust"),
-            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="left",
+            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="full",
         )
     # column collision outside join keys
     writer.write(
@@ -360,3 +360,200 @@ def test_rollup_composes_over_join_view(spark, warehouse):
     got = {r.seg: (r.total, r.n) for r in ru.read().collect()}
     assert got == _direct_agg()
     assert "s2" not in got
+
+
+# -- left outer joins ------------------------------------------------------
+
+
+def _left_view(catalog):
+    return IncrementalJoinView(
+        catalog, "ds", "order_cust_l",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="left",
+    )
+
+
+def _direct_left(catalog):
+    o = catalog.load_table("ds", "orders").read()
+    c = catalog.load_table("ds", "cust").read()
+    return {
+        (r.o_id, r.c_id): (r.amt, r.seg)
+        for r in o.join(c, on="cust", how="left").collect()
+    }
+
+
+def _rolled_left(mv):
+    return {(r.o_id, r.c_id): (r.amt, r.seg) for r in mv.read().collect()}
+
+
+def test_left_join_view_null_extension_flips_both_ways(spark, warehouse):
+    """A left row with no match shows null-extended; when its key's FIRST
+    B-row arrives it flips to matched; when the key's LAST B-row leaves
+    it flips back — the match-count zero-crossing machinery."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 9, 2.0)],   # cust=9 has no customer row
+        customers=[(50, 5, "a")],
+    )
+    mv = _left_view(catalog)
+    assert mv.refresh()["pairs_touched"] == -1
+    got = _rolled_left(mv)
+    assert got == _direct_left(catalog)
+    assert got[(2, None)] == (2.0, None)  # null-extended
+
+    # first B-row for cust=9 arrives -> flips to matched
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame([(90, 9, "z")], "c_id long, cust long, seg string"),
+        load_id="c1",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    got = _rolled_left(mv)
+    assert got == _direct_left(catalog)
+    assert (2, 90) in got and (2, None) not in got
+
+    # the key's last B-row leaves -> flips back to null-extended
+    writer.write(
+        TableSpec(
+            name="cust",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["c_id"],
+            hard_delete_column="_del",
+        ),
+        spark.createDataFrame(
+            [(90, 9, "z", True)], "c_id long, cust long, seg string, _del boolean"
+        ),
+        load_id="c2",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    got = _rolled_left(mv)
+    assert got == _direct_left(catalog)
+    assert got[(2, None)] == (2.0, None)
+
+
+def test_left_join_view_delta_left_rows_route_by_match(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0)],
+        customers=[(50, 5, "a")],
+    )
+    mv = _left_view(catalog)
+    mv.refresh()
+    # new left rows: one matched key, one unmatched key
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame(
+            [(2, 5, 2.0), (3, 77, 3.0)], "o_id long, cust long, amt double"
+        ),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    got = _rolled_left(mv)
+    assert got == _direct_left(catalog)
+    assert (2, 50) in got and got[(3, None)] == (3.0, None)
+    # deleting the unmatched left row removes it from the view entirely
+    catalog.load_table("ds", "orders").position_delete_where([("o_id", "=", 3)])
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    got = _rolled_left(mv)
+    assert got == _direct_left(catalog)
+    assert (3, None) not in got
+
+
+def test_left_join_view_random_history_matches_full_left_join(spark, warehouse):
+    import random
+
+    rng = random.Random(13)
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, rng.randrange(7), float(rng.randint(1, 50))) for i in range(10)],
+        customers=[(100 + g, g, f"s{g}") for g in range(4)],  # keys 4-6 unmatched
+    )
+    mv = _left_view(catalog)
+    mv.refresh()
+    assert _rolled_left(mv) == _direct_left(catalog)
+    next_o, next_c = 100, 300
+    for step in range(6):
+        op = ["o_append", "c_append", "o_update", "c_delete", "o_delete",
+              "c_update"][step]
+        if op == "o_append":
+            writer.write(
+                TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+                spark.createDataFrame(
+                    [(next_o + j, rng.randrange(8), float(j)) for j in range(3)],
+                    "o_id long, cust long, amt double",
+                ),
+                load_id=f"s{step}",
+            )
+            next_o += 3
+        elif op == "c_append":
+            writer.write(
+                TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+                spark.createDataFrame(
+                    [(next_c, rng.randrange(8), f"n{step}")],
+                    "c_id long, cust long, seg string",
+                ),
+                load_id=f"s{step}",
+            )
+            next_c += 1
+        elif op == "o_update":
+            catalog.load_table("ds", "orders").update_where(
+                [("cust", "=", rng.randrange(7))], {"amt": 555.0}
+            )
+        elif op == "c_delete":
+            live = catalog.load_table("ds", "cust").read().collect()
+            victim = rng.choice(live)
+            writer.write(
+                TableSpec(
+                    name="cust",
+                    write_disposition={"disposition": "merge", "strategy": "upsert"},
+                    primary_key=["c_id"],
+                    hard_delete_column="_del",
+                ),
+                spark.createDataFrame(
+                    [(victim.c_id, victim.cust, victim.seg, True)],
+                    "c_id long, cust long, seg string, _del boolean",
+                ),
+                load_id=f"s{step}",
+            )
+        elif op == "o_delete":
+            live = [r.o_id for r in catalog.load_table("ds", "orders").read().collect()]
+            catalog.load_table("ds", "orders").position_delete_where(
+                [("o_id", "=", rng.choice(live))]
+            )
+        else:
+            catalog.load_table("ds", "cust").update_where(
+                [("cust", "=", rng.randrange(7))], {"seg": f"u{step}"}
+            )
+        mv.left = catalog.load_table("ds", "orders")
+        mv.right = catalog.load_table("ds", "cust")
+        mv.refresh()
+        assert _rolled_left(mv) == _direct_left(catalog), f"step {step} ({op})"
+
+
+def test_left_join_view_halves_publish_atomically(spark, warehouse):
+    """Without a caller transaction, a left refresh opens its own — the
+    matched and unmatched tables advance in one cut (both carry the same
+    mjoin marker after every refresh)."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 9, 2.0)],
+        customers=[(50, 5, "a")],
+    )
+    mv = _left_view(catalog)
+    mv.refresh()
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame([(90, 9, "z")], "c_id long, cust long, seg string"),
+        load_id="c1",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    m_lid = catalog.load_table("ds", "order_cust_l").snapshot().summary["load_id"]
+    u_lid = catalog.load_table("ds", "order_cust_l__unmatched").snapshot().summary["load_id"]
+    assert m_lid == u_lid  # same cut
+    assert mv.refresh()["pairs_touched"] == 0  # replay no-op
