@@ -4714,6 +4714,105 @@ _LAKE_MATVIEW_CACHE: dict = {}
 
 
 @query(
+    "lake_matview_left",
+    f"""
+    WITH l0 AS (
+      SELECT o_orderkey, o_custkey AS cust, o_totalprice FROM orders
+    ), r0 AS (
+      SELECT c_custkey AS cust, c_mktsegment, c_acctbal FROM customer
+    ), r1 AS (
+      SELECT * FROM r0 WHERE cust % 7 <> 0
+    ), r2 AS (
+      SELECT cust, c_mktsegment,
+             CASE WHEN c_mktsegment = 'MACHINERY' THEN CAST(-1.0 AS DOUBLE)
+                  ELSE c_acctbal END AS c_acctbal
+      FROM r1
+    )
+    SELECT l0.o_orderkey, l0.cust, {_sql_rnd('l0.o_totalprice')} AS total_price,
+           r2.c_mktsegment, {_sql_rnd('r2.c_acctbal')} AS acctbal
+    FROM l0 LEFT JOIN r2 ON l0.cust = r2.cust
+    """,
+    doc=(
+        "LEFT-join view maintenance (lake/matview.py how='left'): orders "
+        "LEFT JOIN customer materialized as matched + __unmatched halves; "
+        "a customer hard-delete sweep (cust %% 7 = 0) flips every "
+        "affected order from matched to null-extended via the per-key "
+        "match-count zero-crossing machinery, then a balance update "
+        "touches the surviving matches — both refreshes fold changelogs, "
+        "never re-join.  The oracle recomputes the LEFT JOIN of the final "
+        "states; a hash match proves null-extension, retraction, and "
+        "payload maintenance agree with recomputation (NULL segment/"
+        "balance columns participate in the value hash)."
+    ),
+)
+def lake_matview_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    mv = _LAKE_MATVIEW_L_CACHE.get(key)
+    if mv is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_matview_l_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(name="ord", write_disposition="append", primary_key=["o_orderkey"]),
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.col("o_custkey").alias("cust"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            ),
+        )
+        writer.write(
+            TableSpec(name="cust", write_disposition="append", primary_key=["cust"]),
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("cust"),
+                "c_mktsegment",
+                F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            ),
+        )
+        mv = IncrementalJoinView(
+            catalog, "gate", "order_cust_left",
+            catalog.load_table("gate", "ord"),
+            catalog.load_table("gate", "cust"),
+            on=["cust"], left_pk=["o_orderkey"], right_pk=["cust"],
+            how="left",
+        )
+        assert mv.refresh()["pairs_touched"] == -1
+        # hard-delete sweep: every affected order flips to null-extended
+        rt = catalog.load_table("gate", "cust")
+        writer.write(
+            TableSpec(
+                name="cust",
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=["cust"],
+                hard_delete_column="__del",
+            ),
+            rt.read().filter(F.col("cust") % 7 == 0).withColumn("__del", F.lit(True)),
+        )
+        mv.right = catalog.load_table("gate", "cust")
+        assert mv.refresh()["pairs_touched"] > 0
+        # balance update on the surviving matches
+        rt = catalog.load_table("gate", "cust")
+        rt.update_where([("c_mktsegment", "=", "MACHINERY")], {"c_acctbal": -1.0})
+        mv.right = catalog.load_table("gate", "cust")
+        mv.refresh()
+        assert mv.refresh()["pairs_touched"] == 0  # replay no-op
+        _LAKE_MATVIEW_L_CACHE[key] = mv
+    return mv.read().select(
+        "o_orderkey", "cust",
+        rnd(F.col("o_totalprice")).alias("total_price"),
+        "c_mktsegment", rnd(F.col("c_acctbal")).alias("acctbal"),
+    )
+
+
+_LAKE_MATVIEW_L_CACHE: dict = {}
+
+
+@query(
     "lake_multi_table_txn",
     f"""
     SELECT o_orderstatus,
