@@ -109,6 +109,9 @@ SF1_QUERIES = [
     # is the visible quantity — see streaming_rows_per_sec in the artifact
     "stream_lake_tail", "stream_lake_changes", "stream_lake_sink",
     "lake_multi_table_txn",
+    # r7: the delta-join IVM over ~1.5M orders x 150k customers — build
+    # is the one-off full join; the timed warm read is the maintained view
+    "lake_matview_join",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec

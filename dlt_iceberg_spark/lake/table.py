@@ -247,6 +247,37 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     return True
 
 
+def _file_fully_matches(f: "DataFile", col: str, op: str, val: Any) -> bool:
+    """Does EVERY row of ``f`` satisfy the predicate, judging by the
+    manifest's [min, max]?  The dual of :func:`_file_may_match`, used by
+    COUNT pushdown: a fully-matching file contributes ``f.rows`` without
+    being opened.  Missing/incomparable stats ⇒ must assume no (scan)."""
+    st = f.stats.get(col)
+    if st is None:
+        return False
+    mn, mx = st
+    if mn is None or mx is None:
+        return False
+    try:
+        if op in ("=", "=="):
+            return mn == mx == val
+        if op == "in":
+            return mn == mx and mn in val
+        if op == "!=":
+            return mx < val or mn > val
+        if op == ">":
+            return mn > val
+        if op == ">=":
+            return mn >= val
+        if op == "<":
+            return mx < val
+        if op == "<=":
+            return mx <= val
+    except TypeError:
+        return False
+    return False
+
+
 def _norm_path(c: Column) -> Column:
     """Canonicalize local file URIs for position-delete address joins:
     ``file:/p``, ``file://p`` and ``file:///p`` all mean absolute path
@@ -1610,6 +1641,55 @@ class LakeTable:
         for c, op, v in where or []:
             df = df.filter(_OPS[op](F.col(c), v))
         return df
+
+    def count(
+        self,
+        where: list[tuple[str, str, Any]] | None = None,
+        snapshot_version: int | None = None,
+    ) -> int:
+        """Exact ``COUNT(*)`` with Iceberg-style aggregate pushdown.
+
+        Without predicates and without MoR delete files, the answer is the
+        snapshot's row total — O(1), zero data reads (at 100 TB, the
+        difference between a metadata lookup and a 300k-task scan).  With
+        predicates, files whose [min, max] prove EVERY row matches
+        contribute their manifest row counts unopened; only the straddling
+        files are scanned, with the residual filter applied.  Timestamp
+        predicates never take the metadata shortcut (their stats live in a
+        UTC-naive frame that plain comparison cannot enter safely — same
+        rule as pruning, conservative direction flipped).  Tables carrying
+        delete files fall back to the exact masked-scan count — per-file
+        row counts ignore MoR masks, and guessing would be wrong."""
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        if snap.delete_files:
+            return self.read(snapshot_version=snapshot_version, where=where).count()
+        if not where:
+            return snap.total_rows
+        where_n, files = self._select_files(snap, list(where))
+        ts_cols = {
+            f.name
+            for f in snap.schema.fields
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        }
+        full: list[DataFile] = []
+        partial: list[DataFile] = []
+        for f in files:
+            if all(
+                c not in ts_cols and _file_fully_matches(f, c, op, v)
+                for c, op, v in (where_n or [])
+            ):
+                full.append(f)
+            else:
+                partial.append(f)
+        n = sum(f.rows for f in full)
+        if partial:
+            df = self._plan_scan(snap, partial)
+            for c, op, v in where_n or []:
+                df = df.filter(_OPS[op](F.col(c), v))
+            n += df.count()
+        return n
 
     def _partition_probe_values(
         self, snap: Snapshot, where: list[tuple[str, str, Any]]

@@ -142,3 +142,75 @@ def test_registry_wide_no_cartesian(spark):
         except AssertionError:
             failures.append(name)
     assert not failures, f"cartesian joins in: {failures}"
+
+
+# -- COUNT(*) aggregate pushdown (LakeTable.count) --------------------------
+
+
+def test_lake_count_pushdown_metadata_only_and_partial(spark, tmp_path, monkeypatch):
+    """count() answers from manifest metadata where stats prove it: no
+    predicate = O(1) snapshot total; a range covering some files entirely
+    reads ONLY the straddling files."""
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    # 4 files with disjoint id ranges: [0,9], [10,19], [20,29], [30,39]
+    for i in range(4):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            load_id=f"l{i}",
+        )
+    t = catalog.load_table("ds", "t")
+
+    # no predicate, no deletes: zero scans (a scan would raise)
+    def boom(self, *a, **kw):
+        raise AssertionError("metadata count must not scan data")
+
+    monkeypatch.setattr(table_mod.LakeTable, "_plan_scan", boom)
+    assert t.count() == 40
+    # id >= 10: files 2-4 fully match -> still metadata-only
+    assert t.count(where=[("id", ">=", 10)]) == 30
+    monkeypatch.undo()
+
+    # id >= 15: file [10,19] straddles -> exactly that file scanned
+    scanned = []
+    real = table_mod.LakeTable._plan_scan
+
+    def spying(self, snap, files, *a, **kw):
+        scanned.append([f.path for f in files])
+        return real(self, snap, files, *a, **kw)
+
+    monkeypatch.setattr(table_mod.LakeTable, "_plan_scan", spying)
+    assert t.count(where=[("id", ">=", 15)]) == 25
+    monkeypatch.undo()
+    assert len(scanned) == 1 and len(scanned[0]) == 1
+
+    # equality on a multi-valued file: scan path, exact
+    assert t.count(where=[("id", "=", 7)]) == 1
+    # matches direct computation on a conjunction
+    assert t.count(where=[("id", ">=", 5), ("id", "<", 35)]) == t.read().filter(
+        "id >= 5 AND id < 35"
+    ).count()
+
+
+def test_lake_count_with_deletes_is_exact(spark, tmp_path):
+    """MoR delete files force the masked-scan path — per-file rows lie."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="t", write_disposition="append", primary_key=["id"]),
+        spark.range(0, 20).coalesce(1),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    t.position_delete_where([("id", "<", 5)])
+    t = catalog.load_table("ds", "t")
+    assert t.count() == 15
+    assert t.count(where=[("id", "<", 10)]) == 5
