@@ -4813,6 +4813,86 @@ _LAKE_MATVIEW_L_CACHE: dict = {}
 
 
 @query(
+    "lake_count_pushdown",
+    """
+    SELECT 'all' AS probe, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+    UNION ALL
+    SELECT 'qty_ge_25', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity >= 25
+    UNION ALL
+    SELECT 'qty_lt_10', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity < 10
+    UNION ALL
+    SELECT 'band', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity >= 5 AND l_quantity <= 45
+    UNION ALL
+    SELECT 'flag_r', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    doc=(
+        "COUNT(*) aggregate pushdown (LakeTable.count — Iceberg's "
+        "count-from-manifests): lineitem lands range-clustered on "
+        "l_quantity so file [min,max] stats are tight, then five counts "
+        "run through the pushdown — the bare count answers O(1) from the "
+        "snapshot total (an in-process assertion pins ZERO data scans "
+        "for it), range probes take manifest rows for fully-contained "
+        "files plus a residual scan of straddlers only, and the equality "
+        "probe exercises the scan path.  The oracle recomputes every "
+        "count with plain SQL; a hash match proves metadata counting "
+        "equals scanning."
+    ),
+)
+def lake_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    rows = _LAKE_COUNT_CACHE.get(key)
+    if rows is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_count_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(
+                name="li",
+                write_disposition="append",
+                sort_order=["l_quantity"],  # tight per-file quantity stats
+                sort_buckets=8,
+            ),
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_returnflag"
+            ),
+        )
+        t = catalog.load_table("gate", "li")
+        # the bare count must be metadata-only: any data scan raises
+        real = table_mod.LakeTable._plan_scan
+
+        def boom(self, *a, **kw):
+            raise AssertionError("bare count() must not scan data")
+
+        table_mod.LakeTable._plan_scan = boom
+        try:
+            n_all = t.count()
+        finally:
+            table_mod.LakeTable._plan_scan = real
+        rows = [
+            ("all", n_all),
+            ("qty_ge_25", t.count(where=[("l_quantity", ">=", 25)])),
+            ("qty_lt_10", t.count(where=[("l_quantity", "<", 10)])),
+            ("band", t.count(where=[("l_quantity", ">=", 5), ("l_quantity", "<=", 45)])),
+            ("flag_r", t.count(where=[("l_returnflag", "=", "R")])),
+        ]
+        _LAKE_COUNT_CACHE[key] = rows
+    return spark.createDataFrame(rows, "probe string, n long")
+
+
+_LAKE_COUNT_CACHE: dict = {}
+
+
+@query(
     "lake_multi_table_txn",
     f"""
     SELECT o_orderstatus,
