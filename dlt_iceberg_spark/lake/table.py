@@ -1691,6 +1691,40 @@ class LakeTable:
             n += df.count()
         return n
 
+    def agg_minmax(
+        self, column: str, snapshot_version: int | None = None
+    ) -> tuple[Any, Any]:
+        """Exact ``(MIN(col), MAX(col))`` from manifest stats — O(files)
+        metadata, zero data reads — when every live file carries bounds
+        for the column and no MoR delete files exist (a mask could remove
+        the extremum).  Otherwise falls back to the exact scan.  Timestamp
+        columns always scan (their stats frame is UTC-naive; returning it
+        as a value would leak the frame)."""
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        fld = next((f for f in snap.schema.fields if f.name == column), None)
+        if fld is None:
+            raise ValueError(f"no such column {column!r}")
+        ts = isinstance(fld.dataType, (T.TimestampType, T.TimestampNTZType))
+        stats_ok = not ts and all(
+            f.stats.get(column) is not None
+            and f.stats[column][0] is not None
+            and f.stats[column][1] is not None
+            for f in snap.files
+        )
+        if snap.files and stats_ok and not snap.delete_files:
+            return (
+                min(f.stats[column][0] for f in snap.files),
+                max(f.stats[column][1] for f in snap.files),
+            )
+        row = (
+            self.read(snapshot_version=snapshot_version)
+            .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))
+            .first()
+        )
+        return (row["mn"], row["mx"])
+
     def _partition_probe_values(
         self, snap: Snapshot, where: list[tuple[str, str, Any]]
     ) -> dict[str, set]:

@@ -214,3 +214,32 @@ def test_lake_count_with_deletes_is_exact(spark, tmp_path):
     t = catalog.load_table("ds", "t")
     assert t.count() == 15
     assert t.count(where=[("id", "<", 10)]) == 5
+
+
+def test_lake_agg_minmax_metadata_only_and_fallbacks(spark, tmp_path, monkeypatch):
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append", primary_key=["id"]),
+            spark.range(i * 10, (i + 1) * 10).coalesce(1),
+            load_id=f"l{i}",
+        )
+    t = catalog.load_table("ds", "t")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("metadata minmax must not scan data")
+
+    monkeypatch.setattr(table_mod.LakeTable, "_plan_scan", boom)
+    assert t.agg_minmax("id") == (0, 29)
+    monkeypatch.undo()
+    # MoR deletes can remove the extremum -> exact scan fallback
+    t.position_delete_where([("id", ">=", 25)])
+    t = catalog.load_table("ds", "t")
+    assert t.agg_minmax("id") == (0, 24)
+    with pytest.raises(ValueError, match="no such column"):
+        t.agg_minmax("nope")
