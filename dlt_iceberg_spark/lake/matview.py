@@ -39,14 +39,15 @@ Scale shape, per refresh:
   view snapshot's ``load_id`` (``mjoin-a<v>-b<v>``) — data and cursor
   commit atomically, same contract as the rollup.
 
-Limits (explicit, not silent): inner and LEFT equi-joins — a left join
-maintains the null-extended half in a companion ``<name>__unmatched``
-table, flipping rows on per-key match-count zero crossings computed from
-ΔB alone (old = new − Δ over ΔB's keys, never a full-side count), with
-the two halves published atomically.  Right joins = swap the sides; full
-outer needs the symmetric machinery on both sides (refused with this
-explanation).  Join keys must be non-null; both sources need primary
-keys so view rows are uniquely addressable.
+The full join matrix is maintained: inner / left / right / full
+equi-joins.  Outer variants keep the null-extended halves in companion
+tables (``<name>__unmatched`` keyed by left_pk, ``__unmatched_right``
+keyed by right_pk), flipping rows on per-key match-count zero crossings
+computed from the OTHER side's delta alone (old = new − Δ over that
+delta's keys, never a full-side count); all halves publish atomically.
+Join keys must be non-null (outer-join null keys never match and would
+need dedicated null-group handling); both sources need primary keys so
+view rows are uniquely addressable.
 """
 
 from __future__ import annotations
@@ -72,19 +73,22 @@ JOIN_KEY_PUSHDOWN_MAX = 10_000
 
 
 class IncrementalJoinView:
-    """``left [INNER|LEFT] JOIN right ON on`` as a CDC-maintained LakeTable.
+    """``left {INNER|LEFT|RIGHT|FULL} JOIN right ON on`` as CDC-maintained
+    LakeTables.
 
     Output columns: every column of both sides, join keys once (name
     collisions outside the join keys are an error — project/rename
     upstream).  The view's primary key is ``left_pk + right_pk``.
 
-    ``how="left"`` additionally maintains ``<name>__unmatched`` — the
-    left rows whose key currently has zero matches — keyed by ``left_pk``
-    (NULL right keys cannot merge-join, so the null-extended half lives
-    in its own table and :meth:`read` unions it back with typed NULL
-    right columns).  Rows flip between the halves on per-key match-count
-    ZERO CROSSINGS, detected from ΔB alone: old_count = new_count − Δ,
-    both computed over ΔB's keys only — never a full-side count.  The two
+    Outer joins additionally maintain the null-extended halves in
+    companion tables — ``<name>__unmatched`` (left rows with zero
+    matches, keyed ``left_pk``; how="left"/"full") and
+    ``<name>__unmatched_right`` (the mirror, keyed ``right_pk``;
+    how="right"/"full") — because NULL join keys cannot merge-join;
+    :meth:`read` unions the halves back with typed NULL columns.  Rows
+    flip between halves on per-key match-count ZERO CROSSINGS, detected
+    from the OTHER side's delta alone: old_count = new_count − Δ, both
+    computed over that delta's keys only — never a full-side count.  All
     halves always publish atomically (the refresh opens its own
     transaction when the caller didn't supply one).
     """
@@ -101,14 +105,12 @@ class IncrementalJoinView:
         right_pk: list[str],
         how: str = "inner",
     ):
-        if how not in ("inner", "left"):
+        if how not in ("inner", "left", "right", "full"):
             raise NotImplementedError(
-                f"how={how!r}: inner and left equi-joins are "
-                "incrementally maintainable here (left keeps a companion "
-                "<name>__unmatched table driven by per-key match-count "
-                "transitions); right/full need the symmetric machinery — "
-                "materialize those with a plain query, or swap the sides "
-                "for a right join"
+                f"how={how!r}: supported joins are inner / left / right / "
+                "full equi-joins (outer variants keep companion "
+                "__unmatched tables driven by per-key match-count "
+                "transitions); semi/anti shapes are plain queries"
             )
         if not on:
             raise ValueError("join needs at least one key column")
@@ -126,10 +128,13 @@ class IncrementalJoinView:
         self.left_pk = list(left_pk)
         self.right_pk = list(right_pk)
         self.how = how
-        #: left joins keep the null-extended half in a companion table
-        #: keyed by left_pk alone (NULL right keys cannot merge-join);
-        #: read() unions the two halves
+        #: outer joins keep the null-extended halves in companion tables
+        #: keyed by one side's pk alone (NULL join keys cannot
+        #: merge-join); read() unions the halves back
         self.unmatched_name = f"{name}__unmatched"
+        self.unmatched_right_name = f"{name}__unmatched_right"
+        self._keep_left = how in ("left", "full")
+        self._keep_right = how in ("right", "full")
         self._writer = LakeWriter(catalog, namespace)
 
     # -- internals -----------------------------------------------------
@@ -209,10 +214,10 @@ class IncrementalJoinView:
         branch, READING both sources' staged states — source mutations
         and the join fold publish as ONE atomic cut.
 
-        A LEFT join refresh writes two tables (matched + unmatched
-        halves); without a caller-supplied transaction it opens its own,
-        so the halves can never publish torn."""
-        if self.how == "left" and transaction is None:
+        An OUTER join refresh writes multiple tables (matched +
+        unmatched halves); without a caller-supplied transaction it opens
+        its own, so the halves can never publish torn."""
+        if self.how != "inner" and transaction is None:
             txn = self.catalog.transaction(self.namespace)
             try:
                 r = self._refresh(txn)
@@ -265,7 +270,7 @@ class IncrementalJoinView:
                 full,
                 self._marker(av, bv),
             )
-            if self.how == "left":
+            if self._keep_left:
                 unmatched = left.read(snapshot_version=av).join(
                     right.read(snapshot_version=bv).select(*self.on).distinct(),
                     on=self.on,
@@ -278,6 +283,21 @@ class IncrementalJoinView:
                         primary_key=list(self.left_pk),
                     ),
                     unmatched,
+                    self._marker(av, bv),
+                )
+            if self._keep_right:
+                unmatched_r = right.read(snapshot_version=bv).join(
+                    left.read(snapshot_version=av).select(*self.on).distinct(),
+                    on=self.on,
+                    how="left_anti",
+                )
+                _write(
+                    TableSpec(
+                        name=self.unmatched_right_name,
+                        write_disposition="append",
+                        primary_key=list(self.right_pk),
+                    ),
+                    unmatched_r,
                     self._marker(av, bv),
                 )
             return {"left_version": av, "right_version": bv, "pairs_touched": -1}
@@ -295,8 +315,39 @@ class IncrementalJoinView:
         out_cols = self._out_columns(lcols, rcols)
 
         terms = []
-        u_terms = []
+        u_terms = []   # null-extended LEFT half deltas
+        ur_terms = []  # null-extended RIGHT half deltas
         persisted = []
+
+        def _transition_keys(d_other: DataFrame, other, other_new_v: int):
+            """Keys whose OTHER-side row count crossed zero this window,
+            with the flip direction: +1 = key died (kept side's rows
+            ENTER its unmatched half), −1 = key came alive (they LEAVE).
+            old = new − Δ, both over the delta's keys only."""
+            d_counts = d_other.groupBy(*self.on).agg(
+                F.sum("__sign").alias("__d")
+            )
+            new_counts = (
+                self._pruned_side(
+                    other, other_new_v, d_other.select(*self.on).distinct()
+                )
+                .groupBy(*self.on)
+                .agg(F.count(F.lit(1)).alias("__new"))
+            )
+            return (
+                d_counts.join(new_counts, on=self.on, how="left")
+                .withColumn("__new", F.coalesce(F.col("__new"), F.lit(0)))
+                .withColumn("__old", F.col("__new") - F.col("__d"))
+                .filter((F.col("__old") > 0) != (F.col("__new") > 0))
+                .withColumn(
+                    "__usign",
+                    F.when(F.col("__new") == 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    ),
+                )
+                .select(*self.on, "__usign")
+            )
+
         try:
             if av > a_cur:
                 dA = self._signed(left.read_changes(a_cur, av)).persist()
@@ -312,7 +363,7 @@ class IncrementalJoinView:
                         *out_cols, "__sign"
                     )
                 )
-                if self.how == "left":
+                if self._keep_left:
                     # ΔA rows whose key has NO match in B2 flow through
                     # the null-extended half with ΔA's own signs (b2 is
                     # pruned to ΔA's keys, so the anti-join is exact)
@@ -322,6 +373,18 @@ class IncrementalJoinView:
                             on=self.on,
                             how="left_anti",
                         ).select(*lcols, "__sign")
+                    )
+                if self._keep_right:
+                    # mirror transitions: ΔA may flip B1 rows in or out
+                    # of the right unmatched half
+                    trans = _transition_keys(dA, left, av)
+                    b1t = self._pruned_side(
+                        right, b_cur, trans.select(*self.on)
+                    )
+                    ur_terms.append(
+                        b1t.join(trans, on=self.on, how="inner").select(
+                            *rcols, F.col("__usign").alias("__sign")
+                        )
                     )
             if bv > b_cur:
                 dB = self._signed(right.read_changes(b_cur, bv)).persist()
@@ -336,40 +399,11 @@ class IncrementalJoinView:
                         *out_cols, "__sign"
                     )
                 )
-                if self.how == "left":
+                if self._keep_left:
                     # per-key match-count TRANSITIONS: a key whose B-row
                     # count crossed zero flips its A1 rows between the
-                    # halves.  old = new − Δ, both computed over ΔB's
-                    # keys only (metadata-small)
-                    d_counts = dB.groupBy(*self.on).agg(
-                        F.sum("__sign").alias("__d")
-                    )
-                    new_counts = (
-                        self._pruned_side(
-                            right, bv, dB.select(*self.on).distinct()
-                        )
-                        .groupBy(*self.on)
-                        .agg(F.count(F.lit(1)).alias("__new"))
-                    )
-                    trans = (
-                        d_counts.join(new_counts, on=self.on, how="left")
-                        .withColumn(
-                            "__new", F.coalesce(F.col("__new"), F.lit(0))
-                        )
-                        .withColumn("__old", F.col("__new") - F.col("__d"))
-                        .filter(
-                            (F.col("__old") > 0) != (F.col("__new") > 0)
-                        )
-                        # key died (>0 → 0): its A1 rows ENTER unmatched;
-                        # key came alive (0 → >0): they LEAVE
-                        .withColumn(
-                            "__usign",
-                            F.when(F.col("__new") == 0, F.lit(1)).otherwise(
-                                F.lit(-1)
-                            ),
-                        )
-                        .select(*self.on, "__usign")
-                    )
+                    # halves (old = new − Δ over ΔB's keys only)
+                    trans = _transition_keys(dB, right, bv)
                     a1t = self._pruned_side(
                         left, a_cur, trans.select(*self.on)
                     )
@@ -377,6 +411,18 @@ class IncrementalJoinView:
                         a1t.join(trans, on=self.on, how="inner").select(
                             *lcols, F.col("__usign").alias("__sign")
                         )
+                    )
+                if self._keep_right:
+                    # ΔB rows route by matching against the NEW left side
+                    a2 = self._pruned_side(
+                        left, av, dB.select(*self.on).distinct()
+                    )
+                    ur_terms.append(
+                        dB.join(
+                            a2.select(*self.on).distinct(),
+                            on=self.on,
+                            how="left_anti",
+                        ).select(*rcols, "__sign")
                     )
             delta = terms[0]
             for t in terms[1:]:
@@ -422,18 +468,18 @@ class IncrementalJoinView:
                 out,
                 self._marker(av, bv),
             )
-            if self.how == "left" and u_terms:
-                u_delta = u_terms[0]
-                for t in u_terms[1:]:
+            def _apply_unmatched(terms_u, cols, upk, tname) -> int:
+                u_delta = terms_u[0]
+                for t in terms_u[1:]:
                     u_delta = u_delta.unionByName(t)
                 u_net = (
-                    u_delta.groupBy(*lcols)
+                    u_delta.groupBy(*cols)
                     .agg(F.sum("__sign").alias("__n"))
                     .filter(F.col("__n") != 0)
                 )
-                u_payload = [c for c in lcols if c not in self.left_pk]
+                u_payload = [c for c in cols if c not in upk]
                 u_merged = (
-                    u_net.groupBy(*self.left_pk)
+                    u_net.groupBy(*upk)
                     .agg(
                         F.max_by(
                             F.struct(
@@ -442,25 +488,35 @@ class IncrementalJoinView:
                             F.col("__n"),
                         ).alias("__img")
                     )
-                    .select(*self.left_pk, "__img.*")
+                    .select(*upk, "__img.*")
                 ).persist()
                 persisted.append(u_merged)
-                n += u_merged.count()
+                u_n = u_merged.count()
                 u_out = u_merged.withColumn(
                     _DELETE_COL, F.when(F.col("__n") < 0, F.lit(True))
                 ).drop("__n")
                 _write(
                     TableSpec(
-                        name=self.unmatched_name,
+                        name=tname,
                         write_disposition={
                             "disposition": "merge",
                             "strategy": "upsert",
                         },
-                        primary_key=list(self.left_pk),
+                        primary_key=list(upk),
                         hard_delete_column=_DELETE_COL,
                     ),
                     u_out,
                     self._marker(av, bv),
+                )
+                return u_n
+
+            if u_terms:
+                n += _apply_unmatched(
+                    u_terms, lcols, self.left_pk, self.unmatched_name
+                )
+            if ur_terms:
+                n += _apply_unmatched(
+                    ur_terms, rcols, self.right_pk, self.unmatched_right_name
                 )
         finally:
             for df in persisted:
@@ -485,7 +541,7 @@ class IncrementalJoinView:
             full,
             load_id=self._marker(av, bv),
         )
-        if self.how == "left":
+        if self._keep_left:
             unmatched = self.left.read(snapshot_version=av).join(
                 self.right.read(snapshot_version=bv)
                 .select(*self.on)
@@ -498,21 +554,44 @@ class IncrementalJoinView:
                 unmatched,
                 load_id=self._marker(av, bv),
             )
+        if self._keep_right:
+            unmatched_r = self.right.read(snapshot_version=bv).join(
+                self.left.read(snapshot_version=av)
+                .select(*self.on)
+                .distinct(),
+                on=self.on,
+                how="left_anti",
+            )
+            self._writer.write(
+                TableSpec(
+                    name=self.unmatched_right_name, write_disposition="replace"
+                ),
+                unmatched_r,
+                load_id=self._marker(av, bv),
+            )
         return {"left_version": av, "right_version": bv, "pairs_touched": -1}
 
     def read(self) -> DataFrame:
-        """Current view rows.  Left joins union the matched half with the
-        null-extended unmatched half (right columns typed NULL)."""
+        """Current view rows.  Outer joins union the matched half with
+        the null-extended unmatched half/halves (missing-side columns
+        typed NULL)."""
         tgt = self._table()
         if tgt is None:
             raise FileNotFoundError(
                 f"join view {self.namespace}.{self.name} not built"
             )
         m = tgt.read()
-        if self.how != "left":
-            return m
-        u = self.catalog.load_table(self.namespace, self.unmatched_name).read()
-        for f in m.schema.fields:
-            if f.name not in u.columns:
-                u = u.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return m.unionByName(u.select(*m.columns))
+
+        def _extend(tname: str) -> DataFrame:
+            u = self.catalog.load_table(self.namespace, tname).read()
+            for f in m.schema.fields:
+                if f.name not in u.columns:
+                    u = u.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return u.select(*m.columns)
+
+        out = m
+        if self._keep_left:
+            out = out.unionByName(_extend(self.unmatched_name))
+        if self._keep_right:
+            out = out.unionByName(_extend(self.unmatched_right_name))
+        return out

@@ -247,12 +247,12 @@ def test_join_view_refuses_outer_and_collisions(spark, warehouse):
     catalog, writer = _mk_sources(
         spark, warehouse, orders=[(1, 0, 1.0)], customers=[(100, 0, "s")],
     )
-    with pytest.raises(NotImplementedError, match="symmetric"):
+    with pytest.raises(NotImplementedError, match="inner / left / right / full"):
         IncrementalJoinView(
             catalog, "ds", "v",
             catalog.load_table("ds", "orders"),
             catalog.load_table("ds", "cust"),
-            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="full",
+            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="cross",
         )
     # column collision outside join keys
     writer.write(
@@ -557,3 +557,174 @@ def test_left_join_view_halves_publish_atomically(spark, warehouse):
     u_lid = catalog.load_table("ds", "order_cust_l__unmatched").snapshot().summary["load_id"]
     assert m_lid == u_lid  # same cut
     assert mv.refresh()["pairs_touched"] == 0  # replay no-op
+
+
+# -- right / full outer joins ----------------------------------------------
+
+
+def _full_view(catalog, how):
+    return IncrementalJoinView(
+        catalog, "ds", f"oc_{how}",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how=how,
+    )
+
+
+def _direct_how(catalog, how):
+    o = catalog.load_table("ds", "orders").read()
+    c = catalog.load_table("ds", "cust").read()
+    return {
+        (r.o_id, r.c_id): (r.amt, r.seg)
+        for r in o.join(c, on="cust", how=how).collect()
+    }
+
+
+def _rolled_how(mv):
+    return {(r.o_id, r.c_id): (r.amt, r.seg) for r in mv.read().collect()}
+
+
+def test_right_join_view_tracks_unmatched_customers(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0)],
+        customers=[(50, 5, "a"), (60, 6, "lonely")],  # cust 6 unmatched
+    )
+    mv = _full_view(catalog, "right")
+    mv.refresh()
+    got = _rolled_how(mv)
+    assert got == _direct_how(catalog, "right")
+    assert got[(None, 60)] == (None, "lonely")
+    # first order for cust 6 arrives -> customer flips to matched
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(2, 6, 9.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    got = _rolled_how(mv)
+    assert got == _direct_how(catalog, "right")
+    assert (2, 60) in got and (None, 60) not in got
+    # the order is deleted again -> customer flips back
+    catalog.load_table("ds", "orders").position_delete_where([("o_id", "=", 2)])
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    got = _rolled_how(mv)
+    assert got == _direct_how(catalog, "right")
+    assert got[(None, 60)] == (None, "lonely")
+
+
+def test_full_join_view_random_history_matches_full_outer(spark, warehouse):
+    import random
+
+    rng = random.Random(97)
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(i, rng.randrange(7), float(rng.randint(1, 50))) for i in range(8)],
+        customers=[(100 + g, g, f"s{g}") for g in range(2, 6)],  # partial overlap
+    )
+    mv = _full_view(catalog, "full")
+    mv.refresh()
+    assert _rolled_how(mv) == _direct_how(catalog, "full")
+    next_o, next_c = 100, 300
+    for step in range(6):
+        op = ["o_append", "c_delete", "c_append", "o_delete", "o_update",
+              "c_update"][step]
+        if op == "o_append":
+            writer.write(
+                TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+                spark.createDataFrame(
+                    [(next_o + j, rng.randrange(8), float(j)) for j in range(3)],
+                    "o_id long, cust long, amt double",
+                ),
+                load_id=f"s{step}",
+            )
+            next_o += 3
+        elif op == "c_append":
+            writer.write(
+                TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+                spark.createDataFrame(
+                    [(next_c, rng.randrange(8), f"n{step}")],
+                    "c_id long, cust long, seg string",
+                ),
+                load_id=f"s{step}",
+            )
+            next_c += 1
+        elif op == "c_delete":
+            live = catalog.load_table("ds", "cust").read().collect()
+            victim = rng.choice(live)
+            writer.write(
+                TableSpec(
+                    name="cust",
+                    write_disposition={"disposition": "merge", "strategy": "upsert"},
+                    primary_key=["c_id"],
+                    hard_delete_column="_del",
+                ),
+                spark.createDataFrame(
+                    [(victim.c_id, victim.cust, victim.seg, True)],
+                    "c_id long, cust long, seg string, _del boolean",
+                ),
+                load_id=f"s{step}",
+            )
+        elif op == "o_delete":
+            live = [r.o_id for r in catalog.load_table("ds", "orders").read().collect()]
+            catalog.load_table("ds", "orders").position_delete_where(
+                [("o_id", "=", rng.choice(live))]
+            )
+        elif op == "o_update":
+            catalog.load_table("ds", "orders").update_where(
+                [("cust", "=", rng.randrange(7))], {"amt": 888.0}
+            )
+        else:
+            catalog.load_table("ds", "cust").update_where(
+                [("cust", "=", rng.randrange(7))], {"seg": f"u{step}"}
+            )
+        mv.left = catalog.load_table("ds", "orders")
+        mv.right = catalog.load_table("ds", "cust")
+        mv.refresh()
+        assert _rolled_how(mv) == _direct_how(catalog, "full"), f"step {step} ({op})"
+
+
+def test_full_join_three_halves_one_cut(spark, warehouse):
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 9, 2.0)],
+        customers=[(50, 5, "a"), (60, 6, "b")],
+    )
+    mv = _full_view(catalog, "full")
+    mv.refresh()
+    # one refresh touching all three halves: new order (matched), customer
+    # delete (pairs -> left-unmatched), new lonely customer (right-unmatched)
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(3, 6, 3.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    writer.write(
+        TableSpec(
+            name="cust",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["c_id"],
+            hard_delete_column="_del",
+        ),
+        spark.createDataFrame(
+            [(50, 5, "a", True)], "c_id long, cust long, seg string, _del boolean"
+        ),
+        load_id="c1",
+    )
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame([(70, 7, "c")], "c_id long, cust long, seg string"),
+        load_id="c2",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    assert _rolled_how(mv) == _direct_how(catalog, "full")
+    lids = {
+        t: catalog.load_table("ds", t).snapshot().summary["load_id"]
+        for t in ("oc_full", "oc_full__unmatched", "oc_full__unmatched_right")
+    }
+    assert len(set(lids.values())) == 1  # all three halves share one cut
+    assert mv.refresh()["pairs_touched"] == 0
