@@ -4813,6 +4813,110 @@ _LAKE_MATVIEW_L_CACHE: dict = {}
 
 
 @query(
+    "lake_matview_full",
+    f"""
+    WITH l0 AS (
+      SELECT o_orderkey, o_custkey AS cust, o_totalprice FROM orders
+    ), l1 AS (
+      SELECT * FROM l0 WHERE cust % 5 <> 0
+    ), r0 AS (
+      SELECT c_custkey AS cust, c_acctbal FROM customer
+    ), r1 AS (
+      SELECT * FROM r0 WHERE cust % 7 <> 0
+    )
+    SELECT l1.o_orderkey, COALESCE(l1.cust, r1.cust) AS cust,
+           {_sql_rnd('l1.o_totalprice')} AS total_price,
+           r1.cust AS r_cust, {_sql_rnd('r1.c_acctbal')} AS acctbal
+    FROM l1 FULL OUTER JOIN r1 ON l1.cust = r1.cust
+    """,
+    doc=(
+        "FULL OUTER join view maintenance (lake/matview.py how='full'): "
+        "orders FULL JOIN customer as three maintained tables (matched + "
+        "both unmatched halves).  One refresh folds a cust %% 5 order "
+        "delete sweep (creating customers with no orders — right "
+        "unmatched) AND a cust %% 7 customer delete sweep (orders with "
+        "no customer — left unmatched), exercising zero-crossing flips "
+        "on BOTH sides in a single multi-snapshot window.  The oracle "
+        "recomputes the FULL OUTER JOIN of the final states; NULL-"
+        "extended columns on either side participate in the value hash."
+    ),
+)
+def lake_matview_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    mv = _LAKE_MATVIEW_F_CACHE.get(key)
+    if mv is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_matview_f_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(name="ord", write_disposition="append", primary_key=["o_orderkey"]),
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey",
+                F.col("o_custkey").alias("cust"),
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            ),
+        )
+        # right side keeps a SEPARATE pk column so unmatched-left rows can
+        # show a NULL right key in the output (r_cust)
+        writer.write(
+            TableSpec(name="cust", write_disposition="append", primary_key=["r_cust"]),
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("cust"),
+                F.col("c_custkey").alias("r_cust"),
+                F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            ),
+        )
+        mv = IncrementalJoinView(
+            catalog, "gate", "oc_full",
+            catalog.load_table("gate", "ord"),
+            catalog.load_table("gate", "cust"),
+            on=["cust"], left_pk=["o_orderkey"], right_pk=["r_cust"],
+            how="full",
+        )
+        assert mv.refresh()["pairs_touched"] == -1
+        # BOTH sides take delete sweeps before one refresh
+        lt = catalog.load_table("gate", "ord")
+        writer.write(
+            TableSpec(
+                name="ord",
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=["o_orderkey"],
+                hard_delete_column="__del",
+            ),
+            lt.read().filter(F.col("cust") % 5 == 0).withColumn("__del", F.lit(True)),
+        )
+        rt = catalog.load_table("gate", "cust")
+        writer.write(
+            TableSpec(
+                name="cust",
+                write_disposition={"disposition": "merge", "strategy": "upsert"},
+                primary_key=["r_cust"],
+                hard_delete_column="__del",
+            ),
+            rt.read().filter(F.col("cust") % 7 == 0).withColumn("__del", F.lit(True)),
+        )
+        mv.left = catalog.load_table("gate", "ord")
+        mv.right = catalog.load_table("gate", "cust")
+        assert mv.refresh()["pairs_touched"] > 0
+        assert mv.refresh()["pairs_touched"] == 0  # replay no-op
+        _LAKE_MATVIEW_F_CACHE[key] = mv
+    return mv.read().select(
+        "o_orderkey", "cust",
+        rnd(F.col("o_totalprice")).alias("total_price"),
+        "r_cust", rnd(F.col("c_acctbal")).alias("acctbal"),
+    )
+
+
+_LAKE_MATVIEW_F_CACHE: dict = {}
+
+
+@query(
     "lake_count_pushdown",
     """
     SELECT 'all' AS probe, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
