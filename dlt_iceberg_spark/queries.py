@@ -5797,52 +5797,58 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the registry (every round's artifact stops at exactly 50 entries), so
 # iteration order decides which queries get a driver-verified row.
 #
-# ROTATION POLICY (codified per VERDICT r6 task 1): with 115 registered
+# ROTATION POLICY (codified per VERDICT r6 task 1): with 120 registered
 # queries and a 50-slot gate window, the freshness horizon is
-# ceil(115 / 50) = 3 rounds — every query must have a driver row at most
+# ceil(120 / 50) = 3 rounds — every query must have a driver row at most
 # 3 rounds old.  Each round, order the window by staleness: queries with
 # NO driver row ever go first, then queries whose newest driver row is
 # oldest.  Ties (same newest round) break alphabetically so the rotation
 # stays mechanical and reviewable.
 #
-# Round-7 window:
-#   slots 1-20  — the 20 round-6 additions that have never had a driver
-#                 row (the r6 gate window froze before they landed; all 20
-#                 passed the builder's oracle replica in r6).
-#   slots 21-50 — 30 of the 45 queries whose newest driver row is
-#                 CORRECTNESS_r05 (all equally stale; alphabetical prefix).
-# Round-8 plan (write it down now so the rotation stays mechanical):
-#   the 15 alphabetically-last r05-only rows (they hit the 3-round limit
-#   at r8) followed by the 35 stalest r06 rows.  Every entry keeps its
-# spec; only dict iteration order changes.
+# Round-8 window (per VERDICT r7 task 1):
+#   slots 1-5   — the 5 round-7 additions that have never had a driver
+#                 row (gate froze before they landed; all 5 passed the
+#                 judge's oracle replica in r7).
+#   slots 6-20  — the 15 rows whose newest driver row is CORRECTNESS_r05
+#                 (they hit the 3-round limit this round).
+#   slots 21-50 — 30 of the 50 rows whose newest driver row is r06
+#                 (alphabetical prefix).
+# Round-9 plan (write it down now so the rotation stays mechanical):
+#   any never-verified r8 additions first, then the 20 alphabetically-last
+#   r06-only rows (q17_small_quantity_revenue .. window_running_total —
+#   they hit the 3-round limit at r9), then the stalest r07 rows.
 
 _GATE_PRIORITY = [
-    # -- never driver-verified (r6 additions) — front of the line --------
-    "events_gapfill", "text_bpe_pairs", "text_tfidf_terms",
-    "text_nb_language", "knn_label_vote", "dedup_boilerplate_lines",
-    "dedup_substring_removal", "corpus_overlap_kmv", "lake_promote_type",
-    "lake_spec_evolution", "lake_cdc_changelog", "lake_iceberg_roundtrip",
-    "lake_add_column_default", "lake_rollup_incremental",
-    "lake_multi_table_txn", "lake_expectations", "stream_lake_tail",
-    "stream_lake_changes", "stream_lake_mirror", "stream_lake_sink",
-    # -- newest driver row is r05 — alphabetical prefix of the 45 --------
-    "ann_ivf", "ann_pq", "chunk_documents", "contamination_check",
-    "corpus_prep", "dedup_incremental", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_token_jaccard",
-    "dedup_transitive_clusters", "doc_fingerprint", "dsir_select",
-    "embedding_label_stats", "embedding_near_dup",
-    "events_asof_last_signup", "events_heavy_hitters", "events_hourly",
-    "events_interval_join", "events_sessions", "multimodal_audio_windows",
-    "multimodal_decode", "multimodal_frames", "multimodal_image_dedup",
-    "multimodal_meta", "multimodal_resize", "pack_documents",
-    "q1_pricing_summary", "q21_waiting_suppliers", "q9_product_type_profit",
+    # -- never driver-verified (r7 additions) — front of the line --------
+    "lake_count_pushdown", "lake_matview_join", "lake_matview_left",
+    "lake_matview_full", "lake_rollup_minmax",
+    # -- newest driver row is r05 — all 15, 3-round limit hits now -------
+    "redact_pii", "select_quality_budget", "semantic_dedup",
+    "shuffle_shards", "sql_delegated_join", "stream_dedup_users",
+    "stream_windowed_counts", "substring_dup_profile", "text_gopher_rules",
+    "text_language_id", "text_quality_score", "text_repetition",
+    "text_rolling_fingerprint", "text_token_stats", "window_customer_rank",
+    # -- newest driver row is r06 — alphabetical prefix of the 50 --------
+    "ann_cosine_topk", "cap_docs_per_lang", "cube_brand_size",
+    "dedup_exact", "dedup_minhash_lsh", "events_funnel",
+    "events_json_props", "events_retention_cohorts", "events_user_latest",
+    "groupingsets_priority_status", "lake_bucket_pruning",
+    "lake_merge_roundtrip", "lake_position_delete", "lake_rename_column",
+    "lake_stats_pushdown", "lm_perplexity", "merge_hard_delete",
+    "merge_upsert", "mixture_by_source", "nation_order_stats",
+    "part_brand_stats", "pctl_order_value", "pivot_priority_status",
+    "q10_returned_customers", "q11_important_parts",
+    "q12_late_shipping_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
 ]
-# The 15 r05 rows deferred to the r8 window (3-round limit hits then):
-# redact_pii, select_quality_budget, semantic_dedup, shuffle_shards,
-# sql_delegated_join, stream_dedup_users, stream_windowed_counts,
-# substring_dup_profile, text_gopher_rules, text_language_id,
-# text_quality_score, text_repetition, text_rolling_fingerprint,
-# text_token_stats, window_customer_rank.
+# The 20 r06 rows deferred to the r9 window (3-round limit hits then):
+# q17_small_quantity_revenue, q18_large_orders, q19_bracket_revenue,
+# q20_top_volume_suppliers, q22_idle_customers, q2_min_unit_price_supplier,
+# q3_unshipped_revenue, q4_order_priority, q5_nation_revenue,
+# q6_revenue_delta, q7_volume_shipping, q8_market_share,
+# rollup_nation_status, sample_documents, setop_customer_segments,
+# split_documents, text_c4_rules, text_lang_profile, text_quality,
+# window_running_total.
 
 
 def _reorder_registry() -> None:
