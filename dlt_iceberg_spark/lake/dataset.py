@@ -113,19 +113,36 @@ class Dataset:
             out[t] = snap.total_rows
         return out
 
-    def aggregate(self, table_name: str, columns: list[str] | None = None) -> dict:
+    def aggregate(
+        self,
+        table_name: str,
+        columns: list[str] | None = None,
+        group_by: str | None = None,
+    ) -> dict | list[dict]:
         """count / per-column min,max — answered from manifest metadata
         when exact (Iceberg aggregate pushdown; milliseconds at any table
         size), transparently falling back to a real scan when it isn't
-        (outstanding MoR deletes, missing column stats)."""
+        (outstanding MoR deletes, missing column stats).
+
+        ``group_by=<column>`` returns per-group rows instead (sorted by
+        group value) — metadata-only when the column is
+        identity-partitioned and every live file's tuple answers exactly
+        (VERDICT r7 task 6: the "rows per day/bucket" ops probe), scan
+        otherwise."""
         from pyspark.sql import functions as F
 
         t = self._table(table_name)
-        got = t.aggregate_stats(columns)
+        got = t.aggregate_stats(columns, group_by=group_by)
         if got is not None:
             return got
         aggs = [F.count(F.lit(1)).alias("count")]
         for c in columns or []:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
-        return t.read().agg(*aggs).collect()[0].asDict()
+        if group_by is None:
+            return t.read().agg(*aggs).collect()[0].asDict()
+        rows = t.read().groupBy(group_by).agg(*aggs).collect()
+        out = [r.asDict() for r in rows]
+        return sorted(
+            out, key=lambda d: (d[group_by] is None, d[group_by])
+        )

@@ -419,6 +419,12 @@ def _files_from_avro(
                             "bytes": nbytes,
                             "sequence": seq,
                             "fields": foldable,
+                            # Iceberg scopes an equality delete written under
+                            # a PARTITIONED spec to its own partition; only
+                            # unpartitioned-spec deletes apply globally.  The
+                            # fold honors this (over-applying would be
+                            # irreversible data loss).
+                            "partition": _decode_partition(df_rec),
                         }
                     )
                     continue
@@ -605,28 +611,55 @@ def _apply_name_mapping(
     return out_files, out_deletes
 
 
+def _norm_uri(p: str) -> str:
+    """file:/p, file://p, file:///p and /p all mean absolute path /p —
+    the same canonicalization the read-side position-delete join uses."""
+    import re
+
+    return re.sub("^file:/+", "/", p)
+
+
 def _fold_nested_deletes(
     spark: SparkSession,
     source_location: str,
     table: LakeTable,
     files: list[DataFile],
+    delete_files: list[DeleteFile],
     unsupported: list[dict],
-) -> list[DataFile]:
+) -> tuple[list[DataFile], list[DeleteFile]]:
     """One-time adoption rewrite applying equality deletes keyed on
     list/map-nested ids (``register_iceberg_table(...,
     fold_unsupported_deletes=True)``).
 
     Per the Iceberg equality rule, a delete applies to data files with a
-    STRICTLY smaller data sequence.  For each affected file the matching
-    rows are removed via a chain of broadcast left-anti joins against the
-    delete tuples (containment semantics per kind: list element, map key,
-    map value; plain "eq" ids compare directly) and the survivors are
-    staged as new parquet under the adopting table's location, keeping
-    the original sequence and partition tuple.  Untouched files — and
+    STRICTLY smaller data sequence — and, when the delete was written
+    under a PARTITIONED spec (non-empty partition tuple), only to data
+    files of that same partition; only unpartitioned-spec deletes apply
+    globally.  For each affected file the matching rows are removed via a
+    chain of broadcast left-anti joins against the delete tuples
+    (containment semantics per kind: list element, map key, map value;
+    plain "eq" ids compare directly) and the survivors are staged as new
+    parquet under the adopting table's location, keeping the original
+    sequence and partition tuple.  Untouched files — and
     touched-but-unaffected ones (anti-join kept every row) — pass through
-    by reference.  Cost: one scan per candidate file, once, at adoption;
-    the registered table then needs no delete machinery for these."""
+    by reference.
+
+    POSITION deletes address rows by ``(file_path, pos)``; a rewrite
+    moves both, so any position delete applicable to a rewritten file
+    (sequence ≥ the file's, per the spec) is APPLIED during the rewrite,
+    and the source's position-delete parquet is itself rewritten minus
+    the consumed addresses (dropped entirely when none remain).
+    Addresses of untouched files pass through by reference — their
+    targets' paths are unchanged.  Without this, a file covered by both
+    a nested-key equality delete and a position delete (a common
+    Flink/engine mix) would silently resurrect its position-deleted rows.
+
+    Cost: one scan per candidate file plus one per affected
+    position-delete file, once, at adoption; the registered table then
+    needs no delete machinery for the folded deletes.  Returns the new
+    (data files, delete files)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     def _abs(p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(source_location, p)
@@ -644,11 +677,45 @@ def _fold_nested_deletes(
                 )
         dels.append((u, dv))
 
+    addr_schema = T.StructType(
+        [
+            T.StructField("file_path", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+    pos_dels = [d for d in delete_files if d.content == "position"]
+
+    def _pos_probe(f: DataFile):
+        """Distinct positions of ``f``'s rows masked by applicable
+        position deletes (sequence ≥ the file's), or None."""
+        applicable = [
+            d for d in pos_dels if (f.sequence or 0) <= (d.sequence or 0)
+        ]
+        if not applicable:
+            return None
+        target = _norm_uri(_abs(f.path))
+        probe = (
+            spark.read.schema(addr_schema)
+            .parquet(*[_abs(d.path) for d in applicable])
+            .where(_norm_uri_col(F.col("file_path")) == F.lit(target))
+            .select(F.col("pos").alias("__fold_pos"))
+            .distinct()
+        )
+        return probe
+
+    def _part_applies(u: dict, f: DataFile) -> bool:
+        up = u.get("partition") or {}
+        if not up:  # unpartitioned-spec delete: global
+            return True
+        return all(f.partition.get(k) == v for k, v in up.items())
+
     out: list[DataFile] = []
-    n_rewritten = 0
+    rewritten: list[str] = []  # normalized original paths
     for f in files:
         applicable = [
-            (u, dv) for u, dv in dels if (f.sequence or 0) < (u["sequence"] or 0)
+            (u, dv)
+            for u, dv in dels
+            if (f.sequence or 0) < (u["sequence"] or 0) and _part_applies(u, f)
         ]
         if not applicable:
             out.append(f)
@@ -658,7 +725,9 @@ def _fold_nested_deletes(
                 f"cannot fold deletes into name-mapped file {f.path!r}; "
                 "fold deletes in the source engine before registering"
             )
-        kept = spark.read.parquet(_abs(f.path))
+        kept = spark.read.parquet(_abs(f.path)).withColumn(
+            "__fold_pos", F.col("_metadata.row_index")
+        )
         for u, dv in applicable:
             cond = None
             for field, kind in u["fields"]:
@@ -679,10 +748,17 @@ def _fold_nested_deletes(
             )
         n_kept = kept.count()
         if n_kept == f.rows:
-            out.append(f)  # envelope said maybe, data said no — keep as-is
+            # envelope said maybe, data said no — keep as-is (the file's
+            # path is unchanged, so its position deletes stay valid)
+            out.append(f)
             continue
-        staged = table.stage_dataframe(kept)
-        n_rewritten += 1
+        pos_probe = _pos_probe(f)
+        if pos_probe is not None:
+            kept = kept.join(
+                F.broadcast(pos_probe), on="__fold_pos", how="left_anti"
+            )
+        staged = table.stage_dataframe(kept.drop("__fold_pos"))
+        rewritten.append(_norm_uri(_abs(f.path)))
         out.extend(
             DataFile(
                 **{
@@ -693,12 +769,50 @@ def _fold_nested_deletes(
             )
             for s in staged
         )
+
+    # consumed position-delete addresses (their target files were
+    # rewritten) must not survive: a stale (old_path, pos) address can
+    # never mask again, and worse, keeping the entries would claim masked
+    # rows that no longer exist.  Rewrite each affected delete file minus
+    # the addresses of rewritten targets; drop entries that empty out.
+    out_deletes: list[DeleteFile] = []
+    n_del_rewritten = 0
+    for d in delete_files:
+        if d.content != "position" or not rewritten:
+            out_deletes.append(d)
+            continue
+        addrs = spark.read.schema(addr_schema).parquet(_abs(d.path))
+        stale = _norm_uri_col(F.col("file_path")).isin(rewritten)
+        if addrs.where(stale).limit(1).count() == 0:
+            out_deletes.append(d)  # addresses none of the rewritten files
+            continue
+        survivors = addrs.where(~stale)
+        n_del_rewritten += 1
+        if survivors.limit(1).count() == 0:
+            continue  # fully consumed
+        out_deletes.extend(
+            DeleteFile(
+                path=s.path,
+                rows=s.rows,
+                bytes=s.bytes,
+                equality_ids=[],
+                sequence=d.sequence,
+                content="position",
+            )
+            for s in table.stage_dataframe(survivors)
+        )
     logger.info(
         "fold_unsupported_deletes: folded %d nested-key delete file(s); "
-        "rewrote %d of %d data file(s)",
-        len(unsupported), n_rewritten, len(files),
+        "rewrote %d of %d data file(s), %d position-delete file(s)",
+        len(unsupported), len(rewritten), len(files), n_del_rewritten,
     )
-    return out
+    return out, out_deletes
+
+
+def _norm_uri_col(c):
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(c, "^file:/+", "/")
 
 
 def register_iceberg_table(
@@ -850,8 +964,8 @@ def register_iceberg_table(
     if table.exists:
         raise FileExistsError(f"table already exists at {location}")
     if unsupported:
-        files = _fold_nested_deletes(
-            spark, source_location, table, files, unsupported
+        files, delete_files = _fold_nested_deletes(
+            spark, source_location, table, files, delete_files, unsupported
         )
     table.commit(
         files=files,

@@ -29,7 +29,7 @@ Scale shape, per refresh:
   (``read_changes``) and persisted so each is computed once.
 - The full-side reads are NEVER full scans: each is semi-joined to the
   other delta's join keys, and when the changed key set is collectable
-  (≤ ``JOIN_KEY_PUSHDOWN_MAX``) the scan carries a key-range ``where``
+  (≤ ``JOIN_KEY_PUSHDOWN_MAX``) the scan carries a per-key IN ``where``
   so manifest stats file-prune it — a localized mutation joins against
   a handful of files at any table size.
 - The result lands through the ordinary key-localized merge on the
@@ -78,7 +78,12 @@ class IncrementalJoinView:
 
     Output columns: every column of both sides, join keys once (name
     collisions outside the join keys are an error — project/rename
-    upstream).  The view's primary key is ``left_pk + right_pk``.
+    upstream), or just ``select=[...]`` when given (must include the
+    join keys and both primary keys; at 100 TB, projecting 6 of 60
+    columns shrinks every refresh's merge rewrite and the view's storage
+    by the same factor — updates touching only unprojected columns fold
+    to nothing and never rewrite the view at all).  The view's primary
+    key is ``left_pk + right_pk``.
 
     Outer joins additionally maintain the null-extended halves in
     companion tables — ``<name>__unmatched`` (left rows with zero
@@ -104,6 +109,7 @@ class IncrementalJoinView:
         left_pk: list[str],
         right_pk: list[str],
         how: str = "inner",
+        select: list[str] | None = None,
     ):
         if how not in ("inner", "left", "right", "full"):
             raise NotImplementedError(
@@ -128,6 +134,20 @@ class IncrementalJoinView:
         self.left_pk = list(left_pk)
         self.right_pk = list(right_pk)
         self.how = how
+        if select is not None:
+            required = list(dict.fromkeys(on + left_pk + right_pk))
+            missing = [c for c in required if c not in select]
+            if missing:
+                raise ValueError(
+                    "select must include the join keys and both primary "
+                    f"keys (view rows are addressed by them); missing "
+                    f"{missing}"
+                )
+        #: optional column projection: the view (and its unmatched
+        #: halves) materialize ONLY these columns — at scale the
+        #: difference between rewriting 6 and 60 columns per touched file
+        #: on every refresh
+        self.select = list(select) if select is not None else None
         #: outer joins keep the null-extended halves in companion tables
         #: keyed by one side's pk alone (NULL join keys cannot
         #: merge-join); read() unions the halves back
@@ -138,6 +158,23 @@ class IncrementalJoinView:
         self._writer = LakeWriter(catalog, namespace)
 
     # -- internals -----------------------------------------------------
+
+    def _project_sides(
+        self, lcols: list[str], rcols: list[str]
+    ) -> tuple[list[str], list[str]]:
+        """Per-side column lists after the optional ``select`` projection
+        (source order preserved; unknown names are an error)."""
+        if self.select is None:
+            return lcols, rcols
+        unknown = [
+            c for c in self.select if c not in lcols and c not in rcols
+        ]
+        if unknown:
+            raise ValueError(
+                f"select names columns on neither side: {unknown}"
+            )
+        keep = set(self.select)
+        return [c for c in lcols if c in keep], [c for c in rcols if c in keep]
 
     def _out_columns(self, lcols: list[str], rcols: list[str]) -> list[str]:
         overlap = (set(lcols) & set(rcols)) - set(self.on)
@@ -175,18 +212,19 @@ class IncrementalJoinView:
     def _pruned_side(
         self, side: LakeTable, version: int, keys: DataFrame
     ) -> DataFrame:
-        """The full side of a delta term, bounded two ways: a key-range
+        """The full side of a delta term, bounded two ways: a per-key IN
         ``where`` when the changed key set is collectable (manifest-stats
-        file pruning), always a broadcast/shuffle semi-join on the
-        changed join keys (row exactness)."""
+        file pruning — tighter than a global key range on gappy key
+        sets), always a broadcast/shuffle semi-join on the changed join
+        keys (row exactness)."""
         where = None
         bounded = keys.limit(JOIN_KEY_PUSHDOWN_MAX + 1).collect()
         if len(bounded) <= JOIN_KEY_PUSHDOWN_MAX:
             where = []
             for k in self.on:
-                vals = [r[k] for r in bounded if r[k] is not None]
+                vals = {r[k] for r in bounded if r[k] is not None}
                 if vals:
-                    where += [(k, ">=", min(vals)), (k, "<=", max(vals))]
+                    where.append((k, "in", list(vals)))
             where = where or None
             src = side.read(snapshot_version=version, where=where)
             return src.join(F.broadcast(keys), on=self.on, how="left_semi")
@@ -253,8 +291,9 @@ class IncrementalJoinView:
 
         tgt = self._table(branch)
         if tgt is None:
-            lcols = left.read().columns
-            rcols = right.read().columns
+            lcols, rcols = self._project_sides(
+                left.read().columns, right.read().columns
+            )
             out_cols = self._out_columns(lcols, rcols)
             full = (
                 left.read(snapshot_version=av)
@@ -275,7 +314,7 @@ class IncrementalJoinView:
                     right.read(snapshot_version=bv).select(*self.on).distinct(),
                     on=self.on,
                     how="left_anti",
-                )
+                ).select(*lcols)
                 _write(
                     TableSpec(
                         name=self.unmatched_name,
@@ -290,7 +329,7 @@ class IncrementalJoinView:
                     left.read(snapshot_version=av).select(*self.on).distinct(),
                     on=self.on,
                     how="left_anti",
-                )
+                ).select(*rcols)
                 _write(
                     TableSpec(
                         name=self.unmatched_right_name,
@@ -310,8 +349,9 @@ class IncrementalJoinView:
                 "pairs_touched": 0,
             }
 
-        lcols = left.read().columns
-        rcols = right.read().columns
+        lcols, rcols = self._project_sides(
+            left.read().columns, right.read().columns
+        )
         out_cols = self._out_columns(lcols, rcols)
 
         terms = []
@@ -350,7 +390,14 @@ class IncrementalJoinView:
 
         try:
             if av > a_cur:
-                dA = self._signed(left.read_changes(a_cur, av)).persist()
+                # project the delta to the view's columns up front: an
+                # update touching only unprojected columns folds to a
+                # ±0 image and never rewrites the view
+                dA = (
+                    self._signed(left.read_changes(a_cur, av))
+                    .select(*lcols, "__sign")
+                    .persist()
+                )
                 persisted.append(dA)
                 dA.count()
                 # ΔA ⋈ B2 (the NEW right side, so the ΔA⋈ΔB cross term
@@ -387,7 +434,11 @@ class IncrementalJoinView:
                         )
                     )
             if bv > b_cur:
-                dB = self._signed(right.read_changes(b_cur, bv)).persist()
+                dB = (
+                    self._signed(right.read_changes(b_cur, bv))
+                    .select(*rcols, "__sign")
+                    .persist()
+                )
                 persisted.append(dB)
                 dB.count()
                 # A1 ⋈ ΔB (the OLD left side)
@@ -523,51 +574,87 @@ class IncrementalJoinView:
                 df.unpersist()
         return {"left_version": av, "right_version": bv, "pairs_touched": n}
 
-    def rebuild(self) -> dict:
+    def rebuild(self, transaction=None) -> dict:
         """Recompute the view from a full join (escape hatch for cursors
-        older than a source's retained history)."""
-        av = self.left.current_version()
-        bv = self.right.current_version()
-        lcols = self.left.read().columns
-        rcols = self.right.read().columns
+        older than a source's retained history).
+
+        Same atomicity contract as :meth:`refresh`: an OUTER rebuild
+        replaces multiple tables (matched + unmatched halves); without a
+        caller-supplied transaction it opens its own, so a concurrent
+        reader (or a crash between writes) can never see torn halves."""
+        if self.how != "inner" and transaction is None:
+            txn = self.catalog.transaction(self.namespace)
+            try:
+                r = self._rebuild(txn)
+                txn.commit()
+                return r
+            except BaseException:
+                txn.rollback()
+                raise
+        return self._rebuild(transaction)
+
+    def _rebuild(self, transaction=None) -> dict:
+        branch = transaction.branch if transaction is not None else "main"
+        left = (
+            self.left.for_branch(branch) if transaction is not None else self.left
+        )
+        right = (
+            self.right.for_branch(branch)
+            if transaction is not None
+            else self.right
+        )
+        av = left.current_version()
+        bv = right.current_version()
+
+        def _write(spec: TableSpec, df: DataFrame, load_id: str) -> None:
+            if transaction is not None:
+                transaction.write(
+                    spec, df, load_id=load_id, namespace=self.namespace
+                )
+            else:
+                self._writer.write(spec, df, load_id=load_id)
+
+        lcols, rcols = self._project_sides(
+            left.read().columns, right.read().columns
+        )
         out_cols = self._out_columns(lcols, rcols)
         full = (
-            self.left.read(snapshot_version=av)
-            .join(self.right.read(snapshot_version=bv), on=self.on, how="inner")
+            left.read(snapshot_version=av)
+            .join(right.read(snapshot_version=bv), on=self.on, how="inner")
             .select(*out_cols)
         )
-        self._writer.write(
+        _write(
             TableSpec(name=self.name, write_disposition="replace"),
             full,
-            load_id=self._marker(av, bv),
+            self._marker(av, bv),
         )
         if self._keep_left:
-            unmatched = self.left.read(snapshot_version=av).join(
-                self.right.read(snapshot_version=bv)
+            unmatched = left.read(snapshot_version=av).join(
+                right.read(snapshot_version=bv)
                 .select(*self.on)
                 .distinct(),
                 on=self.on,
                 how="left_anti",
-            )
-            self._writer.write(
+            ).select(*lcols)
+            _write(
                 TableSpec(name=self.unmatched_name, write_disposition="replace"),
                 unmatched,
-                load_id=self._marker(av, bv),
+                self._marker(av, bv),
             )
         if self._keep_right:
-            unmatched_r = self.right.read(snapshot_version=bv).join(
-                self.left.read(snapshot_version=av)
+            unmatched_r = right.read(snapshot_version=bv).join(
+                left.read(snapshot_version=av)
                 .select(*self.on)
                 .distinct(),
                 on=self.on,
                 how="left_anti",
-            )
-            self._writer.write(
+            ).select(*rcols)
+            _write(
                 TableSpec(
                     name=self.unmatched_right_name, write_disposition="replace"
                 ),
                 unmatched_r,
-                load_id=self._marker(av, bv),
+                self._marker(av, bv),
             )
         return {"left_version": av, "right_version": bv, "pairs_touched": -1}
 

@@ -160,6 +160,18 @@ class Pipeline:
                 "transactional runs stage on their own branch; combine with "
                 "WAP by publishing the transaction, not a pipeline branch"
             )
+        if derived and self.branch != "main" and not transactional:
+            # a WAP pipeline lands resources on its branch, but a bare
+            # d.refresh() reads/writes main — the derived asset would see
+            # no source change, silently no-op, and still be reported in
+            # `written`.  Refuse rather than lie.
+            raise ValueError(
+                "derived=[...] is not supported on a branch (WAP) pipeline: "
+                "derived assets refresh against published state, so the "
+                "branch's unpublished writes are invisible to them; use a "
+                "main-branch pipeline with transactional=True for an atomic "
+                "facts+derived publish"
+            )
         t0 = time.perf_counter()
         load_id = load_id or f"{int(time.time() * 1000)}.{uuid.uuid4().hex[:8]}"
         if self.state.load_recorded(load_id):

@@ -191,21 +191,22 @@ class IncrementalRollup:
         """min/max per touched group, recomputed from the source snapshot.
 
         When the touched key set is small enough to collect, the scan is
-        bounded two ways: the manifest planner prunes files to the touched
-        key RANGE (per-key min/max conjunction — sound because every
-        touched group lies inside it), and the semi-join side is an
-        explicit broadcast.  Localized mutations then rescan a handful of
-        files no matter how large the source is.  Past the threshold we
-        fall back to a shuffled semi-join over an unpruned scan (output
-        still O(touched groups' source rows))."""
+        bounded two ways: the manifest planner prunes files with a per-key
+        IN probe (any-probed-value-in-[min,max] per file — strictly
+        tighter than a global key range on gappy or skewed key sets, and
+        sound because every touched group's values are probed), and the
+        semi-join side is an explicit broadcast.  Localized mutations then
+        rescan a handful of files no matter how large the source is.  Past
+        the threshold we fall back to a shuffled semi-join over an
+        unpruned scan (output still O(touched groups' source rows))."""
         where = None
         bounded = touched.limit(RESCAN_KEY_PUSHDOWN_MAX + 1).collect()
         if len(bounded) <= RESCAN_KEY_PUSHDOWN_MAX:
             where = []
             for k in self.keys:
-                vals = [r[k] for r in bounded if r[k] is not None]
+                vals = {r[k] for r in bounded if r[k] is not None}
                 if vals:
-                    where += [(k, ">=", min(vals)), (k, "<=", max(vals))]
+                    where.append((k, "in", list(vals)))
             where = where or None
             src = source.read(snapshot_version=src_v, where=where)
             joined = src.join(F.broadcast(touched), on=self.keys, how="left_semi")

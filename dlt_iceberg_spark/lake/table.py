@@ -42,6 +42,7 @@ import json
 import os
 import uuid
 from dataclasses import dataclass, field as dc_field
+from datetime import date as _date
 from datetime import datetime, timezone
 from typing import Any
 
@@ -218,6 +219,23 @@ _OPS = {
 }
 
 
+class _SortedProbe(list):
+    """IN-probe values known to be sorted ascending.  ``_plan_scan``
+    normalizes every sortable in-list into one so the per-file check
+    bisects (O(log n)) instead of scanning all probed values (O(n)) —
+    the difference between 1e4 and 14 comparisons per file when a
+    rollup/join-view rescan pushes a 10k-key probe over a large manifest."""
+
+    __slots__ = ()
+
+
+def _sorted_probe(vals: Any) -> Any:
+    try:
+        return _SortedProbe(sorted(vals))
+    except TypeError:  # mixed/unorderable values: keep the linear form
+        return vals
+
+
 def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     """Can any row of ``f`` satisfy the predicate, judging by the manifest's
     [min, max] for ``col``?  Missing/incomparable stats ⇒ must assume yes."""
@@ -231,6 +249,9 @@ def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
         if op in ("=", "=="):
             return mn <= val <= mx
         if op == "in":  # any probed value inside the range keeps the file
+            if isinstance(val, _SortedProbe):
+                i = bisect.bisect_left(val, mn)
+                return i < len(val) and val[i] <= mx
             return any(mn <= x <= mx for x in val)
         if op == "!=":  # only a single-valued file can be skipped
             return not (mn == mx == val)
@@ -262,6 +283,9 @@ def _file_fully_matches(f: "DataFile", col: str, op: str, val: Any) -> bool:
         if op in ("=", "=="):
             return mn == mx == val
         if op == "in":
+            if isinstance(val, _SortedProbe):
+                i = bisect.bisect_left(val, mn)
+                return mn == mx and i < len(val) and val[i] == mn
             return mn == mx and mn in val
         if op == "!=":
             return mx < val or mn > val
@@ -1657,16 +1681,24 @@ class LakeTable:
         files are scanned, with the residual filter applied.  Timestamp
         predicates never take the metadata shortcut (their stats live in a
         UTC-naive frame that plain comparison cannot enter safely — same
-        rule as pruning, conservative direction flipped).  Tables carrying
-        delete files fall back to the exact masked-scan count — per-file
-        row counts ignore MoR masks, and guessing would be wrong."""
+        rule as pruning, conservative direction flipped).
+
+        Merge-on-read deletes (VERDICT r7 task 3): POSITION deletes stay
+        metadata-exact — their live masked-row counts are computable from
+        the delete files alone (distinct ``(file_path, pos)`` addresses,
+        restricted to live data files whose sequence admits the delete and
+        whose row count bounds the position — all manifest facts), so
+        ``count = total_rows − live masked addresses`` with ZERO data
+        reads.  Only EQUALITY deletes genuinely need the masked-scan
+        fallback (which rows a key masks is a data fact)."""
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        if snap.delete_files:
+        if any(d.content != "position" for d in snap.delete_files):
             return self.read(snapshot_version=snapshot_version, where=where).count()
+        masked = self._position_masked_counts(snap)
         if not where:
-            return snap.total_rows
+            return snap.total_rows - sum(masked.values())
         where_n, files = self._select_files(snap, list(where))
         ts_cols = {
             f.name
@@ -1683,13 +1715,95 @@ class LakeTable:
                 full.append(f)
             else:
                 partial.append(f)
-        n = sum(f.rows for f in full)
+        # a fully-matching file contributes its manifest row count minus
+        # its live masked addresses, still unopened; straddling files take
+        # the masked scan (_plan_scan applies the position deletes)
+        n = sum(f.rows - masked.get(f.path, 0) for f in full)
         if partial:
             df = self._plan_scan(snap, partial)
             for c, op, v in where_n or []:
                 df = df.filter(_OPS[op](F.col(c), v))
             n += df.count()
         return n
+
+    def _position_masked_counts(self, snap: "Snapshot") -> dict[str, int]:
+        """Per-live-data-file count of DISTINCT position-delete addresses
+        that the read-side mask would apply — computed from the DELETE
+        files and manifest metadata only, zero data-file reads.
+
+        Mirrors :meth:`_plan_scan` exactly: an address ``(path, pos)``
+        masks a row iff its target file is live, SOME delete file holding
+        the address has ``sequence ≥`` the target's (so ``max`` over the
+        address's delete sequences decides), and the position exists in
+        the file (positions are written from real rows, so ``pos <
+        f.rows`` holds for any address our read path could match).
+        Returns ``{manifest-relative data path: n}``, omitting zeros —
+        O(addressed files) driver memory."""
+        pos_dels = [d for d in snap.delete_files if d.content == "position"]
+        if not pos_dels:
+            return {}
+        addr_schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+            ]
+        )
+        by_seq: dict[int, list[str]] = {}
+        for d in pos_dels:
+            by_seq.setdefault(d.sequence or 0, []).append(
+                os.path.join(self.location, d.path)
+            )
+        parts = [
+            self.spark.read.schema(addr_schema)
+            .parquet(*paths)
+            .select(
+                _norm_path(F.col("file_path")).alias("__p"),
+                F.col("pos").alias("__pos"),
+                F.lit(seq).alias("__dseq"),
+            )
+            for seq, paths in sorted(by_seq.items())
+        ]
+        addrs = parts[0]
+        for p in parts[1:]:
+            addrs = addrs.unionByName(p)
+        addrs = addrs.groupBy("__p", "__pos").agg(F.max("__dseq").alias("__dseq"))
+        # resolve only the ADDRESSED paths against the manifests — the
+        # live frame is O(addressed files), never O(table)
+        touched = {r["__p"] for r in addrs.select("__p").distinct().collect()}
+        import re as _re
+
+        live = [
+            (f.path, f.sequence or 0, f.rows)
+            for f in snap.files
+            if _re.sub("^file:/+", "/", os.path.join(self.location, f.path))
+            in touched
+        ]
+        if not live:
+            return {}
+        live_df = self.spark.createDataFrame(
+            [
+                (
+                    _re.sub("^file:/+", "/", os.path.join(self.location, rel)),
+                    rel,
+                    seq,
+                    rows,
+                )
+                for rel, seq, rows in live
+            ],
+            "__p string, __rel string, __fseq long, __rows long",
+        )
+        counts = (
+            addrs.join(F.broadcast(live_df), on="__p")
+            .filter(
+                (F.col("__dseq") >= F.col("__fseq"))
+                & (F.col("__pos") >= 0)
+                & (F.col("__pos") < F.col("__rows"))
+            )
+            .groupBy("__rel")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        return {r["__rel"]: r["__n"] for r in counts}
 
     def agg_minmax(
         self, column: str, snapshot_version: int | None = None
@@ -1977,6 +2091,10 @@ class LakeTable:
             return (c, op, v2) if v2 is not None else None
 
         prune_where = [p for p in (map(lambda w: _prunable(*w), where)) if p]
+        prune_where = [
+            (c, op, _sorted_probe(v)) if op == "in" else (c, op, v)
+            for c, op, v in prune_where
+        ]
         # three-level prune, Iceberg-style: manifest aggregate ranges and
         # partition summaries skip whole manifests unread; file [min,max]
         # stats AND transform-rewritten partition tuples skip files
@@ -2801,14 +2919,94 @@ class LakeTable:
         )
 
     def aggregate_stats(
-        self, columns: list[str] | None = None, snapshot_version: int | None = None
-    ) -> dict | None:
+        self,
+        columns: list[str] | None = None,
+        snapshot_version: int | None = None,
+        group_by: str | None = None,
+    ) -> dict | list[dict] | None:
         """Metadata-only count/min/max (see :meth:`Snapshot.aggregate_stats`);
-        ``None`` means metadata can't answer exactly — run the scan."""
+        ``None`` means metadata can't answer exactly — run the scan.
+
+        ``group_by=<identity-partitioned source column>`` returns
+        PER-PARTITION-VALUE aggregates instead (Iceberg's ``partitions``
+        metadata-table shape) — the standard "rows per day/bucket" ops
+        probe, O(metadata) at 100 TB.  Same refuse-and-fallback contract:
+        ``None`` whenever any live file predates the spec (no tuple key),
+        carries a null tuple value (hive folds null/empty — ambiguous),
+        the column isn't identity-partitioned, equality deletes are
+        outstanding, or a per-group extremum is requested under any
+        deletes.  Grouped COUNTS stay exact under pure position deletes
+        (per-file masked-address counts subtract per group)."""
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        return snap.aggregate_stats(columns)
+        if group_by is None:
+            return snap.aggregate_stats(columns)
+        return self._grouped_aggregate_stats(snap, list(columns or []), group_by)
+
+    #: hive partition-tuple string -> typed value, per source-column type
+    _HIVE_PARSERS = {
+        "bigint": int,
+        "int": int,
+        "smallint": int,
+        "tinyint": int,
+        "string": str,
+        "boolean": lambda s: s.lower() == "true",
+        "float": float,
+        "double": float,
+        "date": lambda s: _date.fromisoformat(s),
+    }
+
+    def _grouped_aggregate_stats(
+        self, snap: "Snapshot", columns: list[str], group_by: str
+    ) -> list[dict] | None:
+        spec = snap.partition_spec or []
+        field = next(
+            (
+                p
+                for p in spec
+                if p.get("column") == group_by
+                and p.get("transform") == "identity"
+            ),
+            None,
+        )
+        if field is None:
+            return None  # not identity-partitioned: tuples aren't values
+        key = field.get("name") or group_by
+        fld = next((f for f in snap.schema.fields if f.name == group_by), None)
+        if fld is None:
+            raise ValueError(f"no such column {group_by!r}")
+        parse = self._HIVE_PARSERS.get(fld.dataType.simpleString())
+        if parse is None:
+            return None  # tuple string not round-trippable for this type
+        if any(d.content != "position" for d in snap.delete_files):
+            return None  # equality masks make every group inexact
+        if snap.delete_files and columns:
+            return None  # masks may hide a group extremum
+        masked = (
+            self._position_masked_counts(snap) if snap.delete_files else {}
+        )
+        groups: dict[Any, dict] = {}
+        for f in snap.files:
+            raw = f.partition.get(key)
+            if raw is None:
+                return None  # pre-spec file or null/empty tuple value
+            try:
+                gval = parse(raw)
+            except (ValueError, TypeError):
+                return None
+            g = groups.setdefault(
+                gval, {group_by: gval, "count": 0}
+            )
+            g["count"] += f.rows - masked.get(f.path, 0)
+            for c in columns:
+                st = f.stats.get(c)
+                if st is None or st[0] is None or st[1] is None:
+                    return None
+                lo, hi = g.get(f"min_{c}"), g.get(f"max_{c}")
+                g[f"min_{c}"] = st[0] if lo is None else min(lo, st[0])
+                g[f"max_{c}"] = st[1] if hi is None else max(hi, st[1])
+        return sorted(groups.values(), key=lambda d: (d[group_by] is None, d[group_by]))
 
     def read_files(self, files: list[DataFile]) -> DataFrame:
         """Scan a subset of live files (used by copy-on-write merge)."""
@@ -3237,6 +3435,8 @@ class LakeTable:
         if op in ("<", "<="):
             return None, v
         if op == "in" and v:
+            if isinstance(v, _SortedProbe):
+                return v[0], v[-1]
             try:
                 return min(v), max(v)
             except TypeError:

@@ -427,3 +427,86 @@ def test_rename_table_into_other_namespace_and_refusals(spark, warehouse):
         catalog.rename_table("ds", "b", "a_archived", new_namespace="cold")
     with pytest.raises(TableNotFoundError):
         catalog.rename_table("ds", "nope", "x")
+
+
+def test_grouped_aggregate_stats_metadata_only(spark, warehouse):
+    """VERDICT r7 task 6: per-partition-value count/min/max from manifest
+    partition tuples — zero data scans on an identity-partitioned table,
+    refuse-and-fallback everywhere metadata can't be exact."""
+    import unittest.mock as mock
+
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 4 as long) as g", "id * 2 as v"
+    )
+    writer.write(
+        TableSpec(
+            name="t", write_disposition="append",
+            column_hints={"g": {"partition": True}},
+        ),
+        df,
+    )
+    table = catalog.load_table("main", "t")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("grouped metadata aggregate must not scan")
+
+    with mock.patch.object(table_mod.LakeTable, "_plan_scan", boom):
+        got = table.aggregate_stats(["v"], group_by="g")
+    assert got == [
+        {"g": gv, "count": 250, "min_v": gv * 2, "max_v": (996 + gv) * 2}
+        for gv in range(4)
+    ]
+    # parity with the real scan through the Dataset fallback shape
+    from pyspark.sql import functions as F
+
+    ds = Dataset(catalog, "main")
+    direct = sorted(
+        (
+            r.asDict()
+            for r in table.read()
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        ),
+        key=lambda d: d["g"],
+    )
+    assert ds.aggregate("t", ["v"], group_by="g") == direct
+
+    # non-partition column -> refuse (None), Dataset falls back to scan
+    assert table.aggregate_stats([], group_by="v") is None
+    fb = ds.aggregate("t", group_by="v")
+    assert len(fb) == 1000 and fb[0] == {"v": 0, "count": 1}
+
+    # pure position deletes: grouped COUNT stays metadata-exact,
+    # grouped min/max refuses
+    table.position_delete_where([("id", "<", 8)])  # 2 rows per group
+    table = catalog.load_table("main", "t")
+    with mock.patch.object(table_mod.LakeTable, "_plan_scan", boom):
+        counts = table.aggregate_stats(group_by="g")
+    assert counts == [{"g": gv, "count": 248} for gv in range(4)]
+    assert table.aggregate_stats(["v"], group_by="g") is None
+    # equality deletes: everything grouped refuses
+    dfiles = table.stage_delete_files(
+        spark.createDataFrame([(11,)], "id long"), ["id"]
+    )
+    snap = table.snapshot()
+    table.commit(
+        None, snap.schema, "merge-mor", snap.version,
+        manifests=snap.manifests, new_files=snap.inline_files,
+        delete_files=list(snap.delete_files) + dfiles,
+    )
+    assert table.aggregate_stats(group_by="g") is None
+    # the Dataset fallback still answers exactly
+    fb2 = ds.aggregate("t", group_by="g")
+    assert [d["count"] for d in fb2] == [248, 248, 248, 247]

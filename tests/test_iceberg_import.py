@@ -1716,3 +1716,208 @@ def test_register_folds_map_value_keyed_delete(spark, tmp_path):
         fold_unsupported_deletes=True,
     )
     assert sorted(r.id for r in t.read().collect()) == [1, 3]
+
+
+def _fake_list_keyed_table_with_pos_deletes(spark, root: str):
+    """Like _fake_list_keyed_table, plus a seq-4 POSITION delete file
+    addressing (f1, pos 0) — a file the nested-key fold REWRITES — and
+    (f3, pos 0) — a file the fold leaves in place.  The fold must apply
+    the f1 address during the rewrite (else the row resurrects under the
+    new path) and rewrite the delete file down to the f3 address only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "data"))
+    os.makedirs(os.path.join(root, "metadata"))
+    tags_t = pa.list_(pa.string())
+    f1 = os.path.join(root, "data", "f1.parquet")
+    f2 = os.path.join(root, "data", "f2.parquet")
+    f3 = os.path.join(root, "data", "f3.parquet")
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "tags": pa.array([["a", "b"], ["c"], ["d"]], tags_t),
+        }), f1,
+    )
+    pq.write_table(
+        pa.table({
+            "id": pa.array([10, 11, 12], pa.int64()),
+            "tags": pa.array([["a"], ["x", "spam"], []], tags_t),
+        }), f2,
+    )
+    pq.write_table(
+        pa.table({
+            "id": pa.array([20, 21], pa.int64()),
+            "tags": pa.array([["spam"], ["z"]], tags_t),
+        }), f3,
+    )
+    dpath = os.path.join(root, "data", "del_tags.parquet")
+    pq.write_table(pa.table({"tags": pa.array(["spam", "c"], pa.string())}), dpath)
+    ppath = os.path.join(root, "data", "del_pos.parquet")
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([f1, f3], pa.string()),
+            "pos": pa.array([0, 0], pa.int64()),
+        }), ppath,
+    )
+
+    def _entry(path, n, seq, content=0, eq_ids=None):
+        return {
+            "status": 1,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": eq_ids,
+            },
+        }
+
+    m0 = os.path.join(root, "metadata", "m0.avro")
+    m2 = os.path.join(root, "metadata", "m2.avro")
+    md = os.path.join(root, "metadata", "m1-deletes.avro")
+    mp = os.path.join(root, "metadata", "m3-posdeletes.avro")
+    _write_avro(spark, m0, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(f1, 3, 1), _entry(f2, 3, 1)])
+    _write_avro(spark, m2, _MANIFEST_ENTRY_SCHEMA, [_entry(f3, 2, 3)])
+    _write_avro(spark, md, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(dpath, 2, 2, content=2, eq_ids=[5])])
+    _write_avro(spark, mp, _MANIFEST_ENTRY_SCHEMA,
+                [_entry(ppath, 2, 4, content=1)])
+    ml = os.path.join(root, "metadata", "snap-1.avro")
+    _write_avro(spark, ml, _MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": m0, "manifest_length": os.path.getsize(m0),
+         "content": 0, "sequence_number": 1},
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "content": 0, "sequence_number": 3},
+        {"manifest_path": md, "manifest_length": os.path.getsize(md),
+         "content": 1, "sequence_number": 2},
+        {"manifest_path": mp, "manifest_length": os.path.getsize(mp),
+         "content": 1, "sequence_number": 4},
+    ])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee",
+        "location": root,
+        "last-sequence-number": 4,
+        "last-updated-ms": 1700000000000,
+        "last-column-id": 5,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "tags", "required": False,
+                 "type": {"type": "list", "element-id": 5,
+                          "element": "string", "element-required": False}},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+        "properties": {},
+        "current-snapshot-id": 1,
+        "snapshots": [{
+            "snapshot-id": 1, "sequence-number": 4,
+            "timestamp-ms": 1700000000000,
+            "summary": {"operation": "append"},
+            "manifest-list": ml, "schema-id": 0,
+        }],
+    }
+    meta_path = os.path.join(root, "metadata", "v2.metadata.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return meta_path
+
+
+def test_fold_applies_position_deletes_on_rewritten_files(spark, tmp_path):
+    """ADVICE r7 (high): a file covered by BOTH a nested-key equality
+    delete and a position delete must not resurrect its position-deleted
+    rows when the fold rewrites it to a new path."""
+    from dlt_iceberg_spark.lake.iceberg_import import register_iceberg_table
+
+    meta_path = _fake_list_keyed_table_with_pos_deletes(
+        spark, str(tmp_path / "ice")
+    )
+    loc = str(tmp_path / "wh" / "ns" / "ice")
+    t = register_iceberg_table(
+        spark, meta_path, loc, fold_unsupported_deletes=True
+    )
+    got = sorted(r.id for r in t.read().collect())
+    # f1: id 2 dies to the nested fold, id 1 to the position delete
+    # applied DURING the rewrite; f2: id 11 dies to the fold; f3 is not
+    # rewritten, so its (f3, pos 0) address masks id 20 at read time
+    assert got == [3, 10, 12, 21]
+    snap = t.snapshot()
+    # the delete file was rewritten down to the surviving f3 address
+    pos = [d for d in snap.delete_files if d.content == "position"]
+    assert len(pos) == 1 and pos[0].rows == 1
+    assert pos[0].path != os.path.join(
+        str(tmp_path / "ice"), "data", "del_pos.parquet"
+    )
+    addr = spark.read.parquet(
+        pos[0].path if os.path.isabs(pos[0].path)
+        else os.path.join(loc, pos[0].path)
+    ).collect()
+    assert len(addr) == 1 and addr[0].file_path.endswith("f3.parquet")
+    # count() agrees with the masked scan (metadata-exact path)
+    assert t.count() == 4
+
+
+def test_fold_scopes_partitioned_deletes_to_their_partition(spark, tmp_path):
+    """ADVICE r7 (medium): an equality delete written under a PARTITIONED
+    spec masks only rows of its own partition; the fold must not apply it
+    to matching rows in other partitions (irreversible over-delete)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dlt_iceberg_spark.lake.iceberg_import import _fold_nested_deletes
+    from dlt_iceberg_spark.lake.manifest import DataFile, DeleteFile
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "data"))
+    tags_t = pa.list_(pa.string())
+    fa = os.path.join(root, "data", "p0.parquet")
+    fb = os.path.join(root, "data", "p1.parquet")
+    for path, ids in ((fa, [1, 2]), (fb, [10, 11])):
+        pq.write_table(
+            pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "tags": pa.array([["spam"], ["ok"]], tags_t),
+            }), path,
+        )
+    dpath = os.path.join(root, "data", "del.parquet")
+    pq.write_table(pa.table({"tags": pa.array(["spam"], pa.string())}), dpath)
+
+    files = [
+        DataFile(path=fa, rows=2, bytes=os.path.getsize(fa), stats={},
+                 partition={"p": "0"}, sequence=1),
+        DataFile(path=fb, rows=2, bytes=os.path.getsize(fb), stats={},
+                 partition={"p": "1"}, sequence=1),
+    ]
+    unsupported = [{
+        "path": dpath, "rows": 1, "bytes": os.path.getsize(dpath),
+        "sequence": 2, "fields": [("tags", "list")],
+        "partition": {"p": "0"},  # partition-scoped delete
+    }]
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    out_files, out_dels = _fold_nested_deletes(
+        spark, root, t, files, [], unsupported
+    )
+    assert out_dels == []
+    # p=0 file rewritten minus the spam row; p=1 file untouched by path
+    assert any(f.path == fb for f in out_files)  # other partition kept as-is
+    rewritten = [f for f in out_files if f.path != fb]
+    assert sum(f.rows for f in rewritten) == 1
+    # an UNPARTITIONED delete (empty tuple) applies globally
+    t2 = LakeTable(spark, str(tmp_path / "tbl2"))
+    unsupported[0]["partition"] = {}
+    out_files2, _ = _fold_nested_deletes(spark, root, t2, files, [], unsupported)
+    assert all(f.path not in (fa, fb) for f in out_files2)
+    assert sum(f.rows for f in out_files2) == 2

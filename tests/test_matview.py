@@ -239,7 +239,7 @@ def test_join_view_prunes_opposite_side_by_key_range(spark, warehouse, monkeypat
     monkeypatch.setattr(table_mod.LakeTable, "read", spying)
     mv.refresh()
     monkeypatch.undo()
-    assert [("cust", ">=", 2), ("cust", "<=", 2)] in seen
+    assert [("cust", "in", [2])] in seen
     assert _rolled(mv) == _direct(catalog)
 
 
@@ -728,3 +728,202 @@ def test_full_join_three_halves_one_cut(spark, warehouse):
     }
     assert len(set(lids.values())) == 1  # all three halves share one cut
     assert mv.refresh()["pairs_touched"] == 0
+
+
+def test_outer_rebuild_halves_publish_atomically(spark, warehouse):
+    """ADVICE r7: rebuild() on an outer view must honor the same
+    atomicity contract as refresh() — without a caller transaction it
+    opens its own, so the matched and unmatched replaces land as ONE cut
+    (same marker), and results equal a direct full join."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 9, 2.0)],
+        customers=[(50, 5, "a"), (60, 6, "lonely")],
+    )
+    mv = _full_view(catalog, "full")
+    mv.refresh()
+    # diverge the sources, then rebuild from scratch
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(3, 6, 3.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    r = mv.rebuild()
+    assert r["pairs_touched"] == -1
+    assert _rolled_how(mv) == _direct_how(catalog, "full")
+    lids = {
+        catalog.load_table("ds", t).snapshot().summary["load_id"]
+        for t in ("oc_full", "oc_full__unmatched", "oc_full__unmatched_right")
+    }
+    assert len(lids) == 1  # one cut
+    # a failure mid-rebuild publishes NOTHING (transaction rolls back)
+    import dlt_iceberg_spark.lake.transaction as txn_mod
+
+    before = {
+        t: catalog.load_table("ds", t).current_version()
+        for t in ("oc_full", "oc_full__unmatched", "oc_full__unmatched_right")
+    }
+    real = txn_mod.CatalogTransaction.write
+    calls = []
+
+    def failing(self, *a, **kw):
+        calls.append(1)
+        if len(calls) == 2:
+            raise RuntimeError("boom mid-rebuild")
+        return real(self, *a, **kw)
+
+    txn_mod.CatalogTransaction.write = failing
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="boom"):
+            mv.rebuild()
+    finally:
+        txn_mod.CatalogTransaction.write = real
+    after = {
+        t: catalog.load_table("ds", t).current_version()
+        for t in ("oc_full", "oc_full__unmatched", "oc_full__unmatched_right")
+    }
+    assert after == before  # no torn halves
+    # and the view still rebuilds cleanly afterwards
+    assert _rolled_how(mv) == _direct_how(catalog, "full")
+
+
+# -- select=[...] column projection (VERDICT r7 task 7) ----------------------
+
+
+def test_join_view_select_projection_random_history(spark, warehouse):
+    """Property: a projected LEFT view equals the projected direct left
+    join across random mutations — and updates that touch only
+    UNPROJECTED columns fold to nothing (pairs_touched == 0, no view
+    rewrite)."""
+    import random
+
+    rng = random.Random(7)
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame(
+            [(i, rng.randrange(5), float(i), f"n{i}") for i in range(12)],
+            "o_id long, cust long, amt double, note string",
+        ),
+        load_id="o0",
+    )
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame(
+            [(100 + g, g, f"s{g}") for g in range(6)],
+            "c_id long, cust long, seg string",
+        ),
+        load_id="c0",
+    )
+    mv = IncrementalJoinView(
+        catalog, "ds", "oc_proj",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="left",
+        select=["o_id", "cust", "amt", "c_id"],  # drops note + seg
+    )
+    mv.refresh()
+
+    def direct():
+        o = catalog.load_table("ds", "orders").read()
+        c = catalog.load_table("ds", "cust").read()
+        return {
+            (r.o_id, r.c_id): (r.cust, r.amt)
+            for r in o.join(c, on="cust", how="left").collect()
+        }
+
+    def rolled():
+        return {(r.o_id, r.c_id): (r.cust, r.amt) for r in mv.read().collect()}
+
+    # the stored tables carry ONLY the projected columns
+    assert set(catalog.load_table("ds", "oc_proj").read().columns) == {
+        "o_id", "cust", "amt", "c_id"
+    }
+    assert set(
+        catalog.load_table("ds", "oc_proj__unmatched").read().columns
+    ) == {"o_id", "cust", "amt"}
+    assert rolled() == direct()
+
+    # an update touching ONLY the unprojected left column folds away
+    catalog.load_table("ds", "orders").update_where(
+        [("o_id", "=", 3)], {"note": "changed"}
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    assert mv.refresh()["pairs_touched"] == 0
+    assert rolled() == direct()
+    # same for the unprojected right column
+    catalog.load_table("ds", "cust").update_where(
+        [("c_id", "=", 101)], {"seg": "changed"}
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    assert mv.refresh()["pairs_touched"] == 0
+    assert rolled() == direct()
+
+    # random mutations keep the projected invariant
+    next_o = 100
+    for step in range(4):
+        op = ["o_append", "o_update", "o_delete", "c_append"][step]
+        if op == "o_append":
+            writer.write(
+                TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+                spark.createDataFrame(
+                    [(next_o + j, rng.randrange(7), float(j), "x") for j in range(3)],
+                    "o_id long, cust long, amt double, note string",
+                ),
+                load_id=f"s{step}",
+            )
+            next_o += 3
+        elif op == "o_update":
+            catalog.load_table("ds", "orders").update_where(
+                [("cust", "=", rng.randrange(5))], {"amt": 777.0}
+            )
+        elif op == "o_delete":
+            victim = rng.choice(
+                [r.o_id for r in catalog.load_table("ds", "orders").read().collect()]
+            )
+            catalog.load_table("ds", "orders").position_delete_where(
+                [("o_id", "=", victim)]
+            )
+        else:
+            writer.write(
+                TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+                spark.createDataFrame(
+                    [(200 + step, 6, f"late{step}")],
+                    "c_id long, cust long, seg string",
+                ),
+                load_id=f"s{step}",
+            )
+        mv.left = catalog.load_table("ds", "orders")
+        mv.right = catalog.load_table("ds", "cust")
+        mv.refresh()
+        assert rolled() == direct(), f"step {step} ({op})"
+    # rebuild under projection reproduces the same state
+    mv.rebuild()
+    assert rolled() == direct()
+
+
+def test_join_view_select_validation(spark, warehouse):
+    catalog, _ = _mk_sources(
+        spark, warehouse, orders=[(1, 0, 1.0)], customers=[(100, 0, "s")],
+    )
+    with pytest.raises(ValueError, match="must include the join keys"):
+        IncrementalJoinView(
+            catalog, "ds", "v",
+            catalog.load_table("ds", "orders"),
+            catalog.load_table("ds", "cust"),
+            on=["cust"], left_pk=["o_id"], right_pk=["c_id"],
+            select=["cust", "amt", "c_id"],  # missing o_id
+        )
+    mv = IncrementalJoinView(
+        catalog, "ds", "v",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"],
+        select=["o_id", "cust", "c_id", "nope"],
+    )
+    with pytest.raises(ValueError, match="neither side"):
+        mv.refresh()

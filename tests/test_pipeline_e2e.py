@@ -273,3 +273,28 @@ def test_pipeline_run_refreshes_derived_assets_in_the_same_cut(spark, warehouse)
     info2 = p.run(res2, load_id="l1", transactional=True, derived=[ru])
     assert info2.already_loaded
     assert {r.grp: r.total for r in ru.read().collect()} == got
+
+
+def test_wap_pipeline_refuses_derived(spark, tmp_path):
+    """ADVICE r7: run(derived=...) on a branch (WAP) pipeline would land
+    resources on the branch while the derived asset refreshes against
+    main — a silent no-op reported as written.  Refused loudly instead."""
+    import pytest
+
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+
+    p = Pipeline(
+        spark, "p", str(tmp_path / "wh"), "ds", branch="audit"
+    )
+
+    class _FakeDerived:
+        name = "d"
+
+        def refresh(self, transaction=None):
+            raise AssertionError("must never be called")
+
+    with pytest.raises(ValueError, match="branch \\(WAP\\) pipeline"):
+        p.run(
+            Resource("t", lambda s: s.range(3)),
+            derived=[_FakeDerived()],
+        )

@@ -425,3 +425,58 @@ def test_non_utc_session_pruning_tz_matrix(spark, tmp_path):
         _, files = t._select_files(snap, [("ts", "=", amb)])
         assert len(files) == snap.n_files
         assert t.read(where=[("ts", "=", amb)]).count() == 0
+
+
+def test_in_probe_prunes_gappy_key_sets_tighter_than_range(spark, tmp_path):
+    """VERDICT r7 task 2: a gappy touched-key set pushed as `(k, "in",
+    vals)` must open strictly fewer files than the old global
+    `[min(vals), max(vals)]` range form — a file inside the global range
+    but containing none of the probed values is kept by the range form,
+    dropped by the in form.  Results stay exact either way."""
+    loc = str(tmp_path / "tg")
+    t = LakeTable(spark, loc)
+    # 20 key-clustered files: file i holds ids [i*10, i*10+9]
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "id long, v string"
+    ).repartitionByRange(20, "id")
+    t.commit(t.stage_dataframe(df), df.schema, "create", None)
+    snap = t.snapshot()
+    assert snap.n_files >= 15
+    probe = [5, 195]  # gappy: global range spans every file
+    _, in_files = t._select_files(snap, [("id", "in", probe)])
+    _, range_files = t._select_files(
+        snap, [("id", ">=", min(probe)), ("id", "<=", max(probe))]
+    )
+    assert len(range_files) == snap.n_files  # the old form opened everything
+    assert len(in_files) <= 3  # the in form opens only the touched files
+    rows = sorted(r.id for r in t.read(where=[("id", "in", probe)]).collect())
+    assert rows == probe
+    # driver/spark plan-mode parity on the in form
+    _, fs = t._select_files(snap, [("id", "in", probe)], plan_mode="spark")
+    assert sorted(f.path for f in fs) == sorted(f.path for f in in_files)
+
+
+def test_sorted_probe_bisect_matches_linear_scan():
+    """_SortedProbe's bisect check is exactly equivalent to the linear
+    any()-scan, across random probe sets and file ranges."""
+    import random
+
+    from dlt_iceberg_spark.lake.table import _SortedProbe, _sorted_probe
+
+    rng = random.Random(42)
+    for _ in range(500):
+        vals = sorted(rng.sample(range(1000), rng.randint(1, 30)))
+        mn = rng.randint(0, 999)
+        mx = mn + rng.randint(0, 200)
+        f = DataFile(
+            path="x", rows=1, bytes=1, stats={"k": [mn, mx]}, partition={},
+            sequence=1,
+        )
+        probe = _sorted_probe(vals)
+        assert isinstance(probe, _SortedProbe)
+        assert _file_may_match(f, "k", "in", probe) == any(
+            mn <= x <= mx for x in vals
+        )
+    # unsortable mixed values fall back to the linear container untouched
+    mixed = _sorted_probe([1, "a"])
+    assert not isinstance(mixed, _SortedProbe) and mixed == [1, "a"]

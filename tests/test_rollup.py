@@ -387,9 +387,9 @@ def test_rollup_minmax_rescan_matches_full_recompute(spark, warehouse):
         assert _rolled_minmax(ru) == _direct_minmax(src), f"step {step} ({op})"
 
 
-def test_rollup_minmax_rescan_prunes_to_touched_key_range(spark, warehouse, monkeypatch):
+def test_rollup_minmax_rescan_prunes_to_touched_keys(spark, warehouse, monkeypatch):
     """With a collectable touched-key set, the rescan scan must carry a
-    key-range `where` so manifest stats can file-prune it."""
+    per-key IN `where` so manifest stats can file-prune it."""
     from dlt_iceberg_spark.lake import table as table_mod
 
     catalog, writer, src = _mk_source(
@@ -417,7 +417,7 @@ def test_rollup_minmax_rescan_prunes_to_touched_key_range(spark, warehouse, monk
     monkeypatch.setattr(table_mod.LakeTable, "read", spying)
     ru.refresh()
     monkeypatch.undo()
-    assert [("grp", ">=", "g1"), ("grp", "<=", "g1")] in seen
+    assert [("grp", "in", ["g1"])] in seen
     assert _rolled_minmax_hi(ru) == {"g1": 99.0, "g0": 6.0, "g2": 8.0}
 
 
