@@ -927,3 +927,106 @@ def test_join_view_select_validation(spark, warehouse):
     )
     with pytest.raises(ValueError, match="neither side"):
         mv.refresh()
+
+
+# -- chained views: IVM over IVM (view2's left source is view1's table) ------
+
+
+def test_chained_join_views_compose(spark, warehouse):
+    """A second IncrementalJoinView maintained over the FIRST view's
+    target table (its merge commits produce ordinary CDC) equals the
+    recomputed three-way join after every mutation round — IVM composes
+    because the view target is a first-class LakeTable with a changelog."""
+    import random
+
+    rng = random.Random(5)
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame(
+            [(i, rng.randrange(5), float(i)) for i in range(12)],
+            "o_id long, cust long, amt double",
+        ),
+        load_id="o0",
+    )
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame(
+            [(100 + g, g, g % 3) for g in range(6)],
+            "c_id long, cust long, nk long",
+        ),
+        load_id="c0",
+    )
+    writer.write(
+        TableSpec(name="nation", write_disposition="append", primary_key=["nk"]),
+        spark.createDataFrame(
+            [(k, f"N{k}") for k in range(3)], "nk long, nname string"
+        ),
+        load_id="n0",
+    )
+    mv1 = IncrementalJoinView(
+        catalog, "ds", "oc",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"],
+    )
+    mv1.refresh()
+    mv2 = IncrementalJoinView(
+        catalog, "ds", "ocn",
+        catalog.load_table("ds", "oc"),
+        catalog.load_table("ds", "nation"),
+        on=["nk"], left_pk=["o_id", "c_id"], right_pk=["nk"],
+    )
+    mv2.refresh()
+
+    def direct():
+        o = catalog.load_table("ds", "orders").read()
+        c = catalog.load_table("ds", "cust").read()
+        n = catalog.load_table("ds", "nation").read()
+        rows = (
+            o.join(c, on="cust").join(n, on="nk").collect()
+        )
+        return {(r.o_id, r.c_id): (r.amt, r.nk, r.nname) for r in rows}
+
+    def rolled():
+        return {
+            (r.o_id, r.c_id): (r.amt, r.nk, r.nname)
+            for r in mv2.read().collect()
+        }
+
+    assert rolled() == direct()
+
+    def _refresh_chain():
+        mv1.left = catalog.load_table("ds", "orders")
+        mv1.right = catalog.load_table("ds", "cust")
+        mv1.refresh()
+        mv2.left = catalog.load_table("ds", "oc")
+        mv2.refresh()
+
+    # base-table mutations flow through BOTH views
+    catalog.load_table("ds", "orders").update_where(
+        [("cust", "=", 2)], {"amt": 777.0}
+    )
+    _refresh_chain()
+    assert rolled() == direct()
+
+    # customer re-keys to another nation: view1 rows rewrite, view2 follows
+    catalog.load_table("ds", "cust").update_where([("c_id", "=", 101)], {"nk": 2})
+    _refresh_chain()
+    assert rolled() == direct()
+
+    # nation-side update hits view2's right delta path
+    catalog.load_table("ds", "nation").update_where([("nk", "=", 0)], {"nname": "ZERO"})
+    mv2.right = catalog.load_table("ds", "nation")
+    mv2.refresh()
+    assert rolled() == direct()
+
+    # order delete cascades: view1 emits delete images, view2 folds them
+    catalog.load_table("ds", "orders").position_delete_where([("o_id", "=", 3)])
+    _refresh_chain()
+    assert rolled() == direct()
+
+    # replay is a no-op end to end
+    assert mv1.refresh()["pairs_touched"] == 0
+    assert mv2.refresh()["pairs_touched"] == 0
