@@ -2979,6 +2979,14 @@ class LakeTable:
         parse = self._HIVE_PARSERS.get(fld.dataType.simpleString())
         if parse is None:
             return None  # tuple string not round-trippable for this type
+        agg_types = {}
+        for c in columns:
+            cf = next((f for f in snap.schema.fields if f.name == c), None)
+            if cf is None:
+                raise ValueError(f"no such column {c!r}")
+            if cf.dataType.simpleString() not in self._HIVE_PARSERS:
+                return None  # stats not safely castable (e.g. timestamps)
+            agg_types[c] = cf.dataType
         if any(d.content != "position" for d in snap.delete_files):
             return None  # equality masks make every group inexact
         if snap.delete_files and columns:
@@ -2986,27 +2994,92 @@ class LakeTable:
         masked = (
             self._position_masked_counts(snap) if snap.delete_files else {}
         )
-        groups: dict[Any, dict] = {}
-        for f in snap.files:
-            raw = f.partition.get(key)
-            if raw is None:
-                return None  # pre-spec file or null/empty tuple value
+        # groups accumulate keyed by the RAW tuple string; the typed value
+        # is parsed once at the end
+        groups: dict[str, dict] = {}
+
+        def _fold_driver(files) -> bool:
+            for f in files:
+                raw = f.partition.get(key)
+                if raw is None:
+                    return False  # pre-spec file or null/empty tuple value
+                g = groups.setdefault(raw, {"count": 0})
+                g["count"] += f.rows - masked.get(f.path, 0)
+                for c in columns:
+                    st = f.stats.get(c)
+                    if st is None or st[0] is None or st[1] is None:
+                        return False
+                    lo, hi = g.get(f"min_{c}"), g.get(f"max_{c}")
+                    g[f"min_{c}"] = st[0] if lo is None else min(lo, st[0])
+                    g[f"max_{c}"] = st[1] if hi is None else max(hi, st[1])
+            return True
+
+        if snap.manifests and snap.n_files >= DISTRIBUTED_PLAN_MIN_FILES:
+            # distributed tier: ONE Spark job over the manifest parquet —
+            # the driver holds O(groups), never O(files), so a 1M-file
+            # (~128 TB) table answers "rows per partition" in one
+            # metadata job (the same threshold split as scan planning)
+            if not _fold_driver(snap.inline_files):
+                return None
+            mdf = self.spark.read.parquet(
+                *[os.path.join(self.location, r.path) for r in snap.manifests]
+            )
+            g = F.get_json_object(F.col("partition"), f"$['{key}']")
+            bad = g.isNull() | (g == "null")
+            sel = [g.alias("__g"), F.col("rows").alias("__rows"),
+                   F.col("path").alias("__path")]
+            for i, c in enumerate(columns):
+                lo = F.get_json_object(F.col("stats"), f"$['{c}'][0]").cast(
+                    agg_types[c]
+                )
+                hi = F.get_json_object(F.col("stats"), f"$['{c}'][1]").cast(
+                    agg_types[c]
+                )
+                bad = bad | lo.isNull() | hi.isNull()
+                sel += [lo.alias(f"__lo{i}"), hi.alias(f"__hi{i}")]
+            sel.append(bad.cast("int").alias("__bad"))
+            edf = mdf.select(*sel)
+            if masked:
+                mdf2 = self.spark.createDataFrame(
+                    list(masked.items()), "__path string, __masked long"
+                )
+                edf = edf.join(F.broadcast(mdf2), on="__path", how="left")
+                live_rows = F.col("__rows") - F.coalesce(
+                    F.col("__masked"), F.lit(0)
+                )
+            else:
+                live_rows = F.col("__rows")
+            aggs = [F.sum(live_rows).alias("__n"), F.max("__bad").alias("__bad")]
+            for i, c in enumerate(columns):
+                aggs += [
+                    F.min(f"__lo{i}").alias(f"__lo{i}"),
+                    F.max(f"__hi{i}").alias(f"__hi{i}"),
+                ]
+            rows = edf.groupBy("__g").agg(*aggs).collect()
+            if any(r["__bad"] for r in rows):
+                return None
+            for r in rows:
+                g2 = groups.setdefault(r["__g"], {"count": 0})
+                g2["count"] += r["__n"]
+                for i, c in enumerate(columns):
+                    lo, hi = g2.get(f"min_{c}"), g2.get(f"max_{c}")
+                    g2[f"min_{c}"] = (
+                        r[f"__lo{i}"] if lo is None else min(lo, r[f"__lo{i}"])
+                    )
+                    g2[f"max_{c}"] = (
+                        r[f"__hi{i}"] if hi is None else max(hi, r[f"__hi{i}"])
+                    )
+        else:
+            if not _fold_driver(snap.files):
+                return None
+        out = []
+        for raw, g in groups.items():
             try:
                 gval = parse(raw)
             except (ValueError, TypeError):
                 return None
-            g = groups.setdefault(
-                gval, {group_by: gval, "count": 0}
-            )
-            g["count"] += f.rows - masked.get(f.path, 0)
-            for c in columns:
-                st = f.stats.get(c)
-                if st is None or st[0] is None or st[1] is None:
-                    return None
-                lo, hi = g.get(f"min_{c}"), g.get(f"max_{c}")
-                g[f"min_{c}"] = st[0] if lo is None else min(lo, st[0])
-                g[f"max_{c}"] = st[1] if hi is None else max(hi, st[1])
-        return sorted(groups.values(), key=lambda d: (d[group_by] is None, d[group_by]))
+            out.append({group_by: gval, **g})
+        return sorted(out, key=lambda d: (d[group_by] is None, d[group_by]))
 
     def read_files(self, files: list[DataFile]) -> DataFrame:
         """Scan a subset of live files (used by copy-on-write merge)."""

@@ -452,3 +452,71 @@ def test_commit_records_iceberg_standard_metrics(spark, tmp_path):
         summary={"added-records": "caller-said-so"},
     )
     assert t.snapshot().summary["added-records"] == "caller-said-so"
+
+
+def test_grouped_aggregate_distributed_never_expands_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """Partition-grouped metadata aggregates at manifest scale (VERDICT r7
+    task 6): past DISTRIBUTED_PLAN_MIN_FILES the per-group fold runs as
+    ONE Spark job over the manifest parquet — the driver holds O(groups),
+    and read_manifest (driver-side expansion) is never called.  The two
+    tiers must agree exactly."""
+    import dlt_iceberg_spark.lake.table as table_mod
+
+    n = 60_000  # above the 50k distributed threshold
+    files = [
+        DataFile(
+            path=f"data/f{i:06d}.parquet",
+            rows=10,
+            bytes=1000,
+            stats={"v": [i * 10, i * 10 + 9]},
+            partition={"g": str(i % 4)},
+        )
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [T.StructField("g", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    spec = [{"column": "g", "transform": "identity", "param": None, "name": None}]
+    t = LakeTable(spark, str(tmp_path / "tg"))
+    t.commit(files, schema, "create", None, partition_spec=spec)
+
+    expected = [
+        {
+            "g": gv,
+            "count": (n // 4) * 10,
+            "min_v": gv * 10,
+            "max_v": (n - 4 + gv) * 10 + 9,
+        }
+        for gv in range(4)
+    ]
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("distributed grouped aggregate expanded a manifest")
+        ),
+    )
+    got = t.aggregate_stats(["v"], group_by="g")
+    monkeypatch.undo()
+    assert got == expected
+    # driver tier (threshold forced high) agrees exactly
+    monkeypatch.setattr(table_mod, "DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    assert t.aggregate_stats(["v"], group_by="g") == expected
+    monkeypatch.undo()
+    # a file with missing stats refuses in the DISTRIBUTED tier too
+    snap = t.snapshot()
+    t.commit(
+        None, schema, "append", snap.version, manifests=snap.manifests,
+        new_files=[
+            DataFile(
+                path="data/nostats.parquet", rows=1, bytes=10,
+                stats={}, partition={"g": "1"},
+            )
+        ],
+    )
+    assert t.aggregate_stats(["v"], group_by="g") is None
+    assert [d["count"] for d in t.aggregate_stats(group_by="g")] == [
+        150000, 150001, 150000, 150000,
+    ]
