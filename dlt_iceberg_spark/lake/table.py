@@ -453,16 +453,27 @@ class Snapshot:
         Returns ``None`` when metadata cannot answer EXACTLY:
 
         - equality deletes outstanding (MoR masks make counts/extremes an
-          upper bound until ``fold_deletes``), or
+          upper bound until ``fold_deletes``),
         - a requested column whose aggregate range is unbounded (some file
-          lacked stats) — the caller falls back to a real scan.
+          lacked stats) — the caller falls back to a real scan, or
+        - a requested TIMESTAMP column: its stats live in the UTC-naive
+          'T'-ISO pruning frame, so the "extremum" would come back as a
+          frame-leaked string, not a timestamp (same refusal as
+          :meth:`LakeTable.agg_minmax`).
 
         Cost is O(manifest refs): per-manifest aggregate ranges answer
         min/max without opening a single chunk."""
         if self.delete_files:
             return None
+        ts_cols = {
+            f.name
+            for f in self.schema.fields
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        }
         out: dict[str, Any] = {"count": self.total_rows}
         for col in columns or []:
+            if col in ts_cols:
+                return None
             lo: Any = None
             hi: Any = None
             for f in self.inline_files:

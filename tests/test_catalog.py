@@ -510,3 +510,31 @@ def test_grouped_aggregate_stats_metadata_only(spark, warehouse):
     # the Dataset fallback still answers exactly
     fb2 = ds.aggregate("t", group_by="g")
     assert [d["count"] for d in fb2] == [248, 248, 248, 247]
+
+
+def test_aggregate_stats_refuses_timestamp_columns(spark, warehouse):
+    """Timestamp stats live in the UTC-naive pruning frame; returning one
+    as a min/max value would leak the frame as a string.  Metadata must
+    refuse and the Dataset fallback must answer with real timestamps."""
+    import datetime
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.range(10).selectExpr(
+            "id", "timestamp_seconds(1700000000 + id * 3600) as ts"
+        ),
+    )
+    table = catalog.load_table("main", "t")
+    assert table.aggregate_stats(["ts"]) is None
+    got = Dataset(catalog, "main").aggregate("t", ["ts"])
+    assert got["count"] == 10
+    assert isinstance(got["min_ts"], datetime.datetime)
+    assert got["max_ts"] - got["min_ts"] == datetime.timedelta(hours=9)
+    # non-ts columns still answer from metadata
+    assert table.aggregate_stats(["id"]) == {"count": 10, "min_id": 0, "max_id": 9}
