@@ -56,7 +56,7 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 
 _GATE_PRIORITY = [
     # -- never driver-verified (r8 additions, then r7's) — front ---------
-    "lake_partition_aggregate", "lake_matview_chain",
+    "lake_partition_aggregate", "lake_matview_chain", "stream_dedup_corpus",
     "lake_count_pushdown", "lake_matview_join", "lake_matview_left",
     "lake_matview_full", "lake_rollup_minmax",
     # -- newest driver row is r05 — all 15, 3-round limit hits now -------
@@ -76,10 +76,9 @@ _GATE_PRIORITY = [
     "part_brand_stats", "pctl_order_value", "pivot_priority_status",
     "q10_returned_customers", "q11_important_parts",
     "q12_late_shipping_priority", "q13_order_distribution",
-    "q14_promo_revenue",
 ]
-# The 22 r06 rows deferred to the r9 window (3-round limit hits then):
-# q15_top_supplier, q16_supplier_part_count,
+# The 23 r06 rows deferred to the r9 window (3-round limit hits then):
+# q14_promo_revenue, q15_top_supplier, q16_supplier_part_count,
 # q17_small_quantity_revenue, q18_large_orders, q19_bracket_revenue,
 # q20_top_volume_suppliers, q22_idle_customers, q2_min_unit_price_supplier,
 # q3_unshipped_revenue, q4_order_priority, q5_nation_revenue,

@@ -1109,6 +1109,90 @@ _LAKE_MATVIEW_CHAIN_CACHE: dict = {}
 
 
 @query(
+    "stream_dedup_corpus",
+    r"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 3 AS ld,
+             list_sort(list_distinct(string_split_regex(text, '\s+'))) AS t
+      FROM documents
+    ), nov AS (
+      SELECT a.* FROM t a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM t e WHERE e.ld < a.ld AND e.t = a.t
+      )
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+           floor(len(list_intersect(c.t, b.t)) /
+                 CAST(len(list_distinct(list_concat(c.t, b.t))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM nov c JOIN t b
+      ON c.ld < b.ld
+     AND len(list_intersect(c.t, b.t)) /
+         CAST(len(list_distinct(list_concat(c.t, b.t))) AS DOUBLE) >= 0.8
+    """,
+    doc=(
+        "STREAMING incremental dedup (streaming/dedup.py::"
+        "run_dedup_backfill): documents land as THREE ordered loads "
+        "(doc_id % 3), then a real Structured Streaming query — one "
+        "micro-batch per source snapshot via admission control — probes "
+        "each load against the persisted class index of everything "
+        "ingested strictly before it, appends flagged pairs per epoch, "
+        "and indexes the load's novel classes.  The oracle recomputes "
+        "the flags from scratch: brute-force exact Jaccard of every "
+        "later-load doc against every EARLIER-load doc whose token-set "
+        "class was novel at its own ingest (canonical ids = first "
+        "ingest).  A hash match proves epoch ordering, index "
+        "maintenance, and the probe all equal the batch semantics."
+    ),
+)
+def stream_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.dedup import run_dedup_backfill
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    got = _STREAM_DEDUP_CACHE.get(key)
+    if got is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="sdedup_"))
+        writer = LakeWriter(catalog, "gate")
+        d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        for ld in range(3):
+            writer.write(
+                TableSpec(name="docs", write_disposition="append"),
+                d.filter(F.col("doc_id") % 3 == ld),
+                load_id=f"ld{ld}",
+            )
+        index = LakeTable(
+            spark, os.path.join(tempfile.mkdtemp(prefix="sdedup_idx_"), "idx")
+        )
+        run_dedup_backfill(
+            spark,
+            catalog.load_table("gate", "docs").location,
+            index,
+            writer,
+            "doc_dups",
+            "text",
+            "doc_id",
+            checkpoint_dir=tempfile.mkdtemp(prefix="sdedup_ckpt_"),
+            threshold=0.8,
+            strategy="auto",
+            query_name="sdedup_gate",
+        )
+        got = catalog.load_table("gate", "doc_dups")
+        _STREAM_DEDUP_CACHE[key] = got
+    return got.read().select(
+        "corpus_id", "batch_id", rnd(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+_STREAM_DEDUP_CACHE: dict = {}
+
+
+@query(
     "lake_matview_left",
     f"""
     WITH l0 AS (
