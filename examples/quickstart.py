@@ -315,6 +315,34 @@ def main(warehouse: str) -> None:
     )
     print(f"join view after right-side update: {pairs}")
 
+    # -- partition-grouped metadata aggregates (zero data scans) ------------
+    from dlt_iceberg_spark.lake.dataset import Dataset
+
+    per_region = Dataset(pipe.catalog, "shop").aggregate(
+        "fact_sales", ["amount"], group_by="region"
+    )
+    print(f"rows/min/max per region, from manifests alone: {per_region}")
+
+    # -- chained views: a view maintained over another view's CDC -----------
+    qwriter.write(
+        TableSpec(name="theatres", write_disposition="append", primary_key=["theatre"]),
+        spark.createDataFrame(
+            [("americas", "NA"), ("europe", "EMEA"), ("emea", "EMEA")],
+            "theatre string, org string",
+        ),
+    )
+    mv2 = IncrementalJoinView(
+        pipe.catalog, "shop", "sales_orgs",
+        pipe.catalog.load_table("shop", "sales_regions"),
+        pipe.catalog.load_table("shop", "theatres"),
+        on=["theatre"], left_pk=["sale_id", "region"], right_pk=["theatre"],
+    )
+    mv2.refresh()
+    print(
+        "chained view (sales -> regions -> orgs): "
+        f"{sorted((r.sale_id, r.org) for r in mv2.read().collect())}"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
