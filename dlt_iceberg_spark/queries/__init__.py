@@ -57,6 +57,7 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 _GATE_PRIORITY = [
     # -- never driver-verified (r8 additions, then r7's) — front ---------
     "lake_partition_aggregate", "lake_matview_chain", "stream_dedup_corpus",
+    "ann_filtered",
     "lake_count_pushdown", "lake_matview_join", "lake_matview_left",
     "lake_matview_full", "lake_rollup_minmax",
     # -- newest driver row is r05 — all 15, 3-round limit hits now -------
@@ -75,10 +76,11 @@ _GATE_PRIORITY = [
     "merge_upsert", "mixture_by_source", "nation_order_stats",
     "part_brand_stats", "pctl_order_value", "pivot_priority_status",
     "q10_returned_customers", "q11_important_parts",
-    "q12_late_shipping_priority", "q13_order_distribution",
+    "q12_late_shipping_priority",
 ]
-# The 23 r06 rows deferred to the r9 window (3-round limit hits then):
-# q14_promo_revenue, q15_top_supplier, q16_supplier_part_count,
+# The 24 r06 rows deferred to the r9 window (3-round limit hits then):
+# q13_order_distribution, q14_promo_revenue, q15_top_supplier,
+# q16_supplier_part_count,
 # q17_small_quantity_revenue, q18_large_orders, q19_bracket_revenue,
 # q20_top_volume_suppliers, q22_idle_customers, q2_min_unit_price_supplier,
 # q3_unshipped_revenue, q4_order_priority, q5_nation_revenue,

@@ -287,6 +287,67 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, label, embedding::DOUBLE[] AS ce
+               FROM embeddings
+               WHERE label IN (0, 1) AND vec_id % 3 <> 0),
+         scored AS (
+           SELECT query_id, neighbor_id, label,
+                  list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id, CAST(label AS INT) AS neighbor_label,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "FILTERED vector search (the per-tenant / metadata-constrained ANN "
+        "shape): candidates pass a selective predicate BEFORE any distance "
+        "math — expressed as a plain scan filter, so Catalyst pushes it to "
+        "the parquet read and the distance kernel only ever sees survivors "
+        "(at 100 TB the filter, not the top-k, is what bounds the work).  "
+        "Brute-force exact here; the LSH/IVF tiers compose the same way "
+        "(filter first, bucket the survivors)."
+    ),
+)
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cand = emb.filter(F.col("label").isin(0, 1) & (F.col("vec_id") % 3 != 0))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cs", dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("neighbor_label"),
+            rnd(F.col("cs"), 6).alias("cosine"),
+        )
+    )
+
+
+@query(
     "embedding_label_stats",
     f"""
     SELECT label, count(*) AS n_vecs,
