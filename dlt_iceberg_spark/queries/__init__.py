@@ -33,26 +33,30 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # of the registry (every round's artifact stops at exactly 50 entries), so
 # iteration order decides which queries get a driver-verified row.
 #
-# ROTATION POLICY (codified per VERDICT r6 task 1): with 120 registered
+# ROTATION POLICY (codified per VERDICT r6 task 1): with 124 registered
 # queries and a 50-slot gate window, the freshness horizon is
-# ceil(120 / 50) = 3 rounds — every query must have a driver row at most
+# ceil(124 / 50) = 3 rounds — every query must have a driver row at most
 # 3 rounds old.  Each round, order the window by staleness: queries with
 # NO driver row ever go first, then queries whose newest driver row is
 # oldest.  Ties (same newest round) break alphabetically so the rotation
 # stays mechanical and reviewable.
 #
-# Round-8 window (per VERDICT r7 task 1):
-#   slots 1-5   — the 5 round-7 additions that have never had a driver
-#                 row (gate froze before they landed; all 5 passed the
-#                 judge's oracle replica in r7).
-#   slots 6-20  — the 15 rows whose newest driver row is CORRECTNESS_r05
+# Round-8 window (per VERDICT r7 task 1, extended with this round's
+# additions — new queries landed BEFORE the gate froze this time, so
+# they go straight into the front of the window):
+#   slots 1-4   — the 4 round-8 additions (lake_partition_aggregate,
+#                 lake_matview_chain, stream_dedup_corpus, ann_filtered),
+#                 never driver-verified, oracle-green locally.
+#   slots 5-9   — the 5 round-7 additions that had never had a driver
+#                 row (all 5 passed the judge's oracle replica in r7).
+#   slots 10-24 — the 15 rows whose newest driver row is CORRECTNESS_r05
 #                 (they hit the 3-round limit this round).
-#   slots 21-50 — 30 of the 50 rows whose newest driver row is r06
+#   slots 25-50 — 26 of the 50 rows whose newest driver row is r06
 #                 (alphabetical prefix).
 # Round-9 plan (write it down now so the rotation stays mechanical):
-#   any never-verified r8 additions first, then the 20 alphabetically-last
-#   r06-only rows (q17_small_quantity_revenue .. window_running_total —
-#   they hit the 3-round limit at r9), then the stalest r07 rows.
+#   any never-verified r9 additions first, then the 24 deferred r06 rows
+#   listed below (they hit the 3-round limit at r9), then the stalest
+#   r07 rows.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (r8 additions, then r7's) — front ---------
