@@ -298,3 +298,115 @@ def test_wap_pipeline_refuses_derived(spark, tmp_path):
             Resource("t", lambda s: s.range(3)),
             derived=[_FakeDerived()],
         )
+
+
+def test_pipeline_derived_chain_views_and_rollup_one_cut(spark, warehouse):
+    """The full derived-model chain — facts -> join view -> chained view
+    -> rollup — refreshes inside ONE transactional load: all four tables
+    publish as one cut, equal recomputation, and a failure anywhere in
+    the chain publishes NOTHING."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.matview import IncrementalJoinView
+    from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+
+    p = Pipeline(spark, warehouse, dataset_name="ds")
+    p.run(
+        Resource(
+            spark.createDataFrame(
+                [(i, i % 3, float(i)) for i in range(9)],
+                "o_id long, cust long, amt double",
+            ),
+            "orders", "append", ["o_id"],
+        ),
+        Resource(
+            spark.createDataFrame(
+                [(100 + g, g, g % 2) for g in range(3)],
+                "c_id long, cust long, nk long",
+            ),
+            "cust", "append", ["c_id"],
+        ),
+        Resource(
+            spark.createDataFrame([(0, "N0"), (1, "N1")], "nk long, nname string"),
+            "nation", "append", ["nk"],
+        ),
+        load_id="base",
+    )
+    mv1 = IncrementalJoinView(
+        p.catalog, "ds", "oc",
+        p.catalog.load_table("ds", "orders"),
+        p.catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"],
+    )
+    mv1.refresh()
+    mv2 = IncrementalJoinView(
+        p.catalog, "ds", "ocn",
+        p.catalog.load_table("ds", "oc"),
+        p.catalog.load_table("ds", "nation"),
+        on=["nk"], left_pk=["o_id", "c_id"], right_pk=["nk"],
+    )
+    mv2.refresh()
+    ru = IncrementalRollup(
+        p.catalog, "ds", "rev_by_nation",
+        p.catalog.load_table("ds", "ocn"),
+        keys=["nname"], aggs={"total": ("sum", "amt")},
+    )
+    ru.refresh()
+
+    def direct():
+        o = p.catalog.load_table("ds", "orders").read()
+        c = p.catalog.load_table("ds", "cust").read()
+        n = p.catalog.load_table("ds", "nation").read()
+        return {
+            r.nname: r.total
+            for r in o.join(c, on="cust").join(n, on="nk")
+            .groupBy("nname").agg(F.sum("amt").alias("total")).collect()
+        }
+
+    assert {r.nname: r.total for r in ru.read().collect()} == direct()
+
+    # one transactional load: fact upsert + the whole chain, one cut
+    batch = spark.createDataFrame(
+        [(3, 1, 99.0), (50, 2, 7.0)], "o_id long, cust long, amt double"
+    )
+    mv1.left = p.catalog.load_table("ds", "orders")
+    info = p.run(
+        Resource(batch, "orders", {"disposition": "merge", "strategy": "upsert"}, ["o_id"]),
+        load_id="l9", transactional=True, derived=[mv1, mv2, ru],
+    )
+    assert sorted(info.tables) == ["oc", "ocn", "orders", "rev_by_nation"]
+    assert {r.nname: r.total for r in ru.read().collect()} == direct()
+    # replay: ledger no-op end to end
+    info2 = p.run(
+        Resource(batch, "orders", {"disposition": "merge", "strategy": "upsert"}, ["o_id"]),
+        load_id="l9", transactional=True, derived=[mv1, mv2, ru],
+    )
+    assert info2.already_loaded
+
+    # a failure ANYWHERE in the chain publishes nothing
+    before = {
+        t: p.catalog.load_table("ds", t).current_version()
+        for t in ("orders", "oc", "ocn", "rev_by_nation")
+    }
+
+    class _Boom:
+        name = "boom"
+
+        def refresh(self, transaction=None):
+            raise RuntimeError("mid-chain failure")
+
+    batch2 = spark.createDataFrame([(60, 0, 1.0)], "o_id long, cust long, amt double")
+    mv1.left = p.catalog.load_table("ds", "orders")
+    with pytest.raises(RuntimeError, match="mid-chain"):
+        p.run(
+            Resource(batch2, "orders", "append", ["o_id"]),
+            load_id="l10", transactional=True, derived=[mv1, _Boom(), ru],
+        )
+    after = {
+        t: p.catalog.load_table("ds", t).current_version()
+        for t in ("orders", "oc", "ocn", "rev_by_nation")
+    }
+    assert after == before
+    assert {r.nname: r.total for r in ru.read().collect()} == direct()
