@@ -1030,3 +1030,61 @@ def test_chained_join_views_compose(spark, warehouse):
     # replay is a no-op end to end
     assert mv1.refresh()["pairs_touched"] == 0
     assert mv2.refresh()["pairs_touched"] == 0
+
+
+def test_full_join_view_with_projection(spark, warehouse):
+    """select=[...] composes with the FULL outer matrix: both unmatched
+    halves store only projected side columns, zero-crossing flips still
+    fire, and the view equals the projected direct full join."""
+    catalog, writer = _mk_sources(
+        spark, warehouse,
+        orders=[(1, 5, 1.0), (2, 9, 2.0)],
+        customers=[(50, 5, "a"), (60, 6, "lonely")],
+    )
+    mv = IncrementalJoinView(
+        catalog, "ds", "oc_fp",
+        catalog.load_table("ds", "orders"),
+        catalog.load_table("ds", "cust"),
+        on=["cust"], left_pk=["o_id"], right_pk=["c_id"], how="full",
+        select=["o_id", "cust", "amt", "c_id"],  # drops seg
+    )
+    mv.refresh()
+
+    def direct():
+        o = catalog.load_table("ds", "orders").read()
+        c = catalog.load_table("ds", "cust").read()
+        return {
+            (r.o_id, r.c_id): (r.cust, r.amt)
+            for r in o.join(c, on="cust", how="full").collect()
+        }
+
+    def rolled():
+        return {(r.o_id, r.c_id): (r.cust, r.amt) for r in mv.read().collect()}
+
+    assert rolled() == direct()
+    assert set(
+        catalog.load_table("ds", "oc_fp__unmatched_right").read().columns
+    ) == {"c_id", "cust"}
+    # customer 9 appears: order 2 flips OUT of the left-unmatched half
+    writer.write(
+        TableSpec(name="cust", write_disposition="append", primary_key=["c_id"]),
+        spark.createDataFrame([(90, 9, "z")], "c_id long, cust long, seg string"),
+        load_id="c1",
+    )
+    mv.right = catalog.load_table("ds", "cust")
+    mv.refresh()
+    assert rolled() == direct()
+    # order for the lonely customer: c_id 60 flips out of the right half
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(3, 6, 3.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    mv.left = catalog.load_table("ds", "orders")
+    mv.refresh()
+    assert rolled() == direct()
+    # a seg-only (unprojected) update folds to nothing
+    catalog.load_table("ds", "cust").update_where([("c_id", "=", 50)], {"seg": "upd"})
+    mv.right = catalog.load_table("ds", "cust")
+    assert mv.refresh()["pairs_touched"] == 0
+    assert rolled() == direct()
