@@ -67,7 +67,7 @@ _MARKER = "mjoin-"
 _DELETE_COL = "__mjoin_delete"
 
 #: below this many changed join keys, the opposite-side scan collects the
-#: key set and pushes a key-range `where` for manifest file pruning (same
+#: key set and pushes a per-key IN `where` for manifest file pruning (same
 #: policy as rollup.RESCAN_KEY_PUSHDOWN_MAX)
 JOIN_KEY_PUSHDOWN_MAX = 10_000
 
@@ -353,6 +353,15 @@ class IncrementalJoinView:
             left.read().columns, right.read().columns
         )
         out_cols = self._out_columns(lcols, rcols)
+        if self.select is not None:
+            stored = [f.name for f in tgt.schema().fields]
+            if set(out_cols) != set(stored):
+                raise ValueError(
+                    f"view {self.name} stores columns {sorted(stored)} but "
+                    f"this handle projects {sorted(out_cols)}; changing "
+                    "select between refreshes would corrupt the view — "
+                    "rebuild() applies the new projection"
+                )
 
         terms = []
         u_terms = []   # null-extended LEFT half deltas
@@ -581,7 +590,30 @@ class IncrementalJoinView:
         Same atomicity contract as :meth:`refresh`: an OUTER rebuild
         replaces multiple tables (matched + unmatched halves); without a
         caller-supplied transaction it opens its own, so a concurrent
-        reader (or a crash between writes) can never see torn halves."""
+        reader (or a crash between writes) can never see torn halves.
+
+        A rebuild is also how a CHANGED ``select`` projection takes
+        effect: the replace disposition evolves schemas additively (a
+        dropped column would linger null-filled), so when the stored
+        column set differs from the projection the target tables are
+        recreated from scratch first (the one rebuild step that is not
+        covered by the transaction — the view is briefly absent, which an
+        explicit full rebuild already implies)."""
+        if self.select is not None:
+            tgt = self._table()
+            if tgt is not None:
+                lcols, rcols = self._project_sides(
+                    self.left.read().columns, self.right.read().columns
+                )
+                out_cols = self._out_columns(lcols, rcols)
+                if {f.name for f in tgt.schema().fields} != set(out_cols):
+                    for t in (
+                        [self.name]
+                        + ([self.unmatched_name] if self._keep_left else [])
+                        + ([self.unmatched_right_name] if self._keep_right else [])
+                    ):
+                        if self.catalog.table_exists(self.namespace, t):
+                            self.catalog.drop_table(self.namespace, t)
         if self.how != "inner" and transaction is None:
             txn = self.catalog.transaction(self.namespace)
             try:

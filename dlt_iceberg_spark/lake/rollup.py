@@ -46,9 +46,9 @@ Mechanics:
                           reads the source outside the changelog
   ``"rescan"``            the above + O(touched groups' source rows);
                           when few groups are touched the rescan scan is
-                          file-pruned to the touched key range via
-                          manifest stats, so it is never O(source) for
-                          localized mutations
+                          file-pruned to the touched keys (per-key IN
+                          probe) via manifest stats, so it is never
+                          O(source) for localized mutations
   ======================  =============================================
 
 Caveats (documented, not silent): float sums drift under heavy

@@ -905,6 +905,37 @@ class LakeTable:
                 "file_path string, rows bigint, bytes bigint, content string, "
                 "equality_ids array<string>, sequence int",
             )
+        if kind == "manifests":
+            # Iceberg's `t.manifests`: one row per manifest chunk of the
+            # CURRENT snapshot with its aggregate pruning envelope —
+            # the operational view for judging manifest health (chunk
+            # sizes, range overlap) without reading any chunk.
+            snap = self.snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"no such table: {self.location}")
+            rows = [
+                (
+                    r.path,
+                    r.n_files,
+                    r.rows,
+                    r.bytes,
+                    {
+                        c: [None if x is None else str(x) for x in v]
+                        for c, v in r.ranges.items()
+                    },
+                    {
+                        k: [None if x is None else str(x) for x in v]
+                        for k, v in r.partitions.items()
+                    },
+                )
+                for r in snap.manifests
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "path string, n_files int, rows bigint, bytes bigint, "
+                "column_ranges map<string,array<string>>, "
+                "partition_values map<string,array<string>>",
+            )
         if kind == "partitions":
             # Iceberg's `t.partitions`: per-partition-tuple totals over the
             # CURRENT snapshot — aggregated from the `files` metadata scan,
@@ -920,7 +951,7 @@ class LakeTable:
             )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(snapshots|files|history|refs|delete_files|partitions)"
+            "(snapshots|files|history|refs|delete_files|partitions|manifests)"
         )
 
     # -- commit protocol ---------------------------------------------------
@@ -1819,30 +1850,21 @@ class LakeTable:
     def agg_minmax(
         self, column: str, snapshot_version: int | None = None
     ) -> tuple[Any, Any]:
-        """Exact ``(MIN(col), MAX(col))`` from manifest stats — O(files)
-        metadata, zero data reads — when every live file carries bounds
-        for the column and no MoR delete files exist (a mask could remove
-        the extremum).  Otherwise falls back to the exact scan.  Timestamp
-        columns always scan (their stats frame is UTC-naive; returning it
-        as a value would leak the frame)."""
+        """Exact ``(MIN(col), MAX(col))`` from manifest metadata — O(refs),
+        not O(files): per-manifest aggregate ranges answer without opening
+        a single chunk (``Snapshot.aggregate_stats``) — when the column's
+        range is bounded everywhere and no MoR delete files exist (a mask
+        could remove the extremum).  Otherwise falls back to the exact
+        scan.  Timestamp columns always scan (their stats frame is
+        UTC-naive; returning it as a value would leak the frame)."""
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        fld = next((f for f in snap.schema.fields if f.name == column), None)
-        if fld is None:
+        if not any(f.name == column for f in snap.schema.fields):
             raise ValueError(f"no such column {column!r}")
-        ts = isinstance(fld.dataType, (T.TimestampType, T.TimestampNTZType))
-        stats_ok = not ts and all(
-            f.stats.get(column) is not None
-            and f.stats[column][0] is not None
-            and f.stats[column][1] is not None
-            for f in snap.files
-        )
-        if snap.files and stats_ok and not snap.delete_files:
-            return (
-                min(f.stats[column][0] for f in snap.files),
-                max(f.stats[column][1] for f in snap.files),
-            )
+        got = snap.aggregate_stats([column])
+        if got is not None and got["count"] > 0:
+            return (got[f"min_{column}"], got[f"max_{column}"])
         row = (
             self.read(snapshot_version=snapshot_version)
             .agg(F.min(column).alias("mn"), F.max(column).alias("mx"))

@@ -538,3 +538,44 @@ def test_aggregate_stats_refuses_timestamp_columns(spark, warehouse):
     assert got["max_ts"] - got["min_ts"] == datetime.timedelta(hours=9)
     # non-ts columns still answer from metadata
     assert table.aggregate_stats(["id"]) == {"count": 10, "min_id": 0, "max_id": 9}
+
+
+def test_agg_minmax_is_o_refs_and_manifests_metadata_table(spark, warehouse, monkeypatch):
+    """agg_minmax answers from per-manifest aggregate ranges without
+    expanding a single manifest chunk; metadata_df('manifests') surfaces
+    the same envelopes as a diagnostic view."""
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.range(i * 100, (i + 1) * 100).selectExpr("id", "id * 2 as v"),
+            load_id=f"l{i}",
+        )
+    table = catalog.load_table("main", "t")
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("agg_minmax expanded a manifest")
+        ),
+    )
+    assert table.agg_minmax("v") == (0, 598)
+    assert table.agg_minmax("id") == (0, 299)
+    monkeypatch.undo()
+    # parity with the scan
+    row = table.read().selectExpr("min(v) a", "max(v) b").first()
+    assert (row.a, row.b) == (0, 598)
+    # deletes force the exact fallback (mask could remove the extremum)
+    table.position_delete_where([("v", "=", 598)])
+    table = catalog.load_table("main", "t")
+    assert table.agg_minmax("v") == (0, 596)
+
+    mf = table.metadata_df("manifests").collect()
+    assert sum(r.n_files for r in mf) == table.snapshot().n_files - len(
+        table.snapshot().inline_files
+    )
+    assert all("v" in r.column_ranges for r in mf)

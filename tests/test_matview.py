@@ -1088,3 +1088,36 @@ def test_full_join_view_with_projection(spark, warehouse):
     mv.right = catalog.load_table("ds", "cust")
     assert mv.refresh()["pairs_touched"] == 0
     assert rolled() == direct()
+
+
+def test_projection_drift_between_refreshes_is_refused(spark, warehouse):
+    """Changing select between refreshes would silently corrupt the view
+    (the merge would null-fill or drop columns); the refresh refuses and
+    points at rebuild(), which applies the new projection."""
+    catalog, writer = _mk_sources(
+        spark, warehouse, orders=[(1, 0, 1.0)], customers=[(100, 0, "s")],
+    )
+
+    def _mv(select):
+        return IncrementalJoinView(
+            catalog, "ds", "v_drift",
+            catalog.load_table("ds", "orders"),
+            catalog.load_table("ds", "cust"),
+            on=["cust"], left_pk=["o_id"], right_pk=["c_id"], select=select,
+        )
+
+    _mv(["o_id", "cust", "amt", "c_id"]).refresh()
+    writer.write(
+        TableSpec(name="orders", write_disposition="append", primary_key=["o_id"]),
+        spark.createDataFrame([(2, 0, 2.0)], "o_id long, cust long, amt double"),
+        load_id="o1",
+    )
+    drifted = _mv(["o_id", "cust", "c_id", "seg"])  # swapped amt for seg
+    with pytest.raises(ValueError, match="rebuild"):
+        drifted.refresh()
+    # rebuild() applies the new projection and refresh works again
+    drifted.rebuild()
+    assert set(catalog.load_table("ds", "v_drift").read().columns) == {
+        "o_id", "cust", "c_id", "seg"
+    }
+    assert drifted.refresh()["pairs_touched"] == 0
