@@ -412,6 +412,9 @@ class Snapshot:
     _files_cache: list[DataFile] | None = dc_field(
         default=None, repr=False, compare=False
     )
+    #: memoized _position_masked_counts result — a count() probe pair
+    #: (bare + predicated) on the same snapshot reuses one delete-file job
+    _masked_cache: dict | None = dc_field(default=None, repr=False, compare=False)
 
     @property
     def files(self) -> list[DataFile]:
@@ -1780,9 +1783,13 @@ class LakeTable:
         the file (positions are written from real rows, so ``pos <
         f.rows`` holds for any address our read path could match).
         Returns ``{manifest-relative data path: n}``, omitting zeros —
-        O(addressed files) driver memory."""
+        O(addressed files) driver memory.  Memoized per snapshot object
+        (count() probes the same masks for every predicate)."""
+        if snap._masked_cache is not None:
+            return snap._masked_cache
         pos_dels = [d for d in snap.delete_files if d.content == "position"]
         if not pos_dels:
+            snap._masked_cache = {}
             return {}
         addr_schema = T.StructType(
             [
@@ -1821,6 +1828,7 @@ class LakeTable:
             in touched
         ]
         if not live:
+            snap._masked_cache = {}
             return {}
         live_df = self.spark.createDataFrame(
             [
@@ -1845,7 +1853,8 @@ class LakeTable:
             .agg(F.count(F.lit(1)).alias("__n"))
             .collect()
         )
-        return {r["__rel"]: r["__n"] for r in counts}
+        snap._masked_cache = {r["__rel"]: r["__n"] for r in counts}
+        return snap._masked_cache
 
     def agg_minmax(
         self, column: str, snapshot_version: int | None = None
