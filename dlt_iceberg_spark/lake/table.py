@@ -1817,16 +1817,53 @@ class LakeTable:
             addrs = addrs.unionByName(p)
         addrs = addrs.groupBy("__p", "__pos").agg(F.max("__dseq").alias("__dseq"))
         # resolve only the ADDRESSED paths against the manifests — the
-        # live frame is O(addressed files), never O(table)
+        # live frame is O(addressed files), never O(table); past the
+        # distributed-planning threshold the path lookup itself runs as a
+        # Spark job over the manifest parquet (broadcast semi-join on the
+        # touched paths), so the driver never expands a manifest
         touched = {r["__p"] for r in addrs.select("__p").distinct().collect()}
         import re as _re
 
-        live = [
-            (f.path, f.sequence or 0, f.rows)
-            for f in snap.files
-            if _re.sub("^file:/+", "/", os.path.join(self.location, f.path))
-            in touched
-        ]
+        def _live_from(fs) -> list[tuple]:
+            return [
+                (f.path, f.sequence or 0, f.rows)
+                for f in fs
+                if _re.sub("^file:/+", "/", os.path.join(self.location, f.path))
+                in touched
+            ]
+
+        if snap.manifests and snap.n_files >= DISTRIBUTED_PLAN_MIN_FILES:
+            live = _live_from(snap.inline_files)
+            if touched:
+                mdf = self.spark.read.parquet(
+                    *[os.path.join(self.location, r.path) for r in snap.manifests]
+                )
+                prefix = self.location.rstrip("/") + "/"
+                absn = F.regexp_replace(
+                    F.when(
+                        F.col("path").startswith("/")
+                        | F.col("path").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:/"),
+                        F.col("path"),
+                    ).otherwise(F.concat(F.lit(prefix), F.col("path"))),
+                    "^file:/+",
+                    "/",
+                )
+                tdf = self.spark.createDataFrame(
+                    [(p,) for p in touched], "__p string"
+                )
+                live += [
+                    (r["__rel"], r["__fseq"], r["__rows"])
+                    for r in mdf.select(
+                        absn.alias("__p"),
+                        F.col("path").alias("__rel"),
+                        F.coalesce(F.col("sequence"), F.lit(0)).alias("__fseq"),
+                        F.col("rows").alias("__rows"),
+                    )
+                    .join(F.broadcast(tdf), on="__p", how="left_semi")
+                    .collect()
+                ]
+        else:
+            live = _live_from(snap.files)
         if not live:
             snap._masked_cache = {}
             return {}

@@ -520,3 +520,78 @@ def test_grouped_aggregate_distributed_never_expands_manifests(
     assert [d["count"] for d in t.aggregate_stats(group_by="g")] == [
         150000, 150001, 150000, 150000,
     ]
+
+
+def test_grouped_aggregate_distributed_masked_counts(spark, tmp_path, monkeypatch):
+    """Grouped COUNTS stay metadata-exact under pure position deletes in
+    the DISTRIBUTED tier too: the masked-address counts join the manifest
+    scan by path — one job over delete files + manifest parquet, data
+    files (synthetic here, so unreadable) never open."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.manifest import DeleteFile
+
+    n = 60_000
+    files = [
+        DataFile(
+            path=f"data/f{i:06d}.parquet",
+            rows=10,
+            bytes=1000,
+            stats={},
+            partition={"g": str(i % 4)},
+            sequence=1,
+        )
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [T.StructField("g", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    spec = [{"column": "g", "transform": "identity", "param": None, "name": None}]
+    loc = str(tmp_path / "tm")
+    t = LakeTable(spark, loc)
+    snap = t.commit(files, schema, "create", None, partition_spec=spec)
+    # a REAL position-delete parquet addressing 5 rows of a g=0 file and
+    # 2 of a g=1 file (absolute-path form, like the write path records)
+    os.makedirs(os.path.join(loc, "deletes"))
+    dpath = os.path.join(loc, "deletes", "pd0.parquet")
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array(
+                [os.path.join(loc, "data/f000000.parquet")] * 5
+                + [os.path.join(loc, "data/f000001.parquet")] * 2,
+                pa.string(),
+            ),
+            "pos": pa.array([0, 1, 2, 3, 4, 0, 1], pa.int64()),
+        }),
+        dpath,
+    )
+    t.commit(
+        None, schema, "delete", snap.version,
+        manifests=snap.manifests, new_files=snap.inline_files,
+        delete_files=[
+            DeleteFile(
+                path="deletes/pd0.parquet", rows=7,
+                bytes=os.path.getsize(dpath),
+                equality_ids=[], sequence=2, content="position",
+            )
+        ],
+    )
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("distributed grouped count expanded a manifest")
+        ),
+    )
+    got = t.aggregate_stats(group_by="g")
+    monkeypatch.undo()
+    assert got == [
+        {"g": 0, "count": 150000 - 5},
+        {"g": 1, "count": 150000 - 2},
+        {"g": 2, "count": 150000},
+        {"g": 3, "count": 150000},
+    ]
