@@ -84,7 +84,8 @@ class Dataset:
 
     def metadata(self, table_name: str, kind: str = "snapshots") -> RelationHandle:
         """Metadata relation for a table (``snapshots`` / ``files`` /
-        ``history``) — the Iceberg ``t.snapshots``-style surface."""
+        ``history`` / ``refs`` / ``delete_files`` / ``partitions`` /
+        ``manifests``) — the Iceberg ``t.snapshots``-style surface."""
         return RelationHandle(
             self._table(table_name).metadata_df(kind)
         )
