@@ -118,18 +118,18 @@ class Dataset:
         self,
         table_name: str,
         columns: list[str] | None = None,
-        group_by: str | None = None,
+        group_by: str | list[str] | None = None,
     ) -> dict | list[dict]:
         """count / per-column min,max — answered from manifest metadata
         when exact (Iceberg aggregate pushdown; milliseconds at any table
         size), transparently falling back to a real scan when it isn't
         (outstanding MoR deletes, missing column stats).
 
-        ``group_by=<column>`` returns per-group rows instead (sorted by
-        group value) — metadata-only when the column is
-        identity-partitioned and every live file's tuple answers exactly
-        (VERDICT r7 task 6: the "rows per day/bucket" ops probe), scan
-        otherwise."""
+        ``group_by=<column(s)>`` returns per-group rows instead (sorted
+        by group value; a list groups by the composite tuple) —
+        metadata-only when every grouped column is identity-partitioned
+        and every live file's tuple answers exactly (the "rows per
+        day/bucket" ops probe), scan otherwise."""
         from pyspark.sql import functions as F
 
         t = self._table(table_name)
@@ -142,8 +142,9 @@ class Dataset:
             aggs.append(F.max(c).alias(f"max_{c}"))
         if group_by is None:
             return t.read().agg(*aggs).collect()[0].asDict()
-        rows = t.read().groupBy(group_by).agg(*aggs).collect()
+        gb = [group_by] if isinstance(group_by, str) else list(group_by)
+        rows = t.read().groupBy(*gb).agg(*aggs).collect()
         out = [r.asDict() for r in rows]
         return sorted(
-            out, key=lambda d: (d[group_by] is None, d[group_by])
+            out, key=lambda d: tuple((d[c] is None, d[c]) for c in gb)
         )

@@ -3001,19 +3001,20 @@ class LakeTable:
         self,
         columns: list[str] | None = None,
         snapshot_version: int | None = None,
-        group_by: str | None = None,
+        group_by: str | list[str] | None = None,
     ) -> dict | list[dict] | None:
         """Metadata-only count/min/max (see :meth:`Snapshot.aggregate_stats`);
         ``None`` means metadata can't answer exactly — run the scan.
 
-        ``group_by=<identity-partitioned source column>`` returns
+        ``group_by=<identity-partitioned source column(s)>`` returns
         PER-PARTITION-VALUE aggregates instead (Iceberg's ``partitions``
         metadata-table shape) — the standard "rows per day/bucket" ops
-        probe, O(metadata) at 100 TB.  Same refuse-and-fallback contract:
-        ``None`` whenever any live file predates the spec (no tuple key),
-        carries a null tuple value (hive folds null/empty — ambiguous),
-        the column isn't identity-partitioned, equality deletes are
-        outstanding, or a per-group extremum is requested under any
+        probe (a list groups by the composite tuple, e.g. day AND
+        region), O(metadata) at 100 TB.  Same refuse-and-fallback
+        contract: ``None`` whenever any live file predates the spec (no
+        tuple key), carries a null tuple value (hive folds null/empty —
+        ambiguous), a column isn't identity-partitioned, equality deletes
+        are outstanding, or a per-group extremum is requested under any
         deletes.  Grouped COUNTS stay exact under pure position deletes
         (per-file masked-address counts subtract per group)."""
         snap = self.snapshot(snapshot_version)
@@ -3021,7 +3022,10 @@ class LakeTable:
             raise FileNotFoundError(f"no such table: {self.location}")
         if group_by is None:
             return snap.aggregate_stats(columns)
-        return self._grouped_aggregate_stats(snap, list(columns or []), group_by)
+        gb = [group_by] if isinstance(group_by, str) else list(group_by)
+        if not gb:
+            raise ValueError("group_by must name at least one column")
+        return self._grouped_aggregate_stats(snap, list(columns or []), gb)
 
     #: hive partition-tuple string -> typed value, per source-column type
     _HIVE_PARSERS = {
@@ -3037,27 +3041,31 @@ class LakeTable:
     }
 
     def _grouped_aggregate_stats(
-        self, snap: "Snapshot", columns: list[str], group_by: str
+        self, snap: "Snapshot", columns: list[str], group_by: list[str]
     ) -> list[dict] | None:
         spec = snap.partition_spec or []
-        field = next(
-            (
-                p
-                for p in spec
-                if p.get("column") == group_by
-                and p.get("transform") == "identity"
-            ),
-            None,
-        )
-        if field is None:
-            return None  # not identity-partitioned: tuples aren't values
-        key = field.get("name") or group_by
-        fld = next((f for f in snap.schema.fields if f.name == group_by), None)
-        if fld is None:
-            raise ValueError(f"no such column {group_by!r}")
-        parse = self._HIVE_PARSERS.get(fld.dataType.simpleString())
-        if parse is None:
-            return None  # tuple string not round-trippable for this type
+        keys: list[str] = []
+        parsers: list[Any] = []
+        for gcol in group_by:
+            field = next(
+                (
+                    p
+                    for p in spec
+                    if p.get("column") == gcol
+                    and p.get("transform") == "identity"
+                ),
+                None,
+            )
+            if field is None:
+                return None  # not identity-partitioned: tuples aren't values
+            keys.append(field.get("name") or gcol)
+            fld = next((f for f in snap.schema.fields if f.name == gcol), None)
+            if fld is None:
+                raise ValueError(f"no such column {gcol!r}")
+            parse = self._HIVE_PARSERS.get(fld.dataType.simpleString())
+            if parse is None:
+                return None  # tuple string not round-trippable for this type
+            parsers.append(parse)
         agg_types = {}
         for c in columns:
             cf = next((f for f in snap.schema.fields if f.name == c), None)
@@ -3073,16 +3081,16 @@ class LakeTable:
         masked = (
             self._position_masked_counts(snap) if snap.delete_files else {}
         )
-        # groups accumulate keyed by the RAW tuple string; the typed value
-        # is parsed once at the end
-        groups: dict[str, dict] = {}
+        # groups accumulate keyed by the RAW tuple strings; the typed
+        # values are parsed once at the end
+        groups: dict[tuple, dict] = {}
 
         def _fold_driver(files) -> bool:
             for f in files:
-                raw = f.partition.get(key)
-                if raw is None:
+                raws = tuple(f.partition.get(k) for k in keys)
+                if any(r is None for r in raws):
                     return False  # pre-spec file or null/empty tuple value
-                g = groups.setdefault(raw, {"count": 0})
+                g = groups.setdefault(raws, {"count": 0})
                 g["count"] += f.rows - masked.get(f.path, 0)
                 for c in columns:
                     st = f.stats.get(c)
@@ -3103,10 +3111,14 @@ class LakeTable:
             mdf = self.spark.read.parquet(
                 *[os.path.join(self.location, r.path) for r in snap.manifests]
             )
-            g = F.get_json_object(F.col("partition"), f"$['{key}']")
-            bad = g.isNull() | (g == "null")
-            sel = [g.alias("__g"), F.col("rows").alias("__rows"),
-                   F.col("path").alias("__path")]
+            bad = F.lit(False)
+            sel = [F.col("rows").alias("__rows"), F.col("path").alias("__path")]
+            gcols = []
+            for j, k in enumerate(keys):
+                g = F.get_json_object(F.col("partition"), f"$['{k}']")
+                bad = bad | g.isNull() | (g == "null")
+                sel.append(g.alias(f"__g{j}"))
+                gcols.append(f"__g{j}")
             for i, c in enumerate(columns):
                 lo = F.get_json_object(F.col("stats"), f"$['{c}'][0]").cast(
                     agg_types[c]
@@ -3134,11 +3146,12 @@ class LakeTable:
                     F.min(f"__lo{i}").alias(f"__lo{i}"),
                     F.max(f"__hi{i}").alias(f"__hi{i}"),
                 ]
-            rows = edf.groupBy("__g").agg(*aggs).collect()
+            rows = edf.groupBy(*gcols).agg(*aggs).collect()
             if any(r["__bad"] for r in rows):
                 return None
             for r in rows:
-                g2 = groups.setdefault(r["__g"], {"count": 0})
+                raws = tuple(r[f"__g{j}"] for j in range(len(keys)))
+                g2 = groups.setdefault(raws, {"count": 0})
                 g2["count"] += r["__n"]
                 for i, c in enumerate(columns):
                     lo, hi = g2.get(f"min_{c}"), g2.get(f"max_{c}")
@@ -3152,13 +3165,18 @@ class LakeTable:
             if not _fold_driver(snap.files):
                 return None
         out = []
-        for raw, g in groups.items():
+        for raws, g in groups.items():
             try:
-                gval = parse(raw)
+                gvals = [p(r) for p, r in zip(parsers, raws)]
             except (ValueError, TypeError):
                 return None
-            out.append({group_by: gval, **g})
-        return sorted(out, key=lambda d: (d[group_by] is None, d[group_by]))
+            out.append({**dict(zip(group_by, gvals)), **g})
+        return sorted(
+            out,
+            key=lambda d: tuple(
+                (d[c] is None, d[c]) for c in group_by
+            ),
+        )
 
     def read_files(self, files: list[DataFile]) -> DataFrame:
         """Scan a subset of live files (used by copy-on-write merge)."""

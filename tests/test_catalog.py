@@ -579,3 +579,59 @@ def test_agg_minmax_is_o_refs_and_manifests_metadata_table(spark, warehouse, mon
         table.snapshot().inline_files
     )
     assert all("v" in r.column_ranges for r in mf)
+
+
+def test_grouped_aggregate_composite_tuple(spark, warehouse, monkeypatch):
+    """group_by=[a, b]: per composite-partition-tuple aggregates from
+    metadata alone, in both tiers, equal to the direct scan."""
+    import unittest.mock as mock
+
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from pyspark.sql import functions as F
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    df = spark.range(600).selectExpr(
+        "id",
+        "cast(id % 3 as long) as a",
+        "cast(id % 2 as long) as b",
+        "id * 2 as v",
+    )
+    writer.write(
+        TableSpec(
+            name="t", write_disposition="append",
+            column_hints={"a": {"partition": True}, "b": {"partition": True}},
+        ),
+        df,
+    )
+    table = catalog.load_table("main", "t")
+
+    def boom(self, *a, **kw):
+        raise AssertionError("grouped metadata aggregate must not scan")
+
+    with mock.patch.object(table_mod.LakeTable, "_plan_scan", boom):
+        got = table.aggregate_stats(["v"], group_by=["a", "b"])
+    direct = sorted(
+        (
+            r.asDict()
+            for r in table.read().groupBy("a", "b").agg(
+                F.count(F.lit(1)).alias("count"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            ).collect()
+        ),
+        key=lambda d: (d["a"], d["b"]),
+    )
+    assert got == direct and len(got) == 6
+    # single-column grouping on a two-key spec sums across the other key
+    counts = table.aggregate_stats(group_by="b")
+    assert [d["count"] for d in counts] == [300, 300]
+    # Dataset fallback shape agrees
+    ds = Dataset(catalog, "main")
+    assert ds.aggregate("t", ["v"], group_by=["a", "b"]) == direct
+    # a non-partitioned member of the tuple refuses -> scan fallback
+    assert table.aggregate_stats(group_by=["a", "v"]) is None
+    fb = ds.aggregate("t", group_by=["a", "v"])
+    assert len(fb) == 600
