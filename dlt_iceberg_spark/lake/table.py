@@ -1894,7 +1894,10 @@ class LakeTable:
         return snap._masked_cache
 
     def agg_minmax(
-        self, column: str, snapshot_version: int | None = None
+        self,
+        column: str,
+        snapshot_version: int | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
     ) -> tuple[Any, Any]:
         """Exact ``(MIN(col), MAX(col))`` from manifest metadata — O(refs),
         not O(files): per-manifest aggregate ranges answer without opening
@@ -1902,12 +1905,22 @@ class LakeTable:
         range is bounded everywhere and no MoR delete files exist (a mask
         could remove the extremum).  Otherwise falls back to the exact
         scan.  Timestamp columns always scan (their stats frame is
-        UTC-naive; returning it as a value would leak the frame)."""
+        UTC-naive; returning it as a value would leak the frame).
+
+        With ``where``, the same full/straddler split as :meth:`count`:
+        files whose stats prove EVERY row matches contribute their
+        [min, max] bounds unopened; only straddling files scan (with the
+        residual filter), and the two extrema combine.  A selective
+        predicate on a range-clustered table reads a handful of files
+        for its MIN/MAX at any table size."""
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
-        if not any(f.name == column for f in snap.schema.fields):
+        fld = next((f for f in snap.schema.fields if f.name == column), None)
+        if fld is None:
             raise ValueError(f"no such column {column!r}")
+        if where:
+            return self._minmax_where(snap, fld, list(where))
         got = snap.aggregate_stats([column])
         if got is not None and got["count"] > 0:
             return (got[f"min_{column}"], got[f"max_{column}"])
@@ -1917,6 +1930,53 @@ class LakeTable:
             .first()
         )
         return (row["mn"], row["mx"])
+
+    def _minmax_where(
+        self, snap: "Snapshot", fld: T.StructField, where: list
+    ) -> tuple[Any, Any]:
+        """Predicated min/max with the count()-style pushdown split."""
+        scan_all = (
+            bool(snap.delete_files)  # a mask could remove the extremum
+            or isinstance(fld.dataType, (T.TimestampType, T.TimestampNTZType))
+        )
+        column = fld.name
+        where_n, files = self._select_files(snap, where)
+        ts_cols = {
+            f.name
+            for f in snap.schema.fields
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+        }
+        full: list[DataFile] = []
+        partial: list[DataFile] = []
+        for f in files:
+            st = f.stats.get(column)
+            if (
+                not scan_all
+                and st is not None
+                and st[0] is not None
+                and st[1] is not None
+                and all(
+                    c not in ts_cols and _file_fully_matches(f, c, op, v)
+                    for c, op, v in (where_n or [])
+                )
+            ):
+                full.append(f)
+            else:
+                partial.append(f)
+        lo = min((f.stats[column][0] for f in full), default=None)
+        hi = max((f.stats[column][1] for f in full), default=None)
+        if partial:
+            df = self._plan_scan(snap, partial)
+            for c, op, v in where_n or []:
+                df = df.filter(_OPS[op](F.col(c), v))
+            row = df.agg(
+                F.min(column).alias("mn"), F.max(column).alias("mx")
+            ).first()
+            if row["mn"] is not None:
+                lo = row["mn"] if lo is None else min(lo, row["mn"])
+            if row["mx"] is not None:
+                hi = row["mx"] if hi is None else max(hi, row["mx"])
+        return (lo, hi)
 
     def _partition_probe_values(
         self, snap: Snapshot, where: list[tuple[str, str, Any]]

@@ -307,3 +307,48 @@ def test_lake_count_position_deletes_metadata_exact(spark, tmp_path, monkeypatch
     t = catalog.load_table("ds", "t")
     assert any(d.content != "position" for d in t.snapshot().delete_files)
     assert t.count() == t.read().count() == 32
+
+
+def test_lake_agg_minmax_with_predicate_pushdown(spark, tmp_path, monkeypatch):
+    """agg_minmax(where=...): fully-matching files contribute their
+    [min,max] bounds unopened; only straddlers scan; results equal the
+    direct filtered aggregation in every case."""
+    import dlt_iceberg_spark.lake.table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    # 4 files with disjoint id ranges: [0,9] .. [30,39], v = id * 3
+    for i in range(4):
+        writer.write(
+            TableSpec(name="t", write_disposition="append", primary_key=["id"]),
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 3 as v").coalesce(1),
+            load_id=f"l{i}",
+        )
+    t = catalog.load_table("ds", "t")
+
+    scanned = []
+    real = table_mod.LakeTable._plan_scan
+
+    def spying(self, snap, files, *a, **kw):
+        scanned.append([f.path for f in files])
+        return real(self, snap, files, *a, **kw)
+
+    monkeypatch.setattr(table_mod.LakeTable, "_plan_scan", spying)
+    # id >= 10 fully covers files 2-4: metadata-only
+    assert t.agg_minmax("v", where=[("id", ">=", 10)]) == (30, 117)
+    assert scanned == []
+    # id >= 15 straddles file 2: exactly that one file scans
+    assert t.agg_minmax("v", where=[("id", ">=", 15)]) == (45, 117)
+    assert len(scanned) == 1 and len(scanned[0]) == 1
+    monkeypatch.undo()
+    # parity with direct computation on a conjunction and on emptiness
+    assert t.agg_minmax("v", where=[("id", ">=", 5), ("id", "<", 35)]) == (
+        15, 102,
+    )
+    assert t.agg_minmax("v", where=[("id", ">", 10_000)]) == (None, None)
+    # deletes force the exact masked path
+    t.position_delete_where([("id", "=", 39)])
+    t = catalog.load_table("ds", "t")
+    assert t.agg_minmax("v", where=[("id", ">=", 10)]) == (30, 114)
