@@ -44,14 +44,15 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # Round-8 window (per VERDICT r7 task 1, extended with this round's
 # additions — new queries landed BEFORE the gate froze this time, so
 # they go straight into the front of the window):
-#   slots 1-4   — the 4 round-8 additions (lake_partition_aggregate,
-#                 lake_matview_chain, stream_dedup_corpus, ann_filtered),
-#                 never driver-verified, oracle-green locally.
-#   slots 5-9   — the 5 round-7 additions that had never had a driver
+#   slots 1-5   — the 5 round-8 additions (lake_partition_aggregate,
+#                 lake_matview_chain, stream_dedup_corpus, ann_filtered,
+#                 lake_minmax_pushdown), never driver-verified,
+#                 oracle-green locally.
+#   slots 6-10  — the 5 round-7 additions that had never had a driver
 #                 row (all 5 passed the judge's oracle replica in r7).
-#   slots 10-24 — the 15 rows whose newest driver row is CORRECTNESS_r05
+#   slots 11-25 — the 15 rows whose newest driver row is CORRECTNESS_r05
 #                 (they hit the 3-round limit this round).
-#   slots 25-50 — 26 of the 50 rows whose newest driver row is r06
+#   slots 26-50 — 25 of the 50 rows whose newest driver row is r06
 #                 (alphabetical prefix).
 # Round-9 plan (write it down now so the rotation stays mechanical):
 #   any never-verified r9 additions first, then the 24 deferred r06 rows
@@ -61,7 +62,7 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 _GATE_PRIORITY = [
     # -- never driver-verified (r8 additions, then r7's) — front ---------
     "lake_partition_aggregate", "lake_matview_chain", "stream_dedup_corpus",
-    "ann_filtered",
+    "ann_filtered", "lake_minmax_pushdown",
     "lake_count_pushdown", "lake_matview_join", "lake_matview_left",
     "lake_matview_full", "lake_rollup_minmax",
     # -- newest driver row is r05 — all 15, 3-round limit hits now -------
@@ -80,11 +81,10 @@ _GATE_PRIORITY = [
     "merge_upsert", "mixture_by_source", "nation_order_stats",
     "part_brand_stats", "pctl_order_value", "pivot_priority_status",
     "q10_returned_customers", "q11_important_parts",
-    "q12_late_shipping_priority",
 ]
-# The 24 r06 rows deferred to the r9 window (3-round limit hits then):
-# q13_order_distribution, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_part_count,
+# The 25 r06 rows deferred to the r9 window (3-round limit hits then):
+# q12_late_shipping_priority, q13_order_distribution, q14_promo_revenue,
+# q15_top_supplier, q16_supplier_part_count,
 # q17_small_quantity_revenue, q18_large_orders, q19_bracket_revenue,
 # q20_top_volume_suppliers, q22_idle_customers, q2_min_unit_price_supplier,
 # q3_unshipped_revenue, q4_order_priority, q5_nation_revenue,

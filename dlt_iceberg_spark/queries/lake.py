@@ -1569,6 +1569,106 @@ _LAKE_PART_AGG_CACHE: dict = {}
 
 
 @query(
+    "lake_minmax_pushdown",
+    """
+    SELECT 'qty_ge_25' AS probe,
+           MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+    FROM lineitem WHERE l_quantity >= 25
+    UNION ALL
+    SELECT 'band', MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem WHERE l_quantity >= 5 AND l_quantity <= 45
+    UNION ALL
+    SELECT 'flag_r', MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem WHERE l_returnflag = 'R'
+    UNION ALL
+    SELECT 'empty', MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem WHERE l_quantity > 1000000
+    """,
+    doc=(
+        "Predicated MIN/MAX aggregate pushdown (LakeTable.agg_minmax("
+        "where=...)): lineitem lands range-clustered on l_quantity, then "
+        "filtered extrema run through the count()-style split — files "
+        "whose stats prove every row matches contribute their [min,max] "
+        "bounds unopened (an in-process assertion pins that a "
+        "fully-covered range probe scans ZERO data), straddlers scan "
+        "with the residual filter, and the extrema combine.  The oracle "
+        "recomputes each filtered MIN/MAX with plain SQL; a hash match "
+        "proves metadata extrema equal scanning."
+    ),
+)
+def lake_minmax_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    rows = _LAKE_MINMAX_CACHE.get(key)
+    if rows is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_minmax_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(
+                name="li",
+                write_disposition="append",
+                sort_order=["l_quantity"],  # tight per-file quantity stats
+                sort_buckets=8,
+            ),
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity", "l_returnflag",
+                F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+            ),
+        )
+        t = catalog.load_table("gate", "li")
+        # a range probe fully covering whole files must not scan them:
+        # only straddlers may reach _plan_scan (≤ 2 of 8 files)
+        seen = []
+        real = table_mod.LakeTable._plan_scan
+
+        def spying(self, snap, files, *a, **kw):
+            seen.append(len(files))
+            return real(self, snap, files, *a, **kw)
+
+        table_mod.LakeTable._plan_scan = spying
+        try:
+            ge25 = t.agg_minmax("l_extendedprice", where=[("l_quantity", ">=", 25)])
+        finally:
+            table_mod.LakeTable._plan_scan = real
+        assert all(n <= 2 for n in seen), seen
+        rows = [
+            ("qty_ge_25", *ge25),
+            (
+                "band",
+                *t.agg_minmax(
+                    "l_extendedprice",
+                    where=[("l_quantity", ">=", 5), ("l_quantity", "<=", 45)],
+                ),
+            ),
+            (
+                "flag_r",
+                *t.agg_minmax(
+                    "l_extendedprice", where=[("l_returnflag", "=", "R")]
+                ),
+            ),
+            (
+                "empty",
+                *t.agg_minmax(
+                    "l_extendedprice", where=[("l_quantity", ">", 1_000_000)]
+                ),
+            ),
+        ]
+        _LAKE_MINMAX_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "probe string, mn double, mx double"
+    )
+
+
+_LAKE_MINMAX_CACHE: dict = {}
+
+
+@query(
     "lake_multi_table_txn",
     f"""
     SELECT o_orderstatus,
