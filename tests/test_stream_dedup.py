@@ -81,3 +81,37 @@ def test_stream_dedup_flags_and_index(spark, warehouse, tmp_path):
     assert flags2 == {(1, 3): 1.0, (4, 6): 1.0, (2, 7): 0.8, (5, 8): 1.0}
     assert index.read().count() == 6  # d9's class is novel, d8's is not
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_stream_dedup_ledger_skips_replayed_epochs(spark, warehouse, tmp_path):
+    """With a state ledger, a replayed epoch (fresh checkpoint, same
+    query name) is skipped outright — no duplicate flag rows, no index
+    churn: the exactly-once contract of stream_write, honored here."""
+    from dlt_iceberg_spark.lake.state import StateStore
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    state = StateStore(catalog, "ds")
+    _write_load(writer, [(1, "a b c d"), (2, "x y z w")], "l0")
+    _write_load(writer, [(3, "a b c d")], "l1")
+    src = catalog.load_table("ds", "docs")
+    index = LakeTable(spark, str(tmp_path / "idx"))
+
+    def _run(ckpt):
+        run_dedup_backfill(
+            spark, src.location, index, writer, "doc_dups", "text", "doc_id",
+            checkpoint_dir=str(tmp_path / ckpt),
+            threshold=0.8, strategy="auto", query_name="sdl", state=state,
+        )
+
+    _run("ck1")
+    flags_table = catalog.load_table("ds", "doc_dups")
+    v0 = flags_table.current_version()
+    assert flags_table.read().count() == 1  # (1, 3) exact dup
+    idx_v0 = index.current_version()
+
+    # fresh checkpoint: Spark replays every epoch; the ledger skips all
+    _run("ck2")
+    assert catalog.load_table("ds", "doc_dups").current_version() == v0
+    assert catalog.load_table("ds", "doc_dups").read().count() == 1
+    assert index.current_version() == idx_v0
