@@ -119,6 +119,7 @@ class Dataset:
         table_name: str,
         columns: list[str] | None = None,
         group_by: str | list[str] | None = None,
+        distinct: list[str] | None = None,
     ) -> dict | list[dict]:
         """count / per-column min,max — answered from manifest metadata
         when exact (Iceberg aggregate pushdown; milliseconds at any table
@@ -129,17 +130,46 @@ class Dataset:
         by group value; a list groups by the composite tuple) —
         metadata-only when every grouped column is identity-partitioned
         and every live file's tuple answers exactly (the "rows per
-        day/bucket" ops probe), scan otherwise."""
+        day/bucket" ops probe), scan otherwise.
+
+        ``distinct=[cols]`` adds ``ndv_<col>`` keys (global form only):
+        metadata-only from the per-file KMV sketches when every live file
+        carries one (write-time ``ndv_sketch_columns`` or a
+        ``compute_table_stats`` backfill) — EXACT whenever the true NDV ≤
+        k=256, the KMV estimate above it — falling back to an exact
+        ``COUNT(DISTINCT)`` scan otherwise."""
         from pyspark.sql import functions as F
 
+        if distinct and group_by is not None:
+            raise ValueError("distinct= is a global aggregate; drop group_by")
         t = self._table(table_name)
         got = t.aggregate_stats(columns, group_by=group_by)
+        if got is not None and distinct:
+            ndv = t.approx_distinct(distinct)
+            if ndv is not None:
+                for c in distinct:
+                    got[f"ndv_{c}"] = ndv[c]["ndv"]
+            else:  # unsketched/MoR — scan just the distinct half
+                row = (
+                    t.read()
+                    .agg(
+                        *[
+                            F.countDistinct(c).alias(f"ndv_{c}")
+                            for c in distinct
+                        ]
+                    )
+                    .collect()[0]
+                )
+                for c in distinct:
+                    got[f"ndv_{c}"] = row[f"ndv_{c}"]
         if got is not None:
             return got
         aggs = [F.count(F.lit(1)).alias("count")]
         for c in columns or []:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
+        for c in distinct or []:
+            aggs.append(F.countDistinct(c).alias(f"ndv_{c}"))
         if group_by is None:
             return t.read().agg(*aggs).collect()[0].asDict()
         gb = [group_by] if isinstance(group_by, str) else list(group_by)

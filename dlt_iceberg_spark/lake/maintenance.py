@@ -172,6 +172,105 @@ def backfill_stats(table: LakeTable, columns: list[str] | None = None) -> int:
     return n_gained
 
 
+def compute_table_stats(
+    table: LakeTable, columns: list[str], k: int | None = None
+) -> int:
+    """ANALYZE: backfill per-file KMV NDV sketches for ``columns`` WITHOUT
+    rewriting any data — Iceberg's ``compute_table_stats`` procedure
+    (theta sketches in Puffin statistics files), Spark-first.
+
+    One distributed job reads the live files that LACK a current-frame
+    sketch (grouped by ``input_file_name`` — per file, the k smallest
+    distinct non-null xxhash64 values, sliced at k+1 so completeness is
+    knowable), then a metadata-only commit folds the sketches into fresh
+    manifests.  After it, :meth:`LakeTable.approx_distinct` answers NDV
+    from O(manifest refs) metadata — exact whenever the true NDV ≤ k.
+
+    Files already sketched in the CURRENT hash frame (the column's current
+    type) pass through untouched; stale-frame sketches (pre-promotion) are
+    recomputed.  Reads go through ``read_files`` so renamed columns and
+    defaulted re-adds resolve exactly like a scan would.
+
+    Returns the number of files that gained (or refreshed) sketches.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dlt_iceberg_spark.lake.manifest import NDV_K
+
+    k = k or NDV_K
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    dtypes = {f.name: f.dataType for f in snap.schema.fields}
+    for c in columns:
+        if c not in dtypes:
+            raise ValueError(f"no such column {c!r}")
+        if isinstance(dtypes[c], (T.ArrayType, T.MapType, T.StructType)):
+            raise ValueError(
+                f"column {c!r} is nested ({dtypes[c].simpleString()}); NDV "
+                "sketches cover atomic columns"
+            )
+    tags = {c: dtypes[c].simpleString() for c in columns}
+    missing = [
+        f
+        for f in snap.files
+        if any(
+            c not in f.sketches or f.sketches[c].get("t") != tags[c]
+            for c in columns
+        )
+    ]
+    if not missing:
+        return 0
+    sdf = table.read_files(missing)
+    aggs = [
+        F.slice(
+            F.array_sort(
+                F.collect_set(F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
+            ),
+            1,
+            k + 1,
+        ).alias(f"_kmv_{c}")
+        for c in columns
+    ]
+    rows = sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    import urllib.parse
+
+    by_path: dict[str, dict] = {}
+    for r in rows:
+        raw = urllib.parse.unquote(r["_f"])
+        if raw.startswith("file:"):
+            raw = "/" + raw[len("file:") :].lstrip("/")
+        sk = {}
+        for c in columns:
+            hs = list(r[f"_kmv_{c}"] or [])
+            complete = len(hs) <= k
+            sk[c] = {"h": hs if complete else hs[:k], "c": complete, "t": tags[c]}
+        by_path[raw] = sk
+    updated = []
+    n_gained = 0
+    for f in snap.files:
+        abs_path = os.path.join(table.location, f.path)
+        fresh = by_path.get(abs_path)
+        if fresh:
+            n_gained += 1
+            updated.append(
+                DataFile(**{**vars(f), "sketches": {**f.sketches, **fresh}})
+            )
+        else:
+            updated.append(f)
+    table.commit(
+        updated,
+        snap.schema,
+        "analyze",  # layout-only op: changelog readers skip it
+        snap.version,
+        partition_spec=snap.partition_spec,
+        summary={"ndv-analyze": ",".join(columns), "files-gaining-sketches": n_gained},
+        delete_files=list(snap.delete_files),
+    )
+    return n_gained
+
+
 def expire_snapshots(
     table: LakeTable,
     older_than: timedelta = timedelta(days=7),

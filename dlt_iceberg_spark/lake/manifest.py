@@ -44,6 +44,14 @@ MANIFEST_CHUNK = 10_000
 #: the same metadata-compaction Iceberg's ``rewrite_manifests`` performs.
 MAX_MANIFESTS = 64
 
+#: KMV (theta-sketch) size for per-file NDV sketches: the k smallest
+#: distinct xxhash64 values of a column.  Mirrors Iceberg's table
+#: statistics (Puffin files carrying Apache DataSketches theta sketches,
+#: written by the `compute_table_stats` procedure); k=256 gives ~1/√k ≈
+#: 6% relative standard error on the estimate and EXACT counts whenever
+#: the true NDV ≤ k (the sketch then IS the full distinct-hash set).
+NDV_K = 256
+
 
 @dataclass
 class DataFile:
@@ -66,6 +74,16 @@ class DataFile:
     # Iceberg assigns the re-add a fresh field id for the same reason).
     # Empty dict = identity mapping (the overwhelmingly common case).
     names: dict[str, Any] = dc_field(default_factory=dict)
+    # column -> KMV NDV sketch {"h": [k smallest distinct xxhash64 values,
+    # sorted], "c": complete?, "t": spark simpleString of the column at
+    # sketch time}.  "c" = the file's FULL distinct-hash set fit in k (the
+    # sketch is exact, not a sample).  "t" guards the hash frame: Spark's
+    # xxhash64 hashes int and long (float and double, …) differently, so a
+    # type promotion invalidates sketches — merge refuses on tag mismatch.
+    # Empty dict = no sketches (files written without ndv_columns, or
+    # rewritten by compaction/fold — re-establish with
+    # maintenance.compute_table_stats).
+    sketches: dict[str, Any] = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -110,6 +128,11 @@ class ManifestRef:
     # that column (must-read on any probe of it).
     ranges: dict[str, list[Any]] = dc_field(default_factory=dict)
     partitions: dict[str, list[Any]] = dc_field(default_factory=dict)
+    # column -> merged KMV sketch over every entry (same shape as
+    # DataFile.sketches).  Present ONLY when every entry carries the
+    # column's sketch with one hash frame — snapshot-level NDV then
+    # answers from O(refs) metadata without opening a manifest.
+    sketches: dict[str, Any] = dc_field(default_factory=dict)
 
     def may_match(self, column: str, lo: Any, hi: Any) -> bool:
         """Could any entry's [min,max] for ``column`` overlap [lo, hi]?
@@ -152,8 +175,66 @@ _ENTRY_SCHEMA = pa.schema(
         # written before rename_column existed simply lack the column —
         # read_manifest defaults it)
         pa.field("names", pa.string(), nullable=False),
+        # json: {col: {"h": [...], "c": bool, "t": "bigint"}}; "{}" = none
+        # (manifests written before NDV sketches existed lack the column —
+        # read_manifest defaults it)
+        pa.field("sketches", pa.string(), nullable=False),
     ]
 )
+
+
+def merge_kmv(sketches: list[dict], k: int = NDV_K) -> dict | None:
+    """Merge same-k KMV sketches: the k smallest of the union of stored
+    hashes.  Sound because every stored hash below any input's truncation
+    threshold survives into the union, so the merged k-th minimum is a
+    valid uniform-sample boundary (standard theta-sketch union).
+
+    Returns ``None`` on a hash-frame mismatch (``"t"`` tags differ — e.g.
+    sketches taken before and after an int→long promotion hash the same
+    value differently and must not be combined).  The merged sketch is
+    complete ("c") only when EVERY input was complete and the union still
+    fits in k — the exact-NDV case."""
+    if not sketches:
+        return {"h": [], "c": True, "t": None}
+    tags = {s.get("t") for s in sketches}
+    if len(tags) > 1:
+        return None
+    union: set = set()
+    for s in sketches:
+        union.update(s["h"])
+    merged = sorted(union)
+    complete = all(s.get("c") for s in sketches) and len(merged) <= k
+    return {"h": merged if complete else merged[:k], "c": complete, "t": tags.pop()}
+
+
+def kmv_estimate(sketch: dict, k: int = NDV_K) -> tuple[float, bool]:
+    """(NDV estimate, exact?) from one KMV sketch.  Complete sketches ARE
+    the distinct-hash set (exact modulo 64-bit hash collisions); truncated
+    ones use the standard k-minimum-values estimator ``(k-1)/u_k`` with
+    ``u_k`` the k-th smallest hash normalized into [0, 1)."""
+    hashes = sketch["h"]
+    if sketch.get("c"):
+        return float(len(hashes)), True
+    u_k = (hashes[-1] + 2**63 + 1) / 2.0**64
+    return (len(hashes) - 1) / u_k, False
+
+
+def aggregate_sketches(entries: list[DataFile], k: int = NDV_K) -> dict[str, Any]:
+    """Ref-level sketch rollup: columns for which EVERY entry carries a
+    sketch in one hash frame.  A single unsketched (or promoted-frame)
+    file drops the column — absence always means "cannot answer", never
+    a wrong number."""
+    if not entries:
+        return {}
+    cols = set(entries[0].sketches.keys())
+    for f in entries[1:]:
+        cols &= set(f.sketches.keys())
+    out: dict[str, Any] = {}
+    for col in cols:
+        merged = merge_kmv([f.sketches[col] for f in entries], k=k)
+        if merged is not None:
+            out[col] = merged
+    return out
 
 
 def aggregate_ranges(entries: list[DataFile]) -> dict[str, list[Any]]:
@@ -235,6 +316,7 @@ def write_manifest(
             "stats": [json.dumps(f.stats, default=str) for f in entries],
             "partition": [json.dumps(f.partition, default=str) for f in entries],
             "names": [json.dumps(f.names) for f in entries],
+            "sketches": [json.dumps(f.sketches) for f in entries],
         },
         schema=_ENTRY_SCHEMA,
     )
@@ -253,6 +335,7 @@ def write_manifest(
         bytes=sum(f.bytes for f in entries),
         ranges=aggregate_ranges(entries),
         partitions=_aggregate_partitions(entries),
+        sketches=aggregate_sketches(entries),
     )
 
 
@@ -275,6 +358,7 @@ def read_manifest(
             stats=json.loads(cols["stats"][i]),
             partition=json.loads(cols["partition"][i]),
             names=json.loads(cols["names"][i]) if "names" in cols else {},
+            sketches=json.loads(cols["sketches"][i]) if "sketches" in cols else {},
         )
         for i in range(t.num_rows)
     ]

@@ -54,11 +54,14 @@ from pyspark.sql import types as T
 from dlt_iceberg_spark.errors import CommitConflictError, NonAtomicCommitError
 from dlt_iceberg_spark.lake.fileio import LocalFileIO, fileio_for
 from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
+    NDV_K,
     DataFile,
     DeleteFile,
     ManifestRef,
     aggregate_ranges,
     compact_refs,
+    kmv_estimate,
+    merge_kmv,
     read_manifest,
     write_chunked,
 )
@@ -493,6 +496,50 @@ class Snapshot:
                 hi = rng[1] if hi is None else max(hi, rng[1])
             out[f"min_{col}"] = lo
             out[f"max_{col}"] = hi
+        return out
+
+    def approx_distinct(self, columns: list[str]) -> dict[str, dict] | None:
+        """Metadata-only NDV per column from the per-file KMV sketches —
+        Iceberg's table-statistics read path (theta sketches from Puffin
+        files), answered here in O(manifest refs) from the ref-level
+        merged sketches without opening a manifest.
+
+        Returns ``{col: {"ndv": int, "exact": bool}}``, or ``None`` when
+        metadata cannot answer:
+
+        - MoR delete files outstanding (masked rows may hide distinct
+          values — NDV from raw files would be an upper bound, and this
+          surface only returns numbers it can stand behind),
+        - any live file lacking the column's sketch (unsketched write,
+          compaction/fold rewrite) — re-establish with
+          ``maintenance.compute_table_stats``, or
+        - mixed hash frames (sketches taken before and after a type
+          promotion; xxhash64 hashes int and long differently).
+
+        ``exact=True`` whenever every file's full distinct-hash set fit in
+        k and the union still does (true NDV ≤ k, modulo 64-bit hash
+        collisions); otherwise the standard KMV estimate (rel. std. error
+        ≈ 1/√k ≈ 6% at k=256)."""
+        if self.delete_files:
+            return None
+        out: dict[str, dict] = {}
+        for col in columns:
+            parts: list[dict] = []
+            for f in self.inline_files:
+                sk = f.sketches.get(col)
+                if sk is None:
+                    return None
+                parts.append(sk)
+            for r in self.manifests:
+                sk = r.sketches.get(col)
+                if sk is None:
+                    return None
+                parts.append(sk)
+            merged = merge_kmv(parts)
+            if merged is None:  # mixed hash frames
+                return None
+            est, exact = kmv_estimate(merged)
+            out[col] = {"ndv": int(round(est)), "exact": exact}
         return out
 
 
@@ -965,6 +1012,7 @@ class LakeTable:
         target_file_rows: int | None = None,
         partition_exprs: list | None = None,
         bloom_columns: list[str] | None = None,
+        ndv_columns: list[str] | None = None,
     ) -> list[DataFile]:
         """Write a DataFrame's content as immutable parquet files in data/
         (not yet visible — visibility comes from the snapshot commit).
@@ -1010,6 +1058,13 @@ class LakeTable:
             if isinstance(io, LocalFileIO)
             else self._stats_via_spark(staging, df.schema)
         )
+        # per-file KMV NDV sketches (opt-in): footers can't answer distinct
+        # counts, so this is its own distributed job over the staging dir
+        sketch_by_file = (
+            self._ndv_sketches_via_spark(staging, ndv_columns, df.schema)
+            if ndv_columns
+            else {}
+        )
         staged: list[DataFile] = []
         for rel in io.walk_files(staging):
             name = os.path.basename(rel)
@@ -1042,6 +1097,7 @@ class LakeTable:
                     bytes=nbytes,
                     stats=stats,
                     partition=dict(partition),
+                    sketches=sketch_by_file.get(name, {}),
                 )
             )
         io.rmtree(staging)
@@ -1083,6 +1139,63 @@ class LakeTable:
                 stats[c] = [mn, mx]
             base = os.path.basename(urllib.parse.unquote(r["_f"]))
             out[base] = (r["_rows"], stats)
+        return out
+
+    def _ndv_sketches_via_spark(
+        self,
+        staging: str,
+        columns: list[str],
+        schema: T.StructType,
+        k: int = NDV_K,
+    ) -> dict[str, dict]:
+        """Per-file KMV NDV sketches, ONE distributed job grouped by
+        ``input_file_name()`` — the write-time half of Iceberg's
+        ``compute_table_stats`` (theta sketches in Puffin files).
+
+        Per file the job keeps the k smallest distinct non-null xxhash64
+        values (sliced at k+1 so completeness is knowable: ≤ k survivors
+        means the file's FULL distinct set fit — exact NDV).  Aggregation
+        state is the file's distinct-hash set — bounded by the target file
+        size, the same bound the sketch-building job has in any engine,
+        and partial aggregation keeps it spread across executors.  Nested
+        columns are skipped (no meaningful hash frame).  Keyed by file
+        basename, like :meth:`_stats_via_spark`."""
+        import urllib.parse
+
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        sdf = self.spark.read.parquet(staging)
+        present = [
+            c
+            for c in columns
+            if c in sdf.columns
+            and c in dtypes
+            and not isinstance(dtypes[c], (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if not present:
+            return {}
+        aggs = [
+            F.slice(
+                F.array_sort(
+                    F.collect_set(F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))))
+                ),
+                1,
+                k + 1,
+            ).alias(f"_kmv_{c}")
+            for c in present
+        ]
+        rows = sdf.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+        out: dict[str, dict] = {}
+        for r in rows:
+            sk: dict[str, Any] = {}
+            for c in present:
+                hs = list(r[f"_kmv_{c}"] or [])
+                complete = len(hs) <= k
+                sk[c] = {
+                    "h": hs if complete else hs[:k],
+                    "c": complete,
+                    "t": dtypes[c].simpleString(),
+                }
+            out[os.path.basename(urllib.parse.unquote(r["_f"]))] = sk
         return out
 
     def commit(
@@ -1325,6 +1438,9 @@ class LakeTable:
                     "bytes": r.bytes,
                     "ranges": r.ranges,
                     "partitions": r.partitions,
+                    # NDV sketches are opt-in; omit the key when empty so
+                    # unsketched tables' snapshot JSON stays byte-identical
+                    **({"sketches": r.sketches} if r.sketches else {}),
                 }
                 for r in snap.manifests
             ],
@@ -1930,6 +2046,29 @@ class LakeTable:
             .first()
         )
         return (row["mn"], row["mx"])
+
+    def approx_distinct(
+        self,
+        columns: list[str] | str,
+        snapshot_version: int | None = None,
+    ) -> dict[str, dict] | None:
+        """Metadata-only NDV per column (:meth:`Snapshot.approx_distinct`)
+        — Iceberg's table-statistics surface (`compute_table_stats` theta
+        sketches), answered in O(manifest refs) with ZERO data reads.
+        Sketches come from write-time ``ndv_sketch_columns`` or a
+        ``maintenance.compute_table_stats`` backfill.  ``None`` when
+        metadata cannot answer (unsketched files, MoR deletes, mixed hash
+        frames after a type promotion) — callers fall back to a scan
+        (``Dataset.aggregate(distinct=...)`` does this transparently)."""
+        snap = self.snapshot(snapshot_version)
+        if snap is None:
+            raise FileNotFoundError(f"no such table: {self.location}")
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        known = {f.name for f in snap.schema.fields}
+        for c in cols:
+            if c not in known:
+                raise ValueError(f"no such column {c!r}")
+        return snap.approx_distinct(cols)
 
     def _minmax_where(
         self, snap: "Snapshot", fld: T.StructField, where: list
@@ -2771,6 +2910,7 @@ class LakeTable:
             if snap.operation not in (
                 "append", "create", "evolve-schema", "evolve-partition",
                 "rename-column", "add-column", "drop-column", "promote-column",
+                "backfill-stats", "analyze",
             ):
                 raise ValueError(
                     f"cannot read incrementally across a '{snap.operation}' "
@@ -2808,8 +2948,8 @@ class LakeTable:
     #: logical content — the changelog passes straight through them
     _LAYOUT_ONLY_OPS = (
         "compact", "zorder", "evolve-schema", "evolve-partition",
-        "backfill-stats", "rename-column", "add-column", "drop-column",
-        "promote-column",
+        "backfill-stats", "analyze", "rename-column", "add-column",
+        "drop-column", "promote-column",
         "consolidate-deletes",  # mask dedupe/dangling-drop: row set unchanged
     )
 
@@ -3341,6 +3481,9 @@ class LakeTable:
                 partition=_rekey(f.partition, key_renames),
                 sequence=f.sequence,
                 names=_fix_names(f.names),
+                # NDV sketches hash VALUES, not names — they survive a
+                # rename under the new key
+                sketches={_col_rename(k): v for k, v in f.sketches.items()},
             )
 
         new_refs: list[ManifestRef] = []
@@ -3539,6 +3682,8 @@ class LakeTable:
                 stats.pop(name, None)  # stale stats describe the DROPPED values
                 if default is not None:
                     stats[name] = [default, default]
+                sketches = dict(f.sketches)
+                sketches.pop(name, None)  # ditto for NDV sketches
                 return DataFile(
                     path=f.path,
                     rows=f.rows,
@@ -3547,6 +3692,7 @@ class LakeTable:
                     partition=dict(f.partition),
                     sequence=f.sequence,
                     names={**f.names, name: None},
+                    sketches=sketches,
                 )
 
             manifests = []

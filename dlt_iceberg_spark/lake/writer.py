@@ -87,6 +87,13 @@ class TableSpec:
     #: is a full-table rewrite under cow; mor makes it proportional to the
     #: batch.
     merge_mode: str = "cow"
+    #: write-time per-file KMV NDV sketches on these columns (or
+    #: x-ndv-sketch column hints) — Iceberg's table statistics
+    #: (compute_table_stats theta sketches), kept fresh on every load so
+    #: Dataset.aggregate(distinct=...)/LakeTable.approx_distinct answer
+    #: NDV metadata-only, exact whenever the true NDV ≤ k=256.  Costs one
+    #: extra pass over the freshly staged files per load.
+    ndv_sketch_columns: list[str] = field(default_factory=list)
     #: data-quality contracts (Delta Live Tables expectations shape):
     #: name -> SQL boolean predicate evaluated per incoming row BEFORE the
     #: disposition; a NULL predicate result counts as a violation.
@@ -154,6 +161,17 @@ class TableSpec:
         disposition, _ = self.resolve_strategy()
         if disposition == "merge":
             cols.extend(k for k in self.resolve_primary_key() if k not in cols)
+        return cols
+
+    def resolve_ndv_columns(self) -> list[str]:
+        """Columns to sketch NDV for at write time: the explicit spec list
+        plus any x-ndv-sketch column hints."""
+        cols = list(self.ndv_sketch_columns)
+        cols.extend(
+            c
+            for c, h in self.column_hints.items()
+            if h.get("x-ndv-sketch") and c not in cols
+        )
         return cols
 
 
@@ -337,8 +355,11 @@ class LakeWriter:
         pexprs = self._partition_exprs(snap.partition_spec)
 
         bloom = spec.resolve_bloom_columns()
+        ndv = spec.resolve_ndv_columns()
         if disposition == "append":
-            new_files = table.stage_dataframe(casted, partition_exprs=pexprs, bloom_columns=bloom)
+            new_files = table.stage_dataframe(
+                casted, partition_exprs=pexprs, bloom_columns=bloom, ndv_columns=ndv
+            )
             # delta commit: parent manifests ride by reference — an append
             # never reads or rewrites the existing file inventory.  An
             # append's staged files are HEAD-INDEPENDENT, so a lost commit
@@ -354,9 +375,13 @@ class LakeWriter:
                 else None
             )
             if scope == "partitions":
-                self._replace_partitions(table, casted, target_schema, snap, summary, bloom)
+                self._replace_partitions(
+                    table, casted, target_schema, snap, summary, bloom, ndv
+                )
             else:
-                new_files = table.stage_dataframe(casted, partition_exprs=pexprs, bloom_columns=bloom)
+                new_files = table.stage_dataframe(
+                    casted, partition_exprs=pexprs, bloom_columns=bloom, ndv_columns=ndv
+                )
                 table.commit(
                     new_files, target_schema, "overwrite", snap.version,
                     summary=summary, delete_files=[],  # nothing left to mask
@@ -485,7 +510,7 @@ class LakeWriter:
 
     def _replace_partitions(
         self, table, batch: DataFrame, target_schema, snap, summary: dict,
-        bloom: list[str] | None = None,
+        bloom: list[str] | None = None, ndv: list[str] | None = None,
     ) -> None:
         """INSERT OVERWRITE of only the partitions present in the batch
         (Iceberg ``overwritePartitions``): one atomic snapshot where files
@@ -552,8 +577,12 @@ class LakeWriter:
             key = F.concat_ws("\x1f", *[e for e in str_exprs])
             incoming_keys = ["\x1f".join(t) for t in incoming]
             remaining = table.read_files(legacy).filter(~key.isin(incoming_keys))
-            rewritten = table.stage_dataframe(remaining, partition_exprs=pcols, bloom_columns=bloom)
-        new_files = table.stage_dataframe(batch, partition_exprs=pcols, bloom_columns=bloom)
+            rewritten = table.stage_dataframe(
+                remaining, partition_exprs=pcols, bloom_columns=bloom, ndv_columns=ndv
+            )
+        new_files = table.stage_dataframe(
+            batch, partition_exprs=pcols, bloom_columns=bloom, ndv_columns=ndv
+        )
         table.commit(
             None,
             target_schema,
@@ -582,7 +611,8 @@ class LakeWriter:
 
         if spec.merge_mode == "mor" and keys:
             self._merge_mor(table, snap, batch, target_schema, keys, strategy,
-                            hard_delete_col if has_hard_delete else None, summary)
+                            hard_delete_col if has_hard_delete else None, summary,
+                            ndv=spec.resolve_ndv_columns())
             return
         if spec.merge_mode not in ("cow", "mor"):
             raise ValueError(f"unknown merge_mode {spec.merge_mode!r} (cow|mor)")
@@ -597,6 +627,7 @@ class LakeWriter:
             new_files = table.stage_dataframe(
                 batch.drop(hard_delete_col) if has_hard_delete else batch,
                 bloom_columns=spec.resolve_bloom_columns(),
+                ndv_columns=spec.resolve_ndv_columns(),
             )
             self._commit_append_on_head(table, target_schema, summary, new_files)
             return
@@ -720,6 +751,7 @@ class LakeWriter:
             merged,
             partition_exprs=self._partition_exprs(snap.partition_spec),
             bloom_columns=spec.resolve_bloom_columns(),
+            ndv_columns=spec.resolve_ndv_columns(),
         )
         # delta commit: manifests proven disjoint from the batch's key range
         # pass through by reference — the merge is O(touched) end to end
@@ -749,6 +781,7 @@ class LakeWriter:
         strategy: str,
         hard_delete_col: str | None,
         summary: dict,
+        ndv: list[str] | None = None,
     ) -> None:
         """Merge-on-read: land the batch plus an equality-delete file over
         its keys — O(batch) staging, no target read, no file rewrite.  The
@@ -780,6 +813,7 @@ class LakeWriter:
             data,
             partition_exprs=self._partition_exprs(snap.partition_spec),
             bloom_columns=keys,
+            ndv_columns=ndv,
         )
         # staged data + delete files are head-independent (sequence numbers
         # stamp at commit), so a lost commit race re-commits against the new

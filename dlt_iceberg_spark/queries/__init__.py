@@ -55,9 +55,10 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 #   slots 26-50 — 25 of the 50 rows whose newest driver row is r06
 #                 (alphabetical prefix).
 # Round-9 plan (write it down now so the rotation stays mechanical):
-#   any never-verified r9 additions first, then the 24 deferred r06 rows
-#   listed below (they hit the 3-round limit at r9), then the stalest
-#   r07 rows.
+#   never-driver-verified queries first — lake_ndv_stats plus any other
+#   late-r8/r9 additions (they landed after the r8 gate froze) — then the
+#   25 deferred r06 rows listed below (they hit the 3-round limit at r9),
+#   then the stalest r07 rows.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (r8 additions, then r7's) — front ---------

@@ -2463,3 +2463,91 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.select("a", "b", rnd(F.col("cosine"), 6).alias("cosine"))
 
+
+
+@query(
+    "lake_ndv_stats",
+    """
+    SELECT 'write_mktsegment' AS probe,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS ndv
+    FROM customer
+    UNION ALL
+    SELECT 'write_nationkey', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'analyze_mktsegment', CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'analyze_nationkey', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer
+    """,
+    doc=(
+        "NDV statistics pushdown (LakeTable.approx_distinct / "
+        "Dataset.aggregate(distinct=...) — Iceberg's compute_table_stats "
+        "theta-sketch statistics, Spark-first as per-file KMV sketches in "
+        "the manifests): customer lands in TWO appended loads with "
+        "write-time ndv_sketch_columns, so the probe merges sketches "
+        "across commits; a second unsketched table is backfilled with "
+        "maintenance.compute_table_stats (ANALYZE).  Both probes answer "
+        "from O(manifest refs) metadata — an in-process assertion pins "
+        "ZERO data scans — and are EXACT because the true NDV (5 "
+        "segments, 25 nations) is below the sketch size k=256.  The "
+        "oracle recomputes both with plain COUNT(DISTINCT); a hash match "
+        "proves metadata NDV equals scanning."
+    ),
+)
+def lake_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    rows = _LAKE_NDV_CACHE.get(key)
+    if rows is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_ndv_"))
+        writer = LakeWriter(catalog, "gate")
+        cust = _t(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_nationkey"
+        )
+        spec = TableSpec(
+            name="cust",
+            write_disposition="append",
+            ndv_sketch_columns=["c_mktsegment", "c_nationkey"],
+        )
+        # two loads -> sketches must merge across manifests
+        writer.write(spec, cust.filter(F.col("c_custkey") % 2 == 0))
+        writer.write(spec, cust.filter(F.col("c_custkey") % 2 == 1))
+        t_w = catalog.load_table("gate", "cust")
+        # ANALYZE path: unsketched write, then compute_table_stats backfill
+        writer.write(TableSpec(name="cust_raw", write_disposition="append"), cust)
+        t_a = catalog.load_table("gate", "cust_raw")
+        assert t_a.approx_distinct(["c_mktsegment"]) is None  # honest refusal
+        compute_table_stats(t_a, ["c_mktsegment", "c_nationkey"])
+        # both probes must be metadata-only: any data scan raises
+        real = table_mod.LakeTable._plan_scan
+
+        def boom(self, *a, **kw):
+            raise AssertionError("approx_distinct must not scan data")
+
+        table_mod.LakeTable._plan_scan = boom
+        try:
+            ndv_w = t_w.approx_distinct(["c_mktsegment", "c_nationkey"])
+            ndv_a = t_a.approx_distinct(["c_mktsegment", "c_nationkey"])
+        finally:
+            table_mod.LakeTable._plan_scan = real
+        assert ndv_w["c_mktsegment"]["exact"] and ndv_a["c_nationkey"]["exact"]
+        rows = [
+            ("write_mktsegment", ndv_w["c_mktsegment"]["ndv"]),
+            ("write_nationkey", ndv_w["c_nationkey"]["ndv"]),
+            ("analyze_mktsegment", ndv_a["c_mktsegment"]["ndv"]),
+            ("analyze_nationkey", ndv_a["c_nationkey"]["ndv"]),
+        ]
+        _LAKE_NDV_CACHE[key] = rows
+    return spark.createDataFrame(rows, "probe string, ndv long")
+
+
+_LAKE_NDV_CACHE: dict = {}

@@ -57,7 +57,7 @@ from pyspark.sql.datasource import (
 #: snapshot ops a streaming tail passes through without emitting rows
 _PASS_THROUGH_OPS = (
     "evolve-schema", "evolve-partition", "rename-column", "add-column",
-    "drop-column", "promote-column", "backfill-stats",
+    "drop-column", "promote-column", "backfill-stats", "analyze",
 )
 _APPEND_OPS = ("append", "create")
 
@@ -68,8 +68,8 @@ _APPEND_OPS = ("append", "create")
 #: batch changelog's exact presence-vs-truthiness semantics)
 _CDC_LAYOUT_ONLY_OPS = (
     "compact", "zorder", "evolve-schema", "evolve-partition",
-    "backfill-stats", "rename-column", "add-column", "drop-column",
-    "promote-column", "consolidate-deletes",
+    "backfill-stats", "analyze", "rename-column", "add-column",
+    "drop-column", "promote-column", "consolidate-deletes",
 )
 
 

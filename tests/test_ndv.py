@@ -1,0 +1,275 @@
+"""NDV statistics (per-file KMV sketches in manifests) — Iceberg's
+table-statistics surface (`compute_table_stats` theta sketches in Puffin
+files), re-expressed Spark-first: write-time sketching rides the staging
+job, ANALYZE backfills without rewriting data, and
+``LakeTable.approx_distinct`` answers from O(manifest refs) metadata —
+exact whenever the true NDV ≤ k.
+
+Reference parity note: the reference delegates statistics to PyIceberg /
+engine-side ANALYZE; no equivalent exists in its core, so the contract
+here is pinned against Iceberg's public `compute_table_stats` semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dlt_iceberg_spark.lake.manifest import (
+    NDV_K,
+    DataFile,
+    aggregate_sketches,
+    kmv_estimate,
+    merge_kmv,
+    read_manifest,
+    write_manifest,
+)
+from dlt_iceberg_spark.lake.table import LakeTable
+
+
+def _mk_table(spark, tmp_path, name="t"):
+    return LakeTable(spark, str(tmp_path / name))
+
+
+def _write(spark, table, df, ndv=None, parent=None):
+    files = table.stage_dataframe(df, ndv_columns=ndv)
+    snap = table.snapshot()
+    if snap is None:
+        return table.commit(files, df.schema, "append", None)
+    return table.commit(
+        None, snap.schema, "append", snap.version,
+        manifests=list(snap.manifests), new_files=files,
+    )
+
+
+# -- unit: merge + estimator ------------------------------------------------
+
+
+def test_merge_kmv_complete_union_is_exact():
+    a = {"h": [1, 5, 9], "c": True, "t": "bigint"}
+    b = {"h": [2, 5, 11], "c": True, "t": "bigint"}
+    m = merge_kmv([a, b], k=8)
+    assert m == {"h": [1, 2, 5, 9, 11], "c": True, "t": "bigint"}
+    est, exact = kmv_estimate(m, k=8)
+    assert exact and est == 5.0
+
+
+def test_merge_kmv_truncated_input_never_claims_exact():
+    a = {"h": list(range(4)), "c": False, "t": "bigint"}  # truncated at k=4
+    b = {"h": [100], "c": True, "t": "bigint"}
+    m = merge_kmv([a, b], k=4)
+    assert m["c"] is False
+    assert m["h"] == [0, 1, 2, 3]  # k smallest of the union
+
+
+def test_merge_kmv_refuses_mixed_hash_frames():
+    a = {"h": [1], "c": True, "t": "int"}
+    b = {"h": [2], "c": True, "t": "bigint"}
+    assert merge_kmv([a, b]) is None
+
+
+def test_kmv_estimator_accuracy_on_uniform_hashes():
+    # synthetic uniform "hashes": k-th min of n uniform draws ~ k/n of the
+    # domain; the estimator must land within a few percent
+    n, k = 100_000, 256
+    step = 2**64 // n
+    hashes = sorted(-(2**63) + i * step for i in range(n))[:k]
+    est, exact = kmv_estimate({"h": hashes, "c": False, "t": "bigint"}, k=k)
+    assert not exact
+    assert abs(est - n) / n < 0.05
+
+
+def test_aggregate_sketches_drops_column_missing_anywhere():
+    f1 = DataFile(path="a", rows=1, bytes=1,
+                  sketches={"x": {"h": [1], "c": True, "t": "bigint"}})
+    f2 = DataFile(path="b", rows=1, bytes=1, sketches={})
+    assert aggregate_sketches([f1, f2]) == {}
+    assert "x" in aggregate_sketches([f1])
+
+
+def test_manifest_roundtrips_sketches(tmp_path):
+    loc = str(tmp_path)
+    os.makedirs(loc, exist_ok=True)
+    sk = {"x": {"h": [3, 7], "c": True, "t": "bigint"}}
+    ref = write_manifest(loc, [DataFile(path="a", rows=2, bytes=9, sketches=sk)])
+    assert ref.sketches["x"]["h"] == [3, 7]
+    [entry] = read_manifest(loc, ref)
+    assert entry.sketches == sk
+
+
+# -- write-time sketches ------------------------------------------------------
+
+
+def test_write_time_exact_ndv_below_k(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 13).alias("seg")
+    )
+    _write(spark, t, df.repartition(4), ndv=["seg"])
+    got = t.approx_distinct(["seg"])
+    assert got == {"seg": {"ndv": 13, "exact": True}}
+
+
+def test_write_time_estimate_above_k(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 9999).alias("near10k")
+    )
+    _write(spark, t, df.repartition(4), ndv=["near10k"])
+    got = t.approx_distinct(["near10k"])["near10k"]
+    assert not got["exact"]
+    # KMV rel. std. error ≈ 1/√k ≈ 6.25%; allow 4σ
+    assert abs(got["ndv"] - 9999) / 9999 < 0.25
+
+
+def test_sketches_merge_across_appends(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    a = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 5).alias("seg"))
+    b = spark.range(1000, 2000).select(
+        F.col("id"), (F.col("id") % 5 + 5).alias("seg")
+    )
+    _write(spark, t, a, ndv=["seg"])
+    _write(spark, t, b, ndv=["seg"])
+    assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 10, "exact": True}}
+
+
+def test_nulls_do_not_count_toward_ndv(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.col("id") % 3).alias("sparse"),
+    )
+    _write(spark, t, df, ndv=["sparse"])
+    # COUNT(DISTINCT) semantics: nulls excluded
+    assert t.approx_distinct(["sparse"])["sparse"] == {"ndv": 3, "exact": True}
+
+
+def test_unsketched_file_refuses_then_scan_fallback(spark, tmp_path):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") % 4).alias("seg"))
+    writer.write(
+        TableSpec(name="t", write_disposition="append",
+                  ndv_sketch_columns=["seg"]),
+        df,
+    )
+    # second load WITHOUT sketches -> metadata can no longer answer
+    writer.write(TableSpec(name="t", write_disposition="append"), df)
+    t = catalog.load_table("ns", "t")
+    assert t.approx_distinct(["seg"]) is None
+    # Dataset.aggregate transparently falls back to an exact scan
+    from dlt_iceberg_spark.lake.dataset import Dataset
+
+    ds = Dataset(catalog, "ns")
+    got = ds.aggregate("t", distinct=["seg"])
+    assert got["ndv_seg"] == 4
+
+
+def test_refuses_under_mor_deletes(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 1000).select(F.col("id"), (F.col("id") % 6).alias("seg"))
+    _write(spark, t, df, ndv=["seg"])
+    assert t.approx_distinct(["seg"]) is not None
+    t.position_delete_where([("seg", "=", 5)])
+    # masked rows could hide a distinct value: metadata must refuse
+    assert t.approx_distinct(["seg"]) is None
+
+
+# -- ANALYZE backfill ---------------------------------------------------------
+
+
+def test_compute_table_stats_backfills_without_rewriting_data(spark, tmp_path):
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 3000).select(F.col("id"), (F.col("id") % 21).alias("seg"))
+    _write(spark, t, df.repartition(3))
+    before = {f.path for f in t.snapshot().files}
+    assert t.approx_distinct(["seg"]) is None
+    n = compute_table_stats(t, ["seg"])
+    assert n == 3
+    snap = t.snapshot()
+    assert snap.operation == "analyze"
+    assert {f.path for f in snap.files} == before  # zero data rewritten
+    assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 21, "exact": True}}
+    # idempotent: current-frame sketches pass through untouched
+    assert compute_table_stats(t, ["seg"]) == 0
+
+
+def test_analyze_is_invisible_to_changelog_and_incremental(spark, tmp_path):
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 3).alias("seg"))
+    _write(spark, t, df)
+    v0 = t.snapshot().version
+    compute_table_stats(t, ["seg"])
+    assert t.read_changes(v0).count() == 0
+    assert t.read_incremental(v0).count() == 0
+
+
+def test_analyze_rejects_nested_and_unknown_columns(spark, tmp_path):
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 10).select(
+        F.col("id"), F.array(F.col("id")).alias("arr")
+    )
+    _write(spark, t, df)
+    with pytest.raises(ValueError, match="nested"):
+        compute_table_stats(t, ["arr"])
+    with pytest.raises(ValueError, match="no such column"):
+        compute_table_stats(t, ["nope"])
+
+
+# -- schema DDL interactions --------------------------------------------------
+
+
+def test_sketches_survive_rename_under_new_key(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 400).select(F.col("id"), (F.col("id") % 8).alias("seg"))
+    _write(spark, t, df, ndv=["seg"])
+    t.rename_column("seg", "segment")
+    assert t.approx_distinct(["segment"]) == {
+        "segment": {"ndv": 8, "exact": True}
+    }
+    with pytest.raises(ValueError, match="no such column"):
+        t.approx_distinct(["seg"])
+
+
+def test_promotion_invalidates_cross_frame_merge(spark, tmp_path):
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 7).cast("int").alias("seg")
+    )
+    _write(spark, t, df, ndv=["seg"])
+    t.promote_column_type("seg", "bigint")
+    # one frame only -> still answers (values unchanged by a widening)
+    assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 7, "exact": True}}
+    # a post-promotion sketched append hashes long, old files hashed int:
+    # mixed frames must refuse (xxhash64(int 5) != xxhash64(bigint 5))
+    more = spark.range(300, 600).select(
+        F.col("id"), (F.col("id") % 7).alias("seg")
+    )
+    _write(spark, t, more, ndv=["seg"])
+    assert t.approx_distinct(["seg"]) is None
+    # ANALYZE recomputes stale-frame files under the current type
+    assert compute_table_stats(t, ["seg"]) > 0
+    assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 7, "exact": True}}
+
+
+def test_drop_then_readd_pops_stale_sketches(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 200).select(F.col("id"), (F.col("id") % 9).alias("seg"))
+    _write(spark, t, df, ndv=["seg"])
+    t.drop_column("seg")
+    t.add_column("seg", "bigint")
+    # stale sketches describe the DROPPED values; must refuse, not lie
+    assert t.approx_distinct(["seg"]) is None
