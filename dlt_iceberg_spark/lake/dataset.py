@@ -178,3 +178,67 @@ class Dataset:
         return sorted(
             out, key=lambda d: tuple((d[c] is None, d[c]) for c in gb)
         )
+
+    def overlap(self, table_a: str, table_b: str, column: str) -> dict:
+        """Cross-table set overlap of one column — distinct counts,
+        intersection, Jaccard — the pre-flight for cross-corpus dedup /
+        join sizing ("how much do these two corpora share?").
+
+        Metadata path: when BOTH tables carry current-frame NDV sketches
+        for the column (write-time ``ndv_sketch_columns`` or a
+        ``compute_table_stats`` backfill), the two snapshot-level KMV
+        sketches combine driver-side in O(k) — ZERO scans of either table
+        at ANY size.  EXACT when both sketches are complete (each side's
+        true NDV ≤ k=256); the standard theta-sketch overlap estimate
+        otherwise.  Falls back to exact distinct/intersection scans when
+        either side is unsketched (MoR deletes, compacted files, mixed
+        hash frames).
+
+        Returns ``{distinct_a, distinct_b, intersection, jaccard,
+        exact}`` (counts as floats, matching
+        ``functions.sketches.kmv_overlap_estimate``)."""
+        from pyspark.sql import functions as F
+
+        from dlt_iceberg_spark.functions.sketches import kmv_overlap_estimate
+        from dlt_iceberg_spark.lake.manifest import NDV_K
+
+        ta, tb = self._table(table_a), self._table(table_b)
+        sa = ta.snapshot().ndv_sketch(column) if ta.snapshot() else None
+        sb = tb.snapshot().ndv_sketch(column) if tb.snapshot() else None
+        if sa is not None and sb is not None and sa.get("t") == sb.get("t"):
+            if sa["c"] and sb["c"]:
+                # both sketches ARE their full distinct-hash sets
+                a, b = set(sa["h"]), set(sb["h"])
+                inter = len(a & b)
+                union = len(a | b)
+                return {
+                    "distinct_a": float(len(a)),
+                    "distinct_b": float(len(b)),
+                    "intersection": float(inter),
+                    "jaccard": inter / union if union else 0.0,
+                    "exact": True,
+                }
+            est = kmv_overlap_estimate(sa["h"], sb["h"], NDV_K, hash_mode="xx")
+            est["exact"] = False  # a k-length complete side must not flip it
+            return est
+        # fallback: exact scans (distinct both sides + one equi-join)
+        da = (
+            ta.read().where(F.col(column).isNotNull()).select(column).distinct()
+        ).persist()
+        db = (
+            tb.read().where(F.col(column).isNotNull()).select(column).distinct()
+        ).persist()
+        try:
+            na, nb = da.count(), db.count()
+            inter = da.join(db, on=column, how="inner").count()
+        finally:
+            da.unpersist()
+            db.unpersist()
+        union = na + nb - inter
+        return {
+            "distinct_a": float(na),
+            "distinct_b": float(nb),
+            "intersection": float(inter),
+            "jaccard": inter / union if union else 0.0,
+            "exact": True,
+        }

@@ -498,6 +498,29 @@ class Snapshot:
             out[f"max_{col}"] = hi
         return out
 
+    def ndv_sketch(self, column: str) -> dict | None:
+        """The snapshot-level merged KMV sketch for ``column`` (same shape
+        as the per-file sketches), or ``None`` when metadata cannot stand
+        behind it (MoR deletes outstanding, any live file unsketched,
+        mixed hash frames).  This is the raw material for cross-table set
+        estimates (``Dataset.overlap``) — two tables' sketches of one
+        column combine into union/intersection/Jaccard without scanning
+        either side."""
+        if self.delete_files:
+            return None
+        parts: list[dict] = []
+        for f in self.inline_files:
+            sk = f.sketches.get(column)
+            if sk is None:
+                return None
+            parts.append(sk)
+        for r in self.manifests:
+            sk = r.sketches.get(column)
+            if sk is None:
+                return None
+            parts.append(sk)
+        return merge_kmv(parts)
+
     def approx_distinct(self, columns: list[str]) -> dict[str, dict] | None:
         """Metadata-only NDV per column from the per-file KMV sketches —
         Iceberg's table-statistics read path (theta sketches from Puffin
@@ -524,19 +547,8 @@ class Snapshot:
             return None
         out: dict[str, dict] = {}
         for col in columns:
-            parts: list[dict] = []
-            for f in self.inline_files:
-                sk = f.sketches.get(col)
-                if sk is None:
-                    return None
-                parts.append(sk)
-            for r in self.manifests:
-                sk = r.sketches.get(col)
-                if sk is None:
-                    return None
-                parts.append(sk)
-            merged = merge_kmv(parts)
-            if merged is None:  # mixed hash frames
+            merged = self.ndv_sketch(col)
+            if merged is None:  # unsketched file or mixed hash frames
                 return None
             est, exact = kmv_estimate(merged)
             out[col] = {"ndv": int(round(est)), "exact": exact}

@@ -166,7 +166,7 @@ class TableSpec:
     def resolve_ndv_columns(self) -> list[str]:
         """Columns to sketch NDV for at write time: the explicit spec list
         plus any x-ndv-sketch column hints."""
-        cols = list(self.ndv_sketch_columns)
+        cols = list(self.ndv_sketch_columns or [])
         cols.extend(
             c
             for c, h in self.column_hints.items()

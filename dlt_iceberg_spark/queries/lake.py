@@ -2551,3 +2551,89 @@ def lake_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAKE_NDV_CACHE: dict = {}
+
+
+@query(
+    "lake_sketch_overlap",
+    """
+    WITH a AS (SELECT DISTINCT l_quantity AS v FROM lineitem WHERE l_quantity <= 30),
+         b AS (SELECT DISTINCT l_quantity AS v FROM lineitem WHERE l_quantity >= 21),
+         i AS (SELECT count(*) AS c FROM (SELECT v FROM a INTERSECT SELECT v FROM b)),
+         u AS (SELECT count(*) AS c FROM (SELECT v FROM a UNION SELECT v FROM b))
+    SELECT CAST((SELECT count(*) FROM a) AS DOUBLE) AS distinct_a,
+           CAST((SELECT count(*) FROM b) AS DOUBLE) AS distinct_b,
+           CAST((SELECT c FROM i) AS DOUBLE) AS intersection,
+           floor((SELECT c FROM i) / CAST((SELECT c FROM u) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+           TRUE AS exact
+    """,
+    doc=(
+        "Cross-TABLE overlap from STORED statistics (Dataset.overlap over "
+        "Snapshot.ndv_sketch): two lake tables land with write-time KMV "
+        "sketches on l_quantity, then their distinct counts, intersection "
+        "and Jaccard combine from the two snapshot-level sketches "
+        "driver-side in O(k) — an in-process assertion pins ZERO data "
+        "scans.  EXACT because both sides' true NDV (30 quantity values "
+        "each, overlapping in 21..30) sits below k=256; the estimator "
+        "path and the unsketched scan fallback are pytest-pinned.  This "
+        "is the 100 TB cross-corpus pre-flight: answer 'how much do "
+        "these two corpora share?' from table stats before paying for "
+        "any join.  The oracle recomputes the overlap with plain set "
+        "algebra; a hash match proves sketch set-ops equal scanning."
+    ),
+)
+def lake_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    row = _LAKE_OVERLAP_CACHE.get(key)
+    if row is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_overlap_"))
+        writer = LakeWriter(catalog, "gate")
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        writer.write(
+            TableSpec(name="low", write_disposition="append",
+                      ndv_sketch_columns=["l_quantity"]),
+            li.filter(F.col("l_quantity") <= 30),
+        )
+        writer.write(
+            TableSpec(name="high", write_disposition="append",
+                      ndv_sketch_columns=["l_quantity"]),
+            li.filter(F.col("l_quantity") >= 21),
+        )
+        ds = Dataset(catalog, "gate")
+        # the sketch path must be metadata-only: any data scan raises
+        real = table_mod.LakeTable._plan_scan
+
+        def boom(self, *a, **kw):
+            raise AssertionError("sketch overlap must not scan data")
+
+        table_mod.LakeTable._plan_scan = boom
+        try:
+            est = ds.overlap("low", "high", "l_quantity")
+        finally:
+            table_mod.LakeTable._plan_scan = real
+        assert est["exact"]
+        row = (
+            est["distinct_a"],
+            est["distinct_b"],
+            est["intersection"],
+            math.floor(est["jaccard"] * 10**6 + 0.5) / 10**6,
+            bool(est["exact"]),
+        )
+        _LAKE_OVERLAP_CACHE[key] = row
+    return spark.createDataFrame(
+        [row],
+        "distinct_a double, distinct_b double, intersection double, "
+        "jaccard double, exact boolean",
+    )
+
+
+_LAKE_OVERLAP_CACHE: dict = {}

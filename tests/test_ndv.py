@@ -273,3 +273,61 @@ def test_drop_then_readd_pops_stale_sketches(spark, tmp_path):
     t.add_column("seg", "bigint")
     # stale sketches describe the DROPPED values; must refuse, not lie
     assert t.approx_distinct(["seg"]) is None
+
+
+# -- cross-table overlap from stored sketches ---------------------------------
+
+
+def _catalog_pair(spark, tmp_path, da, db, ndv):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="a", write_disposition="append",
+                  ndv_sketch_columns=ndv), da)
+    writer.write(
+        TableSpec(name="b", write_disposition="append",
+                  ndv_sketch_columns=ndv), db)
+    return Dataset(catalog, "ns")
+
+
+def test_overlap_exact_from_sketches_no_scan(spark, tmp_path, monkeypatch):
+    from dlt_iceberg_spark.lake import table as table_mod
+
+    da = spark.range(0, 3000).select((F.col("id") % 30).alias("v"))
+    db = spark.range(0, 3000).select((F.col("id") % 50).alias("v"))
+    ds = _catalog_pair(spark, tmp_path, da, db, ["v"])
+    monkeypatch.setattr(
+        table_mod.LakeTable, "_plan_scan",
+        lambda self, *a, **kw: (_ for _ in ()).throw(AssertionError("scan")),
+    )
+    est = ds.overlap("a", "b", "v")
+    assert est["exact"]
+    assert (est["distinct_a"], est["distinct_b"]) == (30.0, 50.0)
+    assert est["intersection"] == 30.0
+    assert est["jaccard"] == 30 / 50
+
+
+def test_overlap_estimator_above_k(spark, tmp_path):
+    # |A|=20k (0..20k), |B|=20k (10k..30k), overlap 10k/30k
+    da = spark.range(0, 20000).select(F.col("id").alias("v"))
+    db = spark.range(10000, 30000).select(F.col("id").alias("v"))
+    ds = _catalog_pair(spark, tmp_path, da, db, ["v"])
+    est = ds.overlap("a", "b", "v")
+    assert not est["exact"]
+    assert abs(est["jaccard"] - 1 / 3) < 0.15  # theta-sketch tolerance
+    assert abs(est["distinct_a"] - 20000) / 20000 < 0.3
+    assert abs(est["intersection"] - 10000) / 10000 < 0.5
+
+
+def test_overlap_falls_back_to_exact_scan_when_unsketched(spark, tmp_path):
+    da = spark.range(0, 100).select((F.col("id") % 10).alias("v"))
+    db = spark.range(0, 100).select((F.col("id") % 15).alias("v"))
+    ds = _catalog_pair(spark, tmp_path, da, db, None)
+    est = ds.overlap("a", "b", "v")
+    assert est["exact"]
+    assert (est["distinct_a"], est["distinct_b"]) == (10.0, 15.0)
+    assert est["intersection"] == 10.0
