@@ -209,3 +209,78 @@ def nb_classify(
         (F.col("predicted") == F.col("actual")).cast("int").alias("match"),
         "score",
     )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a bag-of-terms query —
+    the standard lexical-retrieval scorer training-data pipelines use for
+    query-targeted curation and contamination triage (rank the corpus
+    against an eval prompt before any embedding model runs).
+
+    Formula (Lucene's non-negative IDF variant):
+
+        idf(t)     = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        score(d)   = Σ_{t ∈ q} idf(t) · tf_td·(k1+1) /
+                                (tf_td + k1·(1 − b + b·dl_d/avgdl))
+
+    with ``N`` = documents in ``df``, ``dl`` = the document's token count
+    and ``avgdl`` the mean over documents with ≥ 1 token.
+
+    Plan shape — everything is keyed small-side or map-side: one shuffle
+    to (doc, term) counts *filtered to the query's terms first* (the tf
+    frame carries |q| terms per doc, not the vocabulary), one shuffle for
+    per-doc lengths, a |q|-row IDF table and a 1-row corpus-stats table
+    broadcast back onto the scores.  No vocabulary-sized state anywhere,
+    so the ranking runs at corpus scale for any constant-sized query.
+
+    Output: ``(id_col, score)`` for documents matching ≥ 1 query term,
+    densest first (ties by id ascending); ``k`` keeps the global top-k
+    (TakeOrderedAndProject — every partition forwards ≤ k candidates).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = fan_out(_terms(df, text_col, id_col))
+    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl")
+    ).crossJoin(df.select(F.countDistinct(id_col).alias("n")))
+    tf = (
+        terms.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score")
+        )
+    )
+    out = scored.orderBy(F.desc("score"), F.asc(id_col))
+    return out.limit(k) if k is not None else out

@@ -368,3 +368,53 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+             (SELECT count(DISTINCT doc_id) FROM documents) AS n
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'merge', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfreq, stats s
+    )
+    SELECT tf.doc_id,
+           {_sql_rnd("sum(idf.idf * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl)))", 6)} AS score
+    FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    GROUP BY tf.doc_id
+    """,
+    doc=(
+        "Okapi BM25 ranking against a bag-of-terms query "
+        "(operators/features.py::bm25_rank — Lucene's non-negative IDF): "
+        "the lexical-retrieval scorer for query-targeted curation and "
+        "contamination triage.  (doc, term) counts are filtered to the "
+        "query's terms BEFORE the shuffle, the |q|-row IDF table and "
+        "1-row corpus stats broadcast back — no vocabulary-sized state, "
+        "so the plan holds at corpus scale for any constant-sized query.  "
+        "The oracle replays the full formula (tokenize → dl/avgdl → "
+        "tf/df → idf → score) in SQL; every matched document is returned "
+        "(no top-k cut) so the hash compare covers the entire ranking."
+    ),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.features import bm25_rank
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_rank(d, ["spark", "merge", "vector"])
+    return out.select("doc_id", rnd(F.col("score"), 6).alias("score"))
