@@ -241,9 +241,12 @@ def bm25_rank(
     broadcast back onto the scores.  No vocabulary-sized state anywhere,
     so the ranking runs at corpus scale for any constant-sized query.
 
-    Output: ``(id_col, score)`` for documents matching ≥ 1 query term,
-    densest first (ties by id ascending); ``k`` keeps the global top-k
-    (TakeOrderedAndProject — every partition forwards ≤ k candidates).
+    Output: ``(id_col, score)`` for documents matching ≥ 1 query term.
+    With ``k``, the global top-k ordered densest-first (ties by id
+    ascending; TakeOrderedAndProject — every partition forwards ≤ k
+    candidates); without it, UNORDERED — downstream fusions (hybrid
+    ranking) re-key anyway, and a global sort nobody consumes is pure
+    shuffle cost at corpus scale.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -282,5 +285,6 @@ def bm25_rank(
             ).alias("score")
         )
     )
-    out = scored.orderBy(F.desc("score"), F.asc(id_col))
-    return out.limit(k) if k is not None else out
+    if k is not None:
+        return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    return scored

@@ -418,3 +418,95 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = bm25_rank(d, ["spark", "merge", "vector"])
     return out.select("doc_id", rnd(F.col("score"), 6).alias("score"))
+
+
+@query(
+    "hybrid_search",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+             (SELECT count(DISTINCT doc_id) FROM documents) AS n
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'merge', 'vector')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    idf AS (
+      SELECT term, ln((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf, s.avgdl
+      FROM dfreq, stats s
+    ),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(idf.idf * (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / idf.avgdl))) AS score
+      FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id
+    ),
+    lex AS (SELECT doc_id, score / (SELECT max(score) FROM bm25) AS lex FROM bm25),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)) AS sem
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT lex.doc_id,
+           floor((0.5 * lex.lex + 0.5 * sem.sem) * 1000000.0 + 0.5) / 1000000.0
+             AS hybrid
+    FROM lex JOIN sem USING (doc_id)
+    """,
+    doc=(
+        "HYBRID retrieval — BM25 lexical score fused with embedding cosine "
+        "(the RAG / curation ranking shape): bm25_rank's scores min-max "
+        "normalize against the corpus max (one broadcast scalar), the "
+        "query vector broadcasts into a JVM-side zip_with dot product over "
+        "the embeddings table, and the two signals fuse 50/50 on doc_id "
+        "(vec_id-aligned fixture).  Everything stays whole-stage codegen — "
+        "no UDFs, no vocabulary- or corpus-sized state; at 100 TB each "
+        "side bounds its own work (query-term filter / metadata filter + "
+        "IVF tier) before the fuse join.  Oracle replays both signals and "
+        "the fusion in SQL over every matched doc."
+    ),
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.features import bm25_rank
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bm25 = bm25_rank(d, ["spark", "merge", "vector"])
+    mx = bm25.agg(F.max("score").alias("mx"))
+    lex = bm25.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("score") / F.col("mx")).alias("lex")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def norm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot(F.col("e"), F.col("qe")) / (norm(F.col("e")) * norm(F.col("qe")))).alias("sem"),
+        )
+    )
+    return lex.join(sem, "doc_id").select(
+        "doc_id",
+        rnd(F.lit(0.5) * F.col("lex") + F.lit(0.5) * F.col("sem"), 6).alias("hybrid"),
+    )
