@@ -137,6 +137,11 @@ SF1_QUERIES = [
     # metadata-aggregate probes
     "lake_matview_left", "lake_matview_full", "lake_rollup_minmax",
     "lake_count_pushdown", "lake_partition_aggregate",
+    # late-r8: the corpus-scale retrieval pair (BM25's per-query cost must
+    # track matched docs, not vocabulary; hybrid adds the broadcast-vector
+    # cosine fuse) and the NDV-statistics probe (metadata-only at any
+    # size — the O(refs) claim should be shown ~flat at 10x data)
+    "text_bm25_topk", "hybrid_search", "lake_ndv_stats",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec
