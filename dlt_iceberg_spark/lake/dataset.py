@@ -132,19 +132,24 @@ class Dataset:
         and every live file's tuple answers exactly (the "rows per
         day/bucket" ops probe), scan otherwise.
 
-        ``distinct=[cols]`` adds ``ndv_<col>`` keys (global form only):
-        metadata-only from the per-file KMV sketches when every live file
-        carries one (write-time ``ndv_sketch_columns`` or a
-        ``compute_table_stats`` backfill) — EXACT whenever the true NDV ≤
-        k=256, the KMV estimate above it — falling back to an exact
-        ``COUNT(DISTINCT)`` scan otherwise."""
+        ``distinct=[cols]`` adds ``ndv_<col>`` keys: metadata-only from
+        the per-file KMV sketches when every live file carries one
+        (write-time ``ndv_sketch_columns`` or a ``compute_table_stats``
+        backfill).  Global form: EXACT whenever the true NDV ≤ k=256, the
+        KMV estimate above it.  Grouped form ("distinct users per day"):
+        EXACT-only — every file sketch must be complete in the current
+        hash frame, else the whole probe falls back to an exact
+        ``COUNT(DISTINCT)`` scan (a grouped row never carries an
+        estimate)."""
         from pyspark.sql import functions as F
 
-        if distinct and group_by is not None:
-            raise ValueError("distinct= is a global aggregate; drop group_by")
         t = self._table(table_name)
-        got = t.aggregate_stats(columns, group_by=group_by)
-        if got is not None and distinct:
+        got = t.aggregate_stats(
+            columns,
+            group_by=group_by,
+            distinct=distinct if group_by is not None else None,
+        )
+        if got is not None and distinct and group_by is None:
             ndv = t.approx_distinct(distinct)
             if ndv is not None:
                 for c in distinct:

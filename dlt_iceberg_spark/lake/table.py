@@ -66,6 +66,12 @@ from dlt_iceberg_spark.lake.manifest import (  # noqa: F401 (re-exported)
     write_chunked,
 )
 
+#: per-group distinct-hash ceiling for grouped NDV metadata aggregates —
+#: above it the group refuses into the scan rather than shipping a
+#: multi-MB hash set to the driver (2^18 hashes ≈ 2 MB/group; a group
+#: with more distinct values than that is a scan-sized question anyway)
+_GROUPED_NDV_CAP = 1 << 18
+
 #: "auto" plan_mode switches manifest-entry pruning from driver-side
 #: expansion to a Spark job (lake/planning.py) at this many undecided
 #: entries — below it, job-launch latency beats the driver loop; above it,
@@ -3214,6 +3220,7 @@ class LakeTable:
         columns: list[str] | None = None,
         snapshot_version: int | None = None,
         group_by: str | list[str] | None = None,
+        distinct: list[str] | None = None,
     ) -> dict | list[dict] | None:
         """Metadata-only count/min/max (see :meth:`Snapshot.aggregate_stats`);
         ``None`` means metadata can't answer exactly — run the scan.
@@ -3228,16 +3235,33 @@ class LakeTable:
         ambiguous), a column isn't identity-partitioned, equality deletes
         are outstanding, or a per-group extremum is requested under any
         deletes.  Grouped COUNTS stay exact under pure position deletes
-        (per-file masked-address counts subtract per group)."""
+        (per-file masked-address counts subtract per group).
+
+        ``distinct=[cols]`` (grouped form) adds EXACT ``ndv_<col>``
+        per-group distinct counts from the per-file KMV sketches — the
+        "distinct users per day" ops probe.  Exact-only by design: every
+        live file must carry a COMPLETE current-frame sketch (its own NDV
+        ≤ k, so the sketch IS the file's distinct-hash set, and the group
+        union is exact at any group size); any truncated/missing/
+        stale-frame sketch or ANY delete file refuses into the scan.
+        Estimates stay a global affair (:meth:`approx_distinct`) — a
+        grouped row never carries a number that isn't exact."""
         snap = self.snapshot(snapshot_version)
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.location}")
         if group_by is None:
+            if distinct:
+                raise ValueError(
+                    "distinct= needs group_by; use approx_distinct for the "
+                    "global form"
+                )
             return snap.aggregate_stats(columns)
         gb = [group_by] if isinstance(group_by, str) else list(group_by)
         if not gb:
             raise ValueError("group_by must name at least one column")
-        return self._grouped_aggregate_stats(snap, list(columns or []), gb)
+        return self._grouped_aggregate_stats(
+            snap, list(columns or []), gb, list(distinct or [])
+        )
 
     #: hive partition-tuple string -> typed value, per source-column type
     _HIVE_PARSERS = {
@@ -3253,8 +3277,13 @@ class LakeTable:
     }
 
     def _grouped_aggregate_stats(
-        self, snap: "Snapshot", columns: list[str], group_by: list[str]
+        self,
+        snap: "Snapshot",
+        columns: list[str],
+        group_by: list[str],
+        distinct: list[str] | None = None,
     ) -> list[dict] | None:
+        distinct = list(distinct or [])
         spec = snap.partition_spec or []
         keys: list[str] = []
         parsers: list[Any] = []
@@ -3290,12 +3319,27 @@ class LakeTable:
             return None  # equality masks make every group inexact
         if snap.delete_files and columns:
             return None  # masks may hide a group extremum
+        if snap.delete_files and distinct:
+            return None  # masks may hide a group's distinct values
+        tags: dict[str, str] = {}
+        for c in distinct:
+            cf = next((f for f in snap.schema.fields if f.name == c), None)
+            if cf is None:
+                raise ValueError(f"no such column {c!r}")
+            if isinstance(cf.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                raise ValueError(
+                    f"column {c!r} is nested ({cf.dataType.simpleString()}); "
+                    "NDV sketches cover atomic columns"
+                )
+            tags[c] = cf.dataType.simpleString()
         masked = (
             self._position_masked_counts(snap) if snap.delete_files else {}
         )
         # groups accumulate keyed by the RAW tuple strings; the typed
         # values are parsed once at the end
         groups: dict[tuple, dict] = {}
+
+        hash_sets: dict[tuple, dict[str, set]] = {}
 
         def _fold_driver(files) -> bool:
             for f in files:
@@ -3311,6 +3355,16 @@ class LakeTable:
                     lo, hi = g.get(f"min_{c}"), g.get(f"max_{c}")
                     g[f"min_{c}"] = st[0] if lo is None else min(lo, st[0])
                     g[f"max_{c}"] = st[1] if hi is None else max(hi, st[1])
+                for c in distinct:
+                    sk = f.sketches.get(c)
+                    # exact-only: the file's sketch must be its COMPLETE
+                    # current-frame distinct-hash set (then the group
+                    # union is exact at any group size)
+                    if sk is None or not sk.get("c") or sk.get("t") != tags[c]:
+                        return False
+                    hash_sets.setdefault(raws, {}).setdefault(c, set()).update(
+                        sk["h"]
+                    )
             return True
 
         if snap.manifests and snap.n_files >= DISTRIBUTED_PLAN_MIN_FILES:
@@ -3323,6 +3377,8 @@ class LakeTable:
             mdf = self.spark.read.parquet(
                 *[os.path.join(self.location, r.path) for r in snap.manifests]
             )
+            if distinct and "sketches" not in mdf.columns:
+                return None  # pre-sketch manifests: ANALYZE first
             bad = F.lit(False)
             sel = [F.col("rows").alias("__rows"), F.col("path").alias("__path")]
             gcols = []
@@ -3340,6 +3396,22 @@ class LakeTable:
                 )
                 bad = bad | lo.isNull() | hi.isNull()
                 sel += [lo.alias(f"__lo{i}"), hi.alias(f"__hi{i}")]
+            for i, c in enumerate(distinct):
+                sk = F.from_json(
+                    F.get_json_object(F.col("sketches"), f"$['{c}']"),
+                    "h array<bigint>, c boolean, t string",
+                )
+                bad = (
+                    bad
+                    | sk.isNull()
+                    | ~F.coalesce(sk["c"], F.lit(False))
+                    | (sk["t"] != F.lit(tags[c]))
+                )
+                sel.append(
+                    F.coalesce(sk["h"], F.array().cast("array<bigint>")).alias(
+                        f"__sk{i}"
+                    )
+                )
             sel.append(bad.cast("int").alias("__bad"))
             edf = mdf.select(*sel)
             if masked:
@@ -3358,7 +3430,25 @@ class LakeTable:
                     F.min(f"__lo{i}").alias(f"__lo{i}"),
                     F.max(f"__hi{i}").alias(f"__hi{i}"),
                 ]
-            rows = edf.groupBy(*gcols).agg(*aggs).collect()
+            # per-group distinct-hash union for NDV: the collect_list state
+            # is the group's per-file COMPLETE sketches (≤ k hashes each —
+            # bounded by group NDV, not rows), deduped post-agg and capped
+            # so a pathological group refuses instead of flooding the driver
+            for i in range(len(distinct)):
+                aggs.append(F.collect_list(f"__sk{i}").alias(f"__skl{i}"))
+            grouped = edf.groupBy(*gcols).agg(*aggs)
+            if distinct:
+                post = [F.col(c) for c in grouped.columns if not c.startswith("__skl")]
+                for i in range(len(distinct)):
+                    post.append(
+                        F.slice(
+                            F.array_distinct(F.flatten(F.col(f"__skl{i}"))),
+                            1,
+                            _GROUPED_NDV_CAP + 1,
+                        ).alias(f"__hs{i}")
+                    )
+                grouped = grouped.select(*post)
+            rows = grouped.collect()
             if any(r["__bad"] for r in rows):
                 return None
             for r in rows:
@@ -3373,6 +3463,11 @@ class LakeTable:
                     g2[f"max_{c}"] = (
                         r[f"__hi{i}"] if hi is None else max(hi, r[f"__hi{i}"])
                     )
+                for i, c in enumerate(distinct):
+                    hs = r[f"__hs{i}"]
+                    if len(hs) > _GROUPED_NDV_CAP:
+                        return None  # pathological group: use the scan
+                    hash_sets.setdefault(raws, {}).setdefault(c, set()).update(hs)
         else:
             if not _fold_driver(snap.files):
                 return None
@@ -3382,6 +3477,11 @@ class LakeTable:
                 gvals = [p(r) for p, r in zip(parsers, raws)]
             except (ValueError, TypeError):
                 return None
+            for c in distinct:
+                hs = hash_sets.get(raws, {}).get(c, set())
+                if len(hs) > _GROUPED_NDV_CAP:
+                    return None  # pathological group: use the scan
+                g[f"ndv_{c}"] = len(hs)
             out.append({**dict(zip(group_by, gvals)), **g})
         return sorted(
             out,

@@ -2637,3 +2637,78 @@ def lake_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAKE_OVERLAP_CACHE: dict = {}
+
+
+@query(
+    "lake_partition_ndv",
+    """
+    SELECT l_returnflag AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv_qty,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS ndv_status
+    FROM lineitem GROUP BY 1
+    """,
+    doc=(
+        "Per-partition EXACT distinct counts from metadata ("
+        "aggregate_stats(group_by=..., distinct=...) / Dataset.aggregate "
+        "— the 'distinct users per day' ops probe): lineitem lands "
+        "identity-partitioned on l_returnflag with write-time KMV "
+        "sketches on l_quantity/l_linestatus; per-group NDV then unions "
+        "the groups' COMPLETE per-file sketches (each file's distinct-"
+        "hash set, ≤ k entries) with ZERO data scans — an in-process "
+        "monkeypatch assertion pins it.  Exact-only by contract: any "
+        "truncated/stale-frame sketch refuses into the scan, so a "
+        "grouped row never carries an estimate (column choice keeps "
+        "per-file NDV below k=256 at EVERY sf).  The oracle recomputes "
+        "the GROUP BY COUNT(DISTINCT)s with plain SQL."
+    ),
+)
+def lake_partition_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    rows = _LAKE_PART_NDV_CACHE.get(key)
+    if rows is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_partndv_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(
+                name="li",
+                write_disposition="append",
+                column_hints={"l_returnflag": {"partition": True}},
+                ndv_sketch_columns=["l_quantity", "l_linestatus"],
+            ),
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_returnflag", "l_quantity", "l_linestatus"
+            ),
+        )
+        ds = Dataset(catalog, "gate")
+        real = table_mod.LakeTable._plan_scan
+
+        def boom(self, *a, **kw):
+            raise AssertionError("grouped NDV must not scan data")
+
+        table_mod.LakeTable._plan_scan = boom
+        try:
+            got = ds.aggregate(
+                "li", group_by="l_returnflag",
+                distinct=["l_quantity", "l_linestatus"],
+            )
+        finally:
+            table_mod.LakeTable._plan_scan = real
+        assert isinstance(got, list) and got  # metadata path, not fallback
+        rows = [
+            (d["l_returnflag"], d["count"], d["ndv_l_quantity"], d["ndv_l_linestatus"])
+            for d in got
+        ]
+        _LAKE_PART_NDV_CACHE[key] = rows
+    return spark.createDataFrame(rows, "g string, n long, ndv_qty long, ndv_status long")
+
+
+_LAKE_PART_NDV_CACHE: dict = {}

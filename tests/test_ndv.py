@@ -331,3 +331,92 @@ def test_overlap_falls_back_to_exact_scan_when_unsketched(spark, tmp_path):
     assert est["exact"]
     assert (est["distinct_a"], est["distinct_b"]) == (10.0, 15.0)
     assert est["intersection"] == 10.0
+
+
+# -- grouped NDV (exact-only, both tiers) -------------------------------------
+
+
+def _partitioned_ds(spark, tmp_path, df, ndv):
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.dataset import Dataset
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    LakeWriter(catalog, "ns").write(
+        TableSpec(
+            name="t",
+            write_disposition="append",
+            column_hints={"region": {"partition": True}},
+            ndv_sketch_columns=ndv,
+        ),
+        df,
+    )
+    return Dataset(catalog, "ns"), catalog
+
+
+def test_grouped_ndv_exact_no_scan(spark, tmp_path, monkeypatch):
+    from dlt_iceberg_spark.lake import table as table_mod
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("region"),
+        (F.col("id") % 40).alias("user"),
+    )
+    ds, _ = _partitioned_ds(spark, tmp_path, df, ["user"])
+    monkeypatch.setattr(
+        table_mod.LakeTable, "_plan_scan",
+        lambda self, *a, **kw: (_ for _ in ()).throw(AssertionError("scan")),
+    )
+    got = ds.aggregate("t", group_by="region", distinct=["user"])
+    assert [g["ndv_user"] for g in got] == [40, 40, 40]
+
+
+def test_grouped_ndv_distributed_tier_matches_driver(spark, tmp_path, monkeypatch):
+    from dlt_iceberg_spark.lake import table as table_mod
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 4).cast("string").alias("region"),
+        (F.col("id") % 33).alias("user"),
+    )
+    ds, _ = _partitioned_ds(spark, tmp_path, df.repartition(5), ["user"])
+    driver = ds.aggregate("t", group_by="region", distinct=["user"])
+    monkeypatch.setattr(table_mod, "DISTRIBUTED_PLAN_MIN_FILES", 1)
+    assert ds.aggregate("t", group_by="region", distinct=["user"]) == driver
+
+
+def test_grouped_ndv_refuses_incomplete_sketch_then_scan(spark, tmp_path):
+    # per-file NDV above k -> truncated sketches -> exact-only contract
+    # refuses, Dataset falls back to an exact COUNT(DISTINCT) scan
+    df = spark.range(0, 4000).select(
+        (F.col("id") % 2).cast("string").alias("region"),
+        F.col("id").alias("user"),  # 2000 distinct per region > k
+    )
+    ds, catalog = _partitioned_ds(spark, tmp_path, df, ["user"])
+    t = catalog.load_table("ns", "t")
+    assert (
+        t.aggregate_stats(group_by="region", distinct=["user"]) is None
+    )
+    got = ds.aggregate("t", group_by="region", distinct=["user"])
+    assert [g["ndv_user"] for g in got] == [2000, 2000]
+
+
+def test_grouped_ndv_refuses_under_deletes(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("region"),
+        (F.col("id") % 9).alias("user"),
+    )
+    ds, catalog = _partitioned_ds(spark, tmp_path, df, ["user"])
+    t = catalog.load_table("ns", "t")
+    assert t.aggregate_stats(group_by="region", distinct=["user"]) is not None
+    t.position_delete_where([("user", "=", 3)])
+    assert t.aggregate_stats(group_by="region", distinct=["user"]) is None
+
+
+def test_global_distinct_without_group_by_rejected_on_table(spark, tmp_path):
+    df = spark.range(0, 100).select(
+        (F.col("id") % 2).cast("string").alias("region"),
+        (F.col("id") % 9).alias("user"),
+    )
+    _, catalog = _partitioned_ds(spark, tmp_path, df, ["user"])
+    t = catalog.load_table("ns", "t")
+    with pytest.raises(ValueError, match="approx_distinct"):
+        t.aggregate_stats(distinct=["user"])
