@@ -1017,9 +1017,49 @@ class LakeTable:
                 F.min("rows").alias("min_file_rows"),
                 F.max("rows").alias("max_file_rows"),
             )
+        if kind == "statistics":
+            # Iceberg's statistics-files view: per sketched column, the
+            # snapshot-level NDV (exact flag included) plus sketch
+            # coverage — the ops probe for "is this table's ANALYZE
+            # fresh?".  `sketched_files` is ref-granular (files counted
+            # through fully-sketched manifests — a lower bound; a
+            # partially-sketched manifest reports 0, matching the
+            # all-or-nothing answerability rule).  O(refs), no reads.
+            snap = self.snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"no such table: {self.location}")
+            cols: set[str] = set()
+            for f in snap.inline_files:
+                cols.update(f.sketches.keys())
+            for r in snap.manifests:
+                cols.update(r.sketches.keys())
+            rows = []
+            n_total = snap.n_files
+            for c in sorted(cols):
+                got = snap.approx_distinct([c])
+                covered = sum(
+                    1 for f in snap.inline_files if c in f.sketches
+                ) + sum(
+                    r.n_files for r in snap.manifests if c in r.sketches
+                )
+                rows.append(
+                    (
+                        c,
+                        None if got is None else got[c]["ndv"],
+                        None if got is None else got[c]["exact"],
+                        covered,
+                        n_total,
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "column string, ndv bigint, exact boolean, "
+                "sketched_files int, total_files int",
+            )
         raise ValueError(
             f"unknown metadata table {kind!r} "
-            "(snapshots|files|history|refs|delete_files|partitions|manifests)"
+            "(snapshots|files|history|refs|delete_files|partitions|manifests|"
+            "statistics)"
         )
 
     # -- commit protocol ---------------------------------------------------

@@ -420,3 +420,65 @@ def test_global_distinct_without_group_by_rejected_on_table(spark, tmp_path):
     t = catalog.load_table("ns", "t")
     with pytest.raises(ValueError, match="approx_distinct"):
         t.aggregate_stats(distinct=["user"])
+
+
+# -- statistics metadata table + O(refs) pin ----------------------------------
+
+
+def test_statistics_metadata_table(spark, tmp_path):
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+
+    t = _mk_table(spark, tmp_path)
+    df = spark.range(0, 800).select(F.col("id"), (F.col("id") % 11).alias("seg"))
+    _write(spark, t, df, ndv=["seg"])
+    rows = {r.column: r for r in t.metadata_df("statistics").collect()}
+    assert rows["seg"].ndv == 11 and rows["seg"].exact
+    assert rows["seg"].sketched_files == rows["seg"].total_files
+    # an unsketched append degrades coverage and nulls the answer
+    _write(spark, t, df)
+    rows = {r.column: r for r in t.metadata_df("statistics").collect()}
+    assert rows["seg"].ndv is None
+    assert rows["seg"].sketched_files < rows["seg"].total_files
+    compute_table_stats(t, ["seg", "id"])
+    rows = {r.column: r for r in t.metadata_df("statistics").collect()}
+    assert rows["seg"].ndv == 11 and rows["seg"].exact
+    # id has 800 distinct > k: the view reports the KMV estimate, honestly
+    # flagged inexact
+    assert not rows["id"].exact
+    assert abs(rows["id"].ndv - 800) / 800 < 0.25
+
+
+def test_snapshot_ndv_is_o_refs_never_reads_manifests(spark, monkeypatch):
+    """Scale pin: snapshot-level NDV must answer from the REF-level merged
+    sketches alone — a 100 TB table's ~80 refs, never its 800k file
+    entries.  Any read_manifest call fails the test."""
+    from dlt_iceberg_spark.lake import table as table_mod
+    from dlt_iceberg_spark.lake.manifest import ManifestRef
+
+    refs = [
+        ManifestRef(
+            path=f"metadata/m-{i}.parquet",
+            n_files=10_000,
+            rows=10_000_000,
+            bytes=1 << 37,
+            sketches={"seg": {"h": [i * 7 + j for j in range(3)], "c": True,
+                              "t": "bigint"}},
+        )
+        for i in range(80)  # ~800k files ≈ 100 TB at 128 MB/file
+    ]
+    snap = table_mod.Snapshot(
+        version=1, schema=T_SCHEMA, operation="append", parent=None,
+        timestamp="2026-01-01T00:00:00+00:00", manifests=refs,
+    )
+    monkeypatch.setattr(
+        table_mod, "read_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("manifest read")),
+    )
+    got = snap.approx_distinct(["seg"])
+    assert got["seg"]["exact"]
+    assert got["seg"]["ndv"] == len({i * 7 + j for i in range(80) for j in range(3)})
+
+
+from pyspark.sql import types as _T  # noqa: E402
+
+T_SCHEMA = _T.StructType([_T.StructField("seg", _T.LongType())])
