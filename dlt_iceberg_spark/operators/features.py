@@ -231,15 +231,19 @@ def bm25_rank(
         score(d)   = Σ_{t ∈ q} idf(t) · tf_td·(k1+1) /
                                 (tf_td + k1·(1 − b + b·dl_d/avgdl))
 
-    with ``N`` = documents in ``df``, ``dl`` = the document's token count
-    and ``avgdl`` the mean over documents with ≥ 1 token.
+    with ``N`` = documents with ≥ 1 token, ``dl`` = the document's token
+    count and ``avgdl`` the mean document length.
 
-    Plan shape — everything is keyed small-side or map-side: one shuffle
-    to (doc, term) counts *filtered to the query's terms first* (the tf
-    frame carries |q| terms per doc, not the vocabulary), one shuffle for
-    per-doc lengths, a |q|-row IDF table and a 1-row corpus-stats table
-    broadcast back onto the scores.  No vocabulary-sized state anywhere,
-    so the ranking runs at corpus scale for any constant-sized query.
+    Plan shape — ONE corpus scan, ONE doc-keyed shuffle: a single
+    aggregation produces each doc's length plus a WIDE per-query-term tf
+    column set (|q| columns, not a vocabulary), the doc-sized result
+    persists (it feeds both the 1-row corpus-stats aggregate — n, avgdl,
+    per-term df — and the scoring projection), and scoring is a broadcast
+    of that stats row back onto the matched docs, fully inside
+    whole-stage codegen.  No joins, no vocabulary-sized state, no second
+    corpus read — the shape that survives a 100 TB corpus and makes the
+    operator cheap to REUSE (hybrid ranking normalizes against the max
+    score without re-reading the corpus).
 
     Output: ``(id_col, score)`` for documents matching ≥ 1 query term.
     With ``k``, the global top-k ordered densest-first (ties by id
@@ -250,41 +254,42 @@ def bm25_rank(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    q = list(query_terms)
     terms = fan_out(_terms(df, text_col, id_col))
-    dl = terms.groupBy(id_col).agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.avg("dl").alias("avgdl")
-    ).crossJoin(df.select(F.countDistinct(id_col).alias("n")))
-    tf = (
-        terms.filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.log(
-            (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0)
-        ).alias("idf"),
-        "avgdl",
-    )
-    scored = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, id_col)
-        .groupBy(id_col)
-        .agg(
-            F.sum(
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("score")
+    aggs = [F.count("*").alias("_dl")]
+    for i, t in enumerate(q):
+        aggs.append(F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}"))
+    # doc-sized (one row per doc, |q|+1 columns) — tiny next to the corpus;
+    # persisted because it feeds two consumers (stats row + scoring)
+    per_doc = terms.groupBy(id_col).agg(*aggs).persist()
+    stat_aggs = [
+        F.avg("_dl").alias("_avgdl"),
+        F.count("*").alias("_n"),
+    ]
+    for i in range(len(q)):
+        stat_aggs.append(
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
         )
+    stats = per_doc.agg(*stat_aggs)
+    any_tf = F.col("_tf0")
+    for i in range(1, len(q)):
+        any_tf = any_tf + F.col(f"_tf{i}")
+    matched = per_doc.filter(any_tf > 0)
+    joined = matched.crossJoin(F.broadcast(stats))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
     )
+    score = F.lit(0.0)
+    for i in range(len(q)):
+        idf = F.log(
+            (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        score = score + idf * (F.col(f"_tf{i}") * F.lit(k1 + 1.0)) / (
+            F.col(f"_tf{i}") + norm
+        )
+    scored = joined.select(id_col, score.alias("score"))
     if k is not None:
         return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     return scored

@@ -382,7 +382,7 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
     stats AS (
       SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-             (SELECT count(DISTINCT doc_id) FROM documents) AS n
+             (SELECT count(*) FROM dl) AS n
     ),
     tf AS (
       SELECT doc_id, term, count(*) AS tf FROM tok
@@ -432,7 +432,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
     stats AS (
       SELECT (SELECT avg(dl) FROM dl) AS avgdl,
-             (SELECT count(DISTINCT doc_id) FROM documents) AS n
+             (SELECT count(*) FROM dl) AS n
     ),
     tf AS (
       SELECT doc_id, term, count(*) AS tf FROM tok
