@@ -482,3 +482,66 @@ def test_snapshot_ndv_is_o_refs_never_reads_manifests(spark, monkeypatch):
 from pyspark.sql import types as _T  # noqa: E402
 
 T_SCHEMA = _T.StructType([_T.StructField("seg", _T.LongType())])
+
+
+# -- property tests: KMV algebra ----------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _sets = st.lists(
+        st.lists(st.integers(-(2**62), 2**62), max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+
+    def _file_sketch(values, k):
+        hs = sorted(set(values))
+        if len(hs) <= k:
+            return {"h": hs, "c": True, "t": "bigint"}
+        return {"h": hs[:k], "c": False, "t": "bigint"}
+
+    @given(_sets, st.integers(2, 16))
+    @settings(max_examples=200, deadline=None)
+    def test_prop_merge_matches_true_kmin_of_union(file_values, k):
+        """The merged sketch must equal the k smallest of the TRUE union's
+        stored hashes, and claim exactness only when it really holds the
+        whole union."""
+        sketches = [_file_sketch(v, k) for v in file_values]
+        merged = merge_kmv(sketches, k=k)
+        stored_union = sorted({h for s in sketches for h in s["h"]})
+        if merged["c"]:
+            # exactness implies every input was complete — the union of the
+            # stored hashes IS the union of the true value sets
+            true_union = sorted({h for v in file_values for h in set(v)})
+            assert merged["h"] == true_union
+            est, exact = kmv_estimate(merged, k=k)
+            assert exact and est == len(true_union)
+        else:
+            assert merged["h"] == stored_union[:k]
+
+    @given(_sets, st.integers(2, 16))
+    @settings(max_examples=200, deadline=None)
+    def test_prop_merge_is_associative_and_order_free(file_values, k):
+        import random
+
+        sketches = [_file_sketch(v, k) for v in file_values]
+        a = merge_kmv(sketches, k=k)
+        shuffled = list(sketches)
+        random.Random(0).shuffle(shuffled)
+        b = merge_kmv(shuffled, k=k)
+        # pairwise left-fold must agree with the flat merge
+        acc = shuffled[0]
+        for s in shuffled[1:]:
+            acc = merge_kmv([acc, s], k=k)
+        assert a == b
+        assert acc["h"] == a["h"]
+        # completeness may only DEGRADE under pairwise folding (a complete
+        # union > k truncates at the intermediate step), never improve
+        assert (not acc["c"]) or a["c"]
