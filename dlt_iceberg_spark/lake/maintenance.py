@@ -80,7 +80,23 @@ def compact_table(
 
     small_bytes = sum(f.bytes for f in small)
     n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
-    df = table.read_files(small).repartition(n_out)
+    df = table.read_files(small)
+    # honor the table's declared sort order (write.sort-order property):
+    # a binpack that interleaved clustered files would silently destroy
+    # the disjoint min/max ranges every selective scan depends on —
+    # Iceberg's rewrite_data_files sorts by the table sort order for the
+    # same reason
+    sort_cols = [
+        c
+        for c in (snap.properties.get("write.sort-order") or "").split(",")
+        if c and c in df.columns
+    ]
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_out)
     new_files = table.stage_dataframe(df)
     table.commit(
         keep + new_files,

@@ -1772,6 +1772,11 @@ class LakeTable:
                     if f.name in field_ids
                 ]
             )
+        _sort_cols = [
+            c
+            for c in (snap.properties.get("write.sort-order") or "").split(",")
+            if c and c in field_ids
+        ]
         payload = {
             "format-version": 2,
             "table-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL, self.location)),
@@ -1784,8 +1789,34 @@ class LakeTable:
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "default-spec-id": 0,
             "last-partition-id": 999 + len(spec_fields),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            # the declared write.sort-order property exports as a real
+            # Iceberg sort order (identity/asc/nulls-first — the shape
+            # _apply_sort_order writes); unsorted tables keep the
+            # unsorted order 0
+            **(
+                {
+                    "sort-orders": [
+                        {
+                            "order-id": 1,
+                            "fields": [
+                                {
+                                    "transform": "identity",
+                                    "source-id": field_ids[c],
+                                    "direction": "asc",
+                                    "null-order": "nulls-first",
+                                }
+                                for c in _sort_cols
+                            ],
+                        }
+                    ],
+                    "default-sort-order-id": 1,
+                }
+                if _sort_cols
+                else {
+                    "sort-orders": [{"order-id": 0, "fields": []}],
+                    "default-sort-order-id": 0,
+                }
+            ),
             "properties": _export_props,
             "current-snapshot-id": snap.version,
             "snapshots": snapshots_arr,

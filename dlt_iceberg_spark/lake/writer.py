@@ -442,6 +442,15 @@ class LakeWriter:
                 spec.name,
                 incoming_persisted,
                 partition_spec=[vars(p) for p in pspec],
+                # record the declared sort order as table metadata (Iceberg
+                # sort-order): maintenance re-sorts compaction rewrites by
+                # it, and the Iceberg export emits it — clustering is a
+                # TABLE property, not a per-load accident
+                properties=(
+                    {"write.sort-order": ",".join(spec.sort_order)}
+                    if spec.sort_order
+                    else None
+                ),
             )
             return table.for_branch(self.branch), incoming_persisted
         table = self.catalog.load_table(self.namespace, spec.name, branch=self.branch)
@@ -460,13 +469,19 @@ class LakeWriter:
             vars(p) for p in build_partition_spec(evolved, spec.column_hints)
         ]
         new_pspec = desired if desired and desired != snap.partition_spec else None
-        if changed or new_pspec is not None:
-            # one metadata-only evolution commit covering both changes;
+        # sort-order declaration changes ride the same metadata-only commit
+        sort_now = ",".join(spec.sort_order) if spec.sort_order else None
+        props_update = None
+        if sort_now is not None and snap.properties.get("write.sort-order") != sort_now:
+            props_update = {**snap.properties, "write.sort-order": sort_now}
+        if changed or new_pspec is not None or props_update is not None:
+            # one metadata-only evolution commit covering all changes;
             # delta form: the file inventory is untouched, so no manifest
             # is read or rewritten
             op = "evolve-schema" if changed else "evolve-partition"
             table.commit(
                 None, evolved, op, snap.version, partition_spec=new_pspec,
+                properties=props_update,
                 manifests=snap.manifests, new_files=snap.inline_files,
             )
         return table, evolved

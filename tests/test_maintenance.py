@@ -371,3 +371,105 @@ def test_consolidation_after_cow_rewrite_drops_dangling_addresses(spark, tmp_pat
     t = catalog.load_table("ds", "t")
     assert sorted((r.id, r.val) for r in t.read().collect()) == before
     assert report["dropped"] >= 0
+
+
+def test_sort_order_recorded_and_compaction_preserves_clustering(spark, warehouse):
+    """The declared sort order is TABLE metadata: compaction must re-sort
+    its binpacked rewrite by it, or the disjoint per-file ranges every
+    selective scan depends on silently die at the first maintenance run."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ns")
+    spec = TableSpec(
+        name="t", write_disposition="append", sort_order=["k"], sort_buckets=4
+    )
+    # several small appends -> small-file debt, each load range-clustered
+    for i in range(4):
+        writer.write(
+            spec,
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                (F.col("id") % 4000).alias("k"), F.col("id").alias("v")
+            ),
+        )
+    t = catalog.load_table("ns", "t")
+    assert t.snapshot().properties["write.sort-order"] == "k"
+    # target sized so the binpack emits MULTIPLE outputs (the disjointness
+    # claim is vacuous on a single file)
+    res = compact_table(t, target_file_bytes=30_000)
+    assert res.rewritten_files > 1
+    snap = t.snapshot()
+    assert len(snap.files) > 1
+    # compacted files must carry DISJOINT k-ranges (clustering preserved)
+    ranges = sorted(tuple(f.stats["k"]) for f in snap.files)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlap after compaction: {ranges}"
+    # and a selective scan must open only a fraction of the files
+    _, picked = t._select_files(snap, [("k", "<", 500)])
+    assert len(picked) < len(snap.files)
+
+
+def test_compaction_without_sort_order_binpacks_plain(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ns")
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.range(i * 100, (i + 1) * 100).select(F.col("id").alias("k")),
+        )
+    t = catalog.load_table("ns", "t")
+    assert "write.sort-order" not in t.snapshot().properties
+    res = compact_table(t, target_file_bytes=1 << 30)
+    assert res.rewritten_files >= 2  # plain binpack still works
+
+
+def test_sort_order_declared_on_existing_table_via_evolution_commit(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ns")
+    df = spark.range(100).select(F.col("id").alias("k"))
+    writer.write(TableSpec(name="t", write_disposition="append"), df)
+    writer.write(
+        TableSpec(name="t", write_disposition="append", sort_order=["k"]), df
+    )
+    t = catalog.load_table("ns", "t")
+    assert t.snapshot().properties["write.sort-order"] == "k"
+
+
+def test_export_emits_declared_sort_order(spark, warehouse):
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append", sort_order=["k"]),
+        spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("s")),
+    )
+    t = catalog.load_table("ns", "t")
+    meta = json.loads(open(t.export_iceberg_metadata()).read())
+    order = meta["sort-orders"][0]
+    assert meta["default-sort-order-id"] == order["order-id"] == 1
+    [fld] = order["fields"]
+    snap = t.snapshot()
+    assert fld["source-id"] == snap.field_ids["k"]
+    assert fld["transform"] == "identity" and fld["direction"] == "asc"
