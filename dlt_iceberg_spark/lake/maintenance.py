@@ -81,19 +81,31 @@ def compact_table(
     small_bytes = sum(f.bytes for f in small)
     n_out = max(1, -(-small_bytes // target_file_bytes))  # ceil
     df = table.read_files(small)
-    # honor the table's declared sort order (write.sort-order property):
-    # a binpack that interleaved clustered files would silently destroy
-    # the disjoint min/max ranges every selective scan depends on —
-    # Iceberg's rewrite_data_files sorts by the table sort order for the
-    # same reason
+    # honor the table's declared clustering: a binpack that interleaved
+    # clustered files would silently destroy the disjoint min/max ranges
+    # (or z-order hypercubes) every selective scan depends on — Iceberg's
+    # rewrite_data_files sorts by the table sort order for the same reason
     sort_cols = [
         c
         for c in (snap.properties.get("write.sort-order") or "").split(",")
         if c and c in df.columns
     ]
+    z_cols = [
+        c
+        for c in (snap.properties.get("write.zorder-by") or "").split(",")
+        if c and c in df.columns
+    ]
     if sort_cols:
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
+        )
+    elif z_cols:
+        z = zorder_value(df, z_cols)
+        df = (
+            df.withColumn("_zorder", z)
+            .repartitionByRange(n_out, "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
         )
     else:
         df = df.repartition(n_out)
@@ -455,6 +467,9 @@ def rewrite_zorder(
         "replace",
         snap.version,
         summary={"zorder": ",".join(columns), "rewritten-files": len(snap.files)},
+        # remember the clustering as table metadata so later compactions
+        # re-apply it instead of silently interleaving the hypercubes
+        properties={**snap.properties, "write.zorder-by": ",".join(columns)},
     )
     return CompactionResult(len(snap.files), 0, len(new_files), total_bytes)
 

@@ -473,3 +473,48 @@ def test_export_emits_declared_sort_order(spark, warehouse):
     snap = t.snapshot()
     assert fld["source-id"] == snap.field_ids["k"]
     assert fld["transform"] == "identity" and fld["direction"] == "asc"
+
+
+def test_compaction_preserves_zorder_clustering(spark, warehouse):
+    """rewrite_zorder records write.zorder-by; a later binpack re-applies
+    the z-order instead of interleaving the hypercubes."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import compact_table, rewrite_zorder
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ns")
+    df = spark.range(20000).select(
+        (F.col("id") % 100).cast("int").alias("x"),
+        ((F.col("id") * 37) % 100).cast("int").alias("y"),
+    )
+    writer.write(TableSpec(name="t", write_disposition="append"), df)
+    t = catalog.load_table("ns", "t")
+    total = sum(f.bytes for f in t.snapshot().files)
+    rewrite_zorder(t, ["x", "y"], target_file_bytes=total // 16)
+    assert t.snapshot().properties["write.zorder-by"] == "x,y"
+
+    def frac(sn, col):
+        return len(t.prune_files(sn, col, 10, 19)[0]) / len(sn.files)
+
+    snap = t.snapshot()
+    assert frac(snap, "x") <= 0.6 and frac(snap, "y") <= 0.6
+    # hash-random small appends create debt spanning the full key space;
+    # the binpack must RE-zorder or multi-column pruning dies
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.range(2000).select(
+                (F.col("id") % 100).cast("int").alias("x"),
+                ((F.col("id") * 37) % 100).cast("int").alias("y"),
+            ),
+        )
+    compact_table(t, target_file_bytes=total // 16)
+    after = t.snapshot()
+    assert len(after.files) >= 8
+    # the binpacked portion is small (3 micro-appends), so its files span
+    # wider z-ranges than the bulk rewrite's — selectivity stays strong on
+    # BOTH columns (an un-zordered binpack would sit at ~1.0)
+    assert frac(after, "x") <= 0.75 and frac(after, "y") <= 0.75
