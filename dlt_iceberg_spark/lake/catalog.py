@@ -21,7 +21,7 @@ from dlt_iceberg_spark.errors import (
     TableNotFoundError,
 )
 from dlt_iceberg_spark.lake.fileio import fileio_for
-from dlt_iceberg_spark.lake.table import LakeTable
+from dlt_iceberg_spark.lake.table import DataFile, DeleteFile, LakeTable
 
 #: table_location_layout default (destination_client.py:736-766)
 DEFAULT_LOCATION_LAYOUT = "{namespace}/{table_name}"
@@ -182,6 +182,78 @@ class LakeCatalog:
         self._io.makedirs(os.path.dirname(dst))
         self._io.rename(src, dst)
         return self.load_table(dst_ns, new)
+
+    def clone_table(
+        self,
+        namespace: str,
+        table_name: str,
+        new_namespace: str,
+        new_name: str,
+        branch: str = "main",
+    ) -> LakeTable:
+        """ZERO-COPY clone (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-reference pattern): a new table whose first snapshot
+        references the source's CURRENT data and delete files by absolute
+        path — no data bytes move at any table size, only a metadata
+        rewrite (same O(files)-entries driver cost as ``rename_column``).
+
+        The clone is a full first-class LakeTable: it evolves, merges,
+        compacts, and rolls up independently — every mutation writes into
+        the CLONE's location (copy-on-write divergence), the source never
+        changes.  Schema, partition spec, stable field ids, table
+        properties, NDV sketches, and outstanding MoR delete masks all
+        carry over; sequence numbers are preserved so the masks keep
+        applying to exactly the rows they masked in the source.
+
+        The standard shallow-clone caveat applies and is recorded as
+        lineage (``cloned-from`` / ``cloned-at-version`` properties):
+        expiring snapshots or removing orphans ON THE SOURCE can delete
+        files the clone still references — retain the cloned-at snapshot
+        (tag it) for the clone's lifetime, or compact the clone to
+        localize it.
+        """
+        src = self.load_table(namespace, table_name)
+        snap = src.snapshot()
+        if snap is None:
+            raise TableNotFoundError(f"{namespace}.{table_name}")
+
+        def _abs(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(src.location, rel)
+
+        entries = [
+            DataFile(**{**vars(f), "path": _abs(f.path)}) for f in snap.files
+        ]
+        deletes = [
+            DeleteFile(**{**vars(d), "path": _abs(d.path)})
+            for d in snap.delete_files
+        ]
+        dst = self.create_table(
+            new_namespace,
+            new_name,
+            snap.schema,
+            partition_spec=list(snap.partition_spec or []),
+            properties={
+                **snap.properties,
+                "cloned-from": src.location,
+                "cloned-at-version": str(snap.version),
+            },
+        )
+        base = dst.snapshot()
+        dst.commit(
+            entries,
+            snap.schema,
+            "clone",
+            base.version,
+            partition_spec=list(snap.partition_spec or []),
+            delete_files=deletes,
+            field_ids=dict(snap.field_ids),
+            summary={
+                "cloned-from": src.location,
+                "cloned-at-version": snap.version,
+                "cloned-files": len(entries),
+            },
+        )
+        return self.load_table(new_namespace, new_name, branch=branch)
 
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:
         """W10: drop (and purge data — the reference prefers purge_table,

@@ -358,6 +358,12 @@ def expire_snapshots(
     }
     io = table._io
     for rel in sorted(dead_paths | dead_manifests):
+        # absolute entries reference ANOTHER table's storage (zero-copy
+        # clones, adopted Iceberg tables): expiring our snapshot drops the
+        # REFERENCE — the bytes belong to the source and are never ours to
+        # delete (the shallow-clone ownership rule)
+        if os.path.isabs(rel):
+            continue
         p = os.path.join(table.location, rel)
         if io.exists(p):
             io.remove(p)

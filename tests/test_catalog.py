@@ -635,3 +635,118 @@ def test_grouped_aggregate_composite_tuple(spark, warehouse, monkeypatch):
     assert table.aggregate_stats(group_by=["a", "v"]) is None
     fb = ds.aggregate("t", group_by=["a", "v"])
     assert len(fb) == 600
+
+
+# -- zero-copy clone ----------------------------------------------------------
+
+
+def _clone_fixture(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "src")
+    writer.write(
+        TableSpec(name="t", write_disposition="append",
+                  ndv_sketch_columns=["k"]),
+        spark.range(1000).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    return catalog, writer
+
+
+def test_clone_is_zero_copy_and_reads_equal(spark, warehouse):
+    import os
+
+    catalog, _ = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    src = catalog.load_table("src", "t")
+    assert clone.read().count() == 1000
+    assert sorted(r.v for r in clone.read().collect()) == sorted(
+        r.v for r in src.read().collect()
+    )
+    # zero data bytes copied: the clone's data dir is empty
+    data_dir = os.path.join(clone.location, "data")
+    assert not os.path.isdir(data_dir) or not os.listdir(data_dir)
+    snap = clone.snapshot()
+    assert snap.operation == "clone"
+    assert snap.properties["cloned-from"] == src.location
+    # statistics carried: NDV answers on the clone without re-analyze
+    assert clone.approx_distinct(["k"]) == {"k": {"ndv": 10, "exact": True}}
+
+
+def test_clone_diverges_copy_on_write(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, writer = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    # mutate the CLONE: source must not move
+    LakeWriter(catalog, "dev").write(
+        TableSpec(name="t2", write_disposition="append"),
+        spark.range(50).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    clone = catalog.load_table("dev", "t2")
+    src = catalog.load_table("src", "t")
+    assert clone.read().count() == 1050
+    assert src.read().count() == 1000
+    # mutate the SOURCE: clone must not move either
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.range(7).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    assert catalog.load_table("src", "t").read().count() == 1007
+    assert catalog.load_table("dev", "t2").read().count() == 1050
+
+
+def test_clone_carries_mor_masks(spark, warehouse):
+    catalog, _ = _clone_fixture(spark, warehouse)
+    src = catalog.load_table("src", "t")
+    src.position_delete_where([("k", "=", 3)])  # masks 100 rows
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    assert clone.read().count() == 900
+    assert clone.read().filter("k = 3").count() == 0
+
+
+def test_clone_compaction_localizes_without_touching_source(spark, warehouse):
+    import os
+
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+
+    catalog, _ = _clone_fixture(spark, warehouse)
+    src = catalog.load_table("src", "t")
+    src_files_before = {f.path for f in src.snapshot().files}
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    compact_table(clone, target_file_bytes=1 << 30)
+    clone = catalog.load_table("dev", "t2")
+    # after compaction the clone owns local relative files...
+    assert all(not os.path.isabs(f.path) for f in clone.snapshot().files)
+    assert clone.read().count() == 1000
+    # ...and the source is byte-identical
+    src = catalog.load_table("src", "t")
+    assert {f.path for f in src.snapshot().files} == src_files_before
+    assert src.read().count() == 1000
+
+
+def test_clone_expiry_never_deletes_source_bytes(spark, warehouse):
+    """The shallow-clone ownership rule: expiring the clone's pre-compaction
+    snapshot drops the REFERENCE to the source's files, never the bytes."""
+    import os
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import compact_table, expire_snapshots
+
+    catalog, _ = _clone_fixture(spark, warehouse)
+    src = catalog.load_table("src", "t")
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    compact_table(clone, target_file_bytes=1 << 30)  # localize: v2 owns local files
+    clone = catalog.load_table("dev", "t2")
+    res = expire_snapshots(clone, older_than=timedelta(seconds=0), keep_last=1)
+    assert res["snapshots"] >= 1  # the clone snapshot expired
+    # every source byte still on disk; source still reads clean
+    for f in src.snapshot().files:
+        assert os.path.exists(os.path.join(src.location, f.path))
+    assert src.read().count() == 1000
+    assert clone.read().count() == 1000
