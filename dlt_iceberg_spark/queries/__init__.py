@@ -44,33 +44,34 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # Round-8 window (per VERDICT r7 task 1, extended with this round's
 # additions — new queries landed BEFORE the gate froze this time, so
 # they go straight into the front of the window):
-#   slots 1-5   — the 5 late-r8 additions (hybrid_search, lake_ndv_stats,
+#   slots 1-6   — the 6 late-r8 additions (hybrid_search,
+#                 lake_clone_divergence, lake_ndv_stats,
 #                 lake_partition_ndv, lake_sketch_overlap,
 #                 text_bm25_topk), never driver-verified, oracle-green
 #                 locally.
-#   slots 6-10  — the 5 earlier round-8 additions (lake_partition_aggregate,
+#   slots 7-11  — the 5 earlier round-8 additions (lake_partition_aggregate,
 #                 lake_matview_chain, stream_dedup_corpus, ann_filtered,
 #                 lake_minmax_pushdown), never driver-verified,
 #                 oracle-green locally.
-#   slots 11-15 — the 5 round-7 additions that had never had a driver
+#   slots 12-16 — the 5 round-7 additions that had never had a driver
 #                 row (all 5 passed the judge's oracle replica in r7).
-#   slots 16-30 — the 15 rows whose newest driver row is CORRECTNESS_r05
+#   slots 17-31 — the 15 rows whose newest driver row is CORRECTNESS_r05
 #                 (they hit the 3-round limit this round).
-#   slots 31-50 — 20 of the 50 rows whose newest driver row is r06
-#                 (alphabetical prefix; the last 5 of the previous
+#   slots 32-50 — 19 of the 50 rows whose newest driver row is r06
+#                 (alphabetical prefix; the last 6 of the previous
 #                 prefix — q10_returned_customers, q11_important_parts,
-#                 part_brand_stats, pivot_priority_status,
-#                 pctl_order_value — slip past the cutoff and defer to r9
-#                 with the rest).
+#                 nation_order_stats, part_brand_stats,
+#                 pivot_priority_status, pctl_order_value — slip past the
+#                 cutoff and defer to r9 with the rest).
 # Round-9 plan (write it down now so the rotation stays mechanical):
 #   never-driver-verified r9 additions first, then the r06 rows that have
-#   hit the 3-round limit (the 25 listed below PLUS the 5 displaced from
+#   hit the 3-round limit (the 25 listed below PLUS the 6 displaced from
 #   this window's tail), then the stalest r07 rows.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (late-r8 additions, alphabetical) — front --
-    "hybrid_search", "lake_ndv_stats", "lake_partition_ndv",
-    "lake_sketch_overlap", "text_bm25_topk",
+    "hybrid_search", "lake_clone_divergence", "lake_ndv_stats",
+    "lake_partition_ndv", "lake_sketch_overlap", "text_bm25_topk",
     # -- never driver-verified (earlier r8 additions, then r7's) ---------
     "lake_partition_aggregate", "lake_matview_chain", "stream_dedup_corpus",
     "ann_filtered", "lake_minmax_pushdown",

@@ -2712,3 +2712,85 @@ def lake_partition_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LAKE_PART_NDV_CACHE: dict = {}
+
+
+@query(
+    "lake_clone_divergence",
+    """
+    SELECT 'source' AS side, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem WHERE l_quantity <= 40
+    UNION ALL
+    SELECT 'clone', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+    FROM (
+      SELECT l_quantity FROM lineitem WHERE l_quantity <= 40
+      UNION ALL
+      SELECT l_quantity FROM lineitem WHERE l_quantity > 40
+    )
+    """,
+    doc=(
+        "Zero-copy clone + copy-on-write divergence (catalog.clone_table "
+        "— Delta SHALLOW CLONE shape): lineitem (qty<=40) lands as the "
+        "source table, clones metadata-only into another namespace (an "
+        "in-process assertion pins that the clone's data dir holds ZERO "
+        "files), then the qty>40 remainder appends ONLY to the clone.  "
+        "Both sides then read through the normal scan path: the source "
+        "must still see exactly the original rows and the clone the "
+        "union — the oracle recomputes both row counts and quantity sums "
+        "with plain SQL, proving reference-sharing never leaks writes in "
+        "either direction."
+    ),
+)
+def lake_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    rows = _LAKE_CLONE_CACHE.get(key)
+    if rows is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_clone_"))
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        LakeWriter(catalog, "src").write(
+            TableSpec(name="li", write_disposition="append"),
+            li.filter(F.col("l_quantity") <= 40),
+        )
+        clone = catalog.clone_table("src", "li", "dev", "li2")
+        data_dir = os.path.join(clone.location, "data")
+        assert not os.path.isdir(data_dir) or not os.listdir(data_dir), (
+            "clone must not copy data bytes"
+        )
+        LakeWriter(catalog, "dev").write(
+            TableSpec(name="li2", write_disposition="append"),
+            li.filter(F.col("l_quantity") > 40),
+        )
+        src_row = (
+            catalog.load_table("src", "li")
+            .read()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+            .first()
+        )
+        clone_row = (
+            catalog.load_table("dev", "li2")
+            .read()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            )
+            .first()
+        )
+        rows = [
+            ("source", src_row["n"], src_row["qty"]),
+            ("clone", clone_row["n"], clone_row["qty"]),
+        ]
+        _LAKE_CLONE_CACHE[key] = rows
+    return spark.createDataFrame(rows, "side string, n long, qty long")
+
+
+_LAKE_CLONE_CACHE: dict = {}
