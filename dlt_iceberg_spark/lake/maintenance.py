@@ -602,6 +602,12 @@ class MaintenancePolicy:
     #: orphan cleanup (staging dirs / files from crashed commits)
     remove_orphans: bool = True
     orphans_older_than: timedelta = timedelta(days=3)
+    #: re-ANALYZE these columns whenever live files lack current-frame NDV
+    #: sketches (compaction/fold rewrites drop them) — keeps
+    #: approx_distinct/Dataset.aggregate(distinct=...) answerable without
+    #: a manual compute_table_stats after every maintenance cycle.  None =
+    #: NDV upkeep not managed here.
+    analyze_ndv_columns: list[str] | None = None
 
 
 def consolidate_position_deletes(table: LakeTable) -> dict:
@@ -729,4 +735,11 @@ def maintain(table: LakeTable, policy: MaintenancePolicy | None = None) -> dict:
     if policy.remove_orphans:
         removed = remove_orphan_files(table, older_than=policy.orphans_older_than)
         report["orphans_removed"] = {k: len(v) for k, v in removed.items()}
+    # stats last: the rewrites above produce sketch-less files, so the
+    # ANALYZE backfill here is what keeps NDV metadata answerable across
+    # maintenance cycles (files already sketched pass through untouched)
+    if policy.analyze_ndv_columns:
+        report["analyzed_files"] = compute_table_stats(
+            table, list(policy.analyze_ndv_columns)
+        )
     return report

@@ -545,3 +545,36 @@ if _HYP:
         # completeness may only DEGRADE under pairwise folding (a complete
         # union > k truncates at the intermediate step), never improve
         assert (not acc["c"]) or a["c"]
+
+
+def test_maintain_reanalyzes_after_compaction(spark, tmp_path):
+    """Compaction drops per-file sketches; a maintain() cycle with
+    analyze_ndv_columns restores NDV answerability in the same call."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import MaintenancePolicy, maintain
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    for i in range(3):
+        writer.write(
+            TableSpec(name="t", write_disposition="append",
+                      ndv_sketch_columns=["seg"]),
+            spark.range(i * 100, (i + 1) * 100).select(
+                (F.col("id") % 12).alias("seg")
+            ),
+        )
+    t = catalog.load_table("ns", "t")
+    assert t.approx_distinct(["seg"]) is not None
+    report = maintain(
+        t,
+        MaintenancePolicy(
+            expire_older_than=timedelta(days=9999),
+            analyze_ndv_columns=["seg"],
+        ),
+    )
+    assert report["compaction"]["rewritten_files"] >= 3
+    assert report["analyzed_files"] >= 1
+    assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 12, "exact": True}}
