@@ -368,6 +368,22 @@ def main(warehouse: str) -> None:
         f"{ovl['jaccard']:.3f} exact={ovl['exact']}"
     )
 
+    # -- zero-copy clone: dev sandbox without copying a byte ----------------
+    clone = pipe.catalog.clone_table("shop", "fact_sales", "dev", "fact_sandbox")
+    qwriter_dev = LakeWriter(pipe.catalog, "dev")
+    qwriter_dev.write(
+        TableSpec(name="fact_sandbox", write_disposition="append"),
+        spark.createDataFrame(
+            [(99, "apac", 7.0)], "sale_id long, region string, amount double"
+        ),
+    )
+    clone = pipe.catalog.load_table("dev", "fact_sandbox")
+    src_n = pipe.catalog.load_table("shop", "fact_sales").read().count()
+    print(
+        f"clone diverged copy-on-write: sandbox={clone.read().count()} rows, "
+        f"source untouched at {src_n}"
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
