@@ -142,6 +142,9 @@ SF1_QUERIES = [
     # cosine fuse) and the NDV-statistics probe (metadata-only at any
     # size — the O(refs) claim should be shown ~flat at 10x data)
     "text_bm25_topk", "hybrid_search", "lake_ndv_stats",
+    # late-r8 metadata surfaces with the same ~flat-at-10x claim: grouped
+    # NDV, cross-table sketch overlap, and the zero-copy clone
+    "lake_partition_ndv", "lake_sketch_overlap", "lake_clone_divergence",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec
