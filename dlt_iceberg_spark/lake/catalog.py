@@ -190,6 +190,8 @@ class LakeCatalog:
         new_namespace: str,
         new_name: str,
         branch: str = "main",
+        version: int | None = None,
+        tag: str | None = None,
     ) -> LakeTable:
         """ZERO-COPY clone (Delta ``SHALLOW CLONE`` / Iceberg
         snapshot-reference pattern): a new table whose first snapshot
@@ -211,11 +213,26 @@ class LakeCatalog:
         files the clone still references — retain the cloned-at snapshot
         (tag it) for the clone's lifetime, or compact the clone to
         localize it.
+
+        ``version=`` / ``tag=`` clone a HISTORICAL state instead of the
+        head (time-travel clone — "give me yesterday's table as a live
+        sandbox"); a tag is also the natural retention anchor for the
+        caveat above.
         """
+        if version is not None and tag is not None:
+            raise ValueError("pass version= or tag=, not both")
         src = self.load_table(namespace, table_name)
-        snap = src.snapshot()
+        if tag is not None:
+            tags = src.tags()
+            if tag not in tags:
+                raise ValueError(f"no such tag {tag!r}")
+            version = tags[tag]
+        snap = src.snapshot(version)
         if snap is None:
-            raise TableNotFoundError(f"{namespace}.{table_name}")
+            raise TableNotFoundError(
+                f"{namespace}.{table_name}"
+                + (f" @ v{version}" if version is not None else "")
+            )
 
         def _abs(rel: str) -> str:
             return rel if os.path.isabs(rel) else os.path.join(src.location, rel)

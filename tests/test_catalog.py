@@ -750,3 +750,33 @@ def test_clone_expiry_never_deletes_source_bytes(spark, warehouse):
         assert os.path.exists(os.path.join(src.location, f.path))
     assert src.read().count() == 1000
     assert clone.read().count() == 1000
+
+
+def test_clone_time_travel_by_version_and_tag(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, writer = _clone_fixture(spark, warehouse)
+    src = catalog.load_table("src", "t")
+    v1 = src.current_version()
+    src.create_tag("before-load-2")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.range(500).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    # head clone sees both loads; version/tag clones see the first only
+    assert catalog.clone_table("src", "t", "dev", "head").read().count() == 1500
+    assert (
+        catalog.clone_table("src", "t", "dev", "old", version=v1).read().count()
+        == 1000
+    )
+    by_tag = catalog.clone_table("src", "t", "dev", "tagged", tag="before-load-2")
+    assert by_tag.read().count() == 1000
+    assert by_tag.snapshot().properties["cloned-at-version"] == str(v1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no such tag"):
+        catalog.clone_table("src", "t", "dev", "x", tag="nope")
+    with _pytest.raises(ValueError, match="not both"):
+        catalog.clone_table("src", "t", "dev", "x", version=v1, tag="before-load-2")
