@@ -100,7 +100,10 @@ def timed_passes(
 #: within-replica pairs ARE near-dups (quadratic match density by
 #: construction).  The sf0.1→sf1 ratio for dedup_minhash_lsh /
 #: dedup_incremental therefore compares different strategies on different
-#: densities — per-strategy scaling is linear (profiled standalone).
+#: densities — per-strategy scaling is linear (profiled standalone), and
+#: the sf1 wall time is OUTPUT-bound: dedup_incremental materializes
+#: ~9.6M verified pairs at sf1 (measured), so its ~45 s is the cost of
+#: the answer, not of the search.
 SF1_QUERIES = [
     "dedup_incremental", "dsir_select", "dedup_transitive_clusters",
     "substring_dup_profile", "dedup_minhash_lsh", "select_quality_budget",

@@ -208,6 +208,10 @@ class Dataset:
         from dlt_iceberg_spark.lake.manifest import NDV_K
 
         ta, tb = self._table(table_a), self._table(table_b)
+        for name, t in ((table_a, ta), (table_b, tb)):
+            schema = t.schema()
+            if schema is not None and column not in {f.name for f in schema.fields}:
+                raise ValueError(f"no such column {column!r} in {name!r}")
         sa = ta.snapshot().ndv_sketch(column) if ta.snapshot() else None
         sb = tb.snapshot().ndv_sketch(column) if tb.snapshot() else None
         if sa is not None and sb is not None and sa.get("t") == sb.get("t"):

@@ -578,3 +578,10 @@ def test_maintain_reanalyzes_after_compaction(spark, tmp_path):
     assert report["compaction"]["rewritten_files"] >= 3
     assert report["analyzed_files"] >= 1
     assert t.approx_distinct(["seg"]) == {"seg": {"ndv": 12, "exact": True}}
+
+
+def test_overlap_rejects_unknown_column(spark, tmp_path):
+    da = spark.range(10).select(F.col("id").alias("v"))
+    ds = _catalog_pair(spark, tmp_path, da, da, ["v"])
+    with pytest.raises(ValueError, match="no such column"):
+        ds.overlap("a", "b", "nope")
