@@ -595,3 +595,67 @@ def test_grouped_aggregate_distributed_masked_counts(spark, tmp_path, monkeypatc
         {"g": 2, "count": 150000},
         {"g": 3, "count": 150000},
     ]
+
+
+def test_grouped_ndv_distributed_never_expands_manifests(
+    spark, tmp_path, monkeypatch
+):
+    """Per-partition NDV at manifest scale: past DISTRIBUTED_PLAN_MIN_FILES
+    the sketch union runs as ONE Spark job over the manifest parquet —
+    read_manifest (driver-side expansion) is never called, the driver
+    holds O(groups x k).  Tiers must agree exactly; a single unsketched
+    file refuses in the distributed tier too."""
+    import dlt_iceberg_spark.lake.table as table_mod
+
+    n = 60_000
+    files = [
+        DataFile(
+            path=f"data/f{i:06d}.parquet",
+            rows=10,
+            bytes=1000,
+            stats={"v": [0, 9]},
+            partition={"g": str(i % 4)},
+            sketches={
+                "v": {
+                    "h": [(i % 4) * 1000 + (i // 4) % 50],
+                    "c": True,
+                    "t": "bigint",
+                }
+            },
+        )
+        for i in range(n)
+    ]
+    schema = T.StructType(
+        [T.StructField("g", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    spec = [{"column": "g", "transform": "identity", "param": None, "name": None}]
+    t = LakeTable(spark, str(tmp_path / "tndv"))
+    t.commit(files, schema, "create", None, partition_spec=spec)
+
+    expected = [
+        {"g": gv, "count": (n // 4) * 10, "ndv_v": 50} for gv in range(4)
+    ]
+    monkeypatch.setattr(
+        table_mod,
+        "read_manifest",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("distributed grouped NDV expanded a manifest")
+        ),
+    )
+    got = t.aggregate_stats(group_by="g", distinct=["v"])
+    monkeypatch.undo()
+    assert got == expected
+    monkeypatch.setattr(table_mod, "DISTRIBUTED_PLAN_MIN_FILES", 10**9)
+    assert t.aggregate_stats(group_by="g", distinct=["v"]) == expected
+    monkeypatch.undo()
+    snap = t.snapshot()
+    t.commit(
+        None, schema, "append", snap.version, manifests=snap.manifests,
+        new_files=[
+            DataFile(
+                path="data/nosketch.parquet", rows=1, bytes=10,
+                stats={"v": [0, 0]}, partition={"g": "1"},
+            )
+        ],
+    )
+    assert t.aggregate_stats(group_by="g", distinct=["v"]) is None
