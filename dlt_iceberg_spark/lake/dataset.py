@@ -85,7 +85,8 @@ class Dataset:
     def metadata(self, table_name: str, kind: str = "snapshots") -> RelationHandle:
         """Metadata relation for a table (``snapshots`` / ``files`` /
         ``history`` / ``refs`` / ``delete_files`` / ``partitions`` /
-        ``manifests``) — the Iceberg ``t.snapshots``-style surface."""
+        ``manifests`` / ``statistics``) — the Iceberg
+        ``t.snapshots``-style surface."""
         return RelationHandle(
             self._table(table_name).metadata_df(kind)
         )
