@@ -2996,8 +2996,10 @@ class LakeTable:
         while snap is not None and (from_version is None or snap.version > from_version):
             # metadata-only evolution snapshots carry the parent's file set
             # unchanged, so incremental reads pass straight through them
+            # "clone" diffs against the EMPTY v0 parent — insert-everything,
+            # the same append semantics as "create"
             if snap.operation not in (
-                "append", "create", "evolve-schema", "evolve-partition",
+                "append", "create", "clone", "evolve-schema", "evolve-partition",
                 "rename-column", "add-column", "drop-column", "promote-column",
                 "backfill-stats", "analyze",
             ):

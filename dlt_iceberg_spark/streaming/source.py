@@ -59,7 +59,8 @@ _PASS_THROUGH_OPS = (
     "evolve-schema", "evolve-partition", "rename-column", "add-column",
     "drop-column", "promote-column", "backfill-stats", "analyze",
 )
-_APPEND_OPS = ("append", "create")
+# "clone" adds its whole file set against the empty v0 parent — append
+_APPEND_OPS = ("append", "create", "clone")
 
 #: ops that change layout, not the row set — the CDC stream emits nothing
 #: for them (keep in sync with LakeTable._LAYOUT_ONLY_OPS; a unit test

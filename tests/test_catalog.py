@@ -780,3 +780,26 @@ def test_clone_time_travel_by_version_and_tag(spark, warehouse):
         catalog.clone_table("src", "t", "dev", "x", tag="nope")
     with _pytest.raises(ValueError, match="not both"):
         catalog.clone_table("src", "t", "dev", "x", version=v1, tag="before-load-2")
+
+
+def test_clone_streams_and_reads_incrementally_like_create(spark, warehouse):
+    """A clone snapshot is insert-everything against the empty v0 parent:
+    CDC, incremental reads and the streaming tail all treat it like
+    'create' instead of refusing."""
+    catalog, writer = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    ch = clone.read_changes(0)
+    assert ch.filter("_change_type = 'insert'").count() == 1000
+    assert clone.read_incremental(0).count() == 1000
+    from dlt_iceberg_spark.streaming import read_stream
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
+
+    q = (
+        read_stream(spark, clone.location, from_beginning=True)
+        .writeStream.format("memory")
+        .queryName("clone_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q)
+    assert spark.sql("SELECT count(*) n FROM clone_tail").first()["n"] == 1000
