@@ -803,3 +803,32 @@ def test_clone_streams_and_reads_incrementally_like_create(spark, warehouse):
     )
     await_stream(q)
     assert spark.sql("SELECT count(*) n FROM clone_tail").first()["n"] == 1000
+
+
+def test_rollup_maintains_over_clone_cdc(spark, warehouse):
+    """Derived assets compose with clones: an IncrementalRollup on a fresh
+    clone folds the clone snapshot as ordinary insert CDC, then tracks the
+    clone's own mutations — the sandboxed-pipeline shape."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.rollup import IncrementalRollup
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, _ = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    ru = IncrementalRollup(
+        catalog, "dev", "t2_by_k", clone,
+        keys=["k"], aggs={"total": ("sum", "v"), "n": ("count",)},
+    )
+    ru.refresh()
+    got = {r.k: r.n for r in ru.read().collect()}
+    assert got == {k: 100 for k in range(10)}
+    # mutate the clone; the rollup folds only the delta
+    LakeWriter(catalog, "dev").write(
+        TableSpec(name="t2", write_disposition="append"),
+        spark.range(5).select(F.lit(0).alias("k").cast("long"), F.col("id").alias("v")),
+    )
+    ru.source = catalog.load_table("dev", "t2")
+    ru.refresh()
+    got = {r.k: r.n for r in ru.read().collect()}
+    assert got[0] == 105 and got[1] == 100
