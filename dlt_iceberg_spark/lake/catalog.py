@@ -204,15 +204,24 @@ class LakeCatalog:
         the CLONE's location (copy-on-write divergence), the source never
         changes.  Schema, partition spec, stable field ids, table
         properties, NDV sketches, and outstanding MoR delete masks all
-        carry over; sequence numbers are preserved so the masks keep
-        applying to exactly the rows they masked in the source.
+        carry over.  Carried sequence numbers are re-stamped
+        ORDER-PRESERVINGLY into 1..m and the clone snapshot lands at
+        version m+1, so (a) relative delete applicability among carried
+        files/masks is bit-identical to the source, and (b) every future
+        clone commit outranks every carried sequence — a merge or DELETE
+        on a clone of a multi-commit source masks all carried rows, and
+        carried equality deletes never mask rows appended to the clone
+        later (both were silent misses when source sequences were kept
+        verbatim against a version counter restarting at 1).
 
-        The standard shallow-clone caveat applies and is recorded as
-        lineage (``cloned-from`` / ``cloned-at-version`` properties):
-        expiring snapshots or removing orphans ON THE SOURCE can delete
-        files the clone still references — retain the cloned-at snapshot
-        (tag it) for the clone's lifetime, or compact the clone to
-        localize it.
+        Retention is CLONE-AWARE: besides the ``cloned-from`` /
+        ``cloned-at-version`` lineage properties, cloning writes a
+        back-reference under every referenced source's
+        ``metadata/_clone_refs/`` — source-side ``expire_snapshots`` /
+        ``remove_orphan_files`` read live clones' metadata and never
+        delete a file a clone still references (dropped clones leave
+        dangling refs, cleaned on the next maintenance pass).  Compact
+        the clone to localize it and release the pins.
 
         ``version=`` / ``tag=`` clone a HISTORICAL state instead of the
         head (time-travel clone — "give me yesterday's table as a live
@@ -237,11 +246,33 @@ class LakeCatalog:
         def _abs(rel: str) -> str:
             return rel if os.path.isabs(rel) else os.path.join(src.location, rel)
 
+        # order-preserving compact re-stamp of carried sequences → 1..m:
+        # preserves every <=/< comparison among carried files and masks
+        # (equal stays equal), while bounding the max carried sequence so
+        # the clone commit at m+1 — and everything after — outranks them
+        src_seqs = sorted(
+            {f.sequence or 0 for f in snap.files}
+            | {d.sequence or 0 for d in snap.delete_files}
+        )
+        seq_map = {s: i + 1 for i, s in enumerate(src_seqs)}
         entries = [
-            DataFile(**{**vars(f), "path": _abs(f.path)}) for f in snap.files
+            DataFile(
+                **{
+                    **vars(f),
+                    "path": _abs(f.path),
+                    "sequence": seq_map[f.sequence or 0],
+                }
+            )
+            for f in snap.files
         ]
         deletes = [
-            DeleteFile(**{**vars(d), "path": _abs(d.path)})
+            DeleteFile(
+                **{
+                    **vars(d),
+                    "path": _abs(d.path),
+                    "sequence": seq_map[d.sequence or 0],
+                }
+            )
             for d in snap.delete_files
         ]
         dst = self.create_table(
@@ -256,7 +287,10 @@ class LakeCatalog:
             },
         )
         base = dst.snapshot()
-        dst.commit(
+        # publish the clone snapshot ON the requested branch (WAP shape:
+        # main holds only the empty create commit until the branch merges)
+        dst_ref = dst if branch == "main" else dst.for_branch(branch)
+        dst_ref.commit(
             entries,
             snap.schema,
             "clone",
@@ -269,7 +303,34 @@ class LakeCatalog:
                 "cloned-at-version": snap.version,
                 "cloned-files": len(entries),
             },
+            min_version=len(src_seqs) + 1,
         )
+        # clone-aware retention: pin every foreign root the carried entries
+        # reference (src PLUS any deeper original a clone-of-a-clone still
+        # points into) so source-side expiry/orphan removal skips files this
+        # clone can read.  O(1) metadata writes; no commit on the source.
+        clone_loc = self.table_location(new_namespace, new_name)
+        roots = {src.location}
+        for e in entries + deletes:
+            if "/data/" in e.path:
+                roots.add(e.path.rsplit("/data/", 1)[0])
+        import json as _json
+        import uuid as _uuid
+
+        for root in sorted(roots):
+            rio = fileio_for(root, self.spark)
+            refs_dir = os.path.join(root, "metadata", "_clone_refs")
+            rio.makedirs(refs_dir)
+            rio.write_text(
+                os.path.join(refs_dir, f"{_uuid.uuid4().hex}.json"),
+                _json.dumps(
+                    {
+                        "clone": clone_loc,
+                        "cloned-at-version": snap.version,
+                        "source": src.location,
+                    }
+                ),
+            )
         return self.load_table(new_namespace, new_name, branch=branch)
 
     def drop_table(self, namespace: str, table_name: str, purge: bool = True) -> None:

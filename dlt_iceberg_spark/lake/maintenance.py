@@ -299,6 +299,59 @@ def compute_table_stats(
     return n_gained
 
 
+def clone_pinned_paths(table: LakeTable) -> set[str]:
+    """Source-relative paths still referenced by LIVE clones of ``table``.
+
+    ``clone_table`` writes a back-reference per clone under the source's
+    ``metadata/_clone_refs/``; this walks each referenced clone's on-disk
+    snapshots and collects every absolute entry pointing into ``table``'s
+    location — the files retention must never delete while the clone can
+    read them.  Dangling refs (the clone was dropped or localized away
+    from this source) are removed here, so the pin set is self-cleaning.
+    Cost: O(live clones' manifest entries) on the driver — the same
+    O(files) class as expiry's own live-set computation.
+    """
+    import json
+
+    from dlt_iceberg_spark.lake.fileio import fileio_for
+
+    refs_dir = os.path.join(table._meta_dir, "_clone_refs")
+    io = table._io
+    if not io.isdir(refs_dir):
+        return set()
+    prefix = table.location.rstrip("/") + "/"
+    pinned: set[str] = set()
+    for name in sorted(io.listdir(refs_dir)):
+        ref_path = os.path.join(refs_dir, name)
+        try:
+            ref = json.loads(io.read_text(ref_path))
+            clone_loc = ref["clone"]
+        except (FileNotFoundError, ValueError, KeyError):
+            continue
+        cio = fileio_for(clone_loc, table.spark)
+        if not LakeTable.exists_at(clone_loc, io=cio):
+            io.remove(ref_path)  # clone dropped: ref is dangling
+            continue
+        clone = LakeTable(table.spark, clone_loc, io=cio)
+        still_pins = False
+        for v in clone._all_versions():
+            try:
+                snap = clone.snapshot(v)
+            except (FileNotFoundError, ValueError, KeyError):
+                continue
+            if snap is None:
+                continue
+            for f in list(snap.files) + list(snap.delete_files):
+                if os.path.isabs(f.path) and f.path.startswith(prefix):
+                    pinned.add(f.path[len(prefix):])
+                    still_pins = True
+        if not still_pins:
+            # the clone localized (compaction) or expired every snapshot
+            # that referenced us: release the pin permanently
+            io.remove(ref_path)
+    return pinned
+
+
 def expire_snapshots(
     table: LakeTable,
     older_than: timedelta = timedelta(days=7),
@@ -307,13 +360,15 @@ def expire_snapshots(
     """Remove expired snapshot manifests and orphaned data files.
 
     A data file is deleted only when NO retained snapshot references it —
-    the invariant that makes expiry safe under time travel.  Returns counts
-    ``{"snapshots": n, "data_files": m}``.
+    the invariant that makes expiry safe under time travel — and never
+    when a LIVE clone still references it (``clone_pinned_paths``).
+    Returns counts ``{"snapshots": n, "data_files": m,
+    "clone_pinned_files": p}``.
     """
     snaps = table.snapshots()
     current = table.current_version()
     if current is None or not snaps:
-        return {"snapshots": 0, "data_files": 0}
+        return {"snapshots": 0, "data_files": 0, "clone_pinned_files": 0}
     cutoff = datetime.now(timezone.utc) - older_than
     newest_first = sorted(snaps, key=lambda s: s.version, reverse=True)
     # snapshots behind a named ref are pinned: tags AND branch heads must
@@ -331,7 +386,7 @@ def expire_snapshots(
         if s.version not in protected and datetime.fromisoformat(s.timestamp) < cutoff
     ]
     if not expired:
-        return {"snapshots": 0, "data_files": 0}
+        return {"snapshots": 0, "data_files": 0, "clone_pinned_files": 0}
 
     # live = files referenced by ANY retained manifest on disk — including
     # branch commits numbered past main's head, which snapshots() excludes;
@@ -349,6 +404,10 @@ def expire_snapshots(
         for f in list(s.files) + list(s.delete_files)
         if f.path not in live_paths
     }
+    # clone-aware retention: files a LIVE clone still references survive
+    # expiry even when no retained source snapshot lists them
+    pinned = clone_pinned_paths(table) & dead_paths
+    dead_paths -= pinned
     # chunked manifests are shared across snapshots by reference; one stops
     # being live only when NO retained snapshot lists it (computed before
     # deleting anything — expired data-file detection above reads them)
@@ -372,7 +431,11 @@ def expire_snapshots(
         manifest = os.path.join(meta, f"v{s.version:06d}.json")
         if io.exists(manifest):
             io.remove(manifest)
-    return {"snapshots": len(expired), "data_files": len(dead_paths)}
+    return {
+        "snapshots": len(expired),
+        "data_files": len(dead_paths),
+        "clone_pinned_files": len(pinned),
+    }
 
 
 #: column types eligible for z-ordering (orderable, castable to double)
@@ -545,6 +608,11 @@ def remove_orphan_files(
                     referenced.update(r.path for r in snap.manifests)
 
     out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
+
+    # clone-aware retention: a file referenced by NO source snapshot can
+    # still be a live clone's only copy (the source expired past it) —
+    # treat it as referenced
+    referenced |= clone_pinned_paths(table)
 
     if io.isdir(table._data_dir):
         for name in sorted(io.listdir(table._data_dir)):

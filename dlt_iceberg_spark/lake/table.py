@@ -1269,6 +1269,7 @@ class LakeTable:
         manifests: list[ManifestRef] | None = None,
         new_files: list[DataFile] | None = None,
         field_ids: dict[str, int] | None = None,
+        min_version: int | None = None,
     ) -> Snapshot:
         """Atomically publish a new snapshot.
 
@@ -1331,6 +1332,12 @@ class LakeTable:
         # same manifest file (versions are ids, ancestry lives in `parent`)
         versions = self._all_versions()
         new_version = versions[-1] + 1 if versions else 0
+        # version-floor (clone_table): carried files keep explicit sequence
+        # numbers, so the commit that introduces them must land at a version
+        # ABOVE them all — every later commit then outranks every carried
+        # sequence (equality deletes mask strictly-smaller sequences only)
+        if min_version is not None and new_version < min_version:
+            new_version = min_version
         prev = self.snapshot(current) if current is not None else None
         # the pointer swap IS the commit point — on storage whose rename is
         # not atomic (object stores) two racing writers could both rename

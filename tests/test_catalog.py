@@ -805,6 +805,166 @@ def test_clone_streams_and_reads_incrementally_like_create(spark, warehouse):
     assert spark.sql("SELECT count(*) n FROM clone_tail").first()["n"] == 1000
 
 
+def test_clone_onto_branch_publishes_the_branch_ref(spark, warehouse):
+    """clone_table(branch=...) publishes the clone snapshot ON that branch
+    (WAP shape): the branch ref exists and reads the carried data, while
+    the clone's main holds only the empty create commit."""
+    catalog, _ = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2", branch="audit")
+    assert clone.branch == "audit"
+    assert clone.read().count() == 1000
+    # the ref was actually created (not an implicit fallback to main)
+    import os
+
+    assert os.path.exists(os.path.join(clone.location, "metadata", "_branch_audit"))
+    # main of the clone table still points at the empty create commit
+    main = catalog.load_table("dev", "t2")
+    assert main.read().count() == 0
+    assert main.snapshot().operation == "create"
+
+
+def test_clone_of_multicommit_source_mor_merge_masks_carried_rows(spark, warehouse):
+    """A MoR merge into a clone of a MULTI-commit source must mask carried
+    rows from EVERY source commit: carried sequences are re-stamped 1..m
+    and the clone snapshot lands above them, so the merge's delete file
+    outranks all carried data files (it used to outrank only the source's
+    first commit, silently duplicating keys from later commits)."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "src")
+    for lo, hi, load in [(0, 50, "l0"), (50, 100, "l1")]:
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, hi)], "id long, val string"
+            ),
+            load_id=load,
+        )
+    assert catalog.load_table("src", "t").current_version() >= 2
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    # carried sequences are compact and the clone commit outranks them
+    seqs = {f.sequence for f in clone.snapshot().files}
+    assert seqs == {1, 2}
+    assert clone.current_version() > max(seqs)
+    # MoR-upsert keys that live in BOTH source commits
+    LakeWriter(catalog, "dev").write(
+        TableSpec(
+            name="t2",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+            merge_mode="mor",
+        ),
+        spark.createDataFrame(
+            [(10, "NEW10"), (60, "NEW60")], "id long, val string"
+        ),
+        load_id="l2",
+    )
+    out = {r.id: r.val for r in catalog.load_table("dev", "t2").read().collect()}
+    assert len(out) == 100  # no duplicated keys: carried rows masked
+    assert out[10] == "NEW10" and out[60] == "NEW60"
+    assert out[0] == "v0" and out[99] == "v99"
+    # the source never moved
+    src_out = {r.id: r.val for r in catalog.load_table("src", "t").read().collect()}
+    assert src_out[10] == "v10" and src_out[60] == "v60"
+
+
+def test_clone_carried_equality_deletes_spare_later_appends(spark, warehouse):
+    """Carried equality deletes (high sequence in the source) must NOT mask
+    rows appended to the clone afterwards: the clone's version counter is
+    seeded above every carried sequence, so new data always outranks the
+    carried masks."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "src")
+    for load in ["l0", "l1"]:  # two data commits to push sequences up
+        writer.write(
+            TableSpec(name="t", write_disposition="append"),
+            spark.createDataFrame(
+                [(i, f"{load}-{i}") for i in range(5)], "id long, val string"
+            ),
+            load_id=load,
+        )
+    # MoR merge lands an equality-delete file at the source's head sequence
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition={"disposition": "merge", "strategy": "upsert"},
+            primary_key=["id"],
+            merge_mode="mor",
+        ),
+        spark.createDataFrame([(3, "MID3")], "id long, val string"),
+        load_id="l2",
+    )
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    assert clone.snapshot().delete_files  # masks carried over
+    assert clone.read().filter("id = 3").count() == 1
+    # append a row whose key matches the carried delete: must stay visible
+    LakeWriter(catalog, "dev").write(
+        TableSpec(name="t2", write_disposition="append"),
+        spark.createDataFrame([(3, "NEW3")], "id long, val string"),
+        load_id="l3",
+    )
+    vals = sorted(
+        r.val
+        for r in catalog.load_table("dev", "t2").read().filter("id = 3").collect()
+    )
+    assert vals == ["MID3", "NEW3"]
+
+
+def test_source_retention_honors_live_clones(spark, warehouse):
+    """Clone-aware retention: aggressively expiring + orphan-sweeping the
+    SOURCE never deletes files a live clone still references (the clone
+    back-refs written at clone time pin them); dropping the clone releases
+    the pins and the next sweep reclaims the bytes."""
+    import os
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.lake.maintenance import (
+        clone_pinned_paths,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, writer = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    expect = sorted(r.v for r in clone.read().collect())
+    src = catalog.load_table("src", "t")
+    carried = {f.path for f in src.snapshot().files}
+    # full replace on the source: the carried files drop out of its head
+    writer.write(
+        TableSpec(name="t", write_disposition="replace"),
+        spark.range(10).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    src = catalog.load_table("src", "t")
+    res = expire_snapshots(src, older_than=timedelta(seconds=0), keep_last=1)
+    assert res["snapshots"] >= 1
+    assert res["clone_pinned_files"] == len(carried)  # pinned, not deleted
+    orph = remove_orphan_files(src, older_than=timedelta(seconds=0))
+    assert not any(p in orph["data_files"] for p in carried)
+    for p in carried:
+        assert os.path.exists(os.path.join(src.location, p))
+    # the clone still reads bit-exact
+    clone = catalog.load_table("dev", "t2")
+    assert sorted(r.v for r in clone.read().collect()) == expect
+    # drop the clone: refs dangle, the next sweep reclaims the bytes
+    catalog.drop_table("dev", "t2")
+    assert clone_pinned_paths(src) == set()
+    orph = remove_orphan_files(src, older_than=timedelta(seconds=0))
+    assert set(orph["data_files"]) >= carried
+    for p in carried:
+        assert not os.path.exists(os.path.join(src.location, p))
+    # and the ref files themselves are gone (self-cleaning)
+    refs_dir = os.path.join(src.location, "metadata", "_clone_refs")
+    assert not os.path.isdir(refs_dir) or not os.listdir(refs_dir)
+
+
 def test_rollup_maintains_over_clone_cdc(spark, warehouse):
     """Derived assets compose with clones: an IncrementalRollup on a fresh
     clone folds the clone snapshot as ordinary insert CDC, then tracks the

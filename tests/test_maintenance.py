@@ -87,7 +87,8 @@ def test_expire_snapshots_removes_history_and_orphans(loaded_table):
 
 def test_expire_respects_retention_window(loaded_table):
     res = expire_snapshots(loaded_table, older_than=timedelta(days=1))
-    assert res == {"snapshots": 0, "data_files": 0}  # everything too recent
+    # everything too recent
+    assert res == {"snapshots": 0, "data_files": 0, "clone_pinned_files": 0}
     assert len(loaded_table.snapshots()) == 5
 
 
