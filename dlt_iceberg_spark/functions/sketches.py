@@ -41,14 +41,27 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     """Top-k most frequent values: groupBy-count (map-side partial combine,
     shuffle = one row per distinct value) + global top-k.
 
+    ONE pass over the data: the total rides the same aggregate as the
+    counts (sum over the group counts broadcast back as a 1-row cross
+    join), and both consumers share the groupBy's shuffle via Spark's
+    ReusedExchange — the old ``df.count()`` pre-pass read the input twice,
+    doubling scan cost on a 100 TB profile probe.
+
     Output: (value, n, share) ordered by frequency."""
-    total = df.count()
+    counts = df.groupBy(F.col(col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # sum over group counts == total rows (the null group included)
+    total = counts.agg(F.sum("n").alias("_total"))
     return (
-        df.groupBy(F.col(col).alias("value"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        counts.crossJoin(F.broadcast(total))
         .orderBy(F.col("n").desc(), F.col("value"))
         .limit(k)
-        .withColumn("share", F.col("n") / F.lit(float(total)))
+        .select(
+            "value",
+            "n",
+            (F.col("n") / F.col("_total").cast("double")).alias("share"),
+        )
     )
 
 

@@ -815,6 +815,47 @@ def _norm_uri_col(c):
     return F.regexp_replace(c, "^file:/+", "/")
 
 
+def _resolve_metadata_path(metadata_path: str) -> str:
+    """Accept a concrete ``*.metadata.json[.gz]`` path, a table ROOT, or a
+    ``metadata/`` directory, resolving to the newest metadata file — the
+    reference's directory-scan fallback (sql_client.py:182-222: list
+    ``*.metadata.json``, sort descending, take the first — correct for
+    both ``vN.metadata.json`` and ``NNNNN-uuid`` Iceberg namings)."""
+    p = _strip_scheme(metadata_path)
+    if not os.path.isdir(p):
+        return p
+    meta_dir = p
+    nested = os.path.join(p, "metadata")
+    if os.path.isdir(nested):
+        meta_dir = nested
+    names = [
+        n
+        for n in os.listdir(meta_dir)
+        if n.endswith(".metadata.json") or n.endswith(".metadata.json.gz")
+    ]
+    if not names:
+        raise FileNotFoundError(
+            f"register_iceberg_table: no *.metadata.json under {meta_dir}"
+        )
+    names.sort(reverse=True)
+    return os.path.join(meta_dir, names[0])
+
+
+def _load_metadata_json(path: str) -> dict:
+    """Read TableMetadata JSON, transparently gunzipping tables written
+    with ``write.metadata.compression-codec=gzip`` (Iceberg names them
+    ``*.gz.metadata.json`` / ``*.metadata.json.gz`` — the reference routes
+    these through its scanner's gzip codec, sql_client.py:125-128)."""
+    base = os.path.basename(path)
+    if base.endswith(".gz") or ".gz." in base:
+        import gzip
+
+        with gzip.open(path, "rt") as fh:
+            return json.load(fh)
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def register_iceberg_table(
     spark: SparkSession,
     metadata_path: str,
@@ -835,9 +876,15 @@ def register_iceberg_table(
     files) cost, after which the table is an ordinary clean import.  The
     delete parquet must carry one column per folded id, named after the
     collection field; matching is containment (list element / map key /
-    map value)."""
-    with open(_strip_scheme(metadata_path)) as fh:
-        meta = json.load(fh)
+    map value).
+
+    ``metadata_path`` may be a concrete ``*.metadata.json`` (optionally
+    gzip-compressed, ``*.gz.metadata.json``), a table ROOT directory, or
+    its ``metadata/`` directory — directories resolve to the NEWEST
+    metadata file, the reference's fallback discovery
+    (sql_client.py:182-222; gzip codec: 125-128)."""
+    metadata_path = _resolve_metadata_path(metadata_path)
+    meta = _load_metadata_json(metadata_path)
     fv = meta.get("format-version")
     if fv not in (1, 2):
         raise ValueError(f"unsupported format-version: {fv!r}")

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 import time
+import warnings
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -277,6 +278,8 @@ def compute_table_stats(
         by_path[raw] = sk
     updated = []
     n_gained = 0
+    refused: list[str] = []
+    missing_ids = {id(f) for f in missing}
     for f in snap.files:
         abs_path = os.path.join(table.location, f.path)
         fresh = by_path.get(abs_path)
@@ -287,6 +290,24 @@ def compute_table_stats(
             )
         else:
             updated.append(f)
+            if id(f) in missing_ids:
+                # zero-row file, or a path whose input_file_name form never
+                # string-matched — it will never gain a sketch by rescan
+                refused.append(f.path)
+    if refused:
+        # permanent refusal must be VISIBLE, not silent churn: these files
+        # will never gain a sketch by rescan (zero-row files, or a path
+        # whose input_file_name form never string-matches)
+        warnings.warn(
+            f"compute_table_stats: {len(refused)} file(s) produced no "
+            f"sketch row and will never gain one by rescan (zero-row "
+            f"files?): {refused[:5]}{'...' if len(refused) > 5 else ''}",
+            stacklevel=2,
+        )
+    if n_gained == 0:
+        # nothing to fold: committing would churn an 'analyze' snapshot
+        # per maintain() cycle forever while approx_distinct stays refused
+        return 0
     table.commit(
         updated,
         snap.schema,

@@ -56,6 +56,10 @@ DEFAULT_HARD_DELETE_COLUMN = "_dlt_deleted_at"
 #: batch row-count under which the merge join broadcasts the batch side
 BROADCAST_BATCH_ROWS = 1_000_000
 
+#: dynamic partition overwrite refuses batches spanning more distinct
+#: partition tuples than this — the driver-side tuple set must stay bounded
+REPLACE_PARTITION_MAX = 10_000
+
 
 @dataclass
 class TableSpec:
@@ -554,7 +558,28 @@ class LakeWriter:
             F.coalesce(expr.cast("string"), F.lit(self._NULL_TOKEN)).alias(n)
             for n, expr in pcols
         ]
-        incoming = {tuple(r) for r in batch.select(*str_exprs).distinct().collect()}
+        # bounded driver collect (same cap-and-refuse as the matview/rollup
+        # key pushdowns): Spark's own dynamic partition overwrite collects
+        # the incoming tuples too, but a batch spanning >REPLACE_PARTITION_MAX
+        # partitions is almost certainly a mis-declared spec (partitioning on
+        # a high-cardinality column) — refuse with the diagnosis instead of
+        # materializing an unbounded set on the driver
+        bounded = (
+            batch.select(*str_exprs)
+            .distinct()
+            .limit(REPLACE_PARTITION_MAX + 1)
+            .collect()
+        )
+        if len(bounded) > REPLACE_PARTITION_MAX:
+            raise ValueError(
+                f"replace batch spans more than {REPLACE_PARTITION_MAX} "
+                f"distinct partition tuples of ({', '.join(names)}) — this "
+                "almost certainly means the partition spec declares a "
+                "high-cardinality column; re-declare the partitioning "
+                "(bucket/truncate the column) or use the full 'replace' "
+                "disposition"
+            )
+        incoming = {tuple(r) for r in bounded}
 
         # manifest-level prune first: a manifest whose partition-value
         # summary can't contain ANY incoming tuple passes through by

@@ -237,8 +237,10 @@ def bm25_rank(
     Plan shape — ONE corpus scan, ONE doc-keyed shuffle: a single
     aggregation produces each doc's length plus a WIDE per-query-term tf
     column set (|q| columns, not a vocabulary), the doc-sized result
-    persists (it feeds both the 1-row corpus-stats aggregate — n, avgdl,
-    per-term df — and the scoring projection), and scoring is a broadcast
+    materializes once via an eager localCheckpoint (it feeds both the
+    1-row corpus-stats aggregate — n, avgdl, per-term df — and the
+    scoring projection; checkpoint storage is freed with the returned
+    plan, unlike persist()'s app-lifetime cache), and scoring is a broadcast
     of that stats row back onto the matched docs, fully inside
     whole-stage codegen.  No joins, no vocabulary-sized state, no second
     corpus read — the shape that survives a 100 TB corpus and makes the
@@ -259,9 +261,14 @@ def bm25_rank(
     aggs = [F.count("*").alias("_dl")]
     for i, t in enumerate(q):
         aggs.append(F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}"))
-    # doc-sized (one row per doc, |q|+1 columns) — tiny next to the corpus;
-    # persisted because it feeds two consumers (stats row + scoring)
-    per_doc = terms.groupBy(id_col).agg(*aggs).persist()
+    # doc-sized (one row per doc, |q|+1 columns) — tiny next to the corpus.
+    # It feeds TWO consumers (the 1-row stats aggregate + scoring), so it
+    # must materialize once; an eager localCheckpoint instead of persist()
+    # ties the cached partitions' lifetime to the RETURNED DataFrame (the
+    # ContextCleaner frees checkpoint storage when the plan is GC'd) —
+    # persist() would pin them in the CacheManager for the app lifetime
+    # across repeated invocations (gate reruns, hybrid_search reuse).
+    per_doc = terms.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
     stat_aggs = [
         F.avg("_dl").alias("_avgdl"),
         F.count("*").alias("_n"),

@@ -1241,6 +1241,78 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_persisted",
+    # Same probe-all exactness trick as ann_ivf, but through the PERSISTED
+    # index lifecycle: the index table is BUILT from the even-id half of the
+    # corpus, the odd-id half arrives as a second load via append_vectors
+    # (frozen centroids, delta commit), and the query probes every stored
+    # list — so build + assignment + sidecar round-trip + append + pruned
+    # scan + scoring are all hash-verified against one brute-force SQL over
+    # the full corpus.  The approximate path (nprobe < n_lists) and the
+    # partition-prune plan shape are pytest-pinned (tests/test_vector_index).
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Persisted IVF index lifecycle (operators/vector_index.py): build "
+        "once into a centroid-partitioned LakeTable, append a second load "
+        "against the frozen centroids (no retrain, delta commit), query "
+        "with probe-all (exact ⇒ oracle-checkable).  nprobe<n_lists "
+        "recall + partition-prune plan shape pinned in pytest."
+    ),
+)
+def ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_topk_persisted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_IDX_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_idx_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        second = e.filter(F.col("vec_id") % 2 == 1)
+        cents = fixed_centroids(first, "embedding", "vec_id", n_centroids=8)
+        idx = build_vector_index(
+            catalog, "gate", "emb_idx", first,
+            n_centroids=8, centroids=cents,
+        )
+        append_vectors(idx, second)
+        idx = catalog.load_table("gate", "emb_idx")
+        _ANN_IDX_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_IDX_CACHE: dict = {}
+
+
+@query(
     "ann_pq",
     # Gate trick (the ann_ivf treatment): k-means codebooks are not
     # SQL-replayable, but the PQ machinery is codebook-agnostic — so the

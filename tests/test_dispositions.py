@@ -304,6 +304,43 @@ def test_replace_partitions_rewrites_legacy_unpartitioned_files(spark, warehouse
     assert rows == {("A", 1), ("B", 20)}
 
 
+def test_replace_partitions_refuses_high_cardinality_batch(spark, warehouse, monkeypatch):
+    """The dynamic-overwrite tuple collect is BOUNDED: a batch spanning more
+    distinct partition tuples than REPLACE_PARTITION_MAX refuses with the
+    mis-declared-spec diagnosis instead of materializing an unbounded set
+    on the driver."""
+    import pytest as _pytest
+    from pyspark.sql import Row, functions as F
+
+    from dlt_iceberg_spark.lake import writer as writer_mod
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "main")
+    hints = {"cat": {"partition": True, "x-partition-transform": "identity"}}
+    writer.write(
+        TableSpec(name="hc", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([Row(cat="A", v=1)]),
+    )
+    monkeypatch.setattr(writer_mod, "REPLACE_PARTITION_MAX", 5)
+    before = catalog.load_table("main", "hc").current_version()
+    with _pytest.raises(ValueError, match="high-cardinality"):
+        writer.write(
+            TableSpec(
+                name="hc",
+                write_disposition={"disposition": "replace", "scope": "partitions"},
+                column_hints=hints,
+            ),
+            spark.range(20).select(
+                F.concat(F.lit("c"), F.col("id")).alias("cat"),
+                F.col("id").alias("v"),
+            ),
+        )
+    # refused before any commit landed
+    assert catalog.load_table("main", "hc").current_version() == before
+
+
 def test_replace_partitions_requires_partitioned_table(spark, warehouse):
     import pytest as _pytest
     from pyspark.sql import Row

@@ -258,6 +258,43 @@ def test_zorder_rejects_unorderable_columns(spark, warehouse):
         rewrite_zorder(table, ["nope"])
 
 
+def test_compute_stats_skips_commit_when_no_file_gains_a_sketch(spark, tmp_path):
+    """A file that yields no groupBy(input_file_name) row (zero-row file)
+    can never gain a sketch by rescan: ANALYZE must WARN and skip the
+    commit instead of churning an 'analyze' snapshot per maintenance cycle
+    while approx_distinct stays refused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dlt_iceberg_spark.lake.maintenance import compute_table_stats
+    from dlt_iceberg_spark.lake.table import DataFile, LakeTable
+
+    loc = str(tmp_path / "t")
+    t = LakeTable(spark, loc)
+    df = spark.range(10).withColumnRenamed("id", "k")
+    files = t.stage_dataframe(df)
+    # a zero-row parquet file committed alongside: valid, but no scan row
+    os.makedirs(os.path.join(loc, "data"), exist_ok=True)
+    empty_rel = "data/empty-000.parquet"
+    pq.write_table(
+        pa.table({"k": pa.array([], type=pa.int64())}),
+        os.path.join(loc, empty_rel),
+    )
+    files = files + [DataFile(path=empty_rel, rows=0, bytes=64)]
+    t.commit(files, df.schema, "create", None)
+    v0 = t.current_version()
+    with pytest.warns(UserWarning, match="no sketch row"):
+        n1 = compute_table_stats(t, ["k"])
+    # nothing gained on the zero-row file alone → no commit either time
+    assert n1 >= 1  # first pass sketches the real file
+    v1 = t.current_version()
+    assert v1 == v0 + 1
+    with pytest.warns(UserWarning, match="no sketch row"):
+        n2 = compute_table_stats(t, ["k"])
+    assert n2 == 0
+    assert t.current_version() == v1  # no churn: version unchanged
+
+
 def test_maintain_runs_full_cycle(spark, tmp_path):
     """One-call upkeep: folds MoR deletes past the threshold, compacts
     small files, expires old snapshots, sweeps crashed-commit leftovers —

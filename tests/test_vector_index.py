@@ -1,0 +1,104 @@
+"""Persisted IVF vector index lifecycle (operators/vector_index.py):
+build once → append per load without retrain → query sees new vectors;
+probing prunes unprobed inverted lists' files."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.operators.similarity import cosine_topk_bruteforce, fixed_centroids
+from dlt_iceberg_spark.operators.vector_index import (
+    append_vectors,
+    build_vector_index,
+    ivf_topk_persisted,
+    load_centroids,
+)
+
+
+def _vectors(spark, n, dim=8, seed=0, start_id=0):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    rows = [(start_id + i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ranked(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in df.collect()
+    )
+
+
+def test_build_append_query_lifecycle(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 120, seed=1)
+    second = _vectors(spark, 80, seed=2, start_id=120)
+    cents = fixed_centroids(first, n_centroids=8)
+    idx = build_vector_index(
+        catalog, "ann", "emb_idx", first, n_centroids=8, centroids=cents
+    )
+    queries = first.filter("vec_id < 4")
+
+    # probe-all is exact: equals brute force over the indexed corpus
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=8)
+    exact = cosine_topk_bruteforce(queries, first, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+    # append a load: NO retrain (centroid sidecar byte-identical), delta
+    # commit, new vectors immediately visible to the same probe
+    sidecar_before = json.dumps(load_centroids(idx))
+    snap_before = idx.snapshot()
+    append_vectors(idx, second)
+    idx = catalog.load_table("ann", "emb_idx")
+    snap = idx.snapshot()
+    assert snap.operation == "append"
+    assert json.dumps(load_centroids(idx)) == sidecar_before
+    # parent manifests carried by reference (delta append, not rewrite)
+    assert {r.path for r in snap_before.manifests} <= {r.path for r in snap.manifests}
+
+    both = first.unionByName(second)
+    got2 = ivf_topk_persisted(queries, idx, k=5, nprobe=8)
+    exact2 = cosine_topk_bruteforce(queries, both, k=5)
+    assert _ranked(got2) == _ranked(exact2)
+
+
+def test_probe_prunes_unprobed_lists(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 200, seed=3)
+    cents = fixed_centroids(corpus, n_centroids=8)
+    idx = build_vector_index(
+        catalog, "ann", "emb_idx2", corpus, n_centroids=8, centroids=cents
+    )
+    snap = idx.snapshot()
+    n_lists = len({f.partition.get("centroid") for f in snap.files})
+    assert n_lists > 1  # the layout actually fans out
+    # a 1-list probe plans strictly fewer files than the table holds
+    one = snap.files[0].partition["centroid"]
+    _, planned = idx._select_files(snap, [("centroid", "in", [int(one)])], "auto")
+    assert 0 < len(planned) < len(snap.files)
+    assert all(f.partition["centroid"] == one for f in planned)
+
+
+def test_index_table_is_self_describing(spark, warehouse):
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 50, seed=4)
+    cents = fixed_centroids(corpus, n_centroids=4)
+    idx = build_vector_index(
+        catalog, "ann", "emb_idx3", corpus, n_centroids=4, centroids=cents
+    )
+    props = idx.snapshot().properties
+    assert props["vector-index.vec-col"] == "embedding"
+    assert props["vector-index.id-col"] == "vec_id"
+    assert props["vector-index.n-centroids"] == "4"
+    assert os.path.exists(
+        os.path.join(idx.location, props["vector-index.centroids-file"])
+    )
+    # a plain table refuses the persisted probe with a clear message
+    plain = catalog.create_table(
+        "ann", "not_an_index", corpus.schema
+    )
+    with pytest.raises(ValueError, match="no vector-index metadata"):
+        load_centroids(plain)
