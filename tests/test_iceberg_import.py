@@ -72,6 +72,66 @@ def test_export_register_roundtrip(spark, tmp_path):
     assert imported.read().count() == src.read().count() + 1
 
 
+def test_register_gzip_metadata_roundtrip(spark, tmp_path):
+    """Tables written with write.metadata.compression-codec=gzip name their
+    metadata *.gz.metadata.json; adoption must gunzip transparently (the
+    reference routes these through its scanner's gzip codec,
+    sql_client.py:125-128)."""
+    import gzip
+
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    plain = src.export_iceberg_metadata()
+    gz_path = os.path.join(os.path.dirname(plain), "v9.gz.metadata.json")
+    with open(plain, "rb") as fh, gzip.open(gz_path, "wb") as gz:
+        gz.write(fh.read())
+    imported = catalog.register_iceberg_table("ns2", "t_gz", gz_path)
+    assert _rows(imported.read()) == _rows(src.read())
+    assert imported.snapshot().schema == src.snapshot().schema
+
+
+def test_register_accepts_directory_resolving_newest_metadata(spark, tmp_path):
+    """Directory-path adoption: passing the table ROOT (or its metadata/
+    dir) resolves the NEWEST *.metadata.json — the reference's fallback
+    discovery (sql_client.py:182-222, sort-desc listing)."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    exported = src.export_iceberg_metadata()
+    meta_dir = os.path.dirname(exported)
+    # a STALE older metadata file: must lose the sort-desc resolution
+    current = json.loads(open(exported).read())
+    stale = dict(current)
+    stale["current-snapshot-id"] = -1
+    stale["snapshots"] = []
+    with open(os.path.join(meta_dir, "00000-aaaa.metadata.json"), "w") as fh:
+        json.dump(stale, fh)
+    newest = os.path.join(meta_dir, "00001-bbbb.metadata.json")
+    os.replace(exported, newest)
+
+    # table root, and the metadata dir itself, both resolve to the newest
+    imported = catalog.register_iceberg_table("ns2", "t_dir", src.location)
+    assert _rows(imported.read()) == _rows(src.read())
+    imported2 = catalog.register_iceberg_table("ns3", "t_dir2", meta_dir)
+    assert _rows(imported2.read()) == _rows(src.read())
+    # empty directory refuses loudly
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="no \\*.metadata.json"):
+        catalog.register_iceberg_table("ns4", "t_none", empty)
+
+
 def test_register_into_catalog_rejects_duplicate(spark, tmp_path):
     from dlt_iceberg_spark.errors import TableAlreadyExistsError
 
