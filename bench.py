@@ -47,18 +47,25 @@ def timed_passes(
     sf_dir: str,
     n_runs: int = 3,
     extra_below: float = 2.0,
-    extra_runs: int = 2,
+    extra_runs: int = 4,
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """n_runs warm passes over the suite; returns (median, [min, max]
     spread, adaptive-strategy trace) per query.  clearCache between queries
     so an operator-internal persist() never leaks cached data into another
     measurement via logical-plan cache hits.
 
+    Isolation (VERDICT r8 finding 1): streaming queries build/tear
+    micro-batch harness state (Python data-source runners, checkpoint
+    dirs) that perturbs whatever runs NEXT — each pass therefore times the
+    steady-state queries first and the ``stream_*`` block LAST, so the
+    interference lands inside the block that causes it.
+
     Sub-``extra_below``-second queries get ``extra_runs`` additional
-    samples (VERDICT r7 task 4): short local timings wobble 20-40%
-    shot-to-shot and the growing suite adds session-level interference —
-    a 5-sample median absorbs one outlier where a 3-sample median moves
-    with it, so cross-round deltas on unchanged code stay inside spread."""
+    samples (VERDICT r7 task 4, widened to 7 total per r8 finding 1):
+    short local timings wobble 20-40% shot-to-shot and the growing suite
+    adds session-level interference — a 7-sample median absorbs outliers
+    a 3-sample median moves with, so cross-round deltas on unchanged code
+    stay inside spread."""
     from dlt_iceberg_spark.operators import dedup as _dedup
 
     samples: dict[str, list[float]] = {name: [] for name in specs}
@@ -75,12 +82,16 @@ def timed_passes(
                 f"{op}:{s}" for op, s in sorted(_dedup.STRATEGY_TRACE.items())
             )
 
+    steady = [n for n in specs if not n.startswith("stream_")]
+    streaming = [n for n in specs if n.startswith("stream_")]
     for _ in range(n_runs):
-        for name in specs:
+        for name in steady + streaming:
             _one(name)
     fast = [n for n, s in samples.items() if statistics.median(s) < extra_below]
     for _ in range(extra_runs):
-        for name in fast:
+        for name in [n for n in steady if n in fast] + [
+            n for n in streaming if n in fast
+        ]:
             _one(name)
     medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}

@@ -1,0 +1,106 @@
+"""Pure-Python XXH64 matching Spark's ``xxhash64`` expression.
+
+The streaming sink computes bucket-transform partition values on the
+EXECUTORS from Arrow batches, where no Spark expression can run — so the
+bucket hash must be reproduced bit-exactly in Python or stream-landed
+files would carry partition tuples that scan-time probe rewriting
+(``transform_column``: ``pmod(xxhash64(c), N)``) never matches, silently
+breaking pruning.  Equality with Spark is pinned per type in
+tests/test_functions.py.
+
+Spark's XxHash64 hashes longs through the 8-byte little-endian path,
+ints through the 4-byte path (NOT widened), strings as their UTF-8
+bytes, all with seed 42.  Results are returned SIGNED like the Spark
+expression.
+"""
+
+from __future__ import annotations
+
+_MASK = 0xFFFFFFFFFFFFFFFF
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+SPARK_HASH_SEED = 42
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _avalanche(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _MASK
+    h ^= h >> 29
+    h = (h * _P3) & _MASK
+    h ^= h >> 32
+    return h
+
+
+def xxh64(data: bytes, seed: int = SPARK_HASH_SEED) -> int:
+    """Unsigned XXH64 of ``data``."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _MASK
+        v2 = (seed + _P2) & _MASK
+        v3 = seed & _MASK
+        v4 = (seed - _P1) & _MASK
+        while i + 32 <= n:
+            k = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl((v1 + k * _P2) & _MASK, 31) * _P1) & _MASK
+            k = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl((v2 + k * _P2) & _MASK, 31) * _P1) & _MASK
+            k = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl((v3 + k * _P2) & _MASK, 31) * _P1) & _MASK
+            k = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl((v4 + k * _P2) & _MASK, 31) * _P1) & _MASK
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _MASK
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _MASK, 31) * _P1) & _MASK
+            h = ((h * _P1) + _P4) & _MASK
+    else:
+        h = (seed + _P5) & _MASK
+    h = (h + n) & _MASK
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (_rotl((k * _P2) & _MASK, 31) * _P1) & _MASK
+        h ^= k
+        h = ((_rotl(h, 27) * _P1) + _P4) & _MASK
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _MASK
+        h = ((_rotl(h, 23) * _P2) + _P3) & _MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _MASK
+        h = (_rotl(h, 11) * _P1) & _MASK
+        i += 1
+    return _avalanche(h)
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_xxhash64_long(value: int, seed: int = SPARK_HASH_SEED) -> int:
+    """Spark ``xxhash64(<long col>)``: the 8-byte LE long path."""
+    return _signed(
+        xxh64((value & _MASK).to_bytes(8, "little"), seed)
+    )
+
+
+def spark_xxhash64_int(value: int, seed: int = SPARK_HASH_SEED) -> int:
+    """Spark ``xxhash64(<int col>)``: the 4-byte LE int path (ints are NOT
+    widened — XxHash64.hashInt)."""
+    return _signed(
+        xxh64((value & 0xFFFFFFFF).to_bytes(4, "little"), seed)
+    )
+
+
+def spark_xxhash64_string(value: str, seed: int = SPARK_HASH_SEED) -> int:
+    """Spark ``xxhash64(<string col>)``: UTF-8 bytes."""
+    return _signed(xxh64(value.encode("utf-8"), seed))

@@ -3,25 +3,35 @@
 with the streaming source (streaming/source.py).
 
 Differences from :func:`~dlt_iceberg_spark.streaming.micro_batch.stream_write`
-(the foreachBatch sink, which remains the right choice for dispositions,
-schema evolution, and partitioned writes):
+(the foreachBatch sink, which remains the right choice for dispositions
+and schema evolution):
 
 - rows are written to parquet ON THE EXECUTORS (Arrow record batches →
-  one staged file per non-empty partition) and only file-level metadata
-  travels to the driver — no re-entry of the whole batch through a
-  driver-side DataFrame;
+  one staged file per non-empty partition per partition TUPLE) and only
+  file-level metadata travels to the driver — no re-entry of the whole
+  batch through a driver-side DataFrame;
 - exactly-once WITHOUT the load ledger: Spark's epoch protocol calls
   ``commit(messages, batchId)`` once per successful micro-batch; the
   committed ``batchId`` is recorded in the snapshot summary, so a
   checkpoint-replayed epoch is recognized and skipped (its re-staged
   files are removed), and a failed epoch's staged files are deleted by
   ``abort`` — the same write-audit pattern as Iceberg's Spark sink;
-- appends only (``outputMode("append")``); the table must not be
-  partitioned (partition-aware streaming writes go through
-  ``stream_write``, which runs the full disposition pipeline).
+- appends only (``outputMode("append")``).
+
+PARTITIONED tables land with full partition metadata: each executor
+task splits its Arrow batch by the table's partition tuples and writes
+one file per tuple, rendering transform values bit-exactly as the batch
+writer's Spark expressions would (identity / year / month / day / hour
+over DATE sources, truncate, and bucket via the pinned pure-Python
+XXH64 — functions/xxhash.py), so stream-landed files cluster per
+partition and PRUNE exactly like batch-landed ones.  Transforms over
+TIMESTAMP sources are refused toward ``stream_write``: their rendering
+depends on the writer session's timezone frame (the
+``write.session-tz-set`` machinery), which executor-side Arrow batches
+cannot reproduce safely.
 
 Per-file [min, max] stats are computed from the Arrow batches at write
-time, so stream-landed files prune exactly like batch-landed ones.
+time, so stream-landed files prune exactly like batch ones.
 """
 
 from __future__ import annotations
@@ -45,13 +55,21 @@ _PRUNABLE_SPARK = (
     T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType,
 )
 
+#: transform → source simpleString()s the executor-side renderer supports
+_SUPPORTED_SOURCES = {
+    "identity": {"int", "bigint", "string", "date"},
+    "year": {"date"},
+    "month": {"date"},
+    "day": {"date"},
+    "hour": {"date"},
+    "truncate": {"int", "bigint", "string"},
+    "bucket": {"int", "bigint", "string"},
+}
+
 
 @dataclass
-class _StagedFile(WriterCommitMessage):
-    path: str  # relative (data/<uuid>.parquet)
-    rows: int
-    bytes: int
-    stats_json: str
+class _StagedFiles(WriterCommitMessage):
+    files_json: str  # [] when the task saw no rows
 
 
 def _iso_norm(v):
@@ -66,6 +84,41 @@ def _iso_norm(v):
     return v
 
 
+def _render_partition_value(transform: str, param, v, dtype: str):
+    """The string a batch writer's ``transform_column`` expression would
+    render for this value (hive-layout domain; None passes through)."""
+    if v is None:
+        return None
+    if transform == "identity":
+        return v.isoformat() if dtype == "date" else str(v)
+    if transform == "year":
+        return str(v.year)
+    if transform == "month":
+        return f"{v.year:04d}-{v.month:02d}"
+    if transform == "day":
+        return v.isoformat()
+    if transform == "hour":
+        # date_format(<date>, "yyyy-MM-dd-HH") renders midnight
+        return f"{v.isoformat()}-00"
+    if transform == "truncate":
+        return str(v)[: int(param)]
+    if transform == "bucket":
+        from dlt_iceberg_spark.functions.xxhash import (
+            spark_xxhash64_int,
+            spark_xxhash64_long,
+            spark_xxhash64_string,
+        )
+
+        if isinstance(v, str):
+            h = spark_xxhash64_string(v)
+        elif dtype == "int":
+            h = spark_xxhash64_int(int(v))
+        else:
+            h = spark_xxhash64_long(int(v))
+        return str(h % int(param))  # == Spark pmod for positive N
+    raise ValueError(f"unsupported transform {transform!r}")
+
+
 class _LakeStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, schema: T.StructType, options: dict):
         self.schema = schema
@@ -73,42 +126,107 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         self.prunable = [
             f.name for f in schema.fields if isinstance(f.dataType, _PRUNABLE_SPARK)
         ]
+        # the partition spec is frozen at stream start (same contract as
+        # the stream schema); validated HERE so an unsupported layout
+        # fails at start, not epochs later
+        self.pspec: list[tuple] = []  # (field_name, column, transform, param, dtype)
+        snap_spec = self._current_partition_spec()
+        if snap_spec:
+            dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+            for p in snap_spec:
+                col = p.get("column") or p.get("source")
+                t = p.get("transform", "identity")
+                dt = dtypes.get(col)
+                if dt not in _SUPPORTED_SOURCES.get(t, set()):
+                    raise ValueError(
+                        f"the native laketable sink cannot render partition "
+                        f"transform {t!r} over column {col!r} of type {dt!r} "
+                        "on the executors (timestamp-sourced transforms "
+                        "depend on the writer session's timezone frame); "
+                        "use streaming.stream_write for this layout"
+                    )
+                name = p.get("name") or (
+                    col if t == "identity" else f"{col}_{t}"
+                )
+                self.pspec.append((name, col, t, p.get("param"), dt))
+
+    def _current_partition_spec(self):
+        try:
+            t = self._table()
+            snap = t.snapshot()
+        except Exception:
+            return []
+        return list(snap.partition_spec or []) if snap else []
 
     # -- executors ---------------------------------------------------------
 
-    def write(self, iterator: Iterator) -> WriterCommitMessage | None:
-        import pyarrow as pa
+    def _write_one(self, tbl, partition: dict) -> dict:
         import pyarrow.parquet as pq
 
-        batches = [b for b in iterator if b.num_rows]
-        if not batches:
-            # Spark requires a WriterCommitMessage instance even for empty
-            # partitions; path="" is the no-file sentinel
-            return _StagedFile(path="", rows=0, bytes=0, stats_json="{}")
-        tbl = pa.Table.from_batches(batches)
         rel = f"data/{uuid.uuid4().hex}.parquet"
         abs_path = os.path.join(self.location, rel)
         os.makedirs(os.path.dirname(abs_path), exist_ok=True)
         pq.write_table(tbl, abs_path)
         stats = {}
+        import pyarrow.compute as pc
+
         for col in self.prunable:
             if col not in tbl.column_names:
                 continue
             c = tbl.column(col)
             if c.null_count == len(c):
                 continue
-            import pyarrow.compute as pc
-
             mm = pc.min_max(c).as_py()
             if mm["min"] is None or mm["max"] is None:
                 continue
             stats[col] = [_iso_norm(mm["min"]), _iso_norm(mm["max"])]
-        return _StagedFile(
-            path=rel,
-            rows=tbl.num_rows,
-            bytes=os.path.getsize(abs_path),
-            stats_json=json.dumps(stats, default=str),
-        )
+        return {
+            "path": rel,
+            "rows": tbl.num_rows,
+            "bytes": os.path.getsize(abs_path),
+            "stats": stats,
+            "partition": partition,
+        }
+
+    def write(self, iterator: Iterator) -> WriterCommitMessage | None:
+        import pyarrow as pa
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
+            # Spark requires a WriterCommitMessage instance even for empty
+            # partitions; [] is the no-file sentinel
+            return _StagedFiles(files_json="[]")
+        tbl = pa.Table.from_batches(batches)
+        if not self.pspec:
+            files = [self._write_one(tbl, {})]
+            return _StagedFiles(files_json=json.dumps(files, default=str))
+        # split the task's rows by partition tuple — one file per tuple,
+        # the same clustering the batch writer's partitionBy produces
+        cols = {
+            col: tbl.column(col).to_pylist()
+            for _, col, _, _, _ in self.pspec
+        }
+        by_tuple: dict[tuple, list[int]] = {}
+        n = tbl.num_rows
+        rendered = [
+            [
+                _render_partition_value(t, param, cols[col][i], dt)
+                for i in range(n)
+            ]
+            for (_, col, t, param, dt) in self.pspec
+        ]
+        for i in range(n):
+            by_tuple.setdefault(tuple(r[i] for r in rendered), []).append(i)
+        files = []
+        for tup, idxs in sorted(
+            by_tuple.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+        ):
+            sub = tbl.take(idxs)
+            partition = {
+                name: tup[j] for j, (name, *_rest) in enumerate(self.pspec)
+            }
+            files.append(self._write_one(sub, partition))
+        return _StagedFiles(files_json=json.dumps(files, default=str))
 
     # -- driver ------------------------------------------------------------
 
@@ -127,27 +245,32 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
 
         staged = [
             DataFile(
-                path=m.path,
-                rows=m.rows,
-                bytes=m.bytes,
-                stats=json.loads(m.stats_json),
+                path=f["path"],
+                rows=f["rows"],
+                bytes=f["bytes"],
+                stats=f["stats"],
+                partition=f.get("partition") or {},
             )
             for m in messages
-            if m is not None and m.path
+            if m is not None
+            for f in json.loads(m.files_json)
         ]
         t = self._table()
         for _ in range(5):
             snap = t.snapshot()
             if snap is not None:
-                if snap.partition_spec:
-                    self._drop(staged)
+                if bool(snap.partition_spec) != bool(self.pspec):
+                    # the table's spec changed (or the table appeared)
+                    # after the stream planned its layout: restart the
+                    # stream so the writer re-freezes the spec
+                    self._drop([f.path for f in staged])
                     raise ValueError(
-                        "the native laketable sink writes unpartitioned "
-                        "files; use streaming.stream_write for partitioned "
-                        "tables"
+                        "the table's partition spec changed after the "
+                        "stream started; restart the stream (the sink "
+                        "freezes the spec at start, like the schema)"
                     )
                 if snap.schema != self.schema:
-                    self._drop(staged)
+                    self._drop([f.path for f in staged])
                     raise ValueError(
                         "stream schema does not match the table schema "
                         f"({self.schema.simpleString()} vs "
@@ -162,7 +285,7 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
                 if snap.properties.get("stream.last-committed-batch") == str(
                     batchId
                 ):
-                    self._drop(staged)
+                    self._drop([f.path for f in staged])
                     return
             if not staged:
                 return  # empty epoch: no snapshot, nothing to clean
@@ -174,6 +297,7 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
                     self.schema,
                     "append",
                     snap.version if snap else None,
+                    partition_spec=list(snap.partition_spec) if snap else [],
                     manifests=list(snap.manifests) if snap else [],
                     new_files=(list(snap.inline_files) if snap else []) + staged,
                     delete_files=list(snap.delete_files) if snap else [],
@@ -188,11 +312,16 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         )
 
     def abort(self, messages, batchId: int) -> None:
-        self._drop([m for m in messages if m is not None and m.path])
+        self._drop(
+            f["path"]
+            for m in messages
+            if m is not None
+            for f in json.loads(m.files_json)
+        )
 
-    def _drop(self, staged) -> None:
-        for m in staged:
+    def _drop(self, rel_paths) -> None:
+        for rel in rel_paths:
             try:
-                os.remove(os.path.join(self.location, m.path))
+                os.remove(os.path.join(self.location, rel))
             except OSError:
                 pass

@@ -64,7 +64,11 @@ def test_sink_restart_is_exactly_once(reg, tmp_path):
     assert sorted((r.id, r.v) for r in t.read().collect()) == [(1, 10), (2, 20)]
 
 
-def test_sink_refuses_partitioned_tables(reg, tmp_path):
+def test_sink_partitioned_identity_lands_clustered_and_prunes(reg, tmp_path):
+    """Partitioned targets through the NATIVE sink: each epoch's files
+    split per partition tuple with full partition metadata, so
+    stream-landed files cluster and prune exactly like batch-landed
+    ones."""
     spark = reg
     catalog = LakeCatalog(spark, str(tmp_path / "wh"))
     writer = LakeWriter(catalog, "ds")
@@ -74,12 +78,14 @@ def test_sink_refuses_partitioned_tables(reg, tmp_path):
             write_disposition="append",
             column_hints={"v": {"x-partition": True}},
         ),
-        spark.createDataFrame([(1, "a")], "id long, v string"),
+        spark.createDataFrame([(0, "a")], "id long, v string"),
         load_id="l0",
     )
     t = catalog.load_table("ds", "t")
     src = str(tmp_path / "in")
-    spark.createDataFrame([(2, "b")], "id long, v string").write.parquet(src + "/p1")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, "c")], "id long, v string"
+    ).coalesce(1).write.parquet(src + "/p1")
     sdf = spark.readStream.schema("id long, v string").parquet(src + "/*")
     q = (
         sdf.writeStream.format("laketable")
@@ -88,11 +94,110 @@ def test_sink_refuses_partitioned_tables(reg, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    from pyspark.errors.exceptions.captured import StreamingQueryException
+    q.awaitTermination(120)
+    assert sorted((r.id, r.v) for r in t.read().collect()) == [
+        (0, "a"), (1, "a"), (2, "b"), (3, "b"), (4, "c"),
+    ]
+    snap = t.snapshot()
+    # every stream-landed file carries its partition tuple, one value per file
+    assert all(f.partition.get("v") is not None for f in snap.files)
+    assert {f.partition["v"] for f in snap.files} == {"a", "b", "c"}
+    # per-partition clustering: no file mixes partition values
+    for f in snap.files:
+        vals = {
+            r.v
+            for r in spark.read.parquet(
+                os.path.join(t.location, f.path)
+            ).collect()
+        }
+        assert vals == {f.partition["v"]}
+    # prune behavior: a v-probe plans only that partition's files
+    _, planned = t._select_files(snap, [("v", "=", "b")])
+    assert planned and all(f.partition["v"] == "b" for f in planned)
+    assert len(planned) < len(snap.files)
 
-    with pytest.raises(StreamingQueryException, match="unpartitioned"):
+
+def test_sink_partitioned_bucket_matches_batch_writer_domain(reg, tmp_path):
+    """Bucket transforms render executor-side via the pinned pure-Python
+    XXH64 — stream-landed partition values must land in the SAME buckets
+    the batch writer's pmod(xxhash64(id), N) assigns, or probe rewriting
+    would prune to the wrong files."""
+    spark = reg
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    hints = {"id": {"x-partition": True, "x-partition-transform": "bucket[4]"}}
+    writer.write(
+        TableSpec(name="t", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([(100, "seed")], "id long, v string"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    src = str(tmp_path / "in")
+    rows = [(i, f"v{i}") for i in range(20)]
+    spark.createDataFrame(rows, "id long, v string").coalesce(1).write.parquet(
+        src + "/p1"
+    )
+    sdf = spark.readStream.schema("id long, v string").parquet(src + "/*")
+    q = (
+        sdf.writeStream.format("laketable")
+        .option("location", t.location)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Spark's own expression decides the expected bucket per id
+    expected = {
+        r.id: str(r.b)
+        for r in spark.createDataFrame(rows, "id long, v string")
+        .select("id", F.pmod(F.xxhash64("id"), F.lit(4)).alias("b"))
+        .collect()
+    }
+    snap = t.snapshot()
+    for f in snap.files:
+        got = f.partition.get("id_bucket")
+        assert got is not None
+        for r in spark.read.parquet(os.path.join(t.location, f.path)).collect():
+            if r.id == 100:
+                continue
+            assert expected[r.id] == got, f"id {r.id}: {expected[r.id]} != {got}"
+    # transform-aware probe rewriting prunes on the bucket of the probe key
+    assert sorted(r.id for r in t.read(where=[("id", "=", 7)]).collect()) == [7]
+
+
+def test_sink_refuses_timestamp_partition_transforms(reg, tmp_path):
+    """Timestamp-sourced transforms depend on the writer session's tz
+    frame, which executor-side Arrow rendering cannot reproduce — the
+    sink refuses AT STREAM START naming stream_write."""
+    spark = reg
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(
+            name="t",
+            write_disposition="append",
+            column_hints={"ts": {"x-partition": True, "x-partition-transform": "day"}},
+        ),
+        spark.sql("SELECT 1::LONG id, TIMESTAMP'2024-01-02 03:04:05' ts"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    src = str(tmp_path / "in")
+    spark.sql("SELECT 2::LONG id, TIMESTAMP'2024-01-03 03:04:05' ts").write.parquet(
+        src + "/p1"
+    )
+    sdf = spark.readStream.schema("id long, ts timestamp").parquet(src + "/*")
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="stream_write"):
+        q = (
+            sdf.writeStream.format("laketable")
+            .option("location", t.location)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
         q.awaitTermination(120)
-    # staged files were aborted — the table is untouched
     assert t.read().count() == 1
 
 
