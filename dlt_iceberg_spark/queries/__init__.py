@@ -41,69 +41,56 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # oldest.  Ties (same newest round) break alphabetically so the rotation
 # stays mechanical and reviewable.
 #
-# Round-8 window (per VERDICT r7 task 1, extended with this round's
-# additions — new queries landed BEFORE the gate froze this time, so
-# they go straight into the front of the window):
-#   slots 1-6   — the 6 late-r8 additions (hybrid_search,
-#                 lake_clone_divergence, lake_ndv_stats,
-#                 lake_partition_ndv, lake_sketch_overlap,
-#                 text_bm25_topk), never driver-verified, oracle-green
-#                 locally.
-#   slots 7-11  — the 5 earlier round-8 additions (lake_partition_aggregate,
-#                 lake_matview_chain, stream_dedup_corpus, ann_filtered,
-#                 lake_minmax_pushdown), never driver-verified,
-#                 oracle-green locally.
-#   slots 12-16 — the 5 round-7 additions that had never had a driver
-#                 row (all 5 passed the judge's oracle replica in r7).
-#   slots 17-31 — the 15 rows whose newest driver row is CORRECTNESS_r05
-#                 (they hit the 3-round limit this round).
-#   slots 32-50 — 19 of the 50 rows whose newest driver row is r06
-#                 (alphabetical prefix; the last 6 of the previous
-#                 prefix — q10_returned_customers, q11_important_parts,
-#                 nation_order_stats, part_brand_stats,
-#                 pivot_priority_status, pctl_order_value — slip past the
-#                 cutoff and defer to r9 with the rest).
-# Round-9 plan (write it down now so the rotation stays mechanical):
-#   never-driver-verified r9 additions first, then the r06 rows that have
-#   hit the 3-round limit (the 25 listed below PLUS the 6 displaced from
-#   this window's tail), then the stalest r07 rows.
+# Round-9 window (per VERDICT r8 task 2, staleness recomputed from the
+# union of CORRECTNESS_r01-r08 this round):
+#   slots 1-3   — the 3 round-9 additions (ann_ivf_persisted,
+#                 lake_clone_retention, stream_sink_partitioned), never
+#                 driver-verified, oracle-green locally.
+#   slots 4-34  — ALL 31 rows whose newest driver row is r06 (they hit
+#                 the 3-round limit this round): the q2-q22 TPC-H block
+#                 plus nation_order_stats, part_brand_stats,
+#                 pctl_order_value, pivot_priority_status,
+#                 rollup_nation_status, sample/split, setop, text_c4,
+#                 text_lang_profile, text_quality, window_running_total.
+#   slots 35-50 — the 16 stalest r07 rows (alphabetical prefix of the 50).
+# Round-10 plan (mechanical): never-driver-verified r10 additions first,
+# then the 34 remaining r07 rows (they hit the limit at r10), then the
+# stalest r08 rows alphabetically.
 
 _GATE_PRIORITY = [
-    # -- never driver-verified (late-r8 additions, alphabetical) — front --
-    "hybrid_search", "lake_clone_divergence", "lake_ndv_stats",
-    "lake_partition_ndv", "lake_sketch_overlap", "text_bm25_topk",
-    # -- never driver-verified (earlier r8 additions, then r7's) ---------
-    "lake_partition_aggregate", "lake_matview_chain", "stream_dedup_corpus",
-    "ann_filtered", "lake_minmax_pushdown",
-    "lake_count_pushdown", "lake_matview_join", "lake_matview_left",
-    "lake_matview_full", "lake_rollup_minmax",
-    # -- newest driver row is r05 — all 15, 3-round limit hits now -------
-    "redact_pii", "select_quality_budget", "semantic_dedup",
-    "shuffle_shards", "sql_delegated_join", "stream_dedup_users",
-    "stream_windowed_counts", "substring_dup_profile", "text_gopher_rules",
-    "text_language_id", "text_quality_score", "text_repetition",
-    "text_rolling_fingerprint", "text_token_stats", "window_customer_rank",
-    # -- newest driver row is r06 — alphabetical prefix of the 50 --------
-    "ann_cosine_topk", "cap_docs_per_lang", "cube_brand_size",
-    "dedup_exact", "dedup_minhash_lsh", "events_funnel",
-    "events_json_props", "events_retention_cohorts", "events_user_latest",
-    "groupingsets_priority_status", "lake_bucket_pruning",
-    "lake_merge_roundtrip", "lake_position_delete", "lake_rename_column",
-    "lake_stats_pushdown", "lm_perplexity", "merge_hard_delete",
-    "merge_upsert", "mixture_by_source", "nation_order_stats",
-    "part_brand_stats", "pctl_order_value", "pivot_priority_status",
-    "q10_returned_customers", "q11_important_parts",
+    # -- never driver-verified (round-9 additions, alphabetical) — front --
+    "ann_ivf_persisted", "lake_clone_retention", "stream_sink_partitioned",
+    # -- newest driver row is r06 — all 31, 3-round limit hits now --------
+    "nation_order_stats", "part_brand_stats", "pctl_order_value",
+    "pivot_priority_status", "q10_returned_customers", "q11_important_parts",
+    "q12_late_shipping_priority", "q13_order_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q18_large_orders", "q19_bracket_revenue",
+    "q20_top_volume_suppliers", "q22_idle_customers",
+    "q2_min_unit_price_supplier", "q3_unshipped_revenue", "q4_order_priority",
+    "q5_nation_revenue", "q6_revenue_delta", "q7_volume_shipping",
+    "q8_market_share", "rollup_nation_status", "sample_documents",
+    "setop_customer_segments", "split_documents", "text_c4_rules",
+    "text_lang_profile", "text_quality", "window_running_total",
+    # -- stalest r07 rows — alphabetical prefix of the 50 -----------------
+    "ann_ivf", "ann_pq", "chunk_documents", "contamination_check",
+    "corpus_overlap_kmv", "corpus_prep", "dedup_boilerplate_lines",
+    "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_substring_removal", "dedup_token_jaccard",
+    "dedup_transitive_clusters", "doc_fingerprint", "dsir_select",
 ]
-# The 25 r06 rows deferred to the r9 window (3-round limit hits then):
-# q12_late_shipping_priority, q13_order_distribution, q14_promo_revenue,
-# q15_top_supplier, q16_supplier_part_count,
-# q17_small_quantity_revenue, q18_large_orders, q19_bracket_revenue,
-# q20_top_volume_suppliers, q22_idle_customers, q2_min_unit_price_supplier,
-# q3_unshipped_revenue, q4_order_priority, q5_nation_revenue,
-# q6_revenue_delta, q7_volume_shipping, q8_market_share,
-# rollup_nation_status, sample_documents, setop_customer_segments,
-# split_documents, text_c4_rules, text_lang_profile, text_quality,
-# window_running_total.
+# The 34 r07 rows deferred to the r10 window (3-round limit hits then):
+# embedding_label_stats, embedding_near_dup, events_asof_last_signup,
+# events_gapfill, events_heavy_hitters, events_hourly,
+# events_interval_join, events_sessions, knn_label_vote,
+# lake_add_column_default, lake_cdc_changelog, lake_expectations,
+# lake_iceberg_roundtrip, lake_multi_table_txn, lake_promote_type,
+# lake_rollup_incremental, lake_spec_evolution, multimodal_audio_windows,
+# multimodal_decode, multimodal_frames, multimodal_image_dedup,
+# multimodal_meta, multimodal_resize, pack_documents, q1_pricing_summary,
+# q21_waiting_suppliers, q9_product_type_profit, stream_lake_changes,
+# stream_lake_mirror, stream_lake_sink, stream_lake_tail, text_bpe_pairs,
+# text_nb_language, text_tfidf_terms.
 
 
 def _reorder_registry() -> None:

@@ -2138,6 +2138,159 @@ def stream_lake_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SINK_CACHE: dict = {}
 
 
+@query(
+    "stream_sink_partitioned",
+    f"""
+    SELECT o_orderstatus, count(*) AS cnt,
+           {_sql_rnd('sum(o_totalprice)')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Partitioned table through the NATIVE streaming sink "
+        "(streaming/sink.py): a status-partitioned target is seeded by the "
+        "batch writer, the remaining orders flow through "
+        "writeStream.format('laketable') — executor tasks split each Arrow "
+        "batch by partition tuple and land one file per tuple with full "
+        "partition metadata — and the per-status aggregate over the "
+        "PRUNED per-partition reads must hash-match the plain GROUP BY "
+        "oracle.  In-process pin: every stream-landed file carries its "
+        "partition tuple and holds exactly one status."
+    ),
+)
+def stream_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.streaming.micro_batch import await_stream
+    from dlt_iceberg_spark.streaming.source import register_lake_stream_source
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _STREAM_SINK_PART_CACHE.get(key)
+    if table is None:
+        register_lake_stream_source(spark)
+        base = tempfile.mkdtemp(prefix="lake_sinkp_")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        seed = orders.filter(F.col("o_orderkey") % 100 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 100 != 0)
+        catalog = LakeCatalog(spark, os.path.join(base, "wh"))
+        LakeWriter(catalog, "gate").write(
+            TableSpec(
+                name="orders_p",
+                write_disposition="append",
+                column_hints={"o_orderstatus": {"x-partition": True}},
+            ),
+            seed,
+        )
+        table = catalog.load_table("gate", "orders_p")
+        src_dir = os.path.join(base, "in")
+        rest.write.parquet(os.path.join(src_dir, "p1"))
+        q = (
+            spark.readStream.schema(table.schema())
+            .parquet(src_dir + "/*")
+            .writeStream.format("laketable")
+            .option("location", table.location)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q)
+        # in-process pin: stream-landed files cluster one status per file
+        snap = table.snapshot()
+        assert all(
+            f.partition.get("o_orderstatus") is not None for f in snap.files
+        ), "stream-landed file without partition metadata"
+        _STREAM_SINK_PART_CACHE[key] = table
+    return (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+_STREAM_SINK_PART_CACHE: dict = {}
+
+
+@query(
+    "lake_clone_retention",
+    f"""
+    SELECT o_orderstatus, count(*) AS cnt,
+           {_sql_rnd('sum(o_totalprice)')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Clone-aware retention end to end (lake/catalog.py clone back-refs "
+        "+ lake/maintenance.py pins): clone a source, then REPLACE the "
+        "source's content and aggressively expire + orphan-sweep it — the "
+        "clone's files are pinned by the live back-reference, and the "
+        "clone must still read its cloned-at state bit-exactly (the "
+        "oracle states that original subset).  In-process pins: the sweep "
+        "actually expired snapshots, and the clone's carried sequences "
+        "were re-stamped compactly below its first commit."
+    ),
+)
+def lake_clone_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.maintenance import (
+        expire_snapshots,
+        remove_orphan_files,
+    )
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    clone = _CLONE_RETENTION_CACHE.get(key)
+    if clone is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_cret_"))
+        writer = LakeWriter(catalog, "gate")
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        writer.write(
+            TableSpec(name="orders", write_disposition="append"),
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+        )
+        clone = catalog.clone_table("gate", "orders", "sandbox", "orders_c")
+        # carried sequences re-stamped below the clone's first commit
+        seqs = {f.sequence for f in clone.snapshot().files}
+        assert clone.current_version() > max(seqs), (clone.current_version(), seqs)
+        # source moves on: full replace, then aggressive retention
+        writer.write(
+            TableSpec(name="orders", write_disposition="replace"),
+            orders.filter(F.col("o_orderkey") % 4 == 1),
+        )
+        src = catalog.load_table("gate", "orders")
+        res = expire_snapshots(src, older_than=timedelta(seconds=0), keep_last=1)
+        assert res["snapshots"] >= 1, res
+        assert res["clone_pinned_files"] > 0, res
+        remove_orphan_files(src, older_than=timedelta(seconds=0))
+        clone = catalog.load_table("sandbox", "orders_c")
+        _CLONE_RETENTION_CACHE[key] = clone
+    return (
+        clone.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            rnd(F.sum("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+_CLONE_RETENTION_CACHE: dict = {}
+
+
 #: one lake-table build per (session, sf_dir): the gate and bench call each
 #: query repeatedly; the table is immutable once written
 _LAKE_STATS_CACHE: dict = {}
