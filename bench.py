@@ -159,6 +159,11 @@ SF1_QUERIES = [
     # late-r8 metadata surfaces with the same ~flat-at-10x claim: grouped
     # NDV, cross-table sketch overlap, and the zero-copy clone
     "lake_partition_ndv", "lake_sketch_overlap", "lake_clone_divergence",
+    # r9: the persisted IVF index (build+append are the one-off cost; the
+    # timed warm read is the probe-all query over the stored lists), the
+    # partitioned native sink (streaming throughput with per-tuple file
+    # splitting), and clone-aware retention (metadata-only — ~flat at 10x)
+    "ann_ivf_persisted", "stream_sink_partitioned", "lake_clone_retention",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec

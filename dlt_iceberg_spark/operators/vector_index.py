@@ -70,10 +70,11 @@ def _assigned(batch: DataFrame, centroids, vec_col: str, id_col: str) -> DataFra
     )
 
 
-def build_vector_index(
-    catalog,
-    namespace: str,
-    name: str,
+_INDEX_SPEC = [{"column": "centroid", "transform": "identity"}]
+
+
+def write_vector_index(
+    table,
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -82,23 +83,29 @@ def build_vector_index(
     centroids: list[list[float]] | None = None,
 ):
     """Train (bounded sample — O(sample), never O(corpus)) and materialize
-    the IVF index table.  Pass ``centroids=`` to skip training (the gate
-    uses hash-deterministic ones).  Returns the created LakeTable."""
+    the IVF index into ``table`` (a LakeTable handle; a fresh location gets
+    its create commit here — the ``write_dedup_index`` shape, which lets
+    the STREAMING maintainer bootstrap the index on its first nonempty
+    epoch).  Pass ``centroids=`` to skip training (the gate uses
+    hash-deterministic ones).  Returns the index snapshot."""
     if centroids is None:
         centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     assigned = _assigned(corpus, centroids, vec_col, id_col)
-    table = catalog.create_table(
-        namespace,
-        name,
-        assigned.schema,
-        partition_spec=[{"column": "centroid", "transform": "identity"}],
-        properties={
-            _PROP_VEC: vec_col,
-            _PROP_ID: id_col,
-            _PROP_N: str(len(centroids)),
-            _PROP_METRIC: "cosine",
-        },
-    )
+    props = {
+        _PROP_VEC: vec_col,
+        _PROP_ID: id_col,
+        _PROP_N: str(len(centroids)),
+        _PROP_METRIC: "cosine",
+    }
+    if table.current_version() is None:
+        table.commit(
+            [],
+            assigned.schema,
+            "create",
+            None,
+            partition_spec=list(_INDEX_SPEC),
+            properties=props,
+        )
     # centroid matrix as a metadata SIDECAR (Puffin-statistics shape): the
     # snapshot JSON carries only its path — a 4096×1024 float matrix must
     # never ride every commit
@@ -111,14 +118,51 @@ def build_vector_index(
 
     pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
     files = table.stage_dataframe(assigned, partition_exprs=pcols)
-    table.commit(
+    return table.commit(
         files,
         assigned.schema,
         "append",
         snap.version,
         partition_spec=snap.partition_spec,
-        properties={**snap.properties, _PROP_FILE: rel},
+        properties={**snap.properties, **props, _PROP_FILE: rel},
         summary={"vector-index-build": len(centroids)},
+    )
+
+
+def build_vector_index(
+    catalog,
+    namespace: str,
+    name: str,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+):
+    """Catalog-level :func:`write_vector_index`: create the table in
+    ``catalog`` and materialize the index.  Returns the LakeTable."""
+    from dlt_iceberg_spark.errors import TableAlreadyExistsError
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    if catalog.table_exists(namespace, name):
+        raise TableAlreadyExistsError(f"{namespace}.{name}")
+    catalog.create_namespace(namespace)
+    loc = catalog.table_location(namespace, name)
+    table = LakeTable(
+        corpus.sparkSession,
+        loc,
+        io=catalog._io,
+        pointer_store=catalog._pointer_store_for(loc),
+    )
+    write_vector_index(
+        table,
+        corpus,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        centroids=centroids,
     )
     return catalog.load_table(namespace, name)
 

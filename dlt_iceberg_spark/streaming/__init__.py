@@ -24,6 +24,10 @@ from dlt_iceberg_spark.streaming.source import (
     read_stream,
     register_lake_stream_source,
 )
+from dlt_iceberg_spark.streaming.vector import (
+    run_index_backfill,
+    stream_index_vectors,
+)
 
 # the sink half of format("laketable") lives in streaming/sink.py and is
 # reached through LakeTableStreamSource.streamWriter — registering the
@@ -40,4 +44,6 @@ __all__ = [
     "LakeTableStreamSource",
     "read_stream",
     "register_lake_stream_source",
+    "run_index_backfill",
+    "stream_index_vectors",
 ]

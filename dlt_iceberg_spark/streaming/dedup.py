@@ -164,12 +164,8 @@ def run_dedup_backfill(
     Returns the source version the stream drained to.  The checkpoint
     persists, so the next call resumes after it — the batch-job shape of
     the standing stream (same epochs, same flags, same index)."""
-    import json
-    import time
+    from dlt_iceberg_spark.streaming.micro_batch import drain_stream_to_head
 
-    from dlt_iceberg_spark.streaming.source import _current_version
-
-    target = _current_version(source_location)
     q = stream_dedup_corpus(
         spark,
         source_location,
@@ -181,38 +177,4 @@ def run_dedup_backfill(
         checkpoint_dir,
         **options,
     )
-    try:
-        deadline = time.time() + timeout
-        while time.time() < deadline:
-            if q.exception() is not None:
-                raise q.exception()
-            lp = q.lastProgress
-            if lp and lp.get("sources"):
-                end = lp["sources"][0].get("endOffset")
-                if end is not None:
-                    if isinstance(end, str):
-                        # Python DataSource offsets surface as the dict's
-                        # repr, not JSON — accept both
-                        try:
-                            v = json.loads(end)
-                        except json.JSONDecodeError:
-                            import ast
-
-                            v = ast.literal_eval(end)
-                    else:
-                        v = end
-                    if (
-                        int(v.get("version", -1)) >= (target or 0)
-                        and lp["numInputRows"] == 0
-                    ):
-                        break
-            time.sleep(0.25)
-        else:
-            raise TimeoutError(
-                f"dedup backfill did not reach version {target} within "
-                f"{timeout}s"
-            )
-    finally:
-        q.stop()
-        q.awaitTermination(30)
-    return target
+    return drain_stream_to_head(q, source_location, timeout)

@@ -52,6 +52,58 @@ def await_stream(q: StreamingQuery, timeout: float = 300) -> None:
         )
 
 
+def drain_stream_to_head(
+    q: StreamingQuery, source_location: str, timeout: float = 300
+) -> int:
+    """Poll a snapshot-grained lake stream until every source snapshot at
+    CALL time has been processed as its own epoch, then stop it.  Returns
+    the drained-to version.
+
+    This is the bounded-catch-up companion to ``max_versions_per_batch=1``
+    streams (``availableNow`` would capture one capped offset and stop
+    after a single snapshot) — shared by the dedup and vector-index
+    backfills."""
+    import ast
+    import json
+    import time
+
+    from dlt_iceberg_spark.streaming.source import _current_version
+
+    target = _current_version(source_location)
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise q.exception()
+            lp = q.lastProgress
+            if lp and lp.get("sources"):
+                end = lp["sources"][0].get("endOffset")
+                if end is not None:
+                    if isinstance(end, str):
+                        # Python DataSource offsets surface as the dict's
+                        # repr, not JSON — accept both
+                        try:
+                            v = json.loads(end)
+                        except json.JSONDecodeError:
+                            v = ast.literal_eval(end)
+                    else:
+                        v = end
+                    if (
+                        int(v.get("version", -1)) >= (target or 0)
+                        and lp["numInputRows"] == 0
+                    ):
+                        break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"stream did not reach version {target} within {timeout}s"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return target
+
+
 def stream_write(
     stream_df: DataFrame,
     writer: LakeWriter,

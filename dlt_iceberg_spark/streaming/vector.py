@@ -1,0 +1,118 @@
+"""Continuous vector-index maintenance: the persisted IVF index as a
+standing stream.
+
+``stream_index_vectors`` composes ``read_stream`` (a LakeTable as a
+streaming source, one micro-batch per snapshot with
+``max_versions_per_batch=1``) with the persisted index lifecycle
+(``operators/vector_index.py``): the FIRST nonempty epoch bootstraps the
+index (trains centroids on that load, or uses the caller's), every later
+epoch assigns its vectors to the FROZEN centroids map-side and
+delta-appends — so the index tracks the source load-by-load without ever
+retraining or rescanning earlier loads, the same shape
+``stream_dedup_corpus`` gives the dedup class index.
+
+Exactly-once: with ``state`` given, a checkpoint-replayed epoch is skipped
+outright by the load ledger (``append_vectors`` is NOT naturally
+idempotent — a replayed epoch would duplicate its vectors — so pass
+``state`` for production streams, same contract as ``stream_write``).
+
+Scale: per-epoch cost is O(batch) — one Arrow-batched BLAS argmax against
+the broadcast centroid matrix plus a delta commit; the index can hold any
+number of vectors and the stream's steady-state cost never reads it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming import StreamingQuery
+
+from dlt_iceberg_spark.operators.vector_index import (
+    append_vectors,
+    write_vector_index,
+)
+from dlt_iceberg_spark.streaming.source import read_stream
+
+
+def stream_index_vectors(
+    spark,
+    source_location: str,
+    index_table,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    state=None,
+    query_name: str = "vecidx",
+    trigger_interval: str | None = "100 milliseconds",
+    from_beginning: bool = True,
+    max_versions_per_batch: int | None = 1,
+    dataset_name: str = "main",
+) -> StreamingQuery:
+    """Stand up the index-maintenance stream over the LakeTable at
+    ``source_location``; returns the running :class:`StreamingQuery`.
+
+    ``index_table`` is a LakeTable handle for the index location
+    (bootstrapped on the first nonempty epoch if it doesn't exist).
+    Snapshot-grained epochs need a processing-time trigger — for a
+    bounded catch-up run use :func:`run_index_backfill`."""
+    stream = read_stream(
+        spark,
+        source_location,
+        from_beginning=from_beginning,
+        **(
+            {"max_versions_per_batch": max_versions_per_batch}
+            if max_versions_per_batch is not None
+            else {}
+        ),
+    )
+
+    def handle_batch(batch_df, batch_id: int) -> None:
+        load_id = f"{query_name}.{batch_id}"
+        if state is not None and state.load_recorded(load_id):
+            return
+        if batch_df.isEmpty():
+            return
+        if index_table.current_version() is None:
+            write_vector_index(
+                index_table,
+                batch_df,
+                vec_col=vec_col,
+                id_col=id_col,
+                n_centroids=n_centroids,
+                seed=seed,
+                centroids=centroids,
+            )
+        else:
+            append_vectors(index_table, batch_df)
+        if state is not None:
+            state.store_completed_load(load_id, dataset_name, schema_version_hash="")
+
+    sink = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_interval:
+        sink = sink.trigger(processingTime=trigger_interval)
+    return sink.start()
+
+
+def run_index_backfill(
+    spark,
+    source_location: str,
+    index_table,
+    checkpoint_dir: str,
+    timeout: float = 300,
+    **options,
+) -> int:
+    """Bounded catch-up: run the index stream until every source snapshot
+    at call time has been processed as its own epoch, then stop it.
+    Returns the drained-to source version; the checkpoint persists, so the
+    next call resumes after it."""
+    from dlt_iceberg_spark.streaming.micro_batch import drain_stream_to_head
+
+    q = stream_index_vectors(
+        spark, source_location, index_table, checkpoint_dir, **options
+    )
+    return drain_stream_to_head(q, source_location, timeout)

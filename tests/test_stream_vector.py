@@ -1,0 +1,120 @@
+"""Continuous vector-index maintenance (streaming/vector.py): each
+micro-batch (= one source snapshot) lands in the persisted IVF index —
+bootstrap on the first epoch, frozen-centroid delta appends after."""
+
+import json
+
+import numpy as np
+
+from dlt_iceberg_spark.lake.catalog import LakeCatalog
+from dlt_iceberg_spark.lake.table import LakeTable
+from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+from dlt_iceberg_spark.operators.similarity import cosine_topk_bruteforce
+from dlt_iceberg_spark.operators.vector_index import (
+    ivf_topk_persisted,
+    load_centroids,
+)
+from dlt_iceberg_spark.streaming.vector import run_index_backfill
+
+
+def _vectors(spark, n, dim=8, seed=0, start_id=0):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    rows = [(start_id + i, [float(x) for x in mat[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _ranked(df):
+    return sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in df.collect()
+    )
+
+
+def test_stream_maintains_index_per_load(spark, warehouse, tmp_path):
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    loads = [
+        _vectors(spark, 60, seed=1),
+        _vectors(spark, 40, seed=2, start_id=60),
+    ]
+    for i, df in enumerate(loads):
+        writer.write(
+            TableSpec(name="vecs", write_disposition="append"), df, load_id=f"l{i}"
+        )
+    src = catalog.load_table("ds", "vecs")
+    index = LakeTable(spark, str(tmp_path / "idx"))
+    run_index_backfill(
+        spark,
+        src.location,
+        index,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_centroids=4,
+        query_name="vi",
+    )
+    # both loads indexed; centroids trained ONCE (on the first epoch)
+    assert index.read().count() == 100
+    sidecar = json.dumps(load_centroids(index))
+    # bootstrap epoch = one build commit; later epoch = delta append
+    ops = [s.operation for s in index.snapshots()]
+    assert ops.count("append") >= 2  # build append + stream append
+
+    # probe-all over the streamed index == brute force over the union
+    both = loads[0].unionByName(loads[1])
+    queries = loads[0].filter("vec_id < 3")
+    got = ivf_topk_persisted(queries, index, k=5, nprobe=4)
+    exact = cosine_topk_bruteforce(queries, both, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+    # a NEW load through the SAME checkpoint: only the new epoch lands,
+    # centroids stay frozen
+    third = _vectors(spark, 25, seed=3, start_id=100)
+    writer.write(
+        TableSpec(name="vecs", write_disposition="append"), third, load_id="l2"
+    )
+    run_index_backfill(
+        spark,
+        src.location,
+        index,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_centroids=4,
+        query_name="vi",
+    )
+    assert index.read().count() == 125
+    assert json.dumps(load_centroids(index)) == sidecar
+    got3 = ivf_topk_persisted(queries, index, k=5, nprobe=4)
+    exact3 = cosine_topk_bruteforce(queries, both.unionByName(third), k=5)
+    assert _ranked(got3) == _ranked(exact3)
+
+
+def test_stream_replayed_epoch_skipped_by_ledger(spark, warehouse, tmp_path):
+    """append_vectors is not naturally idempotent: the load ledger must
+    skip a checkpoint-replayed epoch so vectors never duplicate."""
+    import shutil
+
+    from dlt_iceberg_spark.lake.state import StateStore
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    writer.write(
+        TableSpec(name="vecs", write_disposition="append"),
+        _vectors(spark, 30, seed=4),
+        load_id="l0",
+    )
+    src = catalog.load_table("ds", "vecs")
+    state = StateStore(catalog, "ds")
+    index = LakeTable(spark, str(tmp_path / "idx"))
+    ck = str(tmp_path / "ckpt")
+    run_index_backfill(
+        spark, src.location, index, checkpoint_dir=ck,
+        n_centroids=4, state=state, query_name="vi2",
+    )
+    assert index.read().count() == 30
+    # simulate a lost checkpoint (worst-case replay): the ledger still
+    # recognizes the epoch and skips it
+    shutil.rmtree(ck)
+    run_index_backfill(
+        spark, src.location, index, checkpoint_dir=ck,
+        n_centroids=4, state=state, query_name="vi2",
+    )
+    assert index.read().count() == 30  # no duplicated vectors
