@@ -1313,6 +1313,89 @@ _ANN_IDX_CACHE: dict = {}
 
 
 @query(
+    "stream_vector_index",
+    # Probe-all exactness again, but the index is built by the STANDING
+    # STREAM: the embeddings land in a source LakeTable as two loads, the
+    # index-maintenance stream processes each snapshot as its own epoch
+    # (bootstrap-train on the first, frozen-centroid delta append on the
+    # second), and the probe-all query over the streamed index must equal
+    # brute force over the full corpus.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Continuous index maintenance (streaming/vector.py): the IVF index "
+        "is built by the standing stream — snapshot-grained epochs, "
+        "bootstrap once, frozen-centroid appends — and probe-all over the "
+        "streamed index hash-matches brute force.  Ledger idempotency and "
+        "checkpoint resume pinned in tests/test_stream_vector.py."
+    ),
+)
+def stream_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import ivf_topk_persisted
+    from dlt_iceberg_spark.streaming.vector import run_index_backfill
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _STREAM_VECIDX_CACHE.get(key)
+    if idx is None:
+        base = tempfile.mkdtemp(prefix="stream_vecidx_")
+        catalog = LakeCatalog(spark, os.path.join(base, "wh"))
+        writer = LakeWriter(catalog, "gate")
+        for i, half in enumerate(
+            (e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1))
+        ):
+            writer.write(
+                TableSpec(name="vecs", write_disposition="append"),
+                half,
+                load_id=f"l{i}",
+            )
+        src = catalog.load_table("gate", "vecs")
+        idx = LakeTable(spark, os.path.join(base, "idx"))
+        run_index_backfill(
+            spark,
+            src.location,
+            idx,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            n_centroids=8,
+            centroids=fixed_centroids(
+                e.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", 8
+            ),
+            query_name="svi",
+        )
+        _STREAM_VECIDX_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_STREAM_VECIDX_CACHE: dict = {}
+
+
+@query(
     "ann_pq",
     # Gate trick (the ann_ivf treatment): k-means codebooks are not
     # SQL-replayable, but the PQ machinery is codebook-agnostic — so the
