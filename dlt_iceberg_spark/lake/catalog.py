@@ -174,6 +174,32 @@ class LakeCatalog:
         src = self.table_location(namespace, old)
         if not LakeTable.exists_at(src, io=self._io):
             raise TableNotFoundError(f"{namespace}.{old}")
+        # a live clone references THIS table's storage by absolute path —
+        # moving the directory would strand every such reference (silent
+        # data loss on the clone's next read).  Dangling refs (dropped
+        # clones) don't block; localize live clones (compact) first.
+        import json as _json
+
+        refs_dir = os.path.join(src, "metadata", "_clone_refs")
+        if self._io.isdir(refs_dir):
+            live = []
+            for name in sorted(self._io.listdir(refs_dir)):
+                try:
+                    ref = _json.loads(
+                        self._io.read_text(os.path.join(refs_dir, name))
+                    )
+                    loc = ref["clone"]
+                except (ValueError, KeyError):
+                    continue
+                if LakeTable.exists_at(loc, io=fileio_for(loc, self.spark)):
+                    live.append(loc)
+            if live:
+                raise ValueError(
+                    f"renaming {namespace}.{old} would strand {len(live)} "
+                    f"live clone(s) referencing its storage by absolute "
+                    f"path ({live[:3]}...); compact the clones to localize "
+                    "them first"
+                )
         dst_ns = new_namespace or namespace
         dst = self.table_location(dst_ns, new)
         if self._io.isdir(dst):
@@ -181,7 +207,34 @@ class LakeCatalog:
         self.create_namespace(dst_ns)
         self._io.makedirs(os.path.dirname(dst))
         self._io.rename(src, dst)
-        return self.load_table(dst_ns, new)
+        moved = self.load_table(dst_ns, new)
+        # if the MOVED table is itself a clone, its back-refs on every
+        # referenced source still name the old location — rewrite them, or
+        # the pins silently release and source retention could reclaim the
+        # clone's only bytes
+        snap = moved.snapshot()
+        if snap is not None:
+            roots = set()
+            if "cloned-from" in snap.properties:
+                roots.add(snap.properties["cloned-from"])
+            for e in list(snap.files) + list(snap.delete_files):
+                if os.path.isabs(e.path) and "/data/" in e.path:
+                    roots.add(e.path.rsplit("/data/", 1)[0])
+            for root in sorted(roots):
+                rio = fileio_for(root, self.spark)
+                rdir = os.path.join(root, "metadata", "_clone_refs")
+                if not rio.isdir(rdir):
+                    continue
+                for name in sorted(rio.listdir(rdir)):
+                    path = os.path.join(rdir, name)
+                    try:
+                        ref = _json.loads(rio.read_text(path))
+                    except ValueError:
+                        continue
+                    if ref.get("clone") == src:
+                        ref["clone"] = dst
+                        rio.write_text(path, _json.dumps(ref))
+        return moved
 
     def clone_table(
         self,

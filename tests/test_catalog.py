@@ -915,6 +915,48 @@ def test_clone_carried_equality_deletes_spare_later_appends(spark, warehouse):
     assert vals == ["MID3", "NEW3"]
 
 
+def test_rename_interacts_safely_with_clones(spark, warehouse):
+    """Renaming a SOURCE with live clones refuses (their absolute paths
+    would strand); renaming a CLONE rewrites its back-refs so source
+    retention keeps pinning its files."""
+    import os
+    from datetime import timedelta
+
+    import pytest as _pytest
+
+    from dlt_iceberg_spark.lake.maintenance import (
+        clone_pinned_paths,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, writer = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    src = catalog.load_table("src", "t")
+    carried = {f.path for f in src.snapshot().files}
+    with _pytest.raises(ValueError, match="strand"):
+        catalog.rename_table("src", "t", "t_renamed")
+    # renaming the CLONE keeps the pins alive at the new location
+    moved = catalog.rename_table("dev", "t2", "t2_renamed")
+    assert clone_pinned_paths(src) == carried
+    expect = sorted(r.v for r in moved.read().collect())
+    writer.write(
+        TableSpec(name="t", write_disposition="replace"),
+        spark.range(5).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    src = catalog.load_table("src", "t")
+    expire_snapshots(src, older_than=timedelta(seconds=0), keep_last=1)
+    remove_orphan_files(src, older_than=timedelta(seconds=0))
+    for p in carried:
+        assert os.path.exists(os.path.join(src.location, p))
+    moved = catalog.load_table("dev", "t2_renamed")
+    assert sorted(r.v for r in moved.read().collect()) == expect
+    # dropping the renamed clone releases the pins (refs name the new loc)
+    catalog.drop_table("dev", "t2_renamed")
+    assert clone_pinned_paths(src) == set()
+
+
 def test_source_retention_honors_live_clones(spark, warehouse):
     """Clone-aware retention: aggressively expiring + orphan-sweeping the
     SOURCE never deletes files a live clone still references (the clone
