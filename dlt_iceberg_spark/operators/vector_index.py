@@ -57,6 +57,7 @@ _PROP_VEC = "vector-index.vec-col"
 _PROP_ID = "vector-index.id-col"
 _PROP_N = "vector-index.n-centroids"
 _PROP_METRIC = "vector-index.metric"
+_PROP_PQ = "vector-index.pq"  # "m,k" when the index stores PQ codes
 
 
 def _assigned(batch: DataFrame, centroids, vec_col: str, id_col: str) -> DataFrame:
@@ -81,22 +82,46 @@ def write_vector_index(
     n_centroids: int = 16,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    pq: bool = False,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+    store_vectors: bool = True,
 ):
     """Train (bounded sample — O(sample), never O(corpus)) and materialize
     the IVF index into ``table`` (a LakeTable handle; a fresh location gets
     its create commit here — the ``write_dedup_index`` shape, which lets
     the STREAMING maintainer bootstrap the index on its first nonempty
     epoch).  Pass ``centroids=`` to skip training (the gate uses
-    hash-deterministic ones).  Returns the index snapshot."""
+    hash-deterministic ones).
+
+    ``pq=True`` makes it an IVF-PQ index (the FAISS composite): rows also
+    carry ``pq_code: array<int>`` (``m_subspaces`` one-byte codes from
+    per-subspace codebooks stored in the sidecar) so
+    :func:`ivf_pq_topk_persisted` scores probed lists with ADC table
+    lookups instead of float dot products; ``store_vectors=False``
+    additionally DROPS the raw vector column — a 64-dim fp32 corpus
+    shrinks ~32× in the index, the layout for corpora whose vectors
+    cannot reside at all.  Returns the index snapshot."""
+    if pq and codebooks is None:
+        from dlt_iceberg_spark.operators.quantization import pq_train
+
+        codebooks = pq_train(
+            corpus, vec_col, m_subspaces, k_codes, seed=seed
+        )
     if centroids is None:
         centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     assigned = _assigned(corpus, centroids, vec_col, id_col)
+    if codebooks is not None:
+        assigned = _with_codes(assigned, codebooks, vec_col, store_vectors)
     props = {
         _PROP_VEC: vec_col,
         _PROP_ID: id_col,
         _PROP_N: str(len(centroids)),
         _PROP_METRIC: "cosine",
     }
+    if codebooks is not None:
+        props[_PROP_PQ] = f"{len(codebooks)},{len(codebooks[0])}"
     if table.current_version() is None:
         table.commit(
             [],
@@ -111,7 +136,12 @@ def write_vector_index(
     # never ride every commit
     rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
     table._io.write_text(
-        os.path.join(table.location, rel), json.dumps(centroids)
+        os.path.join(table.location, rel),
+        json.dumps(
+            centroids
+            if codebooks is None
+            else {"centroids": centroids, "codebooks": codebooks}
+        ),
     )
     snap = table.snapshot()
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
@@ -139,9 +169,12 @@ def build_vector_index(
     n_centroids: int = 16,
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    **pq_options,
 ):
     """Catalog-level :func:`write_vector_index`: create the table in
-    ``catalog`` and materialize the index.  Returns the LakeTable."""
+    ``catalog`` and materialize the index (``pq_options`` — ``pq=``,
+    ``m_subspaces=``, ``k_codes=``, ``codebooks=``, ``store_vectors=`` —
+    pass through for the IVF-PQ form).  Returns the LakeTable."""
     from dlt_iceberg_spark.errors import TableAlreadyExistsError
     from dlt_iceberg_spark.lake.table import LakeTable
 
@@ -163,12 +196,27 @@ def build_vector_index(
         n_centroids=n_centroids,
         seed=seed,
         centroids=centroids,
+        **pq_options,
     )
     return catalog.load_table(namespace, name)
 
 
-def load_centroids(table) -> list[list[float]]:
-    """The index's frozen centroid matrix (metadata sidecar, one read)."""
+def _with_codes(
+    assigned: DataFrame, codebooks, vec_col: str, store_vectors: bool
+) -> DataFrame:
+    from dlt_iceberg_spark.operators.quantization import pq_encode
+
+    coded = pq_encode(assigned, codebooks, vec_col)  # drops vec_col
+    if store_vectors:
+        # pq_encode drops the vector; re-attach from the pre-encode plan
+        # is a join — instead re-run encode keeping the column
+        coded = pq_encode(
+            assigned.withColumn("__v", F.col(vec_col)), codebooks, vec_col
+        ).withColumnRenamed("__v", vec_col)
+    return coded
+
+
+def _load_sidecar(table) -> dict:
     snap = table.snapshot()
     rel = snap.properties.get(_PROP_FILE)
     if rel is None:
@@ -176,7 +224,24 @@ def load_centroids(table) -> list[list[float]]:
             f"{table.location} carries no vector-index metadata; was it "
             "created by build_vector_index?"
         )
-    return json.loads(table._io.read_text(os.path.join(table.location, rel)))
+    raw = json.loads(table._io.read_text(os.path.join(table.location, rel)))
+    return raw if isinstance(raw, dict) else {"centroids": raw}
+
+
+def load_centroids(table) -> list[list[float]]:
+    """The index's frozen centroid matrix (metadata sidecar, one read)."""
+    return _load_sidecar(table)["centroids"]
+
+
+def load_codebooks(table) -> list[list[list[float]]]:
+    """The IVF-PQ index's frozen per-subspace codebooks."""
+    side = _load_sidecar(table)
+    if "codebooks" not in side:
+        raise ValueError(
+            f"{table.location} is a plain IVF index (no PQ codes); build "
+            "with pq=True for ADC scoring"
+        )
+    return side["codebooks"]
 
 
 def append_vectors(table, batch: DataFrame) -> Any:
@@ -187,10 +252,17 @@ def append_vectors(table, batch: DataFrame) -> Any:
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
 
     snap = table.snapshot()
-    centroids = load_centroids(table)
+    side = _load_sidecar(table)
+    vec_col = snap.properties[_PROP_VEC]
     assigned = _assigned(
-        batch, centroids, snap.properties[_PROP_VEC], snap.properties[_PROP_ID]
+        batch, side["centroids"], vec_col, snap.properties[_PROP_ID]
     )
+    if "codebooks" in side:
+        # IVF-PQ index: encode against the FROZEN codebooks too
+        store_vectors = any(f.name == vec_col for f in snap.schema.fields)
+        assigned = _with_codes(
+            assigned, side["codebooks"], vec_col, store_vectors
+        )
     pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
     new_files = table.stage_dataframe(assigned, partition_exprs=pcols)
     if not new_files:
@@ -256,4 +328,66 @@ def ivf_topk_persisted(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_pq_topk_persisted(
+    queries: DataFrame,
+    table,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k over the PERSISTED IVF-PQ index: probed lists prune as in
+    :func:`ivf_topk_persisted`, but scoring is ``m`` integer table lookups
+    per row against the queries' broadcast distance tables (ADC) — no
+    float vector is read from the index at all, so the scan is ~codes-
+    sized (32× smaller than fp32 at m=8/dim=64) and works on indexes
+    built with ``store_vectors=False``.
+
+    Output: (query_id, neighbor_id, adc_dist, rank), smaller = closer,
+    ranked within each query's probed lists (FAISS IVF-PQ semantics; the
+    recall-vs-exact contract is pinned in pytest, the code/ADC machinery
+    is oracle-checkable with deterministic codebooks — same treatment as
+    ``ann_pq``)."""
+    from dlt_iceberg_spark.operators.quantization import pq_topk
+
+    snap = table.snapshot()
+    side = _load_sidecar(table)
+    if "codebooks" not in side:
+        raise ValueError(
+            f"{table.location} is a plain IVF index (no PQ codes); build "
+            "with pq=True for ADC scoring"
+        )
+    centroids = side["centroids"]
+    vec_col = snap.properties[_PROP_VEC]
+    id_col = snap.properties[_PROP_ID]
+    probe_n = _nearest_centroids(centroids, min(nprobe, len(centroids)))
+    probes = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_n(F.col(vec_col))).alias("centroid"),
+    )
+    probed_ids = sorted(
+        {r[0] for r in probes.select("centroid").distinct().collect()}
+    )
+    lists = table.read(where=[("centroid", "in", probed_ids)]).select(
+        id_col, "pq_code", "centroid"
+    )
+    out = pq_topk(
+        queries, lists.drop("centroid"), side["codebooks"], vec_col, id_col, k
+    )
+    # a neighbor scored from a list the query did NOT probe must not
+    # count: re-join against the per-query probe set (same rule as
+    # ivfpq_topk)
+    allowed = probes.join(
+        lists.select(F.col(id_col).alias("neighbor_id"), "centroid"),
+        "centroid",
+    ).select("query_id", "neighbor_id")
+    filtered = out.join(allowed, ["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        filtered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

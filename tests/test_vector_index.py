@@ -102,3 +102,78 @@ def test_index_table_is_self_describing(spark, warehouse):
     )
     with pytest.raises(ValueError, match="no vector-index metadata"):
         load_centroids(plain)
+
+
+def test_ivfpq_persisted_matches_flat_pq_and_recalls(spark, warehouse):
+    """IVF-PQ persisted: codes stored in the index, ADC scoring over probed
+    lists; with probe-all the result must equal flat PQ over the full
+    corpus (same frozen codebooks), and recall@k vs exact stays high."""
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
+    from dlt_iceberg_spark.operators.vector_index import (
+        ivf_pq_topk_persisted,
+        load_codebooks,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 200, dim=16, seed=7)
+    cents = fixed_centroids(corpus, n_centroids=4)
+    books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16)
+    idx = build_vector_index(
+        catalog, "ann", "pq_idx", corpus,
+        centroids=cents, pq=True, codebooks=books,
+    )
+    assert load_codebooks(idx) == books
+    assert idx.snapshot().properties["vector-index.pq"] == "4,16"
+    queries = corpus.filter("vec_id < 4")
+
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4)
+    flat = pq_topk(queries, pq_encode(corpus, books), books, k=5)
+    def _r(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.adc_dist, 9))
+            for r in df.collect()
+        )
+    assert _r(got) == _r(flat)
+
+    # append against the frozen codebooks: new vectors get codes too
+    extra = _vectors(spark, 50, dim=16, seed=8, start_id=200)
+    append_vectors(idx, extra)
+    idx = catalog.load_table("ann", "pq_idx")
+    assert idx.read().filter("pq_code IS NULL").count() == 0
+    assert idx.read().count() == 250
+    both = corpus.unionByName(extra)
+    got2 = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4)
+    flat2 = pq_topk(queries, pq_encode(both, books), books, k=5)
+    assert _r(got2) == _r(flat2)
+
+    # (the recall-vs-exact contract for PQ itself is pinned with TRAINED
+    # codebooks in test_operators.py::test_pq_recall_vs_bruteforce — these
+    # hash-deterministic codebooks exist to make the machinery equality
+    # above exact, not to be good quantizers)
+
+
+def test_ivfpq_persisted_codes_only_index(spark, warehouse):
+    """store_vectors=False drops the fp32 column entirely — the ~32x
+    smaller codes-only layout still answers ADC queries; the cosine probe
+    refuses (no vectors to fold)."""
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.vector_index import ivf_pq_topk_persisted
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 100, dim=16, seed=9)
+    idx = build_vector_index(
+        catalog, "ann", "codes_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+        store_vectors=False,
+    )
+    assert "embedding" not in [f.name for f in idx.snapshot().schema.fields]
+    out = ivf_pq_topk_persisted(
+        corpus.filter("vec_id < 2"), idx, k=3, nprobe=4
+    )
+    assert out.count() == 6
