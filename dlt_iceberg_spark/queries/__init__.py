@@ -43,26 +43,27 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 #
 # Round-9 window (per VERDICT r8 task 2, staleness recomputed from the
 # union of CORRECTNESS_r01-r08 this round):
-#   slots 1-4   — the 4 round-9 additions (ann_ivf_persisted,
-#                 lake_clone_retention, stream_sink_partitioned,
-#                 stream_vector_index), never driver-verified,
-#                 oracle-green locally.
-#   slots 5-35  — ALL 31 rows whose newest driver row is r06 (they hit
+#   slots 1-5   — the 5 round-9 additions (ann_ivf_persisted,
+#                 ann_pq_persisted, lake_clone_retention,
+#                 stream_sink_partitioned, stream_vector_index), never
+#                 driver-verified, oracle-green locally.
+#   slots 6-36  — ALL 31 rows whose newest driver row is r06 (they hit
 #                 the 3-round limit this round): the q2-q22 TPC-H block
 #                 plus nation_order_stats, part_brand_stats,
 #                 pctl_order_value, pivot_priority_status,
 #                 rollup_nation_status, sample/split, setop, text_c4,
 #                 text_lang_profile, text_quality, window_running_total.
-#   slots 36-50 — the 15 stalest r07 rows (alphabetical prefix of the
-#                 50; dsir_select slips past the cutoff to r10).
+#   slots 37-50 — the 14 stalest r07 rows (alphabetical prefix of the
+#                 50; doc_fingerprint and dsir_select slip past the
+#                 cutoff to r10).
 # Round-10 plan (mechanical): never-driver-verified r10 additions first,
-# then the 34 remaining r07 rows PLUS dsir_select (they hit the limit at
-# r10), then the stalest r08 rows alphabetically.
+# then the 34 remaining r07 rows PLUS doc_fingerprint and dsir_select
+# (they hit the limit at r10), then the stalest r08 rows alphabetically.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (round-9 additions, alphabetical) — front --
-    "ann_ivf_persisted", "lake_clone_retention", "stream_sink_partitioned",
-    "stream_vector_index",
+    "ann_ivf_persisted", "ann_pq_persisted", "lake_clone_retention",
+    "stream_sink_partitioned", "stream_vector_index",
     # -- newest driver row is r06 — all 31, 3-round limit hits now --------
     "nation_order_stats", "part_brand_stats", "pctl_order_value",
     "pivot_priority_status", "q10_returned_customers", "q11_important_parts",
@@ -80,7 +81,7 @@ _GATE_PRIORITY = [
     "corpus_overlap_kmv", "corpus_prep", "dedup_boilerplate_lines",
     "dedup_incremental", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_substring_removal", "dedup_token_jaccard",
-    "dedup_transitive_clusters", "doc_fingerprint",
+    "dedup_transitive_clusters",
 ]
 # The 34 r07 rows deferred to the r10 window (3-round limit hits then):
 # embedding_label_stats, embedding_near_dup, events_asof_last_signup,

@@ -1487,6 +1487,117 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_PQ_ORACLE = """
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         norm AS (
+           SELECT vec_id,
+                  list_transform(v, x -> x / greatest(
+                    sqrt(list_reduce(list_transform(v, y -> y * y), (a, b) -> a + b)),
+                    1e-12)) AS v
+           FROM raw
+         ),
+         cb AS (
+           SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, v
+           FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id, v FROM norm
+                 ORDER BY h, vec_id LIMIT 16)
+         ),
+         dists AS (
+           SELECT n.vec_id AS nid, t.j AS sub_j, c.code,
+                  list_distance(list_slice(n.v, t.j * 8 + 1, t.j * 8 + 8),
+                                list_slice(c.v, t.j * 8 + 1, t.j * 8 + 8)) AS d
+           FROM norm n
+           CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) t
+           CROSS JOIN cb c
+         ),
+         enc AS (
+           SELECT nid, sub_j, code
+           FROM (SELECT *, row_number() OVER (PARTITION BY nid, sub_j
+                                              ORDER BY d, code) AS rn
+                 FROM dists)
+           WHERE rn = 1
+         ),
+         adc AS (
+           SELECT q.vec_id AS query_id, e.nid AS neighbor_id,
+                  sum(power(list_distance(
+                        list_slice(q.v, e.sub_j * 8 + 1, e.sub_j * 8 + 8),
+                        list_slice(c.v, e.sub_j * 8 + 1, e.sub_j * 8 + 8)), 2)) AS adc_dist
+           FROM (SELECT * FROM norm WHERE vec_id < 8) q
+           CROSS JOIN enc e
+           JOIN cb c ON c.code = e.code
+           WHERE q.vec_id <> e.nid
+           GROUP BY 1, 2
+         )
+    SELECT query_id, neighbor_id,
+           floor(adc_dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist, neighbor_id) AS rn
+          FROM adc)
+    WHERE rn <= 5
+    """
+
+
+@query(
+    "ann_pq_persisted",
+    # The ann_pq oracle verbatim: with probe-all, the PERSISTED IVF-PQ
+    # index (codes-only — store_vectors=False, the ~32x-smaller layout)
+    # scores every row by ADC exactly like flat PQ, so one SQL replay
+    # hash-verifies build-time encoding into the partitioned lists, the
+    # frozen-codebook append, the sidecar round-trip, the pruned
+    # partition read, and ADC ranking end to end.
+    _ANN_PQ_ORACLE,
+    doc=(
+        "Persisted IVF-PQ index (operators/vector_index.py pq=True, "
+        "store_vectors=False): inverted lists hold one-byte PQ codes only "
+        "— no fp32 column at all — and queries ADC-score the probed "
+        "partitions.  Built from the even-id half + frozen-codebook append "
+        "of the odd half; probe-all makes it oracle-exact vs flat PQ.  "
+        "nprobe<n_lists recall pinned in pytest."
+    ),
+)
+def ann_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_pq_topk_persisted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_PQ_IDX_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_pq_idx_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        second = e.filter(F.col("vec_id") % 2 == 1)
+        idx = build_vector_index(
+            catalog, "gate", "pq_idx", first,
+            centroids=fixed_centroids(first, "embedding", "vec_id", 8),
+            pq=True,
+            codebooks=pq_codebooks_fixed(e, m_subspaces=8, k_codes=16),
+            store_vectors=False,
+        )
+        append_vectors(idx, second)
+        idx = catalog.load_table("gate", "pq_idx")
+        _ANN_PQ_IDX_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("adc_dist"), 6).alias("adc_dist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_PQ_IDX_CACHE: dict = {}
+
+
 @query(
     "text_rolling_fingerprint",
     r"""
