@@ -164,6 +164,9 @@ SF1_QUERIES = [
     # partitioned native sink (streaming throughput with per-tuple file
     # splitting), and clone-aware retention (metadata-only — ~flat at 10x)
     "ann_ivf_persisted", "stream_sink_partitioned", "lake_clone_retention",
+    # r9-late: the codes-only IVF-PQ probe (ADC over pruned partitions —
+    # the scan should track codes bytes, not fp32 bytes)
+    "ann_pq_persisted",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec

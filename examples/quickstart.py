@@ -384,6 +384,48 @@ def main(warehouse: str) -> None:
         f"source untouched at {src_n}"
     )
 
+    # -- clone-aware retention: expiring the source can't break the clone --
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import expire_snapshots
+
+    res = expire_snapshots(
+        pipe.catalog.load_table("shop", "fact_sales"),
+        older_than=timedelta(seconds=0),
+        keep_last=1,
+    )
+    print(
+        f"source expiry pinned {res['clone_pinned_files']} file(s) for the "
+        f"live clone; sandbox still reads {clone.read().count()} rows"
+    )
+
+    # -- persisted IVF vector index: build once, append per load -----------
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_topk_persisted,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 10) for j in range(8)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = build_vector_index(
+        pipe.catalog, "ann", "emb_idx", vecs, n_centroids=4
+    )
+    append_vectors(
+        idx,
+        spark.createDataFrame(
+            [(100 + i, [float(i + j) for j in range(8)]) for i in range(8)],
+            "vec_id long, embedding array<double>",
+        ),
+    )
+    hits = ivf_topk_persisted(vecs.filter("vec_id = 0"), idx, k=3, nprobe=2)
+    print(
+        "persisted IVF index: top-3 for vec 0 ->",
+        [(r.neighbor_id, round(r.cosine, 3)) for r in hits.collect()],
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
