@@ -95,7 +95,22 @@ def timed_passes(
             _one(name)
     medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
-    return medians, spread, strategies
+    return medians, spread, strategies, samples
+
+
+def trimmed_spread(samples: dict[str, list[float]]) -> dict[str, list[float]]:
+    """[min, max] AFTER dropping the single highest and lowest sample
+    (when ≥5 samples exist).  The raw max-min range grows mechanically
+    with sample count — r8's 5→7 sample bump WIDENED the legacy
+    ``spread`` stat while making the medians strictly more reliable —
+    so cross-round "did X regress?" calls should read this stat (one GC
+    hiccup in 7 shots no longer defines the band) next to the raw one;
+    both are recorded, neither replaces the other."""
+    out = {}
+    for n, s in samples.items():
+        t = sorted(s)[1:-1] if len(s) >= 5 else sorted(s)
+        out[n] = [round(t[0], 4), round(t[-1], 4)]
+    return out
 
 
 #: the sf1 tier times only the suite's most expensive queries (VERDICT r4
@@ -195,7 +210,7 @@ def run_sf1() -> None:
     for spec in specs.values():  # warm (codegen + footers)
         spark.catalog.clearCache()
         materialize(spec.fn(spark, SF1_DIR))
-    times, spread, strategies = timed_passes(spark, specs, SF1_DIR)
+    times, spread, strategies, sf1_samples = timed_passes(spark, specs, SF1_DIR)
     # micro-batch throughput for the streaming surfaces: result rows /
     # median wall — at sf1 the fixed per-batch harness cost is amortized,
     # so this tracks the executor-side Arrow read/stage rate
@@ -243,8 +258,9 @@ def main() -> None:
 
     # three timed passes; per query report the MEDIAN with [min, max]
     # spread so cross-round deltas are attributable (see module docstring)
-    times, spread, strategies = timed_passes(spark, dict(REGISTRY), sf_dir)
+    times, spread, strategies, samples = timed_passes(spark, dict(REGISTRY), sf_dir)
     total = round(sum(times.values()), 4)
+    tspread = trimmed_spread(samples)
     payload = json.dumps(
         {
             "metric": "suite_total_wall",
@@ -255,6 +271,8 @@ def main() -> None:
             "n_queries": len(times),
             "cold_total_sec": cold_total,
             "spread": spread,
+            "spread_trimmed": tspread,
+            "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
             "strategies": strategies,
         }
     )
@@ -280,6 +298,9 @@ def main() -> None:
     rel_spreads = [
         (spread[n][1] - spread[n][0]) / t for n, t in times.items() if t > 0
     ]
+    rel_trimmed = [
+        (tspread[n][1] - tspread[n][0]) / t for n, t in times.items() if t > 0
+    ]
     short: dict = {
         "metric": "suite_total_wall",
         "value": total,
@@ -288,10 +309,15 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(times),
         "queries_omitted": len(times),
-        # median-of-3 per query; (max-min)/median dispersion summary —
-        # deltas inside these bands are machine noise, not regressions
+        # per-query medians (3-7 samples); two dispersion summaries —
+        # legacy (max-min)/median, whose band widens mechanically with
+        # sample count, and the 1-high/1-low-trimmed form that a single
+        # GC hiccup can't define.  Deltas inside these bands are machine
+        # noise, not regressions; per-query [min,max] + raw samples are
+        # in bench_result.json.
         "median_rel_spread": round(statistics.median(rel_spreads), 3),
         "max_rel_spread": round(max(rel_spreads), 3),
+        "median_rel_spread_trimmed": round(statistics.median(rel_trimmed), 3),
         "full_results": "bench_result.json",
     }
     for name, t in ranked:
