@@ -387,8 +387,6 @@ def main(warehouse: str) -> None:
     # -- clone-aware retention: expiring the source can't break the clone --
     from datetime import timedelta
 
-    from dlt_iceberg_spark.lake.maintenance import expire_snapshots
-
     res = expire_snapshots(
         pipe.catalog.load_table("shop", "fact_sales"),
         older_than=timedelta(seconds=0),
