@@ -96,7 +96,30 @@ def compact_table(
         for c in (snap.properties.get("write.zorder-by") or "").split(",")
         if c and c in df.columns
     ]
-    if sort_cols:
+    # honor the PARTITION layout the same way: staging without
+    # partition_exprs would strip the rewritten files' partition tuples
+    # (probes then keep them conservatively — pruning silently degrades
+    # to stats-only and dynamic overwrite rewrites them as legacy).
+    # Repartitioning by the transform expressions lands each tuple in one
+    # task → one output file per partition value, the binpack floor a
+    # hive-layouted table actually admits.
+    pcols = None
+    if snap.partition_spec:
+        from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+        pcols = partition_columns(
+            [PartitionField(**p) for p in snap.partition_spec]
+        )
+        df = df.repartition(n_out, *[e for _, e in pcols])
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        elif z_cols:
+            df = (
+                df.withColumn("_zorder", zorder_value(df, z_cols))
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
+    elif sort_cols:
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
             *sort_cols
         )
@@ -110,7 +133,7 @@ def compact_table(
         )
     else:
         df = df.repartition(n_out)
-    new_files = table.stage_dataframe(df)
+    new_files = table.stage_dataframe(df, partition_exprs=pcols)
     table.commit(
         keep + new_files,
         snap.schema,

@@ -56,6 +56,101 @@ def test_compact_where_scopes_the_rewrite(loaded_table):
     assert sorted(r.id for r in loaded_table.read().collect()) == list(range(40))
 
 
+def test_compact_preserves_partition_layout(spark, warehouse):
+    """Compacting a hive-partitioned table must KEEP the partition layout:
+    rewritten files carry their partition tuples (one output file per
+    value), so partition pruning and dynamic overwrite still see them —
+    staging without partition_exprs silently degraded both."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    hints = {"cat": {"x-partition": True}}
+    for load in range(4):  # 4 loads × 3 cats = 12 small files
+        writer.write(
+            TableSpec(name="pt", write_disposition="append", column_hints=hints),
+            spark.createDataFrame(
+                [(load * 10 + i, c) for i, c in enumerate("abc")],
+                "v long, cat string",
+            ).coalesce(1),
+            load_id=f"l{load}",
+        )
+    t = catalog.load_table("ds", "pt")
+    assert len(t.snapshot().files) >= 12
+    res = compact_table(t, target_file_bytes=1 << 20)
+    assert res.rewritten_files >= 12
+    snap = t.snapshot()
+    # every compacted file carries its tuple; one file per partition value
+    assert all(f.partition.get("cat") is not None for f in snap.files)
+    assert sorted(f.partition["cat"] for f in snap.files) == ["a", "b", "c"]
+    # pruning still decisive
+    _, planned = t._select_files(snap, [("cat", "=", "b")])
+    assert [f.partition["cat"] for f in planned] == ["b"]
+    assert t.read().count() == 12
+    # dynamic overwrite sees no "legacy" files: only b is replaced
+    writer.write(
+        TableSpec(
+            name="pt",
+            write_disposition={"disposition": "replace", "scope": "partitions"},
+            column_hints=hints,
+        ),
+        spark.createDataFrame([(99, "b")], "v long, cat string"),
+    )
+    rows = {(r.v, r.cat) for r in catalog.load_table("ds", "pt").read().collect()}
+    assert (99, "b") in rows and len(rows) == 9  # 8 a/c rows + the new b
+
+
+def test_compact_vector_index_keeps_probe_pruning(spark, warehouse):
+    """The IVF index survives compaction: inverted-list partition tuples
+    carry through, so probe pruning and probe-all exactness hold."""
+    import numpy as np
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        fixed_centroids,
+    )
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_topk_persisted,
+    )
+
+    rng = np.random.default_rng(11)
+    mk = lambda n, s: spark.createDataFrame(
+        [(s + i, [float(x) for x in rng.normal(size=8)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = mk(80, 0)
+    idx = build_vector_index(
+        catalog, "ann", "cidx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    extra = mk(40, 80)
+    append_vectors(idx, extra)  # second load: small files per list
+    idx = catalog.load_table("ann", "cidx")
+    compact_table(idx, target_file_bytes=1 << 20)
+    idx = catalog.load_table("ann", "cidx")
+    snap = idx.snapshot()
+    assert all(f.partition.get("centroid") is not None for f in snap.files)
+    one = int(snap.files[0].partition["centroid"])
+    _, planned = idx._select_files(snap, [("centroid", "in", [one])])
+    assert 0 < len(planned) < len(snap.files)
+    both = corpus.unionByName(extra)
+    queries = corpus.filter("vec_id < 3")
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in ivf_topk_persisted(queries, idx, k=5, nprobe=4).collect()
+    )
+    exact = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9))
+        for r in cosine_topk_bruteforce(queries, both, k=5).collect()
+    )
+    assert got == exact
+
+
 def test_compact_noop_when_files_are_large(loaded_table):
     res = compact_table(loaded_table, target_file_bytes=64)  # every file "large"
     assert res.rewritten_files == 0 and res.output_files == 0
