@@ -567,13 +567,31 @@ def rewrite_zorder(
     n_out = max(1, -(-total_bytes // target_file_bytes))  # ceil
     df = table.read()
     z = zorder_value(df, columns, bits=bits)
-    clustered = (
-        df.withColumn("_zorder", z)
-        .repartitionByRange(n_out, "_zorder")
-        .sortWithinPartitions("_zorder")
-        .drop("_zorder")
-    )
-    new_files = table.stage_dataframe(clustered)
+    pcols = None
+    if snap.partition_spec:
+        # hive-partitioned table: the partition layout dominates — z-order
+        # clusters WITHIN each partition (Iceberg's rewrite sort order is
+        # likewise applied inside the spec's grouping), and staging with
+        # the spec keeps every rewritten file's partition tuple
+        from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+        pcols = partition_columns(
+            [PartitionField(**p) for p in snap.partition_spec]
+        )
+        clustered = (
+            df.withColumn("_zorder", z)
+            .repartition(n_out, *[e for _, e in pcols])
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+    else:
+        clustered = (
+            df.withColumn("_zorder", z)
+            .repartitionByRange(n_out, "_zorder")
+            .sortWithinPartitions("_zorder")
+            .drop("_zorder")
+        )
+    new_files = table.stage_dataframe(clustered, partition_exprs=pcols)
     table.commit(
         new_files,
         snap.schema,

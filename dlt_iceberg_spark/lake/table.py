@@ -2904,7 +2904,16 @@ class LakeTable:
                 c, expr if isinstance(expr, Column) else F.lit(expr)
             )
         updated = updated.select(*[f.name for f in snap.schema.fields])
-        new_files = self.stage_dataframe(updated)
+        # keep the partition layout: image files without tuples would
+        # degrade partition pruning and read as legacy in dynamic overwrite
+        pexprs = None
+        if snap.partition_spec:
+            from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+            pexprs = partition_columns(
+                [PartitionField(**p) for p in snap.partition_spec]
+            )
+        new_files = self.stage_dataframe(updated, partition_exprs=pexprs)
         return self.commit(
             None,
             snap.schema,

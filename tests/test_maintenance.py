@@ -151,6 +151,42 @@ def test_compact_vector_index_keeps_probe_pruning(spark, warehouse):
     assert got == exact
 
 
+def test_update_where_and_zorder_keep_partition_tuples(spark, warehouse):
+    """The other full/partial-rewrite paths hold the partition layout too:
+    update_where's new image files and rewrite_zorder's clustered files
+    all carry their partition tuples."""
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    hints = {"cat": {"x-partition": True}}
+    writer.write(
+        TableSpec(name="up", write_disposition="append", column_hints=hints),
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(20)],
+            "id long, cat string, v double",
+        ),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "up")
+    t.update_where([("id", "<", 4)], {"v": 100.0})
+    t = catalog.load_table("ds", "up")
+    assert all(f.partition.get("cat") is not None for f in t.snapshot().files)
+    got = {r.id: r.v for r in t.read().collect()}
+    assert got[0] == 100.0 and got[3] == 100.0 and got[10] == 10.0
+    # z-order rewrite on the partitioned table: tuples survive, data exact
+    from dlt_iceberg_spark.lake.maintenance import rewrite_zorder
+
+    rewrite_zorder(t, ["id", "v"])
+    t = catalog.load_table("ds", "up")
+    snap = t.snapshot()
+    assert all(f.partition.get("cat") is not None for f in snap.files)
+    _, planned = t._select_files(snap, [("cat", "=", "a")])
+    assert planned and all(f.partition["cat"] == "a" for f in planned)
+    assert {r.id: r.v for r in t.read().collect()} == got
+
+
 def test_compact_noop_when_files_are_large(loaded_table):
     res = compact_table(loaded_table, target_file_bytes=64)  # every file "large"
     assert res.rewritten_files == 0 and res.output_files == 0
