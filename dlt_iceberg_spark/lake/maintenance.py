@@ -668,6 +668,11 @@ def remove_orphan_files(
                     referenced.update(f.path for f in snap.files)
                     referenced.update(d.path for d in snap.delete_files)
                     referenced.update(r.path for r in snap.manifests)
+                    # metadata sidecars (vector-index centroid matrices)
+                    # are referenced through snapshot properties
+                    side = snap.properties.get("vector-index.centroids-file")
+                    if side:
+                        referenced.add(side)
 
     out: dict[str, list[str]] = {"data_files": [], "staging_dirs": [], "metadata_files": []}
 
@@ -701,6 +706,15 @@ def remove_orphan_files(
             for n in io.listdir(meta_dir)
             if n.startswith("m-")
             and n.endswith(".parquet")
+            and f"metadata/{n}" not in referenced
+        ]
+        # vector-index centroid sidecars no snapshot's properties name —
+        # left behind by index rebuilds; live ones are in `referenced`
+        stale_meta += [
+            n
+            for n in io.listdir(meta_dir)
+            if n.startswith("ann-centroids-")
+            and n.endswith(".json")
             and f"metadata/{n}" not in referenced
         ]
         for name in sorted(stale_meta):

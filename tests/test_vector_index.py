@@ -156,6 +156,31 @@ def test_ivfpq_persisted_matches_flat_pq_and_recalls(spark, warehouse):
     # above exact, not to be good quantizers)
 
 
+def test_orphan_sweep_keeps_live_sidecar_drops_stale(spark, warehouse):
+    """remove_orphan_files: the snapshot-referenced centroid sidecar
+    survives, an unreferenced leftover (rebuild residue) is swept."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import remove_orphan_files
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 40, seed=5)
+    idx = build_vector_index(
+        catalog, "ann", "sweep_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    live = idx.snapshot().properties["vector-index.centroids-file"]
+    stale_rel = "metadata/ann-centroids-deadbeef.json"
+    with open(os.path.join(idx.location, stale_rel), "w") as fh:
+        fh.write("[]")
+    out = remove_orphan_files(idx, older_than=timedelta(seconds=0))
+    assert stale_rel in out["metadata_files"]
+    assert live not in out["metadata_files"]
+    assert os.path.exists(os.path.join(idx.location, live))
+    # index still answers
+    assert load_centroids(idx)
+
+
 def test_ivfpq_persisted_codes_only_index(spark, warehouse):
     """store_vectors=False drops the fp32 column entirely — the ~32x
     smaller codes-only layout still answers ADC queries; the cosine probe
