@@ -391,3 +391,50 @@ def ivf_pq_topk_persisted(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def index_stats(table) -> dict:
+    """The index's list-skew profile from MANIFESTS alone — zero scans.
+
+    Composes the partition-grouped metadata aggregates
+    (``LakeTable.aggregate_stats(group_by="centroid")``) with the index's
+    self-describing properties: per-inverted-list row counts decide when
+    a frozen-centroid index needs retraining (a hot list concentrates
+    probe cost; an empty one wastes a probe slot).  At any index size
+    this is O(manifest refs).
+
+    Returns ``{"lists", "rows", "min_list", "max_list", "avg_list",
+    "skew"}`` where ``skew = max/avg`` (1.0 = perfectly balanced).
+    """
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    if _PROP_VEC not in snap.properties:
+        raise ValueError(
+            f"{table.location} carries no vector-index metadata; was it "
+            "created by build_vector_index?"
+        )
+    groups = table.aggregate_stats(group_by=["centroid"])
+    if groups is None:
+        # MoR masks or missing stats: fall back to one scan
+        rows = [
+            (r["centroid"], r["count"])
+            for r in table.read()
+            .groupBy("centroid")
+            .count()
+            .collect()
+        ]
+        counts = {c: n for c, n in rows}
+    else:
+        counts = {g["centroid"]: g["count"] for g in groups}
+    n_lists = len(counts)
+    total = sum(counts.values())
+    avg = total / n_lists if n_lists else 0.0
+    return {
+        "lists": n_lists,
+        "rows": total,
+        "min_list": min(counts.values(), default=0),
+        "max_list": max(counts.values(), default=0),
+        "avg_list": round(avg, 2),
+        "skew": round(max(counts.values(), default=0) / avg, 3) if avg else 0.0,
+    }

@@ -202,3 +202,38 @@ def test_ivfpq_persisted_codes_only_index(spark, warehouse):
         corpus.filter("vec_id < 2"), idx, k=3, nprobe=4
     )
     assert out.count() == 6
+
+
+def test_index_stats_from_manifests_alone(spark, warehouse, monkeypatch):
+    """index_stats answers the list-skew profile from manifest partition
+    tuples — zero data reads (pinned by a no-read monkeypatch)."""
+    from dlt_iceberg_spark.operators import vector_index as vi
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 120, seed=6)
+    idx = build_vector_index(
+        catalog, "ann", "stats_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    def _no_read(self, *a, **k):
+        raise AssertionError("index_stats must not scan data")
+
+    monkeypatch.setattr(LakeTable, "read", _no_read)
+    monkeypatch.setattr(LakeTable, "read_files", _no_read)
+    stats = vi.index_stats(idx)
+    assert stats["rows"] == 120
+    assert stats["lists"] == len(
+        {f.partition["centroid"] for f in idx.snapshot().files}
+    )
+    assert stats["min_list"] >= 1 and stats["max_list"] <= 120
+    assert stats["skew"] >= 1.0
+    monkeypatch.undo()
+    # agrees with the scan
+    by_list = {
+        r.centroid: r["count"]
+        for r in idx.read().groupBy("centroid").count().collect()
+    }
+    assert stats["max_list"] == max(by_list.values())
+    assert stats["rows"] == sum(by_list.values())
