@@ -58,16 +58,25 @@ _PROP_ID = "vector-index.id-col"
 _PROP_N = "vector-index.n-centroids"
 _PROP_METRIC = "vector-index.metric"
 _PROP_PQ = "vector-index.pq"  # "m,k" when the index stores PQ codes
+_PROP_META = "vector-index.metadata-cols"  # csv of filterable passthroughs
 
 
-def _assigned(batch: DataFrame, centroids, vec_col: str, id_col: str) -> DataFrame:
-    """Map-side list assignment: (id, vector, centroid) — one Arrow-batched
-    BLAS argmax against the broadcast centroid matrix, no shuffle."""
+def _assigned(
+    batch: DataFrame,
+    centroids,
+    vec_col: str,
+    id_col: str,
+    extra_cols: tuple | list = (),
+) -> DataFrame:
+    """Map-side list assignment: (id, vector, centroid[, metadata…]) — one
+    Arrow-batched BLAS argmax against the broadcast centroid matrix, no
+    shuffle."""
     assign1 = _nearest_centroids(centroids, 1)
     return fan_out(_as_double(batch, vec_col)).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias(vec_col),
         assign1(F.col(vec_col))[0].cast("int").alias("centroid"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -87,6 +96,7 @@ def write_vector_index(
     k_codes: int = 16,
     codebooks: list[list[list[float]]] | None = None,
     store_vectors: bool = True,
+    metadata_cols: list[str] | None = None,
 ):
     """Train (bounded sample — O(sample), never O(corpus)) and materialize
     the IVF index into ``table`` (a LakeTable handle; a fresh location gets
@@ -102,7 +112,13 @@ def write_vector_index(
     lookups instead of float dot products; ``store_vectors=False``
     additionally DROPS the raw vector column — a 64-dim fp32 corpus
     shrinks ~32× in the index, the layout for corpora whose vectors
-    cannot reside at all.  Returns the index snapshot."""
+    cannot reside at all.
+
+    ``metadata_cols`` are filterable passthrough columns (tenant, label,
+    language…) carried INTO the index rows so
+    :func:`ivf_topk_persisted(where=...)` can bound candidates by
+    metadata before any distance math — the per-tenant retrieval shape.
+    Returns the index snapshot."""
     if pq and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
@@ -111,7 +127,9 @@ def write_vector_index(
         )
     if centroids is None:
         centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
-    assigned = _assigned(corpus, centroids, vec_col, id_col)
+    assigned = _assigned(
+        corpus, centroids, vec_col, id_col, extra_cols=metadata_cols or ()
+    )
     if codebooks is not None:
         assigned = _with_codes(assigned, codebooks, vec_col, store_vectors)
     props = {
@@ -122,6 +140,8 @@ def write_vector_index(
     }
     if codebooks is not None:
         props[_PROP_PQ] = f"{len(codebooks)},{len(codebooks[0])}"
+    if metadata_cols:
+        props[_PROP_META] = ",".join(metadata_cols)
     if table.current_version() is None:
         table.commit(
             [],
@@ -254,8 +274,15 @@ def append_vectors(table, batch: DataFrame) -> Any:
     snap = table.snapshot()
     side = _load_sidecar(table)
     vec_col = snap.properties[_PROP_VEC]
+    meta_cols = [
+        c for c in snap.properties.get(_PROP_META, "").split(",") if c
+    ]
     assigned = _assigned(
-        batch, side["centroids"], vec_col, snap.properties[_PROP_ID]
+        batch,
+        side["centroids"],
+        vec_col,
+        snap.properties[_PROP_ID],
+        extra_cols=meta_cols,
     )
     if "codebooks" in side:
         # IVF-PQ index: encode against the FROZEN codebooks too
@@ -283,6 +310,7 @@ def ivf_topk_persisted(
     table,
     k: int = 10,
     nprobe: int = 4,
+    where: list | None = None,
 ) -> DataFrame:
     """Top-k over the PERSISTED index: queries probe the ``nprobe`` nearest
     stored lists only.
@@ -296,6 +324,11 @@ def ivf_topk_persisted(
     With ``nprobe >= n_centroids`` results are EXACT (probe-all — every
     vector is in exactly one list), which is what lets the gate oracle
     hash-verify the whole persisted machinery against brute force.
+
+    ``where`` (same predicate form as :meth:`LakeTable.read`) bounds
+    candidates by the index's ``metadata_cols`` BEFORE any distance math
+    — it rides the same pruned scan as the centroid probe, so filtered
+    per-tenant retrieval costs the filter's survivors, never the lists.
     """
     snap = table.snapshot()
     centroids = load_centroids(table)
@@ -311,7 +344,9 @@ def ivf_topk_persisted(
     probed_ids = sorted(
         {r[0] for r in probes.select("centroid").distinct().collect()}
     )
-    lists = table.read(where=[("centroid", "in", probed_ids)]).select(
+    lists = table.read(
+        where=[("centroid", "in", probed_ids)] + list(where or [])
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         "centroid",

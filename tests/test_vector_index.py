@@ -237,3 +237,35 @@ def test_index_stats_from_manifests_alone(spark, warehouse, monkeypatch):
     }
     assert stats["max_list"] == max(by_list.values())
     assert stats["rows"] == sum(by_list.values())
+
+
+def test_filtered_persisted_search_with_metadata_cols(spark, warehouse):
+    """metadata_cols ride into the index rows; a where= probe bounds
+    candidates before any distance math and (probe-all) equals brute
+    force over the filtered corpus.  Appends carry the metadata too."""
+    rng = np.random.default_rng(13)
+    rows = [
+        (i, int(i % 3), [float(x) for x in rng.normal(size=8)])
+        for i in range(150)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    catalog = LakeCatalog(spark, warehouse)
+    idx = build_vector_index(
+        catalog, "ann", "f_idx",
+        corpus.filter("vec_id < 100"),
+        n_centroids=4,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        metadata_cols=["label"],
+    )
+    append_vectors(idx, corpus.filter("vec_id >= 100"))
+    idx = catalog.load_table("ann", "f_idx")
+    assert idx.read().filter("label IS NULL").count() == 0
+
+    queries = corpus.filter("vec_id < 3")
+    got = ivf_topk_persisted(
+        queries, idx, k=5, nprobe=4, where=[("label", "=", 1)]
+    )
+    exact = cosine_topk_bruteforce(queries, corpus.filter("label = 1"), k=5)
+    assert _ranked(got) == _ranked(exact)
