@@ -48,12 +48,18 @@ def stream_index_vectors(
     from_beginning: bool = True,
     max_versions_per_batch: int | None = 1,
     dataset_name: str = "main",
+    **index_options,
 ) -> StreamingQuery:
     """Stand up the index-maintenance stream over the LakeTable at
     ``source_location``; returns the running :class:`StreamingQuery`.
 
     ``index_table`` is a LakeTable handle for the index location
     (bootstrapped on the first nonempty epoch if it doesn't exist).
+    ``index_options`` (``pq=``, ``codebooks=``, ``store_vectors=``,
+    ``metadata_cols=``, …) pass through to the bootstrap
+    :func:`write_vector_index` — an IVF-PQ or metadata-filtered index
+    maintains from a stream exactly like the plain one, since appends
+    read the frozen contract from the table's own properties.
     Snapshot-grained epochs need a processing-time trigger — for a
     bounded catch-up run use :func:`run_index_backfill`."""
     stream = read_stream(
@@ -82,6 +88,7 @@ def stream_index_vectors(
                 n_centroids=n_centroids,
                 seed=seed,
                 centroids=centroids,
+                **index_options,
             )
         else:
             append_vectors(index_table, batch_df)

@@ -118,3 +118,49 @@ def test_stream_replayed_epoch_skipped_by_ledger(spark, warehouse, tmp_path):
         n_centroids=4, state=state, query_name="vi2",
     )
     assert index.read().count() == 30  # no duplicated vectors
+
+
+def test_stream_bootstraps_ivfpq_with_metadata(spark, warehouse, tmp_path):
+    """index_options pass through the stream bootstrap: an IVF-PQ index
+    with metadata columns maintains from the stream — appends read the
+    frozen contract (codebooks, metadata cols) from table properties."""
+    import numpy as np
+
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import ivf_pq_topk_persisted
+
+    rng = np.random.default_rng(21)
+    mk = lambda n, s: spark.createDataFrame(
+        [
+            (s + i, int((s + i) % 2), [float(x) for x in rng.normal(size=16)])
+            for i in range(n)
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    first, second = mk(60, 0), mk(40, 60)
+    writer.write(TableSpec(name="v2", write_disposition="append"), first, load_id="l0")
+    src = catalog.load_table("ds", "v2")
+    full = first.unionByName(second)
+    idx = LakeTable(spark, str(tmp_path / "pqidx"))
+    opts = dict(
+        n_centroids=4,
+        centroids=fixed_centroids(first, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(full, m_subspaces=4, k_codes=16),
+        metadata_cols=["label"],
+        query_name="vpq",
+    )
+    run_index_backfill(
+        spark, src.location, idx, checkpoint_dir=str(tmp_path / "ck"), **opts
+    )
+    writer.write(TableSpec(name="v2", write_disposition="append"), second, load_id="l1")
+    run_index_backfill(
+        spark, src.location, idx, checkpoint_dir=str(tmp_path / "ck"), **opts
+    )
+    assert idx.read().count() == 100
+    assert idx.read().filter("pq_code IS NULL OR label IS NULL").count() == 0
+    out = ivf_pq_topk_persisted(full.filter("vec_id < 2"), idx, k=3, nprobe=4)
+    assert out.count() == 6
