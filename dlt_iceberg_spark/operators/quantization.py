@@ -132,12 +132,19 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
 
     Queries collect to a driver-side lookup-table set (queries are few; the
     corpus is the big side and never moves), broadcast, and each corpus
-    partition scores its rows with integer table lookups."""
+    partition scores its rows with integer table lookups.
+
+    ``allowed`` — optional (query_id, neighbor_id) pairs applied BEFORE
+    the ranking window: IVF callers pass their per-query probe sets here
+    so a neighbor from an unprobed list can never crowd a real candidate
+    out of the top-k (filtering after the window would silently return
+    fewer than k rows)."""
     import numpy as np
     import pandas as pd
 
@@ -183,6 +190,8 @@ def pq_topk(
         .mapInPandas(score, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    if allowed is not None:
+        scored = scored.join(allowed, ["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -237,19 +246,13 @@ def ivfpq_topk(
         F.explode(probe_n(F.col(vec_col).cast("array<double>"))).alias("_centroid"),
     )
     # keep only corpus rows in a probed list, then ADC-score the remainder;
-    # the semi-join keys on the centroid id (broadcast — queries are few)
+    # the semi-join keys on the centroid id (broadcast — queries are few).
+    # The per-query probe set gates the ranking INSIDE pq_topk so a
+    # neighbor from an unprobed list never crowds a real candidate out of
+    # the top-k (a post-window filter would return fewer than k rows).
     probed = codes.join(
         F.broadcast(probes.select("_centroid").distinct()), "_centroid"
     ).drop("_centroid")
-    out = pq_topk(queries, probed, books, vec_col, id_col, k)
-    # a neighbor scored from a list the query did NOT probe must not count:
-    # re-join against the per-query probe set
     lists = codes.select(F.col(id_col).alias("neighbor_id"), "_centroid")
     allowed = probes.join(lists, "_centroid").select("query_id", "neighbor_id")
-    filtered = out.join(allowed, ["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
-    return (
-        filtered.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
-    )
+    return pq_topk(queries, probed, books, vec_col, id_col, k, allowed=allowed)

