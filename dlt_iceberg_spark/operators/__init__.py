@@ -40,6 +40,16 @@ from dlt_iceberg_spark.operators.asof import asof_join
 from dlt_iceberg_spark.operators.range_join import interval_join
 from dlt_iceberg_spark.operators.graph import connected_components, dedup_clusters
 from dlt_iceberg_spark.operators.quantization import ivfpq_topk, pq_encode, pq_topk, pq_train
+from dlt_iceberg_spark.operators.vector_index import (
+    append_vectors,
+    build_vector_index,
+    index_stats,
+    ivf_pq_topk_persisted,
+    ivf_topk_persisted,
+    load_centroids,
+    load_codebooks,
+    write_vector_index,
+)
 from dlt_iceberg_spark.operators.skew import salted_agg, salted_join, with_salt
 from dlt_iceberg_spark.operators.text import (
     token_stats,
@@ -77,6 +87,14 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "append_vectors",
+    "build_vector_index",
+    "index_stats",
+    "ivf_pq_topk_persisted",
+    "ivf_topk_persisted",
+    "load_centroids",
+    "load_codebooks",
+    "write_vector_index",
     "char_ngram_jaccard_pairs",
     "minhash_verified_pairs",
     "batch_vs_corpus_dedup",
