@@ -167,7 +167,14 @@ def write_vector_index(
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
 
     pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
-    files = table.stage_dataframe(assigned, partition_exprs=pcols)
+    # co-locate each inverted list before staging: without this the
+    # assignment fan-out × partitionBy writes O(tasks × lists) tiny files
+    # and every probe pays their open/footer cost — one-ish file per list
+    # per load is the natural floor (compaction merges across loads)
+    files = table.stage_dataframe(
+        assigned.repartition(len(centroids), F.col("centroid")),
+        partition_exprs=pcols,
+    )
     return table.commit(
         files,
         assigned.schema,
@@ -291,7 +298,10 @@ def append_vectors(table, batch: DataFrame) -> Any:
             assigned, side["codebooks"], vec_col, store_vectors
         )
     pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
-    new_files = table.stage_dataframe(assigned, partition_exprs=pcols)
+    new_files = table.stage_dataframe(
+        assigned.repartition(len(side["centroids"]), F.col("centroid")),
+        partition_exprs=pcols,
+    )
     if not new_files:
         return snap
     return table.commit(
