@@ -99,8 +99,11 @@ def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Replace ``vec_col`` with ``pq_code: array<int>`` (length m).
+    """Replace ``vec_col`` with ``pq_code: array<int>`` (length m);
+    ``keep_vec=True`` keeps the vector column alongside the codes (the
+    store_vectors index layout — one encode pass, never two).
 
     Vectorized: per Arrow batch, one distance matrix per subspace."""
     import numpy as np
@@ -122,7 +125,8 @@ def pq_encode(
 
     encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
     udf = pandas_udf("array<int>")(encode)
-    return df.withColumn("pq_code", udf(F.col(vec_col).cast("array<double>"))).drop(vec_col)
+    coded = df.withColumn("pq_code", udf(F.col(vec_col).cast("array<double>")))
+    return coded if keep_vec else coded.drop(vec_col)
 
 
 def pq_topk(

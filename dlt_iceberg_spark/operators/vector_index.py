@@ -118,7 +118,24 @@ def write_vector_index(
     language…) carried INTO the index rows so
     :func:`ivf_topk_persisted(where=...)` can bound candidates by
     metadata before any distance math — the per-tenant retrieval shape.
-    Returns the index snapshot."""
+    Returns the index snapshot.
+
+    Re-building over an EXISTING index is refused: a second build would
+    append rows assigned under NEW centroids while old rows keep their
+    old list assignments and the sidecar pointer flips — probe-all stays
+    exact, but ``nprobe < n_lists`` recall silently degrades on the old
+    rows.  Re-train with :func:`rebuild_vector_index` (one atomic replace
+    that re-assigns every stored row)."""
+    if table.current_version() is not None and _PROP_FILE in (
+        table.snapshot().properties or {}
+    ):
+        raise ValueError(
+            f"{table.location} already holds a built vector index; new "
+            "loads go through append_vectors (frozen centroids) and "
+            "re-training goes through rebuild_vector_index (atomic "
+            "re-assignment of ALL rows) — a second write_vector_index "
+            "would mix assignments from two centroid sets"
+        )
     if pq and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
@@ -233,14 +250,9 @@ def _with_codes(
 ) -> DataFrame:
     from dlt_iceberg_spark.operators.quantization import pq_encode
 
-    coded = pq_encode(assigned, codebooks, vec_col)  # drops vec_col
-    if store_vectors:
-        # pq_encode drops the vector; re-attach from the pre-encode plan
-        # is a join — instead re-run encode keeping the column
-        coded = pq_encode(
-            assigned.withColumn("__v", F.col(vec_col)), codebooks, vec_col
-        ).withColumnRenamed("__v", vec_col)
-    return coded
+    # one Arrow-batched encode pass either way; keep_vec decides whether
+    # the fp32 column rides along into the index rows
+    return pq_encode(assigned, codebooks, vec_col, keep_vec=store_vectors)
 
 
 def _load_sidecar(table) -> dict:
@@ -312,6 +324,138 @@ def append_vectors(table, batch: DataFrame) -> Any:
         manifests=snap.manifests,
         new_files=list(snap.inline_files) + new_files,
         summary={"vectors-appended": sum(f.rows for f in new_files)},
+    )
+
+
+def delete_vectors(table, ids: DataFrame) -> Any:
+    """The takedown path: remove vectors from the persisted index by id,
+    merge-on-read.
+
+    ``ids`` is any DataFrame carrying the index's id column (extra columns
+    are ignored).  The ids land as an EQUALITY-delete file keyed on the id
+    column and the commit reuses parent manifests by reference — O(batch)
+    work, no data-file rewrites, and every read path
+    (:func:`ivf_topk_persisted`, :func:`ivf_pq_topk_persisted`, rerank)
+    applies the mask automatically because probing goes through
+    ``LakeTable.read``.  Equality deletes mask strictly-smaller sequences
+    only, so a later :func:`append_vectors` may legally re-insert an id
+    (the upsert shape the CDC maintainer relies on).  Physical reclamation
+    is ordinary maintenance: ``fold_deletes`` / ``compact_table`` rewrite
+    the masked rows away.
+
+    Corpus hard deletes (``lake/merge.py`` hard_delete_col, reference
+    destination_client.py:1214-1254) propagate here via the CDC maintainer
+    (``stream_index_vectors(changes=True)``) or a direct call."""
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    if _PROP_VEC not in snap.properties:
+        raise ValueError(
+            f"{table.location} carries no vector-index metadata; was it "
+            "created by build_vector_index?"
+        )
+    id_col = snap.properties[_PROP_ID]
+    if id_col not in ids.columns:
+        raise ValueError(f"ids frame lacks the index id column {id_col!r}")
+    new_deletes = table.stage_delete_files(ids.select(id_col), [id_col])
+    if not new_deletes:
+        return snap
+    return table.commit(
+        None,
+        snap.schema,
+        "delete",
+        snap.version,
+        manifests=snap.manifests,
+        new_files=list(snap.inline_files),
+        delete_files=list(snap.delete_files) + new_deletes,
+        summary={"vector-delete-keys": sum(d.rows for d in new_deletes)},
+    )
+
+
+def rebuild_vector_index(
+    table,
+    n_centroids: int | None = None,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> Any:
+    """Re-train and re-assign the WHOLE index in one atomic replace — the
+    drift escape hatch :func:`write_vector_index`'s refusal names.
+
+    Reads every LIVE row (MoR delete masks applied, so takedowns fold out
+    physically here), re-trains centroids on the stored corpus (bounded
+    sample — or takes ``centroids=`` verbatim), re-encodes PQ codes when
+    the index carries them (new ``codebooks=`` or re-trained), re-clusters
+    each new inverted list, and commits ONE replace snapshot with a fresh
+    sidecar — readers see either the old index or the new one, never a
+    mix, and time travel to the pre-rebuild snapshot still works.
+
+    Cost: one clustered rewrite of the index (the ``rewrite_zorder``
+    shape) — O(index), paid when :func:`index_stats` skew says the frozen
+    centroids stopped partitioning the space.  Requires stored vectors
+    (``store_vectors=False`` indexes keep codes only; re-assignment needs
+    the fp32 vectors — rebuild from the source corpus instead)."""
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    side = _load_sidecar(table)
+    vec_col = snap.properties[_PROP_VEC]
+    id_col = snap.properties[_PROP_ID]
+    if not any(f.name == vec_col for f in snap.schema.fields):
+        raise ValueError(
+            "rebuild needs stored vectors; this index was built with "
+            "store_vectors=False — re-run build from the source corpus"
+        )
+    meta_cols = [c for c in snap.properties.get(_PROP_META, "").split(",") if c]
+    live = table.read().select(id_col, vec_col, *meta_cols)
+    if centroids is None:
+        centroids = _train_spherical_kmeans(
+            live, vec_col, n_centroids or int(snap.properties[_PROP_N]), seed
+        )
+    if "codebooks" in side and codebooks is None:
+        from dlt_iceberg_spark.operators.quantization import pq_train
+
+        old = side["codebooks"]
+        codebooks = pq_train(live, vec_col, len(old), len(old[0]), seed=seed)
+    assigned = _assigned(live, centroids, vec_col, id_col, extra_cols=meta_cols)
+    if codebooks is not None:
+        assigned = _with_codes(assigned, codebooks, vec_col, store_vectors=True)
+    rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
+    table._io.write_text(
+        os.path.join(table.location, rel),
+        json.dumps(
+            centroids
+            if codebooks is None
+            else {"centroids": centroids, "codebooks": codebooks}
+        ),
+    )
+    from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+    pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
+    new_files = table.stage_dataframe(
+        assigned.repartition(len(centroids), F.col("centroid")),
+        partition_exprs=pcols,
+    )
+    return table.commit(
+        new_files,
+        assigned.schema,
+        "replace",
+        snap.version,
+        partition_spec=snap.partition_spec,
+        # the rewrite folded every outstanding mask into the live read —
+        # carrying the old delete files forward would only tax planning
+        delete_files=[],
+        properties={
+            **snap.properties,
+            _PROP_FILE: rel,
+            _PROP_N: str(len(centroids)),
+            **(
+                {_PROP_PQ: f"{len(codebooks)},{len(codebooks[0])}"}
+                if codebooks is not None
+                else {}
+            ),
+        },
+        summary={"vector-index-rebuild": len(centroids)},
     )
 
 
@@ -485,7 +629,12 @@ def index_stats(table) -> dict:
     this is O(manifest refs).
 
     Returns ``{"lists", "rows", "min_list", "max_list", "avg_list",
-    "skew"}`` where ``skew = max/avg`` (1.0 = perfectly balanced).
+    "skew", "files", "max_files_per_list"}`` where ``skew = max/avg``
+    (1.0 = perfectly balanced).  ``max_files_per_list`` is the probe-time
+    open/footer cost signal: every :func:`append_vectors` lands ~1 file
+    per list, so after N loads it reads ~N — ``compact_table`` collapses
+    it back to ~1 (partition-preserving rewrite; pinned in
+    tests/test_vector_index.py).
     """
     snap = table.snapshot()
     if snap is None:
@@ -511,6 +660,10 @@ def index_stats(table) -> dict:
     n_lists = len(counts)
     total = sum(counts.values())
     avg = total / n_lists if n_lists else 0.0
+    fcounts: dict[str, int] = {}
+    for f in snap.files:
+        key = (f.partition or {}).get("centroid")
+        fcounts[key] = fcounts.get(key, 0) + 1
     return {
         "lists": n_lists,
         "rows": total,
@@ -518,4 +671,6 @@ def index_stats(table) -> dict:
         "max_list": max(counts.values(), default=0),
         "avg_list": round(avg, 2),
         "skew": round(max(counts.values(), default=0) / avg, 3) if avg else 0.0,
+        "files": len(snap.files),
+        "max_files_per_list": max(fcounts.values(), default=0),
     }

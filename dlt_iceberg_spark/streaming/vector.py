@@ -25,8 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import functions as F
+
 from dlt_iceberg_spark.operators.vector_index import (
     append_vectors,
+    delete_vectors,
     write_vector_index,
 )
 from dlt_iceberg_spark.streaming.source import read_stream
@@ -48,6 +51,7 @@ def stream_index_vectors(
     from_beginning: bool = True,
     max_versions_per_batch: int | None = 1,
     dataset_name: str = "main",
+    changes: bool = False,
     **index_options,
 ) -> StreamingQuery:
     """Stand up the index-maintenance stream over the LakeTable at
@@ -60,12 +64,24 @@ def stream_index_vectors(
     :func:`write_vector_index` — an IVF-PQ or metadata-filtered index
     maintains from a stream exactly like the plain one, since appends
     read the frozen contract from the table's own properties.
+
+    ``changes=True`` opens the source in CDC mode (the takedown path):
+    each epoch's delete images remove their ids from the index
+    (:func:`delete_vectors`, MoR equality deletes) BEFORE its insert
+    images append — so a corpus hard delete (``merge_hard_delete``,
+    ``position_delete_where``) propagates to the index in the epoch it
+    lands, and an upsert (delete(old)+insert(new), same id) resolves to
+    the new image because equality deletes mask strictly-smaller
+    sequences only.  Without CDC the source's appends are the only thing
+    the index ever sees — deleted vectors stay queryable forever.
+
     Snapshot-grained epochs need a processing-time trigger — for a
     bounded catch-up run use :func:`run_index_backfill`."""
     stream = read_stream(
         spark,
         source_location,
         from_beginning=from_beginning,
+        **({"changes": True} if changes else {}),
         **(
             {"max_versions_per_batch": max_versions_per_batch}
             if max_versions_per_batch is not None
@@ -77,7 +93,22 @@ def stream_index_vectors(
         load_id = f"{query_name}.{batch_id}"
         if state is not None and state.load_recorded(load_id):
             return
+        if changes:
+            deletes = batch_df.filter(
+                F.col("_change_type") == "delete"
+            ).select(id_col)
+            batch_df = batch_df.filter(F.col("_change_type") == "insert").drop(
+                "_change_type", "_commit_version"
+            )
+            # deletes first: the lower-sequence masks spare this epoch's
+            # own inserts, giving upserts last-write-wins in one epoch
+            if index_table.current_version() is not None and not deletes.isEmpty():
+                delete_vectors(index_table, deletes)
         if batch_df.isEmpty():
+            if state is not None:
+                state.store_completed_load(
+                    load_id, dataset_name, schema_version_hash=""
+                )
             return
         if index_table.current_version() is None:
             write_vector_index(

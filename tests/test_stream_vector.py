@@ -164,3 +164,67 @@ def test_stream_bootstraps_ivfpq_with_metadata(spark, warehouse, tmp_path):
     assert idx.read().filter("pq_code IS NULL OR label IS NULL").count() == 0
     out = ivf_pq_topk_persisted(full.filter("vec_id < 2"), idx, k=3, nprobe=4)
     assert out.count() == 6
+
+
+def test_cdc_stream_propagates_corpus_deletes(spark, warehouse, tmp_path):
+    """changes=True: a hard delete in the source corpus propagates to the
+    index in its epoch — the deleted vector stops being a neighbor, and
+    an upsert (delete+insert same id) resolves to the new image."""
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    first = _vectors(spark, 60, seed=11)
+    second = _vectors(spark, 40, seed=12, start_id=60)
+    for i, df in enumerate((first, second)):
+        writer.write(
+            TableSpec(name="cvecs", write_disposition="append"), df, load_id=f"l{i}"
+        )
+    src = catalog.load_table("ds", "cvecs")
+    # corpus takedown: MoR row delete in the source
+    src.position_delete_where([("vec_id", "in", [7, 63])])
+
+    index = LakeTable(spark, str(tmp_path / "cidx"))
+    run_index_backfill(
+        spark,
+        src.location,
+        index,
+        checkpoint_dir=str(tmp_path / "cckpt"),
+        n_centroids=4,
+        centroids=fixed_centroids(first, n_centroids=4),
+        query_name="cvi",
+        changes=True,
+    )
+    assert index.read().count() == 98
+    assert index.read().filter("vec_id IN (7, 63)").count() == 0
+
+    live = first.unionByName(second).filter("vec_id NOT IN (7, 63)")
+    queries = first.filter("vec_id < 3")
+    got = ivf_topk_persisted(queries, index, k=5, nprobe=4)
+    exact = cosine_topk_bruteforce(queries, live, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+    # an upsert epoch: same id, new vector — index follows the new image
+    from pyspark.sql import functions as F
+
+    replacement = _vectors(spark, 1, seed=77, start_id=10)
+    src.update_where(
+        [("vec_id", "=", 10)],
+        {
+            "embedding": F.array(
+                *[F.lit(float(x)) for x in replacement.collect()[0].embedding]
+            )
+        },
+    )
+    run_index_backfill(
+        spark,
+        src.location,
+        index,
+        checkpoint_dir=str(tmp_path / "cckpt"),
+        n_centroids=4,
+        query_name="cvi",
+        changes=True,
+    )
+    rows = index.read().filter("vec_id = 10").collect()
+    assert len(rows) == 1
+    assert rows[0].embedding == replacement.collect()[0].embedding

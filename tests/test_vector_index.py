@@ -304,3 +304,246 @@ def test_ivfpq_rerank_recovers_exact_ranking(spark, warehouse):
     )
     with pytest.raises(ValueError, match="store_vectors"):
         ivf_pq_topk_persisted(queries, codes_only, k=5, nprobe=4, rerank=20)
+
+
+def test_delete_vectors_takedown_lifecycle(spark, warehouse):
+    """The takedown path: delete_vectors masks ids merge-on-read, every
+    probe path excludes them immediately, and compaction folds the masked
+    rows away physically while probe results stay bit-identical."""
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+    from dlt_iceberg_spark.operators.vector_index import delete_vectors, index_stats
+
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 120, seed=21)
+    second = _vectors(spark, 80, seed=22, start_id=120)
+    cents = fixed_centroids(first, n_centroids=8)
+    idx = build_vector_index(
+        catalog, "ann", "td_idx", first, n_centroids=8, centroids=cents
+    )
+    append_vectors(idx, second)
+    idx = catalog.load_table("ann", "td_idx")
+
+    doomed = [5, 17, 60, 130, 199]
+    gone = spark.createDataFrame([(i,) for i in doomed], "vec_id long")
+    snap = delete_vectors(idx, gone)
+    assert snap.operation == "delete"
+    # MoR: data files untouched, equality-delete file on the id column
+    assert any(d.equality_ids == ["vec_id"] for d in snap.delete_files)
+
+    in_list = ", ".join(str(i) for i in doomed)
+    live = first.unionByName(second).filter(f"vec_id NOT IN ({in_list})")
+    queries = first.filter("vec_id < 4")
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=8)
+    exact = cosine_topk_bruteforce(queries, live, k=5)
+    assert _ranked(got) == _ranked(exact)
+    assert idx.read().filter(f"vec_id IN ({in_list})").count() == 0
+
+    # compaction folds the masks physically; probes are bit-identical
+    before = _ranked(got)
+    compact_table(idx)
+    snap2 = idx.snapshot()
+    assert not snap2.delete_files
+    assert idx.read().count() == 195
+    assert _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=8)) == before
+    # stats valid again from manifests alone after the fold
+    assert index_stats(idx)["rows"] == 195
+
+
+def test_delete_then_append_reinserts_id(spark, warehouse):
+    """Equality deletes mask strictly-smaller sequences only: an id
+    deleted and later re-appended (the upsert shape) is live with its NEW
+    vector."""
+    from dlt_iceberg_spark.operators.vector_index import delete_vectors
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 60, seed=23)
+    idx = build_vector_index(
+        catalog, "ann", "ri_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    delete_vectors(idx, spark.createDataFrame([(7,)], "vec_id long"))
+    assert idx.read().filter("vec_id = 7").count() == 0
+    new_row = _vectors(spark, 1, seed=99, start_id=7)
+    append_vectors(idx, new_row)
+    got = idx.read().filter("vec_id = 7").collect()
+    assert len(got) == 1
+    assert got[0].embedding == new_row.collect()[0].embedding
+
+
+def test_write_vector_index_refuses_second_build(spark, warehouse):
+    """The silent-retrain footgun is closed: a second build on a built
+    index raises, naming the rebuild API; append_vectors still works."""
+    import pytest as _pytest
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 50, seed=24)
+    idx = build_vector_index(
+        catalog, "ann", "rf_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    from dlt_iceberg_spark.operators.vector_index import write_vector_index
+
+    with _pytest.raises(ValueError, match="rebuild_vector_index"):
+        write_vector_index(idx, corpus, n_centroids=4)
+    append_vectors(idx, _vectors(spark, 10, seed=25, start_id=50))
+    assert idx.read().count() == 60
+
+
+def test_rebuild_vector_index_atomic_retrain(spark, warehouse):
+    """rebuild_vector_index re-trains and re-assigns ALL rows in ONE
+    replace snapshot: new sidecar, every row's list = argmax against the
+    NEW centroids (old rows included), deletions folded out physically,
+    probe-all still exact, and time travel to the pre-rebuild index works."""
+    from dlt_iceberg_spark.operators.vector_index import (
+        delete_vectors,
+        rebuild_vector_index,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 100, seed=26)
+    second = _vectors(spark, 100, seed=27, start_id=100)
+    idx = build_vector_index(
+        catalog, "ann", "rb_idx", first,
+        n_centroids=4, centroids=fixed_centroids(first, n_centroids=4),
+    )
+    append_vectors(idx, second)
+    delete_vectors(idx, spark.createDataFrame([(3,), (150,)], "vec_id long"))
+    old_rel = idx.snapshot().properties["vector-index.centroids-file"]
+    pre_version = idx.current_version()
+
+    live = first.unionByName(second).filter("vec_id NOT IN (3, 150)")
+    new_cents = fixed_centroids(live, n_centroids=8)
+    snap = rebuild_vector_index(idx, centroids=new_cents)
+    assert snap.operation == "replace"
+    assert not snap.delete_files  # masks folded into the rewrite
+    assert snap.properties["vector-index.n-centroids"] == "8"
+    assert snap.properties["vector-index.centroids-file"] != old_rel
+    assert idx.read().count() == 198
+
+    # every stored row sits in the argmax list of the NEW centroid matrix
+    cmat = np.array(load_centroids(idx))
+    cmat = cmat / np.maximum(
+        np.sqrt((cmat * cmat).sum(axis=1, keepdims=True)), 1e-12
+    )
+    for r in idx.read().collect():
+        v = np.array(r.embedding)
+        v = v / max(float(np.sqrt((v * v).sum())), 1e-12)
+        assert int((cmat @ v).argmax()) == r.centroid
+
+    queries = first.filter("vec_id < 4 AND vec_id <> 3")
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=8)
+    exact = cosine_topk_bruteforce(queries, live, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+    # pre-rebuild snapshot still answers (time travel intact)
+    old = idx.read(snapshot_version=pre_version)
+    assert old.count() == 198  # same live rows, old layout
+
+
+def test_rebuild_refuses_codes_only_index(spark, warehouse):
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.vector_index import rebuild_vector_index
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 60, dim=16, seed=28)
+    idx = build_vector_index(
+        catalog, "ann", "rbc_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+        store_vectors=False,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="store_vectors=False"):
+        rebuild_vector_index(idx)
+
+
+def test_rebuild_pq_index_reencodes(spark, warehouse):
+    """A PQ index rebuild re-trains codebooks on the live corpus and
+    re-encodes every row; ADC probes keep answering."""
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.vector_index import (
+        ivf_pq_topk_persisted,
+        load_codebooks,
+        rebuild_vector_index,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 120, dim=16, seed=29)
+    idx = build_vector_index(
+        catalog, "ann", "rbq_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+    )
+    new_books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=8)
+    rebuild_vector_index(
+        idx,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        codebooks=new_books,
+    )
+    assert load_codebooks(idx) == new_books
+    assert idx.read().filter("pq_code IS NULL").count() == 0
+    out = ivf_pq_topk_persisted(corpus.filter("vec_id < 2"), idx, k=3, nprobe=4)
+    assert out.count() == 6
+
+
+def test_index_compaction_collapses_files_per_list(spark, warehouse):
+    """N loads land ~1 file per list each; compact_table collapses the
+    per-list file count back to ~1 and probe results are bit-identical —
+    the maintenance contract that keeps probe open/footer cost flat over
+    a year of daily appends."""
+    from dlt_iceberg_spark.lake.maintenance import compact_table
+    from dlt_iceberg_spark.operators.vector_index import index_stats
+
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 80, seed=30)
+    idx = build_vector_index(
+        catalog, "ann", "cp_idx", first,
+        n_centroids=4, centroids=fixed_centroids(first, n_centroids=4),
+    )
+    for i in range(3):
+        append_vectors(idx, _vectors(spark, 60, seed=31 + i, start_id=80 + 60 * i))
+    stats = index_stats(idx)
+    assert stats["max_files_per_list"] >= 3  # one-ish file per list per load
+
+    queries = first.filter("vec_id < 4")
+    before = _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=4))
+    res = compact_table(idx)
+    assert res.rewritten_files > 0
+    after_stats = index_stats(idx)
+    assert after_stats["max_files_per_list"] == 1
+    assert after_stats["rows"] == stats["rows"]
+    # partition layout preserved: every rewritten file keeps its tuple
+    assert all("centroid" in f.partition for f in idx.snapshot().files)
+    assert _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=4)) == before
+
+
+def test_pq_build_encodes_once(spark, warehouse, monkeypatch):
+    """store_vectors=True builds run ONE Arrow-batched encode pass (the
+    old path encoded twice and threw one away)."""
+    from dlt_iceberg_spark.operators import quantization as qz
+    from dlt_iceberg_spark.operators import vector_index as vi
+
+    calls = []
+    real = qz.pq_encode
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(qz, "pq_encode", counting)
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 60, dim=16, seed=33)
+    idx = build_vector_index(
+        catalog, "ann", "se_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True,
+        codebooks=__import__(
+            "dlt_iceberg_spark.operators.quantization", fromlist=["pq_codebooks_fixed"]
+        ).pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16),
+    )
+    assert len(calls) == 1
+    assert "embedding" in [f.name for f in idx.snapshot().schema.fields]
+    assert idx.read().filter("pq_code IS NULL").count() == 0
