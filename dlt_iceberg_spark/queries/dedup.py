@@ -1396,6 +1396,250 @@ _STREAM_VECIDX_CACHE: dict = {}
 
 
 @query(
+    "ann_delete_lifecycle",
+    # The takedown path, driver-verified end-to-end: the index is built,
+    # appended to, and then a deterministic slice of ids (vec_id % 7 = 3)
+    # is HARD-DELETED via delete_vectors (MoR equality deletes on the id
+    # column — no data-file rewrite).  Probe-all over the masked index
+    # must hash-match brute force over a corpus that NEVER contained the
+    # deleted rows — proving the masks reach every probe path.  The
+    # physical fold (compaction) keeping probes bit-identical is pinned
+    # in tests/test_vector_index.py.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+               WHERE vec_id % 7 <> 3),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Vector takedown lifecycle (operators/vector_index.py "
+        "delete_vectors): corpus hard-deletes become MoR equality deletes "
+        "on the index; probe-all over the masked index hash-matches an "
+        "oracle that never saw the deleted rows.  Physical fold via "
+        "compaction pinned in pytest."
+    ),
+)
+def ann_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        delete_vectors,
+        ivf_topk_persisted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_DEL_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_del_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        idx = build_vector_index(
+            catalog, "gate", "del_idx", first,
+            n_centroids=8,
+            centroids=fixed_centroids(first, "embedding", "vec_id", 8),
+        )
+        append_vectors(idx, e.filter(F.col("vec_id") % 2 == 1))
+        delete_vectors(idx, e.filter(F.col("vec_id") % 7 == 3))
+        idx = catalog.load_table("gate", "del_idx")
+        _ANN_DEL_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_DEL_CACHE: dict = {}
+
+
+@query(
+    "ann_rebuild",
+    # The drift escape hatch, driver-verified: build on half the corpus,
+    # append the rest, hard-delete a slice, then REBUILD — one atomic
+    # replace that re-trains (here: deterministic fixed centroids over the
+    # live corpus, a DIFFERENT list count than the original 8) and
+    # re-assigns every stored row under the new centroids.  Probe-all over
+    # the rebuilt index must hash-match brute force over the live corpus —
+    # proving the rewrite lost nothing, duplicated nothing, and folded the
+    # deletes.  nprobe<n recall restoration + refusal of a second build
+    # are pinned in tests/test_vector_index.py.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+               WHERE vec_id % 11 <> 5),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Atomic index rebuild (operators/vector_index.py "
+        "rebuild_vector_index): re-train + re-assign ALL rows as one "
+        "replace snapshot with a fresh centroid sidecar; probe-all over "
+        "the rebuilt index hash-matches brute force over the live corpus "
+        "(deletes folded, rows preserved exactly)."
+    ),
+)
+def ann_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        delete_vectors,
+        ivf_topk_persisted,
+        rebuild_vector_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_REBUILD_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_rb_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        idx = build_vector_index(
+            catalog, "gate", "rb_idx", first,
+            n_centroids=8,
+            centroids=fixed_centroids(first, "embedding", "vec_id", 8),
+        )
+        append_vectors(idx, e.filter(F.col("vec_id") % 2 == 1))
+        delete_vectors(idx, e.filter(F.col("vec_id") % 11 == 5))
+        live = e.filter(F.col("vec_id") % 11 != 5)
+        rebuild_vector_index(
+            idx, centroids=fixed_centroids(live, "embedding", "vec_id", 4)
+        )
+        idx = catalog.load_table("gate", "rb_idx")
+        _ANN_REBUILD_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=4)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_REBUILD_CACHE: dict = {}
+
+
+@query(
+    "stream_vector_cdc",
+    # CDC-driven index maintenance, driver-verified: the source LakeTable
+    # takes two appends and then a MoR row delete (the corpus takedown);
+    # the maintainer stream runs in CDC mode, so the delete epoch removes
+    # those ids from the index via delete_vectors while append epochs keep
+    # landing frozen-centroid deltas.  Probe-all over the streamed index
+    # must hash-match brute force over a corpus that never saw the deleted
+    # rows.  Upsert resolution (delete+insert same id → new image) pinned
+    # in tests/test_stream_vector.py.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+               WHERE vec_id % 13 <> 4),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "CDC index maintenance (streaming/vector.py changes=True): source "
+        "hard-deletes propagate to the persisted index in their epoch — "
+        "delete images become MoR equality deletes, insert images append "
+        "against frozen centroids; probe-all hash-matches an oracle that "
+        "never saw the deleted rows."
+    ),
+)
+def stream_vector_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import ivf_topk_persisted
+    from dlt_iceberg_spark.streaming.vector import run_index_backfill
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _STREAM_VECCDC_CACHE.get(key)
+    if idx is None:
+        base = tempfile.mkdtemp(prefix="stream_veccdc_")
+        catalog = LakeCatalog(spark, os.path.join(base, "wh"))
+        writer = LakeWriter(catalog, "gate")
+        for i, half in enumerate(
+            (e.filter(F.col("vec_id") % 2 == 0), e.filter(F.col("vec_id") % 2 == 1))
+        ):
+            writer.write(
+                TableSpec(name="cvecs", write_disposition="append"),
+                half,
+                load_id=f"l{i}",
+            )
+        src = catalog.load_table("gate", "cvecs")
+        doomed = [r[0] for r in e.filter(F.col("vec_id") % 13 == 4)
+                  .select("vec_id").collect()]
+        src.position_delete_where([("vec_id", "in", doomed)])
+        idx = LakeTable(spark, os.path.join(base, "idx"))
+        run_index_backfill(
+            spark,
+            src.location,
+            idx,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            n_centroids=8,
+            centroids=fixed_centroids(
+                e.filter(F.col("vec_id") % 2 == 0), "embedding", "vec_id", 8
+            ),
+            query_name="svc",
+            changes=True,
+        )
+        _STREAM_VECCDC_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_STREAM_VECCDC_CACHE: dict = {}
+
+
+@query(
     "ann_pq",
     # Gate trick (the ann_ivf treatment): k-means codebooks are not
     # SQL-replayable, but the PQ machinery is codebook-agnostic — so the
