@@ -104,3 +104,49 @@ def spark_xxhash64_int(value: int, seed: int = SPARK_HASH_SEED) -> int:
 def spark_xxhash64_string(value: str, seed: int = SPARK_HASH_SEED) -> int:
     """Spark ``xxhash64(<string col>)``: UTF-8 bytes."""
     return _signed(xxh64(value.encode("utf-8"), seed))
+
+
+def _np_rotl(x, r):
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _np_avalanche(h):
+    import numpy as np
+
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_P3)
+    return h ^ (h >> np.uint64(32))
+
+
+def spark_xxhash64_long_np(values, seed: int = SPARK_HASH_SEED):
+    """Vectorized :func:`spark_xxhash64_long` over an int64 ndarray — the
+    streaming sink's bucket hot path (one numpy pass instead of a Python
+    call per row).  Bit-equality with the scalar form (and therefore with
+    Spark) is pinned in tests/test_functions.py."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = np.asarray(values, dtype=np.int64).view(np.uint64)
+        # 8-byte tail lane of XXH64: h = seed+P5+8; h ^= round(k); mix
+        k = _np_rotl(v * np.uint64(_P2), 31) * np.uint64(_P1)
+        h = np.uint64((seed + _P5 + 8) & _MASK) ^ k
+        h = _np_rotl(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+        return _np_avalanche(h).view(np.int64)
+
+
+def spark_xxhash64_int_np(values, seed: int = SPARK_HASH_SEED):
+    """Vectorized :func:`spark_xxhash64_int` (4-byte LE path, ints not
+    widened) over an int ndarray."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = (np.asarray(values, dtype=np.int64) & np.int64(0xFFFFFFFF)).astype(
+            np.uint64
+        )
+        h = np.uint64((seed + _P5 + 4) & _MASK) ^ (v * np.uint64(_P1))
+        h = _np_rotl(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+        return _np_avalanche(h).view(np.int64)

@@ -22,9 +22,14 @@ PARTITIONED tables land with full partition metadata: each executor
 task splits its Arrow batch by the table's partition tuples and writes
 one file per tuple, rendering transform values bit-exactly as the batch
 writer's Spark expressions would (identity / year / month / day / hour
-over DATE sources, truncate, and bucket via the pinned pure-Python
-XXH64 — functions/xxhash.py), so stream-landed files cluster per
-partition and PRUNE exactly like batch-landed ones.  Transforms over
+over DATE sources, truncate, and bucket via the pinned XXH64 —
+functions/xxhash.py, numpy-vectorized for int/long keys).  Rendering
+and row grouping are column-at-a-time (numpy / arrow compute /
+factorize), so a bucket-partitioned high-throughput stream pays no
+per-row Python.  Stream-landed files cluster per partition and PRUNE
+exactly like batch-landed ones; null bucket keys land in bucket
+``42 % N`` — the same partition Spark's ``pmod(xxhash64(NULL), N)``
+assigns (xxhash64 of NULL returns the seed).  Transforms over
 TIMESTAMP sources are refused toward ``stream_write``: their rendering
 depends on the writer session's timezone frame (the
 ``write.session-tz-set`` machinery), which executor-side Arrow batches
@@ -84,38 +89,108 @@ def _iso_norm(v):
     return v
 
 
-def _render_partition_value(transform: str, param, v, dtype: str):
-    """The string a batch writer's ``transform_column`` expression would
-    render for this value (hive-layout domain; None passes through)."""
-    if v is None:
-        return None
-    if transform == "identity":
-        return v.isoformat() if dtype == "date" else str(v)
-    if transform == "year":
-        return str(v.year)
-    if transform == "month":
-        return f"{v.year:04d}-{v.month:02d}"
-    if transform == "day":
-        return v.isoformat()
-    if transform == "hour":
-        # date_format(<date>, "yyyy-MM-dd-HH") renders midnight
-        return f"{v.isoformat()}-00"
-    if transform == "truncate":
-        return str(v)[: int(param)]
+def _render_partition_column(c, transform: str, param, dtype: str):
+    """Render one pyarrow column to its hive partition-value strings,
+    COLUMN-at-a-time (numpy / arrow compute — no per-row Python call in
+    the bucket hot path), bit-exact vs the batch writer's
+    ``transform_column`` expressions.  Returns an object ndarray of
+    ``str | None``.
+
+    Null semantics match the batch expressions: Spark's ``xxhash64`` of a
+    NULL returns the seed (42), so a null bucket value renders as
+    ``str(42 % N)`` — the same partition the batch writer's
+    ``pmod(xxhash64(c), N)`` assigns; every other transform keeps null as
+    the null partition (parity pinned in
+    test_sink_partitioned_bucket_matches_batch_writer_domain)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(c)
+    mask = pc.is_null(c).to_numpy(zero_copy_only=False)
+
+    def _with_nulls(vals: "np.ndarray") -> "np.ndarray":
+        out = vals.astype(object)
+        out[mask] = None
+        return out
+
+    def _date_parts():
+        y = pc.fill_null(pc.year(c), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.fill_null(pc.month(c), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pc.fill_null(pc.day(c), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return y, m, d
+
+    def _iso(y, m, d):
+        return np.char.add(
+            np.char.add(np.char.zfill(y.astype("U"), 4), "-"),
+            np.char.add(
+                np.char.add(np.char.zfill(m.astype("U"), 2), "-"),
+                np.char.zfill(d.astype("U"), 2),
+            ),
+        )
+
     if transform == "bucket":
         from dlt_iceberg_spark.functions.xxhash import (
-            spark_xxhash64_int,
-            spark_xxhash64_long,
+            SPARK_HASH_SEED,
+            spark_xxhash64_int_np,
+            spark_xxhash64_long_np,
             spark_xxhash64_string,
         )
 
-        if isinstance(v, str):
-            h = spark_xxhash64_string(v)
-        elif dtype == "int":
-            h = spark_xxhash64_int(int(v))
-        else:
-            h = spark_xxhash64_long(int(v))
-        return str(h % int(param))  # == Spark pmod for positive N
+        big_n = int(param)
+        null_bucket = str(SPARK_HASH_SEED % big_n)
+        if dtype == "string":
+            # variable-length UTF-8 resists numpy lanes; still one pass
+            return np.array(
+                [
+                    null_bucket
+                    if v is None
+                    else str(spark_xxhash64_string(v) % big_n)
+                    for v in c.to_pylist()
+                ],
+                dtype=object,
+            )
+        arr = pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (
+            spark_xxhash64_int_np(arr)
+            if dtype == "int"
+            else spark_xxhash64_long_np(arr)
+        )
+        out = (h % big_n).astype("U").astype(object)  # numpy % == Spark pmod
+        out[mask] = null_bucket
+        return out
+    if transform == "identity":
+        if dtype == "date":
+            return _with_nulls(_iso(*_date_parts()))
+        if dtype == "string":
+            return np.array(c.to_pylist(), dtype=object)
+        arr = pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _with_nulls(arr.astype("U"))
+    if transform == "year":
+        y = pc.fill_null(pc.year(c), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _with_nulls(y.astype("U"))  # str(v.year): no padding
+    if transform == "month":
+        y, m, _ = _date_parts()
+        return _with_nulls(
+            np.char.add(
+                np.char.add(np.char.zfill(y.astype("U"), 4), "-"),
+                np.char.zfill(m.astype("U"), 2),
+            )
+        )
+    if transform == "day":
+        return _with_nulls(_iso(*_date_parts()))
+    if transform == "hour":
+        # date_format(<date>, "yyyy-MM-dd-HH") renders midnight
+        return _with_nulls(np.char.add(_iso(*_date_parts()), "-00"))
+    if transform == "truncate":
+        w = int(param)
+        if dtype == "string":
+            return np.array(
+                [None if v is None else v[:w] for v in c.to_pylist()],
+                dtype=object,
+            )
+        arr = pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        # str(v)[:w] for ints: astype to a width-bounded unicode truncates
+        return _with_nulls(arr.astype("U").astype(f"U{w}"))
     raise ValueError(f"unsupported transform {transform!r}")
 
 
@@ -131,6 +206,13 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         # fails at start, not epochs later
         self.pspec: list[tuple] = []  # (field_name, column, transform, param, dtype)
         snap_spec = self._current_partition_spec()
+        # remember the spec STRUCTURALLY: a spec replaced mid-stream with a
+        # different column/transform/param must fail the commit guard, not
+        # just presence flips (files rendered under a stale frozen spec
+        # would read as legacy/mismatched forever)
+        self._frozen_spec_json = json.dumps(
+            [dict(sorted(p.items())) for p in snap_spec], default=str
+        )
         if snap_spec:
             dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
             for p in snap_spec:
@@ -201,25 +283,34 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
             files = [self._write_one(tbl, {})]
             return _StagedFiles(files_json=json.dumps(files, default=str))
         # split the task's rows by partition tuple — one file per tuple,
-        # the same clustering the batch writer's partitionBy produces
-        cols = {
-            col: tbl.column(col).to_pylist()
-            for _, col, _, _, _ in self.pspec
-        }
-        by_tuple: dict[tuple, list[int]] = {}
+        # the same clustering the batch writer's partitionBy produces.
+        # Rendering and grouping are column-at-a-time: numpy/arrow render
+        # each transform in one pass, factorize+argsort groups the rows —
+        # no per-row Python in the hot path.
+        import numpy as np
+        import pandas as pd
+
         n = tbl.num_rows
         rendered = [
-            [
-                _render_partition_value(t, param, cols[col][i], dt)
-                for i in range(n)
-            ]
+            _render_partition_column(tbl.column(col), t, param, dt)
             for (_, col, t, param, dt) in self.pspec
         ]
-        for i in range(n):
-            by_tuple.setdefault(tuple(r[i] for r in rendered), []).append(i)
+        comb = np.zeros(n, dtype=np.int64)
+        for r in rendered:
+            codes, uniques = pd.factorize(r, use_na_sentinel=False)
+            comb = comb * np.int64(max(len(uniques), 1)) + codes
+        order = np.argsort(comb, kind="stable")
+        sc = comb[order]
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        ends = np.r_[starts[1:], n]
+        groups = []
+        for s, e in zip(starts, ends):
+            idxs = order[s:e]
+            tup = tuple(r[idxs[0]] for r in rendered)
+            groups.append((tup, idxs))
         files = []
         for tup, idxs in sorted(
-            by_tuple.items(), key=lambda kv: tuple(str(x) for x in kv[0])
+            groups, key=lambda kv: tuple(str(x) for x in kv[0])
         ):
             sub = tbl.take(idxs)
             partition = {
@@ -259,10 +350,19 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
         for _ in range(5):
             snap = t.snapshot()
             if snap is not None:
-                if bool(snap.partition_spec) != bool(self.pspec):
+                live_spec_json = json.dumps(
+                    [
+                        dict(sorted(p.items()))
+                        for p in (snap.partition_spec or [])
+                    ],
+                    default=str,
+                )
+                if live_spec_json != self._frozen_spec_json:
                     # the table's spec changed (or the table appeared)
-                    # after the stream planned its layout: restart the
-                    # stream so the writer re-freezes the spec
+                    # after the stream planned its layout — ANY structural
+                    # difference (column/transform/param), not just
+                    # presence: restart the stream so the writer
+                    # re-freezes the spec
                     self._drop([f.path for f in staged])
                     raise ValueError(
                         "the table's partition spec changed after the "

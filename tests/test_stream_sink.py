@@ -133,7 +133,11 @@ def test_sink_partitioned_bucket_matches_batch_writer_domain(reg, tmp_path):
     )
     t = catalog.load_table("ds", "t")
     src = str(tmp_path / "in")
-    rows = [(i, f"v{i}") for i in range(20)]
+    # the null key pins the divergence fix: Spark's xxhash64(NULL) returns
+    # the seed (42), so the batch expression sends NULL to bucket 42 % N —
+    # the stream renderer must land it in the SAME bucket, not a null
+    # partition
+    rows = [(i, f"v{i}") for i in range(20)] + [(None, "vnull")]
     spark.createDataFrame(rows, "id long, v string").coalesce(1).write.parquet(
         src + "/p1"
     )
@@ -259,3 +263,38 @@ def test_source_to_sink_mirror(reg, tmp_path):
     assert sorted((r.id, r.v) for r in b.read().collect()) == [
         (0, "v0"), (1, "v1"), (2, "v2"),
     ]
+
+
+def test_sink_rejects_structural_spec_replacement(reg, tmp_path):
+    """The mid-stream spec guard is STRUCTURAL: a spec replaced with a
+    different column/transform/param (same presence) fails the commit
+    with the restart error instead of silently committing files rendered
+    under the stale frozen spec."""
+    from dlt_iceberg_spark.streaming.sink import _LakeStreamWriter
+
+    spark = reg
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ds")
+    hints = {"id": {"x-partition": True, "x-partition-transform": "bucket[4]"}}
+    writer.write(
+        TableSpec(name="t", write_disposition="append", column_hints=hints),
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        load_id="l0",
+    )
+    t = catalog.load_table("ds", "t")
+    w = _LakeStreamWriter(t.snapshot().schema, {"location": t.location})
+    assert w.pspec  # froze the bucket[4] spec
+
+    # replace the spec with a different param while the "stream" runs
+    snap = t.snapshot()
+    t.commit(
+        None,
+        snap.schema,
+        "append",
+        snap.version,
+        manifests=snap.manifests,
+        new_files=list(snap.inline_files),
+        partition_spec=[{"column": "id", "transform": "bucket", "param": 8}],
+    )
+    with pytest.raises(ValueError, match="partition spec changed"):
+        w.commit([], batchId=7)
