@@ -211,15 +211,24 @@ class LakeCatalog:
         # if the MOVED table is itself a clone, its back-refs on every
         # referenced source still name the old location — rewrite them, or
         # the pins silently release and source retention could reclaim the
-        # clone's only bytes
-        snap = moved.snapshot()
-        if snap is not None:
+        # clone's only bytes.  Roots come from ALL retained snapshots (the
+        # same walk clone_pinned_paths does): a source referenced only by
+        # an OLDER snapshot (e.g. after compaction localized the head)
+        # still pins files the clone's time travel needs.
+        if moved.snapshot() is not None:
             roots = set()
-            if "cloned-from" in snap.properties:
-                roots.add(snap.properties["cloned-from"])
-            for e in list(snap.files) + list(snap.delete_files):
-                if os.path.isabs(e.path) and "/data/" in e.path:
-                    roots.add(e.path.rsplit("/data/", 1)[0])
+            for v in moved._all_versions():
+                try:
+                    snap = moved.snapshot(v)
+                except (FileNotFoundError, ValueError, KeyError):
+                    continue
+                if snap is None:
+                    continue
+                if "cloned-from" in snap.properties:
+                    roots.add(snap.properties["cloned-from"])
+                for e in list(snap.files) + list(snap.delete_files):
+                    if os.path.isabs(e.path) and "/data/" in e.path:
+                        roots.add(e.path.rsplit("/data/", 1)[0])
             for root in sorted(roots):
                 rio = fileio_for(root, self.spark)
                 rdir = os.path.join(root, "metadata", "_clone_refs")

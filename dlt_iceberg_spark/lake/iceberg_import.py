@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import re
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -817,10 +818,15 @@ def _norm_uri_col(c):
 
 def _resolve_metadata_path(metadata_path: str) -> str:
     """Accept a concrete ``*.metadata.json[.gz]`` path, a table ROOT, or a
-    ``metadata/`` directory, resolving to the newest metadata file — the
-    reference's directory-scan fallback (sql_client.py:182-222: list
-    ``*.metadata.json``, sort descending, take the first — correct for
-    both ``vN.metadata.json`` and ``NNNNN-uuid`` Iceberg namings)."""
+    ``metadata/`` directory, resolving to the newest metadata file.
+
+    HadoopTables-style ``vN.metadata.json`` names are UNPADDED, so a
+    lexicographic sort puts ``v9`` above ``v10`` — those are sorted by
+    the parsed version number instead (and preferred when both namings
+    coexist: an unpadded vN family is the canonical current-pointer
+    scheme).  Zero-padded ``NNNNN-uuid.metadata.json`` names keep the
+    reference's lexicographic-descending rule (sql_client.py:182-222),
+    which is correct for them."""
     p = _strip_scheme(metadata_path)
     if not os.path.isdir(p):
         return p
@@ -837,6 +843,10 @@ def _resolve_metadata_path(metadata_path: str) -> str:
         raise FileNotFoundError(
             f"register_iceberg_table: no *.metadata.json under {meta_dir}"
         )
+    vn = re.compile(r"^v(\d+)\.metadata\.json(\.gz)?$")
+    versioned = [(int(m.group(1)), n) for n in names if (m := vn.match(n))]
+    if versioned:
+        return os.path.join(meta_dir, max(versioned)[1])
     names.sort(reverse=True)
     return os.path.join(meta_dir, names[0])
 

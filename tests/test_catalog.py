@@ -1034,3 +1034,54 @@ def test_rollup_maintains_over_clone_cdc(spark, warehouse):
     ru.refresh()
     got = {r.k: r.n for r in ru.read().collect()}
     assert got[0] == 105 and got[1] == 100
+
+
+def test_rename_clone_repins_historical_snapshot_roots(spark, warehouse):
+    """A clone whose HEAD was localized (compaction rewrote its files into
+    the clone's own location) still references the source from OLDER
+    snapshots; renaming the clone must rewrite the back-ref discovered
+    from those historical snapshots too — otherwise source retention
+    treats the old-location ref as dangling and deletes files the moved
+    clone's time travel still reads."""
+    import os
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import (
+        clone_pinned_paths,
+        compact_table,
+        expire_snapshots,
+        remove_orphan_files,
+    )
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    catalog, writer = _clone_fixture(spark, warehouse)
+    clone = catalog.clone_table("src", "t", "dev", "t2")
+    src = catalog.load_table("src", "t")
+    carried = {f.path for f in src.snapshot().files}
+    pre_compact_version = clone.current_version()
+
+    # localize the clone's HEAD: compaction rewrites every live file into
+    # the clone's own location; only the OLDER snapshot references src
+    compact_table(clone, target_file_bytes=1 << 30, small_file_threshold=1.0)
+    clone = catalog.load_table("dev", "t2")
+    assert not any(
+        os.path.isabs(f.path) for f in clone.snapshot().files
+    ), "head should be localized"
+
+    moved = catalog.rename_table("dev", "t2", "t2_moved")
+    # the back-ref must follow the move: historical snapshots still pin
+    assert clone_pinned_paths(src) == carried
+
+    # aggressive source retention must not reclaim the pinned bytes
+    writer.write(
+        TableSpec(name="t", write_disposition="replace"),
+        spark.range(7).select((F.col("id") % 10).alias("k"), F.col("id").alias("v")),
+    )
+    src = catalog.load_table("src", "t")
+    expire_snapshots(src, older_than=timedelta(seconds=0), keep_last=1)
+    remove_orphan_files(src, older_than=timedelta(seconds=0))
+    for p in carried:
+        assert os.path.exists(os.path.join(src.location, p))
+    # time travel on the moved clone to the pre-compaction snapshot works
+    old = moved.read(snapshot_version=pre_compact_version)
+    assert old.count() == 1000

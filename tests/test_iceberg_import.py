@@ -1981,3 +1981,34 @@ def test_fold_scopes_partitioned_deletes_to_their_partition(spark, tmp_path):
     out_files2, _ = _fold_nested_deletes(spark, root, t2, files, [], unsupported)
     assert all(f.path not in (fa, fb) for f in out_files2)
     assert sum(f.rows for f in out_files2) == 2
+
+
+def test_directory_resolution_sorts_vn_names_numerically(spark, tmp_path):
+    """HadoopTables-style unpadded vN names: v10 must beat v9 (a plain
+    lexicographic descending sort would pick v9 and silently register
+    stale table state once a table passes 9 versions)."""
+    catalog = LakeCatalog(spark, str(tmp_path / "wh"))
+    writer = LakeWriter(catalog, "ns")
+    writer.write(
+        TableSpec(name="t", write_disposition="append"),
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        load_id="l0",
+    )
+    src = catalog.load_table("ns", "t")
+    exported = src.export_iceberg_metadata()
+    meta_dir = os.path.dirname(exported)
+    current = json.loads(open(exported).read())
+    stale = dict(current)
+    stale["current-snapshot-id"] = -1
+    stale["snapshots"] = []
+    # nine stale versions v1..v9 and the CURRENT state as v10
+    for i in range(1, 10):
+        with open(os.path.join(meta_dir, f"v{i}.metadata.json"), "w") as fh:
+            json.dump(stale, fh)
+    os.replace(exported, os.path.join(meta_dir, "v10.metadata.json"))
+
+    from dlt_iceberg_spark.lake.iceberg_import import _resolve_metadata_path
+
+    assert os.path.basename(_resolve_metadata_path(meta_dir)) == "v10.metadata.json"
+    imported = catalog.register_iceberg_table("ns2", "t_vn", src.location)
+    assert _rows(imported.read()) == _rows(src.read())
