@@ -48,17 +48,22 @@ def timed_passes(
     n_runs: int = 3,
     extra_below: float = 2.0,
     extra_runs: int = 4,
+    stream_spark=None,
 ) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
     """n_runs warm passes over the suite; returns (median, [min, max]
     spread, adaptive-strategy trace) per query.  clearCache between queries
     so an operator-internal persist() never leaks cached data into another
     measurement via logical-plan cache hits.
 
-    Isolation (VERDICT r8 finding 1): streaming queries build/tear
-    micro-batch harness state (Python data-source runners, checkpoint
-    dirs) that perturbs whatever runs NEXT — each pass therefore times the
-    steady-state queries first and the ``stream_*`` block LAST, so the
-    interference lands inside the block that causes it.
+    Isolation (VERDICT r8 finding 1, finished per r9 task 7): streaming
+    queries build/tear micro-batch harness state (Python data-source
+    runners, checkpoint dirs) that perturbs whatever runs NEXT — so the
+    groups are PHASE-SEPARATED: every steady-state sample (main passes
+    AND extra samples) is taken before the first timed ``stream_*``
+    query, and the stream block runs on ``stream_spark`` (its own
+    SparkSession: separate SQL conf/catalog/cache state) when given.
+    Cross-group interference can then only land inside the stream block
+    that causes it.
 
     Sub-``extra_below``-second queries get ``extra_runs`` additional
     samples (VERDICT r7 task 4, widened to 7 total per r8 finding 1):
@@ -68,14 +73,16 @@ def timed_passes(
     stay inside spread."""
     from dlt_iceberg_spark.operators import dedup as _dedup
 
+    stream_spark = stream_spark if stream_spark is not None else spark
     samples: dict[str, list[float]] = {name: [] for name in specs}
     strategies: dict[str, str] = {}
 
     def _one(name: str) -> None:
-        spark.catalog.clearCache()
+        s = stream_spark if name.startswith("stream_") else spark
+        s.catalog.clearCache()
         _dedup.STRATEGY_TRACE.clear()
         t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
+        materialize(specs[name].fn(s, sf_dir))
         samples[name].append(time.perf_counter() - t0)
         if _dedup.STRATEGY_TRACE:
             strategies[name] = ",".join(
@@ -84,15 +91,14 @@ def timed_passes(
 
     steady = [n for n in specs if not n.startswith("stream_")]
     streaming = [n for n in specs if n.startswith("stream_")]
-    for _ in range(n_runs):
-        for name in steady + streaming:
-            _one(name)
-    fast = [n for n, s in samples.items() if statistics.median(s) < extra_below]
-    for _ in range(extra_runs):
-        for name in [n for n in steady if n in fast] + [
-            n for n in streaming if n in fast
-        ]:
-            _one(name)
+    for group in (steady, streaming):
+        for _ in range(n_runs):
+            for name in group:
+                _one(name)
+        fast = [n for n in group if statistics.median(samples[n]) < extra_below]
+        for _ in range(extra_runs):
+            for name in fast:
+                _one(name)
     medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     spread = {n: [round(min(s), 4), round(max(s), 4)] for n, s in samples.items()}
     return medians, spread, strategies, samples
@@ -182,6 +188,13 @@ SF1_QUERIES = [
     # r9-late: the codes-only IVF-PQ probe (ADC over pruned partitions —
     # the scan should track codes bytes, not fp32 bytes)
     "ann_pq_persisted",
+    # r10: the vector deletion/rebuild lifecycle — the claims worth
+    # defending at 10x data are "delete maintenance is O(batch) at any
+    # index size" (MoR equality deletes, zero data rewritten; the probe
+    # pays one broadcast anti-join) and "rebuild is ONE clustered rewrite"
+    # (cost tracks index bytes, not history); the CDC maintainer's
+    # per-epoch cost follows change volume
+    "ann_delete_lifecycle", "ann_rebuild", "stream_vector_cdc",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec
@@ -202,21 +215,25 @@ def run_sf1() -> None:
 
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
+    stream_spark = spark.newSession()  # same group isolation as main()
     if not os.path.isdir(os.path.join(SF1_DIR, "lineitem.parquet")):
         from tools.gen_sf import generate
 
         generate(spark, "/root/testdata/sf0.1", SF1_DIR, 10)
     specs = {name: REGISTRY[name] for name in SF1_QUERIES}
-    for spec in specs.values():  # warm (codegen + footers)
-        spark.catalog.clearCache()
-        materialize(spec.fn(spark, SF1_DIR))
-    times, spread, strategies, sf1_samples = timed_passes(spark, specs, SF1_DIR)
+    for name, spec in specs.items():  # warm (codegen + footers)
+        s = stream_spark if name.startswith("stream_") else spark
+        s.catalog.clearCache()
+        materialize(spec.fn(s, SF1_DIR))
+    times, spread, strategies, sf1_samples = timed_passes(
+        spark, specs, SF1_DIR, stream_spark=stream_spark
+    )
     # micro-batch throughput for the streaming surfaces: result rows /
     # median wall — at sf1 the fixed per-batch harness cost is amortized,
     # so this tracks the executor-side Arrow read/stage rate
     rows_per_sec = {}
     for name in SF1_STREAMING:
-        n_rows = specs[name].fn(spark, SF1_DIR).count()
+        n_rows = specs[name].fn(stream_spark, SF1_DIR).count()
         if times[name] > 0:
             rows_per_sec[name] = round(n_rows / times[name], 1)
     payload = json.dumps(
@@ -249,16 +266,26 @@ def main() -> None:
         sf_val = sf
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the stream_* block runs in its own SparkSession (shared JVM, separate
+    # SQL conf/catalog/cache + separate gate fixture caches keyed by
+    # session id) — its micro-batch harness state never touches the
+    # steady-state session
+    stream_spark = spark.newSession()
 
-    # warm-up pass: JVM + parquet footer caches + codegen compile + Python workers
+    # warm-up pass: JVM + parquet footer caches + codegen compile + Python
+    # workers; stream fixtures warm in THEIR session
     t0 = time.perf_counter()
-    for spec in REGISTRY.values():
-        materialize(spec.fn(spark, sf_dir))
+    for name, spec in REGISTRY.items():
+        materialize(
+            spec.fn(stream_spark if name.startswith("stream_") else spark, sf_dir)
+        )
     cold_total = round(time.perf_counter() - t0, 4)
 
     # three timed passes; per query report the MEDIAN with [min, max]
     # spread so cross-round deltas are attributable (see module docstring)
-    times, spread, strategies, samples = timed_passes(spark, dict(REGISTRY), sf_dir)
+    times, spread, strategies, samples = timed_passes(
+        spark, dict(REGISTRY), sf_dir, stream_spark=stream_spark
+    )
     total = round(sum(times.values()), 4)
     tspread = trimmed_spread(samples)
     payload = json.dumps(
@@ -301,6 +328,18 @@ def main() -> None:
     rel_trimmed = [
         (tspread[n][1] - tspread[n][0]) / t for n, t in times.items() if t > 0
     ]
+    # per-group dispersion: the phase-separated steady block is the one
+    # whose stability the isolation work should show
+    rel_steady = [
+        (spread[n][1] - spread[n][0]) / t
+        for n, t in times.items()
+        if t > 0 and not n.startswith("stream_")
+    ]
+    rel_stream = [
+        (spread[n][1] - spread[n][0]) / t
+        for n, t in times.items()
+        if t > 0 and n.startswith("stream_")
+    ]
     short: dict = {
         "metric": "suite_total_wall",
         "value": total,
@@ -318,6 +357,10 @@ def main() -> None:
         "median_rel_spread": round(statistics.median(rel_spreads), 3),
         "max_rel_spread": round(max(rel_spreads), 3),
         "median_rel_spread_trimmed": round(statistics.median(rel_trimmed), 3),
+        "median_rel_spread_steady": round(statistics.median(rel_steady), 3),
+        "median_rel_spread_stream": (
+            round(statistics.median(rel_stream), 3) if rel_stream else None
+        ),
         "full_results": "bench_result.json",
     }
     for name, t in ranked:
