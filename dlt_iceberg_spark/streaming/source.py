@@ -718,8 +718,21 @@ class LakeTableStreamSource(DataSource):
 
 
 def register_lake_stream_source(spark) -> None:
-    """Idempotently register the ``laketable`` streaming format."""
+    """Idempotently register the ``laketable`` streaming format.
+
+    Python data-source lookup for STREAM WRITES resolves through the
+    default session's JVM-side registry — a ``newSession()`` child's own
+    registration is not consulted there (PySpark 4 behavior, observed:
+    child-registered format works for reads but ``writeStream`` raises
+    DATA_SOURCE_NOT_FOUND).  Register on the default session too, so the
+    format resolves no matter which session executes."""
     spark.dataSource.register(LakeTableStreamSource)
+    try:
+        default = type(spark).builder.getOrCreate()
+        if default is not spark:
+            default.dataSource.register(LakeTableStreamSource)
+    except Exception:
+        pass  # no default session to mirror into — the direct one stands
 
 
 def read_stream(spark, location: str, **options):
