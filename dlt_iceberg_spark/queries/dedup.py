@@ -1731,6 +1731,79 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_sq",
+    # Scalar quantization is FULLY deterministic (exact per-dimension
+    # min/max, no sampling, no k-means), so unlike PQ the PRODUCTION path
+    # itself is oracle-replayable: the oracle recomputes the per-dim
+    # stats, re-encodes every vector (floor(x+0.5) clamp — identical IEEE
+    # arithmetic), decodes, and ranks by cosine against the decoded
+    # corpus.  Summation-order FP drift is absorbed by the same 1e-6
+    # rounding every ANN gate uses (list_cosine_similarity folds in array
+    # order, like Spark's aggregate).
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         stats AS (
+           SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+           FROM embeddings, dims GROUP BY i
+         ),
+         scl AS (
+           SELECT list(mn ORDER BY i) AS mins,
+                  list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+                       ORDER BY i) AS scales
+           FROM stats
+         ),
+         dec AS (
+           SELECT vec_id AS neighbor_id,
+                  [mins[gi] + least(greatest(floor(
+                     (embedding[gi]::DOUBLE - mins[gi]) / scales[gi] + 0.5), 0), 255)
+                   * scales[gi]
+                   FOR gi IN generate_series(1, 64)] AS cv
+           FROM embeddings, scl
+         ),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cs
+           FROM q CROSS JOIN dec WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Scalar-quantized ANN (operators/quantization.py sq_*): int8 per "
+        "dimension (4× smaller than fp32), exact one-pass min/max "
+        "training, and ZERO-UDF scoring — encode, decode and cosine are "
+        "all JVM higher-order functions inside whole-stage codegen (PQ "
+        "needs Arrow batches; SQ does not even need that).  The "
+        "production path itself is hash-verified: the oracle replays "
+        "stats→encode→decode→rank end-to-end."
+    ),
+)
+def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dlt_iceberg_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    mins, maxs = sq_train(e)
+    codes = sq_encode(e, mins, maxs)
+    q = e.filter(F.col("vec_id") < 8)
+    out = sq_topk(q, codes, mins, maxs, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 _ANN_PQ_ORACLE = """
     WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          norm AS (
