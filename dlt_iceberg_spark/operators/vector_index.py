@@ -58,6 +58,7 @@ _PROP_ID = "vector-index.id-col"
 _PROP_N = "vector-index.n-centroids"
 _PROP_METRIC = "vector-index.metric"
 _PROP_PQ = "vector-index.pq"  # "m,k" when the index stores PQ codes
+_PROP_SQ = "vector-index.sq"  # "levels" when the index stores SQ codes
 _PROP_META = "vector-index.metadata-cols"  # csv of filterable passthroughs
 
 
@@ -95,6 +96,8 @@ def write_vector_index(
     m_subspaces: int = 8,
     k_codes: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    sq: bool = False,
+    sq_levels: int = 256,
     store_vectors: bool = True,
     metadata_cols: list[str] | None = None,
 ):
@@ -113,6 +116,15 @@ def write_vector_index(
     additionally DROPS the raw vector column — a 64-dim fp32 corpus
     shrinks ~32× in the index, the layout for corpora whose vectors
     cannot reside at all.
+
+    ``sq=True`` makes it an IVF-SQ index (FAISS ``IVF,SQ8``): rows carry
+    ``sq_code: array<int>`` — one int8 level per DIMENSION against exact
+    per-dim [min, max] stats stored in the sidecar (``sq_train``: one
+    aggregate pass, deterministic, no sampling).  4× smaller than fp32
+    with ``store_vectors=False``, and the probe decodes + scores entirely
+    in JVM higher-order functions — no Arrow batch, unlike PQ's ADC.
+    :func:`ivf_topk_persisted` detects the layout and decodes
+    transparently.  Mutually exclusive with ``pq``.
 
     ``metadata_cols`` are filterable passthrough columns (tenant, label,
     language…) carried INTO the index rows so
@@ -136,12 +148,20 @@ def write_vector_index(
             "re-assignment of ALL rows) — a second write_vector_index "
             "would mix assignments from two centroid sets"
         )
+    if (pq or codebooks is not None) and sq:
+        raise ValueError("pq and sq are mutually exclusive index layouts")
     if pq and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
         codebooks = pq_train(
             corpus, vec_col, m_subspaces, k_codes, seed=seed
         )
+    sq_stats = None
+    if sq:
+        from dlt_iceberg_spark.operators.quantization import sq_train
+
+        mins, maxs = sq_train(corpus, vec_col)
+        sq_stats = {"mins": mins, "maxs": maxs, "levels": int(sq_levels)}
     if centroids is None:
         centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     assigned = _assigned(
@@ -149,6 +169,17 @@ def write_vector_index(
     )
     if codebooks is not None:
         assigned = _with_codes(assigned, codebooks, vec_col, store_vectors)
+    if sq_stats is not None:
+        from dlt_iceberg_spark.operators.quantization import sq_encode
+
+        assigned = sq_encode(
+            assigned,
+            sq_stats["mins"],
+            sq_stats["maxs"],
+            vec_col,
+            sq_stats["levels"],
+            keep_vec=store_vectors,
+        )
     props = {
         _PROP_VEC: vec_col,
         _PROP_ID: id_col,
@@ -157,6 +188,8 @@ def write_vector_index(
     }
     if codebooks is not None:
         props[_PROP_PQ] = f"{len(codebooks)},{len(codebooks[0])}"
+    if sq_stats is not None:
+        props[_PROP_SQ] = str(sq_stats["levels"])
     if metadata_cols:
         props[_PROP_META] = ",".join(metadata_cols)
     if table.current_version() is None:
@@ -172,13 +205,16 @@ def write_vector_index(
     # snapshot JSON carries only its path — a 4096×1024 float matrix must
     # never ride every commit
     rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
+    if codebooks is None and sq_stats is None:
+        side_payload: Any = centroids
+    else:
+        side_payload = {"centroids": centroids}
+        if codebooks is not None:
+            side_payload["codebooks"] = codebooks
+        if sq_stats is not None:
+            side_payload["sq"] = sq_stats
     table._io.write_text(
-        os.path.join(table.location, rel),
-        json.dumps(
-            centroids
-            if codebooks is None
-            else {"centroids": centroids, "codebooks": codebooks}
-        ),
+        os.path.join(table.location, rel), json.dumps(side_payload)
     )
     snap = table.snapshot()
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
@@ -309,6 +345,20 @@ def append_vectors(table, batch: DataFrame) -> Any:
         assigned = _with_codes(
             assigned, side["codebooks"], vec_col, store_vectors
         )
+    if "sq" in side:
+        # IVF-SQ index: encode against the FROZEN per-dim stats (values
+        # outside the trained range clamp to the edge levels)
+        from dlt_iceberg_spark.operators.quantization import sq_encode
+
+        sqs = side["sq"]
+        assigned = sq_encode(
+            assigned,
+            sqs["mins"],
+            sqs["maxs"],
+            vec_col,
+            sqs["levels"],
+            keep_vec=any(f.name == vec_col for f in snap.schema.fields),
+        )
     pcols = partition_columns([PartitionField(column="centroid", transform="identity")])
     new_files = table.stage_dataframe(
         assigned.repartition(len(side["centroids"]), F.col("centroid")),
@@ -417,17 +467,34 @@ def rebuild_vector_index(
 
         old = side["codebooks"]
         codebooks = pq_train(live, vec_col, len(old), len(old[0]), seed=seed)
+    new_sq = None
+    if "sq" in side:
+        # re-train the per-dim stats on the LIVE corpus (exact pass)
+        from dlt_iceberg_spark.operators.quantization import sq_train
+
+        mins, maxs = sq_train(live, vec_col)
+        new_sq = {"mins": mins, "maxs": maxs, "levels": side["sq"]["levels"]}
     assigned = _assigned(live, centroids, vec_col, id_col, extra_cols=meta_cols)
     if codebooks is not None:
         assigned = _with_codes(assigned, codebooks, vec_col, store_vectors=True)
+    if new_sq is not None:
+        from dlt_iceberg_spark.operators.quantization import sq_encode
+
+        assigned = sq_encode(
+            assigned, new_sq["mins"], new_sq["maxs"], vec_col,
+            new_sq["levels"], keep_vec=True,
+        )
     rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
+    if codebooks is None and new_sq is None:
+        side_payload: Any = centroids
+    else:
+        side_payload = {"centroids": centroids}
+        if codebooks is not None:
+            side_payload["codebooks"] = codebooks
+        if new_sq is not None:
+            side_payload["sq"] = new_sq
     table._io.write_text(
-        os.path.join(table.location, rel),
-        json.dumps(
-            centroids
-            if codebooks is None
-            else {"centroids": centroids, "codebooks": codebooks}
-        ),
+        os.path.join(table.location, rel), json.dumps(side_payload)
     )
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
 
@@ -483,9 +550,15 @@ def ivf_topk_persisted(
     candidates by the index's ``metadata_cols`` BEFORE any distance math
     — it rides the same pruned scan as the centroid probe, so filtered
     per-tenant retrieval costs the filter's survivors, never the lists.
+
+    Works on plain (fp32) AND IVF-SQ indexes: a codes-only SQ layout is
+    decoded JVM-side inside the pruned scan (the scan reads int8 lanes —
+    4× fewer bytes).  Codes-only PQ refuses toward
+    :func:`ivf_pq_topk_persisted`.
     """
     snap = table.snapshot()
-    centroids = load_centroids(table)
+    side = _load_sidecar(table)
+    centroids = side["centroids"]
     vec_col = snap.properties[_PROP_VEC]
     id_col = snap.properties[_PROP_ID]
     probe_n = _nearest_centroids(centroids, min(nprobe, len(centroids)))
@@ -498,11 +571,23 @@ def ivf_topk_persisted(
     probed_ids = sorted(
         {r[0] for r in probes.select("centroid").distinct().collect()}
     )
-    lists = table.read(
-        where=[("centroid", "in", probed_ids)] + list(where or [])
-    ).select(
+    scan = table.read(where=[("centroid", "in", probed_ids)] + list(where or []))
+    if any(f.name == vec_col for f in snap.schema.fields):
+        cv = F.col(vec_col)
+    elif "sq" in side:
+        # IVF-SQ codes-only layout: decode JVM-side inside the pruned scan
+        from dlt_iceberg_spark.operators.quantization import sq_decoded
+
+        sqs = side["sq"]
+        cv = sq_decoded(F.col("sq_code"), sqs["mins"], sqs["maxs"], sqs["levels"])
+    else:
+        raise ValueError(
+            "this index stores PQ codes only; score with "
+            "ivf_pq_topk_persisted (ADC) instead of the cosine probe"
+        )
+    lists = scan.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        cv.alias("cv"),
         "centroid",
     )
     scored = (

@@ -44,21 +44,23 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # Round-10 window (per VERDICT r9 task 1, staleness recomputed from the
 # union of CORRECTNESS_r01-r09 this round: histogram 36×r7, 50×r8,
 # 50×r9 — plus the 3 r10 additions):
-#   slots 1-4   — the 4 round-10 additions (ann_delete_lifecycle,
-#                 ann_rebuild, ann_sq, stream_vector_cdc), never
-#                 driver-verified, oracle-green locally.
-#   slots 5-40  — ALL 36 rows whose newest driver row is r07 (they hit
+#   slots 1-5   — the 5 round-10 additions (ann_delete_lifecycle,
+#                 ann_rebuild, ann_sq, ann_sq_persisted,
+#                 stream_vector_cdc), never driver-verified, oracle-green
+#                 locally.
+#   slots 6-41  — ALL 36 rows whose newest driver row is r07 (they hit
 #                 the 3-round limit this round): the 34 deferred from r9
 #                 plus doc_fingerprint and dsir_select.
-#   slots 41-50 — the 10 stalest r08 rows (alphabetical prefix of the
-#                 50: ann_cosine_topk … events_user_latest).
+#   slots 42-50 — the 9 stalest r08 rows (alphabetical prefix of the
+#                 50: ann_cosine_topk … events_retention_cohorts).
 # Round-11 plan (mechanical): never-driver-verified r11 additions first,
-# then the 40 remaining r08 rows (they hit the limit at r11), then the
+# then the 41 remaining r08 rows (they hit the limit at r11), then the
 # stalest r09 rows alphabetically.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (round-10 additions, alphabetical) — front -
-    "ann_delete_lifecycle", "ann_rebuild", "ann_sq", "stream_vector_cdc",
+    "ann_delete_lifecycle", "ann_rebuild", "ann_sq", "ann_sq_persisted",
+    "stream_vector_cdc",
     # -- newest driver row is r07 — all 36, 3-round limit hits now --------
     "doc_fingerprint", "dsir_select", "embedding_label_stats",
     "embedding_near_dup", "events_asof_last_signup", "events_gapfill",
@@ -75,11 +77,11 @@ _GATE_PRIORITY = [
     # -- stalest r08 rows — alphabetical prefix of the 50 -----------------
     "ann_cosine_topk", "ann_filtered", "cap_docs_per_lang",
     "cube_brand_size", "dedup_exact", "dedup_minhash_lsh", "events_funnel",
-    "events_json_props", "events_retention_cohorts", "events_user_latest",
+    "events_json_props", "events_retention_cohorts",
 ]
-# The 40 r08 rows deferred to the r11 window (3-round limit hits then):
-# groupingsets_priority_status, hybrid_search, lake_bucket_pruning,
-# lake_clone_divergence,
+# The 41 r08 rows deferred to the r11 window (3-round limit hits then):
+# events_user_latest, groupingsets_priority_status, hybrid_search,
+# lake_bucket_pruning, lake_clone_divergence,
 # lake_count_pushdown, lake_matview_chain, lake_matview_full,
 # lake_matview_join, lake_matview_left, lake_merge_roundtrip,
 # lake_minmax_pushdown, lake_ndv_stats, lake_partition_aggregate,

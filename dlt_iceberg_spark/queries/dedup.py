@@ -1804,6 +1804,100 @@ def ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_sq_persisted",
+    # The IVF-SQ8 composite through the PERSISTED lifecycle: the index is
+    # built codes-only (store_vectors=False) from the even-id half — the
+    # per-dim min/max stats FREEZE there — the odd half appends against
+    # the frozen stats (out-of-range values clamp to the edge levels,
+    # exactly as the oracle's least/greatest replays), and the probe-all
+    # query decodes JVM-side inside the pruned scan.  The oracle recomputes
+    # stats over the even half only, encodes/decodes EVERY vector, and
+    # ranks by cosine — hash-verifying build + frozen-stat append + sidecar
+    # round-trip + decode-in-scan end-to-end.
+    """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+         stats AS (
+           SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+           FROM embeddings, dims WHERE vec_id % 2 = 0 GROUP BY i
+         ),
+         scl AS (
+           SELECT list(mn ORDER BY i) AS mins,
+                  list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END
+                       ORDER BY i) AS scales
+           FROM stats
+         ),
+         dec AS (
+           SELECT vec_id AS neighbor_id,
+                  [mins[gi] + least(greatest(floor(
+                     (embedding[gi]::DOUBLE - mins[gi]) / scales[gi] + 0.5), 0), 255)
+                   * scales[gi]
+                   FOR gi IN generate_series(1, 64)] AS cv
+           FROM embeddings, scl
+         ),
+         q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cs
+           FROM q CROSS JOIN dec WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Persisted IVF-SQ8 index (write_vector_index(sq=True, "
+        "store_vectors=False)): int8-per-dimension inverted lists — 4× "
+        "smaller scans — probed via partition pruning and decoded by JVM "
+        "higher-order functions inside the scan (no Arrow batch).  Frozen "
+        "exact stats make the whole lifecycle oracle-replayable; takedown/"
+        "rebuild semantics pinned in tests/test_vector_index.py."
+    ),
+)
+def ann_sq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_topk_persisted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_SQ_IDX_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_sq_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        idx = build_vector_index(
+            catalog, "gate", "sq_idx", first,
+            n_centroids=8,
+            centroids=fixed_centroids(first, "embedding", "vec_id", 8),
+            sq=True,
+            store_vectors=False,
+        )
+        append_vectors(idx, e.filter(F.col("vec_id") % 2 == 1))
+        idx = catalog.load_table("gate", "sq_idx")
+        _ANN_SQ_IDX_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_SQ_IDX_CACHE: dict = {}
+
+
 _ANN_PQ_ORACLE = """
     WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          norm AS (

@@ -547,3 +547,83 @@ def test_pq_build_encodes_once(spark, warehouse, monkeypatch):
     assert len(calls) == 1
     assert "embedding" in [f.name for f in idx.snapshot().schema.fields]
     assert idx.read().filter("pq_code IS NULL").count() == 0
+
+
+def test_ivf_sq_persisted_lifecycle(spark, warehouse):
+    """IVF-SQ8 (FAISS IVF,SQ8): codes-only index stores one int8 level per
+    dimension against frozen exact per-dim stats; ivf_topk_persisted
+    decodes JVM-side inside the pruned scan, and with probe-all equals
+    flat SQ scoring over the full corpus with the same frozen stats.
+    Appends encode against the frozen stats; rebuild re-trains them."""
+    from dlt_iceberg_spark.operators.quantization import (
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+    from dlt_iceberg_spark.operators.vector_index import (
+        delete_vectors,
+        rebuild_vector_index,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 100, seed=41)
+    second = _vectors(spark, 60, seed=42, start_id=100)
+    cents = fixed_centroids(first, n_centroids=4)
+    idx = build_vector_index(
+        catalog, "ann", "sq_idx", first,
+        n_centroids=4, centroids=cents, sq=True, store_vectors=False,
+    )
+    snap = idx.snapshot()
+    assert snap.properties["vector-index.sq"] == "256"
+    assert "embedding" not in [f.name for f in snap.schema.fields]
+    append_vectors(idx, second)
+    idx = catalog.load_table("ann", "sq_idx")
+    assert idx.read().filter("sq_code IS NULL").count() == 0
+
+    both = first.unionByName(second)
+    mins, maxs = sq_train(first)  # the frozen build-time stats
+    queries = first.filter("vec_id < 4")
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=4)
+    flat = sq_topk(queries, sq_encode(both, mins, maxs), mins, maxs, k=5)
+    assert _ranked(got) == _ranked(flat)
+
+    # takedown works identically on the SQ layout
+    delete_vectors(idx, spark.createDataFrame([(3,)], "vec_id long"))
+    got2 = ivf_topk_persisted(queries, idx, k=5, nprobe=4)
+    flat2 = sq_topk(
+        queries,
+        sq_encode(both.filter("vec_id <> 3"), mins, maxs),
+        mins, maxs, k=5,
+    )
+    assert _ranked(got2) == _ranked(flat2)
+
+    # codes-only SQ rebuild refuses (re-assignment needs the vectors)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="store_vectors=False"):
+        rebuild_vector_index(idx)
+
+    # a vector-keeping SQ index rebuilds: stats re-train on the live rows
+    idx2 = build_vector_index(
+        catalog, "ann", "sq_idx2", first,
+        n_centroids=4, centroids=cents, sq=True, store_vectors=True,
+    )
+    append_vectors(idx2, second)
+    rebuild_vector_index(
+        idx2, centroids=fixed_centroids(both, n_centroids=8)
+    )
+    snap2 = idx2.snapshot()
+    assert snap2.operation == "replace"
+    assert snap2.properties["vector-index.n-centroids"] == "8"
+    # re-trained stats: the new sidecar's sq mins/maxs cover BOTH loads
+    from dlt_iceberg_spark.operators.vector_index import _load_sidecar
+
+    new_sq = _load_sidecar(idx2)["sq"]
+    mins_b, maxs_b = sq_train(both)
+    assert new_sq["mins"] == mins_b and new_sq["maxs"] == maxs_b
+    assert idx2.read().filter("sq_code IS NULL").count() == 0
+    # vector-keeping index scores with the EXACT fp32 column (probe-all
+    # equals raw brute force, not the decoded approximation)
+    got3 = ivf_topk_persisted(queries, idx2, k=5, nprobe=8)
+    exact = cosine_topk_bruteforce(queries, both, k=5)
+    assert _ranked(got3) == _ranked(exact)
