@@ -195,6 +195,9 @@ SF1_QUERIES = [
     # (cost tracks index bytes, not history); the CDC maintainer's
     # per-epoch cost follows change volume
     "ann_delete_lifecycle", "ann_rebuild", "stream_vector_cdc",
+    # r10-late: the codes-only SQ probe — scan bytes should track int8
+    # lanes (4x under fp32) while scoring stays whole-stage-codegen JVM
+    "ann_sq_persisted",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec
