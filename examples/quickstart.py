@@ -424,6 +424,20 @@ def main(warehouse: str) -> None:
         [(r.neighbor_id, round(r.cosine, 3)) for r in hits.collect()],
     )
 
+    # -- takedown + rebuild: the rest of the index lifecycle ---------------
+    from dlt_iceberg_spark.operators.vector_index import (
+        delete_vectors,
+        index_stats,
+        rebuild_vector_index,
+    )
+
+    delete_vectors(idx, spark.createDataFrame([(5,), (101,)], "vec_id long"))
+    rebuild_vector_index(idx, n_centroids=8)  # one atomic replace
+    print(
+        "after takedown + rebuild:",
+        {k: index_stats(idx)[k] for k in ("lists", "rows", "skew")},
+    )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="quickstart_wh_"))
