@@ -323,11 +323,19 @@ def append_vectors(table, batch: DataFrame) -> Any:
     """Per-load index maintenance: assign the batch to the FROZEN centroids
     map-side and delta-append into the partitioned layout — parent
     manifests pass by reference, O(batch) work, no retrain.  New vectors
-    are immediately visible to :func:`ivf_topk_persisted`."""
+    are immediately visible to :func:`ivf_topk_persisted`.
+
+    Concurrency: files stage ONCE; the commit retries on
+    ``CommitConflictError`` against a re-read head (the writer's
+    optimistic pattern — a racing delete/append never forces re-staging).
+    If the race was a REBUILD (the sidecar pointer moved), the staged
+    assignments were computed under the old centroids and the append
+    refuses with a re-run message instead of committing a mixed layout."""
     from dlt_iceberg_spark.partition import PartitionField, partition_columns
 
     snap = table.snapshot()
     side = _load_sidecar(table)
+    frozen_rel = snap.properties.get(_PROP_FILE)
     vec_col = snap.properties[_PROP_VEC]
     meta_cols = [
         c for c in snap.properties.get(_PROP_META, "").split(",") if c
@@ -366,15 +374,28 @@ def append_vectors(table, batch: DataFrame) -> Any:
     )
     if not new_files:
         return snap
-    return table.commit(
-        None,
-        snap.schema,
-        "append",
-        snap.version,
-        manifests=snap.manifests,
-        new_files=list(snap.inline_files) + new_files,
-        summary={"vectors-appended": sum(f.rows for f in new_files)},
-    )
+    from dlt_iceberg_spark.errors import RetryPolicy
+
+    def attempt():
+        head = table.snapshot()
+        if head.properties.get(_PROP_FILE) != frozen_rel:
+            raise ValueError(  # not retryable: assignments are stale
+                f"{table.location} was rebuilt concurrently; re-run "
+                "append_vectors so the batch is assigned under the NEW "
+                "centroids"
+            )
+        return table.commit(
+            None,
+            head.schema,
+            "append",
+            head.version,
+            manifests=head.manifests,
+            new_files=list(head.inline_files) + new_files,
+            delete_files=list(head.delete_files),
+            summary={"vectors-appended": sum(f.rows for f in new_files)},
+        )
+
+    return RetryPolicy().run(attempt)
 
 
 def delete_vectors(table, ids: DataFrame) -> Any:
@@ -410,16 +431,25 @@ def delete_vectors(table, ids: DataFrame) -> Any:
     new_deletes = table.stage_delete_files(ids.select(id_col), [id_col])
     if not new_deletes:
         return snap
-    return table.commit(
-        None,
-        snap.schema,
-        "delete",
-        snap.version,
-        manifests=snap.manifests,
-        new_files=list(snap.inline_files),
-        delete_files=list(snap.delete_files) + new_deletes,
-        summary={"vector-delete-keys": sum(d.rows for d in new_deletes)},
-    )
+    # stage once, retry the commit against a re-read head — id-keyed
+    # equality deletes stay correct across any concurrent append or even
+    # a rebuild (they mask whatever rows carry those ids at commit time)
+    from dlt_iceberg_spark.errors import RetryPolicy
+
+    def attempt():
+        head = table.snapshot()
+        return table.commit(
+            None,
+            head.schema,
+            "delete",
+            head.version,
+            manifests=head.manifests,
+            new_files=list(head.inline_files),
+            delete_files=list(head.delete_files) + new_deletes,
+            summary={"vector-delete-keys": sum(d.rows for d in new_deletes)},
+        )
+
+    return RetryPolicy().run(attempt)
 
 
 def rebuild_vector_index(

@@ -627,3 +627,75 @@ def test_ivf_sq_persisted_lifecycle(spark, warehouse):
     got3 = ivf_topk_persisted(queries, idx2, k=5, nprobe=8)
     exact = cosine_topk_bruteforce(queries, both, k=5)
     assert _ranked(got3) == _ranked(exact)
+
+
+def test_append_conflict_retries_without_restaging(spark, warehouse, monkeypatch):
+    """A commit conflict during append_vectors retries against the re-read
+    head WITHOUT re-staging files (the writer's optimistic pattern)."""
+    from dlt_iceberg_spark.errors import CommitConflictError
+    from dlt_iceberg_spark.lake.table import LakeTable
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 60, seed=51)
+    idx = build_vector_index(
+        catalog, "ann", "cr_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    stage_calls = {"n": 0}
+    real_stage = LakeTable.stage_dataframe
+
+    def counting_stage(self, *a, **k):
+        stage_calls["n"] += 1
+        return real_stage(self, *a, **k)
+
+    conflicts = {"n": 0}
+    real_commit = LakeTable.commit
+
+    def flaky_commit(self, *a, **k):
+        if "vectors-appended" in (k.get("summary") or {}) and conflicts["n"] == 0:
+            conflicts["n"] += 1
+            raise CommitConflictError("injected race")
+        return real_commit(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "stage_dataframe", counting_stage)
+    monkeypatch.setattr(LakeTable, "commit", flaky_commit)
+    import dlt_iceberg_spark.errors as errs
+
+    monkeypatch.setattr(errs.RetryPolicy, "sleep", staticmethod(lambda s: None))
+    append_vectors(idx, _vectors(spark, 20, seed=52, start_id=60))
+    assert conflicts["n"] == 1  # the retry happened
+    assert stage_calls["n"] == 1  # ...without re-staging
+    assert idx.read().count() == 80
+
+
+def test_append_refuses_after_concurrent_rebuild(spark, warehouse, monkeypatch):
+    """If a REBUILD lands between staging and commit, the staged
+    assignments were computed under the OLD centroids — the append must
+    refuse (re-run), never commit a mixed layout."""
+    from dlt_iceberg_spark.lake.table import LakeTable
+    from dlt_iceberg_spark.operators.vector_index import rebuild_vector_index
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 60, seed=53)
+    idx = build_vector_index(
+        catalog, "ann", "rr2_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    real_stage = LakeTable.stage_dataframe
+    raced = {"done": False}
+
+    def racing_stage(self, *a, **k):
+        files = real_stage(self, *a, **k)
+        if not raced["done"]:
+            raced["done"] = True  # guard: rebuild stages too
+            rebuild_vector_index(
+                idx, centroids=fixed_centroids(corpus, n_centroids=8)
+            )
+        return files
+
+    monkeypatch.setattr(LakeTable, "stage_dataframe", racing_stage)
+    with pytest.raises(ValueError, match="rebuilt concurrently"):
+        append_vectors(idx, _vectors(spark, 20, seed=54, start_id=60))
+    # the rebuilt index is intact: all 60 original rows, 8 lists
+    assert idx.read().count() == 60
+    assert idx.snapshot().properties["vector-index.n-centroids"] == "8"
