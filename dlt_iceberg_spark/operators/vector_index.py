@@ -641,6 +641,7 @@ def ivf_pq_topk_persisted(
     k: int = 10,
     nprobe: int = 4,
     rerank: int | None = None,
+    where: list | None = None,
 ) -> DataFrame:
     """ADC top-k over the PERSISTED IVF-PQ index: probed lists prune as in
     :func:`ivf_topk_persisted`, but scoring is ``m`` integer table lookups
@@ -662,7 +663,12 @@ def ivf_pq_topk_persisted(
     ``ivf_topk_persisted`` contract.  Cost: one pruned point-read of
     N·|Q| candidate vectors on top of the ADC pass — quantization error
     stops deciding ranks while the scan still never touches unprobed
-    lists."""
+    lists.
+
+    ``where`` bounds candidates by the index's ``metadata_cols`` before
+    any ADC lookup (same contract as :func:`ivf_topk_persisted` — it
+    rides the pruned scan, and the rerank point-read applies it too so a
+    filtered-out row can never re-enter through the refine)."""
     from dlt_iceberg_spark.operators.quantization import pq_topk
 
     snap = table.snapshot()
@@ -683,9 +689,9 @@ def ivf_pq_topk_persisted(
     probed_ids = sorted(
         {r[0] for r in probes.select("centroid").distinct().collect()}
     )
-    lists = table.read(where=[("centroid", "in", probed_ids)]).select(
-        id_col, "pq_code", "centroid"
-    )
+    lists = table.read(
+        where=[("centroid", "in", probed_ids)] + list(where or [])
+    ).select(id_col, "pq_code", "centroid")
     # per-query probe sets gate the ranking INSIDE pq_topk: a neighbor
     # from a list the query did not probe never crowds a real candidate
     # out of the top-k
@@ -711,9 +717,9 @@ def ivf_pq_topk_persisted(
             "store_vectors=False"
         )
     cands = out.select("query_id", "neighbor_id")
-    vecs = table.read(where=[("centroid", "in", probed_ids)]).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    )
+    vecs = table.read(
+        where=[("centroid", "in", probed_ids)] + list(where or [])
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     qv = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -731,6 +737,52 @@ def ivf_pq_topk_persisted(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def probe_recall(
+    table,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: tuple | list = (1, 2, 4, 8),
+    where: list | None = None,
+) -> list[dict]:
+    """Empirical recall@k per ``nprobe`` against probe-all ground truth
+    over the SAME index — the other half of the rebuild trigger:
+    :func:`index_stats` says how skewed the lists are, this says what
+    that skew (or centroid drift after heavy appends) actually costs at
+    query time.  When recall at the production ``nprobe`` sags below the
+    SLO, :func:`rebuild_vector_index` is the remedy.
+
+    ``queries`` should be a BOUNDED sample (every row's top-k collects to
+    the driver — |Q|·k pairs per tier, so a few hundred queries is the
+    right size).  Works on fp32 and SQ layouts (everything
+    :func:`ivf_topk_persisted` scores).  Returns
+    ``[{"nprobe": n, "recall": r}, ...]`` sorted by nprobe."""
+    n_lists = int(table.snapshot().properties[_PROP_N])
+
+    def pairs(nprobe: int) -> dict:
+        rows = ivf_topk_persisted(
+            queries, table, k=k, nprobe=nprobe, where=where
+        ).collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return by_q
+
+    truth = pairs(n_lists)
+    out = []
+    for nprobe in sorted({min(int(n), n_lists) for n in nprobes}):
+        got = pairs(nprobe)
+        per_q = [
+            len(got.get(q, set()) & t) / len(t) for q, t in truth.items() if t
+        ]
+        out.append(
+            {
+                "nprobe": nprobe,
+                "recall": round(sum(per_q) / len(per_q), 4) if per_q else 1.0,
+            }
+        )
+    return out
 
 
 def index_stats(table) -> dict:

@@ -699,3 +699,73 @@ def test_append_refuses_after_concurrent_rebuild(spark, warehouse, monkeypatch):
     # the rebuilt index is intact: all 60 original rows, 8 lists
     assert idx.read().count() == 60
     assert idx.snapshot().properties["vector-index.n-centroids"] == "8"
+
+
+def test_probe_recall_monotone_and_exact_at_probe_all(spark, warehouse):
+    """probe_recall: recall is 1.0 at probe-all by construction, weakly
+    increases with nprobe, and nprobes clamp to n_lists."""
+    from dlt_iceberg_spark.operators.vector_index import probe_recall
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 200, seed=61)
+    idx = build_vector_index(
+        catalog, "ann", "pr_idx", corpus,
+        n_centroids=8, centroids=fixed_centroids(corpus, n_centroids=8),
+    )
+    sample = corpus.filter("vec_id < 10")
+    curve = probe_recall(idx, sample, k=5, nprobes=(1, 2, 4, 8, 99))
+    assert [c["nprobe"] for c in curve] == [1, 2, 4, 8]  # 99 clamps to 8
+    recalls = [c["recall"] for c in curve]
+    assert recalls == sorted(recalls)  # weakly monotone in nprobe
+    assert recalls[-1] == 1.0  # probe-all is its own ground truth
+    assert recalls[0] < 1.0  # 1 of 8 lists misses someone
+
+
+def test_filtered_adc_and_rerank_respect_where(spark, warehouse):
+    """ivf_pq_topk_persisted(where=...): metadata filters bound ADC
+    candidates AND the rerank point-read — a filtered-out row never
+    appears, and results equal flat PQ over the filtered corpus."""
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
+    from dlt_iceberg_spark.operators.vector_index import ivf_pq_topk_persisted
+
+    rng = np.random.default_rng(62)
+    rows = [
+        (i, int(i % 2), [float(x) for x in rng.normal(size=16)])
+        for i in range(150)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, tenant int, embedding array<double>"
+    )
+    catalog = LakeCatalog(spark, warehouse)
+    books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16)
+    idx = build_vector_index(
+        catalog, "ann", "fadc_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True, codebooks=books, metadata_cols=["tenant"],
+    )
+    queries = corpus.filter("vec_id < 3")
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4, where=[("tenant", "=", 1)])
+    assert got.count() == 15
+    ids = {r.neighbor_id for r in got.collect()}
+    assert all(i % 2 == 1 for i in ids)  # only tenant 1 survives
+    flat = pq_topk(
+        queries,
+        pq_encode(corpus.filter("tenant = 1"), books),
+        books, k=5,
+    )
+    def _r(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.adc_dist, 9))
+            for r in df.collect()
+        )
+    assert _r(got) == _r(flat)
+    # rerank honors the filter too (exact contract over filtered corpus)
+    rr = ivf_pq_topk_persisted(
+        queries, idx, k=5, nprobe=4, rerank=150, where=[("tenant", "=", 1)]
+    )
+    exact = cosine_topk_bruteforce(queries, corpus.filter("tenant = 1"), k=5)
+    assert _ranked(rr) == _ranked(exact)
