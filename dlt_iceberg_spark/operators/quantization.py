@@ -137,12 +137,18 @@ def pq_topk(
     id_col: str = "vec_id",
     k: int = 10,
     allowed: DataFrame | None = None,
+    max_queries: int = 131_072,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
 
     Queries collect to a driver-side lookup-table set (queries are few; the
     corpus is the big side and never moves), broadcast, and each corpus
-    partition scores its rows with integer table lookups.
+    partition scores its rows with integer table lookups.  ADC is
+    inherently query-bounded — each query carries an m×k float table — so
+    query sets past ``max_queries`` refuse (``limit``-capped count, never
+    a full scan) toward the shuffle-capable cosine paths
+    (``ivf_topk_persisted`` / ``cosine_topk_bruteforce``), the same
+    budget rule as ``all_pairs_cosine_blas``.
 
     ``allowed`` — optional (query_id, neighbor_id) pairs applied BEFORE
     the ranking window: IVF callers pass their per-query probe sets here
@@ -152,6 +158,13 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"pq_topk: query set exceeds max_queries={max_queries}; ADC "
+            "builds an m×k distance table per query on the driver — batch "
+            "a query set this large through ivf_topk_persisted (shuffle "
+            "fallback) or cosine_topk_bruteforce instead"
+        )
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     q_rows = queries.select(id_col, F.col(vec_col).cast("array<double>")).collect()

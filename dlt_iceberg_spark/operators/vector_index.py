@@ -562,6 +562,7 @@ def ivf_topk_persisted(
     k: int = 10,
     nprobe: int = 4,
     where: list | None = None,
+    broadcast_budget: int = 1_000_000,
 ) -> DataFrame:
     """Top-k over the PERSISTED index: queries probe the ``nprobe`` nearest
     stored lists only.
@@ -585,6 +586,14 @@ def ivf_topk_persisted(
     decoded JVM-side inside the pruned scan (the scan reads int8 lanes —
     4× fewer bytes).  Codes-only PQ refuses toward
     :func:`ivf_pq_topk_persisted`.
+
+    Query-set scale: up to ``broadcast_budget`` query rows the probe
+    pairs BROADCAST onto the pruned scan (the retrieval shape — no
+    shuffle of the corpus side); past it the join falls back to a
+    shuffle on ``centroid`` automatically (the batch-kNN-inference
+    shape: a 100M-query batch must not be broadcast) — AQE's skew split
+    handles hot lists.  The budget check is a ``limit(budget+1)``-capped
+    count, never a full count of a huge query set.
     """
     snap = table.snapshot()
     side = _load_sidecar(table)
@@ -620,8 +629,10 @@ def ivf_topk_persisted(
         cv.alias("cv"),
         "centroid",
     )
+    small_q = queries.limit(broadcast_budget + 1).count() <= broadcast_budget
+    probe_side = F.broadcast(probes) if small_q else probes
     scored = (
-        lists.join(F.broadcast(probes), "centroid")
+        lists.join(probe_side, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
     )

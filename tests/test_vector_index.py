@@ -769,3 +769,37 @@ def test_filtered_adc_and_rerank_respect_where(spark, warehouse):
     )
     exact = cosine_topk_bruteforce(queries, corpus.filter("tenant = 1"), k=5)
     assert _ranked(rr) == _ranked(exact)
+
+
+def test_probe_shuffle_fallback_matches_broadcast(spark, warehouse):
+    """Past broadcast_budget the probe join falls back to a shuffle on
+    centroid — results identical to the broadcast path (the batch-kNN
+    shape for query sets too big to broadcast)."""
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 150, seed=71)
+    idx = build_vector_index(
+        catalog, "ann", "bb_idx", corpus,
+        n_centroids=4, centroids=fixed_centroids(corpus, n_centroids=4),
+    )
+    queries = corpus.filter("vec_id < 6")
+    via_broadcast = ivf_topk_persisted(queries, idx, k=5, nprobe=4)
+    via_shuffle = ivf_topk_persisted(
+        queries, idx, k=5, nprobe=4, broadcast_budget=2
+    )
+    # AQE may still pick a broadcast physically (tiny sides) — the pin is
+    # that the un-hinted plan returns identical results
+    assert _ranked(via_shuffle) == _ranked(via_broadcast)
+
+
+def test_pq_topk_refuses_oversized_query_set(spark, warehouse):
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
+
+    corpus = _vectors(spark, 60, dim=16, seed=72)
+    books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16)
+    codes = pq_encode(corpus, books)
+    with pytest.raises(ValueError, match="max_queries"):
+        pq_topk(corpus, codes, books, k=3, max_queries=10)
