@@ -803,3 +803,49 @@ def test_pq_topk_refuses_oversized_query_set(spark, warehouse):
     codes = pq_encode(corpus, books)
     with pytest.raises(ValueError, match="max_queries"):
         pq_topk(corpus, codes, books, k=3, max_queries=10)
+
+
+def test_maintain_policy_services_the_index_end_to_end(spark, warehouse):
+    """One `maintain()` call services the vector index like any LakeTable:
+    folds the takedown masks, collapses files-per-list, expires history,
+    sweeps orphans — sidecar survives, probe results bit-identical."""
+    from datetime import timedelta
+
+    from dlt_iceberg_spark.lake.maintenance import MaintenancePolicy, maintain
+    from dlt_iceberg_spark.operators.vector_index import (
+        delete_vectors,
+        index_stats,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    first = _vectors(spark, 80, seed=81)
+    idx = build_vector_index(
+        catalog, "ann", "mt_idx", first,
+        n_centroids=4, centroids=fixed_centroids(first, n_centroids=4),
+    )
+    for i in range(3):
+        append_vectors(idx, _vectors(spark, 40, seed=82 + i, start_id=80 + 40 * i))
+    delete_vectors(idx, spark.createDataFrame([(9,), (99,)], "vec_id long"))
+    queries = first.filter("vec_id < 4")
+    before = _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=4))
+    sidecar = idx.snapshot().properties["vector-index.centroids-file"]
+
+    report = maintain(
+        idx,
+        MaintenancePolicy(
+            fold_deletes_over=1,
+            expire_older_than=timedelta(seconds=0),
+            keep_last_snapshots=1,
+            orphans_older_than=timedelta(seconds=0),
+        ),
+    )
+    assert report["compaction"]["rewritten_files"] > 0
+    stats = index_stats(idx)
+    assert stats["max_files_per_list"] == 1
+    assert stats["rows"] == 198
+    assert not idx.snapshot().delete_files  # masks folded physically
+    assert idx.snapshot().properties["vector-index.centroids-file"] == sidecar
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(idx.location, sidecar))
+    assert _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=4)) == before
