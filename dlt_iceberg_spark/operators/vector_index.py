@@ -16,15 +16,25 @@ LakeTable (the layout ivf_topk's docstring names):
   to the FROZEN centroids map-side and land as a delta commit (parent
   manifests by reference) — no retrain, no rewrite, O(batch) per load,
   the same lifecycle as ``build_dedup_index``/``append_novel_classes``;
+- takedowns go through :func:`delete_vectors` (MoR equality deletes on
+  the id column — every probe masks automatically; compaction folds them
+  physically), and the CDC stream maintainer
+  (``streaming/vector.py changes=True``) drives both appends and deletes
+  from the source table's change feed;
 - :func:`ivf_topk_persisted` probes the stored lists with the same
-  scoring/ranking contract as ``ivf_topk`` (query-side broadcast, JVM
-  cosine fold, per-query window top-k).
+  scoring/ranking contract as ``ivf_topk`` (query-side broadcast with a
+  shuffle fallback past the budget, JVM cosine fold, per-query window
+  top-k); quantized rungs share the layout — ``sq=True`` (int8/dim,
+  JVM decode) and ``pq=True`` (ADC via :func:`ivf_pq_topk_persisted`).
 
 Drift: after heavy appends the frozen centroids still partition the
 space correctly (assignment is always argmax against the stored matrix)
 — recall against the TRUE nearest lists degrades only as the data
-distribution moves, the standard FAISS operating assumption; rebuild
-with :func:`build_vector_index` when it does.
+distribution moves, the standard FAISS operating assumption.
+:func:`index_stats` (list skew, from manifests) and :func:`probe_recall`
+(recall@k per nprobe) are the triggers; :func:`rebuild_vector_index`
+re-trains and re-assigns ALL rows in one atomic replace (a second
+``write_vector_index`` refuses — it would silently mix centroid sets).
 
 Reference parity: the reference has no vector surface at all; this is
 part of the LLM-training-data layer the build brief adds on top
