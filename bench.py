@@ -41,6 +41,42 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: every gate-cache mkdtemp prefix the query registry uses (grep
+#: `mkdtemp(prefix=` under queries/) — kept as PREFIX families so new
+#: gates with the established naming need no bench change
+_GATE_TMP_PREFIXES = ("ann_", "dedup_idx_", "lake_", "sdedup_", "stream_vec")
+
+
+def _clean_gate_debris(min_age_sec: float = 3600) -> int:
+    """Remove leftover gate-cache warehouses from PRIOR processes under
+    /tmp before any pass runs — accumulated debris (15 GB observed after
+    a long session) measurably inflates timings via fs-cache pressure
+    (VERDICT r10 task 4).  Safe by construction: only this repo's known
+    mkdtemp prefixes are touched, only BEFORE this process creates its
+    own (the per-query module caches hold live paths within a process,
+    never across processes), and only entries older than ``min_age_sec``
+    — a CONCURRENTLY running oracle/test process's fresh caches are never
+    raced."""
+    import shutil
+    import tempfile
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - min_age_sec
+    n = 0
+    for name in os.listdir(root):
+        if not name.startswith(_GATE_TMP_PREFIXES):
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(path, ignore_errors=True)
+        n += 1
+    return n
+
+
 def timed_passes(
     spark,
     specs: dict,
@@ -93,6 +129,11 @@ def timed_passes(
     streaming = [n for n in specs if n.startswith("stream_")]
     for group in (steady, streaming):
         for _ in range(n_runs):
+            # a requested full GC at each pass boundary: collection debt
+            # from the PREVIOUS pass can't land mid-query in this one
+            # (one GC hiccup inside a 0.5 s query is a 40% outlier —
+            # VERDICT r10 task 4)
+            spark.sparkContext._jvm.System.gc()
             for name in group:
                 _one(name)
         fast = [n for n in group if statistics.median(samples[n]) < extra_below]
@@ -198,6 +239,11 @@ SF1_QUERIES = [
     # r10-late: the codes-only SQ probe — scan bytes should track int8
     # lanes (4x under fp32) while scoring stays whole-stage-codegen JVM
     "ann_sq_persisted",
+    # r11 (VERDICT r10 task 7): ann_sq times the TRAIN+ENCODE path too
+    # (per-invocation exact sq_train — now a 2-expression posexplode agg,
+    # so its cost should track corpus rows, never dimension); ann_rebalance
+    # times the hot-list split whose claim is O(hot list), not O(index)
+    "ann_sq", "ann_rebalance",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec
@@ -216,6 +262,7 @@ def run_sf1() -> None:
     heavy-query list, one JSON line + BENCH_SF1.json."""
     from dlt_iceberg_spark.session import get_spark
 
+    _clean_gate_debris()
     spark = get_spark("bench-sf1")
     spark.sparkContext.setLogLevel("ERROR")
     # same isolation policy as main(): phase separation, single session
@@ -273,8 +320,11 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    debris = _clean_gate_debris()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    if debris:
+        print(f"cleaned {debris} stale gate-cache dirs from /tmp", file=sys.stderr)
     # Isolation (VERDICT r9 task 7), measured A/B at sf0.1 this round:
     # PHASE SEPARATION alone (all steady samples before the first timed
     # stream query, one session) gives steady median_rel_spread 0.306 /

@@ -150,3 +150,98 @@ def spark_xxhash64_int_np(values, seed: int = SPARK_HASH_SEED):
         h = np.uint64((seed + _P5 + 4) & _MASK) ^ (v * np.uint64(_P1))
         h = _np_rotl(h, 23) * np.uint64(_P2) + np.uint64(_P3)
         return _np_avalanche(h).view(np.int64)
+
+
+def _xxh64_fixed_np(mat, seed: int = SPARK_HASH_SEED):
+    """Vectorized XXH64 over an ``(m, L)`` uint8 byte matrix — every row
+    the SAME byte length ``L``, so the chunk schedule (stripe rounds,
+    8/4-byte tails, byte tail) is static and each step is one numpy op
+    over all ``m`` rows.  Returns unsigned uint64 hashes."""
+    import numpy as np
+
+    m, L = mat.shape
+
+    def u64(sl):  # (m, 8) LE bytes -> (m,) uint64
+        return np.ascontiguousarray(sl).view("<u8").ravel()
+
+    def u32(sl):  # (m, 4) LE bytes -> (m,) uint64
+        return np.ascontiguousarray(sl).view("<u4").ravel().astype(np.uint64)
+
+    P1, P2, P3, P4, P5 = (np.uint64(p) for p in (_P1, _P2, _P3, _P4, _P5))
+    with np.errstate(over="ignore"):
+        i = 0
+        if L >= 32:
+            v1 = np.full(m, (seed + _P1 + _P2) & _MASK, dtype=np.uint64)
+            v2 = np.full(m, (seed + _P2) & _MASK, dtype=np.uint64)
+            v3 = np.full(m, seed & _MASK, dtype=np.uint64)
+            v4 = np.full(m, (seed - _P1) & _MASK, dtype=np.uint64)
+            while i + 32 <= L:
+                v1 = _np_rotl(v1 + u64(mat[:, i : i + 8]) * P2, 31) * P1
+                v2 = _np_rotl(v2 + u64(mat[:, i + 8 : i + 16]) * P2, 31) * P1
+                v3 = _np_rotl(v3 + u64(mat[:, i + 16 : i + 24]) * P2, 31) * P1
+                v4 = _np_rotl(v4 + u64(mat[:, i + 24 : i + 32]) * P2, 31) * P1
+                i += 32
+            h = _np_rotl(v1, 1) + _np_rotl(v2, 7) + _np_rotl(v3, 12) + _np_rotl(v4, 18)
+            for v in (v1, v2, v3, v4):
+                h = h ^ (_np_rotl(v * P2, 31) * P1)
+                h = h * P1 + P4
+        else:
+            h = np.full(m, (seed + _P5) & _MASK, dtype=np.uint64)
+        h = h + np.uint64(L)
+        while i + 8 <= L:
+            h = h ^ (_np_rotl(u64(mat[:, i : i + 8]) * P2, 31) * P1)
+            h = _np_rotl(h, 27) * P1 + P4
+            i += 8
+        if i + 4 <= L:
+            h = h ^ (u32(mat[:, i : i + 4]) * P1)
+            h = _np_rotl(h, 23) * P2 + P3
+            i += 4
+        while i < L:
+            h = h ^ (mat[:, i].astype(np.uint64) * P5)
+            h = _np_rotl(h, 11) * P1
+            i += 1
+        return _np_avalanche(h)
+
+
+def spark_xxhash64_string_arrow(arr, seed: int = SPARK_HASH_SEED):
+    """Vectorized Spark ``xxhash64(<string col>)`` over a pyarrow string
+    array: hashes the UTF-8 DATA BUFFER directly (offsets + data
+    ndarrays), grouping rows by byte length so each group's XXH64 chunk
+    schedule is static — no per-row Python anywhere (VERDICT r10 task 3;
+    the streaming sink's string-bucket hot path).  Partition-key columns
+    have few distinct lengths, so the per-length loop is O(#lengths)
+    numpy passes, not O(rows).
+
+    Returns ``(hashes, null_mask)``: signed int64 hashes (0 at null
+    positions) and a bool ndarray marking nulls — callers decide the
+    null-bucket value (Spark's xxhash64 of NULL returns the seed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    mask = pc.is_null(arr).to_numpy(zero_copy_only=False).astype(bool)
+    out = np.zeros(n, dtype=np.uint64)
+    if n:
+        off_dtype = "<i8" if pa.types.is_large_string(arr.type) else "<i4"
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, dtype=np.uint8)
+        )
+        starts, lens = offs[:-1], offs[1:] - offs[:-1]
+        live_lens = np.unique(lens[~mask]) if (~mask).any() else []
+        for L in live_lens:
+            rows = np.flatnonzero((lens == L) & ~mask)
+            if L == 0:
+                out[rows] = np.uint64(xxh64(b"", seed))
+            else:
+                gather = starts[rows][:, None] + np.arange(L, dtype=np.int64)
+                out[rows] = _xxh64_fixed_np(data[gather], seed)
+    return out.view(np.int64), mask

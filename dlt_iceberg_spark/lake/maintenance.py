@@ -752,6 +752,12 @@ class MaintenancePolicy:
     #: a manual compute_table_stats after every maintenance cycle.  None =
     #: NDV upkeep not managed here.
     analyze_ndv_columns: list[str] | None = None
+    #: vector indexes only: split the hottest inverted list
+    #: (operators/vector_index.split_list — O(hot list), not O(index))
+    #: whenever index_stats skew exceeds this.  None = never rebalance.
+    rebalance_above_skew: float | None = None
+    #: sub-lists per split when rebalancing
+    rebalance_split_factor: int = 2
 
 
 def consolidate_position_deletes(table: LakeTable) -> dict:
@@ -865,6 +871,24 @@ def maintain(table: LakeTable, policy: MaintenancePolicy | None = None) -> dict:
     if len(snap.delete_files) >= policy.fold_deletes_over and snap.delete_files:
         table.fold_deletes()
         report["folded_delete_files"] = len(snap.delete_files)
+    # vector-index rebalance BEFORE compaction so the split's sub-list
+    # files get binpacked in the same cycle; the skew check is
+    # manifest-only, so non-index tables and balanced indexes pay nothing
+    if (
+        policy.rebalance_above_skew is not None
+        and "vector-index.vec-col" in (table.snapshot().properties or {})
+    ):
+        from dlt_iceberg_spark.operators.vector_index import (
+            rebalance_vector_index,
+        )
+
+        splits = rebalance_vector_index(
+            table,
+            threshold=policy.rebalance_above_skew,
+            k_split=policy.rebalance_split_factor,
+        )
+        if splits:
+            report["rebalanced"] = splits
     c = compact_table(table, target_file_bytes=policy.target_file_bytes)
     report["compaction"] = {
         "rewritten_files": c.rewritten_files,

@@ -283,21 +283,30 @@ def ivfpq_topk(
 
 def sq_train(corpus: DataFrame, vec_col: str = "embedding") -> tuple[list, list]:
     """Per-dimension ``[min, max]`` over the corpus — ONE exact aggregate
-    pass (2·dim map-side-partial scalar aggregates), no sampling, fully
+    pass with exactly TWO aggregate expressions at ANY dimension: lanes
+    ``posexplode`` (a JVM generator fused into the scan stage) into a hash
+    aggregate keyed by lane index, and map-side partials keep the shuffle
+    at ``dim`` rows per partition.  The previous form built 2·dim scalar
+    aggregates in one plan, which blows past whole-stage-codegen limits at
+    production embedding dims (1024–4096) and inflates planning time; this
+    plans in O(1) expressions with identical results.  No sampling, fully
     deterministic and therefore SQL-oracle-replayable (unlike k-means
-    codebooks).  The dimension comes from a bounded 1-row peek."""
+    codebooks).  The dimension comes from a bounded 1-row peek; the driver
+    collect is ``dim`` rows."""
     peek = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     if not peek:
         raise ValueError("sq_train on an empty corpus")
     dim = peek[0]["d"]
-    v = F.col(vec_col)
-    row = corpus.agg(
-        *[F.min(v[i].cast("double")).alias(f"mn{i}") for i in range(dim)],
-        *[F.max(v[i].cast("double")).alias(f"mx{i}") for i in range(dim)],
-    ).collect()[0]
+    lanes = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x")
+    ).filter(F.col("i") < dim)
+    rows = lanes.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    ).collect()
+    by = {r["i"]: (r["mn"], r["mx"]) for r in rows}
     return (
-        [row[f"mn{i}"] for i in range(dim)],
-        [row[f"mx{i}"] for i in range(dim)],
+        [by.get(i, (None, None))[0] for i in range(dim)],
+        [by.get(i, (None, None))[1] for i in range(dim)],
     )
 
 

@@ -566,6 +566,168 @@ def rebuild_vector_index(
     )
 
 
+def split_list(
+    table,
+    centroid: int,
+    k_split: int = 2,
+    seed: int = 42,
+) -> Any:
+    """Incremental re-clustering: split ONE over-full inverted list into
+    ``k_split`` sub-lists, rewriting ONLY that list's files — the middle
+    path between "append forever" (frozen centroids concentrate probe cost
+    on a hot list) and :func:`rebuild_vector_index` (O(index), blunt at
+    100 TB when :func:`index_stats` shows a single hot list).
+
+    Mechanics: train ``k_split`` sub-centroids on the hot list's LIVE rows
+    (bounded sample), keep centroid id ``centroid`` for sub-centroid 0 and
+    append the rest at fresh ids ``n..n+k_split−2`` — every OTHER list's
+    id (and therefore its files and row assignments) is untouched, and a
+    fresh sidecar carries the grown matrix.  Probe semantics are
+    unchanged: assignment stays argmax over the full matrix, probe-all
+    (``nprobe ≥ new n``) remains EXACT, and rows in non-split lists keep
+    their standard FAISS frozen-centroid recall story.  Quantization
+    frames (PQ codebooks / SQ stats) are id-independent and carry over —
+    stored codes never re-encode.
+
+    Cost: one clustered rewrite of the hot list (O(hot list), not
+    O(index)); its MoR delete masks fold physically for that list as a
+    side effect.  Works on stored-vector indexes; codes-only layouts
+    refuse (sub-centroid training needs the fp32 vectors) toward a
+    source-corpus rebuild."""
+    from dlt_iceberg_spark.partition import PartitionField, partition_columns
+
+    snap = table.snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no such table: {table.location}")
+    side = _load_sidecar(table)
+    frozen_rel = snap.properties.get(_PROP_FILE)
+    vec_col = snap.properties[_PROP_VEC]
+    id_col = snap.properties[_PROP_ID]
+    if not any(f.name == vec_col for f in snap.schema.fields):
+        raise ValueError(
+            "split_list needs stored vectors; this index was built with "
+            "store_vectors=False — rebuild from the source corpus instead"
+        )
+    old = side["centroids"]
+    n = len(old)
+    if not (0 <= int(centroid) < n):
+        raise ValueError(f"centroid {centroid} outside [0, {n})")
+    if k_split < 2:
+        raise ValueError("k_split must be >= 2 (1 would be a no-op rewrite)")
+    # exactly the hot list's files: the index layout writes every file
+    # under one identity partition tuple, so a file without an exact
+    # tuple cannot be safely removed (it may hold other lists' rows)
+    _, in_scope = table._select_files(snap, [("centroid", "=", int(centroid))])
+    bad = [
+        f
+        for f in in_scope
+        if str((f.partition or {}).get("centroid")) != str(int(centroid))
+    ]
+    if bad:
+        raise ValueError(
+            f"{len(bad)} in-scope files lack an exact centroid partition "
+            "tuple; this table is not a cleanly partitioned vector index"
+        )
+    hot_paths = {f.path for f in in_scope}
+    live = table.read(where=[("centroid", "=", int(centroid))])
+    subs = _train_spherical_kmeans(
+        live, vec_col, k_split, seed, sample_size=131_072
+    )
+    # global ids: sub 0 inherits the split id, the rest append at n..
+    gids = [int(centroid)] + list(range(n, n + len(subs) - 1))
+    matrix = list(old)
+    matrix[int(centroid)] = subs[0]
+    matrix.extend(subs[1:])
+    assign1 = _nearest_centroids(subs, 1)
+    gid_arr = F.array(*[F.lit(g) for g in gids])
+    reassigned = fan_out(live).withColumn(
+        "centroid",
+        F.get(
+            gid_arr, assign1(F.col(vec_col).cast("array<double>"))[0].cast("int")
+        ).cast("int"),
+    )
+    rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
+    payload = dict(side)
+    payload["centroids"] = matrix
+    table._io.write_text(
+        os.path.join(table.location, rel),
+        json.dumps(payload if len(payload) > 1 else matrix),
+    )
+    pcols = partition_columns(
+        [PartitionField(column="centroid", transform="identity")]
+    )
+    new_files = table.stage_dataframe(
+        reassigned.repartition(len(subs), F.col("centroid")),
+        partition_exprs=pcols,
+    )
+    from dlt_iceberg_spark.errors import RetryPolicy
+
+    def attempt():
+        head = table.snapshot()
+        if head.properties.get(_PROP_FILE) != frozen_rel:
+            raise ValueError(  # not retryable: the matrix we grew is stale
+                f"{table.location} was rebuilt/rebalanced concurrently; "
+                "re-run split_list against the new sidecar"
+            )
+        # keep everything but the hot list's files — a load appended to
+        # the split list AFTER our snapshot stays (its rows just remain
+        # assigned to the inherited id, same as any frozen-centroid row)
+        keep = [f for f in head.files if f.path not in hot_paths]
+        return table.commit(
+            keep + new_files,
+            head.schema,
+            "replace",
+            head.version,
+            partition_spec=head.partition_spec,
+            delete_files=list(head.delete_files),
+            properties={
+                **head.properties,
+                _PROP_FILE: rel,
+                _PROP_N: str(len(matrix)),
+            },
+            summary={
+                "vector-index-split": int(centroid),
+                "new-lists": len(subs),
+            },
+        )
+
+    return RetryPolicy().run(attempt)
+
+
+def rebalance_vector_index(
+    table,
+    threshold: float = 3.0,
+    k_split: int = 2,
+    max_splits: int = 1,
+    seed: int = 42,
+) -> list[dict]:
+    """Policy wrapper over :func:`split_list`: while
+    :func:`index_stats` reports ``skew > threshold``, split the hottest
+    list (up to ``max_splits`` per call — each split is its own atomic
+    snapshot).  Returns one report dict per split performed; empty when
+    the index is already balanced.  The stats pass is manifest-only, so a
+    no-op rebalance costs zero scans."""
+    out: list[dict] = []
+    for _ in range(max_splits):
+        stats = index_stats(table)
+        if stats["lists"] == 0 or stats["skew"] <= threshold:
+            break
+        groups = table.aggregate_stats(group_by=["centroid"])
+        if groups is None:
+            counts = {
+                r["centroid"]: r["count"]
+                for r in table.read().groupBy("centroid").count().collect()
+            }
+        else:
+            counts = {g["centroid"]: g["count"] for g in groups}
+        hot = max(counts, key=counts.get)
+        split_list(table, int(hot), k_split=k_split, seed=seed)
+        out.append(
+            {"split": int(hot), "rows": int(counts[hot]), "k_split": k_split}
+        )
+    return out
+
+
 def ivf_topk_persisted(
     queries: DataFrame,
     table,
@@ -602,24 +764,30 @@ def ivf_topk_persisted(
     shuffle of the corpus side); past it the join falls back to a
     shuffle on ``centroid`` automatically (the batch-kNN-inference
     shape: a 100M-query batch must not be broadcast) — AQE's skew split
-    handles hot lists.  The budget check is a ``limit(budget+1)``-capped
-    count, never a full count of a huge query set.
+    handles hot lists.  The budget check is FREE: the query count falls
+    out of the same ≤ n_centroids-row probe-stats collect that decides
+    the partition prune (each query explodes to exactly ``p`` probe
+    rows), so no extra job ever re-executes the query plan.
     """
     snap = table.snapshot()
     side = _load_sidecar(table)
     centroids = side["centroids"]
     vec_col = snap.properties[_PROP_VEC]
     id_col = snap.properties[_PROP_ID]
-    probe_n = _nearest_centroids(centroids, min(nprobe, len(centroids)))
+    p = min(nprobe, len(centroids))
+    probe_n = _nearest_centroids(centroids, p)
     probes = _as_double(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
         F.explode(probe_n(F.col(vec_col))).alias("centroid"),
     )
-    # bounded driver collect: ≤ n_centroids ints decide the partition prune
-    probed_ids = sorted(
-        {r[0] for r in probes.select("centroid").distinct().collect()}
-    )
+    # ONE bounded driver collect (≤ n_centroids rows) decides BOTH the
+    # partition prune and the broadcast-vs-shuffle budget: each query
+    # explodes to exactly p probe rows, so sum(count)/p = |Q| — no second
+    # job re-executing the query plan just to count it (ADVICE r10).
+    probe_stats = probes.groupBy("centroid").count().collect()
+    probed_ids = sorted(r["centroid"] for r in probe_stats)
+    n_queries = sum(r["count"] for r in probe_stats) // p
     scan = table.read(where=[("centroid", "in", probed_ids)] + list(where or []))
     if any(f.name == vec_col for f in snap.schema.fields):
         cv = F.col(vec_col)
@@ -639,8 +807,7 @@ def ivf_topk_persisted(
         cv.alias("cv"),
         "centroid",
     )
-    small_q = queries.limit(broadcast_budget + 1).count() <= broadcast_budget
-    probe_side = F.broadcast(probes) if small_q else probes
+    probe_side = F.broadcast(probes) if n_queries <= broadcast_budget else probes
     scored = (
         lists.join(probe_side, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

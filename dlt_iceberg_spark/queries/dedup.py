@@ -1550,6 +1550,89 @@ _ANN_REBUILD_CACHE: dict = {}
 
 
 @query(
+    "ann_rebalance",
+    # Incremental re-clustering, driver-verified: build on half the
+    # corpus, append the rest, then SPLIT the hottest inverted list into
+    # two sub-lists (operators/vector_index.split_list — rewrites ONLY
+    # that list's files; every other list's files and row assignments are
+    # untouched, the centroid matrix grows by one, and quantization
+    # frames never re-encode).  Probe-all over the split index must
+    # hash-match brute force over the full corpus — proving the partial
+    # rewrite lost nothing, duplicated nothing, and that probing stays
+    # exact across a grown matrix.  The only-hot-files file-diff and the
+    # MaintenancePolicy(rebalance_above_skew=) wiring are pinned in
+    # tests/test_vector_index.py.
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "Incremental index re-clustering (operators/vector_index.py "
+        "split_list): the hottest inverted list splits into sub-lists in "
+        "one O(hot list) partial rewrite — the middle path between "
+        "append-forever and the O(index) rebuild; probe-all over the "
+        "split index hash-matches brute force over the full corpus."
+    ),
+)
+def ann_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        index_stats,
+        ivf_topk_persisted,
+        split_list,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    idx = _ANN_REBAL_CACHE.get(key)
+    if idx is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_rbal_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        idx = build_vector_index(
+            catalog, "gate", "rbal_idx", first,
+            n_centroids=8,
+            centroids=fixed_centroids(first, "embedding", "vec_id", 8),
+        )
+        append_vectors(idx, e.filter(F.col("vec_id") % 2 == 1))
+        # split the hottest list — always legal, no threshold gamble: the
+        # point under test is the partial rewrite's exactness
+        groups = idx.aggregate_stats(group_by=["centroid"])
+        counts = {g["centroid"]: g["count"] for g in groups}
+        split_list(idx, int(max(counts, key=counts.get)), k_split=2)
+        idx = catalog.load_table("gate", "rbal_idx")
+        assert index_stats(idx)["lists"] >= 8
+        _ANN_REBAL_CACHE[key] = idx
+    q = e.filter(F.col("vec_id") < 8)
+    nprobe = int(idx.snapshot().properties["vector-index.n-centroids"])
+    out = ivf_topk_persisted(q, idx, k=5, nprobe=nprobe)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_REBAL_CACHE: dict = {}
+
+
+@query(
     "stream_vector_cdc",
     # CDC-driven index maintenance, driver-verified: the source LakeTable
     # takes two appends and then a MoR row delete (the corpus takedown);

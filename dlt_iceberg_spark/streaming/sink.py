@@ -23,10 +23,11 @@ task splits its Arrow batch by the table's partition tuples and writes
 one file per tuple, rendering transform values bit-exactly as the batch
 writer's Spark expressions would (identity / year / month / day / hour
 over DATE sources, truncate, and bucket via the pinned XXH64 —
-functions/xxhash.py, numpy-vectorized for int/long keys).  Rendering
-and row grouping are column-at-a-time (numpy / arrow compute /
-factorize), so a bucket-partitioned high-throughput stream pays no
-per-row Python.  Stream-landed files cluster per partition and PRUNE
+functions/xxhash.py, numpy-vectorized for int/long AND string keys:
+strings hash straight off the Arrow UTF-8 buffer in per-byte-length
+batches).  Rendering and row grouping are column-at-a-time (numpy /
+arrow compute / factorize + lexsort), so a bucket-partitioned
+high-throughput stream pays no per-row Python.  Stream-landed files cluster per partition and PRUNE
 exactly like batch-landed ones; null bucket keys land in bucket
 ``42 % N`` — the same partition Spark's ``pmod(xxhash64(NULL), N)``
 assigns (xxhash64 of NULL returns the seed).  Transforms over
@@ -133,22 +134,19 @@ def _render_partition_column(c, transform: str, param, dtype: str):
             SPARK_HASH_SEED,
             spark_xxhash64_int_np,
             spark_xxhash64_long_np,
-            spark_xxhash64_string,
+            spark_xxhash64_string_arrow,
         )
 
         big_n = int(param)
         null_bucket = str(SPARK_HASH_SEED % big_n)
         if dtype == "string":
-            # variable-length UTF-8 resists numpy lanes; still one pass
-            return np.array(
-                [
-                    null_bucket
-                    if v is None
-                    else str(spark_xxhash64_string(v) % big_n)
-                    for v in c.to_pylist()
-                ],
-                dtype=object,
-            )
+            # batched XXH64 straight over the Arrow UTF-8 buffer
+            # (offsets+data ndarrays, per-byte-length numpy passes) — the
+            # last per-row Python in the render path is gone
+            h, smask = spark_xxhash64_string_arrow(c)
+            out = (h % big_n).astype("U").astype(object)
+            out[smask] = null_bucket
+            return out
         arr = pc.fill_null(c, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         h = (
             spark_xxhash64_int_np(arr)
@@ -295,13 +293,17 @@ class _LakeStreamWriter(DataSourceStreamArrowWriter):
             _render_partition_column(tbl.column(col), t, param, dt)
             for (_, col, t, param, dt) in self.pspec
         ]
-        comb = np.zeros(n, dtype=np.int64)
-        for r in rendered:
-            codes, uniques = pd.factorize(r, use_na_sentinel=False)
-            comb = comb * np.int64(max(len(uniques), 1)) + codes
-        order = np.argsort(comb, kind="stable")
-        sc = comb[order]
-        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        # group by the TUPLE of per-column factorize codes via lexsort —
+        # a single multiplicative int64 key could overflow/collide when
+        # several high-cardinality partition columns coexist (ADVICE r10)
+        code_cols = [
+            pd.factorize(r, use_na_sentinel=False)[0] for r in rendered
+        ]
+        order = np.lexsort(code_cols[::-1])
+        sorted_mat = np.stack([cc[order] for cc in code_cols], axis=1)
+        starts = np.flatnonzero(
+            np.r_[True, (sorted_mat[1:] != sorted_mat[:-1]).any(axis=1)]
+        )
         ends = np.r_[starts[1:], n]
         groups = []
         for s, e in zip(starts, ends):

@@ -651,7 +651,10 @@ class _LakeStreamReader(DataSourceStreamReader):
                 take = [i for i in live if i in match]
             else:  # removed file: every parent-live row
                 take = live
-        sub = t if p.kind == "insert" else t.take(take)
+        # typed indices: an EMPTY take list must not infer arrow null type
+        # (array_take(int64, null) has no kernel) — empty matches are
+        # normal, e.g. an equality delete whose keys all miss this file
+        sub = t if p.kind == "insert" else t.take(pa.array(take, type=pa.int64()))
         rows = sub.num_rows
         mapping = p.names or {}
         change = "insert" if p.kind == "insert" else "delete"

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql.streaming import StreamingQuery
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dlt_iceberg_spark.operators.vector_index import (
@@ -94,10 +95,32 @@ def stream_index_vectors(
         if state is not None and state.load_recorded(load_id):
             return
         if changes:
-            deletes = batch_df.filter(
-                F.col("_change_type") == "delete"
-            ).select(id_col)
-            batch_df = batch_df.filter(F.col("_change_type") == "insert").drop(
+            # A batch may span several commit versions
+            # (max_versions_per_batch > 1 or None): resolve each id to its
+            # LATEST change image before splitting, else an insert at vN
+            # hard-deleted at vN+1 inside the same batch would resurrect
+            # (the equality delete would commit below the append), and the
+            # bootstrap epoch would index rows already deleted later in it.
+            # Within one version an update is delete+insert and the insert
+            # is the newer image, so insert outranks delete on ties.
+            w = Window.partitionBy(id_col).orderBy(
+                F.col("_commit_version").desc(),
+                (F.col("_change_type") == "insert").cast("int").desc(),
+            )
+            latest = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            # every id with a delete image gets masked — including upserts,
+            # whose pre-batch copy must go; this epoch's own insert commits
+            # at a higher sequence, so it survives the mask.
+            deletes = (
+                batch_df.filter(F.col("_change_type") == "delete")
+                .select(id_col)
+                .distinct()
+            )
+            batch_df = latest.filter(F.col("_change_type") == "insert").drop(
                 "_change_type", "_commit_version"
             )
             # deletes first: the lower-sequence masks spare this epoch's

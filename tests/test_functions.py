@@ -128,6 +128,61 @@ def test_python_xxh64_matches_spark_xxhash64(spark):
     assert all(spark_xxhash64_string(r.v) == r.h for r in rows)
 
 
+def test_arrow_string_xxh64_matches_scalar_and_spark(spark):
+    """The batched Arrow-buffer string hasher (per-byte-length numpy
+    passes over offsets+data — the sink's string-bucket hot path, VERDICT
+    r10 task 3) must be bit-identical to the scalar form and to Spark,
+    across every chunk-schedule regime (empty, <4, 4–7, 8–31, ≥32 bytes,
+    multi-byte UTF-8), with nulls flagged, and survive a SLICED array
+    (nonzero arr.offset into the offsets buffer)."""
+    import random
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.functions.xxhash import (
+        spark_xxhash64_string,
+        spark_xxhash64_string_arrow,
+    )
+
+    rng = random.Random(13)
+    alphabet = "abcXYZ019 _-日本語ü€"
+    vals = ["", "a", "abc", "abcd", "abcdefg", "abcdefgh", "x" * 31,
+            "x" * 32, "y" * 33, "z" * 100, "日本語テキスト", None, "", None]
+    vals += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(60)
+    ]
+    arr = pa.array(vals, type=pa.string())
+    h, mask = spark_xxhash64_string_arrow(arr)
+    for i, v in enumerate(vals):
+        if v is None:
+            assert mask[i]
+        else:
+            assert not mask[i] and h[i] == spark_xxhash64_string(v), (i, v)
+    # spark agreement on the non-null subset
+    nn = [v for v in vals if v is not None]
+    rows = (
+        spark.createDataFrame([(v,) for v in nn], "v string")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    )
+    by_val = {r.v: r.h for r in rows}
+    hv = {v: int(x) for v, x, m in zip(vals, h, mask) if not m}
+    assert all(hv[v] == by_val[v] for v in set(nn))
+    # sliced array: offsets must be read relative to arr.offset
+    sl = arr.slice(3, 40)
+    hs, ms = spark_xxhash64_string_arrow(sl)
+    for i, v in enumerate(vals[3:43]):
+        if v is None:
+            assert ms[i]
+        else:
+            assert hs[i] == spark_xxhash64_string(v)
+    # large_string takes the int64-offsets path
+    hl, ml = spark_xxhash64_string_arrow(pa.array(vals, type=pa.large_string()))
+    assert list(hl) == list(h) and list(ml) == list(mask)
+
+
 def test_heavy_hitters_single_scan(spark):
     """The total rides the counts aggregate via ReusedExchange — one scan
     of the input, not a count() pre-pass (VERDICT r8 task 7)."""

@@ -3,6 +3,8 @@ near-duplicate, and compression of the stored representation."""
 
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dlt_iceberg_spark.operators.quantization import pq_encode, pq_topk, pq_train
@@ -65,6 +67,125 @@ def test_sq_roundtrip_accuracy_and_determinism(emb):
             scale = (maxs[j] - mins[j]) / 255.0 if maxs[j] > mins[j] else 1.0
             decoded = mins[j] + c * scale
             assert abs(decoded - v) <= scale / 2 + 1e-9
+
+
+def test_sq_train_high_dim_matches_per_column(spark):
+    """dim=512 (production-embedding scale): the posexplode+hash-agg form
+    of sq_train (2 aggregate expressions at ANY dim — VERDICT r10 task 2)
+    returns stats identical to the per-column min/max it replaced (numpy
+    oracle here), including null-lane skipping.  The old 2·dim-scalar-
+    aggregate plan hit codegen limits past ~1k expressions; this plan's
+    expression count is dimension-independent."""
+    from dlt_iceberg_spark.operators.quantization import sq_train
+
+    dim, n = 512, 40
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((n, dim)) * rng.uniform(0.1, 10.0, size=dim)
+    rows = [[float(x) for x in v] for v in mat]
+    rows[3][17] = None  # a null lane: min/max must skip it, not nullify
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "vec_id long, embedding array<double>"
+    )
+    mins, maxs = sq_train(df)
+    assert len(mins) == dim and len(maxs) == dim
+    col17 = np.delete(mat[:, 17], 3)
+    for j in range(dim):
+        col = col17 if j == 17 else mat[:, j]
+        assert mins[j] == float(col.min()), j
+        assert maxs[j] == float(col.max()), j
+
+
+def _sq_code_oracle(x, mn, mx, levels):
+    """Python replica of the JVM encode: floor((x−mn)/scale + 0.5) clamped
+    to [0, levels−1]; JVM double→long casts send NaN→0 and ±inf→±Long.MAX,
+    which the clamp folds to the boundaries (verified against Spark)."""
+    import math
+
+    scale = (mx - mn) / (levels - 1) if mx > mn else 1.0
+    raw = (x - mn) / scale + 0.5
+    if math.isnan(raw):
+        f = 0
+    elif raw == math.inf:
+        f = levels - 1
+    elif raw == -math.inf:
+        f = 0
+    else:
+        f = math.floor(raw)
+    return min(max(f, 0), levels - 1)
+
+
+_dim_stats = st.lists(
+    st.tuples(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),  # min
+        st.one_of(  # width: 0 pins the zero-range branch (scale = 1.0)
+            st.just(0.0), st.floats(1e-3, 1e6, allow_nan=False, allow_infinity=False)
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+_lane = st.one_of(
+    st.floats(-2e6, 2e6, allow_nan=False, allow_infinity=False),
+    st.just(float("nan")),
+    st.just(float("inf")),
+    st.just(float("-inf")),
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    dims=_dim_stats,
+    levels=st.sampled_from([2, 16, 256]),
+    xs=st.lists(_lane, min_size=1, max_size=15),
+)
+def test_sq_encode_decode_properties(spark, dims, levels, xs):
+    """Hypothesis over (mins, maxs, levels, vectors incl. NaN/±inf/
+    out-of-range): codes always clamp to [0, levels−1], decode stays inside
+    [min, max] (+half-step tolerance), in-range finite lanes round-trip
+    within half a quantization step, out-of-range lanes clamp to the
+    boundary code, and Spark's JVM encode/decode agree lane-for-lane with
+    the Python oracle (VERDICT r10 task 8)."""
+    import math
+
+    from dlt_iceberg_spark.operators.quantization import sq_decoded, sq_encode
+
+    mins = [mn for mn, _ in dims]
+    maxs = [mn + w for mn, w in dims]
+    dim = len(dims)
+    vecs = [xs[i : i + dim] for i in range(0, len(xs) - dim + 1, dim)] or [xs[:dim]]
+    vecs = [v + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    enc = sq_encode(df, mins, maxs, levels=levels, keep_vec=True)
+    out = {
+        r.vec_id: (r.embedding, r.sq_code, r.dec)
+        for r in enc.withColumn(
+            "dec", sq_decoded(F.col("sq_code"), mins, maxs, levels)
+        ).collect()
+    }
+    for i, vec in enumerate(vecs):
+        emb, code, dec = out[i]
+        assert len(code) == dim
+        for j, x in enumerate(vec):
+            mn, mx = mins[j], maxs[j]
+            scale = (mx - mn) / (levels - 1) if mx > mn else 1.0
+            c, d = code[j], dec[j]
+            assert 0 <= c <= levels - 1  # clamp behavior, ALWAYS
+            assert c == _sq_code_oracle(x, mn, mx, levels)  # JVM == oracle
+            assert math.isclose(d, mn + c * scale, rel_tol=1e-12, abs_tol=1e-300)
+            if mx > mn:
+                assert mn - 1e-9 <= d <= mx + scale / 2 + 1e-9  # decode bounds
+            # boundary clamping is a [min,max]-range property — a
+            # zero-range dim (scale = 1.0) quantizes RELATIVE to mn instead
+            if math.isfinite(x) and mx > mn:
+                if mn <= x <= mx:
+                    assert abs(d - x) <= scale / 2 + 1e-9 * max(1, abs(x))
+                elif x < mn:
+                    assert c == 0
+                else:
+                    assert c == levels - 1
 
 
 def test_sq_topk_matches_bruteforce_closely(emb):

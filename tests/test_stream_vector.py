@@ -166,6 +166,67 @@ def test_stream_bootstraps_ivfpq_with_metadata(spark, warehouse, tmp_path):
     assert out.count() == 6
 
 
+def test_cdc_multi_version_batch_resolves_latest_image(spark, warehouse, tmp_path):
+    """changes=True with max_versions_per_batch=None: ONE epoch spans the
+    whole source history.  Each id must resolve to its latest change image
+    inside the batch — an id inserted then hard-deleted within the batch
+    stays out of the index (no resurrection via the lower-sequence equality
+    delete), a twice-updated id lands exactly once with the newest vector,
+    and the bootstrap epoch never indexes rows already deleted later in
+    the same batch."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    base = _vectors(spark, 30, seed=31)
+    writer.write(
+        TableSpec(name="mvecs", write_disposition="append"), base, load_id="l0"
+    )
+    src = catalog.load_table("ds", "mvecs")
+    # insert a doomed row, then hard-delete it (later commit version)
+    doomed = _vectors(spark, 1, seed=32, start_id=100)
+    writer.write(
+        TableSpec(name="mvecs", write_disposition="append"), doomed, load_id="l1"
+    )
+    src.position_delete_where([("vec_id", "=", 100)])
+    # update id=5 TWICE — only the second image may survive
+    mid = _vectors(spark, 1, seed=33, start_id=5).collect()[0].embedding
+    final = _vectors(spark, 1, seed=34, start_id=5).collect()[0].embedding
+    for emb in (mid, final):
+        src.update_where(
+            [("vec_id", "=", 5)],
+            {"embedding": F.array(*[F.lit(float(x)) for x in emb])},
+        )
+
+    index = LakeTable(spark, str(tmp_path / "midx"))
+    run_index_backfill(
+        spark,
+        src.location,
+        index,
+        checkpoint_dir=str(tmp_path / "mckpt"),
+        n_centroids=4,
+        centroids=fixed_centroids(base, n_centroids=4),
+        query_name="mvi",
+        changes=True,
+        max_versions_per_batch=None,  # the whole history as one epoch
+    )
+    assert index.read().filter("vec_id = 100").count() == 0  # no resurrection
+    rows = index.read().filter("vec_id = 5").collect()
+    assert len(rows) == 1 and rows[0].embedding == final
+    assert index.read().count() == 30
+
+    # probe-all over the one-epoch index == brute force over the live corpus
+    live = base.filter("vec_id != 5").unionByName(
+        spark.createDataFrame([(5, final)], "vec_id long, embedding array<double>")
+    )
+    queries = base.filter("vec_id < 3")
+    got = ivf_topk_persisted(queries, index, k=5, nprobe=4)
+    exact = cosine_topk_bruteforce(queries, live, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+
 def test_cdc_stream_propagates_corpus_deletes(spark, warehouse, tmp_path):
     """changes=True: a hard delete in the source corpus propagates to the
     index in its epoch — the deleted vector stops being a neighbor, and

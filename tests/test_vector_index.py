@@ -849,3 +849,118 @@ def test_maintain_policy_services_the_index_end_to_end(spark, warehouse):
 
     assert _os.path.exists(_os.path.join(idx.location, sidecar))
     assert _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=4)) == before
+
+
+def _skewed_corpus(spark, dim=8):
+    """~104 vectors, ~90 in list 0 (bimodal around ±0.3·e4 so a 2-way
+    split separates cleanly), a handful in lists 1-3 — skew > 3."""
+    rng = np.random.default_rng(55)
+    e = np.eye(dim)
+
+    def cluster(center, n, start):
+        return [
+            (
+                start + i,
+                [float(x) for x in center + 0.05 * rng.standard_normal(dim)],
+            )
+            for i in range(n)
+        ]
+
+    rows = (
+        cluster(e[0] + 0.3 * e[4], 45, 0)
+        + cluster(e[0] - 0.3 * e[4], 45, 45)
+        + cluster(e[1], 5, 90)
+        + cluster(e[2], 5, 95)
+        + cluster(e[3], 4, 100)
+    )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in e[j]] for j in range(4)]
+    return corpus, cents
+
+
+def test_split_list_rebalances_touching_only_hot_files(spark, warehouse):
+    """Incremental re-clustering (VERDICT r10 task 5): a skewed index
+    (skew > 3) rebalances by splitting ONE hot list — the file diff shows
+    only that list's files removed, every other list's files survive
+    byte-identical; probe-all stays EXACT; appends keep working against
+    the grown matrix; skew improves."""
+    from dlt_iceberg_spark.operators.vector_index import (
+        index_stats,
+        rebalance_vector_index,
+    )
+
+    corpus, cents = _skewed_corpus(spark)
+    catalog = LakeCatalog(spark, warehouse)
+    idx = build_vector_index(catalog, "ann", "skewed", corpus, centroids=cents)
+    stats = index_stats(idx)
+    assert stats["skew"] > 3
+
+    before = {f.path: f.partition.get("centroid") for f in idx.snapshot().files}
+    hot = {p for p, c in before.items() if c == "0"}
+    assert hot and len(before) > len(hot)
+
+    reports = rebalance_vector_index(idx, threshold=3.0, k_split=2)
+    assert len(reports) == 1 and reports[0]["split"] == 0
+
+    after = {f.path: f.partition.get("centroid") for f in idx.snapshot().files}
+    removed = set(before) - set(after)
+    assert removed == hot  # ONLY the hot list's files were rewritten
+    added = set(after) - set(before)
+    assert added and all(after[p] in {"0", "4"} for p in added)
+    # sub 0 inherits id 0, sub 1 appends at id 4; matrix grew by one
+    assert idx.snapshot().properties["vector-index.n-centroids"] == "5"
+    assert len(load_centroids(idx)) == 5
+
+    queries = corpus.filter("vec_id < 3 OR vec_id IN (92, 101)")
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=5)
+    exact = cosine_topk_bruteforce(queries, corpus, k=5)
+    assert _ranked(got) == _ranked(exact)  # probe-all exact after split
+
+    extra = _vectors(spark, 10, seed=77, start_id=200)
+    append_vectors(idx, extra)
+    got2 = ivf_topk_persisted(queries, idx, k=5, nprobe=5)
+    exact2 = cosine_topk_bruteforce(queries, corpus.unionByName(extra), k=5)
+    assert _ranked(got2) == _ranked(exact2)
+    assert index_stats(idx)["skew"] < stats["skew"]
+
+
+def test_split_list_refusals(spark, warehouse):
+    from dlt_iceberg_spark.operators.vector_index import split_list
+
+    corpus, cents = _skewed_corpus(spark)
+    catalog = LakeCatalog(spark, warehouse)
+    idx = build_vector_index(
+        catalog, "ann", "codesonly", corpus, centroids=cents,
+        pq=True, m_subspaces=4, k_codes=8, store_vectors=False,
+    )
+    with pytest.raises(ValueError, match="stored vectors"):
+        split_list(idx, 0)
+    idx2 = build_vector_index(catalog, "ann", "plainref", corpus, centroids=cents)
+    with pytest.raises(ValueError, match="outside"):
+        split_list(idx2, 99)
+    with pytest.raises(ValueError, match="k_split"):
+        split_list(idx2, 0, k_split=1)
+
+
+def test_maintain_rebalances_skewed_index(spark, warehouse):
+    """The rebalance_above_skew policy knob: maintain() on a skewed index
+    splits the hot list (manifest-only skew check), then compaction in
+    the SAME cycle binpacks the sub-lists; balanced tables skip it."""
+    from dlt_iceberg_spark.lake.maintenance import MaintenancePolicy, maintain
+    from dlt_iceberg_spark.operators.vector_index import index_stats
+
+    corpus, cents = _skewed_corpus(spark)
+    catalog = LakeCatalog(spark, warehouse)
+    idx = build_vector_index(catalog, "ann", "mt_skew", corpus, centroids=cents)
+    queries = corpus.filter("vec_id < 3")
+    exact = _ranked(cosine_topk_bruteforce(queries, corpus, k=5))
+
+    report = maintain(idx, MaintenancePolicy(rebalance_above_skew=3.0))
+    assert report["rebalanced"][0]["split"] == 0
+    assert idx.snapshot().properties["vector-index.n-centroids"] == "5"
+    assert _ranked(ivf_topk_persisted(queries, idx, k=5, nprobe=5)) == exact
+
+    # second cycle: already balanced — no further splits
+    report2 = maintain(idx, MaintenancePolicy(rebalance_above_skew=3.0))
+    assert "rebalanced" not in report2
+    assert index_stats(idx)["skew"] <= 3.0
