@@ -244,6 +244,10 @@ SF1_QUERIES = [
     # so its cost should track corpus rows, never dimension); ann_rebalance
     # times the hot-list split whose claim is O(hot list), not O(index)
     "ann_sq", "ann_rebalance",
+    # r11-late: the residual IVF-PQ probe through the probe-gated ADC
+    # kernel — per-batch cost tracks (probing queries × list rows), and
+    # executor output is local top-k, not |batch|·|Q|
+    "ann_pq_residual",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _residualize(mat, centroids):
+    """numpy residuals: unit-normalized rows minus their nearest centroid
+    (argmax dot — first max on ties, matching ``_nearest_centroids``'
+    stable argsort).  Returns (residual matrix, assignment ids)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    assign = np.argmax(mat @ C.T, axis=1)
+    return mat - C[assign], assign
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -32,9 +43,18 @@ def pq_train(
     sample_size: int = 131_072,
     iters: int = 10,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's k-means codebooks (driver-side numpy on a
-    bounded sample).  Returns ``m`` codebooks of ``k`` sub-centroids."""
+    bounded sample).  Returns ``m`` codebooks of ``k`` sub-centroids.
+
+    ``centroids=`` switches to RESIDUAL training (FAISS ``IVFPQ``
+    semantics): each sample is replaced by ``x̂ − c(x̂)`` — its offset from
+    its nearest coarse centroid — before the per-subspace k-means.
+    Residuals concentrate around the origin regardless of which cluster a
+    vector lives in, so the same code budget quantizes a far tighter
+    distribution than raw vectors whose spread is dominated by the
+    BETWEEN-cluster structure the coarse level already captured."""
     import numpy as np
 
     from dlt_iceberg_spark.operators.similarity import _bounded_sample
@@ -42,6 +62,8 @@ def pq_train(
     rows = _bounded_sample(corpus, vec_col, sample_size).collect()
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    if centroids is not None:
+        mat, _ = _residualize(mat, centroids)
     dim = mat.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -68,10 +90,16 @@ def pq_codebooks_fixed(
     id_col: str = "vec_id",
     m_subspaces: int = 8,
     k_codes: int = 16,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic, engine-replayable codebooks: the ``k_codes`` corpus
     rows with the smallest ``md5(id)`` (hash-ordered, so any engine picks
     the same rows), L2-normalized and sliced per subspace.
+
+    ``centroids=`` makes them RESIDUAL codebooks — each picked row is
+    replaced by its offset from its nearest coarse centroid before
+    slicing, the deterministic analogue of ``pq_train(centroids=)`` so
+    the residual encode/ADC machinery is SQL-oracle-replayable too.
 
     No training — this exists so the PQ encode/ADC machinery can be
     hash-verified against a SQL oracle end-to-end (the oracle re-derives
@@ -88,6 +116,8 @@ def pq_codebooks_fixed(
     )
     mat = np.array([r["_v"] for r in rows], dtype=np.float64)
     mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    if centroids is not None:
+        mat, _ = _residualize(mat, centroids)
     dim = mat.shape[1]
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
@@ -100,10 +130,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     keep_vec: bool = False,
+    centroids: list[list[float]] | None = None,
+    centroid_col: str = "centroid",
 ) -> DataFrame:
     """Replace ``vec_col`` with ``pq_code: array<int>`` (length m);
     ``keep_vec=True`` keeps the vector column alongside the codes (the
     store_vectors index layout — one encode pass, never two).
+
+    ``centroids=`` encodes RESIDUALS (FAISS ``IVFPQ``): each row's
+    ``centroid_col`` (its coarse list id, already computed by the IVF
+    assignment — no second argmax) picks the centroid to subtract from
+    the unit-normalized vector before the per-subspace argmin, and the
+    ``codebooks`` must be residual-trained.  Still one Arrow-batched
+    pass; the subtraction is a single broadcast numpy gather.
 
     Vectorized: per Arrow batch, one distance matrix per subspace."""
     import numpy as np
@@ -112,10 +151,9 @@ def pq_encode(
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
+    C = None if centroids is None else np.array(centroids, dtype=np.float64)
 
-    def encode(v):
-        mat = np.array(list(v), dtype=np.float64)
-        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    def _codes_for(mat):
         codes = np.empty((len(mat), len(books)), dtype=np.int64)
         for j, cb in enumerate(books):
             x = mat[:, j * sub : (j + 1) * sub]
@@ -123,9 +161,27 @@ def pq_encode(
             codes[:, j] = d2.argmin(axis=1)
         return pd.Series([row.tolist() for row in codes])
 
-    encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    udf = pandas_udf("array<int>")(encode)
-    coded = df.withColumn("pq_code", udf(F.col(vec_col).cast("array<double>")))
+    def encode(v):
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+        return _codes_for(mat)
+
+    def encode_res(v, cent):
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+        return _codes_for(mat - C[cent.to_numpy(dtype=np.int64)])
+
+    if C is None:
+        encode.__annotations__ = {"v": pd.Series, "return": pd.Series}
+        udf = pandas_udf("array<int>")(encode)
+        args = (F.col(vec_col).cast("array<double>"),)
+    else:
+        encode_res.__annotations__ = {
+            "v": pd.Series, "cent": pd.Series, "return": pd.Series
+        }
+        udf = pandas_udf("array<int>")(encode_res)
+        args = (F.col(vec_col).cast("array<double>"), F.col(centroid_col))
+    coded = df.withColumn("pq_code", udf(*args))
     return coded if keep_vec else coded.drop(vec_col)
 
 
@@ -138,6 +194,9 @@ def pq_topk(
     k: int = 10,
     allowed: DataFrame | None = None,
     max_queries: int = 131_072,
+    centroids: list[list[float]] | None = None,
+    centroid_col: str = "centroid",
+    probe_sets: dict | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
 
@@ -150,14 +209,39 @@ def pq_topk(
     (``ivf_topk_persisted`` / ``cosine_topk_bruteforce``), the same
     budget rule as ``all_pairs_cosine_blas``.
 
+    ``centroids=`` scores RESIDUAL codes (FAISS ``IVFPQ``): a code now
+    means ``x̂ ≈ c_L + codeword``, so the lookup table depends on the
+    (query, list) pair — ``T[q, j, k] = ‖(q̂ − c_L)_j − cb_j[k]‖²``.
+    Instead of broadcasting |Q|·nprobe tables, the executors get the raw
+    query matrix + centroid matrix and build each list's tables LAZILY
+    per Arrow batch: the index layout stores one inverted list per
+    partition, so a batch is (nearly always) single-list and the table
+    build amortizes over the whole batch.  ``corpus_codes`` must carry
+    ``centroid_col``.  Broadcast stays O(|Q|·dim); per-batch transient
+    memory stays O(|Q|·m·k).
+
+    ``probe_sets=`` ({centroid id → iterable of query ids that probed it})
+    moves IVF probe gating INSIDE the kernel — the scale path the
+    persisted probes use: a batch scores ONLY the queries that probed its
+    list (a query pays flops for nprobe lists, never all of them) and
+    emits ONLY each scoring query's local top-(k+1) rows (deterministic —
+    rows pre-sorted by neighbor id, stable argsort on distance — so the
+    global window sees every global-top-k candidate; +1 absorbs the at-
+    most-one self pair filtered later).  Executor output shrinks from
+    |batch|·|Q| rows to (k+1)·|probing queries| per batch, which is what
+    keeps the post-ADC shuffle bounded by |Q|·nprobe·k instead of
+    |Q|·(probed corpus rows).  Requires ``centroid_col`` on
+    ``corpus_codes``; mutually exclusive with ``allowed``.
+
     ``allowed`` — optional (query_id, neighbor_id) pairs applied BEFORE
-    the ranking window: IVF callers pass their per-query probe sets here
-    so a neighbor from an unprobed list can never crowd a real candidate
-    out of the top-k (filtering after the window would silently return
-    fewer than k rows)."""
+    the ranking window: per-call IVF composition over arbitrary pair sets
+    (filtering after the window would silently return fewer than k
+    rows).  Prefer ``probe_sets`` when the pairs are probe-structured."""
     import numpy as np
     import pandas as pd
 
+    if allowed is not None and probe_sets is not None:
+        raise ValueError("pass either allowed or probe_sets, not both")
     if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
             f"pq_topk: query set exceeds max_queries={max_queries}; ADC "
@@ -171,40 +255,146 @@ def pq_topk(
     qids = [r[0] for r in q_rows]
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
     qmat = qmat / np.maximum(np.sqrt((qmat * qmat).sum(axis=1, keepdims=True)), 1e-12)
-    # per query, per subspace: distance to every code -> (nq, m, k) tables
-    tables = np.stack(
-        [
-            ((qmat[:, j * sub : (j + 1) * sub][:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            for j, cb in enumerate(books)
-        ],
-        axis=1,
-    )
-    bc = queries.sparkSession.sparkContext.broadcast((qids, tables))
+    probe_pos = None
+    if probe_sets is not None:
+        pos = {q: i for i, q in enumerate(qids)}
+        probe_pos = {
+            int(c): np.array(sorted(pos[q] for q in qs if q in pos), dtype=np.int64)
+            for c, qs in probe_sets.items()
+        }
+
+    def _tables_for(q):
+        # per query, per subspace: distance to every code -> (nq, m, k)
+        return np.stack(
+            [
+                ((q[:, j * sub : (j + 1) * sub][:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                for j, cb in enumerate(books)
+            ],
+            axis=1,
+        )
 
     out_schema = "query_id long, neighbor_id long, adc_dist double"
 
-    def score(batches):
-        b_qids, b_tables = bc.value
-        nq, m, _ = b_tables.shape
-        for pdf in batches:
-            codes = np.array(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
-            # dists[q, n] = sum_j tables[q, j, codes[n, j]]
-            dists = np.zeros((nq, len(codes)))
-            for j in range(m):
-                dists += b_tables[:, j, :][:, codes[:, j]]
-            nid = pdf["neighbor_id"].to_numpy()
-            frames = []
-            for qi, qid in enumerate(b_qids):
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": nid, "adc_dist": dists[qi]}
-                    )
+    def _emit(b_qids, nid, dists):
+        frames = []
+        for qi, qid in enumerate(b_qids):
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nid, "adc_dist": dists[qi]}
                 )
-            yield pd.concat(frames, ignore_index=True)
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def _emit_topk(sel_qids, nid, dists, kk):
+        # rows arrive pre-sorted by neighbor id, so a STABLE argsort on
+        # distance yields (dist asc, neighbor_id asc) — the exact global
+        # tie rule — making the local cut deterministic and lossless
+        frames = []
+        for qi, qid in enumerate(sel_qids):
+            order = np.argsort(dists[qi], kind="stable")[:kk]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": nid[order],
+                     "adc_dist": dists[qi][order]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": np.array([], dtype=np.int64),
+                 "neighbor_id": np.array([], dtype=np.int64),
+                 "adc_dist": np.array([], dtype=np.float64)}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def _lut_sum(b_tables, codes):
+        # dists[q, n] = sum_j tables[q, j, codes[n, j]]
+        dists = np.zeros((b_tables.shape[0], len(codes)))
+        for j in range(b_tables.shape[1]):
+            dists += b_tables[:, j, :][:, codes[:, j]]
+        return dists
+
+    residual = centroids is not None
+    C = None if not residual else np.array(centroids, dtype=np.float64)
+
+    if probe_pos is not None:
+        # probe-gated kernel: per batch, per list — score probing queries
+        # only, emit their local top-(k+1)
+        payload = (qids, qmat if residual else _tables_for(qmat), C, probe_pos)
+        bc = queries.sparkSession.sparkContext.broadcast(payload)
+        kk = int(k) + 1
+
+        def score(batches):
+            b_qids, b_q, b_C, b_probe = bc.value
+            ids_arr = np.asarray(b_qids)
+            for pdf in batches:
+                nid_raw = pdf["neighbor_id"].to_numpy()
+                order_n = np.argsort(nid_raw, kind="stable")
+                nid = nid_raw[order_n]
+                codes = np.array(list(pdf["pq_code"]), dtype=np.int64)[order_n]
+                cents = pdf["_pq_centroid"].to_numpy(dtype=np.int64)[order_n]
+                out = []
+                for c in np.unique(cents):
+                    qsel = b_probe.get(int(c))
+                    if qsel is None or not len(qsel):
+                        continue
+                    rows = cents == c
+                    if residual:
+                        t = _tables_for(b_q[qsel] - b_C[int(c)])
+                    else:
+                        t = b_q[qsel]
+                    out.append(
+                        _emit_topk(
+                            ids_arr[qsel], nid[rows],
+                            _lut_sum(t, codes[rows]), kk,
+                        )
+                    )
+                yield (
+                    pd.concat(out, ignore_index=True)
+                    if out
+                    else _emit_topk([], nid[:0], np.zeros((0, 0)), kk)
+                )
+
+        cols = corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            "pq_code",
+            F.col(centroid_col).cast("int").alias("_pq_centroid"),
+        )
+    elif not residual:
+        bc = queries.sparkSession.sparkContext.broadcast((qids, _tables_for(qmat)))
+
+        def score(batches):
+            b_qids, b_tables = bc.value
+            for pdf in batches:
+                codes = np.array(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
+                yield _emit(b_qids, pdf["neighbor_id"].to_numpy(),
+                            _lut_sum(b_tables, codes))
+
+        cols = corpus_codes.select(F.col(id_col).alias("neighbor_id"), "pq_code")
+    else:
+        bc = queries.sparkSession.sparkContext.broadcast((qids, qmat, C))
+
+        def score(batches):
+            b_qids, b_qmat, b_C = bc.value
+            for pdf in batches:
+                codes = np.array(list(pdf["pq_code"]), dtype=np.int64)
+                cents = pdf["_pq_centroid"].to_numpy(dtype=np.int64)
+                dists = np.zeros((len(b_qids), len(codes)))
+                for c in np.unique(cents):
+                    rows = cents == c
+                    # per-list tables against the queries' residuals to THIS
+                    # list's centroid — one build per (batch, list)
+                    t = _tables_for(b_qmat - b_C[int(c)])
+                    dists[:, rows] = _lut_sum(t, codes[rows])
+                yield _emit(b_qids, pdf["neighbor_id"].to_numpy(), dists)
+
+        cols = corpus_codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            "pq_code",
+            F.col(centroid_col).cast("int").alias("_pq_centroid"),
+        )
 
     scored = (
-        corpus_codes.select(F.col(id_col).alias("neighbor_id"), "pq_code")
-        .mapInPandas(score, out_schema)
+        cols.mapInPandas(score, out_schema)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     if allowed is not None:
@@ -228,6 +418,7 @@ def ivfpq_topk(
     m_subspaces: int = 8,
     k_codes: int = 16,
     seed: int = 42,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse centroids bound WHERE to look, PQ codes bound WHAT is
     stored — the FAISS composite index for corpora that fit neither a full
@@ -240,6 +431,14 @@ def ivfpq_topk(
     of a float-vector dot product.  Training stays O(sample) on the driver
     (hash-gated, never ``limit``).
 
+    ``residual=True`` trains/encodes/scores RESIDUALS (x̂ − its coarse
+    centroid) — the FAISS ``IVFPQ`` default, and strictly the better use
+    of the code budget once the coarse level captures real cluster
+    structure: raw-vector codebooks re-spend codes on the between-cluster
+    spread the centroids already explain.  Recall-vs-raw is pinned in
+    pytest; plan shape is unchanged (the per-list lookup tables build
+    executor-side per batch).
+
     Returns (query_id, neighbor_id, adc_dist, rank) within probed lists.
     """
     from dlt_iceberg_spark.operators.similarity import (
@@ -251,11 +450,16 @@ def ivfpq_topk(
     assign1 = _nearest_centroids(centroids, 1)
     probe_n = _nearest_centroids(centroids, nprobe)
 
-    books = pq_train(corpus, vec_col, m_subspaces, k_codes, seed=seed)
+    books = pq_train(
+        corpus, vec_col, m_subspaces, k_codes, seed=seed,
+        centroids=centroids if residual else None,
+    )
     codes = pq_encode(
         corpus.withColumn("_centroid", assign1(F.col(vec_col).cast("array<double>"))[0]),
         books,
         vec_col,
+        centroids=centroids if residual else None,
+        centroid_col="_centroid",
     )
 
     probes = queries.select(
@@ -264,15 +468,23 @@ def ivfpq_topk(
     )
     # keep only corpus rows in a probed list, then ADC-score the remainder;
     # the semi-join keys on the centroid id (broadcast — queries are few).
-    # The per-query probe set gates the ranking INSIDE pq_topk so a
+    # The per-query probe sets gate scoring INSIDE the pq_topk kernel so a
     # neighbor from an unprobed list never crowds a real candidate out of
-    # the top-k (a post-window filter would return fewer than k rows).
+    # the top-k AND a batch never spends flops on queries that didn't
+    # probe its list.
+    probe_sets = {
+        r["_centroid"]: r["qs"]
+        for r in probes.groupBy("_centroid")
+        .agg(F.collect_list("query_id").alias("qs"))
+        .collect()
+    }
     probed = codes.join(
         F.broadcast(probes.select("_centroid").distinct()), "_centroid"
-    ).drop("_centroid")
-    lists = codes.select(F.col(id_col).alias("neighbor_id"), "_centroid")
-    allowed = probes.join(lists, "_centroid").select("query_id", "neighbor_id")
-    return pq_topk(queries, probed, books, vec_col, id_col, k, allowed=allowed)
+    )
+    return pq_topk(
+        queries, probed, books, vec_col, id_col, k, probe_sets=probe_sets,
+        centroids=centroids if residual else None, centroid_col="_centroid",
+    )
 
 
 # ---------------------------------------------------------------------------

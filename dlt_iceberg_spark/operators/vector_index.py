@@ -25,7 +25,11 @@ LakeTable (the layout ivf_topk's docstring names):
   scoring/ranking contract as ``ivf_topk`` (query-side broadcast with a
   shuffle fallback past the budget, JVM cosine fold, per-query window
   top-k); quantized rungs share the layout — ``sq=True`` (int8/dim,
-  JVM decode) and ``pq=True`` (ADC via :func:`ivf_pq_topk_persisted`).
+  JVM decode) and ``pq=True`` (ADC via :func:`ivf_pq_topk_persisted`,
+  probe-gated kernel: a batch scores only the queries that probed its
+  list and emits their local top-k), with ``pq_residual=True`` storing
+  FAISS-style residual codes (x̂ − c_list — better recall at the same
+  code budget on clustered corpora).
 
 Drift: after heavy appends the frozen centroids still partition the
 space correctly (assignment is always argmax against the stored matrix)
@@ -68,6 +72,7 @@ _PROP_ID = "vector-index.id-col"
 _PROP_N = "vector-index.n-centroids"
 _PROP_METRIC = "vector-index.metric"
 _PROP_PQ = "vector-index.pq"  # "m,k" when the index stores PQ codes
+_PROP_PQ_RES = "vector-index.pq-residual"  # "true" when PQ codes are residuals
 _PROP_SQ = "vector-index.sq"  # "levels" when the index stores SQ codes
 _PROP_META = "vector-index.metadata-cols"  # csv of filterable passthroughs
 
@@ -106,6 +111,7 @@ def write_vector_index(
     m_subspaces: int = 8,
     k_codes: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    pq_residual: bool = False,
     sq: bool = False,
     sq_levels: int = 256,
     store_vectors: bool = True,
@@ -126,6 +132,19 @@ def write_vector_index(
     additionally DROPS the raw vector column — a 64-dim fp32 corpus
     shrinks ~32× in the index, the layout for corpora whose vectors
     cannot reside at all.
+
+    ``pq_residual=True`` (with ``pq=True``) stores RESIDUAL codes — each
+    row encodes ``x̂ − c_list`` instead of ``x̂``, the FAISS ``IVFPQ``
+    default: once the coarse centroids explain the between-cluster
+    spread, the code budget quantizes only the (much tighter) within-list
+    offsets, so recall at the same ``m×k`` is strictly better on
+    clustered corpora (pinned in pytest).  Costs nothing at query time —
+    the per-list ADC tables build executor-side per batch, and each
+    inverted list is one partition so the build amortizes over the whole
+    batch.  Lifecycle: appends encode against the frozen centroids +
+    codebooks, ``split_list`` re-encodes ONLY the split rows (their list
+    centroid moved), ``rebuild_vector_index`` re-trains the codebooks
+    against the new centroids.
 
     ``sq=True`` makes it an IVF-SQ index (FAISS ``IVF,SQ8``): rows carry
     ``sq_code: array<int>`` — one int8 level per DIMENSION against exact
@@ -160,11 +179,18 @@ def write_vector_index(
         )
     if (pq or codebooks is not None) and sq:
         raise ValueError("pq and sq are mutually exclusive index layouts")
+    if pq_residual and not (pq or codebooks is not None):
+        raise ValueError("pq_residual requires a PQ layout (pq=True)")
+    if centroids is None:
+        centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     if pq and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
+        # residual mode trains the codebooks on x̂ − c(x̂) against the SAME
+        # coarse centroids the lists use — the FAISS IVFPQ contract
         codebooks = pq_train(
-            corpus, vec_col, m_subspaces, k_codes, seed=seed
+            corpus, vec_col, m_subspaces, k_codes, seed=seed,
+            centroids=centroids if pq_residual else None,
         )
     sq_stats = None
     if sq:
@@ -172,13 +198,14 @@ def write_vector_index(
 
         mins, maxs = sq_train(corpus, vec_col)
         sq_stats = {"mins": mins, "maxs": maxs, "levels": int(sq_levels)}
-    if centroids is None:
-        centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     assigned = _assigned(
         corpus, centroids, vec_col, id_col, extra_cols=metadata_cols or ()
     )
     if codebooks is not None:
-        assigned = _with_codes(assigned, codebooks, vec_col, store_vectors)
+        assigned = _with_codes(
+            assigned, codebooks, vec_col, store_vectors,
+            centroids=centroids if pq_residual else None,
+        )
     if sq_stats is not None:
         from dlt_iceberg_spark.operators.quantization import sq_encode
 
@@ -198,6 +225,8 @@ def write_vector_index(
     }
     if codebooks is not None:
         props[_PROP_PQ] = f"{len(codebooks)},{len(codebooks[0])}"
+        if pq_residual:
+            props[_PROP_PQ_RES] = "true"
     if sq_stats is not None:
         props[_PROP_SQ] = str(sq_stats["levels"])
     if metadata_cols:
@@ -221,6 +250,8 @@ def write_vector_index(
         side_payload = {"centroids": centroids}
         if codebooks is not None:
             side_payload["codebooks"] = codebooks
+            if pq_residual:
+                side_payload["pq_residual"] = True
         if sq_stats is not None:
             side_payload["sq"] = sq_stats
     table._io.write_text(
@@ -292,13 +323,21 @@ def build_vector_index(
 
 
 def _with_codes(
-    assigned: DataFrame, codebooks, vec_col: str, store_vectors: bool
+    assigned: DataFrame,
+    codebooks,
+    vec_col: str,
+    store_vectors: bool,
+    centroids=None,
 ) -> DataFrame:
     from dlt_iceberg_spark.operators.quantization import pq_encode
 
     # one Arrow-batched encode pass either way; keep_vec decides whether
-    # the fp32 column rides along into the index rows
-    return pq_encode(assigned, codebooks, vec_col, keep_vec=store_vectors)
+    # the fp32 column rides along into the index rows; centroids= switches
+    # to residual codes (x̂ − the row's already-assigned list centroid)
+    return pq_encode(
+        assigned, codebooks, vec_col, keep_vec=store_vectors,
+        centroids=centroids, centroid_col="centroid",
+    )
 
 
 def _load_sidecar(table) -> dict:
@@ -358,10 +397,12 @@ def append_vectors(table, batch: DataFrame) -> Any:
         extra_cols=meta_cols,
     )
     if "codebooks" in side:
-        # IVF-PQ index: encode against the FROZEN codebooks too
+        # IVF-PQ index: encode against the FROZEN codebooks too (residual
+        # layouts subtract the row's frozen list centroid first)
         store_vectors = any(f.name == vec_col for f in snap.schema.fields)
         assigned = _with_codes(
-            assigned, side["codebooks"], vec_col, store_vectors
+            assigned, side["codebooks"], vec_col, store_vectors,
+            centroids=side["centroids"] if side.get("pq_residual") else None,
         )
     if "sq" in side:
         # IVF-SQ index: encode against the FROZEN per-dim stats (values
@@ -502,11 +543,18 @@ def rebuild_vector_index(
         centroids = _train_spherical_kmeans(
             live, vec_col, n_centroids or int(snap.properties[_PROP_N]), seed
         )
+    residual = bool(side.get("pq_residual")) if "codebooks" in side else False
     if "codebooks" in side and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
+        # a residual index re-trains its codebooks against the NEW coarse
+        # centroids (stale frames would quantize the wrong distribution);
+        # an explicit codebooks= is trusted to be trained the same way
         old = side["codebooks"]
-        codebooks = pq_train(live, vec_col, len(old), len(old[0]), seed=seed)
+        codebooks = pq_train(
+            live, vec_col, len(old), len(old[0]), seed=seed,
+            centroids=centroids if residual else None,
+        )
     new_sq = None
     if "sq" in side:
         # re-train the per-dim stats on the LIVE corpus (exact pass)
@@ -516,7 +564,10 @@ def rebuild_vector_index(
         new_sq = {"mins": mins, "maxs": maxs, "levels": side["sq"]["levels"]}
     assigned = _assigned(live, centroids, vec_col, id_col, extra_cols=meta_cols)
     if codebooks is not None:
-        assigned = _with_codes(assigned, codebooks, vec_col, store_vectors=True)
+        assigned = _with_codes(
+            assigned, codebooks, vec_col, store_vectors=True,
+            centroids=centroids if residual else None,
+        )
     if new_sq is not None:
         from dlt_iceberg_spark.operators.quantization import sq_encode
 
@@ -531,6 +582,8 @@ def rebuild_vector_index(
         side_payload = {"centroids": centroids}
         if codebooks is not None:
             side_payload["codebooks"] = codebooks
+            if residual:
+                side_payload["pq_residual"] = True
         if new_sq is not None:
             side_payload["sq"] = new_sq
     table._io.write_text(
@@ -628,6 +681,11 @@ def split_list(
             f"{len(bad)} in-scope files lack an exact centroid partition "
             "tuple; this table is not a cleanly partitioned vector index"
         )
+    if not in_scope:
+        raise ValueError(
+            f"list {centroid} holds no files — nothing to split (empty "
+            "lists waste a probe slot; rebuild_vector_index reclaims them)"
+        )
     hot_paths = {f.path for f in in_scope}
     live = table.read(where=[("centroid", "=", int(centroid))])
     subs = _train_spherical_kmeans(
@@ -646,6 +704,17 @@ def split_list(
             gid_arr, assign1(F.col(vec_col).cast("array<double>"))[0].cast("int")
         ).cast("int"),
     )
+    if side.get("pq_residual"):
+        # residual codes mean x̂ ≈ c_list + codeword: the split rows' list
+        # centroid just MOVED, so their stored codes are stale — re-encode
+        # them (and only them) against the frozen codebooks + the grown
+        # matrix.  Raw-PQ / SQ codes are id-independent and ride untouched.
+        from dlt_iceberg_spark.operators.quantization import pq_encode
+
+        reassigned = pq_encode(
+            reassigned.drop("pq_code"), side["codebooks"], vec_col,
+            keep_vec=True, centroids=matrix, centroid_col="centroid",
+        ).select(*[f.name for f in snap.schema.fields])
     rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
     payload = dict(side)
     payload["centroids"] = matrix
@@ -874,27 +943,34 @@ def ivf_pq_topk_persisted(
         F.col(id_col).alias("query_id"),
         F.explode(probe_n(F.col(vec_col))).alias("centroid"),
     )
-    probed_ids = sorted(
-        {r[0] for r in probes.select("centroid").distinct().collect()}
-    )
+    # ONE bounded collect (≤ n_centroids rows, |Q|·nprobe ids total — the
+    # pq_topk query budget bounds it) yields BOTH the partition prune and
+    # the per-list probe sets that gate scoring INSIDE the ADC kernel: a
+    # batch scores only the queries that probed its list and emits their
+    # local top-k, so a neighbor from an unprobed list never crowds a
+    # real candidate out AND unprobing queries cost zero flops — the old
+    # allowed-pairs join scored every query against every probed row and
+    # shuffled the full |batch|·|Q| cross product before pruning it.
+    probe_sets = {
+        r["centroid"]: r["qs"]
+        for r in probes.groupBy("centroid")
+        .agg(F.collect_list("query_id").alias("qs"))
+        .collect()
+    }
+    probed_ids = sorted(probe_sets)
     lists = table.read(
         where=[("centroid", "in", probed_ids)] + list(where or [])
     ).select(id_col, "pq_code", "centroid")
-    # per-query probe sets gate the ranking INSIDE pq_topk: a neighbor
-    # from a list the query did not probe never crowds a real candidate
-    # out of the top-k
-    allowed = probes.join(
-        lists.select(F.col(id_col).alias("neighbor_id"), "centroid"),
-        "centroid",
-    ).select("query_id", "neighbor_id")
+    residual = bool(side.get("pq_residual"))
     out = pq_topk(
         queries,
-        lists.drop("centroid"),
+        lists,
         side["codebooks"],
         vec_col,
         id_col,
         k if rerank is None else max(int(rerank), k),
-        allowed=allowed,
+        probe_sets=probe_sets,
+        centroids=centroids if residual else None,
     )
     if rerank is None:
         return out

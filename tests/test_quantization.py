@@ -210,3 +210,134 @@ def test_sq_topk_matches_bruteforce_closely(emb):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(g & e) / len(e)
     assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ (FAISS IVFPQ semantics: codes quantize x̂ − its coarse centroid)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """8 well-separated clusters, tight within-cluster noise — the regime
+    where the coarse level explains the between-cluster spread and raw-PQ
+    codebooks waste their budget re-explaining it."""
+    rng = np.random.default_rng(7)
+    dim, per = 32, 40
+    centers = rng.standard_normal((8, dim)) * 4.0
+    rows = []
+    for c in range(8):
+        pts = centers[c] + 0.9 * rng.standard_normal((per, dim))
+        rows += [(c * per + i, [float(x) for x in pts[i]]) for i in range(per)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_residual_encode_matches_numpy_oracle(clustered):
+    """pq_encode(centroids=) must equal a from-scratch numpy replay:
+    normalize, subtract the assigned centroid, per-subspace argmin."""
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+
+    cents = fixed_centroids(clustered, "embedding", "vec_id", 8)
+    books = pq_codebooks_fixed(clustered, m_subspaces=4, k_codes=16, centroids=cents)
+    # assignment via the shared kernel (what the index layout stores)
+    from dlt_iceberg_spark.operators.similarity import _nearest_centroids
+
+    a1 = _nearest_centroids(cents, 1)
+    assign_df = clustered.withColumn("centroid", a1(F.col("embedding"))[0].cast("int"))
+    got = {
+        r.vec_id: (r.centroid, tuple(r.pq_code))
+        for r in pq_encode(
+            assign_df, books, keep_vec=True, centroids=cents
+        ).collect()
+    }
+
+    C = np.array(cents)
+    B = [np.array(b) for b in books]
+    sub = B[0].shape[1]
+    for r in clustered.collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        v = v / max(np.sqrt((v * v).sum()), 1e-12)
+        c = int(np.argmax(v @ C.T))
+        res = v - C[c]
+        exp = tuple(
+            int(((res[j * sub : (j + 1) * sub] - B[j]) ** 2).sum(axis=1).argmin())
+            for j in range(len(B))
+        )
+        assert got[r.vec_id] == (c, exp), r.vec_id
+
+
+def test_residual_adc_is_exact_for_codebook_rows(clustered):
+    """A row whose residual IS a codeword reconstructs exactly, so its ADC
+    distance must equal the true squared distance 2 − 2·cos(q, x) — the
+    identity that makes residual ADC distances meaningful across lists."""
+    from dlt_iceberg_spark.operators.quantization import pq_codebooks_fixed
+    from dlt_iceberg_spark.operators.similarity import (
+        _nearest_centroids,
+        cosine_topk_bruteforce,
+        fixed_centroids,
+    )
+
+    cents = fixed_centroids(clustered, "embedding", "vec_id", 8)
+    books = pq_codebooks_fixed(clustered, m_subspaces=4, k_codes=16, centroids=cents)
+    a1 = _nearest_centroids(cents, 1)
+    coded = pq_encode(
+        clustered.withColumn("centroid", a1(F.col("embedding"))[0].cast("int")),
+        books, keep_vec=True, centroids=cents,
+    )
+    # the 16 hash-picked codebook-source rows reconstruct exactly
+    src_ids = {
+        r.vec_id
+        for r in clustered.select("vec_id")
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id").limit(16).collect()
+    }
+    q = clustered.filter(F.col("vec_id") == 0)
+    adc = {
+        r.neighbor_id: r.adc_dist
+        for r in pq_topk(q, coded, books, k=10_000, centroids=cents).collect()
+    }
+    exact = {
+        r.neighbor_id: r.cosine
+        for r in cosine_topk_bruteforce(q, clustered, k=10_000).collect()
+    }
+    checked = 0
+    for nid in src_ids - {0}:
+        assert abs(adc[nid] - (2.0 - 2.0 * exact[nid])) < 1e-9, nid
+        checked += 1
+    assert checked >= 10
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_corpus(clustered):
+    """The point of residuals: same m×k code budget, strictly better recall
+    once the corpus has cluster structure (FAISS IVFPQ default for the
+    same reason).  Probe-all isolates quantization quality from probe
+    recall."""
+    from dlt_iceberg_spark.operators.quantization import ivfpq_topk
+    from dlt_iceberg_spark.operators.similarity import cosine_topk_bruteforce
+
+    q = clustered.filter(F.col("vec_id") % 40 < 2)  # 2 queries per cluster
+    exact = cosine_topk_bruteforce(q, clustered, k=5).collect()
+    kwargs = dict(k=5, n_centroids=8, nprobe=8, m_subspaces=8, k_codes=32)
+    raw = ivfpq_topk(q, clustered, **kwargs).collect()
+    res = ivfpq_topk(q, clustered, residual=True, **kwargs).collect()
+
+    def recall(rows):
+        from collections import defaultdict
+
+        approx, truth = defaultdict(set), defaultdict(set)
+        for r in rows:
+            approx[r.query_id].add(r.neighbor_id)
+        for r in exact:
+            truth[r.query_id].add(r.neighbor_id)
+        return sum(len(truth[k_] & approx[k_]) for k_ in truth) / sum(
+            len(v) for v in truth.values()
+        )
+
+    # measured regime (fixed seeds, deterministic hash-gated sample):
+    # raw ≈ 0.49, residual ≈ 0.64 — top-5 among 40 near-tie cluster
+    # siblings is intrinsically hard for 8-byte codes, so the pin is the
+    # MARGIN (what residuals buy), not an absolute near-1 recall
+    r_raw, r_res = recall(raw), recall(res)
+    assert r_res >= r_raw + 0.1, (r_res, r_raw)
+    assert r_res >= 0.55, r_res

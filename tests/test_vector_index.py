@@ -7,6 +7,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
 from dlt_iceberg_spark.operators.similarity import cosine_topk_bruteforce, fixed_centroids
@@ -935,11 +936,18 @@ def test_split_list_refusals(spark, warehouse):
     )
     with pytest.raises(ValueError, match="stored vectors"):
         split_list(idx, 0)
-    idx2 = build_vector_index(catalog, "ann", "plainref", corpus, centroids=cents)
+    # centroid on an axis no corpus row is near -> its list gets zero files
+    empty_axis = [0.0] * 8
+    empty_axis[5] = 1.0
+    idx2 = build_vector_index(
+        catalog, "ann", "plainref", corpus, centroids=cents + [empty_axis]
+    )
     with pytest.raises(ValueError, match="outside"):
         split_list(idx2, 99)
     with pytest.raises(ValueError, match="k_split"):
         split_list(idx2, 0, k_split=1)
+    with pytest.raises(ValueError, match="holds no files"):
+        split_list(idx2, 4)
 
 
 def test_maintain_rebalances_skewed_index(spark, warehouse):
@@ -964,3 +972,216 @@ def test_maintain_rebalances_skewed_index(spark, warehouse):
     report2 = maintain(idx, MaintenancePolicy(rebalance_above_skew=3.0))
     assert "rebalanced" not in report2
     assert index_stats(idx)["skew"] <= 3.0
+
+
+def test_split_list_on_sq_index_carries_codes(spark, warehouse):
+    """Splitting a list of an IVF-SQ index: the stored sq_code column rides
+    the partial rewrite untouched (quantization frames are id-independent),
+    the sidecar keeps the SAME frozen stats, and probe-all (which decodes
+    via the stored fp32 column here) stays exact."""
+    from dlt_iceberg_spark.operators.vector_index import (
+        load_centroids,
+        split_list,
+    )
+
+    corpus, cents = _skewed_corpus(spark)
+    catalog = LakeCatalog(spark, warehouse)
+    idx = build_vector_index(
+        catalog, "ann", "sq_split", corpus, centroids=cents, sq=True
+    )
+    from dlt_iceberg_spark.operators.vector_index import _load_sidecar
+
+    sq_before = _load_sidecar(idx)["sq"]
+    codes_before = {
+        r.vec_id: r.sq_code for r in idx.read().select("vec_id", "sq_code").collect()
+    }
+    split_list(idx, 0, k_split=2)
+    assert len(load_centroids(idx)) == 5
+    assert _load_sidecar(idx)["sq"] == sq_before  # frozen stats carried
+    codes_after = {
+        r.vec_id: r.sq_code for r in idx.read().select("vec_id", "sq_code").collect()
+    }
+    assert codes_after == codes_before  # codes rode the rewrite, no re-encode
+    queries = corpus.filter("vec_id < 3")
+    got = ivf_topk_persisted(queries, idx, k=5, nprobe=5)
+    exact = cosine_topk_bruteforce(queries, corpus, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+
+def _expected_residual_codes(idx, books, matrix):
+    """Invariant: every stored pq_code equals encode(vec, CURRENT centroid)
+    against the frozen residual codebooks."""
+    from dlt_iceberg_spark.operators.quantization import pq_encode
+
+    stored = {
+        r.vec_id: tuple(r.pq_code)
+        for r in idx.read().select("vec_id", "pq_code").collect()
+    }
+    fresh = pq_encode(
+        idx.read().drop("pq_code"), books, keep_vec=True,
+        centroids=matrix, centroid_col="centroid",
+    )
+    expected = {
+        r.vec_id: tuple(r.pq_code)
+        for r in fresh.select("vec_id", "pq_code").collect()
+    }
+    return stored, expected
+
+
+def test_residual_pq_persisted_lifecycle(spark, warehouse):
+    """Residual IVF-PQ through the persisted lifecycle: build stores
+    residual codes, probe-all ADC equals flat residual PQ, appends encode
+    against the frozen centroids+codebooks, split_list RE-ENCODES the
+    split rows (their list centroid moved) and ONLY those — the stored-
+    code invariant `code == encode(vec, current centroid)` holds at every
+    step, and rebuild re-trains residual codebooks against the new
+    centroids."""
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
+    from dlt_iceberg_spark.operators.vector_index import (
+        _load_sidecar,
+        ivf_pq_topk_persisted,
+        load_centroids,
+        rebuild_vector_index,
+        split_list,
+    )
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 200, dim=16, seed=7)
+    cents = fixed_centroids(corpus, n_centroids=4)
+    books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16, centroids=cents)
+    idx = build_vector_index(
+        catalog, "ann", "respq_idx", corpus,
+        centroids=cents, pq=True, codebooks=books, pq_residual=True,
+    )
+    assert idx.snapshot().properties["vector-index.pq-residual"] == "true"
+    assert _load_sidecar(idx)["pq_residual"] is True
+    queries = corpus.filter("vec_id < 4")
+
+    def _r(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.adc_dist, 9))
+            for r in df.collect()
+        )
+
+    # probe-all persisted ADC == flat residual PQ over the same corpus
+    from dlt_iceberg_spark.operators.similarity import _nearest_centroids
+
+    a1 = _nearest_centroids(cents, 1)
+    flat_codes = pq_encode(
+        corpus.withColumn("centroid", a1(F.col("embedding"))[0].cast("int")),
+        books, centroids=cents,
+    )
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4)
+    flat = pq_topk(queries, flat_codes, books, k=5, centroids=cents)
+    assert _r(got) == _r(flat)
+
+    # append: frozen centroids + frozen residual codebooks
+    extra = _vectors(spark, 60, dim=16, seed=8, start_id=200)
+    append_vectors(idx, extra)
+    idx = catalog.load_table("ann", "respq_idx")
+    stored, expected = _expected_residual_codes(idx, books, cents)
+    assert stored == expected and len(stored) == 260
+
+    # split the hottest list: ONLY its rows re-encode (centroid moved)
+    counts = {r["centroid"]: r["count"]
+              for r in idx.read().groupBy("centroid").count().collect()}
+    hot = max(counts, key=counts.get)
+    before_codes = dict(stored)
+    moved_ids = {
+        r.vec_id for r in idx.read().filter(F.col("centroid") == int(hot))
+        .select("vec_id").collect()
+    }
+    split_list(idx, int(hot), k_split=2)
+    matrix = load_centroids(idx)
+    assert len(matrix) == 5
+    stored2, expected2 = _expected_residual_codes(idx, books, matrix)
+    assert stored2 == expected2  # invariant survives the split
+    unchanged = set(stored2) - moved_ids
+    assert all(stored2[i] == before_codes[i] for i in unchanged)
+
+    # probe still answers through the grown matrix (rerank = exact contract)
+    both = corpus.unionByName(extra)
+    got2 = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=5, rerank=260)
+    exact = cosine_topk_bruteforce(queries, both, k=5)
+    assert _ranked(got2) == _ranked(exact)
+
+    # rebuild: re-trains RESIDUAL codebooks against the new centroids
+    rebuild_vector_index(idx, centroids=fixed_centroids(both, n_centroids=6))
+    side = _load_sidecar(idx)
+    assert side["pq_residual"] is True
+    assert side["codebooks"] != books  # re-trained, not carried
+    stored3, expected3 = _expected_residual_codes(
+        idx, side["codebooks"], side["centroids"]
+    )
+    assert stored3 == expected3
+    got3 = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=6, rerank=260)
+    assert _ranked(got3) == _ranked(exact)
+
+
+def test_probe_gated_adc_matches_allowed_pairs_path(spark, warehouse):
+    """The probe-gated ADC kernel (probe_sets= — score only probing
+    queries, emit local top-k) must return EXACTLY what the legacy
+    allowed-pairs formulation returns at nprobe < n_lists: same pairs,
+    same distances, same ranks, full k per query — local truncation may
+    never lose a global candidate (ties included), and neighbors from
+    unprobed lists never appear."""
+    from dlt_iceberg_spark.operators.quantization import (
+        pq_codebooks_fixed,
+        pq_encode,
+        pq_topk,
+    )
+    from dlt_iceberg_spark.operators.similarity import _nearest_centroids
+    from dlt_iceberg_spark.operators.vector_index import ivf_pq_topk_persisted
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 240, dim=16, seed=13)
+    cents = fixed_centroids(corpus, n_centroids=6)
+    books = pq_codebooks_fixed(corpus, m_subspaces=4, k_codes=16)
+    idx = build_vector_index(
+        catalog, "ann", "gated_idx", corpus,
+        centroids=cents, pq=True, codebooks=books,
+    )
+    queries = corpus.filter("vec_id < 6")
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=2)
+
+    # legacy reference: flat codes + explicit allowed pairs
+    a1 = _nearest_centroids(cents, 1)
+    probe2 = _nearest_centroids(cents, 2)
+    coded = corpus.withColumn("centroid", a1(F.col("embedding"))[0].cast("int"))
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe2(F.col("embedding"))).alias("centroid"),
+    )
+    allowed = probes.join(
+        coded.select(F.col("vec_id").alias("neighbor_id"), "centroid"),
+        "centroid",
+    ).select("query_id", "neighbor_id")
+    ref = pq_topk(queries, pq_encode(coded, books), books, k=5, allowed=allowed)
+
+    def _r(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.adc_dist, 9))
+            for r in df.collect()
+        )
+
+    assert _r(got) == _r(ref)
+    # full k per query, and every neighbor is in a list its query probed
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(len(v) == 5 for v in per_q.values())
+    probed_map = {
+        r.query_id: set()
+        for r in probes.collect()
+    }
+    for r in probes.collect():
+        probed_map[r.query_id].add(r.centroid)
+    clist = {r.vec_id: r.centroid for r in coded.select("vec_id", "centroid").collect()}
+    assert all(
+        clist[n] in probed_map[q] for q, ns in per_q.items() for n in ns
+    )
