@@ -35,6 +35,43 @@ def _residualize(mat, centroids):
     return mat - C[assign], assign
 
 
+def _lloyd_books(mat, m_subspaces: int, k_codes: int, iters: int, rng):
+    """Per-subspace Lloyd's k-means over a driver-side sample matrix —
+    the shared trainer behind ``pq_train`` and ``opq_train``."""
+    import numpy as np
+
+    dim = mat.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    sub = dim // m_subspaces
+    books = []
+    for j in range(m_subspaces):
+        x = mat[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=min(k_codes, len(x)), replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books.append(cent)
+    return books
+
+
+def _pq_reconstruct(mat, books):
+    """numpy encode-then-decode against per-subspace codebooks."""
+    import numpy as np
+
+    sub = books[0].shape[1]
+    out = np.empty_like(mat)
+    for j, cb in enumerate(books):
+        x = mat[:, j * sub : (j + 1) * sub]
+        codes = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        out[:, j * sub : (j + 1) * sub] = cb[codes]
+    return out
+
+
 def pq_train(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -64,24 +101,58 @@ def pq_train(
     mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
     if centroids is not None:
         mat, _ = _residualize(mat, centroids)
-    dim = mat.shape[1]
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    sub = dim // m_subspaces
     rng = np.random.default_rng(seed)
-    books = []
-    for j in range(m_subspaces):
-        x = mat[:, j * sub : (j + 1) * sub]
-        cent = x[rng.choice(len(x), size=min(k_codes, len(x)), replace=False)]
-        for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(len(cent)):
-                members = x[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books.append(cent.tolist())
-    return books
+    return [b.tolist() for b in _lloyd_books(mat, m_subspaces, k_codes, iters, rng)]
+
+
+def opq_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    sample_size: int = 131_072,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ (Ge et al., CVPR 2013 — FAISS ``OPQMatrix``): learn an
+    ORTHOGONAL rotation ``R`` that minimizes PQ reconstruction error,
+    then train the codebooks in the rotated frame.  Returns
+    ``(rotation, codebooks)``; encode/score apply ``x → x·R`` before the
+    per-subspace argmin (rotation is applied AFTER residualization when
+    ``centroids=`` is given — the coarse frame stays raw so assignments
+    and probe semantics never change, and orthogonality preserves L2 so
+    ADC distances still approximate ‖q̂ − x̂‖²).
+
+    Why: plain PQ quantizes each dim-slice independently, so correlated /
+    unevenly-spread dimensions waste the code budget; the alternating
+    solve (fix R → Lloyd codebooks; fix codes → orthogonal Procrustes
+    ``R = U·Vᵀ`` from ``SVD(XᵀY)``) re-balances variance across
+    subspaces.  All driver-side numpy on the same bounded sample as
+    ``pq_train`` — O(sample·dim²) per iteration, never O(corpus)."""
+    import numpy as np
+
+    from dlt_iceberg_spark.operators.similarity import _bounded_sample
+
+    rows = _bounded_sample(corpus, vec_col, sample_size).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    mat = mat / np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-12)
+    if centroids is not None:
+        mat, _ = _residualize(mat, centroids)
+    dim = mat.shape[1]
+    rng = np.random.default_rng(seed)
+    R = np.eye(dim)
+    books = None
+    for _ in range(opq_iters):
+        X = mat @ R
+        books = _lloyd_books(X, m_subspaces, k_codes, iters, rng)
+        Y = _pq_reconstruct(X, books)
+        # orthogonal Procrustes: min_R ‖mat·R − Y‖_F over orthogonal R
+        U, _, Vt = np.linalg.svd(mat.T @ Y)
+        R = U @ Vt
+    books = _lloyd_books(mat @ R, m_subspaces, k_codes, iters, rng)
+    return R.tolist(), [b.tolist() for b in books]
 
 
 def pq_codebooks_fixed(
@@ -132,6 +203,7 @@ def pq_encode(
     keep_vec: bool = False,
     centroids: list[list[float]] | None = None,
     centroid_col: str = "centroid",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Replace ``vec_col`` with ``pq_code: array<int>`` (length m);
     ``keep_vec=True`` keeps the vector column alongside the codes (the
@@ -144,6 +216,10 @@ def pq_encode(
     ``codebooks`` must be residual-trained.  Still one Arrow-batched
     pass; the subtraction is a single broadcast numpy gather.
 
+    ``rotation=`` applies the OPQ orthogonal transform (one batch matmul)
+    after normalization/residualization — the ``codebooks`` must then be
+    the rotated-frame books :func:`opq_train` returns.
+
     Vectorized: per Arrow batch, one distance matrix per subspace."""
     import numpy as np
     import pandas as pd
@@ -152,8 +228,11 @@ def pq_encode(
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     C = None if centroids is None else np.array(centroids, dtype=np.float64)
+    R = None if rotation is None else np.array(rotation, dtype=np.float64)
 
     def _codes_for(mat):
+        if R is not None:
+            mat = mat @ R
         codes = np.empty((len(mat), len(books)), dtype=np.int64)
         for j, cb in enumerate(books):
             x = mat[:, j * sub : (j + 1) * sub]
@@ -197,8 +276,13 @@ def pq_topk(
     centroids: list[list[float]] | None = None,
     centroid_col: str = "centroid",
     probe_sets: dict | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """ADC top-k: (query_id, neighbor_id, adc_dist, rank), smaller = closer.
+
+    ``rotation=`` scores OPQ codes: the lookup tables build over the
+    ROTATED query (or query-residual) vectors — orthogonality preserves
+    L2, so the distances keep their ‖q̂ − x̂‖² meaning.
 
     Queries collect to a driver-side lookup-table set (queries are few; the
     corpus is the big side and never moves), broadcast, and each corpus
@@ -262,9 +346,13 @@ def pq_topk(
             int(c): np.array(sorted(pos[q] for q in qs if q in pos), dtype=np.int64)
             for c, qs in probe_sets.items()
         }
+    R = None if rotation is None else np.array(rotation, dtype=np.float64)
 
     def _tables_for(q):
-        # per query, per subspace: distance to every code -> (nq, m, k)
+        # per query, per subspace: distance to every code -> (nq, m, k);
+        # OPQ rotates into the codebooks' frame first
+        if R is not None:
+            q = q @ R
         return np.stack(
             [
                 ((q[:, j * sub : (j + 1) * sub][:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)

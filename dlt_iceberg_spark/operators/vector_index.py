@@ -73,6 +73,7 @@ _PROP_N = "vector-index.n-centroids"
 _PROP_METRIC = "vector-index.metric"
 _PROP_PQ = "vector-index.pq"  # "m,k" when the index stores PQ codes
 _PROP_PQ_RES = "vector-index.pq-residual"  # "true" when PQ codes are residuals
+_PROP_PQ_OPQ = "vector-index.pq-opq"  # "true" when PQ codes are OPQ-rotated
 _PROP_SQ = "vector-index.sq"  # "levels" when the index stores SQ codes
 _PROP_META = "vector-index.metadata-cols"  # csv of filterable passthroughs
 
@@ -112,6 +113,7 @@ def write_vector_index(
     k_codes: int = 16,
     codebooks: list[list[list[float]]] | None = None,
     pq_residual: bool = False,
+    pq_opq: bool = False,
     sq: bool = False,
     sq_levels: int = 256,
     store_vectors: bool = True,
@@ -181,9 +183,27 @@ def write_vector_index(
         raise ValueError("pq and sq are mutually exclusive index layouts")
     if pq_residual and not (pq or codebooks is not None):
         raise ValueError("pq_residual requires a PQ layout (pq=True)")
+    if pq_opq and not pq:
+        raise ValueError("pq_opq requires a PQ layout (pq=True)")
+    if pq_opq and codebooks is not None:
+        raise ValueError(
+            "pq_opq trains rotation AND codebooks together (opq_train) - "
+            "explicit codebooks= cannot be paired with a learned rotation"
+        )
     if centroids is None:
         centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
-    if pq and codebooks is None:
+    rotation = None
+    if pq and pq_opq:
+        from dlt_iceberg_spark.operators.quantization import opq_train
+
+        # OPQ learns the rotation and the rotated-frame codebooks in one
+        # alternating solve (rotation applies AFTER residualization, so
+        # the coarse frame / assignments stay raw)
+        rotation, codebooks = opq_train(
+            corpus, vec_col, m_subspaces, k_codes, seed=seed,
+            centroids=centroids if pq_residual else None,
+        )
+    elif pq and codebooks is None:
         from dlt_iceberg_spark.operators.quantization import pq_train
 
         # residual mode trains the codebooks on x̂ − c(x̂) against the SAME
@@ -205,6 +225,7 @@ def write_vector_index(
         assigned = _with_codes(
             assigned, codebooks, vec_col, store_vectors,
             centroids=centroids if pq_residual else None,
+            rotation=rotation,
         )
     if sq_stats is not None:
         from dlt_iceberg_spark.operators.quantization import sq_encode
@@ -227,6 +248,8 @@ def write_vector_index(
         props[_PROP_PQ] = f"{len(codebooks)},{len(codebooks[0])}"
         if pq_residual:
             props[_PROP_PQ_RES] = "true"
+        if rotation is not None:
+            props[_PROP_PQ_OPQ] = "true"
     if sq_stats is not None:
         props[_PROP_SQ] = str(sq_stats["levels"])
     if metadata_cols:
@@ -252,6 +275,8 @@ def write_vector_index(
             side_payload["codebooks"] = codebooks
             if pq_residual:
                 side_payload["pq_residual"] = True
+            if rotation is not None:
+                side_payload["rotation"] = rotation
         if sq_stats is not None:
             side_payload["sq"] = sq_stats
     table._io.write_text(
@@ -328,15 +353,17 @@ def _with_codes(
     vec_col: str,
     store_vectors: bool,
     centroids=None,
+    rotation=None,
 ) -> DataFrame:
     from dlt_iceberg_spark.operators.quantization import pq_encode
 
     # one Arrow-batched encode pass either way; keep_vec decides whether
     # the fp32 column rides along into the index rows; centroids= switches
-    # to residual codes (x̂ − the row's already-assigned list centroid)
+    # to residual codes (x̂ − the row's already-assigned list centroid);
+    # rotation= applies the frozen OPQ transform before the argmin
     return pq_encode(
         assigned, codebooks, vec_col, keep_vec=store_vectors,
-        centroids=centroids, centroid_col="centroid",
+        centroids=centroids, centroid_col="centroid", rotation=rotation,
     )
 
 
@@ -403,6 +430,7 @@ def append_vectors(table, batch: DataFrame) -> Any:
         assigned = _with_codes(
             assigned, side["codebooks"], vec_col, store_vectors,
             centroids=side["centroids"] if side.get("pq_residual") else None,
+            rotation=side.get("rotation"),
         )
     if "sq" in side:
         # IVF-SQ index: encode against the FROZEN per-dim stats (values
@@ -544,17 +572,27 @@ def rebuild_vector_index(
             live, vec_col, n_centroids or int(snap.properties[_PROP_N]), seed
         )
     residual = bool(side.get("pq_residual")) if "codebooks" in side else False
+    rotation = None
     if "codebooks" in side and codebooks is None:
-        from dlt_iceberg_spark.operators.quantization import pq_train
-
         # a residual index re-trains its codebooks against the NEW coarse
         # centroids (stale frames would quantize the wrong distribution);
-        # an explicit codebooks= is trusted to be trained the same way
+        # an OPQ index re-learns rotation AND codebooks together; an
+        # explicit codebooks= is trusted to be trained the same way
         old = side["codebooks"]
-        codebooks = pq_train(
-            live, vec_col, len(old), len(old[0]), seed=seed,
-            centroids=centroids if residual else None,
-        )
+        if "rotation" in side:
+            from dlt_iceberg_spark.operators.quantization import opq_train
+
+            rotation, codebooks = opq_train(
+                live, vec_col, len(old), len(old[0]), seed=seed,
+                centroids=centroids if residual else None,
+            )
+        else:
+            from dlt_iceberg_spark.operators.quantization import pq_train
+
+            codebooks = pq_train(
+                live, vec_col, len(old), len(old[0]), seed=seed,
+                centroids=centroids if residual else None,
+            )
     new_sq = None
     if "sq" in side:
         # re-train the per-dim stats on the LIVE corpus (exact pass)
@@ -567,6 +605,7 @@ def rebuild_vector_index(
         assigned = _with_codes(
             assigned, codebooks, vec_col, store_vectors=True,
             centroids=centroids if residual else None,
+            rotation=rotation,
         )
     if new_sq is not None:
         from dlt_iceberg_spark.operators.quantization import sq_encode
@@ -584,6 +623,8 @@ def rebuild_vector_index(
             side_payload["codebooks"] = codebooks
             if residual:
                 side_payload["pq_residual"] = True
+            if rotation is not None:
+                side_payload["rotation"] = rotation
         if new_sq is not None:
             side_payload["sq"] = new_sq
     table._io.write_text(
@@ -714,6 +755,7 @@ def split_list(
         reassigned = pq_encode(
             reassigned.drop("pq_code"), side["codebooks"], vec_col,
             keep_vec=True, centroids=matrix, centroid_col="centroid",
+            rotation=side.get("rotation"),
         ).select(*[f.name for f in snap.schema.fields])
     rel = f"metadata/ann-centroids-{uuid.uuid4().hex}.json"
     payload = dict(side)
@@ -971,6 +1013,7 @@ def ivf_pq_topk_persisted(
         k if rerank is None else max(int(rerank), k),
         probe_sets=probe_sets,
         centroids=centroids if residual else None,
+        rotation=side.get("rotation"),
     )
     if rerank is None:
         return out

@@ -33,9 +33,9 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # of the registry (every round's artifact stops at exactly 50 entries), so
 # iteration order decides which queries get a driver-verified row.
 #
-# ROTATION POLICY (codified per VERDICT r6 task 1): with 143 registered
+# ROTATION POLICY (codified per VERDICT r6 task 1): with 144 registered
 # queries and a 50-slot gate window, the freshness horizon is
-# ceil(143 / 50) = 3 rounds — every query must have a driver row at most
+# ceil(144 / 50) = 3 rounds — every query must have a driver row at most
 # 3 rounds old.  Each round, order the window by staleness: queries with
 # NO driver row ever go first, then queries whose newest driver row is
 # oldest.  Ties (same newest round) break alphabetically so the rotation
@@ -44,22 +44,24 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # Round-11 window (per VERDICT r10 task 1, staleness recomputed from the
 # union of CORRECTNESS_r01-r10 this round: histogram 41×r8, 50×r9,
 # 50×r10 — plus the r11 additions):
-#   slots 1-2   — the round-11 additions (ann_rebalance — incremental
-#                 list split; ann_pq_residual — residual IVF-PQ), never
-#                 driver-verified, oracle-green locally.
-#   slots 3-43  — ALL 41 rows whose newest driver row is r08 (they hit
+#   slots 1-3   — the round-11 additions (ann_rebalance — incremental
+#                 list split; ann_pq_residual — residual IVF-PQ; ann_opq
+#                 — OPQ-rotated residual IVF-PQ), never driver-verified,
+#                 oracle-green locally.
+#   slots 4-44  — ALL 41 rows whose newest driver row is r08 (they hit
 #                 the 3-round limit this round — exactly the list the r10
 #                 comment pre-planned): events_user_latest …
 #                 window_customer_rank.
-#   slots 44-50 — the 7 stalest r09 rows (alphabetical prefix of the 50:
-#                 ann_ivf … corpus_overlap_kmv).
+#   slots 45-50 — the 6 stalest r09 rows (alphabetical prefix of the 50:
+#                 ann_ivf … contamination_check).
 # Round-12 plan (mechanical): never-driver-verified r12 additions first,
-# then the 43 remaining r09 rows (they hit the limit at r12, corpus_prep
-# now among them), then the stalest r10 rows alphabetically.
+# then the 44 remaining r09 rows (they hit the limit at r12;
+# corpus_overlap_kmv and corpus_prep now among them), then the stalest
+# r10 rows alphabetically.
 
 _GATE_PRIORITY = [
     # -- never driver-verified (round-11 additions) — front ---------------
-    "ann_rebalance", "ann_pq_residual",
+    "ann_rebalance", "ann_pq_residual", "ann_opq",
     # -- newest driver row is r08 — all 41, 3-round limit hits now --------
     "events_user_latest", "groupingsets_priority_status", "hybrid_search",
     "lake_bucket_pruning", "lake_clone_divergence", "lake_count_pushdown",
@@ -77,11 +79,11 @@ _GATE_PRIORITY = [
     "window_customer_rank",
     # -- stalest r09 rows — alphabetical prefix of the 50 -----------------
     "ann_ivf", "ann_ivf_persisted", "ann_pq", "ann_pq_persisted",
-    "chunk_documents", "contamination_check", "corpus_overlap_kmv",
+    "chunk_documents", "contamination_check",
 ]
-# The 43 r09 rows deferred to the r12 window (3-round limit hits then;
+# The 44 r09 rows deferred to the r12 window (3-round limit hits then;
 # recomputed from the CORRECTNESS_r01-r10 union this round):
-# corpus_prep,
+# corpus_overlap_kmv, corpus_prep,
 # dedup_boilerplate_lines, dedup_incremental, dedup_ngram_jaccard,
 # dedup_simhash, dedup_simhash_pairs, dedup_substring_removal,
 # dedup_token_jaccard, dedup_transitive_clusters, lake_clone_retention,

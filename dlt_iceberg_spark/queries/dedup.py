@@ -2240,6 +2240,85 @@ _ANN_PQRES_IDX_CACHE: dict = {}
 
 
 @query(
+    "ann_opq",
+    # OPQ (Ge et al. 2013; FAISS OPQMatrix): a LEARNED orthogonal rotation
+    # minimizing PQ reconstruction error — trained via SVD-Procrustes, so
+    # (unlike residual codes over fixed frames) it is NOT SQL-replayable.
+    # Gate trick: probe-all + rerank=|corpus| makes the output EXACT
+    # cosine top-k (the FAISS refine step re-scores every probed candidate
+    # against stored fp32 vectors), so the whole trained pipeline —
+    # opq_train, rotated residual encode into the partitioned lists,
+    # frozen-rotation append, probe-gated ADC preselection, exact rerank —
+    # is hash-verified against plain brute force; the rotation's QUALITY
+    # contract (MSE strictly below identity-rotation PQ) is pinned in
+    # pytest (test_opq_rotation_reduces_quantization_error).
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         scored AS (
+           SELECT query_id, neighbor_id, list_cosine_similarity(qe, ce) AS cs
+           FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id,
+           floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cosine,
+           rn AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc=(
+        "OPQ-rotated residual IVF-PQ persisted index (operators/"
+        "vector_index.py pq=True, pq_residual=True, pq_opq=True): a "
+        "learned orthogonal rotation re-balances variance across PQ "
+        "subspaces before encoding (FAISS OPQMatrix), frozen in the "
+        "sidecar and applied by appends/splits/probes.  Gate probes all "
+        "lists and reranks every candidate exactly (FAISS refine), so "
+        "the output hash-matches brute force; rotation quality is "
+        "MSE-pinned in pytest."
+    ),
+)
+def ann_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.operators.vector_index import (
+        append_vectors,
+        build_vector_index,
+        ivf_pq_topk_persisted,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _ANN_OPQ_IDX_CACHE.get(key)
+    if cached is None:
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="ann_opq_idx_"))
+        first = e.filter(F.col("vec_id") % 2 == 0)
+        second = e.filter(F.col("vec_id") % 2 == 1)
+        idx = build_vector_index(
+            catalog, "gate", "opq_idx", first,
+            n_centroids=8,
+            pq=True, pq_residual=True, pq_opq=True,
+            m_subspaces=8, k_codes=16,
+        )
+        append_vectors(idx, second)
+        cached = (catalog.load_table("gate", "opq_idx"), int(e.count()))
+        _ANN_OPQ_IDX_CACHE[key] = cached
+    idx, n_rows = cached
+    q = e.filter(F.col("vec_id") < 8)
+    out = ivf_pq_topk_persisted(q, idx, k=5, nprobe=8, rerank=n_rows)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        rnd(F.col("cosine"), 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_ANN_OPQ_IDX_CACHE: dict = {}
+
+
+@query(
     "text_rolling_fingerprint",
     r"""
     WITH t AS (

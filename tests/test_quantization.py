@@ -341,3 +341,46 @@ def test_residual_ivfpq_beats_raw_on_clustered_corpus(clustered):
     r_raw, r_res = recall(raw), recall(res)
     assert r_res >= r_raw + 0.1, (r_res, r_raw)
     assert r_res >= 0.55, r_res
+
+
+def test_opq_rotation_reduces_quantization_error(spark):
+    """OPQ's contract: on data whose variance is concentrated in a few
+    correlated directions straddling subspace boundaries, the learned
+    rotation strictly reduces PQ reconstruction MSE vs identity — and the
+    rotation is orthogonal (scores keep their L2 meaning)."""
+    from dlt_iceberg_spark.operators.quantization import (
+        _lloyd_books,
+        _pq_reconstruct,
+        opq_train,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 16, 400
+    # anisotropic + cross-subspace correlated: latent factors load on
+    # dimension pairs that PQ's contiguous slicing separates
+    A = rng.standard_normal((dim, dim)) * 0.15
+    for i in range(dim // 2):
+        A[i, i] = 1.5
+        A[i, (i + dim // 2) % dim] = 1.2
+    base = rng.standard_normal((n, dim)) @ A
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    R, opq_books = opq_train(df, m_subspaces=4, k_codes=8, opq_iters=6)
+    raw_books = pq_train(df, m_subspaces=4, k_codes=8)
+
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-9)
+
+    mat = base / np.maximum(
+        np.sqrt((base * base).sum(axis=1, keepdims=True)), 1e-12
+    )
+    B_raw = [np.array(b) for b in raw_books]
+    B_opq = [np.array(b) for b in opq_books]
+    mse_raw = ((mat - _pq_reconstruct(mat, B_raw)) ** 2).sum(axis=1).mean()
+    rot = mat @ Rm
+    mse_opq = ((rot - _pq_reconstruct(rot, B_opq)) ** 2).sum(axis=1).mean()
+    # orthogonality ⇒ the two MSEs are in the SAME metric; the rotation
+    # must buy a real reduction on this geometry
+    assert mse_opq < mse_raw * 0.9, (mse_opq, mse_raw)

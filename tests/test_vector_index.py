@@ -1185,3 +1185,77 @@ def test_probe_gated_adc_matches_allowed_pairs_path(spark, warehouse):
     assert all(
         clist[n] in probed_map[q] for q, ns in per_q.items() for n in ns
     )
+
+
+def test_opq_pq_persisted_lifecycle(spark, warehouse):
+    """OPQ + residual IVF-PQ through the persisted lifecycle: the learned
+    rotation freezes in the sidecar, appends/splits encode with it, the
+    stored-code invariant holds at every step, and probe-all + rerank
+    recovers exact brute force."""
+    from dlt_iceberg_spark.operators.quantization import pq_encode
+    from dlt_iceberg_spark.operators.vector_index import (
+        _load_sidecar,
+        ivf_pq_topk_persisted,
+        load_centroids,
+        rebuild_vector_index,
+        split_list,
+    )
+
+    def _codes_ok(idx):
+        side = _load_sidecar(idx)
+        stored = {
+            r.vec_id: tuple(r.pq_code)
+            for r in idx.read().select("vec_id", "pq_code").collect()
+        }
+        fresh = pq_encode(
+            idx.read().drop("pq_code"), side["codebooks"], keep_vec=True,
+            centroids=side["centroids"] if side.get("pq_residual") else None,
+            centroid_col="centroid", rotation=side.get("rotation"),
+        )
+        expected = {
+            r.vec_id: tuple(r.pq_code)
+            for r in fresh.select("vec_id", "pq_code").collect()
+        }
+        assert stored == expected and len(stored) > 0
+
+    catalog = LakeCatalog(spark, warehouse)
+    corpus = _vectors(spark, 180, dim=16, seed=21)
+    idx = build_vector_index(
+        catalog, "ann", "opq_idx", corpus,
+        centroids=fixed_centroids(corpus, n_centroids=4),
+        pq=True, pq_residual=True, pq_opq=True, m_subspaces=4, k_codes=16,
+    )
+    side = _load_sidecar(idx)
+    assert idx.snapshot().properties["vector-index.pq-opq"] == "true"
+    R = np.array(side["rotation"])
+    assert np.allclose(R @ R.T, np.eye(16), atol=1e-9)  # orthogonal
+    _codes_ok(idx)
+
+    extra = _vectors(spark, 40, dim=16, seed=22, start_id=200)
+    append_vectors(idx, extra)
+    idx = catalog.load_table("ann", "opq_idx")
+    assert _load_sidecar(idx)["rotation"] == side["rotation"]  # frozen
+    _codes_ok(idx)
+
+    queries = corpus.filter("vec_id < 4")
+    both = corpus.unionByName(extra)
+    got = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4, rerank=220)
+    exact = cosine_topk_bruteforce(queries, both, k=5)
+    assert _ranked(got) == _ranked(exact)
+
+    # split re-encodes the moved rows with the FROZEN rotation
+    counts = {r["centroid"]: r["count"]
+              for r in idx.read().groupBy("centroid").count().collect()}
+    split_list(idx, int(max(counts, key=counts.get)), k_split=2)
+    assert len(load_centroids(idx)) == 5
+    _codes_ok(idx)
+    got2 = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=5, rerank=220)
+    assert _ranked(got2) == _ranked(exact)
+
+    # rebuild re-learns rotation AND codebooks on the live corpus
+    rebuild_vector_index(idx, n_centroids=4)
+    side3 = _load_sidecar(idx)
+    assert "rotation" in side3 and side3["rotation"] != side["rotation"]
+    _codes_ok(idx)
+    got3 = ivf_pq_topk_persisted(queries, idx, k=5, nprobe=4, rerank=220)
+    assert _ranked(got3) == _ranked(exact)
