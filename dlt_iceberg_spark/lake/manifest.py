@@ -196,6 +196,8 @@ def merge_kmv(sketches: list[dict], k: int = NDV_K) -> dict | None:
     fits in k — the exact-NDV case."""
     if not sketches:
         return {"h": [], "c": True, "t": None}
+    if any("h" not in s for s in sketches):
+        return None  # not KMV-shaped (e.g. a "bloom:<col>" membership entry)
     tags = {s.get("t") for s in sketches}
     if len(tags) > 1:
         return None
@@ -224,6 +226,8 @@ def aggregate_sketches(entries: list[DataFile], k: int = NDV_K) -> dict[str, Any
     sketch in one hash frame.  A single unsketched (or promoted-frame)
     file drops the column — absence always means "cannot answer", never
     a wrong number."""
+    from dlt_iceberg_spark.lake.bloom import fold_blooms, is_bloom
+
     if not entries:
         return {}
     cols = set(entries[0].sketches.keys())
@@ -231,7 +235,14 @@ def aggregate_sketches(entries: list[DataFile], k: int = NDV_K) -> dict[str, Any
         cols &= set(f.sketches.keys())
     out: dict[str, Any] = {}
     for col in cols:
-        merged = merge_kmv([f.sketches[col] for f in entries], k=k)
+        vals = [f.sketches[col] for f in entries]
+        if any(is_bloom(v) for v in vals):
+            # "bloom:<col>" entries fold by bit-OR (lake/bloom.py) so a
+            # probe can skip the whole chunk; None (mixed frames /
+            # saturated union) simply drops the ref-level answer
+            merged = fold_blooms(vals)
+        else:
+            merged = merge_kmv(vals, k=k)
         if merged is not None:
             out[col] = merged
     return out

@@ -48,7 +48,7 @@ from dlt_iceberg_spark.lake.manifest import DataFile, ManifestRef
 #: Spark-side schema of a manifest chunk (mirrors manifest._ENTRY_SCHEMA).
 ENTRY_DDL = (
     "path string, rows bigint, bytes bigint, sequence bigint, "
-    "stats string, partition string, names string"
+    "stats string, partition string, names string, sketches string"
 )
 
 _NUMERIC = (
@@ -189,6 +189,9 @@ def plan_candidates(
             partition=json.loads(r.partition),
             # pre-rename-era manifests lack the column → null → identity
             names=json.loads(r.names) if r.names else {},
+            # carried so the exact recheck below applies manifest blooms
+            # (executor-side filtering stays stats-only — conservative)
+            sketches=json.loads(r.sketches) if r.sketches else {},
         )
         for r in rows
     ]

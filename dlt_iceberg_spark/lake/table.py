@@ -245,9 +245,23 @@ def _sorted_probe(vals: Any) -> Any:
         return vals
 
 
+def _sketch_key_rename(key: str, col_rename) -> str:
+    """Apply a column-rename mapping to a sketches-dict key, seeing through
+    the ``bloom:<col>`` prefix manifest blooms use (lake/bloom.py)."""
+    if key.startswith("bloom:"):
+        return f"bloom:{col_rename(key[len('bloom:'):])}"
+    return col_rename(key)
+
+
 def _file_may_match(f: "DataFile", col: str, op: str, val: Any) -> bool:
     """Can any row of ``f`` satisfy the predicate, judging by the manifest's
-    [min, max] for ``col``?  Missing/incomparable stats ⇒ must assume yes."""
+    [min, max] — and, for equality probes, the entry's Bloom filter
+    (lake/bloom.py)?  Missing/incomparable stats ⇒ must assume yes."""
+    if op in ("=", "==", "in") and f.sketches:
+        from dlt_iceberg_spark.lake.bloom import sketch_keeps_file
+
+        if not sketch_keeps_file(f.sketches, col, op, val):
+            return False
     st = f.stats.get(col)
     if st is None:
         return True
@@ -1033,6 +1047,9 @@ class LakeTable:
                 cols.update(f.sketches.keys())
             for r in snap.manifests:
                 cols.update(r.sketches.keys())
+            # manifest blooms share the sketches dict but answer
+            # membership, not NDV — they are not ANALYZE statistics
+            cols = {c for c in cols if not c.startswith("bloom:")}
             rows = []
             n_total = snap.n_files
             for c in sorted(cols):
@@ -1123,6 +1140,13 @@ class LakeTable:
             if ndv_columns
             else {}
         )
+        # manifest-level blooms for the same columns: min/max stats can't
+        # skip files for scattered high-cardinality keys; these can
+        if bloom_columns:
+            for name, blooms in self._blooms_via_spark(
+                staging, bloom_columns, df.schema
+            ).items():
+                sketch_by_file.setdefault(name, {}).update(blooms)
         staged: list[DataFile] = []
         for rel in io.walk_files(staging):
             name = os.path.basename(rel)
@@ -1254,6 +1278,88 @@ class LakeTable:
                     "t": dtypes[c].simpleString(),
                 }
             out[os.path.basename(urllib.parse.unquote(r["_f"]))] = sk
+        return out
+
+    def _blooms_via_spark(
+        self,
+        staging: str,
+        columns: list[str],
+        schema: T.StructType,
+    ) -> dict[str, dict]:
+        """Per-file manifest Bloom filters (lake/bloom.py), ONE distributed
+        job grouped by ``input_file_name()`` — the planning-level sibling
+        of the parquet row-group blooms ``stage_dataframe`` already writes.
+
+        Per value the JVM computes one ``xxhash64`` and k = BLOOM_K bit
+        positions (Guava-style two-halves double hashing), each encoded as
+        ``col_idx * m + pos`` so a single explode + ``collect_set`` covers
+        every bloom column at once.  Aggregation state is bounded by
+        m bits x columns per file — positions, not values, are collected —
+        so the job's memory is independent of file row count, unlike a
+        distinct-set sketch.  Map-side partial ``collect_set`` keeps the
+        shuffle at that same bound.  Only frames with exact Python probe
+        parity are built (BLOOM_FRAMES); other dtypes are skipped."""
+        import urllib.parse
+
+        from dlt_iceberg_spark.lake.bloom import (
+            BLOOM_FRAMES,
+            BLOOM_K,
+            BLOOM_M_BITS,
+            bloom_key,
+            pack_positions,
+        )
+
+        m, k = BLOOM_M_BITS, BLOOM_K
+        dtypes = {f.name: f.dataType for f in schema.fields}
+        sdf = self.spark.read.parquet(staging)
+        present = [
+            c
+            for c in columns
+            if c in sdf.columns
+            and c in dtypes
+            and dtypes[c].simpleString() in BLOOM_FRAMES
+        ]
+        if not present:
+            return {}
+        arrs = []
+        for ci, c in enumerate(present):
+            h = F.xxhash64(F.col(c))
+            h1 = F.shiftrightunsigned(h, 32)
+            h2 = h.bitwiseAND(F.lit(0xFFFFFFFF))
+            poss = [
+                (h1 + F.lit(i) * h2).bitwiseAND(F.lit(m - 1)) + F.lit(ci * m)
+                for i in range(k)
+            ]
+            arrs.append(
+                F.when(F.col(c).isNotNull(), F.array(*poss)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            )
+        rows = (
+            sdf.select(
+                F.input_file_name().alias("_f"),
+                F.explode(F.flatten(F.array(*arrs))).alias("_e"),
+            )
+            .groupBy("_f")
+            .agg(F.collect_set("_e").alias("_es"))
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            per_col: list[list[int]] = [[] for _ in present]
+            for e in r["_es"]:
+                per_col[e // m].append(e % m)
+            blooms: dict[str, dict] = {}
+            for ci, c in enumerate(present):
+                packed = pack_positions(per_col[ci], m)
+                if packed is not None:  # None = saturated, not worth bytes
+                    blooms[bloom_key(c)] = {
+                        "b": packed,
+                        "m": m,
+                        "k": k,
+                        "t": dtypes[c].simpleString(),
+                    }
+            out[os.path.basename(urllib.parse.unquote(r["_f"]))] = blooms
         return out
 
     def commit(
@@ -2475,6 +2581,8 @@ class LakeTable:
         if plan_mode not in ("auto", "driver", "spark"):
             raise ValueError(f"unknown plan_mode {plan_mode!r}")
         part_probes = self._partition_probe_values(snap, where)
+        from dlt_iceberg_spark.lake.bloom import sketch_keeps_file
+
         open_refs = [
             ref
             for ref in snap.manifests
@@ -2485,6 +2593,12 @@ class LakeTable:
             and all(
                 ref.may_contain_partition(name, vals)
                 for name, vals in part_probes.items()
+            )
+            # fold-OR blooms skip whole chunks on equality probes — the
+            # manifest is never opened when no entry can hold the value
+            and all(
+                sketch_keeps_file(ref.sketches, c, op, v)
+                for c, op, v in prune_where
             )
         ]
         n_undecided = sum(r.n_files for r in open_refs)
@@ -3682,9 +3796,11 @@ class LakeTable:
                 partition=_rekey(f.partition, key_renames),
                 sequence=f.sequence,
                 names=_fix_names(f.names),
-                # NDV sketches hash VALUES, not names — they survive a
-                # rename under the new key
-                sketches={_col_rename(k): v for k, v in f.sketches.items()},
+                # NDV sketches and blooms hash VALUES, not names — they
+                # survive a rename under the new key ("bloom:<col>"
+                # entries rename their embedded column name)
+                sketches={_sketch_key_rename(k, _col_rename): v
+                          for k, v in f.sketches.items()},
             )
 
         new_refs: list[ManifestRef] = []
@@ -3885,6 +4001,7 @@ class LakeTable:
                     stats[name] = [default, default]
                 sketches = dict(f.sketches)
                 sketches.pop(name, None)  # ditto for NDV sketches
+                sketches.pop(f"bloom:{name}", None)  # and manifest blooms
                 return DataFile(
                     path=f.path,
                     rows=f.rows,

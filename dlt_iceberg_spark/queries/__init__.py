@@ -44,16 +44,18 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # Round-11 window (per VERDICT r10 task 1, staleness recomputed from the
 # union of CORRECTNESS_r01-r10 this round: histogram 41×r8, 50×r9,
 # 50×r10 — plus the r11 additions):
-#   slots 1-3   — the round-11 additions (ann_rebalance — incremental
+#   slots 1-4   — the round-11 additions (ann_rebalance — incremental
 #                 list split; ann_pq_residual — residual IVF-PQ; ann_opq
-#                 — OPQ-rotated residual IVF-PQ), never driver-verified,
+#                 — OPQ-rotated residual IVF-PQ; lake_bloom_pruning —
+#                 manifest Bloom file skipping), never driver-verified,
 #                 oracle-green locally.
-#   slots 4-44  — ALL 41 rows whose newest driver row is r08 (they hit
+#   slots 5-45  — ALL 41 rows whose newest driver row is r08 (they hit
 #                 the 3-round limit this round — exactly the list the r10
 #                 comment pre-planned): events_user_latest …
 #                 window_customer_rank.
-#   slots 45-50 — the 6 stalest r09 rows (alphabetical prefix of the 50:
-#                 ann_ivf … contamination_check).
+#   slots 46-50 — the 5 stalest r09 rows (alphabetical prefix of the 50:
+#                 ann_ivf … chunk_documents; contamination_check drops
+#                 to slot 51, still r09-fresh).
 # Round-12 plan (mechanical): never-driver-verified r12 additions first,
 # then the 44 remaining r09 rows (they hit the limit at r12;
 # corpus_overlap_kmv and corpus_prep now among them), then the stalest
@@ -61,7 +63,7 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 
 _GATE_PRIORITY = [
     # -- never driver-verified (round-11 additions) — front ---------------
-    "ann_rebalance", "ann_pq_residual", "ann_opq",
+    "ann_rebalance", "ann_pq_residual", "ann_opq", "lake_bloom_pruning",
     # -- newest driver row is r08 — all 41, 3-round limit hits now --------
     "events_user_latest", "groupingsets_priority_status", "hybrid_search",
     "lake_bucket_pruning", "lake_clone_divergence", "lake_count_pushdown",

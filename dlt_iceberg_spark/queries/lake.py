@@ -2420,6 +2420,94 @@ def lake_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAKE_BLOOM_CACHE: dict = {}
+
+
+@query(
+    "lake_bloom_pruning",
+    f"""
+    WITH probe AS (
+      SELECT min(l_orderkey) AS k FROM (
+        SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING count(*) = 1
+      )
+    )
+    SELECT l.l_orderkey AS okey, l.l_linenumber AS lineno,
+           {_sql_rnd('l.l_quantity')} AS qty,
+           {_sql_rnd('l.l_extendedprice')} AS price,
+           l.l_returnflag AS rflag, l.l_shipdate AS sdate
+    FROM lineitem l, probe p
+    WHERE l.l_orderkey = p.k
+    """,
+    doc=(
+        "Manifest Bloom-filter file skipping (lake/bloom.py): lineitem "
+        "lands hash-clustered on l_orderkey with NO partition spec — the "
+        "merge-output shape where every file's [min,max] key range spans "
+        "the whole keyspace, so stats and partition pruning are both "
+        "blind.  A point lookup on a single-line order is planned through "
+        "the per-file blooms (one xxhash64, Guava-split double hashing, "
+        "positions collected JVM-side bounded by m bits per file), and "
+        "the in-process assertion that bloom planning opened at most a "
+        "quarter of the stats-planned files proves the skip.  File count "
+        "scales with corpus NDV so the per-file load factor stays below "
+        "saturation at any sf.  The oracle replays the identical lookup "
+        "(probe key derived in SQL) over the raw parquet, hash-checking "
+        "the bloom-masked scan end-to-end."
+    ),
+)
+def lake_bloom_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from dlt_iceberg_spark.lake.catalog import LakeCatalog
+    from dlt_iceberg_spark.lake.writer import LakeWriter, TableSpec
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    table = _LAKE_BLOOM_CACHE.get(key)
+    if table is None:
+        li = _t(spark, sf_dir, "lineitem")
+        # ~2k distinct orderkeys per file keeps the bloom load factor
+        # ~0.25 (FPR < 1%) at any sf; cap mirrors a real table's
+        # files-per-load bound
+        n_orders = li.select("l_orderkey").distinct().count()
+        n_parts = min(256, max(8, n_orders // 2000))
+        catalog = LakeCatalog(spark, tempfile.mkdtemp(prefix="lake_bloom_"))
+        writer = LakeWriter(catalog, "gate")
+        writer.write(
+            TableSpec(
+                name="lineitem",
+                write_disposition="append",
+                bloom_filter_columns=["l_orderkey"],
+            ),
+            li.repartition(n_parts, F.col("l_orderkey")),
+        )
+        table = catalog.load_table("gate", "lineitem")
+        _LAKE_BLOOM_CACHE[key] = table
+    snap = table.snapshot()
+    # deterministic probe, same derivation as the oracle SQL: the
+    # smallest single-line order (1-value driver collect)
+    li_raw = _t(spark, sf_dir, "lineitem")
+    probe = (
+        li_raw.groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") == 1)
+        .agg(F.min("l_orderkey"))
+        .collect()[0][0]
+    )
+    where = [("l_orderkey", "=", probe)]
+    _, files = table._select_files(snap, where)
+    # min/max stats keep every file here (hash-scattered key ranges);
+    # only the blooms can skip — the proof of the feature
+    assert len(files) <= max(3, snap.n_files // 4), (len(files), snap.n_files)
+    return table.read(where=where).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lineno"),
+        rnd(F.col("l_quantity")).alias("qty"),
+        rnd(F.col("l_extendedprice")).alias("price"),
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_shipdate").alias("sdate"),
+    )
+
+
 @query(
     "dsir_select",
     # Full replay of DSIR (Xie et al. 2023, operators/dsir.py): hashed
