@@ -62,8 +62,18 @@ def tfidf_top_terms(
     Output: ``(id_col, term, tf, tfidf, rank)``; ties rank by term
     ascending in both this plan and the SQL oracle.
     """
-    tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
-        F.count("*").alias("tf")
+    from pyspark.storagelevel import StorageLevel
+
+    # tf feeds BOTH the document-frequency aggregate and the scoring join —
+    # unpersisted, each reference re-tokenizes and re-shuffles the corpus.
+    # The (doc, term, tf) aggregate is far smaller than the text it came
+    # from, so pinning it trades one cheap materialization for a second
+    # full tokenize pass.
+    tf = (
+        fan_out(_terms(df, text_col, id_col))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
@@ -89,6 +99,7 @@ def nb_train(
     text_col: str = "text",
     label_col: str = "label",
     id_col: str = "doc_id",
+    _token_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB: returns ``(token_weights, class_consts)``.
 
@@ -96,12 +107,19 @@ def nb_train(
     only observed (term, class) pairs.  ``class_consts``: (label,
     ln_prior, ln_denom) with ``ln_denom = ln(C_y + V)``.  Both are
     vocabulary/class-sized model tables, not data-sized.
+
+    ``_token_counts``: optional precomputed ``(label, term, c)`` counts —
+    :func:`nb_classify` passes a persisted shared tokenization so train and
+    score don't each re-explode the corpus.
     """
-    toks = fan_out(
-        df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
+    if _token_counts is not None:
+        counts = _token_counts
+    else:
+        toks = fan_out(
+            df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+            .filter(F.col("term") != "")
+        )
+        counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
     token_weights = counts.select(
         "term",
         F.col(label_col).alias("label"),
@@ -130,6 +148,7 @@ def nb_score(
     class_consts: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against every class and pick the argmax.
 
@@ -138,11 +157,17 @@ def nb_score(
     docstring), so the evidence join is INNER against the sparse weights.
     Ties break deterministically: higher score, then label ascending.
 
+    ``_tf``: optional precomputed ``(id_col, term, tf)`` counts (see
+    :func:`nb_train`'s ``_token_counts``).
+
     Output: ``(id_col, predicted, score)``.
     """
-    tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
-        F.count("*").alias("tf")
-    )
+    if _tf is not None:
+        tf = _tf
+    else:
+        tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
+            F.count("*").alias("tf")
+        )
     evidence = (
         tf.join(F.broadcast(token_weights), "term")
         .groupBy(id_col, "label")
@@ -198,8 +223,27 @@ def nb_classify(
         persist_input = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
     if persist_input:
         df = df.persist(StorageLevel.DISK_ONLY)
-    tw, cc = nb_train(df, text_col, label_col, id_col)
-    pred = nb_score(df, tw, cc, text_col, id_col)
+    # ONE tokenize pass: train and score previously each re-exploded the
+    # corpus (counts referenced 3x, tf 2x — five tokenize+aggregate subtrees
+    # in the plan).  A shared (doc, label, term, c) aggregate is persisted
+    # and every model/score table derives from it; docs with zero tokens
+    # still enter priors/doc-count via df itself, so results are identical.
+    base = (
+        fan_out(
+            df.select(
+                id_col,
+                label_col,
+                F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+            ).filter(F.col("term") != "")
+        )
+        .groupBy(id_col, label_col, "term")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = base.groupBy(label_col, "term").agg(F.sum("c").alias("c"))
+    tf = base.groupBy(id_col, "term").agg(F.sum("c").alias("tf"))
+    tw, cc = nb_train(df, text_col, label_col, id_col, _token_counts=counts)
+    pred = nb_score(df, tw, cc, text_col, id_col, _tf=tf)
     return pred.join(
         df.select(id_col, F.col(label_col).alias("actual")), id_col
     ).select(

@@ -222,7 +222,15 @@ def select_top_tokens(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    base = df.filter(F.col(score_col).isNotNull())
+    from pyspark.storagelevel import StorageLevel
+
+    # steps 1/3/4 are separate driver actions — unpersisted, each one
+    # re-runs the full upstream plan (for quality-budget curation that is
+    # the corpus tokenize+score pass, 3-4x).  The input projected to
+    # (id, score, tokens) is ~24 bytes/row at any corpus size, so pin it.
+    base = df.filter(F.col(score_col).isNotNull()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # the driver cumsum in step 1 is O(distinct scores) — only safe when the
     # score is quantized.  A raw float score makes distinct ≈ n and would
     # collect the corpus; the limit bounds the collect so the guard and the

@@ -315,7 +315,12 @@ def _nearest_centroids(centroids: list[list[float]], n: int):
     # real annotation objects: `from __future__ import annotations` would
     # stringify hints that pandas_udf can't resolve from a nested scope
     topn.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf("array<int>")(topn)
+    # nondeterministic: when the assignment feeds a join key, the planner
+    # infers IsNotNull(key) and pushes it below any exchange, re-evaluating
+    # the UDF on the full corpus a second time (one extra BLAS pass + Arrow
+    # boundary crossing per row).  The function is pure, so the flag cannot
+    # change results — it only stops the optimizer duplicating the eval.
+    return pandas_udf("array<int>")(topn).asNondeterministic()
 
 
 def ivf_topk(
@@ -340,10 +345,15 @@ def ivf_topk(
     centroids = _train_spherical_kmeans(corpus, vec_col, n_centroids, seed)
     assign1 = _nearest_centroids(centroids, 1)
     probe_n = _nearest_centroids(centroids, nprobe)
-    assigned = fan_out(_as_double(corpus, vec_col)).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        assign1(F.col(vec_col))[0].alias("centroid"),
+    # project to (id, vec) and fan out BEFORE the double cast: the
+    # round-robin exchange then carries the narrow float32 lanes (half the
+    # bytes of array<double>) and no unused corpus columns.
+    assigned = (
+        fan_out(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        )
+        .select("neighbor_id", F.col("cv").cast("array<double>").alias("cv"))
+        .select("neighbor_id", "cv", assign1(F.col("cv"))[0].alias("centroid"))
     )
     probes = (
         _as_double(queries, vec_col)
@@ -431,6 +441,7 @@ def all_pairs_cosine_blocked(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     block_rows: int = 4096,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, fully distributed (no driver
     collect): block-matrix self-join + per-block-pair BLAS.
@@ -453,7 +464,11 @@ def all_pairs_cosine_blocked(
     import numpy as np
     import pandas as pd
 
-    n = df.count()
+    # n sizes the block grid only.  count() on an input behind an opaque
+    # map stage (e.g. image decode) re-runs that stage just to count —
+    # callers who know the row count (or can count a cheap upstream
+    # projection) pass ``n_rows`` and skip the extra pass.
+    n = df.count() if n_rows is None else int(n_rows)
     n_blocks = max(1, math.ceil(n / block_rows))
     src = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")

@@ -2699,8 +2699,12 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "payload")
     )
     feats = decode_image_features(d, fake=True).select("doc_id", "feature")
+    # decode is 1:1, so the block-grid row count can come from the parquet
+    # side (metadata count) instead of count()-ing THROUGH the decode stage,
+    # which would run the whole Arrow decode pass a second time
     pairs = all_pairs_cosine_blocked(
-        feats, "feature", "doc_id", threshold=0.95, block_rows=256
+        feats, "feature", "doc_id", threshold=0.95, block_rows=256,
+        n_rows=d.count(),
     )
     return pairs.select("a", "b", rnd(F.col("cosine"), 6).alias("cosine"))
 
