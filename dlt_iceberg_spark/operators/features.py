@@ -64,17 +64,25 @@ def tfidf_top_terms(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from dlt_iceberg_spark.operators.dsir import (
+        PERSIST_MIN_INPUT_BYTES,
+        _plan_size_bytes,
+    )
+
     # tf feeds BOTH the document-frequency aggregate and the scoring join —
     # unpersisted, each reference re-tokenizes and re-shuffles the corpus.
-    # The (doc, term, tf) aggregate is far smaller than the text it came
-    # from, so pinning it trades one cheap materialization for a second
-    # full tokenize pass.
+    # Size-gated like dsir_select: past the threshold the persist halves
+    # the dominant cost; below it, materializing the (doc, term, tf)
+    # aggregate costs more than the map-side re-tokenize it saves
+    # (A/B/B/A-measured this round: always-persist ran 1.13x WORSE at
+    # sf0.1 — see OPTIMIZATION_r11.md).
     tf = (
         fan_out(_terms(df, text_col, id_col))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES:
+        tf = tf.persist(StorageLevel.DISK_ONLY)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -114,19 +122,49 @@ def nb_train(
     """
     if _token_counts is not None:
         counts = _token_counts
+        vocab = counts.select("term").distinct().agg(F.count("*").alias("v"))
+        class_tot = counts.groupBy(label_col).agg(F.sum("c").alias("cy"))
     else:
         toks = fan_out(
             df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
             .filter(F.col("term") != "")
         )
         counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
+        # vocab and class totals do NOT need the heavy (label, term)
+        # aggregate (unpersisted, each reference re-runs its whole
+        # tokenize+shuffle subtree — 3 heavy passes for 1 logical table).
+        # Equal by construction:  V = |distinct terms| comes from a direct
+        # distinct over the exploded terms (partial-agg, no (label, term)
+        # shuffle);  C_y = Σ_t c(t, y) is the per-label token COUNT — a
+        # map-side array-size sum with no explode at all.
+        vocab = (
+            fan_out(
+                df.select(
+                    F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+                ).filter(F.col("term") != "")
+            )
+            .select("term")
+            .distinct()
+            .agg(F.count("*").alias("v"))
+        )
+        # null text → size() = -1, and labels whose every doc is empty are
+        # ABSENT from the counts-based aggregate — guard both so the
+        # replacement is exactly equivalent
+        n_toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+            F.size(
+                F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
+            )
+        )
+        class_tot = (
+            df.groupBy(label_col)
+            .agg(F.sum(n_toks).alias("cy"))
+            .filter(F.col("cy") > 0)
+        )
     token_weights = counts.select(
         "term",
         F.col(label_col).alias("label"),
         F.log(F.col("c") + F.lit(1.0)).alias("w"),
     )
-    vocab = counts.select("term").distinct().agg(F.count("*").alias("v"))
-    class_tot = counts.groupBy(label_col).agg(F.sum("c").alias("cy"))
     n_total = df.select(F.countDistinct(id_col).alias("n"))
     priors = df.groupBy(label_col).agg(F.countDistinct(id_col).alias("n_y"))
     class_consts = (
@@ -223,25 +261,33 @@ def nb_classify(
         persist_input = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
     if persist_input:
         df = df.persist(StorageLevel.DISK_ONLY)
-    # ONE tokenize pass: train and score previously each re-exploded the
-    # corpus (counts referenced 3x, tf 2x — five tokenize+aggregate subtrees
-    # in the plan).  A shared (doc, label, term, c) aggregate is persisted
-    # and every model/score table derives from it; docs with zero tokens
-    # still enter priors/doc-count via df itself, so results are identical.
-    base = (
-        fan_out(
-            df.select(
-                id_col,
-                label_col,
-                F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
-            ).filter(F.col("term") != "")
+        # ONE tokenize pass: unshared, train and score each re-explode the
+        # corpus (counts referenced 3x, tf 2x — five tokenize+aggregate
+        # subtrees).  A shared persisted (doc, label, term, c) aggregate
+        # lets every model/score table derive from it; docs with zero
+        # tokens still enter priors/doc-count via df itself, so results
+        # are identical.  GATED with the input persist: below the
+        # threshold, materializing the token aggregate costs more than
+        # the map-side re-tokenizes it saves, and the derived counts/tf
+        # would pay an EXTRA shuffle each over the unpersisted base
+        # (A/B/B/A-measured this round: always-persist ran 1.40x WORSE
+        # at sf0.1 — see OPTIMIZATION_r11.md).
+        base = (
+            fan_out(
+                df.select(
+                    id_col,
+                    label_col,
+                    F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+                ).filter(F.col("term") != "")
+            )
+            .groupBy(id_col, label_col, "term")
+            .agg(F.count("*").alias("c"))
+            .persist(StorageLevel.DISK_ONLY)
         )
-        .groupBy(id_col, label_col, "term")
-        .agg(F.count("*").alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = base.groupBy(label_col, "term").agg(F.sum("c").alias("c"))
-    tf = base.groupBy(id_col, "term").agg(F.sum("c").alias("tf"))
+        counts = base.groupBy(label_col, "term").agg(F.sum("c").alias("c"))
+        tf = base.groupBy(id_col, "term").agg(F.sum("c").alias("tf"))
+    else:
+        counts = tf = None
     tw, cc = nb_train(df, text_col, label_col, id_col, _token_counts=counts)
     pred = nb_score(df, tw, cc, text_col, id_col, _tf=tf)
     return pred.join(

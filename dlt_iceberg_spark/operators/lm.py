@@ -67,21 +67,26 @@ def train_bigram_lm(
     (prev, w, c), ``contexts`` is (prev, c_total).  Two aggregates over one
     token-pair explode; ``vocab_size`` is a scalar count-distinct.
 
-    ``bigrams`` is persisted by default (MEMORY_AND_DISK): the scoring
-    join consumes BOTH bigrams and contexts, and contexts derives from
-    bigrams, so an unpersisted plan re-runs the target
-    tokenize/explode/groupBy lineage twice inside every scoring job.
-    Unlike the size-adaptive INPUT persists (dsir_select,
-    perplexity_filter — corpus-sized, a real materialization tradeoff),
-    the model is an AGGREGATE bounded by distinct bigrams: materializing
-    it costs ~nothing at any corpus size while each avoided recompute is
-    a full tokenize pass.  ``persist_model=False`` opts out."""
+    ``bigrams`` is persisted (DISK_ONLY — bounded by distinct bigrams, far
+    smaller than the pair stream): the scoring join consumes BOTH bigrams
+    and contexts, and contexts derives from bigrams, so an unpersisted
+    plan re-runs the target tokenize/explode/groupBy lineage twice inside
+    every scoring job.  Size-adaptive like dsir_select/perplexity_filter
+    (``persist_model=None`` gates on PERSIST_MIN_INPUT_BYTES): a toy
+    target recomputes cheaper than it materializes, a real one doesn't."""
     from pyspark.storagelevel import StorageLevel
 
+    from dlt_iceberg_spark.operators.dsir import (
+        PERSIST_MIN_INPUT_BYTES,
+        _plan_size_bytes,
+    )
+
+    if persist_model is None:
+        persist_model = _plan_size_bytes(target) >= PERSIST_MIN_INPUT_BYTES
     pairs = _doc_bigrams(target, text_col, id_col)
     bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
-    if persist_model is None or persist_model:
-        bigrams = bigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    if persist_model:
+        bigrams = bigrams.persist(StorageLevel.DISK_ONLY)
     contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
     toks = _TOKS.format(col=text_col)
     vocab_size = (

@@ -46,7 +46,10 @@ def quality_score(
     """Heuristic quality features + one blended score in [0,1]:
     length band, mean word length band, stopword presence, alpha ratio.
     (The blend mirrors C4/Gopher-style filter features.)"""
-    toks = _tokens(text_col)
+    # PERF: materialize the token array once — inline, the split() is
+    # pasted into every n_tok/stop_ratio/mean_word_len reference
+    # (~12 evals/row); size() over the materialized column is O(1)
+    toks = F.col("_qs_toks")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(text_col).cast("double")
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", "")).cast("double")
@@ -59,14 +62,18 @@ def quality_score(
         + F.when(stop_ratio > 0.01, 0.25).otherwise(0.0)
         + F.when(alpha_chars / F.greatest(n_chars, F.lit(1.0)) > 0.6, 0.25).otherwise(0.0)
     )
-    return df.withColumns(
-        {
-            "n_tokens": n_tok.cast("long"),
-            "mean_word_len": mean_word_len,
-            "stopword_ratio": stop_ratio,
-            "alpha_ratio": alpha_chars / F.greatest(n_chars, F.lit(1.0)),
-            "quality_score": score,
-        }
+    return (
+        df.withColumn("_qs_toks", _tokens(text_col))
+        .withColumns(
+            {
+                "n_tokens": n_tok.cast("long"),
+                "mean_word_len": mean_word_len,
+                "stopword_ratio": stop_ratio,
+                "alpha_ratio": alpha_chars / F.greatest(n_chars, F.lit(1.0)),
+                "quality_score": score,
+            }
+        )
+        .drop("_qs_toks")
     )
 
 
@@ -83,7 +90,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``dup_bigram_ratio``      — 1 − |distinct bigrams| / |bigrams|
       (repeated phrasing; Gopher rejects high fractions).
     """
-    toks = _tokens(text_col)
+    # PERF: materialize the token and bigram arrays as intermediate
+    # columns — as inline expressions they are textually pasted into every
+    # consumer (split() ~10 evals/row, the bigram zip_with 3), and
+    # CollapseProject keeps non-cheap exprs referenced >1x in their own
+    # projection, so each array is built once per row.
+    toks = F.col("_t")
     n = F.size(toks).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)) / n
     # PERF: never index an array expression from inside a lambda —
@@ -118,16 +130,21 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             lambda a, b: F.concat_ws("\x1f", a, b),
         )
     )
-    n_bi = F.size(bigrams).cast("double")
+    n_bi = F.size(F.col("_bg")).cast("double")
     dup_bigram = F.when(
         n_bi < 1, F.lit(0.0)
-    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi)
-    return df.withColumns(
-        {
-            "distinct_token_ratio": distinct_ratio,
-            "top_token_ratio": top_run.cast("double") / n,
-            "dup_bigram_ratio": dup_bigram,
-        }
+    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(F.col("_bg"))) / n_bi)
+    return (
+        df.withColumn("_t", _tokens(text_col))
+        .withColumn("_bg", bigrams)
+        .withColumns(
+            {
+                "distinct_token_ratio": distinct_ratio,
+                "top_token_ratio": top_run.cast("double") / n,
+                "dup_bigram_ratio": dup_bigram,
+            }
+        )
+        .drop("_t", "_bg")
     )
 
 
@@ -237,6 +254,15 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             "_paras": F.expr(rf"filter(split({text_col}, '\\n\\n'), x -> x <> '')"),
         }
     )
+    # materialize each n-gram array ONCE as a column: _sorted_dup_chars_sql
+    # references its argument twice (size guard + sort_array), and pasting
+    # _ngrams_sql(n) in textually made every doc build each gram array
+    # twice — the dominant per-doc cost (string concat is O(n·doc_chars)
+    # per family).  A column reference keeps one build; CollapseProject
+    # leaves non-cheap exprs referenced >1x in their own projection.
+    base = base.withColumns(
+        {f"_g{n}": F.expr(_ngrams_sql(n)) for n in range(2, 11)}
+    )
 
     def _cnt(lit: str, width: int) -> str:
         esc = lit.replace("'", "\\'")
@@ -275,11 +301,11 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     }
     for n in (2, 3, 4):
         feature_sql[f"top_{n}gram_char_frac"] = (
-            f"{_top_run_chars_sql(_ngrams_sql(n))} / {total_chars}"
+            f"{_top_run_chars_sql(f'_g{n}')} / {total_chars}"
         )
     for n in (5, 6, 7, 8, 9, 10):
         feature_sql[f"dup_{n}gram_char_frac"] = (
-            f"{_sorted_dup_chars_sql(_ngrams_sql(n))} / {total_chars}"
+            f"{_sorted_dup_chars_sql(f'_g{n}')} / {total_chars}"
         )
     out = base.selectExpr(
         *df.columns, *[f"{sql} AS {name}" for name, sql in feature_sql.items()]
@@ -351,7 +377,14 @@ def language_id(
     Pure expression plan: one pass over the token array per language —
     no shuffle, no UDF."""
     markers = markers or LANG_MARKERS
-    toks = F.array_distinct(_tokens(text_col))
+    # PERF: materialize the distinct-token array and the ranked score
+    # array as intermediate columns.  Inline, `toks` is pasted into every
+    # language's array_intersect and the whole ranked sort_array is pasted
+    # into each of the 3 output references (when-guard, lang, score) —
+    # ~3 x n_langs split+distinct+intersect evaluations per row.  As
+    # columns each is built once (CollapseProject keeps non-cheap exprs
+    # referenced >1x in their own projection).
+    toks = F.col("_lid_toks")
     scores = []
     for lang, words in sorted(markers.items()):
         arr = F.array(*[F.lit(w) for w in words])
@@ -373,12 +406,19 @@ def language_id(
             ]
         )
     )
-    best = ranked[0]
-    return df.withColumns(
-        {
-            "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
-            "lang_score": best["score"],
-        }
+    best = F.col("_lid_ranked")[0]
+    return (
+        df.withColumn("_lid_toks", F.array_distinct(_tokens(text_col)))
+        .withColumn("_lid_ranked", ranked)
+        .withColumns(
+            {
+                "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(
+                    F.lit("und")
+                ),
+                "lang_score": best["score"],
+            }
+        )
+        .drop("_lid_toks", "_lid_ranked")
     )
 
 

@@ -821,23 +821,20 @@ def test_dsir_and_lm_persist_reused_lineage(spark, tmp_path):
     b = sorted(map(tuple, filt.collect()))
     assert a == b
 
-    # train_bigram_lm persists the MODEL aggregate by default (r11: the
-    # r5-era size gate made sense for corpus-sized inputs, but the model
-    # is bounded by distinct bigrams — MEMORY_AND_DISK materialization is
-    # ~free while every avoided recompute is a full tokenize pass: the
-    # contexts derivation plus the scoring join re-ran the lineage twice).
-    # persist_model=False opts out.
+    # train_bigram_lm gates its model persist the same way (VERDICT r5 #2:
+    # it used to pin DISK_ONLY unconditionally — at toy scale the
+    # materialization costs more than recomputation).  The gate reads
+    # Catalyst's plan-size stat, which is unknown (= huge, persist — the
+    # safe direction) for createDataFrame plans, so exercise the default
+    # through a parquet-backed target whose size is real.
     from dlt_iceberg_spark.operators.lm import train_bigram_lm
 
     target.write.parquet(str(tmp_path / "lm_target"))
     small = spark.read.parquet(str(tmp_path / "lm_target"))
-    bg, _, _ = train_bigram_lm(small)  # default: persisted
-    assert bg.storageLevel.useMemory
-    bg.unpersist()
-    bg0, _, _ = train_bigram_lm(small, persist_model=False)
-    assert not bg0.storageLevel.useDisk and not bg0.storageLevel.useMemory
+    bg, _, _ = train_bigram_lm(small)  # tiny target: no persist
+    assert not bg.storageLevel.useDisk and not bg.storageLevel.useMemory
     bg2, _, _ = train_bigram_lm(target, persist_model=True)
-    assert bg2.storageLevel.useMemory
+    assert bg2.storageLevel.useDisk
     bg2.unpersist()
 
 
