@@ -358,6 +358,13 @@ def main() -> None:
     )
     total = round(sum(times.values()), 4)
     tspread = trimmed_spread(samples)
+    # Interference-immune companion stat (r11): on an otherwise-deterministic
+    # warm workload, host-side interference only ever ADDS time, so the
+    # per-query sample MINIMUM is the best estimate of the true cost under a
+    # noisy hypervisor neighbor.  The headline metric stays the median sum
+    # (unchanged methodology); min_total_sec quantifies how much of a given
+    # capture is machine noise (value >> min_total_sec = polluted window).
+    min_total = round(sum(min(s) for s in samples.values()), 4)
     payload = json.dumps(
         {
             "metric": "suite_total_wall",
@@ -367,6 +374,7 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(times),
             "cold_total_sec": cold_total,
+            "min_total_sec": min_total,
             "spread": spread,
             "spread_trimmed": tspread,
             "samples": {n: [round(x, 4) for x in s] for n, s in samples.items()},
@@ -424,6 +432,7 @@ def main() -> None:
         # GC hiccup can't define.  Deltas inside these bands are machine
         # noise, not regressions; per-query [min,max] + raw samples are
         # in bench_result.json.
+        "min_total_sec": min_total,
         "median_rel_spread": round(statistics.median(rel_spreads), 3),
         "max_rel_spread": round(max(rel_spreads), 3),
         "median_rel_spread_trimmed": round(statistics.median(rel_trimmed), 3),
