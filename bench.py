@@ -248,6 +248,12 @@ SF1_QUERIES = [
     # kernel — per-batch cost tracks (probing queries × list rows), and
     # executor output is local top-k, not |batch|·|Q|
     "ann_pq_residual",
+    # r11 optimization round: the expression-dedup restructures (gopher
+    # n-gram builds 15→9, repetition split 19→1, quality split 12→1 per
+    # row) remove per-ROW cpu work, so their win should GROW with corpus
+    # size — these rows are the 10x evidence; ann_opq adds the
+    # OPQ-rotated probe (rotation is a broadcast matmul, O(probed rows))
+    "text_gopher_rules", "text_repetition", "text_tfidf_terms", "ann_opq",
 ]
 
 #: streaming queries whose sf1 row counts are turned into a rows/sec

@@ -62,27 +62,21 @@ def tfidf_top_terms(
     Output: ``(id_col, term, tf, tfidf, rank)``; ties rank by term
     ascending in both this plan and the SQL oracle.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    from dlt_iceberg_spark.operators.dsir import (
-        PERSIST_MIN_INPUT_BYTES,
-        _plan_size_bytes,
-    )
-
     # tf feeds BOTH the document-frequency aggregate and the scoring join —
     # unpersisted, each reference re-tokenizes and re-shuffles the corpus.
-    # Size-gated like dsir_select: past the threshold the persist halves
-    # the dominant cost; below it, materializing the (doc, term, tf)
-    # aggregate costs more than the map-side re-tokenize it saves
-    # (A/B/B/A-measured this round: always-persist ran 1.13x WORSE at
-    # sf0.1 — see OPTIMIZATION_r11.md).
+    # Persisting it was A/B-measured this round at BOTH scales and LOSES
+    # at both (1.13x worse at sf0.1; 1.17-1.55x worse at a 1M-doc / 40M-
+    # token corpus): the (doc, term) aggregate has ~no cardinality
+    # reduction over the exploded token stream, so the DISK_ONLY round-
+    # trip costs more than the map-side re-tokenize it replaces.  Unlike
+    # dsir/lm (whose persisted aggregates are vocabulary-sized and keep
+    # their r5-measured size gates), token-stream-sized intermediates
+    # should be recomputed — see OPTIMIZATION_r11.md "the persist lesson".
     tf = (
         fan_out(_terms(df, text_col, id_col))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    if _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES:
-        tf = tf.persist(StorageLevel.DISK_ONLY)
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -107,7 +101,6 @@ def nb_train(
     text_col: str = "text",
     label_col: str = "label",
     id_col: str = "doc_id",
-    _token_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB: returns ``(token_weights, class_consts)``.
 
@@ -115,51 +108,42 @@ def nb_train(
     only observed (term, class) pairs.  ``class_consts``: (label,
     ln_prior, ln_denom) with ``ln_denom = ln(C_y + V)``.  Both are
     vocabulary/class-sized model tables, not data-sized.
-
-    ``_token_counts``: optional precomputed ``(label, term, c)`` counts —
-    :func:`nb_classify` passes a persisted shared tokenization so train and
-    score don't each re-explode the corpus.
     """
-    if _token_counts is not None:
-        counts = _token_counts
-        vocab = counts.select("term").distinct().agg(F.count("*").alias("v"))
-        class_tot = counts.groupBy(label_col).agg(F.sum("c").alias("cy"))
-    else:
-        toks = fan_out(
-            df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
-            .filter(F.col("term") != "")
+    toks = fan_out(
+        df.select(label_col, F.explode(F.split(F.col(text_col), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
+    # vocab and class totals do NOT need the heavy (label, term)
+    # aggregate (unpersisted, each reference re-runs its whole
+    # tokenize+shuffle subtree — 3 heavy passes for 1 logical table).
+    # Equal by construction:  V = |distinct terms| comes from a direct
+    # distinct over the exploded terms (partial-agg, no (label, term)
+    # shuffle);  C_y = Σ_t c(t, y) is the per-label token COUNT — a
+    # map-side array-size sum with no explode at all.
+    vocab = (
+        fan_out(
+            df.select(
+                F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+            ).filter(F.col("term") != "")
         )
-        counts = toks.groupBy(label_col, "term").agg(F.count("*").alias("c"))
-        # vocab and class totals do NOT need the heavy (label, term)
-        # aggregate (unpersisted, each reference re-runs its whole
-        # tokenize+shuffle subtree — 3 heavy passes for 1 logical table).
-        # Equal by construction:  V = |distinct terms| comes from a direct
-        # distinct over the exploded terms (partial-agg, no (label, term)
-        # shuffle);  C_y = Σ_t c(t, y) is the per-label token COUNT — a
-        # map-side array-size sum with no explode at all.
-        vocab = (
-            fan_out(
-                df.select(
-                    F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
-                ).filter(F.col("term") != "")
-            )
-            .select("term")
-            .distinct()
-            .agg(F.count("*").alias("v"))
+        .select("term")
+        .distinct()
+        .agg(F.count("*").alias("v"))
+    )
+    # null text → size() = -1, and labels whose every doc is empty are
+    # ABSENT from the counts-based aggregate — guard both so the
+    # replacement is exactly equivalent
+    n_toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.size(
+            F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
         )
-        # null text → size() = -1, and labels whose every doc is empty are
-        # ABSENT from the counts-based aggregate — guard both so the
-        # replacement is exactly equivalent
-        n_toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-            F.size(
-                F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
-            )
-        )
-        class_tot = (
-            df.groupBy(label_col)
-            .agg(F.sum(n_toks).alias("cy"))
-            .filter(F.col("cy") > 0)
-        )
+    )
+    class_tot = (
+        df.groupBy(label_col)
+        .agg(F.sum(n_toks).alias("cy"))
+        .filter(F.col("cy") > 0)
+    )
     token_weights = counts.select(
         "term",
         F.col(label_col).alias("label"),
@@ -186,7 +170,6 @@ def nb_score(
     class_consts: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    _tf: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document against every class and pick the argmax.
 
@@ -195,17 +178,11 @@ def nb_score(
     docstring), so the evidence join is INNER against the sparse weights.
     Ties break deterministically: higher score, then label ascending.
 
-    ``_tf``: optional precomputed ``(id_col, term, tf)`` counts (see
-    :func:`nb_train`'s ``_token_counts``).
-
     Output: ``(id_col, predicted, score)``.
     """
-    if _tf is not None:
-        tf = _tf
-    else:
-        tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
-            F.count("*").alias("tf")
-        )
+    tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
     evidence = (
         tf.join(F.broadcast(token_weights), "term")
         .groupBy(id_col, "label")
@@ -261,35 +238,18 @@ def nb_classify(
         persist_input = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
     if persist_input:
         df = df.persist(StorageLevel.DISK_ONLY)
-        # ONE tokenize pass: unshared, train and score each re-explode the
-        # corpus (counts referenced 3x, tf 2x — five tokenize+aggregate
-        # subtrees).  A shared persisted (doc, label, term, c) aggregate
-        # lets every model/score table derive from it; docs with zero
-        # tokens still enter priors/doc-count via df itself, so results
-        # are identical.  GATED with the input persist: below the
-        # threshold, materializing the token aggregate costs more than
-        # the map-side re-tokenizes it saves, and the derived counts/tf
-        # would pay an EXTRA shuffle each over the unpersisted base
-        # (A/B/B/A-measured this round: always-persist ran 1.40x WORSE
-        # at sf0.1 — see OPTIMIZATION_r11.md).
-        base = (
-            fan_out(
-                df.select(
-                    id_col,
-                    label_col,
-                    F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
-                ).filter(F.col("term") != "")
-            )
-            .groupBy(id_col, label_col, "term")
-            .agg(F.count("*").alias("c"))
-            .persist(StorageLevel.DISK_ONLY)
-        )
-        counts = base.groupBy(label_col, "term").agg(F.sum("c").alias("c"))
-        tf = base.groupBy(id_col, "term").agg(F.sum("c").alias("tf"))
-    else:
-        counts = tf = None
-    tw, cc = nb_train(df, text_col, label_col, id_col, _token_counts=counts)
-    pred = nb_score(df, tw, cc, text_col, id_col, _tf=tf)
+    # Train and score each re-explode the (possibly persisted) corpus.
+    # A shared persisted (doc, label, term, c) aggregate deriving counts
+    # and tf from one tokenize pass was built and MEASURED this round —
+    # it loses at BOTH scales (1.40x worse at sf0.1; 1.26x worse at a
+    # 1M-doc / 40M-token corpus with the input persist engaged): the
+    # (doc, term) key has ~no cardinality reduction over the exploded
+    # token stream, so materializing it to disk costs more than the
+    # map-side re-tokenizes it replaces, and counts/tf each pay an EXTRA
+    # corpus-sized shuffle over the base.  See OPTIMIZATION_r11.md
+    # ("the persist lesson") — keep the unshared form.
+    tw, cc = nb_train(df, text_col, label_col, id_col)
+    pred = nb_score(df, tw, cc, text_col, id_col)
     return pred.join(
         df.select(id_col, F.col(label_col).alias("actual")), id_col
     ).select(
