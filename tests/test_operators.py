@@ -1172,6 +1172,31 @@ def test_nb_classifier_learns_separable_labels(spark):
     assert pred[0].predicted == "fruit"  # evidence from 'apple' alone
 
 
+def test_nb_classify_persist_input_parity(spark):
+    """The persist_input fast path (engaged above PERSIST_MIN_INPUT_BYTES
+    in production) must be a pure execution hint: row-identical output to
+    the default path.  Pinned after r11 removed the shared-token-base
+    restructure — persist_input now only pins the INPUT, never reshapes
+    the plan (OPTIMIZATION_r11.md, 'the persist lesson')."""
+    from dlt_iceberg_spark.operators.features import nb_classify
+
+    docs = [
+        (1, "apple banana apple", "fruit"),
+        (2, "banana apple banana", "fruit"),
+        (3, "iron copper iron", "metal"),
+        (4, "copper iron copper", "metal"),
+        (5, None, "metal"),  # null text: must drop out identically in both paths
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, label string")
+    key = lambda r: r.doc_id  # noqa: E731
+    base = sorted(nb_classify(df, label_col="label").collect(), key=key)
+    fast = sorted(
+        nb_classify(df, label_col="label", persist_input=True).collect(), key=key
+    )
+    assert [r.asDict() for r in base] == [r.asDict() for r in fast]
+    df.unpersist()
+
+
 def test_knn_classify_majority_and_ties(spark):
     """kNN label vote: majority wins; on a vote tie the label owning the
     closest neighbor wins (best-cosine tie-break)."""
