@@ -41,65 +41,59 @@ from dlt_iceberg_spark.queries.lake import *  # noqa: F401,F403,E402
 # oldest.  Ties (same newest round) break alphabetically so the rotation
 # stays mechanical and reviewable.
 #
-# Round-11 window (per VERDICT r10 task 1, staleness recomputed from the
-# union of CORRECTNESS_r01-r10 this round: histogram 41×r8, 50×r9,
-# 50×r10 — plus the r11 additions):
-#   slots 1-4   — the round-11 additions (ann_rebalance — incremental
-#                 list split; ann_pq_residual — residual IVF-PQ; ann_opq
-#                 — OPQ-rotated residual IVF-PQ; lake_bloom_pruning —
-#                 manifest Bloom file skipping), never driver-verified,
-#                 oracle-green locally.
-#   slots 5-45  — ALL 41 rows whose newest driver row is r08 (they hit
-#                 the 3-round limit this round — exactly the list the r10
-#                 comment pre-planned): events_user_latest …
-#                 window_customer_rank.
-#   slots 46-50 — the 5 stalest r09 rows (alphabetical prefix of the 50:
-#                 ann_ivf … chunk_documents; contamination_check drops
-#                 to slot 51, still r09-fresh).
-# Round-12 plan (mechanical): never-driver-verified r12 additions first,
-# then the 44 remaining r09 rows (they hit the limit at r12;
-# corpus_overlap_kmv and corpus_prep now among them), then the stalest
-# r10 rows alphabetically.
+# Round-12 window (per VERDICT r11 task 8, staleness recomputed from the
+# union of CORRECTNESS_r01-r11 this round: histogram 45×r9, 50×r10,
+# 50×r11; no never-verified rows — r12 is an optimization round, no new
+# queries):
+#   slots 1-45  — ALL 45 rows whose newest driver row is r09 (they hit
+#                 the 3-round limit this round — the 44 the r11 comment
+#                 pre-planned plus contamination_check, which r11's
+#                 window cut at slot 51): contamination_check …
+#                 window_running_total, alphabetical.
+#   slots 46-50 — the 5 stalest r10 rows (alphabetical prefix:
+#                 ann_cosine_topk … ann_sq).
+# Round-13 plan (mechanical): never-driver-verified additions first, then
+# the 45 remaining r10 rows (limit hits then), then the stalest r11 rows
+# alphabetically.
 
 _GATE_PRIORITY = [
-    # -- never driver-verified (round-11 additions) — front ---------------
-    "ann_rebalance", "ann_pq_residual", "ann_opq", "lake_bloom_pruning",
-    # -- newest driver row is r08 — all 41, 3-round limit hits now --------
-    "events_user_latest", "groupingsets_priority_status", "hybrid_search",
-    "lake_bucket_pruning", "lake_clone_divergence", "lake_count_pushdown",
-    "lake_matview_chain", "lake_matview_full", "lake_matview_join",
-    "lake_matview_left", "lake_merge_roundtrip", "lake_minmax_pushdown",
-    "lake_ndv_stats", "lake_partition_aggregate", "lake_partition_ndv",
-    "lake_position_delete", "lake_rename_column", "lake_rollup_minmax",
-    "lake_sketch_overlap", "lake_stats_pushdown", "lm_perplexity",
-    "merge_hard_delete", "merge_upsert", "mixture_by_source", "redact_pii",
-    "select_quality_budget", "semantic_dedup", "shuffle_shards",
-    "sql_delegated_join", "stream_dedup_corpus", "stream_dedup_users",
-    "stream_windowed_counts", "substring_dup_profile", "text_bm25_topk",
-    "text_gopher_rules", "text_language_id", "text_quality_score",
-    "text_repetition", "text_rolling_fingerprint", "text_token_stats",
-    "window_customer_rank",
-    # -- stalest r09 rows — alphabetical prefix of the 50 -----------------
-    "ann_ivf", "ann_ivf_persisted", "ann_pq", "ann_pq_persisted",
-    "chunk_documents", "contamination_check",
+    # -- newest driver row is r09 — all 45, 3-round limit hits now --------
+    "contamination_check", "corpus_overlap_kmv", "corpus_prep",
+    "dedup_boilerplate_lines", "dedup_incremental", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_substring_removal",
+    "dedup_token_jaccard", "dedup_transitive_clusters",
+    "lake_clone_retention", "nation_order_stats", "part_brand_stats",
+    "pctl_order_value", "pivot_priority_status", "q10_returned_customers",
+    "q11_important_parts", "q12_late_shipping_priority",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q20_top_volume_suppliers",
+    "q22_idle_customers", "q2_min_unit_price_supplier",
+    "q3_unshipped_revenue", "q4_order_priority", "q5_nation_revenue",
+    "q6_revenue_delta", "q7_volume_shipping", "q8_market_share",
+    "rollup_nation_status", "sample_documents", "setop_customer_segments",
+    "split_documents", "stream_sink_partitioned", "stream_vector_index",
+    "text_c4_rules", "text_lang_profile", "text_quality",
+    "window_running_total",
+    # -- stalest r10 rows — alphabetical prefix of the 50 -----------------
+    "ann_cosine_topk", "ann_delete_lifecycle", "ann_filtered",
+    "ann_rebuild", "ann_sq",
 ]
-# The 44 r09 rows deferred to the r12 window (3-round limit hits then;
-# recomputed from the CORRECTNESS_r01-r10 union this round):
-# corpus_overlap_kmv, corpus_prep,
-# dedup_boilerplate_lines, dedup_incremental, dedup_ngram_jaccard,
-# dedup_simhash, dedup_simhash_pairs, dedup_substring_removal,
-# dedup_token_jaccard, dedup_transitive_clusters, lake_clone_retention,
-# nation_order_stats, part_brand_stats, pctl_order_value,
-# pivot_priority_status, q10_returned_customers, q11_important_parts,
-# q12_late_shipping_priority, q13_order_distribution, q14_promo_revenue,
-# q15_top_supplier, q16_supplier_part_count, q17_small_quantity_revenue,
-# q18_large_orders, q19_bracket_revenue, q20_top_volume_suppliers,
-# q22_idle_customers, q2_min_unit_price_supplier, q3_unshipped_revenue,
-# q4_order_priority, q5_nation_revenue, q6_revenue_delta,
-# q7_volume_shipping, q8_market_share, rollup_nation_status,
-# sample_documents, setop_customer_segments, split_documents,
-# stream_sink_partitioned, stream_vector_index, text_c4_rules,
-# text_lang_profile, text_quality, window_running_total.
+# The 45 r10 rows deferred to the r13 window (3-round limit hits then):
+# ann_sq_persisted, cap_docs_per_lang, cube_brand_size, dedup_exact,
+# dedup_minhash_lsh, doc_fingerprint, dsir_select, embedding_label_stats,
+# embedding_near_dup, events_asof_last_signup, events_funnel,
+# events_gapfill, events_heavy_hitters, events_hourly,
+# events_interval_join, events_json_props, events_retention_cohorts,
+# events_sessions, knn_label_vote, lake_add_column_default,
+# lake_cdc_changelog, lake_expectations, lake_iceberg_roundtrip,
+# lake_multi_table_txn, lake_promote_type, lake_rollup_incremental,
+# lake_spec_evolution, multimodal_audio_windows, multimodal_decode,
+# multimodal_frames, multimodal_image_dedup, multimodal_meta,
+# multimodal_resize, pack_documents, q1_pricing_summary,
+# q21_waiting_suppliers, q9_product_type_profit, stream_lake_changes,
+# stream_lake_mirror, stream_lake_sink, stream_lake_tail,
+# stream_vector_cdc, text_bpe_pairs, text_nb_language, text_tfidf_terms.
 
 
 def _reorder_registry() -> None:

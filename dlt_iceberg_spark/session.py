@@ -26,6 +26,26 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+#: Cluster-tier knobs (VERDICT r11 task 6), env-parameterized with
+#: local-default values so the driver's bench stays comparable.  Neither
+#: can be honestly tuned on local[32]/sf0.1 — gate-scale shuffles are
+#: MB-sized and AQE-coalesced to a handful of tasks, so any local timing
+#: delta is noise — but both have first-principles cluster arguments
+#: (SCALE.md "Config tier"):
+#:  - SPARK_GRAFT_SHUFFLE_CODEC: `zstd` trades ~10-20% more map-side CPU
+#:    for a markedly better shuffle compression ratio (guide §2.3); at
+#:    100 TB the shuffle is network/disk-bound, so fewer bytes wins.
+#:    Default keeps Spark's `lz4` — at MB-scale local shuffles the codec
+#:    never touches the critical path.
+#:  - SPARK_GRAFT_ADVISORY_PARTITION_BYTES: AQE's coalesce target.  Spark's
+#:    default 64m is sized for small clusters; guide §2.2 recommends
+#:    100 MB-1 GB post-shuffle partitions at scale so the M×R block count
+#:    (and per-block overhead) stays bounded.  Default keeps 64m locally.
+DEFAULT_SHUFFLE_CODEC = os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")
+DEFAULT_ADVISORY_PARTITION_BYTES = os.environ.get(
+    "SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"
+)
+
 
 def configure_session(builder: SparkSession.Builder, shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS) -> SparkSession.Builder:
     """Apply engine configuration to any SparkSession builder."""
@@ -33,8 +53,13 @@ def configure_session(builder: SparkSession.Builder, shuffle_partitions: int = D
         builder
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.io.compression.codec", DEFAULT_SHUFFLE_CODEC)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            DEFAULT_ADVISORY_PARTITION_BYTES,
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

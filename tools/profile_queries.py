@@ -1,7 +1,8 @@
 """Per-query cost attribution: python plan-build wall vs execution wall,
 plus Spark job/stage/task counts per query (job-group scoped).
 
-Usage: python tools/profile_queries.py [query ...]   (default: all steady)
+Usage: python tools/profile_queries.py [--root DIR] [query ...]
+(default queries: all steady)
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
 
@@ -14,19 +15,26 @@ reflects the steady state the bench times.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
-from dlt_iceberg_spark.queries import REGISTRY  # noqa: E402
-from dlt_iceberg_spark.session import get_spark  # noqa: E402
+_DEFAULT_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    names = sys.argv[1:] or [n for n in REGISTRY if not n.startswith("stream_")]
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default=_DEFAULT_ROOT)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+    sys.path.insert(0, args.root)
+
+    from dlt_iceberg_spark.queries import REGISTRY
+    from dlt_iceberg_spark.session import get_spark
+
+    names = args.queries or [n for n in REGISTRY if not n.startswith("stream_")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile_queries")
     spark.sparkContext.setLogLevel("ERROR")
