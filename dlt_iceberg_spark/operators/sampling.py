@@ -226,18 +226,43 @@ def select_top_tokens(
 
     # steps 1/3/4 are separate driver actions — unpersisted, each one
     # re-runs the full upstream plan (for quality-budget curation that is
-    # the corpus tokenize+score pass, 3-4x).  The input projected to
-    # (id, score, tokens) is ~24 bytes/row at any corpus size, so pin it.
-    base = df.filter(F.col(score_col).isNotNull()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # the corpus tokenize+score pass, 3-4x).  Projected to
+    # (id, score, tokens) the pin is ~24 bytes/row at any corpus size.
+    #
+    # Persist policy (ADVICE r11): a NARROW caller (df is exactly the
+    # three columns — every registered query path) pins the filtered input
+    # itself, and the output reads the cache, so the caller's single
+    # materialization never re-runs the corpus scoring pass (the measured
+    # 0.64x win).  That pin must outlive this call — the output's lineage
+    # reads it — so it is released on the NEXT call instead (no cross-call
+    # accumulation; within one app the leak is bounded at one narrow
+    # table, and bench/oracle runs clearCache between queries anyway).
+    # A WIDE caller (extra payload columns) must NOT have its payload
+    # pinned for the session: the decision collects run on a persisted
+    # narrow projection that is unpersisted before returning, and the
+    # output is rebuilt from ``df`` with literal boundary predicates
+    # (one upstream recompute at materialization — the memory-safe trade).
+    while _TOP_TOKENS_PINNED:
+        _TOP_TOKENS_PINNED.pop().unpersist(False)
+    narrow = set(df.columns) == {id_col, score_col, tokens_col}
+    base = df.filter(F.col(score_col).isNotNull())
+    if narrow:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _TOP_TOKENS_PINNED.append(base)
+        dec = base
+    else:
+        dec = (
+            df.select(id_col, score_col, tokens_col)
+            .filter(F.col(score_col).isNotNull())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     # the driver cumsum in step 1 is O(distinct scores) — only safe when the
     # score is quantized.  A raw float score makes distinct ≈ n and would
     # collect the corpus; the limit bounds the collect so the guard and the
     # totals share ONE job (a separate countDistinct pass would rescan the
     # corpus just to ask a question this aggregation answers anyway).
     totals = (
-        base.groupBy(score_col)
+        dec.groupBy(score_col)
         .agg(F.sum(tokens_col).alias("tok"))
         .limit(max_distinct + 1)
         .collect()
@@ -261,20 +286,30 @@ def select_top_tokens(
             r_budget = budget - cum
             break
     if boundary is None:  # everything fits
+        if not narrow:
+            dec.unpersist(False)
         return base
-    full = base.filter(F.col(score_col) > F.lit(boundary))
-    ties = base.filter(F.col(score_col) == F.lit(boundary))
-    lo, hi = ties.agg(F.min(id_col), F.max(id_col)).collect()[0]
-    bucketed = ties.withColumn(
-        "_tb",
-        F.width_bucket(
-            F.col(id_col).cast("double"), F.lit(float(lo)), F.lit(float(hi) + 1), id_buckets
-        ),
-    )
+    dec_ties = dec.filter(F.col(score_col) == F.lit(boundary))
+    lo, hi = dec_ties.agg(F.min(id_col), F.max(id_col)).collect()[0]
+
+    def _tb() -> F.Column:
+        return F.width_bucket(
+            F.col(id_col).cast("double"),
+            F.lit(float(lo)),
+            F.lit(float(hi) + 1),
+            id_buckets,
+        )
+
     btot = {
         r["_tb"]: r["tok"]
-        for r in bucketed.groupBy("_tb").agg(F.sum(tokens_col).alias("tok")).collect()
+        for r in dec_ties.withColumn("_tb", _tb())
+        .groupBy("_tb")
+        .agg(F.sum(tokens_col).alias("tok"))
+        .collect()
     }
+    full = base.filter(F.col(score_col) > F.lit(boundary))
+    ties = base.filter(F.col(score_col) == F.lit(boundary))
+    bucketed = ties.withColumn("_tb", _tb())
     cum2 = 0
     edge_bucket = None
     r2 = r_budget
@@ -301,7 +336,16 @@ def select_top_tokens(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if not narrow:
+        # every decision is now a Python literal inside `out`'s plan — the
+        # narrow pin has no consumer left, release it before returning
+        dec.unpersist(False)
     return out
+
+
+#: the previous narrow-caller call's pinned base (released lazily on the
+#: next call — see the persist-policy comment in select_top_tokens)
+_TOP_TOKENS_PINNED: list = []
 
 
 def shuffle_shards(

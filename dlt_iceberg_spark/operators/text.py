@@ -26,6 +26,20 @@ def _tokens(text_col: str) -> Column:
     return F.split(F.col(text_col), r"\s+")
 
 
+def _reserve_temp_cols(df: DataFrame, *names: str) -> None:
+    """Fail loudly when a staging column name already exists in the input
+    (ADVICE r11): withColumn would silently CLOBBER the user's column —
+    gopher_rules' selectExpr(*df.columns) would then return the n-gram
+    array under the user's column name, and the drop() at the end of the
+    other operators would delete the user's data."""
+    clashes = [n for n in names if n in df.columns]
+    if clashes:
+        raise ValueError(
+            f"input already has column(s) {clashes} — these names are "
+            "reserved as operator staging columns; rename them first"
+        )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish subword counts per row."""
     toks = _tokens(text_col)
@@ -49,6 +63,7 @@ def quality_score(
     # PERF: materialize the token array once — inline, the split() is
     # pasted into every n_tok/stop_ratio/mean_word_len reference
     # (~12 evals/row); size() over the materialized column is O(1)
+    _reserve_temp_cols(df, "_qs_toks")
     toks = F.col("_qs_toks")
     n_tok = F.size(toks).cast("double")
     n_chars = F.length(text_col).cast("double")
@@ -95,6 +110,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # consumer (split() ~10 evals/row, the bigram zip_with 3), and
     # CollapseProject keeps non-cheap exprs referenced >1x in their own
     # projection, so each array is built once per row.
+    _reserve_temp_cols(df, "_t", "_bg")
     toks = F.col("_t")
     n = F.size(toks).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)) / n
@@ -246,6 +262,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     higher-order functions are linear in document length (slice-shifted
     zip_with, never per-index element_at).
     """
+    _reserve_temp_cols(
+        df, "_t", "_lines", "_paras", *[f"_g{n}" for n in range(2, 11)]
+    )
     toks = rf"filter(split({text_col}, '\\s+'), x -> x <> '')"
     base = fan_out(df).withColumns(
         {
@@ -384,6 +403,7 @@ def language_id(
     # ~3 x n_langs split+distinct+intersect evaluations per row.  As
     # columns each is built once (CollapseProject keeps non-cheap exprs
     # referenced >1x in their own projection).
+    _reserve_temp_cols(df, "_lid_toks", "_lid_ranked")
     toks = F.col("_lid_toks")
     scores = []
     for lang, words in sorted(markers.items()):
@@ -466,6 +486,7 @@ def rolling_fingerprint(
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r} (expected 'xx' or 'md5')")
 
+    _reserve_temp_cols(df, "_th")
     staged = fan_out(df).withColumn("_th", F.transform(_tokens(text_col), tok_hash))
     th = F.col("_th")
     n = F.size(th)

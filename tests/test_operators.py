@@ -1318,3 +1318,34 @@ def test_bm25_rank_topk_and_empty_query(spark):
     assert [r.doc_id for r in top3] == [r.doc_id for r in again]
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_rank(docs, [])
+
+
+def test_text_operators_reject_reserved_staging_columns(spark):
+    """The expression-dedup staging columns (_t, _bg, _qs_toks, _g2..,
+    _lid_*) must never silently clobber a user column of the same name
+    (ADVICE r11): the operator raises instead."""
+    import pytest as _pytest
+
+    from dlt_iceberg_spark.operators.text import (
+        gopher_rules,
+        language_id,
+        quality_score,
+        repetition_stats,
+        rolling_fingerprint,
+    )
+
+    base = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    for op, clash in (
+        (quality_score, "_qs_toks"),
+        (repetition_stats, "_t"),
+        (repetition_stats, "_bg"),
+        (gopher_rules, "_g5"),
+        (gopher_rules, "_lines"),
+        (language_id, "_lid_toks"),
+        (rolling_fingerprint, "_th"),
+    ):
+        df = base.withColumn(clash, F.lit(1))
+        with _pytest.raises(ValueError, match="reserved"):
+            op(df)
+    # clean inputs still work
+    assert quality_score(base).count() == 1

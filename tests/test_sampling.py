@@ -161,6 +161,75 @@ def test_shuffle_shards_deterministic_and_balanced(spark):
         shuffle_shards(df, "doc_id", 0)
 
 
+def test_select_top_tokens_wide_caller_keeps_payload_and_unpins(spark):
+    """A caller with payload columns beyond (id, score, tokens) must get
+    the same kept set WITH its payload intact, and the operator must not
+    leave the payload pinned in the cache (the wide path persists only a
+    narrow decision projection and unpersists it before returning —
+    ADVICE r11)."""
+    from pyspark.sql import Window
+    from dlt_iceberg_spark.operators.sampling import (
+        _TOP_TOKENS_PINNED,
+        select_top_tokens,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 13 == 0, None).otherwise((F.col("id") % 3) * 0.5).alias("score"),
+        (F.col("id") % 40 + 5).alias("n_tok"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),  # wide!
+    ).persist()
+
+    for budget in (0, 700, 10**9):
+        out = select_top_tokens(df, "score", "n_tok", budget)
+        assert set(out.columns) == {"doc_id", "score", "n_tok", "text"}
+        rows = {(r.doc_id, r.text) for r in out.collect()}
+        w = Window.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        ref = {
+            (r.doc_id, r.text)
+            for r in df.filter("score IS NOT NULL")
+            .withColumn("run", F.sum("n_tok").over(w))
+            .filter(F.col("run") <= budget)
+            .collect()
+        }
+        assert rows == ref, f"budget={budget}"
+        # payload round-trips
+        assert all(t == f"payload-{d}" for d, t in rows)
+        # wide callers never join the cross-call pin list
+        assert not _TOP_TOKENS_PINNED
+    df.unpersist()
+
+
+def test_select_top_tokens_narrow_pin_released_on_next_call(spark):
+    """Narrow callers pin their filtered base for the caller's one
+    materialization; the NEXT call must release the previous pin so a
+    long-lived session never accumulates pinned tables."""
+    from dlt_iceberg_spark.operators.sampling import (
+        _TOP_TOKENS_PINNED,
+        select_top_tokens,
+    )
+
+    def mk(n):
+        # distinct row counts => distinct canonical plans, so the two
+        # calls cannot share one CacheManager entry
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") % 4) * 0.25).alias("score"),
+            F.lit(10).alias("n_tok"),
+        )
+
+    select_top_tokens(mk(100), "score", "n_tok", 200).collect()
+    assert len(_TOP_TOKENS_PINNED) == 1
+    first_pin = _TOP_TOKENS_PINNED[0]
+    select_top_tokens(mk(120), "score", "n_tok", 300).collect()
+    assert len(_TOP_TOKENS_PINNED) == 1
+    assert _TOP_TOKENS_PINNED[0] is not first_pin
+    assert first_pin.storageLevel.useMemory is False  # released
+    _TOP_TOKENS_PINNED.pop().unpersist()
+
+
 def test_select_top_tokens_rejects_unquantized_scores(spark):
     """A raw float score would turn the per-score driver cumsum into an
     O(n) collect; the guard must fail loudly instead."""
