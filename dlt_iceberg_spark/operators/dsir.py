@@ -85,17 +85,32 @@ def dsir_importance_weights(
 
     ``log((t_b + α)/(T + αB)) − log((r_b + α)/(R + αB))`` — the two model
     fits of the paper.  Output is B rows; both inputs reduce to B-row
-    aggregates before anything joins."""
+    aggregates before anything joins.
+
+    PERF (r12, guide §1.2/§2.4): the totals T and R are computed from the
+    B-row bucket tables with ONE single-partition window over their full
+    outer join — never as separate ``t.agg(sum)`` / ``r.agg(sum)``
+    relations.  Unpersisted, those two extra references re-executed the
+    entire feature-extraction lineage (tokenize + explode + md5 + corpus
+    shuffle) once EACH — runtime-verified: AQE's exchange reuse deduped
+    only the raw-fit branch, so dsir_select paid 2 full corpus
+    extractions and 2 target extractions per run.  The window moves ≤2B
+    tiny rows to one task; the outer join (instead of the old left join)
+    makes the window-sum of ``tc`` exactly T even for target buckets
+    outside the raw support; filtering back to the raw support afterwards
+    reproduces the left-join output rows bit-for-bit."""
     t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("tc"))
     r = raw_feats.groupBy("bucket").agg(F.sum("cnt").alias("rc"))
-    t_tot = t.agg(F.sum("tc").alias("tt"))
-    r_tot = r.agg(F.sum("rc").alias("rt"))
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy()
     # raw side is the support (every scored gram appears in the raw corpus);
     # buckets absent from the target get pure-smoothing mass
     joined = (
-        r.join(t, "bucket", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+        r.join(t, "bucket", "full")
+        .withColumn("tt", F.sum(F.coalesce(F.col("tc"), F.lit(0))).over(w_all))
+        .withColumn("rt", F.sum(F.coalesce(F.col("rc"), F.lit(0))).over(w_all))
+        .filter(F.col("rc").isNotNull())
     )
     b = float(n_buckets)
     return joined.select(

@@ -134,9 +134,12 @@ def nb_train(
     # null text → size() = -1, and labels whose every doc is empty are
     # ABSENT from the counts-based aggregate — guard both so the
     # replacement is exactly equivalent
+    # column-API form (ADVICE r11): interpolating text_col into an F.expr
+    # SQL string broke for identifiers needing backtick quoting and was an
+    # expression-injection hole; F.filter/F.split build the same tree
     n_toks = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
         F.size(
-            F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')")
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
         )
     )
     class_tot = (
@@ -188,7 +191,20 @@ def nb_score(
         .groupBy(id_col, "label")
         .agg(F.sum(F.col("tf") * F.col("w")).alias("ev"))
     )
-    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("m"))
+    # M_d map-side (PERF r12, same move as nb_train's class totals):
+    # Σ_term tf == |nonempty tokens| — a size() over the split array, no
+    # (id, term) shuffle and no second execution of tf's explode lineage
+    # (runtime-verified: unpersisted, the doc_len reference re-ran it).
+    # Support is identical by construction: a doc with no nonempty tokens
+    # (null/empty/whitespace text) has NO tf rows — explode of an empty
+    # array yields nothing — and size() ≤ 0 filters exactly those (size of
+    # a null array is -1).
+    doc_len = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("m"),
+    ).filter(F.col("m") > 0)
     grid = doc_len.crossJoin(F.broadcast(class_consts))
     scored = (
         grid.join(evidence, [id_col, "label"], "left")

@@ -103,15 +103,27 @@ def stream_index_vectors(
             # bootstrap epoch would index rows already deleted later in it.
             # Within one version an update is delete+insert and the insert
             # is the newer image, so insert outranks delete on ties.
-            w = Window.partitionBy(id_col).orderBy(
-                F.col("_commit_version").desc(),
-                (F.col("_change_type") == "insert").cast("int").desc(),
-            )
-            latest = (
-                batch_df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            #
+            # PERF (VERDICT r11 task 3): with max_versions_per_batch=1 a
+            # batch holds exactly ONE commit version by construction, so
+            # the window is a provable no-op — within one version every
+            # id's insert image wins the tie-break, which is exactly what
+            # the `_change_type == 'insert'` filter below plus the
+            # deletes-first masking already produce.  Skip the per-epoch
+            # id-keyed shuffle+sort statically (no runtime version probe
+            # needed); multi-version batches keep the full resolution.
+            if max_versions_per_batch == 1:
+                latest = batch_df
+            else:
+                w = Window.partitionBy(id_col).orderBy(
+                    F.col("_commit_version").desc(),
+                    (F.col("_change_type") == "insert").cast("int").desc(),
+                )
+                latest = (
+                    batch_df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
             # every id with a delete image gets masked — including upserts,
             # whose pre-batch copy must go; this epoch's own insert commits
             # at a higher sequence, so it survives the mask.

@@ -289,3 +289,53 @@ def test_cdc_stream_propagates_corpus_deletes(spark, warehouse, tmp_path):
     rows = index.read().filter("vec_id = 10").collect()
     assert len(rows) == 1
     assert rows[0].embedding == replacement.collect()[0].embedding
+
+
+def test_cdc_single_version_skip_matches_windowed_resolution(spark, warehouse, tmp_path):
+    """PERF r12: with max_versions_per_batch=1 the latest-image window is
+    skipped statically (a single commit version cannot have cross-version
+    conflicts).  The skip must be a pure execution change: an index
+    maintained version-per-epoch (skip path) must hold exactly the rows of
+    one maintained with the whole history in a single multi-version epoch
+    (windowed path) after the same append -> delete -> upsert history."""
+    from pyspark.sql import functions as F
+
+    from dlt_iceberg_spark.operators.similarity import fixed_centroids
+
+    catalog = LakeCatalog(spark, warehouse)
+    writer = LakeWriter(catalog, "ds")
+    first = _vectors(spark, 30, seed=31)
+    writer.write(TableSpec(name="pv", write_disposition="append"), first, load_id="l0")
+    src = catalog.load_table("ds", "pv")
+    src.position_delete_where([("vec_id", "in", [3, 17])])  # hard delete
+    replacement = _vectors(spark, 1, seed=99, start_id=5)
+    src.update_where(  # upsert: delete+insert same id in ONE version
+        [("vec_id", "=", 5)],
+        {
+            "embedding": F.array(
+                *[F.lit(float(x)) for x in replacement.collect()[0].embedding]
+            )
+        },
+    )
+
+    results = {}
+    for tag, mvpb in (("skip", 1), ("windowed", None)):
+        index = LakeTable(spark, str(tmp_path / f"idx_{tag}"))
+        run_index_backfill(
+            spark,
+            src.location,
+            index,
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+            n_centroids=4,
+            centroids=fixed_centroids(first, n_centroids=4),
+            query_name=f"pv_{tag}",
+            changes=True,
+            max_versions_per_batch=mvpb,
+        )
+        results[tag] = sorted(
+            (r.vec_id, tuple(round(x, 12) for x in r.embedding))
+            for r in index.read().select("vec_id", "embedding").collect()
+        )
+    assert results["skip"] == results["windowed"]
+    ids = [v for v, _ in results["skip"]]
+    assert 3 not in ids and 17 not in ids and ids.count(5) == 1
