@@ -294,6 +294,7 @@ def test_changelog_refuses_expired_range(spark, base, monkeypatch):
     assert table.read_changes(None).count() >= 1
 
 
+@pytest.mark.slow
 def test_mirror_into_replicates_table(spark, base):
     """CDC apply: a downstream table tracks the source through appends,
     updates, and deletes via the changelog feed."""

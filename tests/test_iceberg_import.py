@@ -1345,6 +1345,7 @@ def test_register_avro_nested_equality_deletes(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == [1, 3]
 
 
+@pytest.mark.slow
 def test_interop_cycle_property(spark, tmp_path):
     """VERDICT r5 task 8 — full interop cycle, property-tested: adopt a
     foreign table carrying BOTH position and equality deletes, interleave

@@ -343,6 +343,7 @@ def test_commit_rejects_fully_empty_delta(spark, tmp_path):
     assert s1.n_files == 0
 
 
+@pytest.mark.slow
 def test_distributed_planner_on_100k_files(big_table):
     """Scan planning as a Spark job (lake/planning.py): on the 100k-entry
     manifest set, a selective k2 probe must return exactly the driver

@@ -20,6 +20,8 @@ import json
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # 1M-file fixture: driver-window gate (VERDICT r11 task 1)
 from pyspark.sql import types as T
 
 import dlt_iceberg_spark.lake.table as table_mod

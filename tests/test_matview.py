@@ -56,6 +56,7 @@ def _rolled(mv):
     }
 
 
+@pytest.mark.slow
 def test_join_view_tracks_both_sides(spark, warehouse):
     catalog, writer = _mk_sources(
         spark, warehouse,
@@ -116,6 +117,7 @@ def test_join_view_tracks_both_sides(spark, warehouse):
     assert not any(c == 101 for (_, c) in _rolled(mv))
 
 
+@pytest.mark.slow
 def test_join_view_both_sides_change_in_one_refresh(spark, warehouse):
     """The IVM cross-term case: the same pair's A-row AND B-row change in
     a single refresh window — stale half-updated images must cancel in
@@ -157,6 +159,7 @@ def test_join_view_idempotent_and_cursor_rides_commit(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_join_view_random_history_matches_full_join(spark, warehouse):
     """Property: across random mutations on both sides, every refresh
     leaves the view equal to the recomputed inner join."""
@@ -297,6 +300,7 @@ def test_join_view_refresh_inside_transaction_one_cut(spark, warehouse):
     assert mv.refresh()["pairs_touched"] == 0  # cursor rode the cut
 
 
+@pytest.mark.slow
 def test_rollup_composes_over_join_view(spark, warehouse):
     """CDC chains: fact tables -> IncrementalJoinView -> IncrementalRollup.
     The view is an ordinary LakeTable whose maintenance merges emit a
@@ -464,6 +468,7 @@ def test_left_join_view_delta_left_rows_route_by_match(spark, warehouse):
     assert (3, None) not in got
 
 
+@pytest.mark.slow
 def test_left_join_view_random_history_matches_full_left_join(spark, warehouse):
     import random
 
@@ -615,6 +620,7 @@ def test_right_join_view_tracks_unmatched_customers(spark, warehouse):
     assert got[(None, 60)] == (None, "lonely")
 
 
+@pytest.mark.slow
 def test_full_join_view_random_history_matches_full_outer(spark, warehouse):
     import random
 
@@ -793,6 +799,7 @@ def test_outer_rebuild_halves_publish_atomically(spark, warehouse):
 # -- select=[...] column projection (VERDICT r7 task 7) ----------------------
 
 
+@pytest.mark.slow
 def test_join_view_select_projection_random_history(spark, warehouse):
     """Property: a projected LEFT view equals the projected direct left
     join across random mutations — and updates that touch only
@@ -932,6 +939,7 @@ def test_join_view_select_validation(spark, warehouse):
 # -- chained views: IVM over IVM (view2's left source is view1's table) ------
 
 
+@pytest.mark.slow
 def test_chained_join_views_compose(spark, warehouse):
     """A second IncrementalJoinView maintained over the FIRST view's
     target table (its merge commits produce ordinary CDC) equals the
@@ -1032,6 +1040,7 @@ def test_chained_join_views_compose(spark, warehouse):
     assert mv2.refresh()["pairs_touched"] == 0
 
 
+@pytest.mark.slow
 def test_full_join_view_with_projection(spark, warehouse):
     """select=[...] composes with the FULL outer matrix: both unmatched
     halves store only projected side columns, zero-crossing flips still

@@ -592,6 +592,7 @@ def _inc_corpus_rows():
     return rows
 
 
+@pytest.mark.slow
 def test_batch_vs_corpus_dedup_strategies_agree(spark):
     from dlt_iceberg_spark.operators.dedup import (
         batch_vs_corpus_dedup,
@@ -664,6 +665,7 @@ def test_build_dedup_index_collapses_exact_dups(spark):
     assert sig != idx[(4,)].signature
 
 
+@pytest.mark.slow
 def test_batch_vs_corpus_dedup_bitmask_small_vocab(spark):
     from dlt_iceberg_spark.operators.dedup import (
         batch_vs_corpus_dedup,
@@ -739,6 +741,7 @@ def test_resize_images_plumbing(spark):
             resize_images(df, 2, 2, fake=False).collect()
 
 
+@pytest.mark.slow
 def test_dsir_prefers_target_like_documents(spark):
     """DSIR semantic contract (operators/dsir.py, Xie et al. 2023): docs
     sharing the target corpus' n-gram distribution must outscore docs from
@@ -792,6 +795,7 @@ def test_dsir_feature_plan_is_mapside(spark):
     assert exchange_count(feats) <= 1
 
 
+@pytest.mark.slow
 def test_dsir_and_lm_persist_reused_lineage(spark, tmp_path):
     """VERDICT r4 task 4: the feature/score tables that feed two consumers
     must be persisted — the physical plan reads an InMemoryRelation (one
@@ -878,6 +882,7 @@ def test_lm_perplexity_separates_target_like_docs(spark):
     assert buckets[1] == 1 and buckets[2] == 2  # head vs tail
 
 
+@pytest.mark.slow
 def test_persisted_dedup_index_lifecycle(spark, tmp_path):
     """The incremental-dedup index as a PERSISTED LakeTable (the production
     shape): write once, probe each arriving batch, append only novel

@@ -300,6 +300,7 @@ def test_wap_pipeline_refuses_derived(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_pipeline_derived_chain_views_and_rollup_one_cut(spark, warehouse):
     """The full derived-model chain — facts -> join view -> chained view
     -> rollup — refreshes inside ONE transactional load: all four tables

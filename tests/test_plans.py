@@ -129,6 +129,7 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         _clear("bt_right")
 
 
+@pytest.mark.slow
 def test_registry_wide_no_cartesian(spark):
     """EVERY registered query must plan without a cartesian/BNL join —
     the regression net for all 79 entries, not just the hand-picked ones.

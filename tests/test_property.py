@@ -176,6 +176,7 @@ _mor_batches = st.lists(
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=_mor_batches)
+@pytest.mark.slow
 def test_mor_sequences_match_model(spark, ops):
     import tempfile
     import uuid
@@ -378,6 +379,7 @@ edge_lists = st.lists(
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """Pointer-doubling min-label propagation must equal a plain
     union-find on arbitrary random graphs (self-loops, duplicates,
@@ -419,6 +421,7 @@ def test_connected_components_matches_union_find(spark, edges):
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=_mor_batches)
+@pytest.mark.slow
 def test_mirror_tracks_random_op_sequences(spark, ops):
     """CDC replication invariant: after ANY op interleaving, draining the
     changelog feed into a mirror table reproduces the source exactly."""
@@ -644,6 +647,7 @@ _ddl_ops = st.lists(
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(ops=_ddl_ops)
+@pytest.mark.slow
 def test_schema_ddl_sequences_match_model(spark, ops):
     """Random interleavings of rename_column / drop_column / add_column /
     append / CoW upsert must agree with a driver-side dict model at every

@@ -313,6 +313,7 @@ def test_rollup_minmax_rescan_survives_same_sum_swap(spark, warehouse):
     assert _rolled_minmax(ru)["x"] == (8.0, 4.0, 4.0, 2)
 
 
+@pytest.mark.slow
 def test_rollup_minmax_rescan_matches_full_recompute(spark, warehouse):
     """Property test (VERDICT r6 task 5): across a random mutation history
     of appends / updates / hard deletes / upserts, every refresh leaves
@@ -493,6 +494,7 @@ def test_rollup_avg_maintained_exactly_under_deletes(spark, warehouse):
     assert got == {"a": (None, 1), "b": (9.0, 1)}
 
 
+@pytest.mark.slow
 def test_rollup_count_distinct_rescan(spark, warehouse):
     """count_distinct rides the same touched-group rescan as min/max —
     exact under inserts, updates, and retraction of the last occurrence

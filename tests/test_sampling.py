@@ -112,6 +112,7 @@ def test_weighted_mixture_proportions(spark):
     assert a == sorted((r.mixture_source, r.k) for r in out2.collect())
 
 
+@pytest.mark.slow
 def test_select_top_tokens_matches_global_window(spark):
     from pyspark.sql import Window
     from dlt_iceberg_spark.operators.sampling import select_top_tokens

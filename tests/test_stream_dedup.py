@@ -3,6 +3,8 @@
 strictly before it, flags land per epoch, and the persisted class index
 grows by novel classes only."""
 
+import pytest
+
 import os
 
 from dlt_iceberg_spark.lake.catalog import LakeCatalog
@@ -83,6 +85,7 @@ def test_stream_dedup_flags_and_index(spark, warehouse, tmp_path):
     assert os.path.isdir(str(tmp_path / "ckpt"))
 
 
+@pytest.mark.slow
 def test_stream_dedup_ledger_skips_replayed_epochs(spark, warehouse, tmp_path):
     """With a state ledger, a replayed epoch (fresh checkpoint, same
     query name) is skipped outright — no duplicate flag rows, no index

@@ -2,6 +2,8 @@
 micro-batch (= one source snapshot) lands in the persisted IVF index —
 bootstrap on the first epoch, frozen-centroid delta appends after."""
 
+import pytest
+
 import json
 
 import numpy as np
@@ -31,6 +33,7 @@ def _ranked(df):
     )
 
 
+@pytest.mark.slow
 def test_stream_maintains_index_per_load(spark, warehouse, tmp_path):
     catalog = LakeCatalog(spark, warehouse)
     writer = LakeWriter(catalog, "ds")
@@ -87,6 +90,7 @@ def test_stream_maintains_index_per_load(spark, warehouse, tmp_path):
     assert _ranked(got3) == _ranked(exact3)
 
 
+@pytest.mark.slow
 def test_stream_replayed_epoch_skipped_by_ledger(spark, warehouse, tmp_path):
     """append_vectors is not naturally idempotent: the load ledger must
     skip a checkpoint-replayed epoch so vectors never duplicate."""
@@ -120,6 +124,7 @@ def test_stream_replayed_epoch_skipped_by_ledger(spark, warehouse, tmp_path):
     assert index.read().count() == 30  # no duplicated vectors
 
 
+@pytest.mark.slow
 def test_stream_bootstraps_ivfpq_with_metadata(spark, warehouse, tmp_path):
     """index_options pass through the stream bootstrap: an IVF-PQ index
     with metadata columns maintains from the stream — appends read the
@@ -166,6 +171,7 @@ def test_stream_bootstraps_ivfpq_with_metadata(spark, warehouse, tmp_path):
     assert out.count() == 6
 
 
+@pytest.mark.slow
 def test_cdc_multi_version_batch_resolves_latest_image(spark, warehouse, tmp_path):
     """changes=True with max_versions_per_batch=None: ONE epoch spans the
     whole source history.  Each id must resolve to its latest change image
@@ -227,6 +233,7 @@ def test_cdc_multi_version_batch_resolves_latest_image(spark, warehouse, tmp_pat
     assert _ranked(got) == _ranked(exact)
 
 
+@pytest.mark.slow
 def test_cdc_stream_propagates_corpus_deletes(spark, warehouse, tmp_path):
     """changes=True: a hard delete in the source corpus propagates to the
     index in its epoch — the deleted vector stops being a neighbor, and

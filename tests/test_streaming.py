@@ -222,6 +222,7 @@ def test_streaming_dedup(spark, stream_dirs):
     assert spark.table("deduped").count() == 2
 
 
+@pytest.mark.slow
 def test_running_user_totals_stateful(spark, stream_dirs):
     from dlt_iceberg_spark.streaming import running_user_totals
 
@@ -312,6 +313,7 @@ def test_stream_interval_join_matches_batch(spark, stream_dirs):
     assert got_stream == got
 
 
+@pytest.mark.slow
 def test_stream_merge_mor_no_rewrite(spark, stream_dirs):
     """Streaming upserts with merge_mode=mor: each micro-batch lands data +
     a delete file, never rewriting earlier batches' files — the streaming
@@ -377,6 +379,7 @@ def test_stream_in_cdc_out(spark, stream_dirs):
     assert feed2.poll() is None
 
 
+@pytest.mark.slow
 def test_long_stream_mor_with_maintenance_cadence(spark, stream_dirs):
     """VERDICT r3 #8: an always-on MoR upsert stream must not accumulate
     delete files / small files / snapshots without bound.  12 micro-batches

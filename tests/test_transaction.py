@@ -323,6 +323,7 @@ def test_rest_catalog_multi_ref_cas_is_indivisible(spark, tmp_path):
         server.stop()
 
 
+@pytest.mark.slow
 def test_pipeline_transactional_run_is_all_or_nothing(spark, warehouse):
     from dlt_iceberg_spark.lake.pipeline import Pipeline, Resource
 
@@ -385,6 +386,7 @@ def test_pipeline_transactional_refuses_wap_branch(spark, warehouse):
         )
 
 
+@pytest.mark.slow
 def test_property_random_txn_interleavings_match_model(spark, warehouse, monkeypatch):
     """30 seeded rounds of {stage-on-1..3-tables, commit | rollback |
     foreign-write-then-conflict | crash-mid-publish-then-recover} must

@@ -105,6 +105,7 @@ def test_index_table_is_self_describing(spark, warehouse):
         load_centroids(plain)
 
 
+@pytest.mark.slow
 def test_ivfpq_persisted_matches_flat_pq_and_recalls(spark, warehouse):
     """IVF-PQ persisted: codes stored in the index, ADC scoring over probed
     lists; with probe-all the result must equal flat PQ over the full
@@ -272,6 +273,7 @@ def test_filtered_persisted_search_with_metadata_cols(spark, warehouse):
     assert _ranked(got) == _ranked(exact)
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_recovers_exact_ranking(spark, warehouse):
     """The FAISS refine step: rerank=N re-scores the ADC top-N with exact
     cosine — with probe-all and N = corpus size the result equals brute
@@ -307,6 +309,7 @@ def test_ivfpq_rerank_recovers_exact_ranking(spark, warehouse):
         ivf_pq_topk_persisted(queries, codes_only, k=5, nprobe=4, rerank=20)
 
 
+@pytest.mark.slow
 def test_delete_vectors_takedown_lifecycle(spark, warehouse):
     """The takedown path: delete_vectors masks ids merge-on-read, every
     probe path excludes them immediately, and compaction folds the masked
@@ -390,6 +393,7 @@ def test_write_vector_index_refuses_second_build(spark, warehouse):
     assert idx.read().count() == 60
 
 
+@pytest.mark.slow
 def test_rebuild_vector_index_atomic_retrain(spark, warehouse):
     """rebuild_vector_index re-trains and re-assigns ALL rows in ONE
     replace snapshot: new sidecar, every row's list = argmax against the
@@ -550,6 +554,7 @@ def test_pq_build_encodes_once(spark, warehouse, monkeypatch):
     assert idx.read().filter("pq_code IS NULL").count() == 0
 
 
+@pytest.mark.slow
 def test_ivf_sq_persisted_lifecycle(spark, warehouse):
     """IVF-SQ8 (FAISS IVF,SQ8): codes-only index stores one int8 level per
     dimension against frozen exact per-dim stats; ivf_topk_persisted
@@ -1028,6 +1033,7 @@ def _expected_residual_codes(idx, books, matrix):
     return stored, expected
 
 
+@pytest.mark.slow
 def test_residual_pq_persisted_lifecycle(spark, warehouse):
     """Residual IVF-PQ through the persisted lifecycle: build stores
     residual codes, probe-all ADC equals flat residual PQ, appends encode
@@ -1187,6 +1193,7 @@ def test_probe_gated_adc_matches_allowed_pairs_path(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_opq_pq_persisted_lifecycle(spark, warehouse):
     """OPQ + residual IVF-PQ through the persisted lifecycle: the learned
     rotation freezes in the sidecar, appends/splits encode with it, the
