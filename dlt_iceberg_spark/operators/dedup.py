@@ -944,15 +944,18 @@ def substring_dup_stats(
     distinct documents; each doc reports how much of it is duplicated
     surface.  The paper's suffix-array pass is single-machine; the
     distributed equivalent is window fingerprinting — map-side rolling
-    windows hashed to longs, ONE shuffle keyed by window hash to count
-    distinct docs, and a hash-partitioned join back (same key, so the
-    exchange is reused, no second shuffle of the big side).
+    windows hashed to longs, then ONE shuffle keyed by window hash: an
+    explicit hash repartition feeds the (wh, id) aggregate and the
+    distinct-doc count window in place (no countDistinct branch, no join
+    back, no second pass over the extraction).
 
     Docs shorter than ``window`` tokens have no windows (n_windows = 0,
     dup_fraction 0.0) — the paper's convention.
 
     Returns (id, n_windows, n_dup_windows, dup_fraction).
     """
+    from pyspark.sql.window import Window
+
     toks = fan_out(df).selectExpr(
         id_col, f"{_tokens_sql(text_col)} AS _toks"
     )
@@ -962,19 +965,25 @@ def substring_dup_stats(
         f"ELSE transform(sequence(1, size(_toks) - {window} + 1), "
         f"i -> xxhash64(concat_ws(' ', slice(_toks, i, {window})))) END) AS wh",
     )
-    dup = (
-        w.groupBy("wh")
-        .agg(F.countDistinct(id_col).alias("_nd"))
-        .filter(F.col("_nd") >= 2)
-        .select("wh")
+    # ONE wh-keyed exchange for the whole profile (guide §2.4): the explicit
+    # repartition("wh") partitioning satisfies both the (wh, id) aggregate's
+    # and the wh-window's clustering requirement, so dup detection no longer
+    # needs a separate countDistinct branch + join back — which re-ran the
+    # tokenize/window-hash extraction a second time and shuffled the full
+    # window stream twice more ((wh, id) partial-distinct + join exchange).
+    # _nd (distinct docs per wh) over the (wh, id)-unique rows is exactly
+    # the old countDistinct; the per-doc sums are integer-identical.
+    wc = (
+        w.repartition("wh")
+        .groupBy("wh", id_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_nd", F.count(F.lit(1)).over(Window.partitionBy("wh")))
     )
-    per_doc = (
-        w.join(dup.withColumn("_dup", F.lit(1)), "wh", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count("_dup").alias("n_dup_windows"),
-        )
+    per_doc = wc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("_nd") >= 2, F.col("_c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_windows"),
     )
     return (
         df.select(id_col)
@@ -1012,12 +1021,11 @@ def remove_duplicate_spans(
     over normalized text).
 
     Distribution shape: map-side window extraction, ONE shuffle keyed by
-    the window text to pick the keeper and count occurrences, a join back
-    on the same key (exchange reuse), then per-document token filtering as
-    linear higher-order functions — zero UDFs, zero driver collection.
-    The keeper pick is a single ``min(struct(id, pos))`` partial-aggregate
-    (map-side combine), so the reduce side sees one candidate per
-    partition per key, not every occurrence.
+    the window text — an explicit hash repartition under window functions
+    that pick the keeper (``min(struct(id, pos))``) and count occurrences
+    in place (no groupBy branch, no join back, no second pass over the
+    extraction) — then per-document token filtering as linear
+    higher-order functions — zero UDFs, zero driver collection.
 
     Returns ``(id, text, n_tokens, n_removed_tokens)``; docs shorter than
     ``window`` tokens pass through with zero removals.
@@ -1031,18 +1039,24 @@ def remove_duplicate_spans(
         f"i -> struct(CAST(i AS INT) AS pos, "
         f"concat_ws(' ', slice(_toks, i, {window})) AS win)) END) AS _w",
     ).select(id_col, F.col("_w.pos").alias("pos"), F.col("_w.win").alias("win"))
-    dup = (
-        w.groupBy("win")
-        .agg(
-            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keeper"),
-            F.count(F.lit(1)).alias("_n"),
-        )
-        .filter(F.col("_n") >= 2)
-    )
+    # ONE win-keyed exchange for keeper pick + occurrence count (guide
+    # §2.4): the old groupBy(win) + join-back form re-ran the window
+    # extraction a second time for the join's probe side and shuffled the
+    # full window stream through a second exchange.  A window over the
+    # explicit repartition("win") computes the same min(struct) keeper and
+    # count in place — filter semantics identical row-for-row.
+    from pyspark.sql.window import Window
+
+    ww = Window.partitionBy("win")
     removals = (
-        w.join(dup, "win")
+        w.repartition("win")
+        .withColumn(
+            "_keeper", F.min(F.struct(F.col(id_col), F.col("pos"))).over(ww)
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(ww))
         .filter(
-            ~(
+            (F.col("_n") >= 2)
+            & ~(
                 (F.col(id_col) == F.col(f"_keeper.{id_col}"))
                 & (F.col("pos") == F.col("_keeper.pos"))
             )

@@ -75,6 +75,31 @@ def hashed_ngram_features(
     )
 
 
+def hashed_ngram_bucket_totals(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(bucket, cnt): corpus-wide gram count per hash bucket — the model-fit
+    aggregate computed STRAIGHT from the gram stream (guide §2.3, aggregate
+    before you shuffle).  Bit-identical to
+    ``hashed_ngram_features(...).groupBy('bucket').sum('cnt')`` (same md5
+    bucketing, integer counts, addition is associative), but the shuffle
+    carries ≤ ``n_buckets`` partial rows per map partition instead of the
+    corpus-sized (doc, bucket) stream — the model fit never needs the
+    per-document breakdown."""
+    grams = df.select(
+        F.expr(f"filter(split({text_col}, '\\\\s+'), x -> x <> '')").alias("_t")
+    ).select(F.explode(F.expr(_GRAMS_OVER_T)).alias("_g"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    return grams.select(bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 def dsir_importance_weights(
     target_feats: DataFrame,
     raw_feats: DataFrame,
@@ -197,8 +222,17 @@ def dsir_select(
         persist_features = _plan_size_bytes(df) >= PERSIST_MIN_INPUT_BYTES
     if persist_features:
         feats = feats.persist(StorageLevel.DISK_ONLY)
-    tfeats = hashed_ngram_features(target, text_col, id_col, n_buckets)
-    weights = dsir_importance_weights(tfeats, feats, n_buckets, alpha)
+    # Model fits need only per-BUCKET totals (guide §2.3): the target side
+    # never needs a (doc, bucket) aggregate at all, and the raw side only
+    # reuses feats when the persist makes that read cheaper than a direct
+    # gram-stream aggregation.  Both forms are integer-sum identical.
+    tfeats = hashed_ngram_bucket_totals(target, text_col, n_buckets)
+    raw_fit = (
+        feats
+        if persist_features
+        else hashed_ngram_bucket_totals(df, text_col, n_buckets)
+    )
+    weights = dsir_importance_weights(tfeats, raw_fit, n_buckets, alpha)
     scores = dsir_scores(feats, weights, id_col)
     key = F.col("log_importance") + (
         _gumbel_expr(id_col, seed) * noise if noise else F.lit(0.0)

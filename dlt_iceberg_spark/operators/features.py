@@ -78,7 +78,29 @@ def tfidf_top_terms(
         .agg(F.count("*").alias("tf"))
     )
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # Document frequency does NOT need the (doc, term) aggregate: distinct
+    # terms per doc is map-side work (array_distinct over the split array),
+    # so this branch shuffles only vocab-sized partial counts instead of
+    # re-running tf's corpus-sized (doc, term) exchange (guide §2.3 —
+    # aggregate before you shuffle; same move as nb_train's vocab).
+    # Integer-count identical to tf.groupBy(term).count(): a term has a tf
+    # row for a doc iff it appears ≥ once nonempty in that doc's split.
+    dfreq = (
+        fan_out(
+            df.select(
+                F.explode(
+                    F.array_distinct(
+                        F.filter(
+                            F.split(F.col(text_col), r"\s+"),
+                            lambda x: x != F.lit(""),
+                        )
+                    )
+                ).alias("term")
+            )
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term",
         (
@@ -183,6 +205,12 @@ def nb_score(
 
     Output: ``(id_col, predicted, score)``.
     """
+    # NOTE (r12): scoring evidence straight off the token stream
+    # (join occurrences to weights, sum w per (id, label)) was A/B'd and
+    # LOST (1.09x median, 1.02x min over 3 interleaved blocks): the
+    # weight join multiplies every token occurrence by |labels| before the
+    # aggregate can collapse it, which costs more than the (id, term) tf
+    # exchange it removes. Kept the tf-first form.
     tf = fan_out(_terms(df, text_col, id_col)).groupBy(id_col, "term").agg(
         F.count("*").alias("tf")
     )
@@ -300,18 +328,20 @@ def bm25_rank(
     with ``N`` = documents with ≥ 1 token, ``dl`` = the document's token
     count and ``avgdl`` the mean document length.
 
-    Plan shape — ONE corpus scan, ONE doc-keyed shuffle: a single
-    aggregation produces each doc's length plus a WIDE per-query-term tf
-    column set (|q| columns, not a vocabulary), the doc-sized result
-    materializes once via an eager localCheckpoint (it feeds both the
-    1-row corpus-stats aggregate — n, avgdl, per-term df — and the
-    scoring projection; checkpoint storage is freed with the returned
-    plan, unlike persist()'s app-lifetime cache), and scoring is a broadcast
-    of that stats row back onto the matched docs, fully inside
-    whole-stage codegen.  No joins, no vocabulary-sized state, no second
-    corpus read — the shape that survives a 100 TB corpus and makes the
-    operator cheap to REUSE (hybrid ranking normalizes against the max
-    score without re-reading the corpus).
+    Plan shape — ONE corpus scan, ZERO corpus-sized shuffles: each doc's
+    length plus a WIDE per-query-term tf column set (|q| columns, not a
+    vocabulary) are MAP-SIDE array expressions over the split token array
+    (``size(filter(...))`` — no explode, no (doc, term) stream, no
+    doc-keyed exchange), the doc-sized result materializes once via an
+    eager localCheckpoint (it feeds both the 1-row corpus-stats
+    aggregate — n, avgdl, per-term df — and the scoring projection;
+    checkpoint storage is freed with the returned plan, unlike persist()'s
+    app-lifetime cache), and scoring is a broadcast of that stats row back
+    onto the matched docs, fully inside whole-stage codegen.  No joins, no
+    vocabulary-sized state, no second corpus read — the shape that
+    survives a 100 TB corpus and makes the operator cheap to REUSE (hybrid
+    ranking normalizes against the max score without re-reading the
+    corpus).
 
     Output: ``(id_col, score)`` for documents matching ≥ 1 query term.
     With ``k``, the global top-k ordered densest-first (ties by id
@@ -323,10 +353,36 @@ def bm25_rank(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     q = list(query_terms)
-    terms = fan_out(_terms(df, text_col, id_col))
-    aggs = [F.count("*").alias("_dl")]
+    if "_bm25_toks" in (id_col, text_col):
+        raise ValueError("column name collides with bm25 staging column")
+    # Per-doc features map-side (guide §2.3/§4.1 — same move as nb_score's
+    # doc_len): dl and each query-term tf are array expressions over the
+    # split token array, so the old explode + corpus-sized doc-keyed
+    # exchange disappears from the plan entirely.  The token array is
+    # staged once per row via a projection (Spark CSE skips lambda-bearing
+    # expressions — r11 lesson).  Row support is identical to the old
+    # explode+groupBy form: docs with no nonempty tokens had no term rows
+    # there, and here size(toks) <= 0 filters exactly those (size of a
+    # null array is -1; split(null) is null).  Counts are identical:
+    # count(*) per doc == size(toks); sum(term = t) == size(filter(= t)).
+    staged = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        ).alias("_bm25_toks"),
+    )
+    def _matches(term: str):
+        # closure, NOT a default arg: a 2-arg lambda would make F.filter
+        # pass the array index as the second parameter
+        return lambda x: x == F.lit(term)
+
+    cols = [F.size("_bm25_toks").cast("long").alias("_dl")]
     for i, t in enumerate(q):
-        aggs.append(F.sum((F.col("term") == t).cast("long")).alias(f"_tf{i}"))
+        cols.append(
+            F.size(F.filter(F.col("_bm25_toks"), _matches(t)))
+            .cast("long")
+            .alias(f"_tf{i}")
+        )
     # doc-sized (one row per doc, |q|+1 columns) — tiny next to the corpus.
     # It feeds TWO consumers (the 1-row stats aggregate + scoring), so it
     # must materialize once; an eager localCheckpoint instead of persist()
@@ -334,7 +390,11 @@ def bm25_rank(
     # ContextCleaner frees checkpoint storage when the plan is GC'd) —
     # persist() would pin them in the CacheManager for the app lifetime
     # across repeated invocations (gate reruns, hybrid_search reuse).
-    per_doc = terms.groupBy(id_col).agg(*aggs).localCheckpoint(eager=True)
+    per_doc = (
+        staged.select(F.col(id_col), *cols)
+        .filter(F.col("_dl") > 0)
+        .localCheckpoint(eager=True)
+    )
     stat_aggs = [
         F.avg("_dl").alias("_avgdl"),
         F.count("*").alias("_n"),

@@ -101,7 +101,16 @@ def connected_components(
             )
         if (i + 1) % checkpoint_every == 0:
             updated = updated.localCheckpoint()
-        n_changed = updated.filter(F.col("_changed")).limit(1).count()
+        # Round 0 always changes a label when any edge exists (the larger
+        # endpoint of any edge sees a smaller neighbor label), and with no
+        # edges the label table is empty and round 1's probe exits for
+        # free — so the round-0 convergence probe is a provably wasted
+        # full-scan job; skip it (guide §1.2: don't compute what you
+        # throw away).
+        if i > 0:
+            n_changed = updated.filter(F.col("_changed")).limit(1).count()
+        else:
+            n_changed = 1
         labels = updated.drop("_changed")
         if n_changed == 0:
             break

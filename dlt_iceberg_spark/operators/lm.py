@@ -87,7 +87,17 @@ def train_bigram_lm(
     bigrams = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c"))
     if persist_model:
         bigrams = bigrams.persist(StorageLevel.DISK_ONLY)
-    contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
+        contexts = bigrams.groupBy("prev").agg(F.sum("c").alias("c_total"))
+    else:
+        # Unpersisted, deriving contexts from bigrams re-executes the whole
+        # pair-extraction lineage INCLUDING its (prev, w) corpus shuffle.
+        # The context totals are just pair counts per prev (Σ_w c(prev, w)
+        # == count of pairs with that prev — integer-identical), so count
+        # the pair stream directly: the re-extraction stays (no safe cut,
+        # see OPTIMIZATION_r12 residuals) but its shuffle shrinks from the
+        # (prev, w) stream to ≤ |distinct prev| partial rows per partition
+        # (guide §2.3 — aggregate before you shuffle).
+        contexts = pairs.groupBy("prev").agg(F.count(F.lit(1)).alias("c_total"))
     toks = _TOKS.format(col=text_col)
     vocab_size = (
         target.select(F.explode(F.expr(toks)).alias("t")).distinct().count()

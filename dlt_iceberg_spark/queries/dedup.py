@@ -145,9 +145,9 @@ def substring_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span occurring >= 2 times corpus-wide is cut from all but its "
         "globally first occurrence (min (doc_id, pos)), and surviving "
         "tokens reassemble the text (operators/dedup.py::"
-        "remove_duplicate_spans — one window-text shuffle, keeper pick as "
-        "a map-side-combined min(struct), HOF token filtering, zero "
-        "UDFs).  The oracle replays keeper selection via window "
+        "remove_duplicate_spans — one window-text shuffle, keeper pick "
+        "and occurrence count as window functions over it, HOF token "
+        "filtering, zero UDFs).  The oracle replays keeper selection via window "
         "functions and rebuilds the text with ordered string_agg; the "
         "md5 of the reassembled text puts every surviving byte on the "
         "hash path."

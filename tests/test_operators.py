@@ -1354,3 +1354,126 @@ def test_text_operators_reject_reserved_staging_columns(spark):
             op(df)
     # clean inputs still work
     assert quality_score(base).count() == 1
+
+
+def test_dsir_bucket_totals_match_feature_aggregate(spark):
+    """r12: hashed_ngram_bucket_totals (the shuffle-light model-fit form)
+    must be row-identical to aggregating hashed_ngram_features — including
+    empty/whitespace/null docs and single-token docs (no bigrams)."""
+    from dlt_iceberg_spark.operators.dsir import (
+        hashed_ngram_bucket_totals,
+        hashed_ngram_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha"),
+            (3, ""),
+            (4, None),
+            (5, "   "),
+            (6, "beta gamma beta gamma beta"),
+        ],
+        "doc_id long, text string",
+    )
+    via_feats = {
+        (r.bucket, r.c)
+        for r in hashed_ngram_features(df, n_buckets=16)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c"))
+        .collect()
+    }
+    direct = {
+        (r.bucket, r.cnt)
+        for r in hashed_ngram_bucket_totals(df, n_buckets=16).collect()
+    }
+    assert direct == via_feats and direct
+
+
+def test_tfidf_doc_freq_counts_docs_not_occurrences(spark):
+    """r12: the map-side array_distinct doc-frequency branch must count each
+    doc once per term regardless of in-doc repetition, and ignore empty
+    tokens/docs — pinned against the closed-form smoothed IDF."""
+    from dlt_iceberg_spark.operators.features import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x  y"), (3, "z"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=10).collect()
+    n = 4  # n_docs counts the empty doc too (countDistinct over df)
+    by = {(r.doc_id, r.term): r for r in out}
+    # doc_freq: x -> 2 docs, y -> 2 docs, z -> 1 doc
+    assert math.isclose(
+        by[(1, "x")].tfidf, 3 * (math.log((n + 1) / (2 + 1)) + 1.0), rel_tol=1e-12
+    )
+    assert math.isclose(
+        by[(3, "z")].tfidf, 1 * (math.log((n + 1) / (1 + 1)) + 1.0), rel_tol=1e-12
+    )
+    assert (4, "") not in by and all(r.term != "" for r in out)
+
+
+def test_lm_contexts_match_bigram_rollup_both_persist_modes(spark):
+    """r12: the unpersisted path counts contexts straight off the pair
+    stream; it must equal the persisted path's Σ_w c(prev, w) rollup."""
+    from dlt_iceberg_spark.operators.lm import train_bigram_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a"), (3, ""), (4, "b c")],
+        "doc_id long, text string",
+    )
+    bg_p, ctx_p, v_p = train_bigram_lm(df, persist_model=True)
+    bg_n, ctx_n, v_n = train_bigram_lm(df, persist_model=False)
+    try:
+        assert v_p == v_n
+        rows_p = {(r.prev, r.c_total) for r in ctx_p.collect()}
+        rows_n = {(r.prev, r.c_total) for r in ctx_n.collect()}
+        assert rows_p == rows_n and rows_p
+    finally:
+        bg_p.unpersist()
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    """r12: the round-0 convergence probe is skipped (any edge provably
+    changes a label in round 0) — the empty-edge case must still terminate
+    with empty labels, and a single edge must form one component."""
+    from dlt_iceberg_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components(empty).collect() == []
+    one = spark.createDataFrame([(9, 5)], "a long, b long")
+    rows = {(r.node, r.component) for r in connected_components(one).collect()}
+    assert rows == {(5, 5), (9, 5)}
+
+
+def test_bm25_map_side_features_edge_cases(spark):
+    """r12: bm25_rank's per-doc (dl, tf_i) are now map-side array
+    expressions — pin N/avgdl/df support against null/empty/whitespace
+    docs (must be excluded exactly like the old explode form) and
+    multi-term tf against hand-computed scores."""
+    import math
+
+    from dlt_iceberg_spark.operators.features import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),   # dl=3, tf(cat)=2, tf(dog)=1
+            (2, "dog"),           # dl=1, tf(dog)=1
+            (3, ""),              # no tokens -> excluded from N/avgdl
+            (4, None),            # null -> excluded
+            (5, "   "),           # whitespace -> excluded
+            (6, "fish"),          # dl=1, no query terms -> absent from output
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_rank(docs, ["cat", "dog"]).collect()}
+    assert set(out) == {1, 2}
+    n, avgdl = 3, (3 + 1 + 1) / 3  # docs 1, 2, 6 only
+    df_cat, df_dog = 1, 2
+
+    def part(tf, dl, dfq):
+        idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1)
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert abs(out[1] - (part(2, 3, df_cat) + part(1, 3, df_dog))) < 1e-12
+    assert abs(out[2] - part(1, 1, df_dog)) < 1e-12

@@ -15,7 +15,9 @@ import time
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dlt_iceberg_spark.queries import REGISTRY  # noqa: E402
 from dlt_iceberg_spark.session import get_spark  # noqa: E402
